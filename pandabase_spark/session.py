@@ -1,0 +1,50 @@
+"""SparkSession factory (reference: pandabase/helpers.py:67-81 engine_builder).
+
+The reference turns a connection string into a SQLAlchemy engine; here the
+"engine" is a SparkSession configured for this workload:
+
+- UTC session timezone (the reference enforces UTC-only datetimes,
+  reference:pandabase/sql.py:98-100,130-136);
+- AQE on (runtime re-planning, skew-join handling at scale);
+- Arrow transfers on (pandas interop is Arrow-batched, never row-by-row);
+- shuffle partitions sized for the local test harness via env, while the
+  same code on a real cluster would leave AQE to coalesce post-shuffle
+  partitions from a larger initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "pandabase_spark", **extra_conf: str) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied.
+
+    Pass ``extra_conf`` to override any default. Honors
+    ``SPARK_GRAFT_CPUS`` for local parallelism (driver contract).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("PANDABASE_SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", os.environ.get("PANDABASE_SHUFFLE_PARTITIONS", cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # dynamic partition overwrite: upsert rewrites ONLY the hash
+        # buckets touched by the incoming batch (see io.py)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("PANDABASE_DRIVER_MEM", "20g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ.get("PANDABASE_WAREHOUSE", "/tmp/pandabase_warehouse"))
+    )
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
