@@ -332,6 +332,11 @@ class KeyedCatalog:
             sdf.withColumn(BUCKET_COL, _bucket_expr(m.keys, m.num_buckets))
             .repartition(BUCKET_COL)  # one shuffle → one file set per bucket
             .write.mode(mode)
+            # per-write, NOT session-level: an upsert on a session with the
+            # default static overwrite mode would otherwise delete every
+            # untouched bucket (and the meta sidecar) instead of only the
+            # buckets present in the merged batch
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)
             .parquet(self._path(table_name))
         )

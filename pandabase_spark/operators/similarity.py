@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the standard ANN playbook:
+
+- :func:`cosine_topk` — exact brute force: broadcast the (small) query
+  set against the corpus, one pass computing cosine, per-query top-k via
+  a partial TOP-K aggregate (no global sort). This is the baseline and
+  the verifier for the approximate path. Scale shape: corpus-side scan
+  is embarrassingly parallel; the only shuffle is the final per-query
+  k-row aggregation.
+- :func:`ann_topk_lsh` — random-hyperplane LSH (Charikar '02 SimHash for
+  angles): each vector gets a ``planes``-bit bucket from the signs of
+  dot products with fixed pseudo-random hyperplanes; search touches only
+  the query's bucket (multi-probe: plus all buckets at Hamming distance
+  ≤ ``probe_hamming``). At 1000 executors the bucket column is the
+  partition key — a query reads 1/2^planes of the corpus per probe.
+
+Hyperplane matrix is a deterministic md5-seeded constant (no RNG state,
+reproducible across sessions) materialized as a literal array — it
+travels with the plan, no side file, no driver loop.
+
+The reference has no similarity surface (SURVEY.md §2 Table B) — this is
+extension surface for the driver's ``embeddings`` table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pandabase_spark.functions.vector import cosine_similarity, dot
+
+
+def _hyperplanes(planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
+
+    md5(plane, chunk) expanded to floats — stable across processes,
+    library versions, and sessions (hash-seeded, no RNG object).
+    """
+    out: list[list[float]] = []
+    for p in range(planes):
+        vals: list[float] = []
+        chunk = 0
+        while len(vals) < dim:
+            d = hashlib.md5(f"pandabase-hyperplane-{p}-{chunk}".encode()).digest()
+            for off in range(0, 16, 4):
+                (u,) = struct.unpack("<I", d[off : off + 4])
+                vals.append(u / 2147483647.5 - 1.0)  # [-1, 1]
+            chunk += 1
+        out.append(vals[:dim])
+    return out
+
+
+def _plane_literal(plane: list[float]) -> Column:
+    return F.array(*[F.lit(v) for v in plane])
+
+
+def hyperplane_buckets(
+    df: DataFrame, vec_col: str, *, planes: int = 12, dim: int | None = None
+) -> DataFrame:
+    """Attach an LSH ``bucket`` (int, ``planes`` sign bits) per row.
+
+    One projection: ``planes`` dot products per vector, all inside one
+    codegen stage; adds no shuffle. Bucket the table ONCE at ingest and
+    reuse for every query — at scale, persist partitioned by bucket.
+    """
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        if first is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = first[0]
+    hp = _hyperplanes(planes, dim)
+    bucket = F.lit(0)
+    for i, plane in enumerate(hp):
+        bit = (dot(F.col(vec_col), _plane_literal(plane)) >= 0).cast("int")
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (brute force).
+
+    ``queries`` must be small (it is broadcast). Returns
+    (query_id, vec_id, cosine, rank) with rank 1..k per query.
+
+    The top-k is computed as ``max_by``-style partial aggregation via
+    a sorted-array accumulator: groupBy(query) collects only k rows per
+    partition before the final merge (Catalyst rewrites window-rank
+    filters over grouped TOP-K since 3.5 via RankLimit; we keep the
+    explicit window + filter which AQE executes with partial ranking).
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.alias("c").join(F.broadcast(q)).select(
+        F.col("query_id"),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+    planes: int = 8,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: search only LSH buckets near the query's.
+
+    Multi-probe: a query probes its own bucket plus every bucket within
+    Hamming distance ``probe_hamming`` (probes = sum of C(planes, i)).
+    The corpus side is bucketed once; the join key is the bucket id, so
+    the scan touches probes/2^planes of the data — the 100 TB path.
+    Recall is tunable via ``planes`` (fewer → bigger buckets) and
+    ``probe_hamming``.
+
+    Returns (query_id, vec_id, cosine, rank).
+    """
+    qid = query_id_col or id_col
+    dim_row = corpus.select(F.size(vec_col)).first()
+    if dim_row is None:
+        raise ValueError("empty corpus")
+    dim = dim_row[0]
+    c_bucketed = hyperplane_buckets(corpus, vec_col, planes=planes, dim=dim)
+    q_bucketed = hyperplane_buckets(
+        queries.select(
+            F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
+        ),
+        "_qvec",
+        planes=planes,
+        dim=dim,
+    )
+    # expand each query to its probe buckets: flips of ≤ probe_hamming bits
+    probe_masks = [0]
+    if probe_hamming >= 1:
+        probe_masks += [1 << i for i in range(planes)]
+    if probe_hamming >= 2:
+        probe_masks += [
+            (1 << i) | (1 << j) for i in range(planes) for j in range(i + 1, planes)
+        ]
+    probes = q_bucketed.select(
+        "query_id",
+        "_qvec",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probe_masks])
+        ).alias("bucket"),
+    )
+    scored = (
+        c_bucketed.join(F.broadcast(probes), on="bucket")
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )

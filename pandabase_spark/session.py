@@ -36,6 +36,9 @@ def get_spark(app_name: str = "pandabase_spark", **extra_conf: str) -> SparkSess
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # read TIMESTAMP(NANOS) parquet (e.g. pandas datetime64[ns] output)
+        # as long nanos instead of failing; loaders convert to micros
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # dynamic partition overwrite: upsert rewrites ONLY the hash

@@ -1,0 +1,901 @@
+"""Driver-contract workload: named queries + DuckDB oracle SQL.
+
+Every operator family in SURVEY.md §2 (keyed-table storage) and the
+LLM-pipeline extension surface (dedup, similarity, text analysis, JSON,
+streaming) is represented here as a ``(spark, sf_dir) -> DataFrame``
+callable plus — wherever ANSI SQL can express the same computation — a
+DuckDB oracle string over the same parquet tables. ``__spark_entry__``
+re-exports :data:`QUERIES` / :data:`ORACLE`.
+
+Cross-engine parity rules used throughout (and worth keeping for any new
+query):
+
+- alias every computed column identically in Spark and SQL;
+- ``ROUND(x, 4)`` any float produced by arithmetic (sums/ratios) —
+  both engines fold doubles left-to-right over identical inputs, but
+  aggregation order across groups differs;
+- ``CAST(SUM(..) AS BIGINT)`` in DuckDB (its integer SUM returns
+  HUGEINT, which pandas renders as float);
+- timestamps that went through arithmetic are formatted to strings;
+  raw parquet timestamp columns pass through untouched (both engines
+  read the same physical values; Spark maps them to TIMESTAMP_NTZ).
+
+The ``events`` table is parquet TIMESTAMP(NANOS); Spark 4 reads it only
+as long (``spark.sql.legacy.parquet.nanosAsLong``), so :func:`load`
+converts to micros — DuckDB's TIMESTAMP is micros, so both engines see
+identical truncated values.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pandabase_spark.io import KeyedCatalog
+
+TPCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# loaders
+# ---------------------------------------------------------------------------
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table; normalizes the nanos-timestamp events table."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes)["ts"] == "bigint":
+            # integer division: ns → µs without double rounding (the
+            # values exceed 2^53, float division would lose microseconds)
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _catalog(spark: SparkSession, sf_dir: str) -> KeyedCatalog:
+    """Per-process scratch warehouse for the keyed-table queries."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    wh = os.path.join(
+        tempfile.gettempdir(), f"pandabase_workload_{os.getpid()}_{tag}"
+    )
+    return KeyedCatalog(spark, wh)
+
+
+def _fresh(cat: KeyedCatalog, table: str) -> None:
+    if cat.has_table(table):
+        cat.drop_table(table)
+
+
+def _ts_to_str(df: DataFrame) -> DataFrame:
+    """Format timestamp columns as strings for oracle comparison.
+
+    Spark's toPandas yields datetime64[ns] while DuckDB yields [us];
+    identical values, but a dtype-sensitive hasher would disagree —
+    strings are unambiguous. Oracles use strftime with the same shape.
+    """
+    out = df
+    for name, dtype in df.dtypes:
+        if dtype.startswith("timestamp"):
+            out = out.withColumn(
+                name, F.date_format(name, "yyyy-MM-dd HH:mm:ss").alias(name)
+            )
+    return out
+
+
+# lineitem is NOT unique on (l_orderkey, l_linenumber) in the driver's
+# synthetic data — the minimal unique key there is the 4-column
+# (l_orderkey, l_linenumber, l_partkey, l_suppkey) composite.
+LI_KEYS = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+_LI_COLS_SQL = (
+    "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+    "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate"
+)
+_ORDERS_COLS_SQL = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+    "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority"
+)
+
+
+# DuckDB-side expression fragments mirroring pandabase_spark.functions.text.
+_NORM = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_NTOK = f"(CASE WHEN len({_NORM}) = 0 THEN 0 ELSE len({_TOKS}) END)"
+_STOPWORDS = (
+    "['the','a','an','of','and','or','is','are','to','in','on',"
+    "'for','with','at','by','from']"
+)
+_LANG_MARKERS_SQL = {
+    "en": "['the','a','of','and','is','to','in']",
+    "de": "['der','die','das','und','ist','nicht','ein']",
+    "es": "['el','la','los','y','es','que','un']",
+    "fr": "['le','la','les','et','est','que','un']",
+    "zh": "['de5','shi4','le5','zai4','he2','you3','wo3']",
+}
+
+
+def _norm(c: str) -> str:
+    return _NORM.format(c=c)
+
+
+def _toks(c: str) -> str:
+    return _TOKS.format(c=c)
+
+
+def _ntok(c: str) -> str:
+    return _NTOK.format(c=c)
+
+
+# ---------------------------------------------------------------------------
+# keyed-table family (reference parity: SURVEY.md §2 Table A)
+# ---------------------------------------------------------------------------
+
+@_q("kt_roundtrip_create", "SELECT * FROM customer")
+def kt_roundtrip_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A7: create_only + full-scan read (reference:pandabase/
+    sql.py:146-161, 349-381)."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_customer")
+    cat.to_table(load(spark, sf_dir, "customer"), "w_customer", keys=["c_custkey"])
+    return cat.read_table("w_customer")
+
+
+@_q(
+    "kt_range_read_single",
+    f"SELECT {_ORDERS_COLS_SQL} FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000",
+)
+def kt_range_read_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: inclusive single-key range read (reference:pandabase/
+    sql.py:383-399)."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_orders")
+    cat.to_table(load(spark, sf_dir, "orders"), "w_orders", keys=["o_orderkey"])
+    return _ts_to_str(cat.read_table("w_orders", lowest=1000, highest=5000))
+
+
+@_q(
+    "kt_range_read_composite",
+    f"SELECT {_LI_COLS_SQL} FROM lineitem WHERE l_orderkey >= 500 "
+    "AND l_linenumber >= 2 AND l_orderkey <= 1500",
+)
+def kt_range_read_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: composite-key bounds filter per-column independently
+    (conjunction, NOT lexicographic — reference:pandabase/sql.py:406-430,
+    matrix reference:tests/test_sql.py:197-219). None slots leave their
+    column unbounded."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_lineitem")
+    cat.to_table(load(spark, sf_dir, "lineitem"), "w_lineitem", keys=LI_KEYS)
+    return _ts_to_str(
+        cat.read_table(
+            "w_lineitem", lowest=(500, 2, None, None), highest=(1500, None, None, None)
+        )
+    )
+
+
+@_q(
+    "kt_range_read_open",
+    f"SELECT {_LI_COLS_SQL} FROM lineitem WHERE l_orderkey >= 3000",
+)
+def kt_range_read_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 variant: only a lower bound (reference allows either side)."""
+    cat = _catalog(spark, sf_dir)
+    if not cat.has_table("w_lineitem"):
+        cat.to_table(load(spark, sf_dir, "lineitem"), "w_lineitem", keys=LI_KEYS)
+    return _ts_to_str(cat.read_table("w_lineitem", lowest=(3000, None, None, None)))
+
+
+@_q(
+    "kt_projection",
+    "SELECT o_orderkey, o_totalprice FROM orders",
+)
+def kt_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 + column pruning: the projection reaches the parquet scan
+    (ReadSchema contains only the selected columns)."""
+    cat = _catalog(spark, sf_dir)
+    if not cat.has_table("w_orders"):
+        cat.to_table(load(spark, sf_dir, "orders"), "w_orders", keys=["o_orderkey"])
+    return cat.read_table("w_orders", columns=["o_totalprice"])
+
+
+@_q("kt_append", "SELECT * FROM customer")
+def kt_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: strict PK-integrity append — second half appended to first
+    half; any overlap would raise IntegrityError (reference:pandabase/
+    sql.py:264-266)."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_cust_append")
+    c = load(spark, sf_dir, "customer")
+    half = c.agg(F.expr("percentile_approx(c_custkey, 0.5)")).collect()[0][0]
+    cat.to_table(
+        c.where(F.col("c_custkey") <= half), "w_cust_append", keys=["c_custkey"]
+    )
+    cat.to_table(
+        c.where(F.col("c_custkey") > half), "w_cust_append",
+        keys=["c_custkey"], how="append",
+    )
+    return cat.read_table("w_cust_append")
+
+
+@_q("kt_upsert", "SELECT * FROM customer")
+def kt_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A6: MERGE semantics — create a corrupted copy (acctbal zeroed
+    for a key range), upsert the true rows back; matched rows take ALL
+    incoming columns (reference:pandabase/sql.py:294-346)."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_cust_upsert")
+    c = load(spark, sf_dir, "customer")
+    corrupted = c.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") <= 300, F.lit(0.0)).otherwise(F.col("c_acctbal")),
+    )
+    cat.to_table(corrupted, "w_cust_upsert", keys=["c_custkey"])
+    cat.to_table(
+        c.where(F.col("c_custkey") <= 300), "w_cust_upsert",
+        keys=["c_custkey"], how="upsert",
+    )
+    return cat.read_table("w_cust_upsert")
+
+
+@_q(
+    "kt_upsert_partial_cols",
+    "SELECT c_custkey, c_name, c_nationkey, "
+    "CASE WHEN c_custkey <= 100 THEN c_acctbal + 100.0 ELSE c_acctbal END "
+    "AS c_acctbal, c_mktsegment FROM customer",
+)
+def kt_upsert_partial_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 partial-column semantics: a batch carrying only (key, acctbal)
+    updates acctbal and PRESERVES every other column
+    (reference:tests/test_sql.py:533-560)."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_cust_partial")
+    c = load(spark, sf_dir, "customer")
+    cat.to_table(c, "w_cust_partial", keys=["c_custkey"])
+    patch = c.where(F.col("c_custkey") <= 100).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+    )
+    cat.to_table(patch, "w_cust_partial", keys=["c_custkey"], how="upsert")
+    return cat.read_table("w_cust_partial")
+
+
+@_q(
+    "kt_describe",
+    "SELECT 'w_nation' AS table_name, CAST(min(n_nationkey) AS VARCHAR) AS min_pk, "
+    "CAST(max(n_nationkey) AS VARCHAR) AS max_pk, count(*) AS n_rows FROM nation "
+    "UNION ALL "
+    "SELECT 'w_region', CAST(min(r_regionkey) AS VARCHAR), "
+    "CAST(max(r_regionkey) AS VARCHAR), count(*) FROM region",
+)
+def kt_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: describe_database — min(pk)/max(pk)/count per table, the
+    reference's only aggregation surface (reference:pandabase/
+    util.py:45-80)."""
+    cat = _catalog(spark, sf_dir)
+    for t, key in (("nation", "n_nationkey"), ("region", "r_regionkey")):
+        _fresh(cat, f"w_{t}")
+        cat.to_table(load(spark, sf_dir, t), f"w_{t}", keys=[key])
+    out = cat.describe("w_nation").unionByName(cat.describe("w_region"))
+    return out.withColumnRenamed("count", "n_rows")
+
+
+@_q("kt_schema_evolution", "SELECT * FROM part")
+def kt_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: add_new_columns schema evolution — table created narrow,
+    upsert batch carries new columns (reference:pandabase/sql.py:509-517
+    _add_columns_to_db)."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_part_evolve")
+    p = load(spark, sf_dir, "part")
+    cat.to_table(
+        p.select("p_partkey", "p_name"), "w_part_evolve", keys=["p_partkey"]
+    )
+    cat.to_table(
+        p, "w_part_evolve", keys=["p_partkey"], how="upsert",
+        add_new_columns=True,
+    )
+    return cat.read_table("w_part_evolve")
+
+
+@_q(
+    "kt_coercion",
+    "SELECT s_suppkey, s_name, s_nationkey, "
+    "CAST(FLOOR(s_acctbal) AS DOUBLE) AS s_acctbal FROM supplier",
+)
+def kt_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: dtype coercion — the table's double column wins over an
+    integer batch column, which is cast on write (reference:pandabase/
+    sql.py:230-248; table is source of truth, reference:README.md:61)."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_supp_coerce")
+    s = load(spark, sf_dir, "supplier")
+    cat.to_table(s, "w_supp_coerce", keys=["s_suppkey"])
+    int_batch = s.withColumn("s_acctbal", F.floor(F.col("s_acctbal")))
+    cat.to_table(int_batch, "w_supp_coerce", keys=["s_suppkey"], how="upsert")
+    return cat.read_table("w_supp_coerce")
+
+
+@_q(
+    "kt_boolean_narrowing",
+    "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+    "(l_discount > 0.05) AS high_discount FROM lineitem",
+)
+def kt_boolean_narrowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: boolean narrowing — an int column with values ⊆ {0,1} and
+    both present is stored as BOOLEAN (reference:pandabase/
+    helpers.py:35-64; 20-case table reference:tests/test_helpers.py:34-61)."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_li_bool")
+    li = load(spark, sf_dir, "lineitem").select(
+        *LI_KEYS,
+        (F.col("l_discount") > 0.05).cast("int").alias("high_discount"),
+    )
+    cat.to_table(li, "w_li_bool", keys=LI_KEYS)
+    return cat.read_table("w_li_bool")
+
+
+@_q(
+    "kt_autoindex_append",
+    "SELECT count(*) AS n, 0 AS min_idx, CAST(count(*) - 1 AS INTEGER) AS max_idx "
+    "FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)",
+)
+def kt_autoindex_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 auto-index path: two appends mint a contiguous 0..2n-1 integer
+    key (reference:tests/test_sql.py:824-843 — appends keep counting
+    upward). Aggregated so the check is row-order independent."""
+    from pandabase_spark.io import AUTO_INDEX_NAME
+
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_nation_auto")
+    n = load(spark, sf_dir, "nation")
+    cat.to_table(n, "w_nation_auto", auto_index=True)
+    cat.to_table(n, "w_nation_auto", auto_index=True, how="append")
+    df = cat.read_table("w_nation_auto")
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(AUTO_INDEX_NAME).cast("int").alias("min_idx"),
+        F.max(AUTO_INDEX_NAME).cast("int").alias("max_idx"),
+    )
+
+
+@_q(
+    "kt_companda_report",
+    "SELECT 'c_acctbal' AS column_name, 0 AS mismatch_count UNION ALL "
+    "SELECT 'c_mktsegment', 0 UNION ALL "
+    "SELECT 'c_name', (SELECT count(*) FROM customer WHERE c_custkey <= 50) "
+    "UNION ALL SELECT 'c_nationkey', 0",
+)
+def kt_companda_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19/A20: companda tolerance comparator — ε-perturbed numerics are
+    equal (ε=0.001 default, reference:pandabase/companda.py:42), changed
+    strings are counted per column."""
+    from pandabase_spark.compare import companda_report
+
+    c = load(spark, sf_dir, "customer")
+    perturbed = c.withColumn(
+        "c_acctbal", F.col("c_acctbal") + 0.0005
+    ).withColumn(
+        "c_name",
+        F.when(F.col("c_custkey") <= 50, F.concat(F.col("c_name"), F.lit("_x")))
+        .otherwise(F.col("c_name")),
+    )
+    return companda_report(c, perturbed, keys=["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# analytics family (TPC-H-shaped probes of the query surface)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+    "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+    "ROUND(AVG(l_quantity), 4) AS avg_qty, "
+    "ROUND(AVG(l_extendedprice), 4) AS avg_price, "
+    "ROUND(AVG(l_discount), 4) AS avg_disc, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: predicate pushdown to parquet + partial (map-side)
+    aggregation; one shuffle on the 4-value group key."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_top_orders",
+    "SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) "
+    "AS revenue, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "GROUP BY o.o_orderkey, o.o_orderdate "
+    "ORDER BY revenue DESC, o_orderkey LIMIT 10",
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: small dim (filtered customer) broadcast into the
+    fact join, then top-k. The broadcast hint removes both shuffle sides
+    of the customer join; lineitem joins orders on the shared key."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_nation_revenue",
+    "SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) "
+    "AS revenue FROM region r "
+    "JOIN nation n ON n.n_regionkey = r.r_regionkey "
+    "JOIN customer c ON c.c_nationkey = n.n_nationkey "
+    "JOIN orders o ON o.o_custkey = c.c_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "AND s.s_nationkey = c.c_nationkey "
+    "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — every dimension (region, nation,
+    customer, supplier) broadcasts; only the orders⨝lineitem fact join
+    shuffles. Catalyst reorders the join tree; the explicit broadcasts
+    pin the dims."""
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "window_top3_lineitems",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM ("
+    "SELECT l_orderkey, l_linenumber, l_extendedprice, "
+    "CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice "
+    "DESC, l_linenumber) AS INTEGER) AS rn FROM lineitem "
+    "WHERE l_orderkey <= 200) WHERE rn <= 3",
+)
+def window_top3_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function probe: per-group top-k via row_number — Catalyst
+    plans a rank-limit (partial top-k before the shuffle) for this
+    filter shape."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 200)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+        ).where(F.col("rn") <= 3)
+    )
+
+
+@_q(
+    "orders_priority_rollup",
+    "SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, "
+    "ROUND(SUM(o_totalprice), 2) AS total_price FROM orders "
+    "GROUP BY o_orderpriority, o_orderstatus",
+)
+def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain hash aggregate with map-side combine."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@_q(
+    "events_hourly",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
+    "event_type, count(*) AS n_events, ROUND(SUM(value), 4) AS value_sum "
+    "FROM events GROUP BY 1, 2",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour rollup (batch twin of the streaming window agg)."""
+    from pandabase_spark.operators.json_ops import events_hourly_rollup
+
+    ev = load(spark, sf_dir, "events")
+    out = events_hourly_rollup(ev)
+    return out.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type", "n_events", "value_sum",
+    )
+
+
+@_q(
+    "events_json_extract",
+    "SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') "
+    "AS BIGINT) AS k FROM events WHERE event_id <= 1000",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column ops: from_json with an explicit schema lifts
+    events.props to typed columns (SURVEY.md §2 Table B: json ABSENT in
+    reference — extension surface)."""
+    from pandabase_spark.operators.json_ops import events_enriched
+
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 1000)
+    return events_enriched(ev).select("event_id", "event_type", "k")
+
+
+@_q(
+    "events_user_deltas",
+    "SELECT event_id, user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS delta_us "
+    "FROM events WHERE user_id <= 20",
+)
+def events_user_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization primitive: per-user event time deltas via lag
+    window, in exact integer microseconds."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("delta_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline family: dedup
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_content_hash",
+    "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, g.n_copies "
+    "FROM documents d JOIN ("
+    f"SELECT md5({_norm('text')}) AS h, min(doc_id) AS keep_id, "
+    "count(*) AS n_copies FROM documents GROUP BY 1) g "
+    f"ON md5({_norm('text')}) = g.h AND d.doc_id = g.keep_id",
+)
+def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5(normalized text): survivors = min-id per
+    hash, with multiplicity. Shuffles 16-byte hashes, not documents."""
+    from pandabase_spark.operators.dedup import dedup_by_content_hash
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_by_content_hash(docs, "text", "doc_id")
+
+
+@_q(
+    "dedup_exact_groups",
+    "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d "
+    "JOIN (SELECT lang, source, min(doc_id) AS m FROM documents "
+    "GROUP BY 1, 2) g ON d.lang = g.lang AND d.source = g.source "
+    "AND d.doc_id = g.m",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a column subset keeping the min-id row (min_by
+    aggregate — single shuffle, no window/sort)."""
+    from pandabase_spark.operators.dedup import dedup_exact
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_exact(docs, ["lang", "source"], keep="doc_id")
+
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string((string_split({_norm('text')}, ' '))[i:i+2], ' ') AS s
+  FROM documents,
+       unnest(range(1, greatest(len(string_split({_norm('text')}, ' ')) - 2, 1) + 1))
+       AS r(i)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_1, id_2, ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = id_1 JOIN sizes sb ON sb.doc_id = id_2
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.3
+"""
+
+
+@_q("ngram_jaccard_pairs", _JACCARD_ORACLE)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join —
+    only pairs sharing a shingle are materialized)."""
+    from pandabase_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, mode="word", threshold=0.3
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 4))
+
+
+@_q("minhash_lsh_neardup")  # approximate: rows-only check (no oracle)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs, exact-Jaccard verified at 0.5 —
+    the 100 TB near-dup path (candidates only within LSH buckets).
+    Approximate by construction (banding S-curve), so no SQL oracle;
+    tests/test_operators.py checks recall=1.0 against exact Jaccard on
+    the high-similarity pairs this data contains."""
+    from pandabase_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return out.withColumn("jaccard", F.round("jaccard", 4))
+
+
+@_q("simhash_neardup")  # approximate: rows-only check (no oracle)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball pairs via pigeonhole chunk bucketing
+    (Manku et al.) — approximate fingerprinting, rows-only check."""
+    from pandabase_spark.operators.dedup import simhash_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_COS = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) "
+    "/ (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) "
+    "* sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))"
+)
+
+
+@_q(
+    "embedding_neardup_exact",
+    f"SELECT a.vec_id AS id_1, b.vec_id AS id_2, ROUND({_COS}, 4) AS cosine "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    f"WHERE {_COS} >= 0.45",
+)
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ 0.45) — the brute-force
+    verifier for the LSH variant. All-pairs: only run at audit scale."""
+    from pandabase_spark.functions.vector import cosine_similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("_v1"))
+    b = e.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("_v2"))
+    return (
+        a.join(b, F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1", "id_2",
+            cosine_similarity(F.col("_v1"), F.col("_v2")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.45)
+        .withColumn("cosine", F.round("cosine", 4))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline family: similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, {_COS} AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 5
+), ranked AS (
+  SELECT query_id, vec_id, ROUND(cosine, 4) AS cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@_q("cosine_topk_bruteforce", _TOPK_ORACLE)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast queries ×
+    corpus scan + per-query rank-limit. The ANN baseline."""
+    from pandabase_spark.operators.similarity import cosine_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    out = cosine_topk(e, e.where(F.col("vec_id") < 5), k=10)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+@_q("ann_topk_lsh")  # approximate: rows-only check (no oracle)
+def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH with multi-probe —
+    the sublinear scale path (reads probes/2^planes of the corpus per
+    query). Recall vs brute force is checked in tests, not by SQL."""
+    from pandabase_spark.operators.similarity import ann_topk_lsh
+
+    e = load(spark, sf_dir, "embeddings")
+    out = ann_topk_lsh(
+        e, e.where(F.col("vec_id") < 5), k=10, planes=6, probe_hamming=2
+    )
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline family: text analysis
+# ---------------------------------------------------------------------------
+
+def _lang_hits_sql(lang: str) -> str:
+    return (
+        f"len(list_filter({_toks('text')}, t -> "
+        f"list_contains({_LANG_MARKERS_SQL[lang]}, t)))"
+    )
+
+
+_PROFILE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         {_ntok('text')} AS n_tokens,
+         len(text) AS n_chars,
+         len(list_filter({_toks('text')}, t -> list_contains({_STOPWORDS}, t)))
+           AS stop_hits,
+         len(regexp_replace({_norm('text')}, '[^a-z ]', '', 'g'))
+           AS alpha_chars,
+         len({_norm('text')}) AS norm_len,
+         {_lang_hits_sql('en')} AS h_en,
+         {_lang_hits_sql('de')} AS h_de,
+         {_lang_hits_sql('es')} AS h_es,
+         {_lang_hits_sql('fr')} AS h_fr,
+         {_lang_hits_sql('zh')} AS h_zh,
+         md5({_norm('text')}) AS chash
+  FROM documents
+), m AS (
+  SELECT *,
+         CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / n_tokens ELSE 0.0 END AS sr,
+         CASE WHEN norm_len > 0 THEN alpha_chars * 1.0 / norm_len ELSE 0.0 END AS ar,
+         CASE WHEN n_tokens > 0
+              THEN (norm_len - (n_tokens - 1)) * 1.0 / n_tokens ELSE 0.0 END AS ml,
+         greatest(h_en, h_de, h_es, h_fr, h_zh) AS best
+  FROM base)
+SELECT doc_id, n_tokens, n_chars,
+       ROUND(sr, 4) AS stopword_ratio,
+       ROUND(ar, 4) AS alpha_ratio,
+       (CASE WHEN n_tokens >= 5 AND n_tokens <= 5000 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN ml >= 2.0 AND ml <= 12.0 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN sr >= 0.01 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN ar >= 0.6 THEN 0.25 ELSE 0.0 END) AS quality,
+       CASE WHEN best > 0 AND h_en = best THEN 'en'
+            WHEN best > 0 AND h_de = best THEN 'de'
+            WHEN best > 0 AND h_es = best THEN 'es'
+            WHEN best > 0 AND h_fr = best THEN 'fr'
+            WHEN best > 0 AND h_zh = best THEN 'zh'
+            ELSE 'und' END AS lang_guess,
+       chash
+FROM m
+"""
+
+
+@_q("doc_profile", _PROFILE_ORACLE)
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text stats (tokens/quality/language/content-hash) in
+    one codegen'd projection — language-ID and quality scoring per the
+    C4-style heuristic ladder."""
+    from pandabase_spark.operators.text_analysis import document_profile
+
+    docs = load(spark, sf_dir, "documents")
+    return document_profile(docs)
+
+
+_LANG_SUMMARY_ORACLE = f"""
+WITH p AS ({_PROFILE_ORACLE})
+SELECT lang_guess, count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(quality), 4) AS avg_quality
+FROM p GROUP BY lang_guess
+"""
+
+
+@_q("corpus_language_summary", _LANG_SUMMARY_ORACLE)
+def corpus_language_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup by guessed language."""
+    from pandabase_spark.operators.text_analysis import corpus_language_summary
+
+    docs = load(spark, sf_dir, "documents")
+    return corpus_language_summary(docs)
+
+
+@_q(
+    "token_histogram",
+    f"SELECT CAST(({_ntok('text')}) // 10 * 10 AS BIGINT) AS bucket, "
+    "count(*) AS n_docs FROM documents GROUP BY 1",
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram in decade buckets."""
+    from pandabase_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (F.floor(token_count("text") / 10) * 10).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry-point helpers (driver contract)
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The driver smoke query: TPC-H-Q1-shaped pricing summary."""
+    return q1_pricing_summary(spark, sf_dir)
