@@ -40,13 +40,24 @@ class Companda:
 
 def _value_equal(col: str, dt: T.DataType, epsilon: float):
     a, b = F.col(f"__l_{col}"), F.col(f"__r_{col}")
-    if isinstance(dt, (T.DoubleType, T.FloatType, T.LongType, T.IntegerType,
-                       T.ShortType, T.ByteType, T.DecimalType)):
-        # NaN-mask equality + epsilon tolerance on co-present values
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        # NaN counts as missing, like NULL: the reference treats NaN as
+        # missing on BOTH sides (reference:pandabase/companda.py:129-147)
+        # while Spark distinguishes NaN from null — a parquet NaN must
+        # compare equal to itself.
+        a_miss = a.isNull() | F.isnan(a)
+        b_miss = b.isNull() | F.isnan(b)
+        both_missing = a_miss & b_miss
+        both_present = ~a_miss & ~b_miss
+        return both_missing | (both_present & (F.abs(a - b) <= F.lit(epsilon)))
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                       T.DecimalType)):
+        # integral: NULL-mask equality + epsilon tolerance (isnan is not
+        # defined on integral types)
         both_null = a.isNull() & b.isNull()
         both_present = a.isNotNull() & b.isNotNull()
         return both_null | (both_present & (F.abs(a - b) <= F.lit(epsilon)))
-    # datetimes / strings / booleans: exact, null-safe
+    # datetimes / strings / booleans / arrays: exact, null-safe
     return a.eqNullSafe(b)
 
 

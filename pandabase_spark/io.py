@@ -216,6 +216,15 @@ class KeyedCatalog:
         exists = self.has_table(table_name)
         target_schema = self._table_schema(table_name) if exists else None
         sdf, keys = self._normalize_input(df, keys, auto_index, target_schema)
+        for k in keys:
+            if spark_to_logical(sdf.schema[k].dataType) not in (
+                "boolean", "integer", "float", "datetime", "string"
+            ):
+                raise TypeError(
+                    f"key column {k} has non-orderable type "
+                    f"{sdf.schema[k].dataType.simpleString()}; keys must be "
+                    f"scalar (array/binary/nested columns are values only)"
+                )
 
         if exists and how == "create_only":
             raise NameError(
@@ -259,6 +268,11 @@ class KeyedCatalog:
         """Validate + convert input; returns (spark_df, key list)."""
         if isinstance(df, pd.DataFrame):
             pdf = df.copy()
+            if keys is not None:
+                # column names are cleaned below, so explicit keys must be
+                # cleaned the same way or keys=['My Col'] would miss the
+                # cleaned my_col column
+                keys = [clean_name(k) for k in keys]
             if auto_index:
                 if isinstance(pdf.index, pd.MultiIndex):
                     raise ValueError(
@@ -311,20 +325,49 @@ class KeyedCatalog:
         return narrow_spark_schema(df, keys), keys
 
     def _assign_auto_index(self, sdf: DataFrame, base: int) -> DataFrame:
-        """Contiguous auto-increment key.
+        """Contiguous auto-increment key without a global sort.
 
-        ``monotonically_increasing_id`` alone is non-contiguous; the
-        reference's semantics (append keeps counting upward,
-        reference:tests/test_sql.py:824-843) need a global row_number.
-        A global window is a single-partition sort — acceptable for the
-        parity feature, documented as the anti-pattern it is; large-scale
-        pipelines should carry natural keys instead (SURVEY.md §7).
+        The reference's semantics (append keeps counting upward,
+        reference:tests/test_sql.py:824-843) need ids base..base+n-1.
+        A ``Window.orderBy(...)`` with no partition key would funnel the
+        whole batch through ONE task; instead this is the classic
+        zipWithIndex shape, fully parallel:
+
+        1. one small job counts rows per partition (driver gets ≤
+           numPartitions longs);
+        2. cumulative offsets per partition become a broadcast map;
+        3. id = base + offset[partition] + intra-partition row_number,
+           where the window is PARTITIONED by spark_partition_id — every
+           partition ranks independently, no single-partition exchange.
         """
         from pyspark.sql.window import Window
 
-        w = Window.orderBy(F.monotonically_increasing_id())
-        return sdf.withColumn(
-            AUTO_INDEX_NAME, (F.row_number().over(w) + F.lit(base) - 1).cast("long")
+        pid = F.spark_partition_id()
+        # persist: the per-partition counts and the ranking window must
+        # observe the SAME partition assignment (a re-computed shuffled
+        # input could map rows to different partitions between the jobs)
+        staged = sdf.withColumn("_pb_pid", pid).persist()
+        counts = dict(
+            staged.groupBy("_pb_pid").count().collect()
+        )  # ≤ numPartitions entries — driver-safe
+        offsets: dict[int, int] = {}
+        acc = 0
+        for p in sorted(counts):
+            offsets[p] = acc
+            acc += counts[p]
+        offset_expr = F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            ),
+            F.col("_pb_pid"),
+        ) if offsets else F.lit(0)
+        w = Window.partitionBy("_pb_pid").orderBy(F.monotonically_increasing_id())
+        return (
+            staged.withColumn(
+                AUTO_INDEX_NAME,
+                (F.row_number().over(w) - 1 + offset_expr + F.lit(base)).cast("long"),
+            )
+            .drop("_pb_pid")
         )
 
     def _write(self, sdf: DataFrame, table_name: str, m: TableMeta, mode: str) -> None:
@@ -534,13 +577,19 @@ class KeyedCatalog:
         import datetime
 
         logical = spark_to_logical(dt)
-        ok = {
+        allowed = {
             "integer": (int,),
             "float": (int, float),
             "datetime": (datetime.datetime, datetime.date, pd.Timestamp),
             "string": (str,),
             "boolean": (bool, int),
-        }[logical]
+        }
+        if logical not in allowed:
+            raise TypeError(
+                f"key {key} has non-orderable type {dt.simpleString()}; "
+                f"range bounds are not supported on it"
+            )
+        ok = allowed[logical]
         if isinstance(bound, bool) and logical in ("integer", "float"):
             raise TypeError(f"bound {bound!r} is boolean but key {key} is {logical}")
         if not isinstance(bound, ok):

@@ -62,7 +62,14 @@ _NUMERIC_SPARK = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def spark_to_logical(dt: T.DataType) -> str:
-    """Map an arbitrary Spark type onto the engine's five logical types."""
+    """Map an arbitrary Spark type onto the engine's logical types.
+
+    Beyond the reference's five scalar types, the extension surface adds
+    ``array`` (e.g. ``array<float>`` embedding columns) and ``binary``
+    (multimodal payloads) so those tables flow through the keyed-table
+    API; they are storage-transparent (parquet round-trips them) but can
+    never be key columns and are exempt from narrowing.
+    """
     if isinstance(dt, T.BooleanType):
         return "boolean"
     if isinstance(dt, _NUMERIC_SPARK):
@@ -73,6 +80,12 @@ def spark_to_logical(dt: T.DataType) -> str:
         return "datetime"
     if isinstance(dt, T.StringType):
         return "string"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, (T.MapType, T.StructType)):
+        return "nested"
     raise TypeError(f"unsupported Spark type for keyed table: {dt}")
 
 

@@ -402,6 +402,51 @@ def kt_companda_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return companda_report(c, perturbed, keys=["c_custkey"])
 
 
+@_q(
+    "kt_embeddings_roundtrip",
+    "SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim, "
+    "ROUND(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4)"
+    " AS norm FROM embeddings",
+)
+def kt_embeddings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayType through the keyed-table API: the embeddings table
+    (array<float>) stores and round-trips through to_table/read_table —
+    the type bridge treats arrays as storage-transparent values
+    (extension beyond the reference's five scalar types)."""
+    from pandabase_spark.functions.vector import l2_norm
+
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_embeddings")
+    cat.to_table(load(spark, sf_dir, "embeddings"), "w_embeddings", keys=["vec_id"])
+    out = cat.read_table("w_embeddings")
+    return out.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 4).alias("norm"),
+    )
+
+
+@_q(
+    "kt_events_roundtrip",
+    "SELECT event_id, user_id, event_type, value, "
+    "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events WHERE event_id BETWEEN 100 AND 2000",
+)
+def kt_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events through the keyed path: nanos→micros timestamp conversion,
+    JSON props lifted to a typed column, ranged read on the key."""
+    from pandabase_spark.operators.json_ops import events_enriched
+
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_events")
+    ev = events_enriched(load(spark, sf_dir, "events")).drop("props")
+    cat.to_table(ev, "w_events", keys=["event_id"])
+    out = cat.read_table("w_events", lowest=100, highest=2000)
+    return _ts_to_str(out)
+
+
 # ---------------------------------------------------------------------------
 # analytics family (TPC-H-shaped probes of the query surface)
 # ---------------------------------------------------------------------------
