@@ -1,0 +1,87 @@
+"""Filesystem access through the Hadoop FileSystem API.
+
+Every catalog/metadata operation goes through ``spark._jvm``'s Hadoop
+``FileSystem``/``FileContext`` instead of ``os``/``shutil``, so a
+warehouse path works identically on local disk, HDFS, or S3A — the
+portability the reference gets for free from "the database is
+elsewhere" (its only storage client is a SQLAlchemy engine,
+reference:pandabase/helpers.py:67-81).
+
+Atomicity notes:
+
+- :meth:`write_text_atomic` stages to a temp file and renames with
+  ``Options.Rename.OVERWRITE`` via ``FileContext`` — atomic on POSIX
+  filesystems and HDFS. On S3A a rename is copy+delete (not atomic);
+  for object stores the single-file manifest still gives last-writer-
+  wins consistency, which is the documented single-writer contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class HadoopFS:
+    """Thin wrapper over org.apache.hadoop.fs for one warehouse root."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _jpath(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        return self._jpath(p).getFileSystem(self._conf)
+
+    def exists(self, p: str) -> bool:
+        return self._fs(p).exists(self._jpath(p))
+
+    def mkdirs(self, p: str) -> None:
+        self._fs(p).mkdirs(self._jpath(p))
+
+    def delete(self, p: str, recursive: bool = True) -> bool:
+        return self._fs(p).delete(self._jpath(p), recursive)
+
+    def list_dirs(self, p: str) -> list[str]:
+        """Names (not full paths) of child directories of ``p``."""
+        fs = self._fs(p)
+        jp = self._jpath(p)
+        if not fs.exists(jp):
+            return []
+        return sorted(
+            s.getPath().getName()
+            for s in fs.listStatus(jp)
+            if s.isDirectory()
+        )
+
+    def read_text(self, p: str) -> str:
+        # a py4j byte[] argument is passed by value, so readFully into a
+        # Python buffer can't work — let the JVM produce the String
+        fs = self._fs(p)
+        stream = fs.open(self._jpath(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, p: str, text: str) -> None:
+        """Write ``text`` to ``p`` atomically (stage + overwrite-rename)."""
+        import uuid
+
+        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        fs = self._fs(tmp)
+        out = fs.create(self._jpath(tmp), True)
+        try:
+            out.write(text.encode("utf-8"))
+        finally:
+            out.close()
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(self._conf)
+        # varargs over py4j need an explicit Java array
+        gw = self._spark.sparkContext._gateway
+        opts = gw.new_array(self._jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(self._jpath(tmp), self._jpath(p), opts)

@@ -4,38 +4,67 @@ Re-expresses the reference's core API (reference:pandabase/sql.py:40-271
 to_sql, 349-506 read_sql) Spark-first. The reference writes row dicts
 through SQLAlchemy one executemany (append) or one statement PER ROW
 (upsert, reference:pandabase/sql.py:320-346). Here every mode is a single
-declarative Spark plan:
+declarative Spark plan committed through a tiny manifest log.
 
-- ``create_only`` → write Parquet, ErrorIfExists semantics
+Storage model (v2 — segment + manifest commit log)
+==================================================
+
+A table directory holds immutable write segments plus two small JSON
+files::
+
+    <warehouse>/<table>/
+        _pandabase_meta.json        keys, auto_index, num_buckets, schema
+        _pandabase_log.json         manifest: {segment -> live bucket list}
+        seg-<uuid>/_pb_b=<n>/*.parquet
+
+Rows are hash-bucketed: ``pmod(xxhash64(key...), num_buckets)`` names the
+partition directory inside each segment. The manifest maps every segment
+to the buckets that are LIVE in it; readers materialize exactly the
+(segment, bucket) leaf directories the manifest lists.
+
+Write modes:
+
+- ``create_only``  → write seg-0, then meta, then manifest
   (reference:pandabase/sql.py:146-161,170-171).
-- ``append``      → strict PK-integrity append: in-batch duplicate check
-  (groupBy keys, count>1) + overlap check vs existing keys (inner join
-  must be empty), then appended files (reference raises IntegrityError on
-  conflict, reference:pandabase/sql.py:264-266).
-- ``upsert``      → MERGE semantics: matched rows take ALL incoming
+- ``append``       → strict PK-integrity append: in-batch duplicate
+  check + overlap probe against ONLY the buckets the batch hashes into,
+  then a NEW segment and a manifest entry add (reference raises
+  IntegrityError on conflict, reference:pandabase/sql.py:264-266).
+- ``upsert``       → MERGE semantics: matched rows take ALL incoming
   columns (NaN overwrites to NULL, reference:pandabase/sql.py:300);
   columns absent from the batch keep table values; unmatched insert
-  (reference:pandabase/sql.py:294-346).
+  (reference:pandabase/sql.py:294-346). The merged buckets land in a new
+  segment; the manifest commit atomically swaps those buckets' ownership
+  from the old segments to the new one. Old files are never touched.
+
+ACID story: the manifest write is a stage-file + atomic overwrite-rename
+(:mod:`pandabase_spark.fs`), so a crash at ANY point before the rename
+leaves the previous manifest — and therefore the previous table state —
+fully intact (snapshot isolation for readers; orphan segments are
+garbage, removed by :meth:`KeyedCatalog.vacuum`). This replaces the v1
+in-place dynamic-partition-overwrite, which could lose buckets if the
+writer died mid-commit — the same reason Delta Lake keeps a JSON action
+log instead of rewriting in place.
+
+Concurrency contract: SINGLE WRITER PER TABLE. The manifest commit is
+last-writer-wins; concurrent writers do not corrupt data files (segments
+are uuid-named and immutable) but one manifest update can eclipse
+another, and the append PK-overlap probe is check-then-act. The
+reference inherits multi-writer safety from the database's UNIQUE
+constraint; a lock service or a CAS-capable store would be needed to
+offer the same here, and this engine does not pretend to.
 
 Scale design (the part that matters at 100 TB):
 
-Tables are stored as Parquet hash-bucketed on the key:
-``_pb_bucket = pmod(xxhash64(key...), num_buckets)`` is a PARTITION
-column. An upsert batch touches only the buckets its keys hash into, so
-the merge plan is:
-
-1. bucket the batch (narrow, no shuffle);
-2. read ONLY the affected buckets of the table (partition pruning — at
-   1000 buckets and a batch touching 10, that's 1% of table I/O);
-3. ``existing LEFT ANTI JOIN batch ON keys`` ∪ ``batch`` — one shuffle
-   on the key, skew handled by AQE;
-4. dynamic-partition-overwrite of just those buckets.
-
-This is the same shape Delta Lake's MERGE produces after file skipping,
-built from primitives. Appends write new files into bucket directories
-(no rewrite). Key-range reads push min/max predicates to Parquet
-row-group stats; the bucket column additionally makes every key-equality
-lookup a one-partition scan.
+- An upsert batch touching B of N buckets reads B/N of the table
+  (manifest-driven path pruning), joins existing LEFT ANTI batch on the
+  key (one shuffle, AQE-skew-handled), and writes only those buckets.
+- Appends write new segments — zero rewrite of existing data.
+- Key-range reads push min/max predicates into parquet row-group stats;
+  full-key point reads prune to ONE bucket's paths before the scan.
+- All catalog I/O goes through the Hadoop FileSystem API, so local,
+  HDFS, and S3A warehouses behave identically (S3A caveat: manifest
+  rename is copy+delete, see fs.py).
 
 The per-row upsert loop of the reference — one network round trip per
 row (reference:pandabase/sql.py:321-346) — is the scalability cliff this
@@ -45,15 +74,15 @@ design removes.
 from __future__ import annotations
 
 import json
-import os
-import shutil
-from dataclasses import dataclass
-from typing import Any, Mapping, Sequence
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from pandabase_spark.fs import HadoopFS
 from pandabase_spark.names import clean_name, is_clean
 from pandabase_spark.types import (
     coerce_to_table_schema,
@@ -64,8 +93,9 @@ from pandabase_spark.types import (
 )
 
 AUTO_INDEX_NAME = "pandabase_auto_generated_index"  # reference:pandabase/helpers.py:13
-BUCKET_COL = "_pb_bucket"
+PART_DIR = "_pb_b"
 META_FILE = "_pandabase_meta.json"
+LOG_FILE = "_pandabase_log.json"
 WRITE_MODES = ("create_only", "append", "upsert")
 
 
@@ -82,13 +112,20 @@ class TableMeta:
     keys: list[str]
     auto_index: bool
     num_buckets: int
+    schema_json: str = ""
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
 
     @classmethod
     def from_json(cls, s: str) -> "TableMeta":
-        return cls(**json.loads(s))
+        d = json.loads(s)
+        d.setdefault("schema_json", "")
+        return cls(**d)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
 
 
 def _bucket_expr(keys: Sequence[str], num_buckets: int):
@@ -102,19 +139,20 @@ def _bucket_expr(keys: Sequence[str], num_buckets: int):
 
 
 class KeyedCatalog:
-    """A directory-backed catalog of keyed Parquet tables.
+    """A manifest-logged catalog of keyed Parquet tables.
 
     Plays the role of the reference's SQLAlchemy engine+MetaData pair.
-    ``warehouse`` is any Spark-readable path (local, HDFS, S3A — the
-    code never assumes a local filesystem except for metadata sidecars,
-    which go through the same path string).
+    ``warehouse`` is any Hadoop-FileSystem path (local, ``file://``,
+    HDFS, S3A) — every metadata operation goes through the FileSystem
+    API, never ``os``/``shutil``.
     """
 
     def __init__(self, spark: SparkSession, warehouse: str, default_buckets: int = 32):
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
         self.default_buckets = default_buckets
-        os.makedirs(self.warehouse, exist_ok=True)
+        self.fs = HadoopFS(spark)
+        self.fs.mkdirs(self.warehouse)
 
     # ------------------------------------------------------------------
     # catalog utilities (reference:pandabase/util.py:5-80, helpers.py:175-182)
@@ -124,37 +162,55 @@ class KeyedCatalog:
 
     def has_table(self, table_name: str) -> bool:
         """reference:pandabase/helpers.py:175-182"""
-        return os.path.exists(os.path.join(self._path(table_name), META_FILE))
+        return self.fs.exists(f"{self._path(table_name)}/{META_FILE}")
 
     def drop_table(self, table_name: str) -> None:
         """reference:pandabase/util.py:5-20 drop_db_table"""
         if not self.has_table(table_name):
             raise NameError(f"no such table: {table_name}")
-        shutil.rmtree(self._path(table_name))
+        self.fs.delete(self._path(table_name))
 
     def table_names(self) -> list[str]:
         """reference:pandabase/util.py:23-28 get_db_table_names"""
         return sorted(
             d
-            for d in os.listdir(self.warehouse)
-            if os.path.exists(os.path.join(self.warehouse, d, META_FILE))
+            for d in self.fs.list_dirs(self.warehouse)
+            if self.fs.exists(f"{self.warehouse}/{d}/{META_FILE}")
         )
 
     def column_names(self, table_name: str) -> list[str]:
         """reference:pandabase/util.py:31-42 get_table_column_names"""
-        return [c for c in self._read_raw(table_name).columns if c != BUCKET_COL]
+        return [f.name for f in self.meta(table_name).schema.fields]
 
     def meta(self, table_name: str) -> TableMeta:
-        with open(os.path.join(self._path(table_name), META_FILE)) as f:
-            return TableMeta.from_json(f.read())
+        return TableMeta.from_json(
+            self.fs.read_text(f"{self._path(table_name)}/{META_FILE}")
+        )
+
+    def _write_meta(self, table_name: str, m: TableMeta) -> None:
+        self.fs.write_text_atomic(
+            f"{self._path(table_name)}/{META_FILE}", m.to_json()
+        )
+
+    def _manifest(self, table_name: str) -> dict:
+        p = f"{self._path(table_name)}/{LOG_FILE}"
+        if not self.fs.exists(p):
+            return {"v": 0, "segments": {}}
+        return json.loads(self.fs.read_text(p))
+
+    def _commit(self, table_name: str, segments: dict[str, list[int]], v: int) -> None:
+        """THE commit point: atomic overwrite-rename of the manifest."""
+        self.fs.write_text_atomic(
+            f"{self._path(table_name)}/{LOG_FILE}",
+            json.dumps({"v": v + 1, "segments": segments}),
+        )
 
     def describe(self, table_name: str | None = None) -> DataFrame:
         """Per-table min(pk)/max(pk)/count — the reference's only
         aggregation surface (reference:pandabase/util.py:45-80
-        describe_database). min/max/count over a sorted-stats Parquet
-        table is answered from footer statistics when the aggregate
-        pushdown flag is on; otherwise it is one map-side-combined agg.
-        Multi-key tables report count only (reference:util.py:69-75).
+        describe_database). Built lazily as ONE union-of-aggregates plan
+        (a single Spark job on collect, not one per table). Multi-key
+        tables report count only (reference:util.py:69-75).
         """
         names = [table_name] if table_name else self.table_names()
         out = None
@@ -180,6 +236,18 @@ class KeyedCatalog:
         if out is None:
             raise NameError("no tables in warehouse")
         return out
+
+    def vacuum(self, table_name: str) -> list[str]:
+        """Delete segments no longer referenced by the manifest (either
+        tombstoned by upserts or orphaned by a writer crash). Safe for
+        the single-writer contract; returns the deleted segment names."""
+        live = set(self._manifest(table_name)["segments"])
+        gone = []
+        for d in self.fs.list_dirs(self._path(table_name)):
+            if d.startswith("seg-") and d not in live:
+                self.fs.delete(f"{self._path(table_name)}/{d}")
+                gone.append(d)
+        return gone
 
     # ------------------------------------------------------------------
     # write path (reference:pandabase/sql.py:40-271 to_sql)
@@ -214,7 +282,7 @@ class KeyedCatalog:
             )
 
         exists = self.has_table(table_name)
-        target_schema = self._table_schema(table_name) if exists else None
+        target_schema = self.meta(table_name).schema if exists else None
         sdf, keys = self._normalize_input(df, keys, auto_index, target_schema)
         for k in keys:
             if spark_to_logical(sdf.schema[k].dataType) not in (
@@ -241,17 +309,28 @@ class KeyedCatalog:
             raise NameError(
                 f"key mismatch: table has keys {m.keys}, incoming has {list(keys)}"
             )
-        existing_schema = self._table_schema(table_name)
+        existing_schema = m.schema
         new_cols = [
-            f.name for f in sdf.schema.fields if f.name not in existing_schema.names
+            f for f in sdf.schema.fields if f.name not in existing_schema.names
         ]
         if new_cols and not add_new_columns:
             raise NameError(
-                f"columns {new_cols} not in table {table_name}; "
+                f"columns {[f.name for f in new_cols]} not in table {table_name}; "
                 f"pass add_new_columns=True to evolve the schema "
                 f"(reference:pandabase/sql.py:195-197)"
             )
         sdf = coerce_to_table_schema(sdf, existing_schema, keys)
+        if new_cols:
+            # schema evolution (reference:pandabase/sql.py:509-517): meta
+            # grows first; old segments simply null-fill the new columns
+            # on read. Committed before data so a crash in between leaves
+            # a harmless superset schema.
+            evolved = T.StructType(
+                list(existing_schema.fields)
+                + [T.StructField(f.name, f.dataType, True) for f in new_cols]
+            )
+            m.schema_json = json.dumps(evolved.jsonValue())
+            self._write_meta(table_name, m)
 
         if how == "append":
             self._append(sdf, table_name, m)
@@ -335,7 +414,7 @@ class KeyedCatalog:
 
         1. one small job counts rows per partition (driver gets ≤
            numPartitions longs);
-        2. cumulative offsets per partition become a broadcast map;
+        2. cumulative offsets per partition become a literal map;
         3. id = base + offset[partition] + intra-partition row_number,
            where the window is PARTITIONED by spark_partition_id — every
            partition ranks independently, no single-partition exchange.
@@ -370,19 +449,30 @@ class KeyedCatalog:
             .drop("_pb_pid")
         )
 
-    def _write(self, sdf: DataFrame, table_name: str, m: TableMeta, mode: str) -> None:
+    def _write_segment(
+        self, sdf: DataFrame, table_name: str, m: TableMeta
+    ) -> tuple[str, list[int]]:
+        """Write one immutable segment; returns (segment name, buckets).
+
+        One shuffle on the bucket column → one file set per bucket dir.
+        The bucket list is read back from the written directory names —
+        no extra Spark job. Nothing is live until the manifest commit.
+        """
+        seg = f"seg-{uuid.uuid4().hex[:12]}"
+        seg_path = f"{self._path(table_name)}/{seg}"
         (
-            sdf.withColumn(BUCKET_COL, _bucket_expr(m.keys, m.num_buckets))
-            .repartition(BUCKET_COL)  # one shuffle → one file set per bucket
-            .write.mode(mode)
-            # per-write, NOT session-level: an upsert on a session with the
-            # default static overwrite mode would otherwise delete every
-            # untouched bucket (and the meta sidecar) instead of only the
-            # buckets present in the merged batch
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(BUCKET_COL)
-            .parquet(self._path(table_name))
+            sdf.withColumn(PART_DIR, _bucket_expr(m.keys, m.num_buckets))
+            .repartition(PART_DIR)
+            .write.mode("errorifexists")
+            .partitionBy(PART_DIR)
+            .parquet(seg_path)
         )
+        buckets = sorted(
+            int(d.split("=", 1)[1])
+            for d in self.fs.list_dirs(seg_path)
+            if d.startswith(f"{PART_DIR}=")
+        )
+        return seg, buckets
 
     def _create(
         self,
@@ -397,10 +487,11 @@ class KeyedCatalog:
             keys=list(keys),
             auto_index=auto_index,
             num_buckets=num_buckets or self.default_buckets,
+            schema_json=json.dumps(sdf.schema.jsonValue()),
         )
-        self._write(sdf, table_name, m, mode="errorifexists")
-        with open(os.path.join(self._path(table_name), META_FILE), "w") as f:
-            f.write(m.to_json())
+        seg, buckets = self._write_segment(sdf, table_name, m)
+        self._write_meta(table_name, m)
+        self._commit(table_name, {seg: buckets}, v=0)
 
     def _check_unique(self, sdf: DataFrame, keys: Sequence[str]) -> None:
         """In-batch duplicate-key check (reference requires a unique
@@ -419,22 +510,33 @@ class KeyedCatalog:
         if nulls:
             raise ValueError("key columns may not contain NULL")
 
+    def _batch_buckets(self, sdf: DataFrame, m: TableMeta) -> list[int]:
+        """Distinct buckets the batch hashes into (≤ num_buckets ints —
+        driver-safe by construction)."""
+        return [
+            r[0]
+            for r in sdf.select(
+                _bucket_expr(m.keys, m.num_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+
     def _append(self, sdf: DataFrame, table_name: str, m: TableMeta) -> None:
         """Strict append: any incoming key already present → IntegrityError
         (reference:pandabase/sql.py:264-266). The overlap probe joins the
-        batch against ONLY the buckets it hashes into (partition pruning),
-        then appends new files — no rewrite of existing data."""
+        batch against ONLY the buckets it hashes into (manifest path
+        pruning), then commits a new segment — no rewrite of existing
+        data."""
         if m.auto_index:
-            base = (
-                self._read_raw(table_name)
-                .agg(F.max(AUTO_INDEX_NAME))
-                .collect()[0][0]
+            base_row = (
+                self._read_raw(table_name).agg(F.max(AUTO_INDEX_NAME)).collect()[0][0]
             )
             sdf = sdf.drop(AUTO_INDEX_NAME)
-            sdf = self._assign_auto_index(sdf, base=(base or -1) + 1)
+            sdf = self._assign_auto_index(sdf, base=(base_row or -1) + 1)
         else:
             self._check_unique(sdf, m.keys)
-            existing = self._pruned_existing(sdf, table_name, m)
+            existing = self._read_raw(table_name, buckets=self._batch_buckets(sdf, m))
             clash = (
                 existing.join(
                     sdf.select(*m.keys).hint("broadcast"), on=list(m.keys), how="inner"
@@ -447,37 +549,27 @@ class KeyedCatalog:
                     f"append would violate primary key on {table_name}: "
                     f"key {dict((k, clash[0][k]) for k in m.keys)} already exists"
                 )
-        self._write(sdf, table_name, m, mode="append")
-
-    def _pruned_existing(
-        self, sdf: DataFrame, table_name: str, m: TableMeta
-    ) -> DataFrame:
-        """Read only the table buckets the batch touches.
-
-        The bucket list is collected (≤ num_buckets ints — driver-safe)
-        and becomes a partition-pruning IN filter on the scan.
-        """
-        buckets = [
-            r[0]
-            for r in sdf.select(
-                _bucket_expr(m.keys, m.num_buckets).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        raw = self._read_raw(table_name)
-        return raw.where(F.col(BUCKET_COL).isin(buckets))
+        seg, buckets = self._write_segment(sdf, table_name, m)
+        man = self._manifest(table_name)
+        segments = dict(man["segments"])
+        segments[seg] = buckets
+        self._commit(table_name, segments, v=man["v"])
 
     def _upsert(self, sdf: DataFrame, table_name: str, m: TableMeta) -> None:
         """MERGE: batch rows win on matched keys (all incoming columns,
         NULLs included — reference:pandabase/sql.py:300); table columns
         absent from the batch are preserved; unmatched keys insert.
-        Rewrites ONLY affected buckets via dynamic partition overwrite.
+
+        Plan: read ONLY the touched buckets' live paths, LEFT ANTI out
+        replaced rows, union the completed batch, write ONE new segment,
+        then commit a manifest that moves those buckets to it. Crash
+        before the commit ⇒ previous state intact (old segments are
+        immutable); orphan segment cleaned by vacuum().
         """
         self._check_unique(sdf, m.keys)
-        existing = self._pruned_existing(sdf, table_name, m).drop(BUCKET_COL)
-        table_cols = [c for c in existing.columns]
-        incoming_value_cols = [c for c in sdf.columns if c not in m.keys]
+        touched = self._batch_buckets(sdf, m)
+        existing = self._read_raw(table_name, buckets=touched)
+        table_cols = list(existing.columns)
         preserved = [c for c in table_cols if c not in sdf.columns]
 
         if preserved:
@@ -495,25 +587,47 @@ class KeyedCatalog:
         # batch column is NULL for survivors; a batch missing table
         # columns was already completed via the `preserved` join above.
         merged = survivors.unionByName(batch_full, allowMissingColumns=True)
-        # dynamic partition overwrite only replaces buckets present in
-        # `merged` — exactly the pruned set (session.py sets
-        # partitionOverwriteMode=dynamic)
-        self._write(merged, table_name, m, mode="overwrite")
+        seg, buckets = self._write_segment(merged, table_name, m)
+        man = self._manifest(table_name)
+        touched_set = set(touched)
+        segments: dict[str, list[int]] = {}
+        for old_seg, bs in man["segments"].items():
+            keep = [b for b in bs if b not in touched_set]
+            if keep:
+                segments[old_seg] = keep
+        segments[seg] = buckets
+        self._commit(table_name, segments, v=man["v"])
 
     # ------------------------------------------------------------------
     # read path (reference:pandabase/sql.py:349-506 read_sql)
     # ------------------------------------------------------------------
-    def _read_raw(self, table_name: str) -> DataFrame:
+    def _live_paths(
+        self, table_name: str, buckets: Sequence[int] | None = None
+    ) -> list[str]:
+        man = self._manifest(table_name)
+        want = None if buckets is None else set(buckets)
+        return [
+            f"{self._path(table_name)}/{seg}/{PART_DIR}={b}"
+            for seg, bs in man["segments"].items()
+            for b in bs
+            if want is None or b in want
+        ]
+
+    def _read_raw(
+        self, table_name: str, buckets: Sequence[int] | None = None
+    ) -> DataFrame:
         if not self.has_table(table_name):
             raise NameError(f"no such table: {table_name}")
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            self._path(table_name)
-        )
+        schema = self.meta(table_name).schema
+        paths = self._live_paths(table_name, buckets)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        # explicit schema (from meta): older segments null-fill evolved
+        # columns, and no footer-merging job is needed
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def _table_schema(self, table_name: str) -> T.StructType:
-        return T.StructType(
-            [f for f in self._read_raw(table_name).schema.fields if f.name != BUCKET_COL]
-        )
+        return self.meta(table_name).schema
 
     def read_table(
         self,
@@ -535,35 +649,55 @@ class KeyedCatalog:
         reference's empty-result-only guard, reference:sql.py:401-404).
 
         All predicates are plain Catalyst filters → pushed to Parquet
-        row-group stats. Projection via ``columns`` prunes the scan.
+        row-group stats. A fully-specified point lookup
+        (lowest == highest, no None slots) prunes to one hash bucket's
+        paths before the scan even starts. Projection via ``columns``
+        prunes the scan column set.
         """
         m = self.meta(table_name)
-        df = self._read_raw(table_name).drop(BUCKET_COL)
         nkeys = len(m.keys)
 
-        def one_bound(bound, op_is_lower: bool):
-            nonlocal df
+        def norm_bound(bound):
             if bound is None:
-                return
+                return None
             if nkeys == 1:
                 bound = (bound,)
             if not isinstance(bound, (tuple, list)):
                 raise ValueError(
-                    f"{'lowest' if op_is_lower else 'highest'} must have "
-                    f"{nkeys} elements for a {nkeys}-key table"
+                    f"bound {bound!r} must have {nkeys} elements for a "
+                    f"{nkeys}-key table"
                 )
             if len(bound) != nkeys:
                 raise ValueError(
                     f"bound {bound!r} has {len(bound)} slots, table has {nkeys} keys"
                 )
+            return tuple(bound)
+
+        lo, hi = norm_bound(lowest), norm_bound(highest)
+
+        buckets = None
+        if (
+            lo is not None
+            and hi is not None
+            and lo == hi
+            and all(b is not None for b in lo)
+        ):
+            # point lookup → single-bucket path pruning
+            probe = self.spark.createDataFrame(
+                [tuple(lo)], schema=T.StructType([m.schema[k] for k in m.keys])
+            )
+            buckets = self._batch_buckets(probe, m)
+
+        df = self._read_raw(table_name, buckets=buckets)
+
+        for bound, is_lower in ((lo, True), (hi, False)):
+            if bound is None:
+                continue
             for k, b in zip(m.keys, bound):
                 if b is None:
                     continue
                 self._check_bound_type(df.schema[k].dataType, b, k)
-                df = df.where(F.col(k) >= b if op_is_lower else F.col(k) <= b)
-
-        one_bound(lowest, True)
-        one_bound(highest, False)
+                df = df.where(F.col(k) >= b if is_lower else F.col(k) <= b)
         if columns is not None:
             need = [c for c in df.columns if c in set(columns) | set(m.keys)]
             df = df.select(*need)

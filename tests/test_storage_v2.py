@@ -1,0 +1,135 @@
+"""Storage v2 (segment + manifest commit log) guarantees.
+
+The property under test: a writer crash at ANY point before the
+manifest rename leaves the table readable at its previous state —
+the reference gets this from DB transactions
+(reference:pandabase/sql.py:261,320); v1's in-place dynamic partition
+overwrite could not provide it.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandabase_spark.io import KeyedCatalog, LOG_FILE, META_FILE
+
+
+def _mk(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+
+
+def test_upsert_is_snapshot_atomic(spark, catalog):
+    """Simulated mid-upsert crash: new segment written but manifest not
+    committed → readers still see the old state; vacuum removes the
+    orphan; a re-run upsert then succeeds."""
+    catalog.to_table(_mk(spark), "t", keys=["k"])
+    before = catalog.read_table("t").agg(F.sum("v")).collect()[0][0]
+    man_path = f"{catalog._path('t')}/{LOG_FILE}"
+    saved_manifest = catalog.fs.read_text(man_path)
+
+    # do a real upsert, then roll the manifest back to simulate a crash
+    # after the segment write but before the commit rename
+    patch = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(999.0).alias("v")
+    )
+    catalog.to_table(patch, "t", keys=["k"], how="upsert")
+    catalog.fs.write_text_atomic(man_path, saved_manifest)
+
+    # old snapshot fully intact
+    after_crash = catalog.read_table("t").agg(F.sum("v")).collect()[0][0]
+    assert after_crash == before
+    assert catalog.read_table("t").count() == 200
+
+    # the orphan segment is vacuumable garbage
+    orphans = catalog.vacuum("t")
+    assert len(orphans) == 1
+    assert catalog.read_table("t").agg(F.sum("v")).collect()[0][0] == before
+
+    # and the upsert applies cleanly afterwards
+    catalog.to_table(patch, "t", keys=["k"], how="upsert")
+    got = dict(catalog.read_table("t").select("k", "v").collect())
+    assert got[10] == 999.0 and got[100] == 200.0
+
+
+def test_upsert_keeps_old_segments_immutable(spark, catalog):
+    """Upsert never rewrites or deletes existing files — only the
+    manifest changes ownership (tombstoned segments stay on disk until
+    vacuum)."""
+    catalog.to_table(_mk(spark), "t2", keys=["k"])
+    segs_before = {
+        d for d in catalog.fs.list_dirs(catalog._path("t2")) if d.startswith("seg-")
+    }
+    patch = spark.range(10).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+    catalog.to_table(patch, "t2", keys=["k"], how="upsert")
+    segs_after = {
+        d for d in catalog.fs.list_dirs(catalog._path("t2")) if d.startswith("seg-")
+    }
+    assert segs_before <= segs_after  # nothing deleted
+    man = json.loads(catalog.fs.read_text(f"{catalog._path('t2')}/{LOG_FILE}"))
+    # manifest bucket sets are disjoint across segments (each bucket has
+    # exactly one owner)
+    owned = [b for bs in man["segments"].values() for b in bs]
+    assert len(owned) == len(set(owned))
+
+
+def test_append_only_adds_segments(spark, catalog):
+    catalog.to_table(_mk(spark, 100), "t3", keys=["k"])
+    man1 = json.loads(catalog.fs.read_text(f"{catalog._path('t3')}/{LOG_FILE}"))
+    more = spark.range(100, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    catalog.to_table(more, "t3", keys=["k"], how="append")
+    man2 = json.loads(catalog.fs.read_text(f"{catalog._path('t3')}/{LOG_FILE}"))
+    assert set(man1["segments"]) <= set(man2["segments"])
+    assert man2["v"] == man1["v"] + 1
+    assert catalog.read_table("t3").count() == 200
+
+
+def test_file_uri_warehouse(spark, tmp_path):
+    """An explicit file:// URI warehouse works end-to-end (all catalog
+    I/O goes through the Hadoop FileSystem API, no os.path)."""
+    cat = KeyedCatalog(spark, f"file://{tmp_path}/wh_uri", default_buckets=4)
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0]}, index=pd.RangeIndex(3, name="k"))
+    cat.to_table(pdf, "uri_t")
+    assert cat.table_names() == ["uri_t"]
+    assert cat.read_table("uri_t").count() == 3
+    cat.to_table(
+        pd.DataFrame({"v": [9.0]}, index=pd.Index([1], name="k")),
+        "uri_t", how="upsert",
+    )
+    vals = dict(cat.read_table("uri_t").collect())
+    assert vals[1] == 9.0
+    cat.drop_table("uri_t")
+    assert cat.table_names() == []
+
+
+def test_point_lookup_prunes_paths(spark, catalog):
+    """lowest == highest with no None slots reads one bucket's paths."""
+    catalog.to_table(_mk(spark, 1000), "t4", keys=["k"], num_buckets=8)
+    df = catalog.read_table("t4", lowest=42, highest=42)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 84.0
+    files = {r[0] for r in df.select(F.input_file_name()).collect()}
+    dirs = {f.rsplit("/", 1)[0] for f in files}
+    assert len(dirs) == 1  # one (segment, bucket) leaf only
+
+
+def test_schema_evolution_null_fills_old_segments(spark, catalog):
+    catalog.to_table(_mk(spark, 50), "t5", keys=["k"])
+    widened = spark.range(50, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+        F.lit("new").alias("tag"),
+    )
+    catalog.to_table(widened, "t5", keys=["k"], how="append", add_new_columns=True)
+    back = catalog.read_table("t5")
+    assert set(back.columns) == {"k", "v", "tag"}
+    assert back.where(F.col("tag").isNull()).count() == 50
+    assert back.where(F.col("tag") == "new").count() == 10
+    assert catalog.column_names("t5") == ["k", "v", "tag"]
