@@ -1,0 +1,205 @@
+"""Structured Streaming surface: incremental keyed-table maintenance.
+
+The reference's "time series" support is batch tables with datetime keys
+(reference:README.md:24-25); it has no streaming at all (SURVEY.md §2
+Table B). This module is the extension surface that keeps a keyed table
+continuously up to date:
+
+- :func:`stream_upsert` — readStream → ``foreachBatch`` → the SAME
+  batch upsert plan as :meth:`KeyedCatalog.to_table` (one manifest
+  commit per micro-batch, so every micro-batch is atomic and the table
+  is always readable at a consistent snapshot);
+- :func:`windowed_counts` — watermarked tumbling-window aggregation
+  (late data beyond the watermark is dropped, the standard contract);
+- :func:`stream_dedup` — ``dropDuplicatesWithinWatermark`` keyed
+  dedup, the streaming twin of the batch exact-dedup operator;
+- :func:`sessionize` — custom stateful operator via
+  ``applyInPandasWithState`` (gap-based sessions), the pattern for
+  semantics the built-in operators cannot express.
+
+Scale notes: foreachBatch inherits the batch upsert's pruning (a
+micro-batch touching B of N buckets rewrites B buckets); watermark
+state is per-window-per-key in the state store — size the window and
+watermark so state stays bounded.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from pandabase_spark.io import KeyedCatalog
+
+
+def stream_upsert(
+    catalog: KeyedCatalog,
+    stream_df: DataFrame,
+    table_name: str,
+    *,
+    keys: Sequence[str],
+    checkpoint: str,
+    trigger_available_now: bool = True,
+    dedup_within_batch: bool = True,
+) -> StreamingQuery:
+    """Continuously upsert a stream into a keyed table.
+
+    Each micro-batch runs the batch MERGE plan (pruned bucket read +
+    anti-join + new segment + manifest commit) — exactly-once per batch
+    at the table level because the manifest commit is atomic and
+    re-processing a batch upserts the same keys idempotently.
+
+    ``dedup_within_batch`` keeps the last row per key inside a
+    micro-batch (source retractions/duplicates would otherwise trip the
+    unique-key check).
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        b = batch_df
+        if dedup_within_batch:
+            b = b.dropDuplicates(list(keys))
+        if catalog.has_table(table_name):
+            catalog.to_table(b, table_name, keys=keys, how="upsert")
+        else:
+            catalog.to_table(b, table_name, keys=keys)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per group.
+
+    Append-mode-compatible: a window finalizes (and its state is freed)
+    once the watermark passes its end — bounded state at any scale.
+    """
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            group_col,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first row per key wins within the
+    watermark horizon (state for a key is dropped once the watermark
+    passes — bounded memory, the batch operator's streaming twin)."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events int"
+)
+_STATE_SCHEMA = "start long, end long, n int"
+
+
+def sessionize(
+    stream_df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful operator.
+
+    ``applyInPandasWithState``: state per user is (start, end, count) in
+    epoch-micros; an event further than ``gap_minutes`` from the
+    session end closes the session (emitted) and opens a new one; state
+    times out via the event-time watermark, flushing the final session.
+    This is the escape hatch for semantics Spark's built-in streaming
+    operators cannot express — Arrow-batched, not row-at-a-time.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        (user,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start, end, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user],
+                        "session_start": [pd.Timestamp(start, unit="us")],
+                        "session_end": [pd.Timestamp(end, unit="us")],
+                        "n_events": [n],
+                    }
+                )
+            return
+        times: list[int] = []
+        for pdf in pdf_iter:
+            ts = pd.to_datetime(pdf[ts_col])
+            times.extend(int(v) for v in ts.astype("int64") // 1000)
+        times.sort()
+        out_rows = []
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start, end, n = times[0], times[0], 0
+        for t in times:
+            if t - end > gap_us:
+                out_rows.append((user, start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end = max(end, t)
+                n += 1
+        state.update((start, end, n))
+        state.setTimeoutTimestamp(end // 1000 + gap_minutes * 60 * 1000)
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out_rows],
+                    "session_start": [pd.Timestamp(r[1], unit="us") for r in out_rows],
+                    "session_end": [pd.Timestamp(r[2], unit="us") for r in out_rows],
+                    "n_events": [r[3] for r in out_rows],
+                }
+            )
+
+    return (
+        stream_df.withWatermark(ts_col, f"{gap_minutes} minutes")
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -669,6 +669,44 @@ def events_user_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "streaming_upsert_events",
+    "SELECT count(*) AS n_rows, ROUND(SUM(value), 2) AS value_sum, "
+    "count(DISTINCT user_id) AS n_users FROM events",
+)
+def streaming_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming → keyed table: events re-sharded into 4
+    files, streamed with maxFilesPerTrigger=1 (4 real micro-batches),
+    each foreachBatch running the atomic manifest-committed upsert.
+    Final table state equals the batch view of the same data — which is
+    what the oracle checks."""
+    import tempfile
+
+    from pandabase_spark.streaming import stream_upsert
+
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_ev_stream")
+    scratch = tempfile.mkdtemp(prefix="pb_stream_")
+    ev = load(spark, sf_dir, "events").drop("props")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{scratch}/src")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{scratch}/src")
+    )
+    q = stream_upsert(
+        cat, stream, "w_ev_stream",
+        keys=["event_id"], checkpoint=f"{scratch}/ckpt",
+    )
+    q.awaitTermination(600)
+    out = cat.read_table("w_ev_stream")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: dedup
 # ---------------------------------------------------------------------------
