@@ -976,6 +976,38 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-pipeline family: multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@_q(
+    "multimodal_payload_stats",
+    "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, "
+    "sha256(text) AS sha256 FROM documents",
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata pass (byte length + sha256), fully
+    JVM-side — the pre-decode triage step of a media pipeline. Payloads
+    are faked from text (no media libs in this environment); the binary
+    plumbing is identical for real bytes."""
+    from pandabase_spark.operators.multimodal import attach_fake_payload, payload_stats
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_fake_payload(docs, "text")
+    return payload_stats(media).select("doc_id", "n_bytes", "sha256")
+
+
+@_q("multimodal_decode_fake")  # deterministic fake decode: rows-only check
+def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode (stubbed deterministic codec) —
+    exercises the real Python-boundary plumbing: schema, batch iterator,
+    column pruning before the boundary."""
+    from pandabase_spark.operators.multimodal import attach_fake_payload, decode_images
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_images(attach_fake_payload(docs, "text"))
+
+
+# ---------------------------------------------------------------------------
 # entry-point helpers (driver contract)
 # ---------------------------------------------------------------------------
 

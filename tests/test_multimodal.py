@@ -1,0 +1,82 @@
+"""Multimodal plumbing: binary payloads through storage + mapInPandas."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandabase_spark.operators.multimodal import (
+    attach_fake_payload,
+    decode_images,
+    payload_embedding,
+    payload_stats,
+    sample_frames,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return attach_fake_payload(docs.limit(100), "text")
+
+
+def test_payload_through_keyed_table(catalog, media):
+    """binary columns round-trip through the keyed-table storage."""
+    catalog.to_table(media.select("doc_id", "payload", "media_type"),
+                     "media_t", keys=["doc_id"])
+    back = catalog.read_table("media_t")
+    assert dict(back.dtypes)["payload"] == "binary"
+    row = back.where(F.col("doc_id") == media.select(F.min("doc_id")).first()[0]).first()
+    assert isinstance(row["payload"], (bytes, bytearray)) and len(row["payload"]) > 0
+
+
+def test_payload_stats_jvm_side(media):
+    stats = payload_stats(media)
+    r = stats.select("doc_id", "n_bytes", "sha256").first()
+    assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+    # no Python boundary in the plan
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_decode_images_fake(media):
+    feats = decode_images(media, decoder="fake")
+    rows = feats.collect()
+    assert len(rows) == 100
+    for r in rows[:5]:
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert r["channels"] in (1, 3)
+        assert 0.0 <= r["mean_intensity"] <= 1.0
+    # determinism across runs
+    again = {r["id"]: (r["width"], r["height"]) for r in feats.collect()}
+    assert again == {r["id"]: (r["width"], r["height"]) for r in rows}
+
+
+def test_decode_real_is_explicit_stub(media):
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_images(media, decoder="real")
+
+
+def test_sample_frames_one_to_many(media):
+    frames = sample_frames(media, every_n=5)
+    per_doc = frames.groupBy("id").count()
+    assert per_doc.agg(F.min("count")).first()[0] >= 1
+    assert frames.count() > 100  # strictly more rows than inputs
+
+
+def test_payload_embedding_feeds_similarity(media):
+    from pandabase_spark.operators.similarity import cosine_topk
+
+    emb = payload_embedding(media, dim=16)
+    first = emb.first()
+    assert len(first["embedding"]) == 16
+    topk = cosine_topk(
+        emb, emb.limit(2), id_col="id", vec_col="embedding", k=3
+    )
+    got = topk.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in got)
+    # self-similarity rank 1 with cosine ~1
+    self_rows = topk.where(F.col("rank") == 1).collect()
+    for r in self_rows:
+        assert abs(r["cosine"] - 1.0) < 1e-9
