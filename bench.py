@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Execution is forced through the noop sink (full computation, no
+collect-to-driver skew). Extra keys beyond the required
+metric/value/unit/queries/sf give the rows/sec numbers BASELINE.md
+anchors on (reference floors: ≥1,500 rows/s append, ≥500 rows/s
+upsert — reference:tests/test_sql.py:222-234 at toy scale; here the
+write benchmarks move ~600k-row lineitem).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = 0.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pandabase_spark.session import get_spark
+    from pandabase_spark import workload
+    from pyspark.sql import functions as F
+
+    spark = get_spark("pandabase_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    Q = workload.QUERIES
+
+    # --- keyed-table write path (the reference's core workload) ---
+    li = workload.load(spark, sf_dir, "lineitem")
+    li_rows = li.count()
+    cat = workload._catalog(spark, sf_dir)
+    for t in ("b_lineitem",):
+        if cat.has_table(t):
+            cat.drop_table(t)
+
+    timed("kt_create_lineitem", lambda: cat.to_table(
+        li, "b_lineitem", keys=workload.LI_KEYS))
+
+    # append 10% new keys (shifted orderkeys far beyond the live range)
+    patch = li.limit(li_rows // 10).withColumn(
+        "l_orderkey", F.col("l_orderkey") + 100_000_000
+    )
+    timed("kt_append_10pct", lambda: cat.to_table(
+        patch, "b_lineitem", keys=workload.LI_KEYS, how="append"))
+
+    # upsert 10% existing keys with changed values
+    up = li.limit(li_rows // 10).withColumn(
+        "l_quantity", F.col("l_quantity") + 1.0
+    )
+    timed("kt_upsert_10pct", lambda: cat.to_table(
+        up, "b_lineitem", keys=workload.LI_KEYS, how="upsert"))
+
+    timed("kt_range_read", lambda: force(
+        cat.read_table("b_lineitem", lowest=(1000, None, None, None),
+                       highest=(20000, None, None, None))))
+
+    # --- analytics ---
+    for q in ("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+              "window_top3_lineitems", "events_hourly"):
+        timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
+
+    # --- LLM-pipeline ---
+    for q in ("dedup_content_hash", "minhash_lsh_neardup", "doc_profile",
+              "cosine_topk_bruteforce", "ann_topk_lsh",
+              "multimodal_payload_stats"):
+        timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    append_rps = round((li_rows // 10) / timings["kt_append_10pct"], 1)
+    upsert_rps = round((li_rows // 10) / timings["kt_upsert_10pct"], 1)
+    create_rps = round(li_rows / timings["kt_create_lineitem"], 1)
+    print(json.dumps({
+        "metric": "workload_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "lineitem_rows": li_rows,
+        "create_rows_per_sec": create_rps,
+        "append_rows_per_sec": append_rps,
+        "upsert_rows_per_sec": upsert_rps,
+    }))
+
+
+if __name__ == "__main__":
+    main()
