@@ -1,0 +1,77 @@
+"""Ingestion sources beyond parquet.
+
+The reference's only file ingestion is zipped CSVs loaded through
+pandas in its test fixtures (reference:tests/conftest.py:117-130).
+Parity surface:
+
+- :func:`read_csv` — distributed CSV scan (Spark reader: header,
+  schema inference, multi-file globs) + this engine's identifier
+  hygiene (clean_name) and optional value-narrowing pass;
+- :func:`read_zipped_csv` — the reference's .zip fixture shape; zip is
+  not a splittable/distributed format (no Hadoop codec), so this is an
+  explicit driver-side convenience for small fixture files, documented
+  as such — at scale, land data as parquet/csv.gz instead.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from pandabase_spark.names import clean_name
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    header: bool = True,
+    infer_schema: bool = True,
+    narrow: bool = False,
+    **options: str,
+) -> DataFrame:
+    """Distributed CSV read with cleaned column names.
+
+    ``narrow=True`` additionally applies the engine's value-narrowing
+    rules (0/1 int columns → boolean, all-zero ints → double, all-null
+    → dropped) in one aggregation pass — the same semantics the keyed
+    write path applies (reference:pandabase/helpers.py:35-64,105-115).
+    """
+    df = (
+        spark.read.option("header", str(header).lower())
+        .option("inferSchema", str(infer_schema).lower())
+        .options(**options)
+        .csv(path)
+    )
+    renames = {c: clean_name(c) for c in df.columns}
+    df = df.selectExpr(
+        *[f"`{old}` AS `{new}`" for old, new in renames.items()]
+    )
+    if narrow:
+        from pandabase_spark.types import narrow_spark_schema
+
+        df = narrow_spark_schema(df, keys=[])
+    return df
+
+
+def read_zipped_csv(
+    spark: SparkSession, path: str, *, member: str | None = None, **read_csv_kwargs
+) -> DataFrame:
+    """Load a .csv inside a .zip (reference fixture shape).
+
+    Driver-side: zip has no Hadoop input codec, so the archive is read
+    locally and parallelized from pandas — correct for fixture-sized
+    files, NOT a path for large data (use parquet or csv.gz, which
+    Spark splits/streams natively).
+    """
+    with zipfile.ZipFile(path) as zf:
+        name = member or next(
+            n for n in zf.namelist() if n.lower().endswith(".csv")
+        )
+        with zf.open(name) as f:
+            pdf = pd.read_csv(io.TextIOWrapper(f, encoding="utf-8"))
+    pdf.columns = [clean_name(c) for c in pdf.columns]
+    return spark.createDataFrame(pdf)

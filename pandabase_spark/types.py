@@ -287,7 +287,14 @@ def coerce_to_table_schema(
         if ok:
             exprs.append(F.col(f.name).cast(want).alias(f.name))
         elif "datetime" in (have_l, want_l):
-            exprs.append(F.col(f.name))  # reference passes silently
+            # deliberate deviation: the reference silently passes a
+            # datetime-vs-other mismatch through (its own TODO,
+            # reference:pandabase/sql.py:223-229) and lets the database
+            # cope; here a passed-through column would write segment
+            # files that contradict the table schema and poison reads,
+            # so we CAST instead (ANSI mode surfaces unparseable values
+            # as a runtime error rather than silent nulls)
+            exprs.append(F.col(f.name).cast(want).alias(f.name))
         else:
             raise TypeError(
                 f"Column {f.name}: incoming type {have.simpleString()} is not "
