@@ -41,6 +41,13 @@ from pandabase_spark.operators.json_ops import (
     extract_json_fields,
     events_enriched,
 )
+from pandabase_spark.operators.joins import (
+    asof_join,
+    range_join,
+    salted_join,
+    semi_join,
+    anti_join,
+)
 
 __all__ = [
     "dedup_exact",
@@ -58,4 +65,9 @@ __all__ = [
     "corpus_language_summary",
     "extract_json_fields",
     "events_enriched",
+    "asof_join",
+    "range_join",
+    "salted_join",
+    "semi_join",
+    "anti_join",
 ]

@@ -670,6 +670,185 @@ def events_user_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_join_events",
+    "SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+    "p.value AS purchase_value, "
+    "strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts "
+    "FROM (SELECT * FROM events WHERE event_type = 'error') e "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "ON e.user_id = p.user_id AND e.ts >= p.ts",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (kdb-style): each error event picks up the latest
+    preceding purchase by the same user. Union-sort-window plan — ONE
+    shuffle on the key, no join fan-out (test_joins.py asserts the plan
+    has no Join node). Oracle: DuckDB's native ASOF JOIN."""
+    from pandabase_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    out = asof_join(
+        errors, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("value_asof").alias("purchase_value"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+@_q(
+    "range_join_events",
+    "SELECT s.event_id, count(*) AS n_purchases_24h "
+    "FROM (SELECT * FROM events WHERE event_type = 'signup') s "
+    "JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "ON s.user_id = p.user_id AND p.ts >= s.ts "
+    "AND p.ts <= s.ts + INTERVAL 24 HOURS "
+    "GROUP BY s.event_id",
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: purchases within 24h after each signup, per
+    user — implemented as a time-bin equi-join (hash join with bounded
+    probe fan-out), never a nested-loop inequality join."""
+    from pandabase_spark.operators.joins import range_join
+
+    ev = load(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = range_join(
+        signups, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower_seconds=0.0, upper_seconds=24 * 3600.0,
+    )
+    return joined.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_purchases_24h"))
+
+
+@_q(
+    "anti_join_idle_customers",
+    "SELECT c.* FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders (NOT EXISTS shape)."""
+    from pandabase_spark.operators.joins import anti_join
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return anti_join(c, o, on=["c_custkey"])
+
+
+@_q(
+    "semi_join_ordered_parts",
+    "SELECT p.* FROM part p WHERE EXISTS "
+    "(SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)",
+)
+def semi_join_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: parts that appear in at least one lineitem
+    (EXISTS shape) — the dedup-free alternative to join+distinct."""
+    from pandabase_spark.operators.joins import semi_join
+
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    return semi_join(p, li, on=["p_partkey"])
+
+
+@_q(
+    "rollup_orders",
+    "SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, "
+    "ROUND(SUM(o_totalprice), 2) AS total_price FROM orders "
+    "GROUP BY ROLLUP (o_orderpriority, o_orderstatus)",
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals: (priority, status) → (priority) → ()."""
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@_q(
+    "set_ops_segments",
+    "SELECT *, 'intersect' AS op FROM "
+    "(SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "INTERSECT SELECT DISTINCT c_nationkey FROM customer "
+    "WHERE c_mktsegment = 'MACHINERY') "
+    "UNION ALL "
+    "SELECT *, 'except' FROM "
+    "(SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "EXCEPT SELECT DISTINCT c_nationkey FROM customer "
+    "WHERE c_mktsegment = 'MACHINERY')",
+)
+def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: INTERSECT and EXCEPT of nation keys between two
+    market segments, tagged in one result."""
+    c = load(spark, sf_dir, "customer")
+    b = c.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
+    m = c.where(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey").distinct()
+    return (
+        b.intersect(m).withColumn("op", F.lit("intersect"))
+        .unionByName(b.subtract(m).withColumn("op", F.lit("except")))
+    )
+
+
+@_q(
+    "q6_revenue_change",
+    "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24",
+)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + pushed filters + one global agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_delta"
+            )
+        )
+    )
+
+
+@_q(
+    "having_fat_orders",
+    "SELECT l_orderkey, count(*) AS n_items, "
+    "ROUND(SUM(l_quantity), 2) AS total_qty FROM lineitem "
+    "GROUP BY l_orderkey HAVING count(*) > 5",
+)
+def having_fat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + HAVING filter (post-aggregation predicate)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .where(F.col("n_items") > 5)
+    )
+
+
+@_q(
     "streaming_upsert_events",
     "SELECT count(*) AS n_rows, ROUND(SUM(value), 2) AS value_sum, "
     "count(DISTINCT user_id) AS n_users FROM events",
