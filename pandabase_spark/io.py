@@ -237,6 +237,33 @@ class KeyedCatalog:
             raise NameError("no tables in warehouse")
         return out
 
+    def compact(self, table_name: str, *, vacuum: bool = True) -> int:
+        """OPTIMIZE: rewrite all live data into one fresh segment.
+
+        Repeated upserts/appends grow the live (segment, bucket) path
+        count — each read then opens more, smaller files. Compaction
+        reads every live path once, writes a single segment owning all
+        buckets, and commits the swap atomically (same crash-safety as
+        any other write: old state intact until the manifest rename).
+        Returns the number of segments replaced. Run it like VACUUM/
+        OPTIMIZE in any LSM/log-structured store — periodically, or when
+        ``len(manifest['segments'])`` crosses a threshold.
+        """
+        m = self.meta(table_name)
+        man = self._manifest(table_name)
+        n_before = len(man["segments"])
+        if n_before <= 1:
+            return 0
+        all_rows = self._read_raw(table_name)
+        seg, buckets = self._write_segment(all_rows, table_name, m)
+        # re-read the manifest: committing against the version we read
+        # keeps the single-writer contract explicit
+        man = self._manifest(table_name)
+        self._commit(table_name, {seg: buckets}, v=man["v"])
+        if vacuum:
+            self.vacuum(table_name)
+        return n_before
+
     def vacuum(self, table_name: str) -> list[str]:
         """Delete segments no longer referenced by the manifest (either
         tombstoned by upserts or orphaned by a writer crash). Safe for

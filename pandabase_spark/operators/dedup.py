@@ -39,6 +39,7 @@ from pandabase_spark.functions.text import (
     content_hash,
     normalize_text,
     simhash64,
+    tokenize,
     word_ngrams,
     _token_hash60,
 )
@@ -112,11 +113,49 @@ def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _shingles(text_col: str, mode: str, n: int) -> Column:
+    """Shingle array WITHOUT per-row dedup: ``array_distinct`` is
+    O(len²) per row and unnecessary — min() folds ignore duplicates and
+    the Jaccard path dedups row-wise after explode (a hash shuffle,
+    linear) instead."""
     if mode == "word":
-        return F.array_distinct(word_ngrams(text_col, n))
+        return word_ngrams(text_col, n)
     if mode == "char":
-        return F.array_distinct(char_ngrams(text_col, n))
+        return char_ngrams(text_col, n)
     raise ValueError(f"shingle mode must be 'word' or 'char', got {mode!r}")
+
+
+def _shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, mode: str, n: int
+) -> DataFrame:
+    """(id, shingle) rows — the input both minhash and Jaccard share.
+
+    Word mode uses posexplode + window-lead instead of the
+    transform/slice/array_join higher-order array expression: HOFs are
+    interpreted (no whole-stage codegen), which measured ~5× slower at
+    5k docs than exploding tokens and assembling n-grams with lead().
+    The window costs one shuffle on the doc id, but every expression in
+    it is codegen'd. Char mode keeps the (cheap) substring HOF.
+    Output matches the array form exactly, including the "short doc
+    yields one partial shingle" edge (concat_ws skips NULL leads).
+    """
+    if mode == "char":
+        return df.select(
+            F.col(id_col), F.explode(_shingles(text_col, mode, n)).alias("sh")
+        )
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    sh = toks.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.concat_ws(" ", *parts).alias("sh"),
+        F.lead("tok", n - 1).over(w).isNotNull().alias("_full"),
+    )
+    return sh.where(F.col("_full") | (F.col("pos") == 0)).select(id_col, "sh")
 
 
 def ngram_jaccard_pairs(
@@ -140,10 +179,7 @@ def ngram_jaccard_pairs(
     the cutoff before the self-join — the fan-out bound for skewed
     vocabulary. Returns (id_1, id_2, jaccard) with id_1 < id_2.
     """
-    sh = (
-        df.select(F.col(id_col), F.explode(_shingles(text_col, mode, n)).alias("sh"))
-        .distinct()
-    )
+    sh = _shingle_rows(df, id_col, text_col, mode, n).distinct()
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("sh").count().where(F.col("count") <= max_shingle_df)
@@ -188,11 +224,13 @@ def minhash_signatures(
     reduced to [0, M31): products with 31-bit multipliers stay under
     2^62, safe under ANSI overflow checking.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(_shingles(text_col, shingle_mode, shingle_n)).alias("sh"),
+    sh = _shingle_rows(df, id_col, text_col, shingle_mode, shingle_n)
+    # xxhash64 (native, codegen'd) rather than the md5+conv hash the
+    # oracle-checked operators use — minhash needs no cross-engine
+    # reproducibility, only determinism, and xxhash64 is ~10× cheaper
+    h = sh.select(
+        id_col, F.pmod(F.xxhash64(F.col("sh")), F.lit(_M31)).alias("h")
     )
-    h = sh.select(id_col, (_token_hash60(F.col("sh")) % F.lit(_M31)).alias("h"))
     aggs = []
     for i in range(num_perm):
         a, b = _perm_constants(i)
@@ -248,6 +286,9 @@ def minhash_lsh_pairs(
     buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         id_col, "bb.band", "bb.bhash"
     )
+    # both sides of the candidate self-join read `buckets`; without a
+    # persist the full shingle→signature pipeline runs twice
+    buckets = buckets.persist()
     l = buckets.select(F.col(id_col).alias("id_1"), "band", "bhash")
     rr = buckets.select(F.col(id_col).alias("id_2"), "band", "bhash")
     cand = (
@@ -256,6 +297,11 @@ def minhash_lsh_pairs(
         .select("id_1", "id_2")
         .distinct()
     )
+    # materialize the (small) candidate set, then release the bucket
+    # cache — persisted blocks must not accumulate across calls
+    cand = cand.persist()
+    cand.count()
+    buckets.unpersist()
     if not verify:
         return cand
     cand_ids = cand.select(F.explode(F.array("id_1", "id_2")).alias(id_col)).distinct()

@@ -1,0 +1,131 @@
+"""Operator-level accuracy tests for the approximate (oracle-less)
+operators: MinHash-LSH recall vs exact Jaccard, LSH-ANN recall on
+planted near-duplicates, SimHash agreement, dedup helpers.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandabase_spark.operators.dedup import (
+    dedup_by_content_hash,
+    dedup_exact,
+    duplicate_groups,
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from pandabase_spark.operators.similarity import ann_topk_lsh, cosine_topk
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_minhash_recall_vs_exact(docs):
+    """On the driver data's high-similarity planted pairs (j ≈ 0.97)
+    the banding S-curve gives P(candidate) ≈ 1 — recall must be 1.0."""
+    exact = {
+        (r.id_1, r.id_2)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_1, r.id_2)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+        .select("id_1", "id_2")
+        .collect()
+    }
+    assert exact, "driver data should contain planted near-dups"
+    assert lsh == exact  # verified candidates == exact pairs
+
+
+def test_minhash_no_verify_superset(docs):
+    """Unverified candidates ⊇ verified pairs (banding may overshoot,
+    verification filters)."""
+    cand = {
+        (r.id_1, r.id_2)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, verify=False
+        ).collect()
+    }
+    verified = {
+        (r.id_1, r.id_2)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+        .select("id_1", "id_2")
+        .collect()
+    }
+    assert verified <= cand
+
+
+def test_simhash_finds_planted_pairs(docs):
+    """SimHash Hamming ≤ 3 should overlap heavily with the exact
+    near-dup set (different fingerprint family, same planted dups)."""
+    exact = {
+        (r.id_1, r.id_2)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    sh = {
+        (r.id_1, r.id_2)
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert exact
+    assert len(sh & exact) / len(exact) >= 0.6
+
+
+def test_ann_recall_on_planted_neighbors(spark):
+    """Plant exact near-duplicate vectors; ANN must find them (that is
+    the regime hyperplane LSH serves — near-identical vectors, tiny
+    angle → same bucket with high probability)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.limit(10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda v: v.cast("double") * 1.000001
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    ).unionByName(base)
+    queries = base.withColumnRenamed("vec_id", "qid")
+    got = ann_topk_lsh(
+        corpus, queries, id_col="vec_id", vec_col="embedding",
+        query_id_col="qid", k=1, planes=8, probe_hamming=1,
+    )
+    hits = got.where(F.col("vec_id") == F.col("query_id") - 100000).count()
+    assert hits >= 9  # ≥90% recall on true near-dups
+
+
+def test_embedding_near_dup_lsh_finds_planted(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    planted = emb.limit(5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    all_vecs = emb.unionByName(planted)
+    pairs = embedding_near_dup_pairs(
+        all_vecs, "vec_id", "embedding", threshold=0.999, planes=8
+    )
+    found = {(r.id_1, r.id_2) for r in pairs.collect()}
+    expect = {(i, i + 100000) for i in range(5)}
+    assert expect <= found
+
+
+def test_dedup_helpers_with_planted_dups(spark, docs):
+    doubled = docs.unionByName(
+        docs.limit(20).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    groups = duplicate_groups(doubled, "text", "doc_id")
+    assert groups.count() == 20
+    survivors = dedup_by_content_hash(doubled, "text", "doc_id")
+    assert survivors.count() == docs.count()
+    assert survivors.where(F.col("n_copies") == 2).count() == 20
+    exact = dedup_exact(doubled, ["text"], keep="doc_id")
+    assert exact.count() == docs.count()
+    # min-id row kept
+    assert exact.where(F.col("doc_id") >= 100000).count() == 0

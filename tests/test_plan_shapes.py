@@ -1,0 +1,79 @@
+"""Plan-shape invariants — the performance contract, as assertions.
+
+Every headline query must keep: filters pushed to the parquet scan,
+dimension joins broadcast, no nested-loop/cartesian joins, no Python
+eval nodes outside the explicit multimodal seam, no single-partition
+exchanges in write paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandabase_spark import workload
+from pandabase_spark.plans import plan_audit
+from tests.conftest import SF_DIR
+
+
+def test_q1_pushdown_and_pruning(spark):
+    a = plan_audit(workload.QUERIES["q1_pricing_summary"](spark, SF_DIR))
+    assert any("l_shipdate" in f for f in a.pushed_filters)
+    # projection pruning: the scan must NOT read the key columns q1
+    # never touches
+    assert a.read_schemas and "l_partkey" not in a.read_schemas[0]
+    assert a.python_free and a.join_safe
+
+
+def test_q5_all_dims_broadcast(spark):
+    a = plan_audit(workload.QUERIES["q5_nation_revenue"](spark, SF_DIR))
+    assert a.broadcast_joins == 5
+    assert a.sortmerge_joins == 0
+    assert a.join_safe
+
+
+def test_asof_is_join_free(spark):
+    a = plan_audit(workload.QUERIES["asof_join_events"](spark, SF_DIR))
+    assert a.broadcast_joins + a.sortmerge_joins == 0
+    assert a.window_nodes >= 1
+    assert a.join_safe
+
+
+def test_range_join_is_hash_join(spark):
+    a = plan_audit(workload.QUERIES["range_join_events"](spark, SF_DIR))
+    assert a.join_safe  # no BroadcastNestedLoopJoin / CartesianProduct
+
+
+def test_text_pipeline_python_free(spark):
+    for q in ("doc_profile", "dedup_content_hash", "token_histogram"):
+        a = plan_audit(workload.QUERIES[q](spark, SF_DIR))
+        assert a.python_free, q
+
+
+def test_multimodal_python_only_at_decode_seam(spark):
+    stats = workload.QUERIES["multimodal_payload_stats"](spark, SF_DIR)
+    assert plan_audit(stats).python_free
+    decode = workload.QUERIES["multimodal_decode_fake"](spark, SF_DIR)
+    assert plan_audit(decode).python_eval_nodes >= 1  # the explicit seam
+
+
+def test_keyed_write_plans_have_no_global_funnel(spark, catalog):
+    """Auto-index assignment must not add a single-partition exchange."""
+    probe = catalog._assign_auto_index(
+        spark.range(10_000).select(F.col("id").alias("x")), base=0
+    )
+    assert plan_audit(probe).single_partition_exchanges == 0
+
+
+def test_range_read_pushes_key_bounds(spark, catalog):
+    # sf0.001 carries one duplicate even on the 4-column composite key
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").dropDuplicates(
+        workload.LI_KEYS
+    )
+    if not catalog.has_table("pl_li"):
+        catalog.to_table(li, "pl_li", keys=workload.LI_KEYS)
+    df = catalog.read_table(
+        "pl_li", lowest=(100, None, None, None), highest=(2000, None, None, None)
+    )
+    a = plan_audit(df)
+    assert any("l_orderkey" in f for f in a.pushed_filters)

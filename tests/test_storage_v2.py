@@ -120,6 +120,32 @@ def test_point_lookup_prunes_paths(spark, catalog):
     assert len(dirs) == 1  # one (segment, bucket) leaf only
 
 
+def test_compact_merges_segments(spark, catalog):
+    """Many upserts → many segments; compact() folds them into one with
+    identical data and vacuums the tombstones."""
+    catalog.to_table(_mk(spark, 300), "tc", keys=["k"])
+    for i in range(4):
+        patch = spark.range(i * 20, i * 20 + 20).select(
+            F.col("id").alias("k"), F.lit(float(i)).alias("v")
+        )
+        catalog.to_table(patch, "tc", keys=["k"], how="upsert")
+    before = catalog.read_table("tc").orderBy("k").collect()
+    n_segs = len(catalog._manifest("tc")["segments"])
+    assert n_segs >= 2
+
+    replaced = catalog.compact("tc")
+    assert replaced == n_segs
+    man = catalog._manifest("tc")
+    assert len(man["segments"]) == 1
+    after = catalog.read_table("tc").orderBy("k").collect()
+    assert after == before
+    # tombstoned segment dirs were vacuumed
+    seg_dirs = [
+        d for d in catalog.fs.list_dirs(catalog._path("tc")) if d.startswith("seg-")
+    ]
+    assert seg_dirs == list(man["segments"])
+
+
 def test_schema_evolution_null_fills_old_segments(spark, catalog):
     catalog.to_table(_mk(spark, 50), "t5", keys=["k"])
     widened = spark.range(50, 60).select(
