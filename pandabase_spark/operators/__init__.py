@@ -27,7 +27,9 @@ from pandabase_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
     embedding_near_dup_pairs,
+    connected_components,
 )
+from pandabase_spark.operators.timeseries import resample, fill_gaps
 from pandabase_spark.operators.similarity import (
     cosine_topk,
     hyperplane_buckets,
@@ -70,4 +72,7 @@ __all__ = [
     "salted_join",
     "semi_join",
     "anti_join",
+    "connected_components",
+    "resample",
+    "fill_gaps",
 ]

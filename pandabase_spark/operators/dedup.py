@@ -363,6 +363,73 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_1: str = "id_1",
+    id_2: str = "id_2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assembly: connected components over a pair
+    list, as iterative min-label propagation.
+
+    Each iteration is one distributed join+aggregate (label ←
+    min(label, neighbors' labels)); convergence after O(component
+    diameter) rounds — near-dup clusters are shallow (pairs chain only
+    through shared shingles), so this terminates in a handful of
+    rounds. The driver loop only checks a 1-row convergence count per
+    round; all data movement is executor-side. Returns
+    (id, component_id) with component_id = min member id.
+
+    This is the standard "large-star/small-star lite" shape; for
+    graphs with deep diameters use the full Kiveris et al. algorithm.
+    """
+    edges = (
+        pairs.select(F.col(id_1).alias("src"), F.col(id_2).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_2).alias("src"), F.col(id_1).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        # localCheckpoint truncates lineage each round — without it the
+        # logical plan doubles per iteration and Catalyst re-analysis
+        # dominates (the standard iterative-algorithm failure mode)
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("comp").alias("component_id"))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,88 @@
+"""Time-series operators: resampling and gap-filling.
+
+The reference's identity is "ML / time-series datasets that grow over
+time" (reference:README.md:24-25), but its only time-series affordance
+is a datetime primary key. These are the operations such a table
+actually needs, Spark-first:
+
+- :func:`resample` — fixed-interval binning + aggregation (one
+  partial-aggregated shuffle; bins computed with integer epoch
+  arithmetic, no timezone traps);
+- :func:`fill_gaps` — densify per group: each group generates its own
+  min..max bin range with ``sequence`` + ``explode`` and left-joins the
+  observed bins (missing bins get configurable fill values). The
+  explode is bounded by (range/interval) per group — at 100 TB you gap-
+  fill per entity, never globally.
+
+Bins are exposed as epoch seconds (long): unambiguous across engines
+and timezones; render to timestamps at the presentation edge.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _bin_epoch(ts_col: str, interval_seconds: int) -> Column:
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return ((us / 1_000_000).cast("long") / interval_seconds).cast("long") * interval_seconds
+
+
+def resample(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    interval_seconds: int = 900,
+    group_cols: Sequence[str] = (),
+    aggs: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """Aggregate into fixed ``interval_seconds`` bins (epoch-aligned).
+
+    ``aggs`` maps output name → aggregate Column; default counts rows.
+    """
+    aggs = dict(aggs) if aggs else {"n": F.count(F.lit(1))}
+    out = (
+        df.withColumn("bin_epoch", _bin_epoch(ts_col, interval_seconds))
+        .groupBy(*group_cols, "bin_epoch")
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+    return out
+
+
+def fill_gaps(
+    binned: DataFrame,
+    *,
+    interval_seconds: int,
+    group_cols: Sequence[str] = (),
+    fill: Mapping[str, object] | None = None,
+) -> DataFrame:
+    """Densify a resampled frame: emit every bin between each group's
+    first and last observation, filling absent bins with ``fill``
+    values (default 0 for every non-group, non-bin column).
+
+    Plan: per-group min/max (one agg) → ``sequence`` + ``explode``
+    builds the dense spine distributed per group → left join observed
+    bins back. No driver-side loops, no cross joins.
+    """
+    group_cols = list(group_cols)
+    value_cols = [
+        c for c in binned.columns if c not in group_cols and c != "bin_epoch"
+    ]
+    fill = dict(fill) if fill else {c: 0 for c in value_cols}
+
+    spans = binned.groupBy(*group_cols).agg(
+        F.min("bin_epoch").alias("_lo"), F.max("bin_epoch").alias("_hi")
+    )
+    spine = spans.select(
+        *group_cols,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(interval_seconds))
+        ).alias("bin_epoch"),
+    )
+    out = spine.join(binned, on=group_cols + ["bin_epoch"], how="left")
+    for c in value_cols:
+        if c in fill and fill[c] is not None:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill[c])))
+    return out

@@ -849,6 +849,74 @@ def having_fat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "quantiles_order_price",
+    "SELECT o_orderstatus, "
+    "ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25, "
+    "ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
+    "ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75, "
+    "ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95 "
+    "FROM orders GROUP BY o_orderstatus",
+)
+def quantiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, type-7 interpolation). The exact form is
+    the oracle-checkable baseline; at 100 TB swap in
+    ``approx_percentile`` (t-digest sketch, one pass, mergeable)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(name)
+            for q, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95"))
+        ]
+    )
+
+
+_RESAMPLE_ORACLE = """
+WITH binned AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS bin_epoch,
+         count(*) AS n_events,
+         ROUND(SUM(value), 4) AS value_sum
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(bin_epoch) AS lo, max(bin_epoch) AS hi
+  FROM binned GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         CAST(unnest(range(lo, hi + 900, 900)) AS BIGINT) AS bin_epoch
+  FROM spans
+)
+SELECT sp.event_type, sp.bin_epoch,
+       COALESCE(b.n_events, 0) AS n_events,
+       COALESCE(b.value_sum, 0.0) AS value_sum
+FROM spine sp LEFT JOIN binned b
+  ON b.event_type = sp.event_type AND b.bin_epoch = sp.bin_epoch
+"""
+
+
+@_q("events_resample_fill", _RESAMPLE_ORACLE)
+def events_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to 15-minute bins per event type, then
+    gap-fill: every bin between each group's first and last observation
+    exists, absent ones zero-filled. Bins are epoch seconds — timezone-
+    proof across engines."""
+    from pandabase_spark.operators.timeseries import fill_gaps, resample
+
+    ev = load(spark, sf_dir, "events")
+    binned = resample(
+        ev, ts_col="ts", interval_seconds=900, group_cols=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "value_sum": F.round(F.sum("value"), 4),
+        },
+    )
+    return fill_gaps(
+        binned, interval_seconds=900, group_cols=["event_type"],
+        fill={"n_events": 0, "value_sum": 0.0},
+    )
+
+
+@_q(
     "streaming_upsert_events",
     "SELECT count(*) AS n_rows, ROUND(SUM(value), 2) AS value_sum, "
     "count(DISTINCT user_id) AS n_users FROM events",
@@ -951,6 +1019,41 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, mode="word", threshold=0.3
     )
     return out.withColumn("jaccard", F.round("jaccard", 4))
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+edges AS (
+  SELECT id_1 AS src, id_2 AS dst FROM pairs
+  UNION SELECT id_2, id_1 FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, r.comp FROM reach r JOIN edges e ON e.dst = r.id
+)
+SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component_id
+FROM reach GROUP BY id
+"""
+
+
+@_q("neardup_components", _COMPONENTS_ORACLE)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assembly: connected components (min-label
+    propagation, each round one distributed join) over the exact
+    near-dup pair list. Oracle: DuckDB recursive CTE computing min
+    reachable id. The step after pair-finding in every dedup pipeline —
+    keep one doc per component."""
+    from pandabase_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    comp = connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "component_id")
 
 
 @_q("minhash_lsh_neardup")  # approximate: rows-only check (no oracle)

@@ -1,0 +1,76 @@
+"""resample/fill_gaps and connected_components semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandabase_spark.operators.dedup import connected_components
+from pandabase_spark.operators.timeseries import fill_gaps, resample
+
+
+@pytest.fixture()
+def sparse_events(spark):
+    rows = [
+        ("a", "2024-01-01 00:01:00", 1.0),
+        ("a", "2024-01-01 00:10:00", 2.0),
+        ("a", "2024-01-01 01:05:00", 3.0),   # one-hour gap → 3 empty bins
+        ("b", "2024-01-01 00:20:00", 5.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["g", "ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf)
+
+
+def test_resample_bins(sparse_events):
+    binned = resample(
+        sparse_events, ts_col="ts", interval_seconds=900, group_cols=["g"],
+        aggs={"n": F.count(F.lit(1)), "v": F.sum("value")},
+    )
+    rows = {(r["g"], r["bin_epoch"]): (r["n"], r["v"]) for r in binned.collect()}
+    # both 00:01 and 00:10 land in the 00:00 bin
+    t0 = int(pd.Timestamp("2024-01-01 00:00:00").timestamp())
+    assert rows[("a", t0)] == (2, 3.0)
+    assert rows[("a", t0 + 3900 // 900 * 900)][0] == 1  # 01:00 bin
+    assert len([k for k in rows if k[0] == "b"]) == 1
+
+
+def test_fill_gaps_densifies_per_group(sparse_events):
+    binned = resample(
+        sparse_events, ts_col="ts", interval_seconds=900, group_cols=["g"],
+        aggs={"n": F.count(F.lit(1))},
+    )
+    dense = fill_gaps(binned, interval_seconds=900, group_cols=["g"], fill={"n": 0})
+    a = dense.where(F.col("g") == "a").orderBy("bin_epoch").collect()
+    # span 00:00 → 01:00 = 5 bins, contiguous
+    assert len(a) == 5
+    assert [r["n"] for r in a] == [2, 0, 0, 0, 1]
+    epochs = [r["bin_epoch"] for r in a]
+    assert all(b - a == 900 for a, b in zip(epochs, epochs[1:]))
+    # group b has a single bin — no global spine leakage
+    assert dense.where(F.col("g") == "b").count() == 1
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_1 long, id_2 long",
+    )
+    comp = {r["id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_connected_components_deep_chain(spark):
+    """A path graph exercises multi-round label propagation."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_1 long, id_2 long"
+    )
+    comp = {r["id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == n + 1
