@@ -849,6 +849,24 @@ def having_fat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "distinct_users_by_type",
+    "SELECT event_type, count(DISTINCT user_id) AS n_users, "
+    "count(*) AS n_events FROM events GROUP BY event_type",
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg under the
+    hood). The approximate twin — approx_count_distinct's HLL++ sketch,
+    one pass, mergeable, the 100 TB path — is asserted within 5% of
+    this in tests/test_operators.py (sketches aren't cross-engine
+    comparable, so the exact form is the oracle surface)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_q(
     "quantiles_order_price",
     "SELECT o_orderstatus, "
     "ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25, "

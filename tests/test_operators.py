@@ -116,6 +116,22 @@ def test_embedding_near_dup_lsh_finds_planted(spark):
     assert expect <= found
 
 
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ sketch (the scale path) tracks the exact distinct count
+    within its advertised error at rsd=0.02."""
+    from pandabase_spark.workload import load
+
+    ev = load(spark, SF_DIR, "events")
+    got = (
+        ev.agg(
+            F.count_distinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .collect()[0]
+    )
+    assert abs(got["approx"] - got["exact"]) / got["exact"] <= 0.05
+
+
 def test_dedup_helpers_with_planted_dups(spark, docs):
     doubled = docs.unionByName(
         docs.limit(20).withColumn("doc_id", F.col("doc_id") + 100000)
