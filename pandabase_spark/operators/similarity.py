@@ -189,3 +189,182 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def _centroid_literal(centroids: list[list[float]]) -> list[Column]:
+    return [F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+
+
+def _with_cell(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    *,
+    out: str = "cell",
+) -> DataFrame:
+    """Attach cell id = argmax of dot(vec, centroid) over the centroids.
+
+    Centroids are unit-normalized, so dot == cosine up to the vector's
+    own norm, which is constant across cells — argmax is identical.
+    The ``n_cells`` dot folds are staged once as an array column, and
+    the argmax is ``array_position(dots, array_max(dots))`` over that
+    attribute — a CASE chain over named dot expressions would re-inline
+    each 64-dim fold per branch (~n_cells² folds per row). Ties break
+    to the lowest cell id (first array position).
+    """
+    dots = F.array(
+        *[dot(F.col(vec_col), lit_c) for lit_c in _centroid_literal(centroids)]
+    )
+    staged = df.withColumn("_pb_dots", dots)
+    cell = (
+        F.array_position(F.col("_pb_dots"), F.array_max("_pb_dots")) - 1
+    ).cast("int")
+    return staged.withColumn(out, cell).drop("_pb_dots")
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+    sample_mod: int | None = None,
+) -> list[list[float]]:
+    """Train a spherical-k-means coarse quantizer; returns unit-norm
+    centroids as plain Python lists (n_cells × dim floats — an index
+    artifact, intentionally driver-side and broadcastable as literals).
+
+    Deterministic end to end: seeds are the ``n_cells`` rows with the
+    smallest ``xxhash64(id)`` (a partial TakeOrdered, not a full sort),
+    and Lloyd updates use exact per-cell means via posexplode →
+    groupBy(cell, pos) → avg — one narrow scan plus one
+    (cell × dim)-key aggregate per iteration, partial-combined map-side.
+
+    100 TB shape: pass ``sample_mod=m`` to train on the deterministic
+    1/m hash-sample of the corpus (standard IVF practice — centroid
+    quality needs samples, not the corpus); the full corpus is only
+    touched by the one-pass cell assignment afterwards.
+    """
+    train = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if sample_mod is not None:
+        train = train.where(F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0)
+    seeds = (
+        train.orderBy(F.xxhash64(F.col("_id").cast("string")))
+        .limit(n_cells)
+        .select("_v")
+        .collect()
+    )
+    if len(seeds) < n_cells:
+        raise ValueError(
+            f"need at least n_cells={n_cells} training vectors, got {len(seeds)}"
+        )
+
+    def _unit(vec: list[float]) -> list[float]:
+        n = sum(x * x for x in vec) ** 0.5
+        return [x / n for x in vec] if n > 0 else list(vec)
+
+    centroids = [_unit([float(x) for x in r["_v"]]) for r in seeds]
+    for _ in range(iters):
+        assigned = _with_cell(train, "_v", centroids, out="_cell").select(
+            "_cell", F.posexplode("_v").alias("_pos", "_x")
+        )
+        means = (
+            assigned.groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["_cell"], {})[r["_pos"]] = r["_m"]
+        centroids = [
+            _unit([by_cell[c][p] for p in sorted(by_cell[c])])
+            if c in by_cell
+            else centroids[c]  # empty cell keeps its previous centroid
+            for c in range(n_cells)
+        ]
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list[list[float]], *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the IVF ``cell`` column (one projection, no shuffle).
+
+    At scale, run once at ingest and persist partitioned by ``cell`` —
+    then every probe is a partition-pruned read.
+    """
+    return _with_cell(df, vec_col, centroids, out="cell")
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    iters: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF index: exact cosine, but only inside
+    the ``nprobe`` cells nearest each query (the FAISS IVF-flat recipe).
+
+    Each query expands to its ``nprobe`` best cells — computed in one
+    expression: sort the (−dot, cell) struct array, slice, explode — and
+    joins the cell-assigned corpus on ``cell``. Work per query is
+    ~nprobe/n_cells of the corpus; recall is tuned by ``nprobe``.
+    Pass a prebuilt ``centroids`` list to skip training (the ingest-time
+    pattern). Returns (query_id, vec_id, cosine, rank).
+    """
+    qid = query_id_col or id_col
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, id_col=id_col, vec_col=vec_col,
+            n_cells=n_cells, iters=iters,
+        )
+    c_assigned = ivf_assign(corpus, centroids, vec_col=vec_col)
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    cell_structs = F.array(
+        *[
+            F.struct(
+                (-dot(F.col("_qvec"), lit_c)).alias("negdot"),
+                F.lit(i).cast("int").alias("cell"),
+            )
+            for i, lit_c in enumerate(_centroid_literal(centroids))
+        ]
+    )
+    probes = q.select(
+        "query_id",
+        "_qvec",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(cell_structs), 1, nprobe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    scored = c_assigned.join(F.broadcast(probes), on="cell").select(
+        "query_id",
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )

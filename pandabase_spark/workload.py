@@ -1173,6 +1173,21 @@ def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
+@_q("ann_topk_ivf")  # approximate: rows-only check (no oracle)
+def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an IVF coarse quantizer (FAISS IVF-flat
+    recipe): spherical k-means cells, probe the nprobe nearest —
+    work per query ≈ nprobe/n_cells of the corpus. Deterministic
+    (hash-seeded k-means); recall vs brute force is checked in tests."""
+    from pandabase_spark.operators.similarity import ann_topk_ivf
+
+    e = load(spark, sf_dir, "embeddings")
+    out = ann_topk_ivf(
+        e, e.where(F.col("vec_id") < 5), k=10, n_cells=16, nprobe=6, iters=2
+    )
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: text analysis
 # ---------------------------------------------------------------------------
