@@ -198,3 +198,31 @@ def min_fingerprint(text: Column | str, n: int = 8) -> Column:
     most shingles collide with probability ≈ their Jaccard similarity.
     """
     return F.array_min(F.transform(char_ngrams(text, n), _token_hash60))
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to an RE2-safe subset
+# (no lookahead) so the DuckDB oracle compiles the identical pattern:
+# contractions, letter runs, digit runs, other-symbol runs, each with an
+# optional leading space. Applied to normalized (lowercased,
+# space-collapsed) text, so \p{L}/\p{N} reduce to [a-z]/[0-9].
+BPE_SPLIT_PATTERN: str = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under a BPE-style pre-tokenizer split (the GPT-2
+    regex family) — the unit LLM data work is budgeted in, vs the
+    whitespace count of :func:`token_count`. Pure Catalyst:
+    ``regexp_extract_all`` + ``size``; alternation order is
+    leftmost-first in both Java regex and RE2, so the DuckDB oracle
+    reproduces the count exactly."""
+    t = normalize_text(text)
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), 0))
+
+
+# NOTE: winnowed (rolling-hash) document fingerprints live in
+# pandabase_spark.operators.dedup.winnow_fingerprints as a DataFrame
+# operator, NOT as a Column function: the window-min step must slide
+# over a STAGED hash-array column. As a single nested expression,
+# slice(hashes, i, w) inside the window transform re-evaluates the
+# entire md5-per-ngram subtree once per window — O(len²) hashes per
+# document (measured: hangs at 500 docs).

@@ -490,3 +490,113 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowed (rolling-hash) fingerprints — Schleimer/Wilkerson/Aiken '03
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fps) winnowed document fingerprints (array<string>, distinct).
+
+    The winnowing scheme of Schleimer/Wilkerson/Aiken (SIGMOD '03, the
+    MOSS algorithm): hash every character ``n``-gram, slide a window of
+    ``window`` consecutive hashes, keep each window's minimum, dedup.
+    Guarantee: any shared substring of length ≥ ``window + n - 1``
+    yields at least one shared fingerprint between two documents.
+
+    In a scalar engine the n-gram hashes come from an O(1)-update
+    rolling (Rabin-Karp) hash; here each hash is an independent
+    codegen'd expression over the staged text — same output, better
+    vectorization, no carried state. The hash array is STAGED as a
+    column before the window-min pass: sliding over a nested
+    (non-attribute) array expression re-evaluates every md5 per window,
+    turning O(len·w) into O(len²) per document. Hashes are md5 hex
+    strings compared lexicographically — reproducible in DuckDB, so the
+    fingerprint set is oracle-checkable.
+    """
+    normed = df.select(
+        F.col(id_col), normalize_text(text_col).alias("_t")
+    )
+    # n-gram hashes over the staged _t attribute: char_ngrams() would
+    # re-run the normalization regex once per element position
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length("_t") - (n - 1), F.lit(1))
+    )
+    staged = normed.select(
+        F.col(id_col),
+        F.transform(
+            idx,
+            lambda i: F.md5(F.col("_t").substr(i, F.lit(n)).cast("binary")),
+        ).alias("_hs"),
+    )
+    wins = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("_hs") - (window - 1), F.lit(1))
+        ),
+        lambda i: F.array_min(F.slice(F.col("_hs"), i, window)),
+    )
+    return staged.select(
+        F.col(id_col), F.array_distinct(wins).alias("fps")
+    )
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    window: int = 4,
+    min_common: int = 3,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_common`` winnowed fingerprints —
+    the MOSS similarity-report shape. Plan: fingerprints → explode →
+    inverted-index self-join on fingerprint → count per pair. Only
+    pairs sharing a fingerprint are ever materialized; the winnowing
+    density (~2/(window+1)) keeps the index a fraction of the corpus.
+
+    ``max_fp_df`` drops fingerprints whose document frequency exceeds
+    the cutoff before the self-join — the same fan-out bound as
+    ``ngram_jaccard_pairs``: window-min selection favors globally small
+    hashes, so natural-language corpora concentrate a few boilerplate
+    fingerprints in most documents (observed: without a cutoff a
+    500-doc corpus yields 98k of the 125k possible pairs; at df≤5 the
+    21 true near-dup pairs remain). At 100 TB the cutoff is what keeps
+    the join linear instead of quadratic.
+    Returns (id_1, id_2, n_common) with id_1 < id_2.
+    """
+    # explode_outer, NOT explode: for a plain explode the optimizer
+    # infers a `size(fps) > 0` filter and pushes it below the staging
+    # projections, re-inlining the full fingerprint expression into the
+    # predicate — the window-min slice then re-evaluates the whole
+    # md5-hash array per window element, O(len²) regex+md5 per document
+    # (observed: a 500-doc corpus ran minutes instead of seconds).
+    # explode_outer is exempt from that rule, and the null-filter on the
+    # generate OUTPUT cannot be pushed below the Generate. fps is never
+    # empty (any text yields ≥1 window), so the semantics are identical.
+    f = (
+        winnow_fingerprints(df, id_col, text_col, n=n, window=window)
+        .select(F.col(id_col), F.explode_outer("fps").alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )
+    if max_fp_df is not None:
+        keep = f.groupBy("fp").count().where(F.col("count") <= max_fp_df)
+        f = f.join(keep.select("fp"), on="fp", how="left_semi")
+    a = f.select(F.col(id_col).alias("id_1"), "fp")
+    b = f.select(F.col(id_col).alias("id_2"), "fp")
+    return (
+        a.join(b, on="fp")
+        .where(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )

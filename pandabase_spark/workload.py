@@ -1290,6 +1290,94 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer pattern quoted for a DuckDB string literal
+# (leading apostrophe doubled); mirrors functions.text.BPE_SPLIT_PATTERN.
+_BPE_SQL_PATTERN = r"'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'"
+
+
+@_q(
+    "bpe_token_stats",
+    f"SELECT doc_id, CAST(len(regexp_extract_all({_norm('text')}, "
+    f"{_BPE_SQL_PATTERN})) AS BIGINT) AS n_bpe, "
+    f"CAST({_ntok('text')} AS BIGINT) AS n_ws FROM documents",
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pre-tokenizer token count (GPT-2 regex family, RE2-safe
+    subset) next to the whitespace count — the two units LLM data work
+    is budgeted in. One codegen'd projection."""
+    from pandabase_spark.functions.text import bpe_token_count, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count("text").cast("long").alias("n_bpe"),
+        token_count("text").cast("long").alias("n_ws"),
+    )
+
+
+# Winnowed-fingerprint oracle: identical md5-hex hashes and window-min
+# construction as operators.dedup.winnow_fingerprints (n=8, window=4).
+_WINNOW_FPS_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {_norm('text')} AS t FROM documents
+), g AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                   i -> md5(substr(t, i::INT, 8))) AS hs
+  FROM h
+), w AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                  i -> list_aggregate(list_slice(hs, i::INT, i::INT + 3), 'min'))) AS fps
+  FROM g
+)
+"""
+
+
+@_q(
+    "doc_winnow_fingerprints",
+    _WINNOW_FPS_SQL
+    + "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, "
+    "list_aggregate(fps, 'min') AS min_fp FROM w",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprint summary per document
+    (Schleimer et al. '03 / MOSS): fingerprint count + lexicographic
+    min. The fingerprint arrays themselves feed winnow_match_pairs."""
+    from pandabase_spark.operators.dedup import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "doc_id", "text")
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+    )
+
+
+@_q(
+    "winnow_match_pairs",
+    _WINNOW_FPS_SQL
+    + """, f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 5),
+fk AS (SELECT f.* FROM f JOIN keep USING (fp))
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 5""",
+)
+def winnow_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing ≥5 winnowed fingerprints after the df≤5
+    rarity cutoff (the MOSS similarity report): explode →
+    inverted-index self-join → count."""
+    from pandabase_spark.operators.dedup import winnow_match_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_match_pairs(
+        docs, "doc_id", "text", min_common=5, max_fp_df=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -192,3 +192,60 @@ def test_ivf_recall_vs_bruteforce(spark):
         for r in ann_topk_ivf(emb, q, k=10, n_cells=16, nprobe=6).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing guarantee (Schleimer et al. '03): two documents
+    sharing a substring of length ≥ window + n - 1 (= 11 at n=8, w=4)
+    share at least one fingerprint."""
+    from pandabase_spark.operators.dedup import winnow_fingerprints
+
+    shared = "zqxjkvwpbyzqxjkvwpby"  # 20 rare chars, no corpus overlap
+    df = spark.createDataFrame(
+        [(1, f"alpha beta {shared} gamma delta"),
+         (2, f"completely different prefix {shared} and suffix here")],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnow_fingerprints(df, "doc_id", "text").collect()
+    }
+    assert fps[1] & fps[2], "shared substring must yield a shared fingerprint"
+
+
+def test_winnow_pairs_find_planted_dups(docs):
+    """The driver data's planted near-dup pairs (j≈0.97) share nearly
+    all rare fingerprints — winnow pairs must recover most of the
+    exact near-dup set."""
+    from pandabase_spark.operators.dedup import winnow_match_pairs
+
+    exact = {
+        (r.id_1, r.id_2)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    got = {
+        (r.id_1, r.id_2)
+        for r in winnow_match_pairs(
+            docs, "doc_id", "text", min_common=5, max_fp_df=5
+        ).collect()
+    }
+    assert exact, "driver data should contain planted near-dups"
+    assert len(exact & got) / len(exact) >= 0.8
+
+
+def test_bpe_token_count_examples(spark):
+    """BPE pre-tokenizer split: contractions split off, letter/digit
+    runs merge with a leading space, punctuation runs separate."""
+    from pandabase_spark.functions.text import bpe_token_count
+
+    cases = [
+        ("don't stop", 3),         # don | 't | _stop
+        ("hello world", 2),        # hello | _world
+        ("abc123 x", 3),           # abc | 123 | _x
+        ("a, b.", 4),              # a | , | _b | .
+        ("", 0),
+    ]
+    df = spark.createDataFrame(cases, ["text", "expect"])
+    got = df.select("expect", bpe_token_count("text").alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["expect"], r
