@@ -780,6 +780,73 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cube_orders",
+    "SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, "
+    "ROUND(SUM(o_totalprice), 2) AS total_price FROM orders "
+    "GROUP BY CUBE (o_orderpriority, o_orderstatus)",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations in one pass (Spark expands
+    to a union of grouping sets executed as a single expand + hash
+    aggregate — one shuffle, not 4 scans)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@_q(
+    "pivot_orders",
+    "SELECT o_orderpriority, "
+    "CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F, "
+    "CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O, "
+    "CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts to one column per status. Pivot values are
+    pinned explicitly — letting Spark infer them adds a distinct-scan
+    job AND makes the output schema data-dependent, both wrong at
+    scale (oracle mirrors with FILTERed conditional aggregates)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=["F", "O", "P"])
+    )
+
+
+@_q(
+    "lineitem_stats",
+    "SELECT l_returnflag, "
+    "ROUND(stddev_samp(l_quantity), 4) AS sd_qty, "
+    "ROUND(var_samp(l_extendedprice), 2) AS var_price, "
+    "ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, "
+    "ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price, "
+    "ROUND(median(l_quantity), 1) AS med_qty "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: stddev/variance/corr/covar (all
+    single-pass partial-aggregable) + exact median (full-width sort
+    within group — the one non-mergeable aggregate here; use
+    approx_percentile at 100 TB)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.median("l_quantity"), 1).alias("med_qty"),
+    )
+
+
+@_q(
     "set_ops_segments",
     "SELECT *, 'intersect' AS op FROM "
     "(SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING' "
