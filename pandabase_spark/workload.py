@@ -1039,6 +1039,49 @@ def streaming_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "streaming_windowed_counts",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+    "event_type, count(*) AS n_events, ROUND(SUM(value), 4) AS value_sum "
+    "FROM events GROUP BY 1, 2",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation through a real
+    readStream→writeStream cycle (availableNow, complete mode): the
+    end state must equal the batch hourly rollup — exactly-once window
+    semantics, which is what the oracle checks. Multi-batch watermark
+    advancement/late-row eviction is exercised in
+    tests/test_streaming.py (not oracle-comparable: eviction depends
+    on batch boundaries, which an engine-neutral SQL oracle has no
+    notion of)."""
+    import tempfile
+
+    from pandabase_spark.streaming import windowed_counts
+
+    scratch = tempfile.mkdtemp(prefix="pb_streamwin_")
+    ev = load(spark, sf_dir, "events").drop("props")
+    ev.write.mode("overwrite").parquet(f"{scratch}/src")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{scratch}/src")
+    name = f"win_counts_{os.getpid()}"
+    q = (
+        windowed_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .start()
+    )
+    q.awaitTermination(600)
+    out = spark.table(name)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("value_sum", 4).alias("value_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: dedup
 # ---------------------------------------------------------------------------
