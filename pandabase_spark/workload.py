@@ -780,6 +780,133 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "session_windows_events",
+    """
+WITH flags AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization via the built-in session_window
+    (30-min gap): one shuffle on user_id, sessions merged inside the
+    aggregate — no self-join, no iterative logic. The oracle replays it
+    as lag-gap-flag + running sum (identical semantics: an event at
+    exactly start+gap opens a NEW session). The streaming twin is
+    streaming.sessionize (applyInPandasWithState)."""
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return out.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@_q(
+    "top_words",
+    f"""
+WITH t AS (SELECT unnest({_toks('text')}) AS word FROM documents)
+SELECT word, count(*) AS n FROM t WHERE length(word) > 0
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+""",
+)
+def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 word count — explode(tokenize) → hash aggregate →
+    TakeOrdered top-k (partial per-partition top-k, no global sort)."""
+    from pandabase_spark.functions.text import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "label_centroids",
+    """
+SELECT label, pos, ROUND(avg(v), 4) AS mean_v, count(*) AS n
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+GROUP BY label, pos
+""",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension):
+    posexplode → hash aggregate with map-side combine. The row form
+    (not array<double>) keeps the result engine-neutral; reassembling
+    the centroid array is one array_agg away. This is the vector-
+    aggregation primitive behind IVF training and class prototypes."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select("label", (F.col("pos0") + 1).cast("long").alias("pos"),
+                F.col("v").cast("double").alias("v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("v"), 4).alias("mean_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "unpivot_lineitem_metrics",
+    """
+WITH m AS (
+  SELECT l_returnflag,
+    ROUND(SUM(l_quantity), 2) AS sum_qty,
+    ROUND(SUM(l_extendedprice), 2) AS sum_price,
+    ROUND(SUM(l_discount), 2) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM m
+UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM m
+UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM m
+""",
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of per-flag aggregates — the built-in
+    ``unpivot`` expands in a single Expand node (one pass), not a
+    UNION of re-scans like the SQL oracle spells it."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"],
+        "metric", "value",
+    )
+
+
+@_q(
     "cube_orders",
     "SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, "
     "ROUND(SUM(o_totalprice), 2) AS total_price FROM orders "
