@@ -31,10 +31,19 @@ class PlanAudit:
     codegen_stages: int = 0
     python_eval_nodes: int = 0
     window_nodes: int = 0
+    parquet_scans: int = 0
+    take_ordered: int = 0
+    filter_lines: list[str] = field(default_factory=list)
 
     @property
     def python_free(self) -> bool:
         return self.python_eval_nodes == 0
+
+    def filters_free_of(self, needle: str) -> bool:
+        """True when no Filter node's expression contains ``needle`` —
+        guards against the optimizer re-inlining an expensive staged
+        expression (regex, hash arrays) into a pushed-down predicate."""
+        return not any(needle in ln for ln in self.filter_lines)
 
     @property
     def join_safe(self) -> bool:
@@ -61,4 +70,9 @@ def plan_audit(df: DataFrame) -> PlanAudit:
         + plan.count("ArrowEvalPython")
         + plan.count("MapInPandas"),
         window_nodes=plan.count("Window"),
+        parquet_scans=plan.count("Scan parquet"),
+        take_ordered=plan.count("TakeOrderedAndProject"),
+        filter_lines=[
+            ln for ln in plan.splitlines() if re.search(r"\bFilter\b", ln)
+        ],
     )

@@ -77,3 +77,52 @@ def test_range_read_pushes_key_bounds(spark, catalog):
     )
     a = plan_audit(df)
     assert any("l_orderkey" in f for f in a.pushed_filters)
+
+
+def test_top_words_partial_topk(spark):
+    """Top-20 word count must plan as TakeOrderedAndProject (per-
+    partition top-k + merge), never a global sort of the word counts."""
+    a = plan_audit(workload.QUERIES["top_words"](spark, SF_DIR))
+    assert a.take_ordered >= 1
+    assert a.python_free and a.join_safe
+
+
+def test_pivot_single_scan(spark):
+    """Pinned pivot values: exactly one scan of orders — letting Spark
+    infer values would add a distinct-scan job."""
+    a = plan_audit(workload.QUERIES["pivot_orders"](spark, SF_DIR))
+    assert a.parquet_scans == 1
+    assert a.join_safe
+
+
+def test_winnow_pairs_filters_stay_cheap(spark):
+    """Regression guard for the inferred-generate-filter inlining: no
+    Filter node may contain the md5 fingerprint expression or the
+    normalization regex (the optimizer once pushed size(fps)>0 below
+    the staging projections, going O(len²) per document)."""
+    a = plan_audit(workload.QUERIES["winnow_match_pairs"](spark, SF_DIR))
+    assert a.filters_free_of("md5")
+    assert a.filters_free_of("regexp_replace")
+
+
+def test_cosine_topk_is_deliberate_broadcast_nl(spark):
+    """Brute-force scoring is a broadcast nested-loop join BY DESIGN
+    (every query × every corpus row, small side broadcast); assert it
+    stays broadcast (never CartesianProduct, which would shuffle)."""
+    a = plan_audit(workload.QUERIES["cosine_topk_bruteforce"](spark, SF_DIR))
+    assert a.cartesian_products == 0
+    assert a.nested_loop_joins >= 1
+
+
+def test_ann_ivf_probe_join_is_hash(spark):
+    """IVF probe join (corpus cell = query probe cell) must be a
+    broadcast hash join on the cell key — the sublinear path."""
+    a = plan_audit(workload.QUERIES["ann_topk_ivf"](spark, SF_DIR))
+    assert a.broadcast_joins >= 1
+    assert a.join_safe
+
+
+def test_session_windows_single_shuffle_agg(spark):
+    """Batch sessionization: one aggregate over user_id, no joins."""
+    a = plan_audit(workload.QUERIES["session_windows_events"](spark, SF_DIR))
+    assert a.join_safe and a.python_free
