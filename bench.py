@@ -82,9 +82,14 @@ def main() -> None:
               "window_top3_lineitems", "events_hourly"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
 
+    # --- analytics: sessionization + top-k ---
+    for q in ("session_windows_events", "top_words"):
+        timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
+
     # --- LLM-pipeline ---
-    for q in ("dedup_content_hash", "minhash_lsh_neardup", "doc_profile",
-              "cosine_topk_bruteforce", "ann_topk_lsh",
+    for q in ("dedup_content_hash", "minhash_lsh_neardup",
+              "winnow_match_pairs", "doc_profile", "bpe_token_stats",
+              "cosine_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
               "multimodal_payload_stats"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
 

@@ -588,15 +588,26 @@ def winnow_match_pairs(
         .select(F.col(id_col), F.explode_outer("fps").alias("fp"))
         .where(F.col("fp").isNotNull())
     )
-    if max_fp_df is not None:
-        keep = f.groupBy("fp").count().where(F.col("count") <= max_fp_df)
-        f = f.join(keep.select("fp"), on="fp", how="left_semi")
-    a = f.select(F.col(id_col).alias("id_1"), "fp")
-    b = f.select(F.col(id_col).alias("id_2"), "fp")
-    return (
-        a.join(b, on="fp")
-        .where(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-        .where(F.col("n_common") >= min_common)
-    )
+    # the df-cutoff aggregate and both self-join sides read f — persist
+    # or the md5 fingerprint pipeline runs three times (measured 13.6s
+    # → 10.2s at 5k docs; the rest is the join/agg shuffles)
+    f = f.persist()
+    try:
+        if max_fp_df is not None:
+            keep = f.groupBy("fp").count().where(F.col("count") <= max_fp_df)
+            f = f.join(keep.select("fp"), on="fp", how="left_semi")
+        a = f.select(F.col(id_col).alias("id_1"), "fp")
+        b = f.select(F.col(id_col).alias("id_2"), "fp")
+        out = (
+            a.join(b, on="fp")
+            .where(F.col("id_1") < F.col("id_2"))
+            .groupBy("id_1", "id_2")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+            .where(F.col("n_common") >= min_common)
+        )
+        # materialize while the cache is alive, then release — persisted
+        # blocks must not accumulate across operator calls
+        out = out.localCheckpoint(eager=True)
+    finally:
+        f.unpersist()
+    return out
