@@ -187,3 +187,58 @@ def payload_embedding(
     return df.select(id_col, payload_col).mapInPandas(
         run, "id long, embedding array<double>"
     )
+
+
+RESIZE_SCHEMA = (
+    "id long, out_width int, out_height int, out_bytes int, resized_sha string"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target: tuple[int, int] = (224, 224),
+    decoder: str = FAKE,
+) -> DataFrame:
+    """Batch image resize to ``target`` (w, h) — the standard
+    model-input normalization pass.
+
+    Same Arrow-batched ``mapInPandas`` seam as :func:`decode_images`;
+    the fake decoder derives the "resized" payload deterministically
+    (sha256 over payload + target) and reports the byte size a real
+    RGB resize would produce (w·h·3), so downstream size accounting
+    and schema handling are exercised for real. A real implementation
+    replaces only the loop body (PIL ``Image.resize`` / torchvision),
+    keeping batch shape and memory bounds identical.
+    """
+    if decoder == REAL:
+        raise NotImplementedError(_STUB_MSG)
+    if decoder != FAKE:
+        raise ValueError(f"decoder must be '{FAKE}' or '{REAL}', got {decoder!r}")
+    tw, th = int(target[0]), int(target[1])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shas = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = p if p is not None else b""
+                ids.append(int(i))
+                shas.append(
+                    hashlib.sha256(
+                        payload + f"-resize-{tw}x{th}".encode()
+                    ).hexdigest()
+                )
+            n = len(ids)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "out_width": [tw] * n,
+                    "out_height": [th] * n,
+                    "out_bytes": [tw * th * 3] * n,
+                    "resized_sha": shas,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)

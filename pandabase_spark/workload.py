@@ -1509,6 +1509,27 @@ def corpus_language_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "quality_filter_summary",
+    f"WITH p AS ({_PROFILE_ORACLE}) "
+    "SELECT CAST(count(*) FILTER (WHERE quality >= 0.75) AS BIGINT) AS n_kept, "
+    "CAST(count(*) AS BIGINT) AS n_total FROM p",
+)
+def quality_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-rate of the C4-style quality pre-filter at the 0.75 cut —
+    the first stage of a training-data pipeline. One scan; the filter
+    predicate is the same staged-profile expression the profile query
+    uses."""
+    from pandabase_spark.operators.text_analysis import document_profile
+
+    docs = load(spark, sf_dir, "documents")
+    prof = document_profile(docs)
+    return prof.agg(
+        F.sum((F.col("quality") >= 0.75).cast("long")).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@_q(
     "token_histogram",
     f"SELECT CAST(({_ntok('text')}) // 10 * 10 AS BIGINT) AS bucket, "
     "count(*) AS n_docs FROM documents GROUP BY 1",

@@ -80,3 +80,26 @@ def test_payload_embedding_feeds_similarity(media):
     self_rows = topk.where(F.col("rank") == 1).collect()
     for r in self_rows:
         assert abs(r["cosine"] - 1.0) < 1e-9
+
+
+def test_resize_images_fake(media):
+    from pandabase_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, target=(224, 224)).collect()
+    assert len(out) == media.count()
+    r = out[0]
+    assert (r["out_width"], r["out_height"]) == (224, 224)
+    assert r["out_bytes"] == 224 * 224 * 3
+    assert len(r["resized_sha"]) == 64
+    # deterministic: same payload + target → same sha
+    again = resize_images(media, target=(224, 224)).collect()
+    assert {x["resized_sha"] for x in out} == {x["resized_sha"] for x in again}
+
+
+def test_resize_real_is_explicit_stub(media):
+    import pytest as _pytest
+
+    from pandabase_spark.operators.multimodal import resize_images
+
+    with _pytest.raises(NotImplementedError):
+        resize_images(media, decoder="real").collect()
