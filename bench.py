@@ -97,6 +97,31 @@ def main() -> None:
     append_rps = round((li_rows // 10) / timings["kt_append_10pct"], 1)
     upsert_rps = round((li_rows // 10) / timings["kt_upsert_10pct"], 1)
     create_rps = round(li_rows / timings["kt_create_lineitem"], 1)
+
+    # plan-shape evidence: the physical plans behind the timings (see
+    # pandabase_spark/plans + tests/test_plan_shapes.py for the full
+    # contract; these are the headline facts)
+    from pandabase_spark.plans import plan_audit
+
+    a_q1 = plan_audit(Q["q1_pricing_summary"](spark, sf_dir))
+    a_q5 = plan_audit(Q["q5_nation_revenue"](spark, sf_dir))
+    a_top = plan_audit(Q["top_words"](spark, sf_dir))
+    a_prof = plan_audit(Q["doc_profile"](spark, sf_dir))
+    plan_checks = {
+        "q1_filter_pushed_to_scan": any(
+            "l_shipdate" in f for f in a_q1.pushed_filters
+        ),
+        "q5_dim_joins_broadcast": a_q5.broadcast_joins,
+        "q5_sortmerge_joins": a_q5.sortmerge_joins,
+        "top_words_partial_topk": a_top.take_ordered >= 1,
+        "text_pipeline_python_eval_nodes": a_prof.python_eval_nodes,
+        "no_cartesian_products": all(
+            plan_audit(Q[q](spark, sf_dir)).cartesian_products == 0
+            for q in ("q3_top_orders", "session_windows_events",
+                      "range_join_events", "cosine_topk_bruteforce")
+        ),
+    }
+
     print(json.dumps({
         "metric": "workload_total",
         "value": total,
@@ -107,6 +132,7 @@ def main() -> None:
         "create_rows_per_sec": create_rps,
         "append_rows_per_sec": append_rps,
         "upsert_rows_per_sec": upsert_rps,
+        "plan_checks": plan_checks,
     }))
 
 
