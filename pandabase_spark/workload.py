@@ -105,8 +105,35 @@ def _ts_to_str(df: DataFrame) -> DataFrame:
 
 # lineitem is NOT unique on (l_orderkey, l_linenumber) in the driver's
 # synthetic data — the minimal unique key there is the 4-column
-# (l_orderkey, l_linenumber, l_partkey, l_suppkey) composite.
+# (l_orderkey, l_linenumber, l_partkey, l_suppkey) composite. Even that
+# composite has rare duplicates at some scale factors (sf0.001 has one),
+# so keyed-table queries go through _li_unique(), a deterministic
+# keep-first dedup mirrored exactly in the oracle (_LI_UNIQUE_SQL).
 LI_KEYS = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+_LI_DEDUP_ORDER = [
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+]
+_LI_UNIQUE_SQL = (
+    "(SELECT * FROM lineitem QUALIFY row_number() OVER ("
+    "PARTITION BY l_orderkey, l_linenumber, l_partkey, l_suppkey "
+    "ORDER BY " + ", ".join(_LI_DEDUP_ORDER) + ") = 1)"
+)
+
+
+def _li_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver lineitem reduced to one row per PK, deterministically
+    (first row under a total order of the value columns) — identical
+    semantics in the SQL oracle via QUALIFY row_number() = 1."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy(*LI_KEYS).orderBy(*_LI_DEDUP_ORDER)
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 _LI_COLS_SQL = (
     "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
     "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
@@ -176,7 +203,7 @@ def kt_range_read_single(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "kt_range_read_composite",
-    f"SELECT {_LI_COLS_SQL} FROM lineitem WHERE l_orderkey >= 500 "
+    f"SELECT {_LI_COLS_SQL} FROM {_LI_UNIQUE_SQL} WHERE l_orderkey >= 500 "
     "AND l_linenumber >= 2 AND l_orderkey <= 1500",
 )
 def kt_range_read_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,7 +213,7 @@ def kt_range_read_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     column unbounded."""
     cat = _catalog(spark, sf_dir)
     _fresh(cat, "w_lineitem")
-    cat.to_table(load(spark, sf_dir, "lineitem"), "w_lineitem", keys=LI_KEYS)
+    cat.to_table(_li_unique(spark, sf_dir), "w_lineitem", keys=LI_KEYS)
     return _ts_to_str(
         cat.read_table(
             "w_lineitem", lowest=(500, 2, None, None), highest=(1500, None, None, None)
@@ -196,13 +223,13 @@ def kt_range_read_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "kt_range_read_open",
-    f"SELECT {_LI_COLS_SQL} FROM lineitem WHERE l_orderkey >= 3000",
+    f"SELECT {_LI_COLS_SQL} FROM {_LI_UNIQUE_SQL} WHERE l_orderkey >= 3000",
 )
 def kt_range_read_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 variant: only a lower bound (reference allows either side)."""
     cat = _catalog(spark, sf_dir)
     if not cat.has_table("w_lineitem"):
-        cat.to_table(load(spark, sf_dir, "lineitem"), "w_lineitem", keys=LI_KEYS)
+        cat.to_table(_li_unique(spark, sf_dir), "w_lineitem", keys=LI_KEYS)
     return _ts_to_str(cat.read_table("w_lineitem", lowest=(3000, None, None, None)))
 
 
@@ -338,7 +365,7 @@ def kt_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "kt_boolean_narrowing",
     "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
-    "(l_discount > 0.05) AS high_discount FROM lineitem",
+    f"(l_discount > 0.05) AS high_discount FROM {_LI_UNIQUE_SQL}",
 )
 def kt_boolean_narrowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A23: boolean narrowing — an int column with values ⊆ {0,1} and
@@ -346,7 +373,7 @@ def kt_boolean_narrowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     helpers.py:35-64; 20-case table reference:tests/test_helpers.py:34-61)."""
     cat = _catalog(spark, sf_dir)
     _fresh(cat, "w_li_bool")
-    li = load(spark, sf_dir, "lineitem").select(
+    li = _li_unique(spark, sf_dir).select(
         *LI_KEYS,
         (F.col("l_discount") > 0.05).cast("int").alias("high_discount"),
     )
