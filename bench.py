@@ -49,7 +49,9 @@ def main() -> None:
     Q = workload.QUERIES
 
     # --- keyed-table write path (the reference's core workload) ---
-    li = workload.load(spark, sf_dir, "lineitem")
+    # _li_unique: the driver data can carry duplicate composite PKs at
+    # some scale factors; keyed tables enforce PK uniqueness
+    li = workload._li_unique(spark, sf_dir)
     li_rows = li.count()
     cat = workload._catalog(spark, sf_dir)
     for t in ("b_lineitem",):
