@@ -697,6 +697,59 @@ def events_user_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_moving_avg",
+    "SELECT event_id, user_id, "
+    "ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) "
+    "AS avg_1h FROM events WHERE user_id <= 20",
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based moving average: RANGE frame over event time (all rows
+    within the trailing hour), not a row-count frame — the window state
+    is bounded by the interval, the shuffle is one exchange on
+    user_id. Ties on ts are frame-equivalent under RANGE, so the result
+    is deterministic even though ORDER BY ts alone is not total."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+    )
+
+
+@_q(
+    "salted_skew_join",
+    "SELECT e.event_id, e.user_id, c.c_name "
+    "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+    "WHERE e.user_id <= 50",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew-salting join through the correctness gate:
+    results must be IDENTICAL to the plain equi-join the oracle runs —
+    salting changes the physical distribution (each hot key spreads
+    over 16 reducers), never the result set. For when AQE's runtime
+    skew split cannot apply (bucketed writes, disabled AQE)."""
+    from pandabase_spark.operators.joins import salted_join
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 50)
+        .select("event_id", "user_id")
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    return salted_join(ev, cust, on=["user_id"], salt=16)
+
+
+@_q(
     "asof_join_events",
     "SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts, "
     "p.value AS purchase_value, "

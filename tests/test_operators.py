@@ -249,3 +249,16 @@ def test_bpe_token_count_examples(spark):
     got = df.select("expect", bpe_token_count("text").alias("got")).collect()
     for r in got:
         assert r["got"] == r["expect"], r
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """percentile_approx (mergeable KLL-style sketch, the 100 TB path)
+    tracks the exact median within the accuracy bound at acc=10000."""
+    from pandabase_spark.workload import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    got = li.agg(
+        F.median("l_extendedprice").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+    ).collect()[0]
+    assert abs(got["approx"] - got["exact"]) / got["exact"] <= 0.01
