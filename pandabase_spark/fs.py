@@ -56,6 +56,18 @@ class HadoopFS:
             if s.isDirectory()
         )
 
+    def list_files(self, p: str) -> list[str]:
+        """Names (not full paths) of child FILES of ``p``."""
+        fs = self._fs(p)
+        jp = self._jpath(p)
+        if not fs.exists(jp):
+            return []
+        return sorted(
+            s.getPath().getName()
+            for s in fs.listStatus(jp)
+            if s.isFile()
+        )
+
     def read_text(self, p: str) -> str:
         # a py4j byte[] argument is passed by value, so readFully into a
         # Python buffer can't work — let the JVM produce the String

@@ -96,6 +96,7 @@ AUTO_INDEX_NAME = "pandabase_auto_generated_index"  # reference:pandabase/helper
 PART_DIR = "_pb_b"
 META_FILE = "_pandabase_meta.json"
 LOG_FILE = "_pandabase_log.json"
+LOG_DIR = "_pb_log"
 WRITE_MODES = ("create_only", "append", "upsert")
 
 
@@ -192,18 +193,57 @@ class KeyedCatalog:
             f"{self._path(table_name)}/{META_FILE}", m.to_json()
         )
 
-    def _manifest(self, table_name: str) -> dict:
+    def _manifest(self, table_name: str, version: int | None = None) -> dict:
+        if version is not None:
+            p = f"{self._path(table_name)}/{LOG_DIR}/{version:010d}.json"
+            if not self.fs.exists(p):
+                raise NameError(
+                    f"table {table_name!r} has no snapshot v{version} "
+                    "(never committed, or truncated by vacuum)"
+                )
+            return json.loads(self.fs.read_text(p))
         p = f"{self._path(table_name)}/{LOG_FILE}"
         if not self.fs.exists(p):
             return {"v": 0, "segments": {}}
         return json.loads(self.fs.read_text(p))
 
     def _commit(self, table_name: str, segments: dict[str, list[int]], v: int) -> None:
-        """THE commit point: atomic overwrite-rename of the manifest."""
+        """THE commit point: atomic overwrite-rename of the manifest.
+
+        A versioned copy lands in ``_pb_log/`` FIRST (history for
+        time-travel reads), then the current-pointer rename publishes
+        the snapshot. A crash between the two leaves an unreferenced
+        history file for a version that was never current — harmless,
+        and overwritten verbatim if the writer retries."""
+        doc = json.dumps({"v": v + 1, "segments": segments})
         self.fs.write_text_atomic(
-            f"{self._path(table_name)}/{LOG_FILE}",
-            json.dumps({"v": v + 1, "segments": segments}),
+            f"{self._path(table_name)}/{LOG_DIR}/{v + 1:010d}.json", doc
         )
+        self.fs.write_text_atomic(f"{self._path(table_name)}/{LOG_FILE}", doc)
+
+    def history(self, table_name: str) -> list[dict]:
+        """Retained snapshots, oldest first: [{version, n_segments,
+        n_paths, current}]. Vacuum prunes entries whose segments are
+        gone (standard time-travel/VACUUM tradeoff)."""
+        if not self.has_table(table_name):
+            raise NameError(f"no such table: {table_name}")
+        cur = self._manifest(table_name)["v"]
+        out = []
+        for f in self.fs.list_files(f"{self._path(table_name)}/{LOG_DIR}"):
+            if not f.endswith(".json"):
+                continue
+            man = json.loads(
+                self.fs.read_text(f"{self._path(table_name)}/{LOG_DIR}/{f}")
+            )
+            out.append(
+                {
+                    "version": man["v"],
+                    "n_segments": len(man["segments"]),
+                    "n_paths": sum(len(b) for b in man["segments"].values()),
+                    "current": man["v"] == cur,
+                }
+            )
+        return sorted(out, key=lambda d: d["version"])
 
     def describe(self, table_name: str | None = None) -> DataFrame:
         """Per-table min(pk)/max(pk)/count — the reference's only
@@ -265,15 +305,26 @@ class KeyedCatalog:
         return n_before
 
     def vacuum(self, table_name: str) -> list[str]:
-        """Delete segments no longer referenced by the manifest (either
-        tombstoned by upserts or orphaned by a writer crash). Safe for
-        the single-writer contract; returns the deleted segment names."""
+        """Delete segments no longer referenced by the CURRENT manifest
+        (tombstoned by upserts or orphaned by a writer crash), then
+        prune history snapshots that referenced them — vacuum truncates
+        time travel, exactly the Delta/Iceberg VACUUM tradeoff. Safe
+        for the single-writer contract; returns deleted segment names."""
         live = set(self._manifest(table_name)["segments"])
         gone = []
         for d in self.fs.list_dirs(self._path(table_name)):
             if d.startswith("seg-") and d not in live:
                 self.fs.delete(f"{self._path(table_name)}/{d}")
                 gone.append(d)
+        if gone:
+            cur_v = self._manifest(table_name)["v"]
+            log_dir = f"{self._path(table_name)}/{LOG_DIR}"
+            for f in self.fs.list_files(log_dir):
+                if not f.endswith(".json"):
+                    continue
+                man = json.loads(self.fs.read_text(f"{log_dir}/{f}"))
+                if man["v"] != cur_v and not set(man["segments"]) <= live:
+                    self.fs.delete(f"{log_dir}/{f}", recursive=False)
         return gone
 
     # ------------------------------------------------------------------
@@ -629,9 +680,12 @@ class KeyedCatalog:
     # read path (reference:pandabase/sql.py:349-506 read_sql)
     # ------------------------------------------------------------------
     def _live_paths(
-        self, table_name: str, buckets: Sequence[int] | None = None
+        self,
+        table_name: str,
+        buckets: Sequence[int] | None = None,
+        version: int | None = None,
     ) -> list[str]:
-        man = self._manifest(table_name)
+        man = self._manifest(table_name, version=version)
         want = None if buckets is None else set(buckets)
         return [
             f"{self._path(table_name)}/{seg}/{PART_DIR}={b}"
@@ -641,12 +695,15 @@ class KeyedCatalog:
         ]
 
     def _read_raw(
-        self, table_name: str, buckets: Sequence[int] | None = None
+        self,
+        table_name: str,
+        buckets: Sequence[int] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         if not self.has_table(table_name):
             raise NameError(f"no such table: {table_name}")
         schema = self.meta(table_name).schema
-        paths = self._live_paths(table_name, buckets)
+        paths = self._live_paths(table_name, buckets, version=version)
         if not paths:
             return self.spark.createDataFrame([], schema)
         # explicit schema (from meta): older segments null-fill evolved
@@ -663,8 +720,15 @@ class KeyedCatalog:
         lowest: Any = None,
         highest: Any = None,
         columns: Sequence[str] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Full scan or inclusive key-range read.
+
+        ``version=N`` time-travels to snapshot N (see ``history()``):
+        the scan plans against that manifest's segment paths — same
+        pruning, pushdown, and current-meta schema (columns evolved
+        later read as NULL in old snapshots). Snapshots stay readable
+        until ``vacuum()`` deletes their segments.
 
         Single key: scalar bounds, ``lowest <= k <= highest``, either
         side optional (reference:pandabase/sql.py:383-399). Composite
@@ -715,7 +779,7 @@ class KeyedCatalog:
             )
             buckets = self._batch_buckets(probe, m)
 
-        df = self._read_raw(table_name, buckets=buckets)
+        df = self._read_raw(table_name, buckets=buckets, version=version)
 
         for bound, is_lower in ((lo, True), (hi, False)):
             if bound is None:

@@ -455,6 +455,26 @@ def kt_embeddings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kt_time_travel",
+    "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+)
+def kt_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation as a query: create (v1), upsert every row
+    (v2), then read_table(version=1) — the result must be the
+    PRE-upsert table, byte-identical to the source. History manifests
+    under _pb_log make any un-vacuumed snapshot a plannable scan."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_supp_tt")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    cat.to_table(s, "w_supp_tt", keys=["s_suppkey"])
+    patch = s.withColumn("s_acctbal", F.col("s_acctbal") + 1000.0)
+    cat.to_table(patch, "w_supp_tt", keys=["s_suppkey"], how="upsert")
+    return cat.read_table("w_supp_tt", version=1)
+
+
+@_q(
     "kt_events_roundtrip",
     "SELECT event_id, user_id, event_type, value, "
     "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, "

@@ -159,3 +159,55 @@ def test_schema_evolution_null_fills_old_segments(spark, catalog):
     assert back.where(F.col("tag").isNull()).count() == 50
     assert back.where(F.col("tag") == "new").count() == 10
     assert catalog.column_names("t5") == ["k", "v", "tag"]
+
+
+def test_time_travel_read(spark, catalog):
+    """read_table(version=N) returns snapshot N exactly: v1 = create,
+    v2 = upsert; both concurrently readable after the upsert."""
+    catalog.to_table(_mk(spark), "tt", keys=["k"])
+    patch = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(999.0).alias("v")
+    )
+    catalog.to_table(patch, "tt", keys=["k"], how="upsert")
+
+    v1 = catalog.read_table("tt", version=1)
+    v2 = catalog.read_table("tt", version=2)
+    cur = catalog.read_table("tt")
+    assert v1.where(F.col("v") == 999.0).count() == 0
+    assert v2.where(F.col("v") == 999.0).count() == 50
+    assert cur.exceptAll(v2).count() == 0 and v2.exceptAll(cur).count() == 0
+    assert v1.count() == v2.count() == 200
+
+    hist = catalog.history("tt")
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[-1]["current"] and not hist[0]["current"]
+
+
+def test_time_travel_append_history_survives_vacuum(spark, catalog):
+    """Appends add segments without tombstoning any — vacuum deletes
+    nothing, so append-only history stays fully readable."""
+    catalog.to_table(_mk(spark), "ta", keys=["k"])
+    extra = spark.range(200, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    catalog.to_table(extra, "ta", keys=["k"], how="append")
+    assert catalog.vacuum("ta") == []
+    assert catalog.read_table("ta", version=1).count() == 200
+    assert catalog.read_table("ta", version=2).count() == 300
+
+
+def test_vacuum_truncates_upsert_history(spark, catalog):
+    """After an upsert tombstones buckets, vacuum deletes the replaced
+    segment paths and prunes the now-unreadable snapshot; the current
+    snapshot still reads clean and the stale version raises."""
+    catalog.to_table(_mk(spark), "tv", keys=["k"])
+    patch = spark.range(200).select(
+        F.col("id").alias("k"), F.lit(7.0).alias("v")
+    )
+    catalog.to_table(patch, "tv", keys=["k"], how="upsert")
+    assert catalog.vacuum("tv")  # upsert of every key tombstones seg-0
+    assert catalog.read_table("tv").where(F.col("v") == 7.0).count() == 200
+    versions = [h["version"] for h in catalog.history("tv")]
+    assert versions == [2]
+    with pytest.raises(NameError, match="snapshot"):
+        catalog.read_table("tv", version=1).count()
