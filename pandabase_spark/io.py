@@ -277,6 +277,55 @@ class KeyedCatalog:
             raise NameError("no tables in warehouse")
         return out
 
+    def table_changes(
+        self, table_name: str, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """CDC-style diff between two snapshots: one row per key whose
+        state changed from ``v_from`` to ``v_to`` (default: current),
+        with ``_change_type`` ∈ {insert, update, delete} and the
+        TO-side values (NULL for deletes).
+
+        Plan: full outer join of the two snapshot scans on the PK +
+        one null-safe any-column-differs predicate — same shape as
+        ``companda``. Both sides prune/push down like any table read;
+        nothing is materialized driver-side. This is the feed for
+        incremental downstream rebuilds (only reprocess changed keys)
+        — the manifest log gives snapshots, this derives the delta.
+        """
+        m = self.meta(table_name)
+        a = self._read_raw(table_name, version=v_from)
+        b = self._read_raw(table_name, version=v_to)
+        keys = list(m.keys)
+        vals = [c for c in a.columns if c not in keys]
+        # presence flags via a side-tagged literal: for full-outer rows
+        # the missing side has every column null, so a constant TRUE
+        # column is the unambiguous "this side had the key" signal
+        a_tag = a.withColumn("_in_a", F.lit(True)).alias("_a")
+        b_tag = b.withColumn("_in_b", F.lit(True)).alias("_b")
+        joined = a_tag.join(b_tag, on=keys, how="full_outer")
+        differs = F.lit(False)
+        for c in vals:
+            ac, bc = F.col(f"_a.{c}"), F.col(f"_b.{c}")
+            differs = differs | ~(
+                ac.eqNullSafe(bc)
+                | (F.isnan(ac) & F.isnan(bc)
+                   if dict(a.dtypes)[c] in ("float", "double")
+                   else F.lit(False))
+            )
+        change = (
+            F.when(F.col("_in_a").isNull(), F.lit("insert"))
+            .when(F.col("_in_b").isNull(), F.lit("delete"))
+            .when(differs, F.lit("update"))
+        )
+        out_cols = [F.col(k) for k in keys] + [
+            F.col(f"_b.{c}").alias(c) for c in vals
+        ]
+        return (
+            joined.withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+            .select(*out_cols, "_change_type")
+        )
+
     def compact(self, table_name: str, *, vacuum: bool = True) -> int:
         """OPTIMIZE: rewrite all live data into one fresh segment.
 

@@ -475,6 +475,38 @@ def kt_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kt_table_changes",
+    "SELECT s_suppkey, s_name, s_acctbal + 1000.0 AS s_acctbal, "
+    "'update' AS _change_type FROM supplier WHERE s_suppkey % 3 = 0 "
+    "UNION ALL "
+    "SELECT s_suppkey + 100000, s_name, s_acctbal, 'insert' "
+    "FROM supplier WHERE s_suppkey % 7 = 0",
+)
+def kt_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between snapshots: upsert patches ⅓ of the rows and inserts
+    new keys, then table_changes(v1 → v2) must emit exactly those keys
+    tagged update/insert (and nothing else) — the incremental-rebuild
+    feed derived from the manifest log."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_supp_cdc")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    cat.to_table(s, "w_supp_cdc", keys=["s_suppkey"])
+    patch = s.where(F.col("s_suppkey") % 3 == 0).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 1000.0
+    )
+    inserts = s.where(F.col("s_suppkey") % 7 == 0).withColumn(
+        "s_suppkey", F.col("s_suppkey") + 100000
+    )
+    cat.to_table(
+        patch.unionByName(inserts), "w_supp_cdc",
+        keys=["s_suppkey"], how="upsert",
+    )
+    return cat.table_changes("w_supp_cdc", 1, 2)
+
+
+@_q(
     "kt_events_roundtrip",
     "SELECT event_id, user_id, event_type, value, "
     "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, "

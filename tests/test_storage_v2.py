@@ -211,3 +211,15 @@ def test_vacuum_truncates_upsert_history(spark, catalog):
     assert versions == [2]
     with pytest.raises(NameError, match="snapshot"):
         catalog.read_table("tv", version=1).count()
+
+
+def test_table_changes_same_version_empty(spark, catalog):
+    catalog.to_table(_mk(spark), "tc", keys=["k"])
+    patch = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(5.0).alias("v")
+    )
+    catalog.to_table(patch, "tc", keys=["k"], how="upsert")
+    assert catalog.table_changes("tc", 2, 2).count() == 0
+    ch = catalog.table_changes("tc", 1, 2)
+    assert ch.count() == 10
+    assert {r["_change_type"] for r in ch.collect()} == {"update"}
