@@ -50,8 +50,10 @@ def main() -> None:
 
     # --- keyed-table write path (the reference's core workload) ---
     # _li_unique: the driver data can carry duplicate composite PKs at
-    # some scale factors; keyed tables enforce PK uniqueness
-    li = workload._li_unique(spark, sf_dir)
+    # some scale factors; keyed tables enforce PK uniqueness. Cache the
+    # deduped input: the write benchmarks measure the ENGINE's write
+    # path, not a re-run of the dedup window per operation.
+    li = workload._li_unique(spark, sf_dir).cache()
     li_rows = li.count()
     cat = workload._catalog(spark, sf_dir)
     for t in ("b_lineitem",):
