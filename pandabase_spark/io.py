@@ -581,15 +581,22 @@ class KeyedCatalog:
     ) -> tuple[str, list[int]]:
         """Write one immutable segment; returns (segment name, buckets).
 
-        One shuffle on the bucket column → one file set per bucket dir.
-        The bucket list is read back from the written directory names —
-        no extra Spark job. Nothing is live until the manifest commit.
+        One shuffle on the bucket column → one file set per bucket dir,
+        rows CLUSTERED by key within each bucket (sortWithinPartitions —
+        a local sort, no second shuffle). Clustering is what makes the
+        parquet row-group min/max stats selective for range reads: an
+        unsorted bucket has every row-group spanning the full key range
+        (zero skipping), a clustered one serves ``k BETWEEN lo AND hi``
+        from the few row-groups that overlap. The bucket list is read
+        back from the written directory names — no extra Spark job.
+        Nothing is live until the manifest commit.
         """
         seg = f"seg-{uuid.uuid4().hex[:12]}"
         seg_path = f"{self._path(table_name)}/{seg}"
         (
             sdf.withColumn(PART_DIR, _bucket_expr(m.keys, m.num_buckets))
             .repartition(PART_DIR)
+            .sortWithinPartitions(PART_DIR, *m.keys)
             .write.mode("errorifexists")
             .partitionBy(PART_DIR)
             .parquet(seg_path)
