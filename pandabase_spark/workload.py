@@ -1059,6 +1059,24 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "grouping_sets_orders",
+    "SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint one-column sets — neither a
+    rollup nor a cube): one Expand + single hash aggregate, one pass
+    over orders. Spark SQL surface (temp view), same text as the
+    oracle."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        "SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders "
+        "FROM gs_orders "
+        "GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))"
+    )
+
+
+@_q(
     "pivot_orders",
     "SELECT o_orderpriority, "
     "CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F, "

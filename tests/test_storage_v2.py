@@ -223,3 +223,38 @@ def test_table_changes_same_version_empty(spark, catalog):
     ch = catalog.table_changes("tc", 1, 2)
     assert ch.count() == 10
     assert {r["_change_type"] for r in ch.collect()} == {"update"}
+
+
+def test_snapshot_history_replays_write_sequence(spark, catalog):
+    """Randomized (seeded) write sequence: after create + 3 upsert
+    batches, read_table(version=k) must equal the reference state after
+    the first k batches — the invariant time travel rests on."""
+    import random
+
+    rng = random.Random(20260813)
+    state: dict[int, float] = {k: float(k) for k in range(100)}
+    catalog.to_table(
+        spark.createDataFrame(
+            [(k, v) for k, v in state.items()], ["k", "v"]
+        ),
+        "hist", keys=["k"],
+    )
+    expected = [dict(state)]
+    for _ in range(3):
+        batch = {
+            rng.randrange(0, 150): rng.random() * 100 for _ in range(30)
+        }
+        state.update(batch)
+        catalog.to_table(
+            spark.createDataFrame(
+                [(k, v) for k, v in batch.items()], ["k", "v"]
+            ),
+            "hist", keys=["k"], how="upsert",
+        )
+        expected.append(dict(state))
+    for ver, want in enumerate(expected, start=1):
+        got = {
+            r["k"]: r["v"]
+            for r in catalog.read_table("hist", version=ver).collect()
+        }
+        assert got == want, f"version {ver} diverged"
