@@ -11,9 +11,13 @@ Atomicity notes:
 
 - :meth:`write_text_atomic` stages to a temp file and renames with
   ``Options.Rename.OVERWRITE`` via ``FileContext`` — atomic on POSIX
-  filesystems and HDFS. On S3A a rename is copy+delete (not atomic);
-  for object stores the single-file manifest still gives last-writer-
-  wins consistency, which is the documented single-writer contract.
+  filesystems and HDFS. ``FileContext`` resolves schemes through
+  ``AbstractFileSystem`` bindings, which S3A (and most object-store
+  connectors) do not register by default; for those schemes the code
+  falls back to non-atomic ``FileSystem.delete + rename``. On object
+  stores a rename is copy+delete anyway (never atomic), so the
+  fallback gives the same last-writer-wins consistency the
+  single-writer manifest contract documents.
 """
 
 from __future__ import annotations
@@ -91,9 +95,24 @@ class HadoopFS:
             out.write(text.encode("utf-8"))
         finally:
             out.close()
-        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(self._conf)
-        # varargs over py4j need an explicit Java array
-        gw = self._spark.sparkContext._gateway
-        opts = gw.new_array(self._jvm.org.apache.hadoop.fs.Options.Rename, 1)
-        opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-        fc.rename(self._jpath(tmp), self._jpath(p), opts)
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._jpath(tmp).toUri(), self._conf
+            )
+            # varargs over py4j need an explicit Java array
+            gw = self._spark.sparkContext._gateway
+            opts = gw.new_array(self._jvm.org.apache.hadoop.fs.Options.Rename, 1)
+            opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            fc.rename(self._jpath(tmp), self._jpath(p), opts)
+        except Exception as ex:  # py4j wraps the Java exception
+            # Schemes without an fs.AbstractFileSystem.<scheme>.impl
+            # binding (s3a by default) can't go through FileContext —
+            # fall back to delete+rename, non-atomic but equivalent on
+            # object stores where rename is copy+delete regardless.
+            if "UnsupportedFileSystemException" not in str(ex):
+                raise
+            jp, jtmp = self._jpath(p), self._jpath(tmp)
+            if fs.exists(jp):
+                fs.delete(jp, False)
+            if not fs.rename(jtmp, jp):
+                raise IOError(f"rename {tmp} -> {p} failed") from ex

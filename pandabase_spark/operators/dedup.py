@@ -298,9 +298,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # materialize the (small) candidate set, then release the bucket
-    # cache — persisted blocks must not accumulate across calls
-    cand = cand.persist()
-    cand.count()
+    # cache — persisted blocks must not accumulate across calls.
+    # localCheckpoint (not persist): blocks are tied to the DataFrame's
+    # lifetime and reclaimed by the ContextCleaner when it goes out of
+    # scope, so nothing stays pinned after the caller drops the result
+    cand = cand.localCheckpoint(eager=True)
     buckets.unpersist()
     if not verify:
         return cand
@@ -363,7 +365,12 @@ def simhash_pairs(
     if max_hamming >= chunks:
         raise ValueError("completeness requires max_hamming < chunks")
     width = bits // chunks
-    fp = _simhash_fingerprints(df, id_col, text_col, bits=bits)
+    # both sides of the candidate self-join read the fingerprints;
+    # materialize once (tiny: one (id, int64) row per doc) or the
+    # 60-aggregate pipeline runs twice
+    fp = _simhash_fingerprints(df, id_col, text_col, bits=bits).localCheckpoint(
+        eager=True
+    )
     chunk_structs = F.array(
         *[
             F.struct(
@@ -434,16 +441,30 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jumping: comp' = label[comp]. Every comp value is a
+        # node id (initial labels are ids; min() only picks existing
+        # labels) and label[x] <= x, so the jump only tightens — labels
+        # effectively propagate two hops per round, halving the number
+        # of rounds for deep chains (Kiveris-style shortcut).
+        lut = propagated.select(
+            F.col("id").alias("_cid"), F.col("comp").alias("_ccomp")
+        )
         # localCheckpoint truncates lineage each round — without it the
         # logical plan doubles per iteration and Catalyst re-analysis
         # dominates (the standard iterative-algorithm failure mode)
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            propagated.join(lut, propagated.comp == lut._cid, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                ).alias("comp"),
+                F.coalesce(F.col("_ccomp"), F.col("comp")).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )

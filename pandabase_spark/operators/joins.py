@@ -184,7 +184,18 @@ def salted_join(
     Prefer AQE's skew-join handling when it applies; this is for plans
     AQE cannot split (e.g. join followed by a bucketed write, or AQE
     off) and as the explicit, testable form of the technique.
+
+    Only left-preserving join types are allowed: the right side is
+    replicated ``salt`` times, so 'right'/'full' would emit each
+    unmatched right row once per salt value (silently wrong).
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti",
+               "leftsemi", "leftanti", "leftouter"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins {sorted(allowed)}; "
+            f"got how={how!r} (right rows are replicated {salt}x)"
+        )
     on = list(on)
     l_salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)

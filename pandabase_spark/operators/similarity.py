@@ -312,6 +312,7 @@ def ann_topk_ivf(
     n_cells: int = 16,
     nprobe: int = 3,
     iters: int = 2,
+    sample_mod: int | None = None,
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF index: exact cosine, but only inside
@@ -328,7 +329,7 @@ def ann_topk_ivf(
     if centroids is None:
         centroids = ivf_centroids(
             corpus, id_col=id_col, vec_col=vec_col,
-            n_cells=n_cells, iters=iters,
+            n_cells=n_cells, iters=iters, sample_mod=sample_mod,
         )
     c_assigned = ivf_assign(corpus, centroids, vec_col=vec_col)
     q = queries.select(

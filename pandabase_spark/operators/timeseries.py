@@ -26,8 +26,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _bin_epoch(ts_col: str, interval_seconds: int) -> Column:
+    # floor division (not cast-truncation) so pre-1970 negative epochs
+    # bin toward -inf, matching SQL floor() oracles
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    return ((us / 1_000_000).cast("long") / interval_seconds).cast("long") * interval_seconds
+    sec = F.floor(us / 1_000_000).cast("long")
+    return F.floor(sec / interval_seconds).cast("long") * interval_seconds
 
 
 def resample(
