@@ -154,6 +154,9 @@ class KeyedCatalog:
         self.default_buckets = default_buckets
         self.fs = HadoopFS(spark)
         self.fs.mkdirs(self.warehouse)
+        # DataFrames persisted mid-write (auto-index staging) that must
+        # be released once the segment write has materialized them
+        self._pending_unpersist: list[DataFrame] = []
 
     # ------------------------------------------------------------------
     # catalog utilities (reference:pandabase/util.py:5-80, helpers.py:175-182)
@@ -161,29 +164,67 @@ class KeyedCatalog:
     def _path(self, table_name: str) -> str:
         return f"{self.warehouse}/{table_name}"
 
-    def has_table(self, table_name: str) -> bool:
+    def _qualify(self, table_name: str, schema: str | None) -> str:
+        """Namespace resolution (reference:pandabase/util.py:5-80,
+        sql.py:46,71 ``schema=`` kwarg): a schema maps to a warehouse
+        sub-directory, so ``schema.table`` lives at
+        ``{warehouse}/{schema}/{table}`` — the Spark analogue of a
+        Postgres schema. ``schema=None`` is the flat default root."""
+        if schema is None:
+            return table_name
+        if not is_clean(schema):
+            raise NameError(
+                f"schema {schema!r} is not a clean name; "
+                f"use pandabase_spark.clean_name first"
+            )
+        return f"{schema}/{table_name}"
+
+    def has_table(self, table_name: str, *, schema: str | None = None) -> bool:
         """reference:pandabase/helpers.py:175-182"""
+        table_name = self._qualify(table_name, schema)
         return self.fs.exists(f"{self._path(table_name)}/{META_FILE}")
 
-    def drop_table(self, table_name: str) -> None:
+    def drop_table(self, table_name: str, *, schema: str | None = None) -> None:
         """reference:pandabase/util.py:5-20 drop_db_table"""
+        table_name = self._qualify(table_name, schema)
         if not self.has_table(table_name):
             raise NameError(f"no such table: {table_name}")
         self.fs.delete(self._path(table_name))
 
-    def table_names(self) -> list[str]:
-        """reference:pandabase/util.py:23-28 get_db_table_names"""
+    def table_names(self, *, schema: str | None = None) -> list[str]:
+        """reference:pandabase/util.py:23-28 get_db_table_names;
+        ``schema=`` scopes the listing to that namespace."""
+        if schema is not None and not is_clean(schema):
+            raise NameError(f"schema {schema!r} is not a clean name")
+        root = self.warehouse if schema is None else f"{self.warehouse}/{schema}"
         return sorted(
             d
-            for d in self.fs.list_dirs(self.warehouse)
-            if self.fs.exists(f"{self.warehouse}/{d}/{META_FILE}")
+            for d in self.fs.list_dirs(root)
+            if self.fs.exists(f"{root}/{d}/{META_FILE}")
         )
 
-    def column_names(self, table_name: str) -> list[str]:
-        """reference:pandabase/util.py:31-42 get_table_column_names"""
-        return [f.name for f in self.meta(table_name).schema.fields]
+    def namespaces(self) -> list[str]:
+        """Schema namespaces present in the warehouse (directories that
+        are not themselves tables but contain at least one table)."""
+        out = []
+        for d in self.fs.list_dirs(self.warehouse):
+            if self.fs.exists(f"{self.warehouse}/{d}/{META_FILE}"):
+                continue  # a flat table, not a namespace
+            if self.table_names(schema=d):
+                out.append(d)
+        return sorted(out)
 
-    def meta(self, table_name: str) -> TableMeta:
+    def column_names(
+        self, table_name: str, *, schema: str | None = None
+    ) -> list[str]:
+        """reference:pandabase/util.py:31-42 get_table_column_names"""
+        return [
+            f.name
+            for f in self.meta(table_name, schema=schema).schema.fields
+        ]
+
+    def meta(self, table_name: str, *, schema: str | None = None) -> TableMeta:
+        table_name = self._qualify(table_name, schema)
         return TableMeta.from_json(
             self.fs.read_text(f"{self._path(table_name)}/{META_FILE}")
         )
@@ -221,10 +262,11 @@ class KeyedCatalog:
         )
         self.fs.write_text_atomic(f"{self._path(table_name)}/{LOG_FILE}", doc)
 
-    def history(self, table_name: str) -> list[dict]:
+    def history(self, table_name: str, *, schema: str | None = None) -> list[dict]:
         """Retained snapshots, oldest first: [{version, n_segments,
         n_paths, current}]. Vacuum prunes entries whose segments are
         gone (standard time-travel/VACUUM tradeoff)."""
+        table_name = self._qualify(table_name, schema)
         if not self.has_table(table_name):
             raise NameError(f"no such table: {table_name}")
         cur = self._manifest(table_name)["v"]
@@ -245,14 +287,24 @@ class KeyedCatalog:
             )
         return sorted(out, key=lambda d: d["version"])
 
-    def describe(self, table_name: str | None = None) -> DataFrame:
+    def describe(
+        self, table_name: str | None = None, *, schema: str | None = None
+    ) -> DataFrame:
         """Per-table min(pk)/max(pk)/count — the reference's only
         aggregation surface (reference:pandabase/util.py:45-80
         describe_database). Built lazily as ONE union-of-aggregates plan
         (a single Spark job on collect, not one per table). Multi-key
         tables report count only (reference:util.py:69-75).
+        ``schema=`` scopes to one namespace (reference:util.py:45-50);
+        table_name values are then reported namespace-qualified.
         """
-        names = [table_name] if table_name else self.table_names()
+        if table_name is not None:
+            names = [self._qualify(table_name, schema)]
+        else:
+            names = [
+                self._qualify(t, schema)
+                for t in self.table_names(schema=schema)
+            ]
         out = None
         for name in names:
             m = self.meta(name)
@@ -278,7 +330,12 @@ class KeyedCatalog:
         return out
 
     def table_changes(
-        self, table_name: str, v_from: int, v_to: int | None = None
+        self,
+        table_name: str,
+        v_from: int,
+        v_to: int | None = None,
+        *,
+        schema: str | None = None,
     ) -> DataFrame:
         """CDC-style diff between two snapshots: one row per key whose
         state changed from ``v_from`` to ``v_to`` (default: current),
@@ -292,6 +349,7 @@ class KeyedCatalog:
         incremental downstream rebuilds (only reprocess changed keys)
         — the manifest log gives snapshots, this derives the delta.
         """
+        table_name = self._qualify(table_name, schema)
         m = self.meta(table_name)
         a = self._read_raw(table_name, version=v_from)
         b = self._read_raw(table_name, version=v_to)
@@ -326,7 +384,9 @@ class KeyedCatalog:
             .select(*out_cols, "_change_type")
         )
 
-    def compact(self, table_name: str, *, vacuum: bool = True) -> int:
+    def compact(
+        self, table_name: str, *, vacuum: bool = True, schema: str | None = None
+    ) -> int:
         """OPTIMIZE: rewrite all live data into one fresh segment.
 
         Repeated upserts/appends grow the live (segment, bucket) path
@@ -338,6 +398,7 @@ class KeyedCatalog:
         OPTIMIZE in any LSM/log-structured store — periodically, or when
         ``len(manifest['segments'])`` crosses a threshold.
         """
+        table_name = self._qualify(table_name, schema)
         m = self.meta(table_name)
         man = self._manifest(table_name)
         n_before = len(man["segments"])
@@ -353,12 +414,13 @@ class KeyedCatalog:
             self.vacuum(table_name)
         return n_before
 
-    def vacuum(self, table_name: str) -> list[str]:
+    def vacuum(self, table_name: str, *, schema: str | None = None) -> list[str]:
         """Delete segments no longer referenced by the CURRENT manifest
         (tombstoned by upserts or orphaned by a writer crash), then
         prune history snapshots that referenced them — vacuum truncates
         time travel, exactly the Delta/Iceberg VACUUM tradeoff. Safe
         for the single-writer contract; returns deleted segment names."""
+        table_name = self._qualify(table_name, schema)
         live = set(self._manifest(table_name)["segments"])
         gone = []
         for d in self.fs.list_dirs(self._path(table_name)):
@@ -389,6 +451,7 @@ class KeyedCatalog:
         auto_index: bool = False,
         add_new_columns: bool = False,
         num_buckets: int | None = None,
+        schema: str | None = None,
     ) -> None:
         """Write a DataFrame into a keyed table.
 
@@ -408,6 +471,31 @@ class KeyedCatalog:
                 f"use pandabase_spark.clean_name first"
             )
 
+        try:
+            self._to_table_checked(
+                df, self._qualify(table_name, schema), keys=keys, how=how,
+                auto_index=auto_index, add_new_columns=add_new_columns,
+                num_buckets=num_buckets,
+            )
+        finally:
+            self._release_staged()
+
+    def _release_staged(self) -> None:
+        """Unpersist any mid-write staged caches (see _assign_auto_index)."""
+        while self._pending_unpersist:
+            self._pending_unpersist.pop().unpersist()
+
+    def _to_table_checked(
+        self,
+        df: DataFrame | pd.DataFrame,
+        table_name: str,
+        *,
+        keys: Sequence[str] | None,
+        how: str,
+        auto_index: bool,
+        add_new_columns: bool,
+        num_buckets: int | None,
+    ) -> None:
         exists = self.has_table(table_name)
         target_schema = self.meta(table_name).schema if exists else None
         sdf, keys = self._normalize_input(df, keys, auto_index, target_schema)
@@ -553,6 +641,10 @@ class KeyedCatalog:
         # observe the SAME partition assignment (a re-computed shuffled
         # input could map rows to different partitions between the jobs)
         staged = sdf.withColumn("_pb_pid", pid).persist()
+        # released by _release_staged() after the segment write commits —
+        # without this, auto-index writes in a long-lived session
+        # accumulate cached blocks
+        self._pending_unpersist.append(staged)
         counts = dict(
             staged.groupBy("_pb_pid").count().collect()
         )  # ≤ numPartitions entries — driver-safe
@@ -777,6 +869,7 @@ class KeyedCatalog:
         highest: Any = None,
         columns: Sequence[str] | None = None,
         version: int | None = None,
+        schema: str | None = None,
     ) -> DataFrame:
         """Full scan or inclusive key-range read.
 
@@ -801,6 +894,7 @@ class KeyedCatalog:
         paths before the scan even starts. Projection via ``columns``
         prunes the scan column set.
         """
+        table_name = self._qualify(table_name, schema)
         m = self.meta(table_name)
         nkeys = len(m.keys)
 
@@ -885,6 +979,7 @@ class KeyedCatalog:
         datetimes → UTC; reference:pandabase/sql.py:449-506). Collects to
         the driver — only for small result sets; the distributed API is
         read_table."""
+        table_name = self._qualify(table_name, kwargs.pop("schema", None))
         m = self.meta(table_name)
         df = self.read_table(table_name, **kwargs)
         pdf = df.toPandas()
@@ -898,4 +993,13 @@ class KeyedCatalog:
             pdf.index.name = None
         else:
             pdf = pdf.set_index(m.keys if len(m.keys) > 1 else m.keys[0])
+            # legacy auto-index recognition (reference:pandabase/sql.py:466):
+            # a single key named pandabase_auto_generated_index or the old
+            # pandabase_default_index* (random-suffixed) form is an
+            # auto-generated index — suppress its name like auto_index does
+            if len(m.keys) == 1 and (
+                m.keys[0] == AUTO_INDEX_NAME
+                or m.keys[0][:23] == "pandabase_default_index"
+            ):
+                pdf.index.name = None
         return pdf
