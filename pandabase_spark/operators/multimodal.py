@@ -12,8 +12,10 @@ torchvision, ffmpeg) are NOT available in this container, so the decode
 step is STUBBED: ``decoder="fake"`` (default) derives deterministic
 pseudo-features from the payload bytes so the full pipeline — schema,
 batching, partitioning, one-to-many frame explosion — is real and
-tested end-to-end, while ``decoder="real"`` raises NotImplementedError
-at the exact seam where a codec plugs in.
+tested end-to-end. ``decoder="real"`` lazily imports PIL (decode /
+resize) when installed and raises NotImplementedError at the exact
+codec seam when it is not; frame sampling and payload embedding keep
+the hard stub (they need ffmpeg / a model, never present here).
 
 Scale notes: payload columns ride the same hash-bucketed segments as
 scalars (parquet stores binary efficiently); mapInPandas batch size is
@@ -39,6 +41,19 @@ _STUB_MSG = (
     "that is not installed in this environment; the Spark-side plumbing "
     "is complete — plug a decoder in here"
 )
+
+
+def _require_pil():
+    """Lazy optional dependency: ``decoder='real'`` uses PIL when it is
+    installed and degrades to the documented NotImplementedError seam
+    when it is not — the plumbing (schema, batching, pruning) is
+    identical either way."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError as ex:
+        raise NotImplementedError(_STUB_MSG) from ex
 
 
 def attach_fake_payload(df: DataFrame, src_col: str, *, media_type: str = "image/png") -> DataFrame:
@@ -89,17 +104,35 @@ def decode_images(
     pandas batches and yields result batches — payloads never exist as
     one driver-side list, and column pruning drops everything except
     (id, payload) before the Python boundary.
+
+    ``decoder="real"`` decodes via PIL when installed (lazy optional
+    import — raises NotImplementedError at this seam when absent); the
+    plumbing is byte-identical to the fake path.
     """
     if decoder == REAL:
-        raise NotImplementedError(_STUB_MSG)
-    if decoder != FAKE:
+        _require_pil()  # fail fast on the driver if the codec is absent
+    elif decoder != FAKE:
         raise ValueError(f"decoder must be '{FAKE}' or '{REAL}', got {decoder!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == REAL:
+            import io as _io
+
+            Image = _require_pil()
+
+            def feat(payload: bytes):
+                with Image.open(_io.BytesIO(payload)) as img:
+                    gray = img.convert("L")
+                    import numpy as np
+
+                    mean = round(float(np.asarray(gray).mean()) / 255.0, 6)
+                    return img.width, img.height, len(img.getbands()), mean
+        else:
+            feat = _fake_image_features
+
         for pdf in batches:
             feats = [
-                _fake_image_features(p if p is not None else b"")
-                for p in pdf[payload_col]
+                feat(p if p is not None else b"") for p in pdf[payload_col]
             ]
             yield pd.DataFrame(
                 {
@@ -209,34 +242,52 @@ def resize_images(
     the fake decoder derives the "resized" payload deterministically
     (sha256 over payload + target) and reports the byte size a real
     RGB resize would produce (w·h·3), so downstream size accounting
-    and schema handling are exercised for real. A real implementation
-    replaces only the loop body (PIL ``Image.resize`` / torchvision),
-    keeping batch shape and memory bounds identical.
+    and schema handling are exercised for real. ``decoder="real"``
+    resizes via PIL when installed (lazy optional import, PNG
+    re-encode), keeping batch shape and memory bounds identical.
     """
     if decoder == REAL:
-        raise NotImplementedError(_STUB_MSG)
-    if decoder != FAKE:
+        _require_pil()
+    elif decoder != FAKE:
         raise ValueError(f"decoder must be '{FAKE}' or '{REAL}', got {decoder!r}")
     tw, th = int(target[0]), int(target[1])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, shas = [], []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
-                payload = p if p is not None else b""
-                ids.append(int(i))
-                shas.append(
+        if decoder == REAL:
+            import io as _io
+
+            Image = _require_pil()
+
+            def one(payload: bytes) -> tuple[int, str]:
+                with Image.open(_io.BytesIO(payload)) as img:
+                    out = _io.BytesIO()
+                    img.resize((tw, th)).save(out, format="PNG")
+                    raw = out.getvalue()
+                    return len(raw), hashlib.sha256(raw).hexdigest()
+        else:
+
+            def one(payload: bytes) -> tuple[int, str]:
+                return (
+                    tw * th * 3,
                     hashlib.sha256(
                         payload + f"-resize-{tw}x{th}".encode()
-                    ).hexdigest()
+                    ).hexdigest(),
                 )
+
+        for pdf in batches:
+            ids, nbytes, shas = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                nb, sha = one(p if p is not None else b"")
+                ids.append(int(i))
+                nbytes.append(nb)
+                shas.append(sha)
             n = len(ids)
             yield pd.DataFrame(
                 {
                     "id": ids,
                     "out_width": [tw] * n,
                     "out_height": [th] * n,
-                    "out_bytes": [tw * th * 3] * n,
+                    "out_bytes": nbytes,
                     "resized_sha": shas,
                 }
             )

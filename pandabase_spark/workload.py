@@ -1359,6 +1359,111 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Watermark-drop oracle: both engines compute, in integer micros,
+#   c_us  = (min+max)//2          (the late/on-time cutoff)
+#   w_s   = (max-c)//1e6 + 9059s  (watermark delay, seconds)
+#   wm_us = max - w_s*1e6         (≈ c - 2.5h, never window-aligned)
+# Kept rows = on-time (ts >= c) OR late rows whose hour-window end is
+# still above the watermark; dropped = late rows in finalized windows.
+_LATE_DROP_ORACLE = """
+WITH b AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS c_us,
+         max(epoch_us(ts)) AS mx_us
+  FROM events
+), p AS (
+  SELECT c_us, mx_us - ((mx_us - c_us) // 1000000 + 9059) * 1000000 AS wm_us
+  FROM b
+), w AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us, event_type, value
+  FROM events, p
+  WHERE epoch_us(ts) >= p.c_us
+     OR (epoch_us(ts) // 3600000000) * 3600000000 + 3600000000 > p.wm_us
+)
+SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS value_sum
+FROM w GROUP BY 1, 2
+"""
+
+
+@_q("streaming_late_data_drop", _LATE_DROP_ORACLE)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data eviction, end to end and deterministic:
+
+    run 1 streams the recent half of events (advancing the committed
+    watermark to cutoff−~2.5h), run 2 restarts from the same checkpoint
+    with the old half arriving LATE — rows in hour-windows already
+    finalized by the watermark are dropped, late rows in still-open
+    windows are merged into state. Update-mode output feeds a
+    ``foreachBatch`` keyed-table MERGE (the engine's own upsert), so
+    the final table is the exact aggregate of on-time + surviving-late
+    rows — which is what the SQL oracle states in integer-epoch
+    arithmetic. Exercises: checkpoint recovery, watermark persistence
+    across restarts, update-mode re-emission, streaming→keyed-table
+    exactly-once MERGE."""
+    import tempfile
+
+    from pandabase_spark.streaming import windowed_counts
+
+    ev = load(spark, sf_dir, "events").drop("props")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    c_us = (lo + hi) // 2
+    w_s = (hi - c_us) // 1_000_000 + 9059
+
+    scratch = tempfile.mkdtemp(prefix="pb_latewin_")
+    cat = _catalog(spark, sf_dir)
+    table = "stream_late_windows"
+    _fresh(cat, table)
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        if not bdf.head(1):
+            return
+        keys = ["window_start", "event_type"]
+        if cat.has_table(table):
+            cat.to_table(bdf, table, keys=keys, how="upsert")
+        else:
+            cat.to_table(bdf, table, keys=keys)
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(ev.schema).parquet(f"{scratch}/src")
+        agg = windowed_counts(
+            stream, window="1 hour", watermark=f"{w_s} seconds"
+        ).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "value_sum",
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
+        )
+        q.awaitTermination(600)
+
+    # run 1: the on-time half (advances + commits the watermark)
+    ev.where(F.unix_micros("ts") >= c_us).write.parquet(f"{scratch}/src")
+    run_once()
+    # run 2: the old half arrives late; finalized windows must drop it
+    ev.where(F.unix_micros("ts") < c_us).write.mode("append").parquet(
+        f"{scratch}/src"
+    )
+    run_once()
+
+    return cat.read_table(table).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("value_sum", 4).alias("value_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: dedup
 # ---------------------------------------------------------------------------

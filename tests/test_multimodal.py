@@ -53,9 +53,47 @@ def test_decode_images_fake(media):
     assert again == {r["id"]: (r["width"], r["height"]) for r in rows}
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="PIL installed: real path active")
 def test_decode_real_is_explicit_stub(media):
     with pytest.raises(NotImplementedError, match="codec"):
         decode_images(media, decoder="real")
+
+
+def test_decode_real_with_pil(spark):
+    """Optional-dependency path: when PIL is installed, decoder='real'
+    decodes true image bytes through the same mapInPandas seam."""
+    Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    def png(w, h, color):
+        buf = _io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, png(8, 4, (255, 255, 255))), (2, png(3, 5, (0, 0, 0)))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["id"]: r for r in decode_images(df, decoder="real").collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (8, 4, 3)
+    assert rows[1]["mean_intensity"] == 1.0
+    assert (rows[2]["width"], rows[2]["height"]) == (3, 5)
+    assert rows[2]["mean_intensity"] == 0.0
+
+    from pandabase_spark.operators.multimodal import resize_images
+
+    out = {r["id"]: r for r in resize_images(df, target=(4, 4), decoder="real").collect()}
+    assert out[1]["out_width"] == 4 and out[1]["out_bytes"] > 0
+    assert out[1]["resized_sha"] != out[2]["resized_sha"]
 
 
 def test_sample_frames_one_to_many(media):
@@ -96,10 +134,9 @@ def test_resize_images_fake(media):
     assert {x["resized_sha"] for x in out} == {x["resized_sha"] for x in again}
 
 
+@pytest.mark.skipif(_pil_available(), reason="PIL installed: real path active")
 def test_resize_real_is_explicit_stub(media):
-    import pytest as _pytest
-
     from pandabase_spark.operators.multimodal import resize_images
 
-    with _pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError):
         resize_images(media, decoder="real").collect()

@@ -126,3 +126,37 @@ def test_session_windows_single_shuffle_agg(spark):
     """Batch sessionization: one aggregate over user_id, no joins."""
     a = plan_audit(workload.QUERIES["session_windows_events"](spark, SF_DIR))
     assert a.join_safe and a.python_free
+
+
+def test_write_segment_single_shuffle_no_single_partition(spark):
+    """The write path must cost exactly ONE shuffle (the bucket
+    repartition) and never a single-partition exchange; key clustering
+    is a local sortWithinPartitions, not a global orderBy (VERDICT r2
+    item 9)."""
+    from pandabase_spark.io import PART_DIR, _bucket_expr
+
+    sdf = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    staged = (
+        sdf.withColumn(PART_DIR, _bucket_expr(["k"], 32))
+        .repartition(PART_DIR)
+        .sortWithinPartitions(PART_DIR, "k")
+    )
+    a = plan_audit(staged)
+    assert a.shuffles == 1
+    assert a.single_partition_exchanges == 0
+    # Sort node prints as `Sort [cols], <global>, 0` — must be local
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    sort_lines = [ln for ln in plan.splitlines() if "Sort [" in ln]
+    assert sort_lines and all("], false," in ln for ln in sort_lines)
+
+
+def test_auto_index_no_single_partition_exchange(spark, catalog):
+    """_assign_auto_index ranks within spark_partition_id — a plain
+    Window.orderBy would funnel the batch through one task."""
+    sdf = spark.range(0, 5000).select((F.col("id") * 3).alias("v"))
+    out = catalog._assign_auto_index(sdf, base=0)
+    a = plan_audit(out)
+    assert a.single_partition_exchanges == 0
+    catalog._release_staged()
