@@ -93,9 +93,24 @@ def main() -> None:
     # --- LLM-pipeline ---
     for q in ("dedup_content_hash", "minhash_lsh_neardup",
               "winnow_match_pairs", "doc_profile", "bpe_token_stats",
-              "cosine_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
+              "cosine_topk_bruteforce", "ann_topk_lsh",
               "multimodal_payload_stats"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
+
+    # IVF: index build is an ingest-time cost amortized over every
+    # query — time it separately, then measure SEARCH with the prebuilt
+    # centroids (the deployment pattern; ivf_assign at ingest).
+    from pandabase_spark.operators.similarity import ann_topk_ivf, ivf_centroids
+
+    emb = workload.load(spark, sf_dir, "embeddings")
+    built: dict[str, list] = {}
+    timed("ann_ivf_index_build", lambda: built.setdefault(
+        "c", ivf_centroids(emb, n_cells=16, iters=2, sample_mod=2)))
+    timed("ann_topk_ivf", lambda: force(
+        ann_topk_ivf(
+            emb, emb.where(F.col("vec_id") < 5), k=10, n_cells=16,
+            nprobe=6, centroids=built["c"],
+        ).withColumn("cosine", F.round("cosine", 4))))
 
     total = round(sum(timings.values()), 3)
     append_rps = round((li_rows // 10) / timings["kt_append_10pct"], 1)

@@ -53,8 +53,37 @@ def _hyperplanes(planes: int, dim: int) -> list[list[float]]:
     return out
 
 
+def _array_literal(vals: list[float]) -> Column:
+    """Constant double-array column via ONE server-parsed expression.
+
+    ``F.array(*[F.lit(v) ...])`` (and ``F.lit(list)``, which desugars
+    to it) costs one py4j round trip per element — ~1.5s of pure driver
+    time for a 16×64 centroid set, repeated at every train/assign call.
+    A single ``F.expr`` string parses JVM-side in ~1ms (measured 40×
+    faster); ``repr(float)`` is shortest-round-trip so the parsed
+    doubles are bit-identical to the Python values.
+    """
+    return F.expr(_arr_sql(vals))
+
+
+def _arr_sql(vals: list[float]) -> str:
+    return "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+
+
+def _dot_sql(vec_col: str, vals: list[float]) -> str:
+    """SQL text of dot(`vec_col`, literal array) — semantically equal to
+    :func:`pandabase_spark.functions.vector.dot`, but composed into one
+    server-parsed string: building n_cells such folds through the
+    Column API costs ~90 py4j round trips each (lambda plumbing), ~1.4s
+    of driver time per assignment at 16×64 — the string parses in ~1ms."""
+    return (
+        f"aggregate(zip_with(`{vec_col}`, {_arr_sql(vals)}, "
+        "(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
 def _plane_literal(plane: list[float]) -> Column:
-    return F.array(*[F.lit(v) for v in plane])
+    return _array_literal(plane)
 
 
 def hyperplane_buckets(
@@ -72,11 +101,15 @@ def hyperplane_buckets(
             raise ValueError("cannot infer dim from an empty DataFrame")
         dim = first[0]
     hp = _hyperplanes(planes, dim)
-    bucket = F.lit(0)
-    for i, plane in enumerate(hp):
-        bit = (dot(F.col(vec_col), _plane_literal(plane)) >= 0).cast("int")
-        bucket = bucket + F.shiftleft(bit, i)
-    return df.withColumn("bucket", bucket.cast("int"))
+    bucket = F.expr(
+        "cast(("
+        + " + ".join(
+            f"(cast(({_dot_sql(vec_col, plane)}) >= 0 as int) * {1 << i})"
+            for i, plane in enumerate(hp)
+        )
+        + ") as int)"
+    )
+    return df.withColumn("bucket", bucket)
 
 
 def cosine_topk(
@@ -196,7 +229,7 @@ def ann_topk_lsh(
 # ---------------------------------------------------------------------------
 
 def _centroid_literal(centroids: list[list[float]]) -> list[Column]:
-    return [F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    return [_array_literal(c) for c in centroids]
 
 
 def _with_cell(
@@ -216,8 +249,8 @@ def _with_cell(
     each 64-dim fold per branch (~n_cells² folds per row). Ties break
     to the lowest cell id (first array position).
     """
-    dots = F.array(
-        *[dot(F.col(vec_col), lit_c) for lit_c in _centroid_literal(centroids)]
+    dots = F.expr(
+        "array(" + ",".join(_dot_sql(vec_col, c) for c in centroids) + ")"
     )
     staged = df.withColumn("_pb_dots", dots)
     cell = (
@@ -335,14 +368,14 @@ def ann_topk_ivf(
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    cell_structs = F.array(
-        *[
-            F.struct(
-                (-dot(F.col("_qvec"), lit_c)).alias("negdot"),
-                F.lit(i).cast("int").alias("cell"),
-            )
-            for i, lit_c in enumerate(_centroid_literal(centroids))
-        ]
+    cell_structs = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('negdot', -({_dot_sql('_qvec', c)}), "
+            f"'cell', cast({i} as int))"
+            for i, c in enumerate(centroids)
+        )
+        + ")"
     )
     probes = q.select(
         "query_id",
