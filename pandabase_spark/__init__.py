@@ -36,7 +36,7 @@ sessionizer (applyInPandasWithState) — never row-at-a-time.
 """
 
 from pandabase_spark.names import clean_name
-from pandabase_spark.session import get_spark
+from pandabase_spark.session import engine_builder, get_spark
 from pandabase_spark.io import KeyedCatalog, IntegrityError, TableMeta
 from pandabase_spark.compare import companda, companda_report, Companda
 
@@ -44,6 +44,7 @@ __version__ = "0.2.0"
 
 __all__ = [
     "clean_name",
+    "engine_builder",
     "get_spark",
     "KeyedCatalog",
     "IntegrityError",

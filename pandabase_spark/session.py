@@ -19,7 +19,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "pandabase_spark", **extra_conf: str) -> SparkSession:
+def get_spark(
+    app_name: str = "pandabase_spark",
+    master: str | None = None,
+    **extra_conf: str,
+) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults applied.
 
     Pass ``extra_conf`` to override any default. Honors
@@ -28,7 +32,10 @@ def get_spark(app_name: str = "pandabase_spark", **extra_conf: str) -> SparkSess
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(os.environ.get("PANDABASE_SPARK_MASTER", f"local[{cpus}]"))
+        .master(
+            master
+            or os.environ.get("PANDABASE_SPARK_MASTER", f"local[{cpus}]")
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", os.environ.get("PANDABASE_SHUFFLE_PARTITIONS", cpus))
         .config("spark.sql.adaptive.enabled", "true")
@@ -51,3 +58,24 @@ def get_spark(app_name: str = "pandabase_spark", **extra_conf: str) -> SparkSess
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def engine_builder(con: "SparkSession | str | None" = None) -> SparkSession:
+    """URI/engine passthrough parity with the reference's
+    ``engine_builder`` (reference:pandabase/helpers.py:67-81): a string
+    is treated as a Spark master URL — the Spark analogue of a database
+    URI (``local[8]``, ``spark://host:7077``, ``yarn``) — and built
+    into a configured session; an existing SparkSession is returned
+    unmodified (the reference's "an application should create its own
+    engine and pass it" note applies verbatim); None builds the
+    default session."""
+    if con is None:
+        return get_spark()
+    if isinstance(con, SparkSession):
+        return con
+    if isinstance(con, str):
+        return get_spark(master=con)
+    raise TypeError(
+        f"con must be a SparkSession, a master-URL string, or None; "
+        f"got {type(con).__name__}"
+    )

@@ -137,3 +137,21 @@ def test_ivf_sample_mod_keeps_planted_recall(spark):
     )
     hits = got.where(F.col("vec_id") == F.col("query_id") - 100000).count()
     assert hits >= 9  # ≥90% recall on true near-dups
+
+
+def test_engine_builder_passthrough(spark):
+    """reference:pandabase/helpers.py:67-81 parity: an existing session
+    passes through unmodified; a master-URL string builds one; other
+    types are rejected."""
+    from pandabase_spark import engine_builder
+
+    assert engine_builder(spark) is spark
+    # a string master in local mode resolves to the same active session
+    # (getOrCreate), which is exactly the engine-proliferation caveat
+    # the reference documents
+    assert engine_builder(f"local[2]") is spark
+    assert engine_builder(None) is spark
+    import pytest as _p
+
+    with _p.raises(TypeError, match="master-URL"):
+        engine_builder(42)
