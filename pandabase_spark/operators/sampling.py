@@ -1,0 +1,91 @@
+"""Deterministic corpus sampling for training-data assembly.
+
+A data mixture is specified per stratum (language, source, domain …) as
+either a fraction or a token budget; selection must be deterministic
+(reproducible across runs/retries, no RNG state) and order-free (no
+"first N rows of the file"). Both operators order each stratum by a
+content-independent hash of the id — ``md5(cast(id as string))``, a
+stable total order that DuckDB reproduces bit-for-bit for the oracles —
+and keep a prefix of that order.
+
+Scale notes: one hash-partitioned window per stratum (the per-stratum
+sort is the irreducible cost of a budgeted prefix); no driver-side
+state, no collect. Strata counts are typically ≤ thousands, so the
+window partitions are coarse — at 100 TB pre-partition by the strata
+columns at ingest and the window sort becomes partition-local.
+
+The reference has no sampling surface; the semantics follow standard
+data-mixture practice (per-source token budgets).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _hash_order(id_col: str) -> list[Column]:
+    # md5 hex of the decimal id: engine-portable deterministic order;
+    # id itself breaks (impossible) ties for total-order stability
+    return [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata: Sequence[str],
+    fraction: float,
+    id_col: str,
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of each stratum (ceil of
+    fraction × stratum size, so no stratum with ≥1 row empties)."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    w = Window.partitionBy(*strata).orderBy(*_hash_order(id_col))
+    wc = Window.partitionBy(*strata)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .where(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        .drop("_rn", "_n")
+    )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    *,
+    strata: Sequence[str],
+    budget_tokens: int,
+    id_col: str,
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the hash-ordered prefix of each stratum whose cumulative
+    token count stays within ``budget_tokens`` — the per-source token
+    budget of a data-mixture spec.
+
+    Tokens come from ``token_col`` if given, else a whitespace token
+    count of ``text_col``. Output adds ``n_tokens`` and the running
+    ``cum_tokens`` (≤ budget) for auditability. A document that would
+    cross the budget is excluded (strict prefix; budgets are ceilings,
+    not targets).
+    """
+    from pandabase_spark.functions.text import token_count
+
+    toks = (
+        F.col(token_col)
+        if token_col is not None
+        else token_count(text_col)
+    ).cast("long")
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(*_hash_order(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tokens", toks)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget_tokens)
+    )

@@ -140,3 +140,74 @@ def quality_filter(
     """Keep documents at or above a quality score — the classic cheap
     pre-filter stage of a training-data pipeline."""
     return df.where(quality_score(text_col) >= min_quality)
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    '21 §A1.1 repetition filters, adapted to token granularity —
+    the driver corpus has no line structure):
+
+    - ``top_token_frac``     — fraction of tokens that are the single
+      most frequent token (boilerplate/spam marker);
+    - ``unique_token_ratio`` — distinct/total tokens (low ⇒ loops);
+    - ``top_2gram_frac``     — most frequent word-2-gram over total
+      2-grams;
+    - ``dup_5gram_frac``     — fraction of word-5-grams that are
+      repeats of an earlier 5-gram (1 − distinct/total).
+
+    Plan: three explode→count aggregations (token, 2-gram, 5-gram),
+    each a partial-aggregated hash shuffle keyed on the doc id — no
+    window over the corpus, no UDF. The n-gram rows reuse the shared
+    shingle builder (posexplode + lead, codegen'd). At 100 TB each
+    granularity is one map-side-combined shuffle of (doc_id, gram)
+    counts; nothing is quadratic and no per-row HOF is interpreted.
+
+    The reference has no text surface; signals follow the published
+    Gopher ladder. All ratios are exact (no sketches) — run AFTER the
+    cheap single-pass profile (:func:`document_profile`) on the
+    still-unfiltered corpus slice.
+    """
+    from pandabase_spark.functions.text import tokenize
+    from pandabase_spark.operators.dedup import _shingle_rows
+
+    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("t"))
+    tok_stats = (
+        toks.groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("_n_tok"),
+            F.count(F.lit(1)).alias("_n_tok_distinct"),
+            F.max("c").alias("_top_tok"),
+        )
+    )
+
+    def _gram_stats(n: int, top_alias: str, total_alias: str, dist_alias: str):
+        g = _shingle_rows(df, id_col, text_col, "word", n)
+        return (
+            g.groupBy(id_col, "sh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(id_col)
+            .agg(
+                F.max("c").alias(top_alias),
+                F.sum("c").alias(total_alias),
+                F.count(F.lit(1)).alias(dist_alias),
+            )
+        )
+
+    g2 = _gram_stats(2, "_top2", "_n2", "_d2")
+    g5 = _gram_stats(5, "_top5", "_n5", "_d5")
+
+    out = tok_stats.join(g2, on=id_col).join(g5, on=id_col)
+    return out.select(
+        F.col(id_col),
+        F.col("_n_tok").cast("long").alias("n_tokens"),
+        F.round(F.col("_top_tok") / F.col("_n_tok"), 4).alias("top_token_frac"),
+        F.round(F.col("_n_tok_distinct") / F.col("_n_tok"), 4).alias(
+            "unique_token_ratio"
+        ),
+        F.round(F.col("_top2") / F.col("_n2"), 4).alias("top_2gram_frac"),
+        F.round(1 - F.col("_d5") / F.col("_n5"), 4).alias("dup_5gram_frac"),
+    )

@@ -1922,6 +1922,135 @@ def winnow_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Word-n-gram rows as a DuckDB fragment mirroring dedup._shingle_rows
+# (full n-grams, plus the single partial shingle for docs shorter than
+# n — the greatest(...) lower bound).
+def _grams_sql(toks_expr: str, n: int) -> str:
+    return (
+        f"SELECT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS s "
+        f"FROM (SELECT doc_id, {toks_expr} AS toks FROM documents) "
+        f"CROSS JOIN unnest(range(1, greatest(len(toks) - {n - 1}, 1) + 1)) AS r(i)"
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, t, count(*) AS c
+  FROM (SELECT doc_id, {_toks('text')} AS toks FROM documents)
+  CROSS JOIN unnest(toks) AS u(t) GROUP BY 1, 2
+), ts AS (
+  SELECT doc_id, SUM(c) AS n_tok, count(*) AS nd, max(c) AS tc
+  FROM tok GROUP BY 1
+), g2 AS (
+  SELECT doc_id, max(c) AS top2, SUM(c) AS n2
+  FROM (SELECT doc_id, s, count(*) AS c
+        FROM ({_grams_sql(_toks('text'), 2)}) GROUP BY 1, 2) GROUP BY 1
+), g5 AS (
+  SELECT doc_id, SUM(c) AS n5, count(*) AS d5
+  FROM (SELECT doc_id, s, count(*) AS c
+        FROM ({_grams_sql(_toks('text'), 5)}) GROUP BY 1, 2) GROUP BY 1
+)
+SELECT ts.doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       ROUND(tc * 1.0 / n_tok, 4) AS top_token_frac,
+       ROUND(nd * 1.0 / n_tok, 4) AS unique_token_ratio,
+       ROUND(top2 * 1.0 / n2, 4) AS top_2gram_frac,
+       ROUND(1 - d5 * 1.0 / n5, 4) AS dup_5gram_frac
+FROM ts JOIN g2 USING (doc_id) JOIN g5 USING (doc_id)
+"""
+
+
+@_q("repetition_signals", _REPETITION_ORACLE)
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-token fraction,
+    unique-token ratio, top-2-gram fraction, duplicate-5-gram fraction)
+    — exact, three partial-aggregated shuffles, no window, no UDF."""
+    from pandabase_spark.operators.text_analysis import repetition_signals
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
+# Decontamination split: eval set = doc_id % 7 == 0 (a deterministic
+# ~14% "benchmark" — sized so the planted near-dups straddle the split), corpus = everything else.
+_CONTAM_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s FROM ({_grams_sql(_toks('text'), 8)})
+), p AS (
+  SELECT c.doc_id AS cid, e.doc_id AS eid, count(*) AS ns
+  FROM (SELECT * FROM sh WHERE doc_id % 7 <> 0) c
+  JOIN (SELECT * FROM sh WHERE doc_id % 7 = 0) e ON c.s = e.s
+  GROUP BY 1, 2
+)
+SELECT cid AS doc_id, CAST(SUM(ns) AS BIGINT) AS n_shared_ngrams,
+       CAST(count(*) AS BIGINT) AS n_eval_docs_hit
+FROM p GROUP BY 1
+"""
+
+
+@_q("contamination_report", _CONTAM_ORACLE)
+def contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing word-8-grams
+    with a (broadcast) eval slice — the GPT-3/PaLM hygiene pass as an
+    inverted-index broadcast join; the corpus side never shuffles."""
+    from pandabase_spark.operators.decontamination import contamination_report
+
+    docs = load(spark, sf_dir, "documents")
+    return contamination_report(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+        n=8,
+    )
+
+
+@_q(
+    "stratified_sample_frac",
+    "SELECT doc_id, lang, source FROM ("
+    "SELECT doc_id, lang, source, "
+    "row_number() OVER (PARTITION BY lang, source "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn, "
+    "count(*) OVER (PARTITION BY lang, source) AS n FROM documents) "
+    "WHERE rn <= ceil(n * 0.2)",
+)
+def stratified_sample_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% stratified sample per (lang, source): each
+    stratum keeps the md5-hash-ordered prefix — reproducible across
+    runs with no RNG state."""
+    from pandabase_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, strata=["lang", "source"], fraction=0.2, id_col="doc_id"
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+@_q(
+    "stratified_token_sample",
+    f"SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(cum_tokens AS BIGINT) AS cum_tokens FROM ("
+    f"SELECT doc_id, lang, source, {_ntok('text')} AS n_tokens, "
+    f"SUM({_ntok('text')}) OVER (PARTITION BY lang "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+    "ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM documents) "
+    "WHERE cum_tokens <= 3000",
+)
+def stratified_token_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token budget (3000): keep the hash-ordered prefix
+    of each stratum whose running token total fits — the data-mixture
+    op of a training pipeline, deterministic and auditable."""
+    from pandabase_spark.operators.sampling import sample_to_token_budget
+
+    docs = load(spark, sf_dir, "documents")
+    out = sample_to_token_budget(
+        docs, strata=["lang"], budget_tokens=3000, id_col="doc_id"
+    )
+    return out.select(
+        "doc_id", "lang", "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1976,6 +2105,10 @@ _GATE_FIRST = [
     "simhash_neardup",
     "doc_winnow_fingerprints",
     "ann_topk_ivf",
+    "stratified_sample_frac",
+    "stratified_token_sample",
+    "repetition_signals",
+    "contamination_report",
     "dedup_exact_groups",
     "dedup_content_hash",
     "ngram_jaccard_pairs",
