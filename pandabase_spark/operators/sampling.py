@@ -53,6 +53,38 @@ def stratified_sample(
     )
 
 
+def interleave_shards(
+    df: DataFrame,
+    *,
+    strata: Sequence[str],
+    n_shards: int,
+    id_col: str,
+) -> DataFrame:
+    """Mixture-balanced shard assignment: within each stratum, rows are
+    hash-ordered and dealt round-robin across ``n_shards``, so every
+    shard receives an equal (±1) slice of every stratum — the
+    interleave step that fixes a training run's data mixture per shard.
+
+    Output adds ``shard`` (0-based) and ``pos_in_shard`` (0-based rank
+    within the shard's slice of the stratum). Deterministic: same
+    input → same assignment, no RNG.
+
+    Scale notes: one window per stratum (hash-partitioned on the strata
+    columns, parallel across them) — there is NO global sort. Skewed
+    strata make skewed windows; at 100 TB pre-partition by the strata
+    columns at ingest (the keyed-table layout already does) and the
+    window sort is partition-local.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    w = Window.partitionBy(*strata).orderBy(*_hash_order(id_col))
+    rn = F.row_number().over(w) - 1
+    return (
+        df.withColumn("shard", (rn % n_shards).cast("long"))
+        .withColumn("pos_in_shard", F.floor(rn / n_shards).cast("long"))
+    )
+
+
 def sample_to_token_budget(
     df: DataFrame,
     *,

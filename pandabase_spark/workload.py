@@ -2051,6 +2051,122 @@ def stratified_token_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "interleave_shards_mix",
+    "SELECT doc_id, lang, CAST((rn - 1) % 4 AS BIGINT) AS shard, "
+    "CAST((rn - 1) // 4 AS BIGINT) AS pos_in_shard FROM ("
+    "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)",
+)
+def interleave_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-balanced round-robin sharding: every shard gets an equal
+    (±1) hash-ordered slice of every language — per-stratum windows,
+    no global sort."""
+    from pandabase_spark.operators.sampling import interleave_shards
+
+    docs = load(spark, sf_dir, "documents")
+    out = interleave_shards(docs, strata=["lang"], n_shards=4, id_col="doc_id")
+    return out.select("doc_id", "lang", "shard", "pos_in_shard")
+
+
+# Deterministic synthetic PII injection (the driver corpus is clean, so
+# the scan would be all-zero without it): append an email / IPv4 / phone
+# to hash-selected docs, identically in Spark and the oracle.
+_PII_AUG = (
+    "text || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN ' call 555-014-2398' ELSE '' END"
+)
+
+_PII_ORACLE = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG} AS t FROM documents)
+SELECT doc_id,
+  CAST(length(regexp_extract_all(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
+  CAST(length(regexp_extract_all(t,
+    '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS INT) AS n_ipv4,
+  CAST(length(regexp_extract_all(t,
+    '(\\(\\d{{3}}\\)\\s?|\\b\\d{{3}}[-.])\\d{{3}}[-.]\\d{{4}}\\b')) AS INT)
+    AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+    '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
+    '(\\(\\d{{3}}\\)\\s?|\\b\\d{{3}}[-.])\\d{{3}}[-.]\\d{{4}}\\b',
+    '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+@_q("pii_scan_redact", _PII_ORACLE)
+def pii_scan_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + redaction over the (synthetically contaminated)
+    corpus: per-kind regexp counts and the md5 of the masked text —
+    one narrow codegen'd projection, no shuffle, no UDF."""
+    from pandabase_spark.operators.pii import pii_counts, redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" call 555-014-2398")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    counts = pii_counts("t")
+    return aug.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_email"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+        counts["phone"].cast("int").alias("n_phone"),
+        F.md5(redact_pii("t")).alias("redacted_md5"),
+    )
+
+
+# Chunking oracle: DuckDB list-slice mirror of operators/chunking.py
+# (stride 24 = 32 - 8; every doc yields >= 1 chunk).
+_CHUNK_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_toks('text')} AS toks FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+  CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+FROM d CROSS JOIN unnest(range(0,
+  greatest(CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT), 1))) AS r(i)
+"""
+
+
+@_q("chunk_documents_windowed", _CHUNK_ORACLE)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (32-token chunks, 8-token overlap):
+    one-to-many narrow explode, no shuffle — the tokenize-and-pack
+    stage of a training pipeline."""
+    from pandabase_spark.operators.chunking import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -2107,6 +2223,9 @@ _GATE_FIRST = [
     "ann_topk_ivf",
     "stratified_sample_frac",
     "stratified_token_sample",
+    "interleave_shards_mix",
+    "pii_scan_redact",
+    "chunk_documents_windowed",
     "repetition_signals",
     "contamination_report",
     "dedup_exact_groups",

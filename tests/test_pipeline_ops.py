@@ -123,3 +123,83 @@ def test_sample_to_token_budget_prefix_property(spark):
         token_col="ntok",
     )
     assert out.groupBy("lang").count().collect()[0]["count"] == 3
+
+
+def test_interleave_shards_balance(spark):
+    from pandabase_spark.operators.sampling import interleave_shards
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(90)],
+        ["doc_id", "lang"],
+    )
+    out = interleave_shards(df, strata=["lang"], n_shards=4, id_col="doc_id")
+    per = {
+        (r["lang"], r["shard"]): r["n"]
+        for r in out.groupBy("lang", "shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # en: 60 rows → 15 per shard; de: 30 → 8/8/7/7 (round-robin ±1)
+    assert all(per[("en", s)] == 15 for s in range(4))
+    assert sorted(per[("de", s)] for s in range(4)) == [7, 7, 8, 8]
+    # pos_in_shard is a dense 0-based rank within (stratum, shard)
+    mx = out.where((F.col("lang") == "en") & (F.col("shard") == 2))
+    assert sorted(r["pos_in_shard"] for r in mx.collect()) == list(range(15))
+    with pytest.raises(ValueError, match="n_shards"):
+        interleave_shards(df, strata=["lang"], n_shards=0, id_col="doc_id")
+
+
+def test_pii_scan_and_redact(spark):
+    from pandabase_spark.operators.pii import pii_redact, pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.org and c@y.co end"),
+            (2, "host 10.0.0.1 port 80; version 1.2.3 is not an ip"),
+            (3, "call (415) 555-0123 or 555-014-2398"),
+            (4, "clean text with no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert (got[1]["n_email"], got[1]["has_pii"]) == (2, True)
+    assert (got[2]["n_ipv4"], got[2]["n_email"]) == (1, 0)
+    assert got[3]["n_phone"] == 2
+    assert got[4]["has_pii"] is False
+
+    red = {r["doc_id"]: r["text"] for r in pii_redact(df).collect()}
+    assert red[1] == "mail <EMAIL> and <EMAIL> end"
+    assert red[2] == "host <IP> port 80; version 1.2.3 is not an ip"
+    assert red[3] == "call <PHONE> or <PHONE>"
+    assert red[4] == "clean text with no pii at all"
+
+
+def test_chunk_documents_shapes(spark):
+    from pandabase_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(25))),  # 3 chunks @10/4
+            (2, "short doc"),                            # 1 (short) chunk
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, chunk_tokens=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: stride 6 → ceil((25-4)/6)=4 chunks; last is short
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2, 3]
+    assert [r["n_chunk_tokens"] for r in c1] == [10, 10, 10, 7]
+    assert c1[0]["chunk_text"].startswith("t0 t1 ")
+    # overlap: chunk 1 starts at token 6 (0-based), repeating t6..t9
+    assert c1[1]["chunk_text"].split()[:4] == ["t6", "t7", "t8", "t9"]
+    # full coverage, in order, with the declared overlap
+    assert c1[-1]["chunk_text"].split()[-1] == "t24"
+    # doc 2: one chunk, as-is
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0]["chunk_text"] == "short doc"
+    assert by_doc[2][0]["n_chunk_tokens"] == 2
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=10, overlap=10)
