@@ -11,6 +11,7 @@ has no text operators, SURVEY.md §2 Table B).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from pandabase_spark.functions.text import (
     alpha_ratio,
@@ -140,6 +141,67 @@ def quality_filter(
     """Keep documents at or above a quality score — the classic cheap
     pre-filter stage of a training-data pipeline."""
     return df.where(quality_score(text_col) >= min_quality)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF
+    (keyword extraction): ``score = tf * (ln((N+1)/(df+1)) + 1)``.
+
+    Plan: one token explode feeds BOTH aggregations — (doc, term) term
+    frequency and per-term document frequency — then a join on the term
+    and a per-document top-k window. The corpus size ``N`` rides along
+    as a broadcast 1-row cross join (no eager driver count). Scores are
+    rounded to 4 decimals BEFORE ranking so the rank order is identical
+    across engines (ties break on the term string).
+
+    Scale notes: the tf aggregate is the big shuffle (map-side
+    combined, keyed on (doc, term)); the df table is vocabulary-sized —
+    orders of magnitude smaller than the corpus — so its join is
+    broadcast-able at any realistic vocabulary and AQE picks that up at
+    gate scale. The top-k window partitions on the doc id, which is the
+    same key the tf aggregate just shuffled on, so AQE-planned
+    exchange reuse keeps it to one effective shuffle of the scored
+    rows. Nothing is quadratic; no UDF.
+
+    The reference has no text surface; the formula is the standard
+    smoothed-idf variant (e.g. scikit-learn's ``TfidfTransformer``
+    with ``smooth_idf=True``), rounded for cross-engine determinism.
+    """
+    from pandabase_spark.functions.text import tokenize
+
+    tok = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("t"))
+    tf = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("t").agg(
+        F.countDistinct(id_col).alias("df_t")
+    )
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, on="t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("t").alias("term"),
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df_t") + 1.0)) + 1),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def repetition_signals(

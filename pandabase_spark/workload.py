@@ -1922,6 +1922,40 @@ def winnow_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, {_toks('text')} AS toks FROM documents)
+  CROSS JOIN unnest(toks) AS u(t)
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT t, count(DISTINCT doc_id) AS df_t FROM tok GROUP BY 1
+), n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, t AS term,
+         ROUND(tf * (ln((n + 1.0) / (df_t + 1.0)) + 1), 4) AS tfidf
+  FROM tf JOIN dfreq USING (t) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM scored)
+WHERE rn <= 5
+"""
+
+
+@_q("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-5 terms per document by smoothed
+    TF-IDF — one explode feeding both aggregates, vocabulary-sized
+    df join, per-doc top-k window; scores rounded before ranking for
+    cross-engine order stability."""
+    from pandabase_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=5)
+
+
 # Word-n-gram rows as a DuckDB fragment mirroring dedup._shingle_rows
 # (full n-grams, plus the single partial shingle for docs shorter than
 # n — the greatest(...) lower bound).
@@ -2224,6 +2258,7 @@ _GATE_FIRST = [
     "stratified_sample_frac",
     "stratified_token_sample",
     "interleave_shards_mix",
+    "tfidf_top_terms",
     "pii_scan_redact",
     "chunk_documents_windowed",
     "repetition_signals",

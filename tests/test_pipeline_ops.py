@@ -125,6 +125,36 @@ def test_sample_to_token_budget_prefix_property(spark):
     assert out.groupBy("lang").count().collect()[0]["count"] == 3
 
 
+def test_tfidf_top_terms_known_values(spark):
+    import math
+
+    from pandabase_spark.operators.text_analysis import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["term"], r["tfidf"]))
+    # every doc keeps exactly k=2 terms, ranked by score then term
+    assert all(len(v) == 2 for v in by_doc.values())
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2; "common" (df=3) last
+    idf = lambda d: math.log(4 / (d + 1)) + 1
+    assert by_doc[1][0][0] == "apple"
+    assert by_doc[1][0][1] == pytest.approx(2 * idf(1), abs=1e-3)
+    assert by_doc[1][1][0] == "banana"
+    # doc 3: cherry tf=3 dominates; second slot is the ubiquitous term
+    assert by_doc[3][0][0] == "cherry"
+    assert by_doc[3][1][0] == "common"
+    assert by_doc[3][1][1] == pytest.approx(idf(3), abs=1e-3)
+
+
 def test_interleave_shards_balance(spark):
     from pandabase_spark.operators.sampling import interleave_shards
 
