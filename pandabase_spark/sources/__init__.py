@@ -57,6 +57,67 @@ def read_csv(
     return df
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema=None,
+    narrow: bool = False,
+    **options: str,
+) -> DataFrame:
+    """Distributed JSON-lines scan with cleaned column names.
+
+    Without an explicit ``schema`` Spark samples the files to infer one
+    and sorts fields alphabetically — pass ``schema`` (or reselect) when
+    column order matters downstream. At scale ALWAYS pass ``schema``:
+    inference is a full extra pass over 100 TB of text.
+    """
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    df = df.selectExpr(
+        *[f"`{c}` AS `{clean_name(c)}`" for c in df.columns]
+    )
+    if narrow:
+        from pandabase_spark.types import narrow_spark_schema
+
+        df = narrow_spark_schema(df, keys=[])
+    return df
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, Spark-partitioned files).
+
+    Doubles serialize in shortest-roundtrip form, so a write→read cycle
+    is value-exact; field order inside each object follows the
+    DataFrame schema.
+    """
+    df.write.mode(mode).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, *, narrow: bool = False, **options: str
+) -> DataFrame:
+    """Distributed ORC scan with cleaned column names — columnar,
+    splittable, predicate-pushdown-capable (same scan contract as the
+    parquet path: pushed filters + pruned columns reach the reader)."""
+    df = spark.read.options(**options).orc(path)
+    df = df.selectExpr(
+        *[f"`{c}` AS `{clean_name(c)}`" for c in df.columns]
+    )
+    if narrow:
+        from pandabase_spark.types import narrow_spark_schema
+
+        df = narrow_spark_schema(df, keys=[])
+    return df
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """ORC sink (schema-preserving, type-exact roundtrip)."""
+    df.write.mode(mode).orc(path)
+
+
 def read_zipped_csv(
     spark: SparkSession, path: str, *, member: str | None = None, **read_csv_kwargs
 ) -> DataFrame:

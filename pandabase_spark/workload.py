@@ -526,6 +526,41 @@ def kt_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts_to_str(out)
 
 
+@_q("jsonl_roundtrip_customer", "SELECT * FROM customer")
+def jsonl_roundtrip_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer through a JSON-lines write→read cycle (sources.write_jsonl
+    / read_jsonl): doubles survive in shortest-roundtrip form. The read
+    passes the explicit schema — the at-scale contract (inference is an
+    extra full pass and widens int32→int64)."""
+    from pandabase_spark.sources import read_jsonl, write_jsonl
+
+    src = load(spark, sf_dir, "customer")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pandabase_src_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}",
+        "customer_jsonl",
+    )
+    write_jsonl(src, path)
+    return read_jsonl(spark, path, schema=src.schema)
+
+
+@_q("orc_roundtrip_supplier", "SELECT * FROM supplier")
+def orc_roundtrip_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier through an ORC write→read cycle (sources.write_orc /
+    read_orc): schema- and type-exact columnar roundtrip on the second
+    native columnar format."""
+    from pandabase_spark.sources import read_orc, write_orc
+
+    src = load(spark, sf_dir, "supplier")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pandabase_src_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}",
+        "supplier_orc",
+    )
+    write_orc(src, path)
+    return read_orc(spark, path)
+
+
 # ---------------------------------------------------------------------------
 # analytics family (TPC-H-shaped probes of the query surface)
 # ---------------------------------------------------------------------------

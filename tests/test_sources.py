@@ -50,6 +50,45 @@ def test_read_zipped_csv(spark, csv_file, tmp_path):
     assert "order_key" in df.columns
 
 
+def test_jsonl_roundtrip_exact(spark, tmp_path):
+    from pandabase_spark.sources import read_jsonl, write_jsonl
+
+    src = spark.createDataFrame(
+        [(1, "a b", 0.1), (2, "c", 12345.678901234567), (3, None, -1.5)],
+        ["Row Id", "Text Col", "val"],
+    )
+    path = str(tmp_path / "jl")
+    write_jsonl(src, path)
+    # inferred: names cleaned, fields alphabetized, ints widened
+    inferred = read_jsonl(spark, path)
+    assert sorted(inferred.columns) == inferred.columns
+    # explicit schema: exact dtypes + order (names cleaned), values
+    # roundtrip bit-exact
+    back = read_jsonl(spark, path, schema=src.schema)
+    assert back.columns == ["row_id", "text_col", "val"]
+    assert [f.dataType for f in back.schema.fields] == [
+        f.dataType for f in src.schema.fields
+    ]
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in src.collect()
+    }
+
+
+def test_orc_roundtrip_exact(spark, tmp_path):
+    from pandabase_spark.sources import read_orc, write_orc
+
+    src = spark.createDataFrame(
+        [(1, "x", 1.25), (2, "y", None)], ["id", "s", "v"]
+    )
+    path = str(tmp_path / "orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in src.collect()
+    }
+
+
 def test_csv_into_keyed_table(spark, catalog, csv_file):
     df = read_csv(spark, csv_file, narrow=True)
     catalog.to_table(df, "from_csv", keys=["order_key"])
