@@ -122,6 +122,50 @@ def stream_dedup(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    ts_col: str = "ts",
+    bounds_seconds: tuple[int, int] = (-600, 0),
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval (event-time range) join.
+
+    Matches a left row with right rows of the same ``on`` key whose
+    timestamp lies in ``[left.ts + lo, left.ts + hi]`` seconds
+    (``bounds_seconds = (lo, hi)``, e.g. ``(-600, 0)`` = right events
+    in the 10 minutes BEFORE the left event — the attribution shape).
+
+    Both sides get the watermark and the join condition bounds both
+    event times, which is exactly what Spark needs to EVICT state: a
+    buffered right row can be dropped once the watermark passes
+    ``ts + hi`` bound relative to any future left row. Without the
+    time bound the state store grows forever; with it, state is
+    bounded by (rate × window × watermark) regardless of stream
+    length — the 100 TB/day-safe configuration.
+
+    Columns come out under ``l``/``r`` aliases — select with
+    ``F.col("l.x")`` / ``F.col("r.y")``. Works identically on batch
+    DataFrames (the watermark is a no-op there), which is how the SQL
+    oracle states the same semantics.
+    """
+    lo, hi = bounds_seconds
+    if lo > hi:
+        raise ValueError(f"bounds_seconds lower > upper: {bounds_seconds}")
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    lts, rts = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (rts >= lts + F.make_interval(secs=F.lit(float(lo))))
+        & (rts <= lts + F.make_interval(secs=F.lit(float(hi))))
+    )
+    return l.join(r, cond, how)
+
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events int"
 )

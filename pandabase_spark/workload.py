@@ -1499,6 +1499,58 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERVAL_JOIN_ORACLE = """
+SELECT a.event_id AS purchase_id, b.event_id AS click_id, a.user_id,
+       CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT) AS lag_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) >= epoch_us(a.ts) - CAST(14400 AS BIGINT) * 1000000
+ AND epoch_us(b.ts) <= epoch_us(a.ts)
+WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+"""
+
+
+@_q("streaming_interval_join", _INTERVAL_JOIN_ORACLE)
+def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through a real double-readStream
+    cycle: purchases matched to same-user clicks in the preceding 4
+    hours (the attribution shape). Both sides watermarked and the
+    condition bounds both event times, so buffered state is evictable
+    — the configuration whose state stays bounded at any stream
+    length. Append mode; the end state must equal the batch range
+    join, which is what the oracle states in integer micros."""
+    import tempfile
+
+    from pandabase_spark.streaming import interval_join
+
+    scratch = tempfile.mkdtemp(prefix="pb_streamij_")
+    ev = load(spark, sf_dir, "events").drop("props")
+    ev.where(F.col("event_type") == "purchase").write.parquet(f"{scratch}/l")
+    ev.where(F.col("event_type") == "click").write.parquet(f"{scratch}/r")
+    schema = ev.schema
+    ls = spark.readStream.schema(schema).parquet(f"{scratch}/l")
+    rs = spark.readStream.schema(schema).parquet(f"{scratch}/r")
+    joined = interval_join(
+        ls, rs, on="user_id", bounds_seconds=(-14400, 0), watermark="5 hours"
+    ).select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        (F.unix_micros("l.ts") - F.unix_micros("r.ts")).alias("lag_us"),
+    )
+    name = f"ij_{os.getpid()}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: dedup
 # ---------------------------------------------------------------------------

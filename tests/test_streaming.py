@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pandabase_spark.streaming import (
+    interval_join,
     sessionize,
     stream_dedup,
     stream_upsert,
@@ -135,6 +136,60 @@ def test_stream_dedup(spark, tmp_path):
     out = spark.table("dedup_out")
     assert out.count() == 3
     assert sorted(r["k"] for r in out.select("k").collect()) == [1, 2, 3]
+
+
+def test_interval_join_planted(spark, tmp_path):
+    from pandabase_spark.streaming import interval_join
+
+    # user 1: click 09:55 then purchase 10:00 (in window); click 08:00
+    # is outside the 10-min bound; user 2's click belongs to user 2 only
+    left = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "event_id": [100, 200],
+            "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:00"]),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "event_id": [10, 11, 20],
+            "ts": pd.to_datetime(
+                ["2024-01-01 09:55", "2024-01-01 08:00", "2024-01-01 09:59"]
+            ),
+        }
+    )
+    ld, rd = tmp_path / "ijl", tmp_path / "ijr"
+    spark.createDataFrame(left).write.parquet(str(ld))
+    spark.createDataFrame(right).write.parquet(str(rd))
+    schema = spark.read.parquet(str(ld)).schema
+    ls = spark.readStream.schema(schema).parquet(str(ld))
+    rs = spark.readStream.schema(schema).parquet(str(rd))
+    joined = interval_join(
+        ls, rs, on="user_id", bounds_seconds=(-600, 0), watermark="1 hour"
+    ).select(
+        F.col("l.event_id").alias("lid"), F.col("r.event_id").alias("rid")
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ij_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckij"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["lid"], r["rid"]) for r in spark.table("ij_out").collect()}
+    assert got == {(100, 10), (200, 20)}
+    # batch DataFrames run through the same operator (watermark no-op)
+    bl = spark.createDataFrame(left)
+    br = spark.createDataFrame(right)
+    batch = interval_join(
+        bl, br, on="user_id", bounds_seconds=(-600, 0)
+    ).select(
+        F.col("l.event_id").alias("lid"), F.col("r.event_id").alias("rid")
+    )
+    assert {(r["lid"], r["rid"]) for r in batch.collect()} == got
+    with pytest.raises(ValueError, match="bounds"):
+        interval_join(bl, br, on="user_id", bounds_seconds=(5, -5))
 
 
 def test_sessionize_stateful(spark, tmp_path):
