@@ -273,3 +273,48 @@ def repetition_signals(
         F.round(F.col("_top2") / F.col("_n2"), 4).alias("top_2gram_frac"),
         F.round(1 - F.col("_d5") / F.col("_n5"), 4).alias("dup_5gram_frac"),
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char).
+
+    A cheap language-agnostic quality signal: natural prose sits around
+    4–4.5 bits/char, repeated boilerplate and padding much lower, and
+    base64/hex blobs higher — a one-column filter that catches junk
+    neither length nor stopword ratios see (used alongside the
+    perplexity filters of CCNet, Wenzek et al. '19).
+
+    H = log2(n) − Σ c·log2(c) / n  over per-character counts c — one
+    algebraic identity instead of materializing probabilities, so the
+    whole thing is two map-side-combined hash aggregations keyed on
+    (doc, char) then (doc): at 100 TB the shuffle carries one row per
+    distinct character per document (≤ alphabet size), not the corpus.
+    No UDF, no window; empty documents yield entropy 0.
+
+    The reference has no text surface (SURVEY §2 Table B); this is
+    extension surface for the training-data pipeline.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(text_col, ""), lambda c: c != "")).alias(
+            "ch"
+        ),
+    )
+    return (
+        chars.groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("_n"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clog"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("long").alias("n_chars_counted"),
+            F.round(F.log2("_n") - F.col("_clog") / F.col("_n"), 4).alias(
+                "char_entropy"
+            ),
+        )
+    )

@@ -63,12 +63,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes)["ts"] == "bigint":
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
             # integer division: ns → µs without double rounding (the
             # values exceed 2^53, float division would lose microseconds)
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif ts_type.startswith("timestamp_ntz"):
+            # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+            # TIMESTAMP_NTZ; under the UTC session zone the cast to
+            # TIMESTAMP (LTZ) is instant-preserving and restores the
+            # type every downstream operator (epoch casts, windows,
+            # watermarks) expects. DuckDB reads the same bytes as its
+            # (micros) TIMESTAMP — identical values in both engines.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -2318,6 +2327,333 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return decode_images(attach_fake_payload(docs, "text"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth: correlated EXISTS, scalar subqueries, disjunctive
+# pushdown, HAVING-limited fact rollups (shapes q4/q10/q14/q17/q18/
+# q19/q22 adapted to the driver schema — no partsupp/commitdate here)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q4_order_priority",
+    "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+    "FROM orders o WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1996-04-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate > o.o_orderdate) "
+    "GROUP BY o_orderpriority",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated into a left-semi
+    join with a non-equi residual (l_shipdate > o_orderdate). The date
+    filter prunes orders before the join; the semi join never
+    materializes lineitem columns, so the shuffle carries only the
+    order keys — the right plan at 100 TB."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    sel = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@_q(
+    "q10_returned_items",
+    "SELECT c.c_custkey, c.c_name, "
+    "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+    "c.c_acctbal, n.n_name "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "WHERE l.l_returnflag = 'R' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1996-07-01' "
+    "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name "
+    "ORDER BY revenue DESC, c.c_custkey LIMIT 20",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking. Customer and
+    nation broadcast; the only shuffle is the orders⨝lineitem fact join
+    plus one partial-aggregated hash agg, then a rank-limit top-20."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q14_promo_revenue",
+    "SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO' THEN "
+    "l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) / "
+    "SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS promo_pct "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l.l_shipdate < TIMESTAMP '1996-03-01'",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio. Part broadcasts
+    (it is the dimension); the shipdate filter reaches the lineitem
+    scan, so only the two-month slice is read — partition/row-group
+    pruning does the 100 TB work."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-03-01")
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                2,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@_q(
+    "q17_small_qty_revenue",
+    "SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut "
+    "FROM lineitem GROUP BY l_partkey) a ON a.l_partkey = l.l_partkey "
+    "WHERE p.p_brand = 'Brand#11' AND l.l_quantity < a.qty_cut",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part scalar subquery (0.2×avg quantity)
+    decorrelated into an aggregate-then-join. Quantities are integral,
+    so the double-precision average is exact and the threshold compare
+    is engine-independent. The per-part aggregate is a map-side-combined
+    shuffle on l_partkey; the brand dimension broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
+    cuts = li.groupBy(F.col("l_partkey").alias("cut_pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(cuts, li.l_partkey == F.col("cut_pk"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_q(
+    "q18_large_volume_orders",
+    "SELECT c.c_name, c.c_custkey, o.o_orderkey, "
+    "strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate, o.o_totalprice, "
+    "ROUND(SUM(l.l_quantity), 1) AS sum_qty "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    "GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, "
+    "o.o_totalprice HAVING SUM(l.l_quantity) > 300 "
+    "ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 50",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregate, then enrich with
+    broadcast dimensions. Aggregating lineitem FIRST (one hash shuffle
+    on l_orderkey) and joining the surviving handful of keys afterwards
+    keeps the join input tiny — the order matters at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            F.round(F.col("_qty"), 1).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+@_q(
+    "q19_disjunctive_revenue",
+    "SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey WHERE "
+    "(p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5 "
+    "AND l.l_quantity BETWEEN 1 AND 11) "
+    "OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 "
+    "AND l.l_quantity BETWEEN 10 AND 20) "
+    "OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 "
+    "AND l.l_quantity BETWEEN 20 AND 30)",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions
+    across the join. Catalyst extracts the common single-side
+    implications (quantity ≤ 30 on lineitem, size ≤ 15 on part) below
+    the join, so both scans prune before the broadcast hash join —
+    check `.explain` for the pushed residuals."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    return j.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@_q(
+    "q22_dormant_rich_customers",
+    "WITH cut AS (SELECT AVG(c_acctbal) AS a FROM customer "
+    "WHERE c_acctbal > 0) "
+    "SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust, "
+    "ROUND(SUM(c.c_acctbal), 2) AS totacctbal "
+    "FROM customer c, cut WHERE c.c_acctbal > cut.a "
+    "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderdate >= TIMESTAMP '2000-01-01') "
+    "GROUP BY c.c_mktsegment",
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-scalar subquery (average positive
+    balance) + anti join (no recent orders). The 1-row aggregate
+    broadcasts as a cross join — never collected to the driver — and
+    the anti join ships only order custkeys."""
+    c = load(spark, sf_dir, "customer")
+    o_recent = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    cut = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_a"))
+    return (
+        c.crossJoin(F.broadcast(cut))
+        .where(F.col("c_acctbal") > F.col("_a"))
+        .join(o_recent, c.c_custkey == o_recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window-function family extension: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+@_q(
+    "window_rank_stats",
+    "SELECT o_orderkey, o_orderpriority, "
+    "CAST(ntile(4) OVER w AS INTEGER) AS price_quartile, "
+    "ROUND(percent_rank() OVER w, 6) AS pct_rank, "
+    "ROUND(cume_dist() OVER w, 6) AS cume "
+    "FROM orders WHERE o_orderkey <= 3000 "
+    "WINDOW w AS (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice, o_orderkey)",
+)
+def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows (ntile / percent_rank / cume_dist) — one
+    window spec, one sort per partition, all three functions evaluated
+    in a single Window physical node. The o_orderkey tiebreak makes
+    ranks engine-deterministic."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 3000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline family: normalization + entropy quality signals
+# ---------------------------------------------------------------------------
+
+@_q(
+    "normalize_text_docs",
+    "SELECT doc_id, "
+    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_md5, "
+    "CAST(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+    "AS BIGINT) AS norm_len FROM documents",
+)
+def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, trim, collapse
+    whitespace) fingerprinted with md5 — the first stage of every
+    dedup/decontamination pass, pure codegen, no shuffle at all."""
+    from pandabase_spark.functions.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+_ENTROPY_ORACLE = (
+    "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch "
+    "FROM documents), "
+    "cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch WHERE ch <> '' "
+    "GROUP BY doc_id, ch) "
+    "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars_counted, "
+    "ROUND(LOG2(CAST(SUM(c) AS DOUBLE)) - SUM(c * LOG2(CAST(c AS DOUBLE))) "
+    "/ SUM(c), 4) AS char_entropy FROM cnt GROUP BY doc_id"
+)
+
+
+@_q("char_entropy_docs", _ENTROPY_ORACLE)
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy quality signal (bits/char):
+    catches padding/boilerplate (low H) and base64 blobs (high H).
+    Two map-side-combined aggregations — the shuffle carries one row
+    per (doc, distinct char), bounded by alphabet size, never the
+    corpus."""
+    from pandabase_spark.operators.text_analysis import char_entropy
+
+    docs = load(spark, sf_dir, "documents")
+    return char_entropy(docs)
 
 
 # ---------------------------------------------------------------------------

@@ -233,3 +233,56 @@ def test_chunk_documents_shapes(spark):
     assert by_doc[2][0]["n_chunk_tokens"] == 2
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from pandabase_spark.operators.text_analysis import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),          # one symbol -> H = 0
+            (2, "abab"),          # two equiprobable symbols -> H = 1
+            (3, "abcdefgh"),      # 8 equiprobable symbols -> H = 3
+            (4, ""),              # empty -> no row
+            (5, "aab"),           # H = -(2/3 log 2/3 + 1/3 log 1/3)
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert 4 not in got
+    assert got[1]["char_entropy"] == 0.0
+    assert got[1]["n_chars_counted"] == 4
+    assert got[2]["char_entropy"] == 1.0
+    assert got[3]["char_entropy"] == 3.0
+    h5 = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert got[5]["char_entropy"] == pytest.approx(h5, abs=1e-4)
+
+
+def test_tpch_breadth_queries_nonempty(spark):
+    """The TPC-H-shape additions (q4/q10/q14/q17/q18/q19/q22) must
+    produce plausible results at sf0.001; exact values are oracled at
+    the driver gate (sf0.01)."""
+    from pandabase_spark import workload
+    from tests.conftest import SF_DIR
+
+    q4 = workload.QUERIES["q4_order_priority"](spark, SF_DIR).collect()
+    assert {r["o_orderpriority"] for r in q4} <= {
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+    }
+    assert all(r["order_count"] > 0 for r in q4)
+
+    q14 = workload.QUERIES["q14_promo_revenue"](spark, SF_DIR).collect()
+    assert len(q14) == 1 and 0.0 <= q14[0]["promo_pct"] <= 100.0
+
+    q19 = workload.QUERIES["q19_disjunctive_revenue"](spark, SF_DIR).collect()
+    assert len(q19) == 1
+
+    ranks = workload.QUERIES["window_rank_stats"](spark, SF_DIR)
+    r = ranks.agg(
+        F.max("price_quartile").alias("mq"),
+        F.max("pct_rank").alias("mp"),
+        F.max("cume").alias("mc"),
+    ).collect()[0]
+    assert r["mq"] == 4 and r["mp"] == 1.0 and r["mc"] == 1.0
