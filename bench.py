@@ -83,7 +83,9 @@ def main() -> None:
 
     # --- analytics ---
     for q in ("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
-              "window_top3_lineitems", "events_hourly"):
+              "q4_order_priority", "q10_returned_items", "q14_promo_revenue",
+              "q18_large_volume_orders", "q19_disjunctive_revenue",
+              "window_top3_lineitems", "window_rank_stats", "events_hourly"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
 
     # --- analytics: sessionization + top-k ---
@@ -94,7 +96,8 @@ def main() -> None:
     for q in ("dedup_content_hash", "minhash_lsh_neardup",
               "winnow_match_pairs", "doc_profile", "bpe_token_stats",
               "cosine_topk_bruteforce", "ann_topk_lsh",
-              "multimodal_payload_stats"):
+              "multimodal_payload_stats", "normalize_text_docs",
+              "char_entropy_docs"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
 
     # IVF: index build is an ingest-time cost amortized over every

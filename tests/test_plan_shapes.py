@@ -160,3 +160,39 @@ def test_auto_index_no_single_partition_exchange(spark, catalog):
     a = plan_audit(out)
     assert a.single_partition_exchanges == 0
     catalog._release_staged()
+
+
+def test_q4_semi_join_prunes_and_pushes(spark):
+    a = plan_audit(workload.QUERIES["q4_order_priority"](spark, SF_DIR))
+    # the date filter reaches the orders scan
+    assert any("o_orderdate" in f for f in a.pushed_filters)
+    # the lineitem side of the semi join reads only join/residual cols
+    assert a.read_schemas and all(
+        "l_extendedprice" not in s for s in a.read_schemas
+    )
+    assert a.join_safe and a.sortmerge_joins == 0
+
+
+def test_q19_disjunction_pushed_to_scan(spark):
+    a = plan_audit(workload.QUERIES["q19_disjunctive_revenue"](spark, SF_DIR))
+    # the OR-of-conjunctions single-side implication lands in the
+    # lineitem parquet scan (Or(And(GreaterThanOrEqual(l_quantity...)
+    assert any("Or(" in f and "l_quantity" in f for f in a.pushed_filters)
+    assert a.join_safe and a.broadcast_joins >= 1
+
+
+def test_q18_aggregates_before_join(spark):
+    a = plan_audit(workload.QUERIES["q18_large_volume_orders"](spark, SF_DIR))
+    # both enrichment joins broadcast the (tiny) post-HAVING side or
+    # dimension; the fact table is aggregated first, never sort-merged
+    assert a.sortmerge_joins == 0 and a.join_safe
+
+
+def test_q22_scalar_subquery_is_single_row_broadcast(spark):
+    a = plan_audit(
+        workload.QUERIES["q22_dormant_rich_customers"](spark, SF_DIR)
+    )
+    # exactly ONE nested-loop join: the 1-row scalar aggregate
+    # broadcast-cross — anything more means a real cartesian crept in
+    assert a.nested_loop_joins == 1 and a.cartesian_products == 0
+    assert any("c_acctbal" in f for f in a.pushed_filters)
