@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 @dataclass
 class PlanAudit:
     pushed_filters: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
     broadcast_joins: int = 0
     sortmerge_joins: int = 0
@@ -57,6 +58,9 @@ def plan_audit(df: DataFrame) -> PlanAudit:
     return PlanAudit(
         pushed_filters=[
             m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m
+        ],
+        partition_filters=[
+            m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if m
         ],
         read_schemas=re.findall(r"ReadSchema: (\S+)", plan),
         broadcast_joins=plan.count("BroadcastHashJoin"),

@@ -136,3 +136,37 @@ def read_zipped_csv(
             pdf = pd.read_csv(io.TextIOWrapper(f, encoding="utf-8"))
     pdf.columns = [clean_name(c) for c in pdf.columns]
     return spark.createDataFrame(pdf)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    colocate: bool = True,
+) -> None:
+    """Hive-layout partitioned parquet sink (``path/col=value/...``).
+
+    ``colocate=True`` repartitions by the partition columns first so
+    each partition value's rows land in one task — without it every
+    task writes a file per value it happens to hold, and a 1000-task
+    job over a 50-value column scatters up to 50,000 small files.
+    Colocation caps the file count at one per value (per shuffle
+    partition for skewed values) — the difference between a healthy
+    and a pathological layout at 100 TB. Use only low-cardinality
+    columns as partition keys; high-cardinality partitioning is the
+    classic small-files anti-pattern.
+    """
+    out = df.repartition(*partition_by) if colocate else df
+    out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def read_partitioned_parquet(
+    spark: SparkSession, path: str, **options: str
+) -> DataFrame:
+    """Scan a hive-partitioned parquet layout. Filters on partition
+    columns prune whole directories before any file is opened
+    (PartitionFilters in the scan node — see plans.plan_audit);
+    filters on data columns still push into the parquet readers."""
+    return spark.read.options(**options).parquet(path)

@@ -570,6 +570,39 @@ def orc_roundtrip_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, path)
 
 
+@_q(
+    "partitioned_sink_prune",
+    "SELECT doc_id, source, n_chars, lang FROM documents "
+    "WHERE lang = 'en' AND n_chars > 100",
+)
+def partitioned_sink_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents through a hive-partitioned parquet sink (partitioned
+    by lang, colocated writes → one file per language, not one per
+    task×language), read back with a partition filter. The lang
+    predicate prunes whole directories before any file opens
+    (PartitionFilters in the scan; asserted in test_plan_shapes); the
+    n_chars predicate pushes into the parquet readers of the surviving
+    partition."""
+    from pandabase_spark.sources import (
+        read_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    src = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pandabase_src_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}",
+        "documents_by_lang",
+    )
+    write_partitioned_parquet(src, path, partition_by=["lang"])
+    out = read_partitioned_parquet(spark, path)
+    return out.where(
+        (F.col("lang") == "en") & (F.col("n_chars") > 100)
+    ).select("doc_id", "source", "n_chars", "lang")
+
+
 # ---------------------------------------------------------------------------
 # analytics family (TPC-H-shaped probes of the query surface)
 # ---------------------------------------------------------------------------

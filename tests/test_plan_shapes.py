@@ -196,3 +196,13 @@ def test_q22_scalar_subquery_is_single_row_broadcast(spark):
     # broadcast-cross — anything more means a real cartesian crept in
     assert a.nested_loop_joins == 1 and a.cartesian_products == 0
     assert any("c_acctbal" in f for f in a.pushed_filters)
+
+
+def test_partitioned_sink_prunes_directories(spark):
+    df = workload.QUERIES["partitioned_sink_prune"](spark, SF_DIR)
+    a = plan_audit(df)
+    # the lang predicate must prune at the DIRECTORY level...
+    assert any("lang" in f for f in a.partition_filters)
+    # ...and must NOT appear as a parquet row filter; n_chars still does
+    assert any("n_chars" in f for f in a.pushed_filters)
+    assert not any("lang" in f for f in a.pushed_filters)

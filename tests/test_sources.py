@@ -93,3 +93,28 @@ def test_csv_into_keyed_table(spark, catalog, csv_file):
     df = read_csv(spark, csv_file, narrow=True)
     catalog.to_table(df, "from_csv", keys=["order_key"])
     assert catalog.read_table("from_csv").count() == 4
+
+
+def test_partitioned_write_colocates_files(spark, tmp_path):
+    import glob
+
+    from pandabase_spark.sources import (
+        read_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    src = spark.range(0, 1000).withColumn(
+        "grp", (F.col("id") % 4).cast("string")
+    )
+    path = str(tmp_path / "part")
+    write_partitioned_parquet(src, path, partition_by=["grp"])
+    # colocated write: one data file per partition value, not one per
+    # input task per value
+    for g in range(4):
+        files = glob.glob(f"{path}/grp={g}/*.parquet")
+        assert len(files) == 1, f"grp={g}: {len(files)} files"
+    back = read_partitioned_parquet(spark, path)
+    assert back.count() == 1000
+    one = back.where(F.col("grp") == "2")
+    assert one.count() == 250
+    assert set(one.select("id").toPandas()["id"] % 4) == {2}
