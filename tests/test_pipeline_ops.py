@@ -286,3 +286,58 @@ def test_tpch_breadth_queries_nonempty(spark):
         F.max("cume").alias("mc"),
     ).collect()[0]
     assert r["mq"] == 4 and r["mp"] == 1.0 and r["mc"] == 1.0
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Schleimer/Wilkerson/Aiken '03 guarantee: two documents sharing a
+    substring of length >= window + n - 1 share at least one winnowed
+    fingerprint. 40 random pairs with planted shared substrings of
+    exactly the guarantee length, over otherwise-disjoint alphabets."""
+    import random
+
+    from pandabase_spark.operators.dedup import winnow_fingerprints
+
+    n, window = 8, 4
+    guarantee = window + n - 1  # 11
+    rng = random.Random(42)
+    rows = []
+    for i in range(40):
+        shared = "".join(rng.choice("abcdefgh") for _ in range(guarantee))
+        left = "".join(rng.choice("ijklmnop") for _ in range(rng.randint(20, 60)))
+        right = "".join(rng.choice("qrstuvwx") for _ in range(rng.randint(20, 60)))
+        rows.append((2 * i, left + shared + "".join(rng.choice("ijklmnop") for _ in range(20))))
+        rows.append((2 * i + 1, right + shared + "".join(rng.choice("qrstuvwx") for _ in range(20))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, "doc_id", "text", n=n, window=window)
+    got = {r["doc_id"]: set(r["fps"]) for r in fps.collect()}
+    for i in range(40):
+        common = got[2 * i] & got[2 * i + 1]
+        assert common, f"pair {i}: no shared fingerprint"
+
+
+def test_char_entropy_bounds_on_corpus(spark):
+    """0 <= H <= log2(distinct chars) for every document in the driver
+    corpus — the information-theoretic bound, checked distributed."""
+    from pandabase_spark.operators.text_analysis import char_entropy
+    from pandabase_spark import workload
+    from tests.conftest import SF_DIR
+
+    docs = workload.load(spark, SF_DIR, "documents")
+    ent = char_entropy(docs)
+    dist = (
+        docs.select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", ""), lambda c: c != "")).alias("ch"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("ch").alias("k"))
+    )
+    bad = (
+        ent.join(dist, "doc_id")
+        .where(
+            (F.col("char_entropy") < -1e-9)
+            | (F.col("char_entropy") > F.log2("k") + 1e-4)
+        )
+        .count()
+    )
+    assert bad == 0
