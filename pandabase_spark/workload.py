@@ -1436,6 +1436,57 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "streaming_static_enrich",
+    "SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "ROUND(SUM(e.value), 2) AS value_sum "
+    "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+    "GROUP BY c.c_mktsegment",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static broadcast enrichment: the events stream joins the
+    static customer dimension per micro-batch (stateless — no
+    streaming state, no watermark needed for the join itself), then a
+    running aggregation by market segment. End state must equal the
+    batch join — the standard dimension-enrichment topology of a
+    streaming ingest pipeline. At scale the dim broadcasts to every
+    task each batch; for large dims swap in a keyed-table range read
+    inside foreachBatch instead."""
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="pb_streamenrich_")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(2).write.mode("overwrite").parquet(f"{scratch}/src")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{scratch}/src")
+    )
+    enriched = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("_vs"),
+    )
+    name = f"enrich_{os.getpid()}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).select(
+        "c_mktsegment",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("_vs", 2).alias("value_sum"),
+    )
+
+
 # Watermark-drop oracle: both engines compute, in integer micros,
 #   c_us  = (min+max)//2          (the late/on-time cutoff)
 #   w_s   = (max-c)//1e6 + 9059s  (watermark delay, seconds)
@@ -2488,7 +2539,16 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on l_partkey; the brand dimension broadcasts."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
-    cuts = li.groupBy(F.col("l_partkey").alias("cut_pk")).agg(
+    # the per-part average only matters for parts of this brand — the
+    # broadcast semi join shrinks the aggregate's input ~25× (one
+    # brand of 25) BEFORE the shuffle; the value per surviving part is
+    # unchanged (a part's lineitems are all kept or all dropped)
+    li_brand = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    cuts = li_brand.groupBy(F.col("l_partkey").alias("cut_pk")).agg(
         (0.2 * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
