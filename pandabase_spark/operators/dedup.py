@@ -644,3 +644,61 @@ def winnow_match_pairs(
     finally:
         f.unpersist()
     return out
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    block_len: int = 12,
+    prefix_len: int = 60,
+    max_distance: int = 8,
+) -> DataFrame:
+    """Record-linkage fuzzy matching: blocking + edit-distance verify.
+
+    The classic two-phase linkage plan (Fellegi-Sunter style blocking):
+    candidate pairs are generated ONLY within blocks — documents whose
+    normalized text shares its first ``block_len`` characters — then
+    verified with Levenshtein distance over ``prefix_len``-char
+    prefixes. Blocking turns the O(n²) all-pairs comparison into an
+    equi-join on the block key (one hash shuffle); the quadratic step
+    runs per block, bounded by the largest block. At 100 TB: pick a
+    block key tight enough that blocks stay small (add a second
+    blocking pass on a different key to recover recall lost to
+    first-position typos — standard multi-pass blocking).
+
+    Levenshtein is capped to prefixes because its cost is
+    O(len_a·len_b) per pair — never run it on unbounded documents.
+    Returns (id_1, id_2, edit_distance) with id_1 < id_2.
+
+    The reference has no similarity surface (SURVEY.md §2 Table B);
+    complements the token-set (Jaccard/MinHash) family with a
+    character-level matcher that tolerates in-word typos.
+    """
+    from pandabase_spark.functions.text import normalize_text
+
+    normed = df.select(
+        F.col(id_col),
+        normalize_text(text_col).alias("_t"),
+    ).select(
+        F.col(id_col),
+        F.substring("_t", 1, prefix_len).alias("_p"),
+        F.substring("_t", 1, block_len).alias("_blk"),
+    )
+    a = normed.select(
+        F.col(id_col).alias("id_1"), F.col("_p").alias("_p1"), "_blk"
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_2"), F.col("_p").alias("_p2"), "_blk"
+    )
+    return (
+        a.join(b, on="_blk")
+        .where(F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            F.levenshtein("_p1", "_p2").cast("int").alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") <= max_distance)
+    )

@@ -2758,6 +2758,104 @@ def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_ORACLE = (
+    "WITH n AS (SELECT doc_id, "
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t "
+    "FROM documents), "
+    "b AS (SELECT doc_id, substr(t, 1, 60) AS p, substr(t, 1, 12) AS blk "
+    "FROM n) "
+    "SELECT a.doc_id AS id_1, c.doc_id AS id_2, "
+    "CAST(levenshtein(a.p, c.p) AS INTEGER) AS edit_distance "
+    "FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id "
+    "WHERE levenshtein(a.p, c.p) <= 8"
+)
+
+
+@_q("fuzzy_match_pairs", _FUZZY_ORACLE)
+def fuzzy_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy matching: block on the first 12 normalized
+    chars (equi-join, one hash shuffle — never all-pairs), verify
+    candidates with Levenshtein over 60-char prefixes. The
+    character-level complement to the token-set dedup family."""
+    from pandabase_spark.operators.dedup import fuzzy_match_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return fuzzy_match_pairs(
+        docs, "doc_id", "text",
+        block_len=12, prefix_len=60, max_distance=8,
+    )
+
+
+# Funnel oracle: for every click, the earliest purchase by the same
+# user at-or-after it (frame min over a CASE column); conversions are
+# those within one hour. Integer-micros arithmetic end to end.
+_FUNNEL_ORACLE = """
+WITH fe AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+  WHERE event_type IN ('click', 'purchase')
+), nxt AS (
+  SELECT user_id, event_type, us,
+         min(CASE WHEN event_type = 'purchase' THEN us END) OVER (
+           PARTITION BY user_id ORDER BY us, event_type
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS next_purchase_us
+  FROM fe
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN next_purchase_us - us <= 3600000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       ROUND(AVG(CASE WHEN next_purchase_us - us <= 3600000000
+             THEN (next_purchase_us - us) / 1000000.0 END), 1)
+         AS avg_secs_to_convert
+FROM nxt WHERE event_type = 'click'
+"""
+
+
+@_q("funnel_click_to_purchase", _FUNNEL_ORACLE)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel analysis: for each click, the same user's
+    earliest purchase at-or-after it (running min over an unbounded
+    following frame — one shuffle on user_id, no self-join), counted
+    as converted within a 1-hour attribution window. The
+    sessionization-adjacent pattern every event pipeline needs."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    fe = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_type")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = fe.withColumn(
+        "next_purchase_us",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).over(w),
+    )
+    clicks = nxt.where(F.col("event_type") == "click")
+    converted = F.col("next_purchase_us") - F.col("us") <= 3_600_000_000
+    return clicks.agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.when(converted, 1).otherwise(0)).cast("long").alias(
+            "n_converted"
+        ),
+        F.round(
+            F.avg(
+                F.when(
+                    converted,
+                    (F.col("next_purchase_us") - F.col("us")) / 1_000_000.0,
+                )
+            ),
+            1,
+        ).alias("avg_secs_to_convert"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: normalization + entropy quality signals
 # ---------------------------------------------------------------------------

@@ -341,3 +341,28 @@ def test_char_entropy_bounds_on_corpus(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_fuzzy_match_blocking_and_verify(spark):
+    from pandabase_spark.operators.dedup import fuzzy_match_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.replace("jumps", "jumped")),   # 2 edits, same block
+        (3, "completely different text that shares nothing at all"),
+        # same content but a first-char typo -> different block: the
+        # single-pass blocker must MISS it (documented recall tradeoff)
+        (4, "The quick brown fox jumps over the lazy dog again and again"
+            .replace("The", "xhe")),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_1"], r["id_2"]): r["edit_distance"]
+        for r in fuzzy_match_pairs(
+            df, "doc_id", "text", block_len=12, prefix_len=60, max_distance=8
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 2
+    assert all(3 not in pair for pair in got)
+    assert all(4 not in pair for pair in got)  # blocked out, as designed
