@@ -2758,6 +2758,77 @@ def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_length_percentiles_by_lang",
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "ROUND(quantile_cont(n_chars, 0.25), 2) AS p25, "
+    "ROUND(quantile_cont(n_chars, 0.5), 2) AS p50, "
+    "ROUND(quantile_cont(n_chars, 0.75), 2) AS p75, "
+    "ROUND(quantile_cont(n_chars, 0.95), 2) AS p95 "
+    "FROM documents GROUP BY lang",
+)
+def doc_length_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length percentiles — the profiling pass behind
+    adaptive (per-stratum) quality thresholds: a fixed global length
+    cutoff over-filters terse languages. Exact interpolated percentiles
+    (Spark `percentile` ≡ DuckDB `quantile_cont`); at 100 TB swap in
+    `approx_percentile` (t-digest, mergeable, one pass) — the gate
+    keeps the exact form because it is oracle-checkable."""
+    docs = load(spark, sf_dir, "documents")
+    pct = lambda p, a: F.round(  # noqa: E731
+        F.expr(f"percentile(n_chars, {p})"), 2
+    ).alias(a)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"), pct(0.95, "p95"),
+    )
+
+
+@_q(
+    "nation_revenue_share",
+    "SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) "
+    "AS revenue, "
+    "ROUND(100.0 * SUM(l.l_extendedprice * (1 - l.l_discount)) / "
+    "SUM(SUM(l.l_extendedprice * (1 - l.l_discount))) OVER (), 4) "
+    "AS revenue_share_pct "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY n.n_name",
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total window over an aggregate: revenue per customer
+    nation plus its share of the corpus total via an empty-frame window
+    sum. The window input is the 25-row aggregate, not the fact table —
+    the single-partition exchange it needs is O(groups), harmless at
+    any scale."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_rev"
+            )
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round("_rev", 2).alias("revenue"),
+        F.round(100.0 * F.col("_rev") / F.sum("_rev").over(w), 4).alias(
+            "revenue_share_pct"
+        ),
+    )
+
+
 _FUZZY_ORACLE = (
     "WITH n AS (SELECT doc_id, "
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t "
