@@ -516,6 +516,76 @@ def kt_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kt_incremental_agg",
+    "WITH final AS ("
+    "SELECT s_suppkey, s_nationkey, "
+    "CASE WHEN s_suppkey % 4 = 0 THEN s_acctbal + 500.0 ELSE s_acctbal END "
+    "AS s_acctbal FROM supplier "
+    "UNION ALL "
+    "SELECT s_suppkey + 200000, s_nationkey, s_acctbal FROM supplier "
+    "WHERE s_suppkey % 9 = 0) "
+    "SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS total_bal, "
+    "CAST(COUNT(*) AS BIGINT) AS n_suppliers FROM final GROUP BY s_nationkey",
+)
+def kt_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance off the CDC feed: a per-nation
+    balance rollup is updated with ONLY the changed keys —
+    new_agg = base_agg − Σ(pre-image of changed keys) + Σ(post-image)
+    — never re-reading the unchanged rows. Pre-images come from the
+    v1 snapshot pruned to the changed keys (a keyed range/semi read);
+    post-images ride on table_changes itself. The oracle recomputes
+    the final state from scratch — the incremental result must match
+    it exactly. At 100 TB this is the difference between reprocessing
+    a table and reprocessing a delta."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_supp_incr")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    cat.to_table(s, "w_supp_incr", keys=["s_suppkey"])
+    base_agg = cat.read_table("w_supp_incr").groupBy("s_nationkey").agg(
+        F.sum("s_acctbal").alias("_bal"), F.count(F.lit(1)).alias("_n")
+    )
+    patch = s.where(F.col("s_suppkey") % 4 == 0).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 500.0
+    )
+    inserts = s.where(F.col("s_suppkey") % 9 == 0).withColumn(
+        "s_suppkey", F.col("s_suppkey") + 200000
+    )
+    cat.to_table(
+        patch.unionByName(inserts), "w_supp_incr",
+        keys=["s_suppkey"], how="upsert",
+    )
+    ch = cat.table_changes("w_supp_incr", 1, 2)
+    post = ch.where(F.col("_change_type").isin("insert", "update"))
+    pre = (
+        cat.read_table("w_supp_incr", version=1)
+        .join(ch.select("s_suppkey"), on="s_suppkey", how="left_semi")
+    )
+    post_delta = post.groupBy("s_nationkey").agg(
+        F.sum("s_acctbal").alias("_post_bal"),
+        F.sum(
+            F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+        ).alias("_n_ins"),
+    )
+    pre_delta = pre.groupBy("s_nationkey").agg(
+        F.sum("s_acctbal").alias("_pre_bal")
+    )
+    merged = (
+        base_agg.join(pre_delta, on="s_nationkey", how="full_outer")
+        .join(post_delta, on="s_nationkey", how="full_outer")
+        .fillna(0, ["_bal", "_n", "_pre_bal", "_post_bal", "_n_ins"])
+    )
+    return merged.select(
+        "s_nationkey",
+        F.round(
+            F.col("_bal") - F.col("_pre_bal") + F.col("_post_bal"), 2
+        ).alias("total_bal"),
+        (F.col("_n") + F.col("_n_ins")).cast("long").alias("n_suppliers"),
+    )
+
+
+@_q(
     "kt_events_roundtrip",
     "SELECT event_id, user_id, event_type, value, "
     "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, "

@@ -258,3 +258,53 @@ def test_snapshot_history_replays_write_sequence(spark, catalog):
             for r in catalog.read_table("hist", version=ver).collect()
         }
         assert got == want, f"version {ver} diverged"
+
+
+def test_incremental_agg_equals_full_recompute(spark, catalog):
+    """The CDC-driven incremental rollup must equal recomputing the
+    aggregate from the final snapshot — the IVM correctness contract."""
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(
+        [(i, i % 3, float(10 * i)) for i in range(1, 31)],
+        ["k", "grp", "val"],
+    )
+    catalog.to_table(src, "ivm_t", keys=["k"])
+    base = catalog.read_table("ivm_t").groupBy("grp").agg(
+        F.sum("val").alias("bal"), F.count(F.lit(1)).alias("n")
+    )
+    patch = src.where(F.col("k") % 5 == 0).withColumn(
+        "val", F.col("val") + 1.0
+    )
+    ins = src.where(F.col("k") % 7 == 0).withColumn("k", F.col("k") + 1000)
+    catalog.to_table(
+        patch.unionByName(ins), "ivm_t", keys=["k"], how="upsert"
+    )
+    ch = catalog.table_changes("ivm_t", 1, 2)
+    post = ch.where(F.col("_change_type").isin("insert", "update"))
+    pre = catalog.read_table("ivm_t", version=1).join(
+        ch.select("k"), on="k", how="left_semi"
+    )
+    post_d = post.groupBy("grp").agg(
+        F.sum("val").alias("pb"),
+        F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0)).alias(
+            "ni"
+        ),
+    )
+    pre_d = pre.groupBy("grp").agg(F.sum("val").alias("qb"))
+    incr = (
+        base.join(pre_d, "grp", "full_outer")
+        .join(post_d, "grp", "full_outer")
+        .fillna(0, ["bal", "n", "qb", "pb", "ni"])
+        .select(
+            "grp",
+            (F.col("bal") - F.col("qb") + F.col("pb")).alias("bal"),
+            (F.col("n") + F.col("ni")).alias("n"),
+        )
+    )
+    full = catalog.read_table("ivm_t").groupBy("grp").agg(
+        F.sum("val").alias("bal"), F.count(F.lit(1)).alias("n")
+    )
+    got = {r["grp"]: (r["bal"], r["n"]) for r in incr.collect()}
+    want = {r["grp"]: (r["bal"], r["n"]) for r in full.collect()}
+    assert got == want
