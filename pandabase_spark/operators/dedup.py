@@ -654,6 +654,7 @@ def fuzzy_match_pairs(
     block_len: int = 12,
     prefix_len: int = 60,
     max_distance: int = 8,
+    suffix_block: bool = False,
 ) -> DataFrame:
     """Record-linkage fuzzy matching: blocking + edit-distance verify.
 
@@ -663,10 +664,13 @@ def fuzzy_match_pairs(
     verified with Levenshtein distance over ``prefix_len``-char
     prefixes. Blocking turns the O(n²) all-pairs comparison into an
     equi-join on the block key (one hash shuffle); the quadratic step
-    runs per block, bounded by the largest block. At 100 TB: pick a
-    block key tight enough that blocks stay small (add a second
-    blocking pass on a different key to recover recall lost to
-    first-position typos — standard multi-pass blocking).
+    runs per block, bounded by the largest block.
+
+    ``suffix_block=True`` runs the standard multi-pass blocking: a
+    second pass blocks on the LAST ``block_len`` characters, recovering
+    pairs a first-position typo pushes into different prefix blocks.
+    Passes union before the distance filter and pairs dedup on
+    (id_1, id_2) — each extra pass adds one shuffle, recall only.
 
     Levenshtein is capped to prefixes because its cost is
     O(len_a·len_b) per pair — never run it on unbounded documents.
@@ -678,23 +682,44 @@ def fuzzy_match_pairs(
     """
     from pandabase_spark.functions.text import normalize_text
 
-    normed = df.select(
-        F.col(id_col),
-        normalize_text(text_col).alias("_t"),
-    ).select(
-        F.col(id_col),
-        F.substring("_t", 1, prefix_len).alias("_p"),
-        F.substring("_t", 1, block_len).alias("_blk"),
+    base = df.select(
+        F.col(id_col), normalize_text(text_col).alias("_t")
     )
-    a = normed.select(
-        F.col(id_col).alias("id_1"), F.col("_p").alias("_p1"), "_blk"
-    )
-    b = normed.select(
-        F.col(id_col).alias("id_2"), F.col("_p").alias("_p2"), "_blk"
-    )
+    block_keys = [F.substring("_t", 1, block_len)]
+    if suffix_block:
+        # greatest(len-k+1, 1) start, not a negative index: negative
+        # substring positions past the string start are engine-specific;
+        # this form is identical in Spark and ANSI SQL for short strings
+        block_keys.append(
+            F.expr(
+                f"substring(_t, greatest(length(_t) - {block_len - 1}, 1), "
+                f"{block_len})"
+            )
+        )
+
+    def _pass(blk: Column) -> DataFrame:
+        normed = base.select(
+            F.col(id_col),
+            F.substring("_t", 1, prefix_len).alias("_p"),
+            blk.alias("_blk"),
+        )
+        a = normed.select(
+            F.col(id_col).alias("id_1"), F.col("_p").alias("_p1"), "_blk"
+        )
+        b = normed.select(
+            F.col(id_col).alias("id_2"), F.col("_p").alias("_p2"), "_blk"
+        )
+        return (
+            a.join(b, on="_blk")
+            .where(F.col("id_1") < F.col("id_2"))
+            .select("id_1", "id_2", "_p1", "_p2")
+        )
+
+    cand = _pass(block_keys[0])
+    for blk in block_keys[1:]:
+        cand = cand.unionByName(_pass(blk))
     return (
-        a.join(b, on="_blk")
-        .where(F.col("id_1") < F.col("id_2"))
+        cand.dropDuplicates(["id_1", "id_2"])
         .select(
             "id_1",
             "id_2",

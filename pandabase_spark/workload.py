@@ -2899,31 +2899,71 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_ORACLE = """
+WITH prof AS (
+  SELECT 'event_type' AS key_col, CAST(event_type AS VARCHAR) AS value,
+         CAST(COUNT(*) AS BIGINT) AS n_rows FROM events GROUP BY 2
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+  FROM events GROUP BY 2
+), ranked AS (
+  SELECT key_col, value, n_rows,
+         ROUND(100.0 * n_rows / SUM(n_rows) OVER (PARTITION BY key_col), 4)
+           AS share_pct,
+         ROUND(n_rows / AVG(n_rows) OVER (PARTITION BY key_col), 4)
+           AS skew_ratio,
+         CAST(row_number() OVER (PARTITION BY key_col
+              ORDER BY n_rows DESC, value ASC) AS INTEGER) AS rank
+  FROM prof
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+@_q("key_skew_report", _SKEW_ORACLE)
+def key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiling over the events table: top-5 heavy
+    hitters per candidate key with share and skew ratio — the
+    pre-flight check that decides broadcast/salting/AQE strategy
+    before a big join. Per-column hash agg + distributed partial
+    top-k (TakeOrdered), no global sort."""
+    from pandabase_spark.operators.profiling import key_skew_report
+
+    ev = load(spark, sf_dir, "events")
+    return key_skew_report(ev, ["event_type", "user_id"], top_k=5)
+
+
 _FUZZY_ORACLE = (
     "WITH n AS (SELECT doc_id, "
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t "
     "FROM documents), "
-    "b AS (SELECT doc_id, substr(t, 1, 60) AS p, substr(t, 1, 12) AS blk "
-    "FROM n) "
-    "SELECT a.doc_id AS id_1, c.doc_id AS id_2, "
-    "CAST(levenshtein(a.p, c.p) AS INTEGER) AS edit_distance "
-    "FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id "
-    "WHERE levenshtein(a.p, c.p) <= 8"
+    "b AS (SELECT doc_id, substr(t, 1, 60) AS p, substr(t, 1, 12) AS blk1, "
+    "substr(t, greatest(length(t) - 11, 1), 12) AS blk2 FROM n), "
+    "cand AS ("
+    "SELECT a.doc_id AS id_1, c.doc_id AS id_2, a.p AS p1, c.p AS p2 "
+    "FROM b a JOIN b c ON a.blk1 = c.blk1 AND a.doc_id < c.doc_id "
+    "UNION "
+    "SELECT a.doc_id, c.doc_id, a.p, c.p "
+    "FROM b a JOIN b c ON a.blk2 = c.blk2 AND a.doc_id < c.doc_id) "
+    "SELECT id_1, id_2, "
+    "CAST(levenshtein(p1, p2) AS INTEGER) AS edit_distance "
+    "FROM cand WHERE levenshtein(p1, p2) <= 8"
 )
 
 
 @_q("fuzzy_match_pairs", _FUZZY_ORACLE)
 def fuzzy_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Record-linkage fuzzy matching: block on the first 12 normalized
-    chars (equi-join, one hash shuffle — never all-pairs), verify
-    candidates with Levenshtein over 60-char prefixes. The
-    character-level complement to the token-set dedup family."""
+    """Record-linkage fuzzy matching with multi-pass blocking: pass 1
+    blocks on the first 12 normalized chars, pass 2 on the last 12
+    (recovering first-position typos) — equi-joins only, never
+    all-pairs — then Levenshtein verification over 60-char prefixes.
+    The character-level complement to the token-set dedup family."""
     from pandabase_spark.operators.dedup import fuzzy_match_pairs
 
     docs = load(spark, sf_dir, "documents")
     return fuzzy_match_pairs(
         docs, "doc_id", "text",
-        block_len=12, prefix_len=60, max_distance=8,
+        block_len=12, prefix_len=60, max_distance=8, suffix_block=True,
     )
 
 

@@ -366,3 +366,16 @@ def test_fuzzy_match_blocking_and_verify(spark):
     assert (1, 2) in got and got[(1, 2)] == 2
     assert all(3 not in pair for pair in got)
     assert all(4 not in pair for pair in got)  # blocked out, as designed
+
+    # multi-pass blocking: the suffix block recovers the
+    # first-position-typo pair the prefix block misses
+    got2 = {
+        (r["id_1"], r["id_2"]): r["edit_distance"]
+        for r in fuzzy_match_pairs(
+            df, "doc_id", "text", block_len=12, prefix_len=60,
+            max_distance=8, suffix_block=True,
+        ).collect()
+    }
+    assert (1, 4) in got2 and got2[(1, 4)] == 1
+    assert (1, 2) in got2  # prefix-pass pairs are kept
+    assert all(3 not in pair for pair in got2)

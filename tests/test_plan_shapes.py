@@ -206,3 +206,12 @@ def test_partitioned_sink_prunes_directories(spark):
     # ...and must NOT appear as a parquet row filter; n_chars still does
     assert any("n_chars" in f for f in a.pushed_filters)
     assert not any("lang" in f for f in a.pushed_filters)
+
+
+def test_skew_report_uses_partial_topk(spark):
+    a = plan_audit(workload.QUERIES["key_skew_report"](spark, SF_DIR))
+    # per-column heavy hitters via TakeOrdered (distributed partial
+    # top-k), not a global sort; the only NLJs are the 1-row stats
+    # broadcasts (one per profiled column)
+    assert a.take_ordered >= 2
+    assert a.cartesian_products == 0
