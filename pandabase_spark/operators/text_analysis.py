@@ -318,3 +318,70 @@ def char_entropy(
             ),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus-trained character
+    bigram model (the shape of CCNet's LM filter, Wenzek et al. '19,
+    with the KenLM stage replaced by an in-engine bigram model).
+
+    Train: corpus-wide bigram and unigram-prefix counts with add-one
+    smoothing over the observed alphabet V:
+        p(c2 | c1) = (count(c1 c2) + 1) / (count(c1 ·) + |V|)
+    Score: mean negative log2-probability of each document's bigrams —
+    high = unlike the corpus (junk, wrong language, binary spill),
+    low = fluent under the corpus distribution.
+
+    Plan: one explode produces the (doc, bigram) stream; the MODEL is
+    two aggregations of that stream (bigram counts, prefix counts) —
+    at most |V|² rows, broadcast back onto it. Scoring is a broadcast
+    join + per-doc average: no shuffle carries more than one row per
+    (doc, distinct bigram). Train on a hash-sample at 100 TB; the
+    model is frozen rows, so train-once/score-many falls out of
+    passing a precomputed model DataFrame if needed.
+
+    Documents shorter than 2 characters have no bigrams and yield no
+    row. Reference: no text surface (SURVEY §2 Table B) — extension.
+    """
+    from pandabase_spark.functions.text import normalize_text
+
+    normed = df.select(F.col(id_col), normalize_text(text_col).alias("_t"))
+    grams = normed.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length("_t") - 1, F.lit(1))
+                    ),
+                    lambda i: F.col("_t").substr(i, F.lit(2)),
+                ),
+                lambda g: F.length(g) == 2,
+            )
+        ).alias("bg"),
+    )
+    big_counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    pre_counts = grams.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.count(F.lit(1)).alias("c_pre")
+    )
+    vocab = grams.select(
+        F.substring("bg", 1, 1).alias("ch")
+    ).union(grams.select(F.substring("bg", 2, 1))).distinct().count()
+    model = big_counts.join(
+        pre_counts, F.substring(big_counts.bg, 1, 1) == pre_counts.c1
+    ).select(
+        "bg",
+        (
+            -F.log2((F.col("c_bg") + 1) / (F.col("c_pre") + F.lit(vocab)))
+        ).alias("nll"),
+    )
+    return (
+        grams.join(F.broadcast(model), on="bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("bits_per_bigram"),
+        )
+    )

@@ -2899,6 +2899,48 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_ORACLE = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(t), 1)),
+                               i -> substr(t, i, 2))) AS bg
+  FROM n
+), g2 AS (
+  SELECT doc_id, bg FROM g WHERE length(bg) = 2
+), bc AS (
+  SELECT bg, COUNT(*) AS c_bg FROM g2 GROUP BY bg
+), pc AS (
+  SELECT substr(bg, 1, 1) AS c1, COUNT(*) AS c_pre FROM g2 GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT ch) AS vs FROM (
+    SELECT substr(bg, 1, 1) AS ch FROM g2
+    UNION ALL SELECT substr(bg, 2, 1) FROM g2)
+), m AS (
+  SELECT bg, -log2((c_bg + 1.0) / (c_pre + vs)) AS nll
+  FROM bc JOIN pc ON substr(bc.bg, 1, 1) = pc.c1 CROSS JOIN v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(nll), 4) AS bits_per_bigram
+FROM g2 JOIN m USING (bg) GROUP BY doc_id
+"""
+
+
+@_q("bigram_lm_score", _LM_ORACLE)
+def bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained character-bigram LM quality score (CCNet-shape
+    perplexity filter, in-engine): mean negative log2-probability of
+    each document's bigrams under the corpus's own smoothed bigram
+    distribution. Model = two aggregations of the bigram stream,
+    broadcast back for scoring."""
+    from pandabase_spark.operators.text_analysis import bigram_lm_score
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_lm_score(docs)
+
+
 _SKEW_ORACLE = """
 WITH prof AS (
   SELECT 'event_type' AS key_col, CAST(event_type AS VARCHAR) AS value,

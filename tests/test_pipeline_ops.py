@@ -379,3 +379,19 @@ def test_fuzzy_match_blocking_and_verify(spark):
     assert (1, 4) in got2 and got2[(1, 4)] == 1
     assert (1, 2) in got2  # prefix-pass pairs are kept
     assert all(3 not in pair for pair in got2)
+
+
+def test_bigram_lm_score_orders_fluency(spark):
+    """Documents drawn from the corpus's dominant pattern score LOWER
+    (more probable) than an out-of-distribution document."""
+    from pandabase_spark.operators.text_analysis import bigram_lm_score
+
+    fluent = "the cat sat on the mat and the dog sat on the log"
+    rows = [(i, fluent) for i in range(1, 9)]
+    rows.append((9, "zqxjkvwpfy bzzqx wvkjp qzxjv"))  # OOD junk
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["bits_per_bigram"] for r in bigram_lm_score(df).collect()}
+    assert got[9] > got[1] + 1.0  # clearly less probable
+    assert got[1] == got[5]       # identical docs score identically
+    n = {r["doc_id"]: r["n_bigrams"] for r in bigram_lm_score(df).collect()}
+    assert n[1] == len(fluent) - 1
