@@ -83,9 +83,12 @@ def main() -> None:
 
     # --- analytics ---
     for q in ("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
-              "q4_order_priority", "q10_returned_items", "q14_promo_revenue",
+              "q4_order_priority", "q7_nation_trade_volume",
+              "q10_returned_items", "q14_promo_revenue",
               "q18_large_volume_orders", "q19_disjunctive_revenue",
-              "window_top3_lineitems", "window_rank_stats", "events_hourly"):
+              "nation_revenue_share", "window_top3_lineitems",
+              "window_rank_stats", "events_hourly", "hopping_window_counts",
+              "funnel_click_to_purchase", "key_skew_report"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
 
     # --- analytics: sessionization + top-k ---
@@ -97,7 +100,8 @@ def main() -> None:
               "winnow_match_pairs", "doc_profile", "bpe_token_stats",
               "cosine_topk_bruteforce", "ann_topk_lsh",
               "multimodal_payload_stats", "normalize_text_docs",
-              "char_entropy_docs"):
+              "char_entropy_docs", "bigram_lm_score", "fuzzy_match_pairs",
+              "doc_length_percentiles_by_lang"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
 
     # IVF: index build is an ingest-time cost amortized over every

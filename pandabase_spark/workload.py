@@ -2899,6 +2899,48 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOPPING_ORACLE = """
+WITH e AS (
+  SELECT event_type, value, epoch_us(ts) // 1000000 AS sec FROM events
+), w AS (
+  SELECT event_type, value,
+         (sec // 900) * 900 - unnest(range(0, 4)) * 900 AS ws_epoch
+  FROM e
+)
+SELECT ws_epoch, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS value_sum
+FROM w GROUP BY ws_epoch, event_type
+"""
+
+
+@_q("hopping_window_counts", _HOPPING_ORACLE)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (hopping) windows in batch: 1-hour windows sliding
+    every 15 minutes — each event lands in exactly 4 windows
+    (`F.window` plans one Expand node, a narrow 4× row multiplication,
+    then a single hash aggregation; no join, no self-union). The
+    batch twin of a sliding-window streaming aggregation; the oracle
+    derives the same 4 memberships with integer epoch arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("_w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            (F.unix_micros(F.col("_w.start")) / 1_000_000)
+            .cast("long")
+            .alias("ws_epoch"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 _LM_ORACLE = """
 WITH n AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
