@@ -121,3 +121,26 @@ def sample_to_token_budget(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .where(F.col("cum_tokens") <= budget_tokens)
     )
+
+
+def sample_fixed_per_stratum(
+    df: DataFrame,
+    *,
+    strata: Sequence[str],
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Keep a deterministic fixed ``k`` rows per stratum (hash-ordered
+    prefix — the distributed stand-in for per-group reservoir
+    sampling). Strata smaller than ``k`` keep all rows. One window per
+    stratum, no global sort; use over ``stratified_sample`` when
+    downstream wants uniform per-class counts (eval slices, few-shot
+    pools) rather than proportional representation."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(*strata).orderBy(*_hash_order(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

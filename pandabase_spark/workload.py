@@ -2309,6 +2309,84 @@ def stratified_sample_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sample_fixed_per_stratum",
+    "SELECT doc_id, lang, source FROM ("
+    "SELECT doc_id, lang, source, "
+    "row_number() OVER (PARTITION BY lang, source "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
+    "WHERE rn <= 12",
+)
+def sample_fixed_per_stratum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 12 docs per (lang, source) stratum — uniform per-class
+    counts for eval slices / few-shot pools, deterministic via the
+    hash-ordered prefix (distributed reservoir-sampling stand-in)."""
+    from pandabase_spark.operators.sampling import sample_fixed_per_stratum
+
+    docs = load(spark, sf_dir, "documents")
+    out = sample_fixed_per_stratum(
+        docs, strata=["lang", "source"], k=12, id_col="doc_id"
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+@_q(
+    "events_windowed_dedup",
+    "SELECT user_id, event_type, "
+    "(epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_epoch, "
+    "CAST(MIN(event_id) AS BIGINT) AS first_event_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_dups "
+    "FROM events GROUP BY 1, 2, 3",
+)
+def events_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed dedup: collapse repeats of (user, event_type) within
+    each hour to the earliest event — the batch twin of streaming
+    `dropDuplicatesWithinWatermark`, as one hash aggregation (min_by
+    semantics via MIN on the id, no window function, no sort)."""
+    ev = load(spark, sf_dir, "events")
+    hour = (
+        (F.unix_micros("ts") / 1_000_000 / 3600).cast("long") * 3600
+    ).alias("hour_epoch")
+    return ev.groupBy("user_id", "event_type", hour).agg(
+        F.min("event_id").cast("long").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+@_q(
+    "embedding_norm_stats",
+    "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+    "ROUND(AVG(sqrt(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_l2, "
+    "ROUND(MIN(sqrt(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS min_l2, "
+    "ROUND(MAX(sqrt(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS max_l2 "
+    "FROM embeddings GROUP BY label",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene pass over the embedding column: per-label L2-norm
+    stats via array higher-order functions (transform + aggregate —
+    all JVM-side, no UDF). Catches unnormalized or degenerate vectors
+    before any cosine-based stage; the in-order left fold over each
+    array is bit-identical across engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")
+    )
+    l2 = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        emb.withColumn("_l2", l2)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_l2"), 4).alias("avg_l2"),
+            F.round(F.min("_l2"), 4).alias("min_l2"),
+            F.round(F.max("_l2"), 4).alias("max_l2"),
+        )
+    )
+
+
+@_q(
     "stratified_token_sample",
     f"SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens, "
     "CAST(cum_tokens AS BIGINT) AS cum_tokens FROM ("

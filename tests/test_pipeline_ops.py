@@ -395,3 +395,23 @@ def test_bigram_lm_score_orders_fluency(spark):
     assert got[1] == got[5]       # identical docs score identically
     n = {r["doc_id"]: r["n_bigrams"] for r in bigram_lm_score(df).collect()}
     assert n[1] == len(fluent) - 1
+
+
+def test_sample_fixed_per_stratum(spark):
+    from pandabase_spark.operators.sampling import sample_fixed_per_stratum
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        ["id", "grp"],
+    )
+    out = sample_fixed_per_stratum(df, strata=["grp"], k=10, id_col="id")
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 10, "small": 10}
+    # deterministic: same prefix both runs
+    a = {r["id"] for r in out.collect()}
+    b = {r["id"] for r in
+         sample_fixed_per_stratum(df, strata=["grp"], k=10, id_col="id").collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="k must be"):
+        sample_fixed_per_stratum(df, strata=["grp"], k=0, id_col="id")
