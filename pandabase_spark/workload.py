@@ -1271,6 +1271,33 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "customer_order_left_join",
+    "SELECT c.c_custkey, c.c_mktsegment, "
+    "CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders, "
+    "ROUND(COALESCE(o.spend, 0.0), 2) AS total_spend "
+    "FROM customer c LEFT JOIN ("
+    "SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS spend "
+    "FROM orders GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey",
+)
+def customer_order_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-preserving semantics: every customer
+    appears, order-less ones with zeroed aggregates (COALESCE over the
+    null side). Orders aggregate FIRST (one hash shuffle), then the
+    preserved-side join — never the row-level fact join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("o_totalprice").alias("_s")
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_orders"),
+        F.round(F.coalesce(F.col("_s"), F.lit(0.0)), 2).alias("total_spend"),
+    )
+
+
+@_q(
     "set_ops_segments",
     "SELECT *, 'intersect' AS op FROM "
     "(SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING' "
