@@ -81,6 +81,20 @@ def main() -> None:
         cat.read_table("b_lineitem", lowest=(1000, None, None, None),
                        highest=(20000, None, None, None))))
 
+    # maintenance: a wide upsert's full-bucket rewrite already
+    # consolidates the table (compact would no-op), so fragment it
+    # first — four disjoint-key appends, each its own segment — then
+    # time the rewrite into one segment + the read against it
+    for i in range(4):
+        frag = li.limit(5000).withColumn(
+            "l_orderkey", F.col("l_orderkey") + (200 + i) * 1_000_000
+        )
+        cat.to_table(frag, "b_lineitem", keys=workload.LI_KEYS, how="append")
+    timed("kt_compact", lambda: cat.compact("b_lineitem"))
+    timed("kt_range_read_compacted", lambda: force(
+        cat.read_table("b_lineitem", lowest=(1000, None, None, None),
+                       highest=(20000, None, None, None))))
+
     # --- analytics ---
     for q in ("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
               "q4_order_priority", "q7_nation_trade_volume",

@@ -2577,6 +2577,29 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_stats(media).select("doc_id", "n_bytes", "sha256")
 
 
+@_q("multimodal_embed_topk")  # UDF-seam pipeline: rows-only check
+def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal retrieval pipeline: binary payloads →
+    Arrow-batched fake feature extraction at the sanctioned mapInPandas
+    seam (unit-normalized array<double>) → exact cosine top-5 of query
+    payloads against the corpus. The media analogue of text ANN: swap
+    the fake extractor for a real model and nothing downstream
+    changes. No oracle (sha-derived vectors aren't SQL-expressible);
+    determinism + schema are the checked contract."""
+    from pandabase_spark.operators.multimodal import (
+        attach_fake_payload,
+        payload_embedding,
+    )
+    from pandabase_spark.operators.similarity import cosine_topk
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_fake_payload(docs, "text")
+    emb = payload_embedding(media, id_col="doc_id", dim=16)
+    queries = emb.where(F.col("id") % 100 == 0)
+    out = cosine_topk(emb, queries, id_col="id", vec_col="embedding", k=5)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
 @_q("multimodal_decode_fake")  # deterministic fake decode: rows-only check
 def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode (stubbed deterministic codec) —
