@@ -1271,6 +1271,29 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sql_api_revenue_by_status",
+    "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "ROUND(SUM(o_totalprice), 2) AS total_price "
+    "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+    "GROUP BY o_orderstatus",
+)
+def sql_api_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine through its SQL-string surface: temp-view
+    registration + `spark.sql(...)` — same Catalyst plan as the
+    DataFrame API (filter pushed, partial agg), proving both entry
+    points are the one engine. The view name is per-process to keep
+    concurrent gate runs isolated."""
+    v = f"orders_v_{os.getpid()}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(v)
+    return spark.sql(
+        f"SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        f"ROUND(SUM(o_totalprice), 2) AS total_price "
+        f"FROM {v} WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        f"GROUP BY o_orderstatus"
+    ).withColumn("n_orders", F.col("n_orders").cast("long"))
+
+
+@_q(
     "customer_order_left_join",
     "SELECT c.c_custkey, c.c_mktsegment, "
     "CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders, "

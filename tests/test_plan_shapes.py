@@ -215,3 +215,20 @@ def test_skew_report_uses_partial_topk(spark):
     # broadcasts (one per profiled column)
     assert a.take_ordered >= 2
     assert a.cartesian_products == 0
+
+
+def test_hopping_window_is_expand_not_join(spark):
+    a = plan_audit(workload.QUERIES["hopping_window_counts"](spark, SF_DIR))
+    # 4-window membership via one Expand node — no self-union of scans,
+    # no join
+    assert a.parquet_scans == 1
+    assert a.broadcast_joins + a.sortmerge_joins + a.nested_loop_joins == 0
+
+
+def test_left_join_aggregates_before_join(spark):
+    a = plan_audit(workload.QUERIES["customer_order_left_join"](spark, SF_DIR))
+    assert a.join_safe
+    # orders reads only the two columns the aggregate needs
+    assert a.read_schemas and any(
+        "o_custkey" in s and "o_orderdate" not in s for s in a.read_schemas
+    )
