@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def _bin_epoch(ts_col: str, interval_seconds: int) -> Column:
@@ -88,4 +89,39 @@ def fill_gaps(
     for c in value_cols:
         if c in fill and fill[c] is not None:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill[c])))
+    return out
+
+
+def forward_fill(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Pandas-style ``ffill`` per group: each null value takes the most
+    recent non-null observation at or before its timestamp.
+
+    One window per group ordered by event time — ``last(col,
+    ignorenulls=True)`` over an unbounded-preceding frame, fully
+    codegen'd, no UDF and no self-join. Leading nulls (no prior
+    observation) stay null, exactly like pandas. Pass
+    ``order_tiebreak`` columns to make fills deterministic when
+    timestamps collide.
+
+    The reference's whole domain is datetime-keyed pandas tables
+    (reference:README.md:24-25) where ``df.ffill()`` is the idiomatic
+    gap repair; this is that operator made distributed. At 100 TB the
+    cost is one hash shuffle on the group key + an in-partition sort —
+    the same shape as any sessionization pass.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(ts_col, *order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out

@@ -1270,6 +1270,104 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FFILL_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN value < 0.2 THEN NULL ELSE value END AS v
+  FROM events WHERE user_id <= 200
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       ROUND(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v
+FROM e
+"""
+
+
+@_q("events_forward_fill", _FFILL_ORACLE)
+def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-style ffill made distributed: nulls (values below 0.2,
+    nulled for the test) take the most recent prior non-null per user —
+    `last(ignorenulls)` over an unbounded-preceding frame, no UDF, no
+    self-join. Leading nulls stay null, exactly like pandas."""
+    from pandabase_spark.operators.timeseries import forward_fill
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 200)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("value") < 0.2, None)
+            .otherwise(F.col("value"))
+            .alias("v"),
+        )
+    )
+    out = forward_fill(
+        ev, ts_col="ts", value_cols=["v"], group_cols=["user_id"],
+        order_tiebreak=["event_id"],
+    )
+    return _ts_to_str(out.withColumn("v", F.round("v", 4)))
+
+
+@_q(
+    "union_schema_drift",
+    "SELECT doc_id, lang, n_chars, quality_tier FROM ("
+    "SELECT doc_id, lang, n_chars, "
+    "CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS quality_tier "
+    "FROM documents WHERE doc_id % 2 = 0 "
+    "UNION ALL BY NAME "
+    "SELECT doc_id, lang, n_chars, NULL AS quality_tier "
+    "FROM documents WHERE doc_id % 2 = 1)",
+)
+def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: an old shard (no quality_tier column) unions
+    with a new one via unionByName(allowMissingColumns=True) — missing
+    columns null-fill by NAME, not position. The ingest reality of any
+    long-lived corpus; silent positional unions are how columns get
+    swapped at 100 TB."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    new_shard = docs.where(F.col("doc_id") % 2 == 0).withColumn(
+        "quality_tier",
+        F.when(F.col("n_chars") >= 300, "long").otherwise("short"),
+    )
+    old_shard = docs.where(F.col("doc_id") % 2 == 1)
+    return new_shard.unionByName(old_shard, allowMissingColumns=True)
+
+
+@_q(
+    "extract_numbers_from_text",
+    "SELECT doc_id, CAST(len(nums) AS INTEGER) AS n_numbers, "
+    "CAST(COALESCE(list_sum(list_transform(nums, x -> CAST(x AS BIGINT))), "
+    "0) AS BIGINT) AS num_sum FROM ("
+    "SELECT doc_id, regexp_extract_all(text, '[0-9]{1,18}') AS nums "
+    "FROM documents)",
+)
+def extract_numbers_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured extraction with regexp_extract_all: every digit run
+    per document, counted and summed — the shape of any
+    pattern-harvesting pass (prices, years, IDs) over a text corpus;
+    array HOFs aggregate in place of an explode+groupBy round trip."""
+    docs = load(spark, sf_dir, "documents")
+    # {1,18}: digit runs cap at 18 chars so the int64 cast can never
+    # overflow (ANSI mode throws); longer runs chunk identically in
+    # both engines because both regex engines match greedily
+    nums = F.expr(r"regexp_extract_all(text, '[0-9]{1,18}')")
+    return docs.select(
+        "doc_id",
+        F.size(nums).cast("int").alias("n_numbers"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(nums, lambda x: x.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        ).cast("long").alias("num_sum"),
+    )
+
+
 @_q(
     "sql_api_revenue_by_status",
     "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, "

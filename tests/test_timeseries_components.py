@@ -74,3 +74,27 @@ def test_connected_components_deep_chain(spark):
     comp = {r["id"]: r["component_id"] for r in connected_components(pairs).collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == n + 1
+
+
+def test_forward_fill_semantics(spark):
+    import datetime as dt
+
+    from pandabase_spark.operators.timeseries import forward_fill
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (1, "a", t0, None),                               # leading null stays
+        (2, "a", t0 + dt.timedelta(minutes=1), 5.0),
+        (3, "a", t0 + dt.timedelta(minutes=2), None),     # -> 5.0
+        (4, "a", t0 + dt.timedelta(minutes=3), 7.0),
+        (5, "a", t0 + dt.timedelta(minutes=4), None),     # -> 7.0
+        (6, "b", t0 + dt.timedelta(minutes=5), None),     # other group: null
+    ]
+    df = spark.createDataFrame(rows, ["id", "grp", "ts", "v"])
+    out = forward_fill(
+        df, ts_col="ts", value_cols=["v"], group_cols=["grp"],
+        order_tiebreak=["id"],
+    )
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: None, 2: 5.0, 3: 5.0, 4: 7.0, 5: 7.0, 6: None}
