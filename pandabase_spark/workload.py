@@ -1270,6 +1270,92 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "data_quality_checks",
+    "WITH a AS (SELECT COUNT(*) AS n, "
+    "SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS qty, "
+    "SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS price, "
+    "SUM(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) AS disc, "
+    "SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS ship, "
+    "SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS flag "
+    "FROM lineitem) "
+    "SELECT r.rule, CAST(a.n AS BIGINT) AS n_rows, "
+    "CAST(r.v AS BIGINT) AS n_violations, "
+    "ROUND(100.0 * r.v / a.n, 4) AS violation_pct FROM a, LATERAL ("
+    "VALUES ('qty_in_range', a.qty), ('price_positive', a.price), "
+    "('discount_unit_interval', a.disc), ('shipdate_not_null', a.ship), "
+    "('returnflag_domain', a.flag)) AS r(rule, v)",
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality gate over lineitem: five rules, ONE
+    aggregation job (each rule a conditional sum in the same Aggregate
+    node, per-rule rows via unpivot) — the expectations pattern at
+    one-pass cost."""
+    from pandabase_spark.operators.quality_checks import check_rules
+
+    li = load(spark, sf_dir, "lineitem")
+    return check_rules(
+        li,
+        {
+            "qty_in_range": F.col("l_quantity").between(1, 50),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "discount_unit_interval": F.col("l_discount").between(0, 1),
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, median(abs(e.value - med.m)) AS mad,
+         any_value(med.m) AS m
+  FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value,
+       ROUND((e.value - dev.m) / (1.4826 * dev.mad), 4) AS robust_z
+FROM events e JOIN dev USING (event_type)
+WHERE abs((e.value - dev.m) / (1.4826 * dev.mad)) > 3.5
+"""
+
+
+@_q("events_mad_outliers", _MAD_ORACLE)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events whose value sits more than 3.5
+    robust z-scores (median absolute deviation, consistency constant
+    1.4826) from their type's median — the anomaly screen that one
+    pathological value cannot mask, unlike mean/stddev. Two grouped
+    exact medians + a broadcast join back (the per-type model is tiny);
+    swap the exact medians for approx_percentile at 100 TB. The
+    uniform-tailed orders table has no outliers by construction —
+    events.value does (heavy right tail)."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_m")
+    )
+    dev = (
+        e.join(F.broadcast(med), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(value - _m), 0.5)").alias("_mad"),
+            F.first("_m").alias("_m"),
+        )
+    )
+    z = (F.col("value") - F.col("_m")) / (1.4826 * F.col("_mad"))
+    return (
+        e.join(F.broadcast(dev), on="event_type")
+        .where(F.abs(z) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("robust_z"),
+        )
+    )
+
+
 _FFILL_ORACLE = """
 WITH e AS (
   SELECT event_id, user_id, ts,

@@ -415,3 +415,27 @@ def test_sample_fixed_per_stratum(spark):
     assert a == b
     with pytest.raises(ValueError, match="k must be"):
         sample_fixed_per_stratum(df, strata=["grp"], k=0, id_col="id")
+
+
+def test_check_rules_one_pass_counts(spark):
+    from pandabase_spark.operators.quality_checks import check_rules
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, None), (4, 5.0)], ["id", "v"]
+    )
+    out = {
+        r["rule"]: (r["n_rows"], r["n_violations"])
+        for r in check_rules(
+            df,
+            {
+                "v_positive": F.col("v") > 0,       # -1 fails, NULL fails
+                "v_not_null": F.col("v").isNotNull(),
+                "id_unique_range": F.col("id").between(1, 4),
+            },
+        ).collect()
+    }
+    assert out["v_positive"] == (4, 2)
+    assert out["v_not_null"] == (4, 1)
+    assert out["id_unique_range"] == (4, 0)
+    with pytest.raises(ValueError, match="rules"):
+        check_rules(df, {})
