@@ -1455,6 +1455,35 @@ def extract_numbers_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "fact_fact_reconciliation",
+    "SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+    "CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders, "
+    "ROUND(SUM(l.l_extendedprice), 2) AS line_total "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY o.o_orderstatus",
+)
+def fact_fact_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big (fact⨝fact) join with an explicit shuffle_hash hint:
+    when neither side broadcasts, the default sort-merge join pays two
+    full sorts — the hash hint elides them (build the smaller side's
+    hash map per partition instead), the right call when one side
+    comfortably fits a partition's memory and spill stats show the
+    sorts dominating. Plan test asserts ShuffledHashJoin, zero
+    SortMergeJoin."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").hint("shuffle_hash")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
+            F.round(F.sum("l_extendedprice"), 2).alias("line_total"),
+        )
+    )
+
+
+@_q(
     "sql_api_revenue_by_status",
     "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, "
     "ROUND(SUM(o_totalprice), 2) AS total_price "

@@ -232,3 +232,11 @@ def test_left_join_aggregates_before_join(spark):
     assert a.read_schemas and any(
         "o_custkey" in s and "o_orderdate" not in s for s in a.read_schemas
     )
+
+
+def test_fact_fact_join_uses_shuffled_hash(spark):
+    df = workload.QUERIES["fact_fact_reconciliation"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    a = plan_audit(df)
+    assert "ShuffledHashJoin" in plan
+    assert a.sortmerge_joins == 0 and a.join_safe
