@@ -155,3 +155,32 @@ def test_engine_builder_passthrough(spark):
 
     with _p.raises(TypeError, match="master-URL"):
         engine_builder(42)
+
+
+def test_driver_contract_shape():
+    """Contract sanity: every oracle key has a query, every callable
+    takes (spark, sf_dir), and the gate runs the LLM-pipeline block
+    first (the round-2 budget-truncation fix — dict order IS gate
+    order)."""
+    import inspect
+
+    from pandabase_spark import workload
+
+    assert set(workload.ORACLE) <= set(workload.QUERIES)
+    for name, fn in workload.QUERIES.items():
+        params = inspect.signature(fn).parameters
+        assert len(params) == 2, f"{name} must take (spark, sf_dir)"
+    order = list(workload.QUERIES)
+    missing = [q for q in workload._GATE_FIRST if q not in workload.QUERIES]
+    assert not missing, f"_GATE_FIRST references unknown queries: {missing}"
+    head = order[: len(workload._GATE_FIRST)]
+    assert head == list(workload._GATE_FIRST), (
+        "gate head must be exactly _GATE_FIRST, in order"
+    )
+    # rows-only (un-oracled) queries stay a small, named set
+    rows_only = set(workload.QUERIES) - set(workload.ORACLE)
+    assert rows_only == {
+        "multimodal_decode_fake", "multimodal_embed_topk",
+        "minhash_lsh_neardup", "simhash_neardup",
+        "ann_topk_lsh", "ann_topk_ivf",
+    }, f"unexpected rows-only set: {sorted(rows_only)}"
