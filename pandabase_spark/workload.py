@@ -1455,6 +1455,31 @@ def extract_numbers_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_variant_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events WHERE event_id <= 3000 "
+    "AND json_extract_string(props, '$.k') IS NOT NULL",
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through Spark 4's VARIANT type:
+    parse_json → variant_get typed extraction. VARIANT stores shredded
+    binary JSON — repeated path access skips re-parsing the string,
+    the at-scale answer for schema-flexible columns (the from_json
+    fixed-schema path is `events_json_extract`). Typed columns come
+    out before the result boundary; the oracle reads the same paths
+    with DuckDB's JSON extraction."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 3000)
+    v = ev.select("event_id", F.parse_json("props").alias("_v"))
+    return (
+        v.select(
+            "event_id",
+            F.expr("variant_get(_v, '$.k', 'bigint')").alias("k"),
+        )
+        .where(F.col("k").isNotNull())
+    )
+
+
+@_q(
     "fact_fact_reconciliation",
     "SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_lines, "
     "CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders, "
