@@ -1154,6 +1154,116 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NC_ORACLE = """
+WITH x AS (
+  SELECT vec_id, label AS true_label,
+         CAST(unnest(embedding) AS DOUBLE) AS xv,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+), c AS (
+  SELECT label AS c_label, pos, AVG(xv) AS cv FROM (
+    SELECT label, CAST(unnest(embedding) AS DOUBLE) AS xv,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings)
+  GROUP BY 1, 2
+), d AS (
+  SELECT x.vec_id, x.true_label, c.c_label,
+         SUM((x.xv - c.cv) * (x.xv - c.cv)) AS dist
+  FROM x JOIN c USING (pos) GROUP BY 1, 2, 3
+), p AS (
+  SELECT vec_id, true_label, c_label AS pred_label FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist, c_label) = 1
+)
+SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM p GROUP BY true_label, pred_label
+"""
+
+
+@_q("nearest_centroid_confusion", _NC_ORACLE)
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification audit: assign every vector to
+    its closest label centroid (squared L2) and report the confusion
+    matrix — how separable the embedding space's labels are, the
+    sanity check before trusting label-conditioned sampling. All
+    relational: posexplode → broadcast centroid join keyed on
+    dimension → per-(vector, label) distance aggregation → rank-1
+    argmin. The distance table is vectors × labels rows, never
+    vectors² — this is the same shape IVF assignment uses."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode("embedding").alias("pos", "xv"),
+    ).withColumn("xv", F.col("xv").cast("double"))
+    c = x.groupBy(F.col("true_label").alias("c_label"), "pos").agg(
+        F.avg("xv").alias("cv")
+    )
+    d = (
+        x.join(F.broadcast(c), on="pos")
+        .groupBy("vec_id", "true_label", "c_label")
+        .agg(
+            F.sum(
+                (F.col("xv") - F.col("cv")) * (F.col("xv") - F.col("cv"))
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    pred = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("true_label", F.col("c_label").alias("pred_label"))
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+
+
+_TWA_ORACLE = """
+WITH e AS (
+  SELECT user_id, value, epoch_us(ts) AS us FROM events
+  WHERE user_id <= 300
+), iv AS (
+  SELECT user_id, value, us,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us, value) AS nxt
+  FROM e
+)
+SELECT user_id,
+       ROUND(SUM(value * (nxt - us)) / SUM(nxt - us), 4) AS twa_value,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM iv WHERE nxt IS NOT NULL GROUP BY user_id
+"""
+
+
+@_q("events_time_weighted_avg", _TWA_ORACLE)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user: each value weighted by how long
+    it was current (lead-timestamp interval) — the correct mean for
+    irregularly sampled series, where the plain average over-weights
+    bursts. One lead window + one aggregation, integer-micros
+    weights."""
+    from pyspark.sql.window import Window
+
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 300)
+        .select("user_id", "value", F.unix_micros("ts").alias("us"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "value")
+    iv = e.withColumn("nxt", F.lead("us").over(w)).where(
+        F.col("nxt").isNotNull()
+    )
+    dur = F.col("nxt") - F.col("us")
+    return iv.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * dur) / F.sum(dur), 4).alias(
+            "twa_value"
+        ),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
 @_q(
     "unpivot_lineitem_metrics",
     """
