@@ -1221,6 +1221,85 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type),
+             4) AS p_transition
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@_q("event_transition_matrix", _TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() pairs each event with its successor, one
+    aggregation counts transitions, a window over the counts
+    normalizes rows into probabilities — behavioral structure (what
+    follows what) from one shuffle on user_id plus one on the 25-cell
+    matrix."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wrow), 4
+        ).alias("p_transition"),
+    )
+
+
+@_q(
+    "monthly_revenue_growth",
+    "WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') "
+    "AS month, SUM(o_totalprice) AS rev FROM orders GROUP BY 1) "
+    "SELECT month, ROUND(rev, 2) AS revenue, "
+    "ROUND(100.0 * (rev - lag(rev) OVER (ORDER BY month)) / "
+    "lag(rev) OVER (ORDER BY month), 4) AS mom_growth_pct FROM m",
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period BI shape: monthly revenue with
+    month-over-month growth via lag over the aggregated series. The
+    window input is the ~80-row monthly rollup, so its
+    single-partition sort is O(months); the first month's growth is
+    NULL by construction."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(F.sum("o_totalprice").alias("_rev"))
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        F.round("_rev", 2).alias("revenue"),
+        F.round(
+            100.0 * (F.col("_rev") - F.lag("_rev").over(w)) / F.lag("_rev").over(w),
+            4,
+        ).alias("mom_growth_pct"),
+    )
+
+
 _TWA_ORACLE = """
 WITH e AS (
   SELECT user_id, value, epoch_us(ts) AS us FROM events
