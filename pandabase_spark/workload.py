@@ -1221,6 +1221,96 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COHORT_ORACLE = """
+WITH fs AS (
+  SELECT user_id,
+         strftime(date_trunc('week', min(ts)), '%Y-%m-%d') AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id,
+         strftime(date_trunc('week', ts), '%Y-%m-%d') AS active_week
+  FROM events
+)
+SELECT fs.cohort_week, act.active_week,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM fs JOIN act USING (user_id)
+GROUP BY fs.cohort_week, act.active_week
+"""
+
+
+@_q("cohort_retention", _COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week
+    (ISO weeks — the events table spans ~a month, so weeks give a
+    real triangle), counted in every week they were active. Two
+    aggregations over one scan (first-seen per user, distinct
+    user-weeks) joined on user_id; the join input is per-user rows,
+    never raw events."""
+    ev = load(spark, sf_dir, "events")
+    week = lambda c: F.date_format(F.date_trunc("week", c), "yyyy-MM-dd")  # noqa: E731
+    fs = ev.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", week(F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        fs.join(act, on="user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_RFM_ORACLE = """
+WITH agg AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate)) AS last_us,
+         COUNT(*) AS freq,
+         SUM(o_totalprice) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+         CAST(ntile(4) OVER (ORDER BY last_us, o_custkey) AS INTEGER) AS r,
+         CAST(ntile(4) OVER (ORDER BY freq, o_custkey) AS INTEGER) AS f,
+         CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS INTEGER) AS m
+  FROM agg
+)
+SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY r, f, m
+"""
+
+
+@_q("rfm_segments", _RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quartiles per
+    customer (ntile over the per-customer aggregate — the windows sort
+    customers, not orders), bucketed into the 64-cell segment grid.
+    Customer-key tiebreaks make every quartile assignment
+    engine-deterministic."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        # o_orderdate reads as TIMESTAMP_NTZ; the cast to TIMESTAMP is
+        # instant-preserving under the UTC session and matches the
+        # oracle's epoch_us() on the same wall-clock values
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias(
+            "last_us"
+        ),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    scored = agg.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("last_us", "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
 _TRANSITION_ORACLE = """
 WITH seq AS (
   SELECT user_id, event_type,
