@@ -144,3 +144,41 @@ def sample_fixed_per_stratum(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    fraction: float,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic weighted sampling: row i survives with probability
+    ``min(1, fraction * w_i / mean(w))`` — overall keep rate ≈
+    ``fraction`` with inclusion odds proportional to weight (the
+    quality-weighted corpus sampling pattern: upsample what scores
+    well instead of hard-thresholding).
+
+    The coin is ``md5(id)``'s first 8 hex digits scaled to [0,1) — the
+    same reproducible, engine-portable uniform the stratified samplers
+    use, so reruns and oracle checks see identical draws. The mean
+    weight is a 1-row aggregate broadcast as a cross join (never
+    collected); non-positive weights never survive.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    mean_w = df.agg(F.avg(weight_col).alias("_mean_w"))
+    p = F.least(
+        F.lit(1.0),
+        F.lit(fraction) * F.col(weight_col) / F.col("_mean_w"),
+    )
+    return (
+        df.crossJoin(F.broadcast(mean_w))
+        .where((F.col(weight_col) > 0) & (u < p))
+        .drop("_mean_w")
+    )

@@ -2897,6 +2897,49 @@ def sample_fixed_per_stratum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "weighted_sample_by_length",
+    "WITH m AS (SELECT AVG(n_chars) AS mw FROM documents) "
+    "SELECT doc_id, lang, n_chars FROM documents, m "
+    "WHERE n_chars > 0 AND "
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
+    "/ 4294967296.0 < least(1.0, 0.3 * n_chars / m.mw)",
+)
+def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sampling (~30% keep rate,
+    inclusion odds ∝ n_chars): the quality/token-budget-weighted
+    corpus sampling pattern — upsample heavy documents instead of
+    hard-thresholding — with an md5-uniform coin both engines compute
+    bit-identically."""
+    from pandabase_spark.operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, weight_col="n_chars", fraction=0.3, id_col="doc_id"
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+@_q(
+    "nation_segment_rollcall",
+    "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+    "string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) "
+    "AS segments FROM customer GROUP BY c_nationkey",
+)
+def nation_segment_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation: per nation, the sorted distinct segment
+    list joined into one string — collect_set → sort_array →
+    array_join, deterministic by construction (DuckDB's ordered
+    string_agg DISTINCT mirrors it)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.array_join(
+            F.sort_array(F.collect_set("c_mktsegment")), ","
+        ).alias("segments"),
+    )
+
+
+@_q(
     "events_windowed_dedup",
     "SELECT user_id, event_type, "
     "(epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_epoch, "

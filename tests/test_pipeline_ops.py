@@ -439,3 +439,25 @@ def test_check_rules_one_pass_counts(spark):
     assert out["id_unique_range"] == (4, 0)
     with pytest.raises(ValueError, match="rules"):
         check_rules(df, {})
+
+
+def test_weighted_sample_proportional(spark):
+    from pandabase_spark.operators.sampling import weighted_sample
+
+    # heavy rows (w=100) vs light rows (w=1): keep rates must separate
+    rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    out = weighted_sample(df, weight_col="w", fraction=0.3, id_col="id")
+    got = out.groupBy((F.col("id") % 2 == 0).alias("heavy")).count().collect()
+    by = {r["heavy"]: r["count"] for r in got}
+    # heavy rows: p = min(1, .3*100/50.5) ~ 0.594 -> ~594 of 1000 kept
+    assert 500 < by.get(True, 0) < 690
+    # light rows: p = .3*1/50.5 ~ 0.6% -> near zero kept
+    assert by.get(False, 0) < 30
+    # deterministic across runs
+    a = {r["id"] for r in out.collect()}
+    b = {r["id"] for r in weighted_sample(
+        df, weight_col="w", fraction=0.3, id_col="id").collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="fraction"):
+        weighted_sample(df, weight_col="w", fraction=0.0, id_col="id")
