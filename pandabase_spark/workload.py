@@ -2920,6 +2920,41 @@ def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "value_histogram",
+    "WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events) "
+    "SELECT CAST(least(floor((value - b.lo) / ((b.hi - b.lo) / 20.0)), 19) "
+    "AS INTEGER) AS bin, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "ROUND(MIN(value), 4) AS bin_min, ROUND(MAX(value), 4) AS bin_max "
+    "FROM events, b GROUP BY 1",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bin histogram with data-derived bounds — the
+    two-pass profile shape: a 1-row min/max aggregate broadcast into
+    the binning pass (the max lands in the last bin via least()). The
+    float bin arithmetic is identical expression-for-expression in
+    both engines, so assignments match bit-exactly."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "bin",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("_lo"))
+                / ((F.col("_hi") - F.col("_lo")) / 20.0)
+            ),
+            F.lit(19),
+        ).cast("int"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value"), 4).alias("bin_min"),
+        F.round(F.max("value"), 4).alias("bin_max"),
+    )
+
+
+@_q(
     "nation_segment_rollcall",
     "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers, "
     "string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) "
