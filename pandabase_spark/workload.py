@@ -2920,6 +2920,86 @@ def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "full_outer_activity_join",
+    "WITH ck AS (SELECT user_id, COUNT(*) AS n_clicks FROM events "
+    "WHERE event_type = 'click' GROUP BY user_id), "
+    "pu AS (SELECT user_id, COUNT(*) AS n_purchases FROM events "
+    "WHERE event_type = 'purchase' GROUP BY user_id) "
+    "SELECT COALESCE(ck.user_id, pu.user_id) AS user_id, "
+    "CAST(COALESCE(ck.n_clicks, 0) AS BIGINT) AS n_clicks, "
+    "CAST(COALESCE(pu.n_purchases, 0) AS BIGINT) AS n_purchases "
+    "FROM ck FULL OUTER JOIN pu ON ck.user_id = pu.user_id",
+)
+def full_outer_activity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two per-user activity aggregates: users who
+    only click, only purchase, or both all appear, absent sides
+    zero-coalesced — the union-of-entities reconciliation shape. Both
+    inputs aggregate before the join, so the outer join touches
+    per-user rows only."""
+    ev = load(spark, sf_dir, "events")
+    ck = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("ck_uid"))
+        .agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("pu_uid"))
+        .agg(F.count(F.lit(1)).alias("_np"))
+    )
+    return ck.join(
+        pu, ck.ck_uid == pu.pu_uid, "full_outer"
+    ).select(
+        F.coalesce("ck_uid", "pu_uid").alias("user_id"),
+        F.coalesce("_nc", F.lit(0)).cast("long").alias("n_clicks"),
+        F.coalesce("_np", F.lit(0)).cast("long").alias("n_purchases"),
+    )
+
+
+@_q(
+    "dedup_savings_report",
+    "WITH g AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', "
+    "'g')) AS chash, COUNT(*) AS n_copies, SUM(n_chars) AS chars_total, "
+    "MIN(n_chars) AS chars_keep FROM documents GROUP BY 1) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, "
+    "CAST(SUM(n_copies) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_removable, "
+    "CAST(SUM(chars_total) - SUM(chars_keep) AS BIGINT) AS chars_saved "
+    "FROM g WHERE n_copies > 1",
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup buys: duplicate-group count, removable copies,
+    and characters reclaimed if each group keeps one survivor — the
+    go/no-go summary before running the pass at full scale, from one
+    hash aggregation over content fingerprints."""
+    from pandabase_spark.functions.text import content_hash
+
+    docs = load(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            content_hash("text").alias("chash"), F.col("n_chars")
+        )
+        .groupBy("chash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum("n_chars").alias("chars_total"),
+            F.min("n_chars").alias("chars_keep"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_copies").cast("long").alias("n_docs"),
+        (F.sum("n_copies") - F.count(F.lit(1))).cast("long").alias(
+            "n_removable"
+        ),
+        (F.sum("chars_total") - F.sum("chars_keep")).cast("long").alias(
+            "chars_saved"
+        ),
+    )
+
+
+@_q(
     "value_histogram",
     "WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events) "
     "SELECT CAST(least(floor((value - b.lo) / ((b.hi - b.lo) / 20.0)), 19) "
