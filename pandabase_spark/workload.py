@@ -2124,6 +2124,51 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "streaming_dedup_end_state",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct, "
+    "ROUND(SUM(value), 2) AS value_sum "
+    "FROM (SELECT DISTINCT event_id, value FROM events "
+    "WHERE event_id <= 5000)",
+)
+def streaming_dedup_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup through a real readStream cycle: the
+    source is written TWICE (every event duplicated across files);
+    dropDuplicatesWithinWatermark keeps first-per-key with state
+    bounded by the watermark horizon. End state must equal batch
+    DISTINCT — each event exactly once despite the doubled input."""
+    import tempfile
+
+    from pandabase_spark.streaming import stream_dedup
+
+    scratch = tempfile.mkdtemp(prefix="pb_streamdedup_")
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") <= 5000)
+        .select("event_id", "ts", "value")
+    )
+    ev.write.mode("overwrite").parquet(f"{scratch}/src")
+    ev.write.mode("append").parquet(f"{scratch}/src")  # duplicate feed
+    stream = spark.readStream.schema(ev.schema).parquet(f"{scratch}/src")
+    deduped = stream_dedup(stream, ["event_id"], watermark="24 hours")
+    name = f"dedup_{os.getpid()}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("event_id")).alias("n_distinct"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
 # Watermark-drop oracle: both engines compute, in integer micros,
 #   c_us  = (min+max)//2          (the late/on-time cutoff)
 #   w_s   = (max-c)//1e6 + 9059s  (watermark delay, seconds)
