@@ -2169,6 +2169,49 @@ def streaming_dedup_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("streaming_sessionize")  # custom stateful operator: rows-only check
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming via applyInPandasWithState: gap-based
+    sessionization (30-min gap) over a real readStream cycle — the
+    sanctioned escape hatch for semantics Spark's built-in streaming
+    operators cannot express (per-key state machine, Arrow-batched).
+    Sessions provably closed by a later event are emitted; the summary
+    is deterministic for a fixed input. No SQL oracle by nature (the
+    driver contract's custom-stateful-streaming exemption); the batch
+    twin `session_windows_events` carries the exact-SQL check."""
+    import tempfile
+
+    from pandabase_spark.streaming import sessionize
+
+    scratch = tempfile.mkdtemp(prefix="pb_sessionize_")
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 100)
+        .select("user_id", "ts")
+    )
+    ev.write.mode("overwrite").parquet(f"{scratch}/src")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{scratch}/src")
+    sess = sessionize(stream, gap_minutes=30)
+    name = f"sessions_{os.getpid()}"
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
 # Watermark-drop oracle: both engines compute, in integer micros,
 #   c_us  = (min+max)//2          (the late/on-time cutoff)
 #   w_s   = (max-c)//1e6 + 9059s  (watermark delay, seconds)

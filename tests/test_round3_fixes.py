@@ -182,5 +182,5 @@ def test_driver_contract_shape():
     assert rows_only == {
         "multimodal_decode_fake", "multimodal_embed_topk",
         "minhash_lsh_neardup", "simhash_neardup",
-        "ann_topk_lsh", "ann_topk_ivf",
+        "ann_topk_lsh", "ann_topk_ivf", "streaming_sessionize",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
