@@ -3088,6 +3088,26 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "conditional_agg_flags",
+    "SELECT o_orderpriority, "
+    "CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big, "
+    "bool_and(o_totalprice > 0) AS all_positive, "
+    "bool_or(o_orderstatus = 'F') AS any_finished "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def conditional_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family: count_if + bool_and +
+    bool_or per group, all evaluated in the one hash-aggregate pass —
+    the predicate-summary primitives behind data-quality dashboards."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("count_if(o_totalprice > 150000)").cast("long").alias("n_big"),
+        F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+        F.expr("bool_or(o_orderstatus = 'F')").alias("any_finished"),
+    )
+
+
+@_q(
     "value_histogram",
     "WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events) "
     "SELECT CAST(least(floor((value - b.lo) / ((b.hi - b.lo) / 20.0)), 19) "
