@@ -3088,6 +3088,36 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "weekday_revenue_seasonality",
+    "SELECT strftime(l_shipdate, '%a') AS weekday, "
+    "CAST(COUNT(*) AS BIGINT) AS n_lines, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY strftime(l_shipdate, '%a')",
+)
+def weekday_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function family: revenue by day-of-week over one shipping
+    year. date_format 'E' and strftime '%a' produce the same
+    three-letter weekday names, sidestepping the engines' different
+    numeric day-of-week conventions (Spark counts from Sunday=1,
+    DuckDB from Sunday=0) — name-keyed grouping is the portable
+    form."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    return li.groupBy(
+        F.date_format("l_shipdate", "E").alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@_q(
     "conditional_agg_flags",
     "SELECT o_orderpriority, "
     "CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big, "

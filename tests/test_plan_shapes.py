@@ -240,3 +240,10 @@ def test_fact_fact_join_uses_shuffled_hash(spark):
     a = plan_audit(df)
     assert "ShuffledHashJoin" in plan
     assert a.sortmerge_joins == 0 and a.join_safe
+
+
+def test_fuzzy_and_lm_plan_hygiene(spark):
+    a = plan_audit(workload.QUERIES["fuzzy_match_pairs"](spark, SF_DIR))
+    assert a.join_safe  # blocking equi-joins only, never all-pairs
+    b = plan_audit(workload.QUERIES["bigram_lm_score"](spark, SF_DIR))
+    assert b.python_free  # model + scoring entirely Catalyst-side
