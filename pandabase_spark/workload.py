@@ -3088,6 +3088,29 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "latest_event_per_user",
+    "SELECT user_id, "
+    "CAST(arg_max(event_id, epoch_us(ts)) AS BIGINT) AS last_event_id, "
+    "arg_max(event_type, epoch_us(ts)) AS last_event_type, "
+    "ROUND(arg_max(value, epoch_us(ts)), 4) AS last_value "
+    "FROM events WHERE user_id <= 500 GROUP BY user_id",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest per key via max_by (argmax aggregation): one
+    partial-aggregated hash pass, no window, no sort — the cheapest
+    form of per-key last-state extraction. (user, ts) is collision-free
+    in this data, so epoch micros alone is an unambiguous ordering
+    key in both engines."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") <= 500)
+    ordk = F.unix_micros("ts")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", ordk).cast("long").alias("last_event_id"),
+        F.max_by("event_type", ordk).alias("last_event_type"),
+        F.round(F.max_by("value", ordk), 4).alias("last_value"),
+    )
+
+
+@_q(
     "weekday_revenue_seasonality",
     "SELECT strftime(l_shipdate, '%a') AS weekday, "
     "CAST(COUNT(*) AS BIGINT) AS n_lines, "
