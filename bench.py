@@ -85,8 +85,11 @@ def main() -> None:
     # consolidates the table (compact would no-op), so fragment it
     # first — four disjoint-key appends, each its own segment — then
     # time the rewrite into one segment + the read against it
+    # deterministic slice (a key range, not limit()): limit() without
+    # an ordering picks whichever partitions answer first, so segment
+    # sizes — and the timings below — would vary run to run
     for i in range(4):
-        frag = li.limit(5000).withColumn(
+        frag = li.where(F.col("l_orderkey") <= 1500).withColumn(
             "l_orderkey", F.col("l_orderkey") + (200 + i) * 1_000_000
         )
         cat.to_table(frag, "b_lineitem", keys=workload.LI_KEYS, how="append")

@@ -655,6 +655,7 @@ def fuzzy_match_pairs(
     prefix_len: int = 60,
     max_distance: int = 8,
     suffix_block: bool = False,
+    max_block_df: int | None = None,
 ) -> DataFrame:
     """Record-linkage fuzzy matching: blocking + edit-distance verify.
 
@@ -665,6 +666,17 @@ def fuzzy_match_pairs(
     prefixes. Blocking turns the O(n²) all-pairs comparison into an
     equi-join on the block key (one hash shuffle); the quadratic step
     runs per block, bounded by the largest block.
+
+    ``max_block_df`` bounds that largest block: blocks holding more
+    than the cutoff documents are dropped BEFORE the self-join (the
+    same df-cutoff ``ngram_jaccard_pairs`` applies to shingles). A
+    boilerplate-heavy corpus — thousands of documents opening with the
+    same 12-char license header — otherwise degenerates to
+    near-quadratic inside one block; such mega-blocks carry no linkage
+    signal anyway (a block key shared by thousands of records does not
+    discriminate). With the cap, worst-case pair fan-out is
+    ``max_block_df²/2`` per block regardless of corpus skew — the
+    property that keeps the operator safe at 100 TB.
 
     ``suffix_block=True`` runs the standard multi-pass blocking: a
     second pass blocks on the LAST ``block_len`` characters, recovering
@@ -703,6 +715,13 @@ def fuzzy_match_pairs(
             F.substring("_t", 1, prefix_len).alias("_p"),
             blk.alias("_blk"),
         )
+        if max_block_df is not None:
+            keep = (
+                normed.groupBy("_blk")
+                .count()
+                .where(F.col("count") <= max_block_df)
+            )
+            normed = normed.join(keep.select("_blk"), on="_blk", how="left_semi")
         a = normed.select(
             F.col(id_col).alias("id_1"), F.col("_p").alias("_p1"), "_blk"
         )

@@ -321,7 +321,8 @@ def char_entropy(
 
 
 def bigram_lm_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    *, checkpoint: bool = True,
 ) -> DataFrame:
     """Perplexity-proxy quality score from a corpus-trained character
     bigram model (the shape of CCNet's LM filter, Wenzek et al. '19,
@@ -344,6 +345,12 @@ def bigram_lm_score(
 
     Documents shorter than 2 characters have no bigrams and yield no
     row. Reference: no text surface (SURVEY §2 Table B) — extension.
+
+    ``checkpoint=False`` returns the LAZY scoring plan (no
+    localCheckpoint, no persist-backed reuse) so plan tests can audit
+    the actual model/scoring tree rather than a checkpoint scan; the
+    default materializes while the bigram cache is alive, which is the
+    execution-efficient form.
     """
     from pandabase_spark.functions.text import normalize_text
 
@@ -392,7 +399,8 @@ def bigram_lm_score(
                 F.round(F.avg("nll"), 4).alias("bits_per_bigram"),
             )
         )
-        out = out.localCheckpoint(eager=True)
+        if checkpoint:
+            out = out.localCheckpoint(eager=True)
     finally:
         grams.unpersist()
     return out

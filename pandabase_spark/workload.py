@@ -96,6 +96,42 @@ def _fresh(cat: KeyedCatalog, table: str) -> None:
         cat.drop_table(table)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_cycle(spark: SparkSession, state_partitions: int = 8):
+    """Bound streaming state partitioning for the duration of one
+    readStream→writeStream cycle, restoring the session default after.
+
+    A streaming query creates one state-store directory per shuffle
+    partition PER micro-batch (delta + snapshot files, fsync'd into
+    the checkpoint); with the session's batch default (32) that
+    checkpoint IO dominates gate-scale runtime. The state-partition
+    count is fixed at first start from this conf and is a deployment
+    knob: at production key cardinality you raise it (state must fit
+    per-partition memory), at gate scale 8 partitions hold thousands
+    of keys comfortably. Scratch checkpoints here are per-call, so the
+    narrowed conf never leaks into a persistent checkpoint."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _await(q, timeout: int = 600) -> None:
+    """``awaitTermination`` that fails loudly: a hung/slow stream must
+    surface as a gate error, not a silently-partial memory sink."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id!r} did not finish "
+            f"within {timeout}s"
+        )
+
+
 def _ts_to_str(df: DataFrame) -> DataFrame:
     """Format timestamp columns as strings for oracle comparison.
 
@@ -731,15 +767,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ORDER BY revenue DESC, o_orderkey LIMIT 10",
 )
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: small dim (filtered customer) broadcast into the
-    fact join, then top-k. The broadcast hint removes both shuffle sides
-    of the customer join; lineitem joins orders on the shared key."""
+    """TPC-H Q3 shape: filtered customer joins the fact side, then
+    top-k. Customer is a *scaling* dimension (~15 B rows at 100 TB), so
+    no forced broadcast hint — AQE's runtime size check picks broadcast
+    when the filtered side fits and falls back to shuffle when it
+    doesn't; a forced hint would OOM instead of falling back."""
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -769,10 +807,11 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join — every dimension (region, nation,
-    customer, supplier) broadcasts; only the orders⨝lineitem fact join
-    shuffles. Catalyst reorders the join tree; the explicit broadcasts
-    pin the dims."""
+    """TPC-H Q5 shape: star join. Only the provably-bounded dims
+    (nation ≤ few hundred rows, region ≤ a handful) carry forced
+    broadcast hints; customer and supplier SCALE with the data (~15 B /
+    ~1 B rows at 100 TB), so their join strategy is left to AQE's
+    runtime size check — broadcast when small, shuffle when not."""
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
@@ -781,9 +820,9 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -1171,9 +1210,12 @@ WITH x AS (
          SUM((x.xv - c.cv) * (x.xv - c.cv)) AS dist
   FROM x JOIN c USING (pos) GROUP BY 1, 2, 3
 ), p AS (
+  -- round before the argmin ordering: dist is a nondeterministically-
+  -- ordered double sum, so both engines rank on the same 6-decimal
+  -- value and near-ties cannot flip between them
   SELECT vec_id, true_label, c_label AS pred_label FROM d
   QUALIFY row_number() OVER (PARTITION BY vec_id
-                             ORDER BY dist, c_label) = 1
+                             ORDER BY ROUND(dist, 6), c_label) = 1
 )
 SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
 FROM p GROUP BY true_label, pred_label
@@ -1210,7 +1252,10 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist")
         )
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    # 6-decimal rounding before the argmin (mirrored in the oracle):
+    # float-sum order differs between engines; the tie-break on
+    # c_label must decide identical ROUNDED distances, not raw ones
+    w = Window.partitionBy("vec_id").orderBy(F.round("dist", 6), "c_label")
     pred = (
         d.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -2012,16 +2057,17 @@ def streaming_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="pb_stream_")
     ev = load(spark, sf_dir, "events").drop("props")
     ev.repartition(4).write.mode("overwrite").parquet(f"{scratch}/src")
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{scratch}/src")
-    )
-    q = stream_upsert(
-        cat, stream, "w_ev_stream",
-        keys=["event_id"], checkpoint=f"{scratch}/ckpt",
-    )
-    q.awaitTermination(600)
+    with _stream_cycle(spark):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/src")
+        )
+        q = stream_upsert(
+            cat, stream, "w_ev_stream",
+            keys=["event_id"], checkpoint=f"{scratch}/ckpt",
+        )
+        _await(q)
     out = cat.read_table("w_ev_stream")
     return out.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -2052,18 +2098,19 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="pb_streamwin_")
     ev = load(spark, sf_dir, "events").drop("props")
     ev.write.mode("overwrite").parquet(f"{scratch}/src")
-    stream = spark.readStream.schema(ev.schema).parquet(f"{scratch}/src")
     name = f"win_counts_{os.getpid()}"
-    q = (
-        windowed_counts(stream, window="1 hour", watermark="2 hours")
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{scratch}/ckpt")
-        .start()
-    )
-    q.awaitTermination(600)
+    with _stream_cycle(spark):
+        stream = spark.readStream.schema(ev.schema).parquet(f"{scratch}/src")
+        q = (
+            windowed_counts(stream, window="1 hour", watermark="2 hours")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
+        )
+        _await(q)
     out = spark.table(name)
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -2095,28 +2142,31 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
     ev.repartition(2).write.mode("overwrite").parquet(f"{scratch}/src")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{scratch}/src")
-    )
-    enriched = stream.join(
-        F.broadcast(cust), stream.user_id == cust.c_custkey
-    )
-    agg = enriched.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("_vs"),
-    )
     name = f"enrich_{os.getpid()}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{scratch}/ckpt")
-        .start()
-    )
-    q.awaitTermination(600)
+    with _stream_cycle(spark):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/src")
+        )
+        # no forced broadcast hint: customer is the scaling dimension;
+        # the per-batch planner's size check picks broadcast while the
+        # dim fits and degrades gracefully when it doesn't (swap in a
+        # keyed-table range read inside foreachBatch at real scale)
+        enriched = stream.join(cust, stream.user_id == cust.c_custkey)
+        agg = enriched.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("_vs"),
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
+        )
+        _await(q)
     return spark.table(name).select(
         "c_mktsegment",
         F.col("n_events").cast("long").alias("n_events"),
@@ -2150,18 +2200,19 @@ def streaming_dedup_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.write.mode("overwrite").parquet(f"{scratch}/src")
     ev.write.mode("append").parquet(f"{scratch}/src")  # duplicate feed
-    stream = spark.readStream.schema(ev.schema).parquet(f"{scratch}/src")
-    deduped = stream_dedup(stream, ["event_id"], watermark="24 hours")
     name = f"dedup_{os.getpid()}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{scratch}/ckpt")
-        .start()
-    )
-    q.awaitTermination(600)
+    with _stream_cycle(spark):
+        stream = spark.readStream.schema(ev.schema).parquet(f"{scratch}/src")
+        deduped = stream_dedup(stream, ["event_id"], watermark="24 hours")
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
+        )
+        _await(q)
     return spark.table(name).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(F.col("event_id")).alias("n_distinct"),
@@ -2190,18 +2241,19 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts")
     )
     ev.write.mode("overwrite").parquet(f"{scratch}/src")
-    stream = spark.readStream.schema(ev.schema).parquet(f"{scratch}/src")
-    sess = sessionize(stream, gap_minutes=30)
     name = f"sessions_{os.getpid()}"
-    q = (
-        sess.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{scratch}/ckpt")
-        .start()
-    )
-    q.awaitTermination(600)
+    with _stream_cycle(spark):
+        stream = spark.readStream.schema(ev.schema).parquet(f"{scratch}/src")
+        sess = sessionize(stream, gap_minutes=30)
+        q = (
+            sess.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
+        )
+        _await(q)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -2298,16 +2350,17 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", f"{scratch}/ckpt")
             .start()
         )
-        q.awaitTermination(600)
+        _await(q)
 
-    # run 1: the on-time half (advances + commits the watermark)
-    ev.where(F.unix_micros("ts") >= c_us).write.parquet(f"{scratch}/src")
-    run_once()
-    # run 2: the old half arrives late; finalized windows must drop it
-    ev.where(F.unix_micros("ts") < c_us).write.mode("append").parquet(
-        f"{scratch}/src"
-    )
-    run_once()
+    with _stream_cycle(spark):
+        # run 1: the on-time half (advances + commits the watermark)
+        ev.where(F.unix_micros("ts") >= c_us).write.parquet(f"{scratch}/src")
+        run_once()
+        # run 2: the old half arrives late; finalized windows drop it
+        ev.where(F.unix_micros("ts") < c_us).write.mode("append").parquet(
+            f"{scratch}/src"
+        )
+        run_once()
 
     return cat.read_table(table).select(
         "window_start",
@@ -2346,26 +2399,28 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.where(F.col("event_type") == "purchase").write.parquet(f"{scratch}/l")
     ev.where(F.col("event_type") == "click").write.parquet(f"{scratch}/r")
     schema = ev.schema
-    ls = spark.readStream.schema(schema).parquet(f"{scratch}/l")
-    rs = spark.readStream.schema(schema).parquet(f"{scratch}/r")
-    joined = interval_join(
-        ls, rs, on="user_id", bounds_seconds=(-14400, 0), watermark="5 hours"
-    ).select(
-        F.col("l.event_id").alias("purchase_id"),
-        F.col("r.event_id").alias("click_id"),
-        F.col("l.user_id").alias("user_id"),
-        (F.unix_micros("l.ts") - F.unix_micros("r.ts")).alias("lag_us"),
-    )
     name = f"ij_{os.getpid()}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{scratch}/ckpt")
-        .start()
-    )
-    q.awaitTermination(600)
+    with _stream_cycle(spark):
+        ls = spark.readStream.schema(schema).parquet(f"{scratch}/l")
+        rs = spark.readStream.schema(schema).parquet(f"{scratch}/r")
+        joined = interval_join(
+            ls, rs, on="user_id", bounds_seconds=(-14400, 0),
+            watermark="5 hours",
+        ).select(
+            F.col("l.event_id").alias("purchase_id"),
+            F.col("r.event_id").alias("click_id"),
+            F.col("l.user_id").alias("user_id"),
+            (F.unix_micros("l.ts") - F.unix_micros("r.ts")).alias("lag_us"),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
+        )
+        _await(q)
     return spark.table(name)
 
 
@@ -3229,8 +3284,11 @@ def events_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dropDuplicatesWithinWatermark`, as one hash aggregation (min_by
     semantics via MIN on the id, no window function, no sort)."""
     ev = load(spark, sf_dir, "events")
+    # integer floor division end to end — mirrors the oracle's `//`
+    # exactly (double division is correct for positive epochs but
+    # fragile at exact-boundary timestamps and wrong pre-1970)
     hour = (
-        (F.unix_micros("ts") / 1_000_000 / 3600).cast("long") * 3600
+        F.expr("(unix_micros(ts) div 1000000 div 3600) * 3600")
     ).alias("hour_epoch")
     return ev.groupBy("user_id", "event_type", hour).agg(
         F.min("event_id").cast("long").alias("first_event_id"),
@@ -3521,9 +3579,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ORDER BY revenue DESC, c.c_custkey LIMIT 20",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: returned-item revenue ranking. Customer and
-    nation broadcast; the only shuffle is the orders⨝lineitem fact join
-    plus one partial-aggregated hash agg, then a rank-limit top-20."""
+    """TPC-H Q10 shape: returned-item revenue ranking. Nation (bounded)
+    broadcasts by hint; customer is the scaling dimension, so its join
+    strategy is AQE's call — the orders⨝lineitem fact join shuffles,
+    one partial-aggregated hash agg, then a rank-limit top-20."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     o = load(spark, sf_dir, "orders").where(
@@ -3533,7 +3592,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -3557,10 +3616,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AND l.l_shipdate < TIMESTAMP '1996-03-01'",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional aggregation ratio. Part broadcasts
-    (it is the dimension); the shipdate filter reaches the lineitem
-    scan, so only the two-month slice is read — partition/row-group
-    pruning does the 100 TB work."""
+    """TPC-H Q14 shape: conditional aggregation ratio. The shipdate
+    filter reaches the lineitem scan, so only the two-month slice is
+    read — partition/row-group pruning does the 100 TB work. Part is
+    unfiltered and scales with the data (~20 B rows at 100 TB), so no
+    forced broadcast hint — AQE picks the strategy by runtime size."""
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-03-01")
@@ -3568,7 +3628,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -3590,28 +3650,30 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: per-part scalar subquery (0.2×avg quantity)
-    decorrelated into an aggregate-then-join. Quantities are integral,
-    so the double-precision average is exact and the threshold compare
-    is engine-independent. The per-part aggregate is a map-side-combined
-    shuffle on l_partkey; the brand dimension broadcasts."""
+    decorrelated — here as a SINGLE lineitem scan: prune to the brand's
+    parts with a broadcast semi join (~25× shrink, one brand of 25),
+    then compute each part's average quantity as an unordered window
+    over l_partkey on that pruned slice and filter in place. One scan,
+    one shuffle (the window's hash partitioning on l_partkey), no
+    second cuts-probe join — half the IO of the classic two-pass form.
+    Quantities are integral, so the double-precision average is exact
+    and the threshold compare is engine-independent."""
+    from pyspark.sql.window import Window
+
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
-    # the per-part average only matters for parts of this brand — the
-    # broadcast semi join shrinks the aggregate's input ~25× (one
-    # brand of 25) BEFORE the shuffle; the value per surviving part is
-    # unchanged (a part's lineitems are all kept or all dropped)
+    # a part's lineitems are all kept or all dropped by the semi join,
+    # so the window average over the pruned slice equals the full-scan
+    # per-part average
     li_brand = li.join(
         F.broadcast(p.select("p_partkey")),
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
-    cuts = li_brand.groupBy(F.col("l_partkey").alias("cut_pk")).agg(
-        (0.2 * F.avg("l_quantity")).alias("qty_cut")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(cuts, li.l_partkey == F.col("cut_pk"))
-        .where(F.col("l_quantity") < F.col("qty_cut"))
+        li_brand.withColumn("_cut", 0.2 * F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < F.col("_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
 
@@ -3628,10 +3690,14 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 50",
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: HAVING over a fact aggregate, then enrich with
-    broadcast dimensions. Aggregating lineitem FIRST (one hash shuffle
-    on l_orderkey) and joining the surviving handful of keys afterwards
-    keeps the join input tiny — the order matters at 100 TB."""
+    """TPC-H Q18 shape: HAVING over a fact aggregate, then enrich.
+    Aggregating lineitem FIRST (one hash shuffle on l_orderkey) and
+    joining the surviving handful of keys afterwards keeps the join
+    input tiny — the order matters at 100 TB. The broadcast hint goes
+    on the *filtered aggregate* (a few hundred qty>300 orders, bounded
+    at any scale), never on customer (the scaling dimension): orders
+    and customer stream past the broadcast side with no shuffle and no
+    OOM risk."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -3641,8 +3707,8 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_qty") > 300)
     )
     return (
-        big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(F.broadcast(big), big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -3671,11 +3737,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions
     across the join. Catalyst extracts the common single-side
     implications (quantity ≤ 30 on lineitem, size ≤ 15 on part) below
-    the join, so both scans prune before the broadcast hash join —
-    check `.explain` for the pushed residuals."""
+    the join, so both scans prune before the join — check `.explain`
+    for the pushed residuals. Part is a scaling dimension; its join
+    strategy is AQE's runtime call, not a forced hint."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
     cond = (
         ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
@@ -3742,8 +3809,9 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional nation-pair trade flows by ship
     year. The same dimension (nation) joins twice under different
     aliases — supplier side and customer side — both broadcast; the
-    pair disjunction filters after both are attached, and only the
-    orders⨝lineitem fact join shuffles."""
+    pair disjunction filters after both are attached. Nation (≤ few
+    hundred rows ever) broadcasts by hint; supplier and customer scale
+    with the data, so AQE decides their strategy at runtime."""
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1998-01-01")
@@ -3763,8 +3831,8 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(pair)
@@ -3867,7 +3935,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -4010,12 +4078,16 @@ _FUZZY_ORACLE = (
     "FROM documents), "
     "b AS (SELECT doc_id, substr(t, 1, 60) AS p, substr(t, 1, 12) AS blk1, "
     "substr(t, greatest(length(t) - 11, 1), 12) AS blk2 FROM n), "
+    "k1 AS (SELECT blk1 FROM b GROUP BY blk1 HAVING count(*) <= 50), "
+    "k2 AS (SELECT blk2 FROM b GROUP BY blk2 HAVING count(*) <= 50), "
     "cand AS ("
     "SELECT a.doc_id AS id_1, c.doc_id AS id_2, a.p AS p1, c.p AS p2 "
     "FROM b a JOIN b c ON a.blk1 = c.blk1 AND a.doc_id < c.doc_id "
+    "WHERE a.blk1 IN (SELECT blk1 FROM k1) "
     "UNION "
     "SELECT a.doc_id, c.doc_id, a.p, c.p "
-    "FROM b a JOIN b c ON a.blk2 = c.blk2 AND a.doc_id < c.doc_id) "
+    "FROM b a JOIN b c ON a.blk2 = c.blk2 AND a.doc_id < c.doc_id "
+    "WHERE a.blk2 IN (SELECT blk2 FROM k2)) "
     "SELECT id_1, id_2, "
     "CAST(levenshtein(p1, p2) AS INTEGER) AS edit_distance "
     "FROM cand WHERE levenshtein(p1, p2) <= 8"
@@ -4028,13 +4100,17 @@ def fuzzy_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks on the first 12 normalized chars, pass 2 on the last 12
     (recovering first-position typos) — equi-joins only, never
     all-pairs — then Levenshtein verification over 60-char prefixes.
-    The character-level complement to the token-set dedup family."""
+    ``max_block_df`` drops non-discriminating mega-blocks before the
+    self-join, bounding worst-case fan-out on boilerplate-heavy
+    corpora. The character-level complement to the token-set dedup
+    family."""
     from pandabase_spark.operators.dedup import fuzzy_match_pairs
 
     docs = load(spark, sf_dir, "documents")
     return fuzzy_match_pairs(
         docs, "doc_id", "text",
         block_len=12, prefix_len=60, max_distance=8, suffix_block=True,
+        max_block_df=50,
     )
 
 
@@ -4161,40 +4237,64 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # gate ordering
 # ---------------------------------------------------------------------------
-# The driver walks QUERIES in dict order and truncates when its budget
-# runs out (round 2 stopped at exactly 50/68, cutting off the entire
-# LLM-pipeline block that happened to sit last). Order the gate so the
-# previously-unchecked LLM-pipeline queries run FIRST, cheapest first
-# within the block, so any future truncation costs the least evidence.
+# The driver walks QUERIES in dict order and checks exactly 50 per
+# round (r2 stopped at 50/68; r3's LLM-first head got 50/130). The
+# r02∪r03 union covers 80/130; this head is exactly the 50 queries
+# with no driver CORRECTNESS row in any round, ascending measured
+# sf0.01 cost (streaming cycles last), so round 4 completes the
+# 130/130 driver-verified union. Already-green queries follow.
 _GATE_FIRST = [
-    # LLM-pipeline block (round-2 unchecked), ascending measured cost
-    "multimodal_payload_stats",
-    "bpe_token_stats",
-    "token_histogram",
-    "quality_filter_summary",
-    "cosine_topk_bruteforce",
-    "corpus_language_summary",
-    "doc_profile",
-    "ann_topk_lsh",
-    "multimodal_decode_fake",
-    "simhash_neardup",
-    "doc_winnow_fingerprints",
-    "ann_topk_ivf",
-    "stratified_sample_frac",
-    "stratified_token_sample",
-    "interleave_shards_mix",
-    "tfidf_top_terms",
-    "pii_scan_redact",
-    "chunk_documents_windowed",
-    "repetition_signals",
-    "contamination_report",
-    "dedup_exact_groups",
-    "dedup_content_hash",
-    "ngram_jaccard_pairs",
-    "embedding_neardup_exact",
-    "minhash_lsh_neardup",
-    "neardup_components",
-    "winnow_match_pairs",
+    # never-driver-checked block (r02∪r03 complement), cheapest first
+    "doc_length_percentiles_by_lang",
+    "normalize_text_docs",
+    "union_schema_drift",
+    "extract_numbers_from_text",
+    "sample_fixed_per_stratum",
+    "weighted_sample_by_length",
+    "latest_event_per_user",
+    "weekday_revenue_seasonality",
+    "nation_segment_rollcall",
+    "window_rank_stats",
+    "events_variant_extract",
+    "sql_api_revenue_by_status",
+    "full_outer_activity_join",
+    "conditional_agg_flags",
+    "value_histogram",
+    "events_windowed_dedup",
+    "embedding_norm_stats",
+    "hopping_window_counts",
+    "funnel_click_to_purchase",
+    "events_time_weighted_avg",
+    "events_forward_fill",
+    "customer_order_left_join",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_rich_customers",
+    "char_entropy_docs",
+    "monthly_revenue_growth",
+    "q17_small_qty_revenue",
+    "nation_revenue_share",
+    "fuzzy_match_pairs",
+    "data_quality_checks",
+    "fact_fact_reconciliation",
+    "key_skew_report",
+    "event_transition_matrix",
+    "q10_returned_items",
+    "q7_nation_trade_volume",
+    "cohort_retention",
+    "rfm_segments",
+    "events_mad_outliers",
+    "multimodal_embed_topk",
+    "dedup_savings_report",
+    "bigram_lm_score",
+    "nearest_centroid_confusion",
+    "streaming_dedup_end_state",
+    "streaming_interval_join",
+    "streaming_static_enrich",
+    "streaming_sessionize",
+    "streaming_late_data_drop",
 ]
 
 

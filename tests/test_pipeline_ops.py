@@ -381,6 +381,35 @@ def test_fuzzy_match_blocking_and_verify(spark):
     assert all(3 not in pair for pair in got2)
 
 
+def test_fuzzy_match_max_block_df_bounds_pathological_corpus(spark):
+    """Boilerplate-heavy corpus: 60 docs share a 12-char license
+    header (one mega-block, 1770 candidate pairs uncapped) plus two
+    genuinely-near records in a small block. ``max_block_df`` must
+    drop the non-discriminating mega-block — bounding pair fan-out —
+    while keeping the small-block match."""
+    from pandabase_spark.operators.dedup import fuzzy_match_pairs
+
+    header = "license-hdr "  # 12 chars incl. trailing space
+    rows = [(i, f"{header}unique body number {i} with words") for i in range(60)]
+    rows += [
+        (100, "zq distinct record alpha beta gamma"),
+        (101, "zq distinct record alpha beta gamns"),  # 2 edits
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = fuzzy_match_pairs(
+        df, "doc_id", "text", block_len=12, prefix_len=60, max_distance=60
+    )
+    assert uncapped.count() > 1000  # the quadratic blow-up, demonstrated
+
+    capped = fuzzy_match_pairs(
+        df, "doc_id", "text", block_len=12, prefix_len=60, max_distance=60,
+        max_block_df=50,
+    )
+    got = {(r["id_1"], r["id_2"]) for r in capped.collect()}
+    assert got == {(100, 101)}  # mega-block dropped, real match kept
+
+
 def test_bigram_lm_score_orders_fluency(spark):
     """Documents drawn from the corpus's dominant pattern score LOWER
     (more probable) than an out-of-distribution document."""

@@ -188,6 +188,48 @@ def test_q18_aggregates_before_join(spark):
     assert a.sortmerge_joins == 0 and a.join_safe
 
 
+def test_no_forced_broadcast_of_scaling_dimensions():
+    """100 TB guard: a forced ``F.broadcast`` hint overrides AQE's size
+    check and OOMs (instead of falling back) once the hinted side
+    outgrows executor memory. Customer / supplier / unfiltered part
+    SCALE with the data in the TPC-H model, so none of the fact-side
+    query shapes may pin them; bounded sides (nation, region, filtered
+    aggregates like q18's qty>300 set) may. Source-level audit: the
+    physical plans legitimately still show BroadcastHashJoin at test
+    scale because AQE picks it from runtime sizes — the hazard is the
+    *hint*, which only the source reveals."""
+    import inspect
+    import re
+
+    scaling_shapes = [
+        "q3_top_orders", "q5_nation_revenue", "q10_returned_items",
+        "q14_promo_revenue", "q18_large_volume_orders",
+        "q19_disjunctive_revenue", "q7_nation_trade_volume",
+        "nation_revenue_share", "streaming_static_enrich",
+    ]
+    # variable names bound to unfiltered scaling-dimension loads in
+    # these functions (c=customer, s=supplier, p=part, cust=customer)
+    banned = re.compile(r"F\.broadcast\((?:c|s|p|cust|o|li)\)")
+    for name in scaling_shapes:
+        src = inspect.getsource(workload.QUERIES[name])
+        hit = banned.search(src)
+        assert hit is None, f"{name} force-broadcasts a scaling dim: {hit.group()}"
+    # q18's hint belongs on the bounded post-HAVING aggregate instead
+    q18_src = inspect.getsource(workload.QUERIES["q18_large_volume_orders"])
+    assert "F.broadcast(big)" in q18_src
+
+
+def test_q17_single_lineitem_scan(spark):
+    """The decorrelated per-part average is a window over the pruned
+    slice, not a second cuts-probe join — lineitem is scanned ONCE
+    (plus the tiny part scan), with one window node for the average."""
+    a = plan_audit(workload.QUERIES["q17_small_qty_revenue"](spark, SF_DIR))
+    li_scans = sum("l_quantity" in s or "l_extendedprice" in s
+                   for s in a.read_schemas)
+    assert li_scans == 1, f"lineitem scanned {li_scans}x"
+    assert a.window_nodes >= 1 and a.join_safe
+
+
 def test_q22_scalar_subquery_is_single_row_broadcast(spark):
     a = plan_audit(
         workload.QUERIES["q22_dormant_rich_customers"](spark, SF_DIR)
@@ -245,5 +287,12 @@ def test_fact_fact_join_uses_shuffled_hash(spark):
 def test_fuzzy_and_lm_plan_hygiene(spark):
     a = plan_audit(workload.QUERIES["fuzzy_match_pairs"](spark, SF_DIR))
     assert a.join_safe  # blocking equi-joins only, never all-pairs
-    b = plan_audit(workload.QUERIES["bigram_lm_score"](spark, SF_DIR))
+    # audit the LAZY scoring plan — the checkpointed form the query
+    # returns would only show the checkpoint scan, making the
+    # python_free assertion vacuous (round-3 advice)
+    from pandabase_spark.operators.text_analysis import bigram_lm_score
+
+    docs = workload.load(spark, SF_DIR, "documents")
+    b = plan_audit(bigram_lm_score(docs, checkpoint=False))
     assert b.python_free  # model + scoring entirely Catalyst-side
+    assert b.join_safe
