@@ -121,6 +121,21 @@ def main() -> None:
               "doc_length_percentiles_by_lang"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
 
+    # fast-hash twins: same operators with xxhash64 instead of the
+    # oracle-replayable md5 — the production form (parity-tested in
+    # tests/test_operators.py); timed separately so the md5 bench
+    # numbers stay comparable across rounds
+    from pandabase_spark.operators.dedup import (
+        dedup_by_content_hash, winnow_match_pairs,
+    )
+
+    docs = workload.load(spark, sf_dir, "documents")
+    timed("winnow_match_pairs_fast", lambda: force(
+        winnow_match_pairs(docs, "doc_id", "text", min_common=5,
+                           max_fp_df=5, hash="xxhash64")))
+    timed("dedup_content_hash_fast", lambda: force(
+        dedup_by_content_hash(docs, "text", "doc_id", hash="xxhash64")))
+
     # IVF: index build is an ingest-time cost amortized over every
     # query — time it separately, then measure SEARCH with the prebuilt
     # centroids (the deployment pattern; ivf_assign at ingest).

@@ -87,6 +87,17 @@ def content_hash(text: Column | str) -> Column:
     return F.md5(normalize_text(text).cast("binary"))
 
 
+def content_hash_fast(text: Column | str) -> Column:
+    """xxhash64 of the normalized text — the production twin of
+    :func:`content_hash`. Native 64-bit hash inside whole-stage
+    codegen (no digest allocation, no hex encoding), ~10× cheaper per
+    row; exact-dup grouping only needs determinism, not a replayable
+    digest, so collisions aside (2⁻⁶⁴-scale, same birthday math that
+    makes 16-byte md5 acceptable) the duplicate groups are identical —
+    pinned by the md5-vs-xxhash parity test."""
+    return F.xxhash64(normalize_text(text))
+
+
 def stopword_ratio(
     text: Column | str, stopwords: Sequence[str] = STOPWORDS
 ) -> Column:

@@ -233,6 +233,42 @@ def test_winnow_pairs_find_planted_dups(docs):
     assert len(exact & got) / len(exact) >= 0.8
 
 
+def test_fast_hash_twins_parity(docs):
+    """The xxhash64 production forms must find the same structure as
+    the md5 oracle forms on the driver corpus. Content hashing is
+    EXACT parity (same duplicate groups — both are injective-in-
+    practice digests of the same normalized text). Winnowing is
+    threshold parity: each hash selects its own window minima, so
+    pairs sitting exactly at min_common may flip — the contract is
+    ≥90% pair-set agreement and ≥75% recall of the strong
+    (jaccard ≥ 0.7) planted near-dups from BOTH forms (each hash
+    loses a different 1-2 threshold-margin pairs on this corpus)."""
+    from pandabase_spark.operators.dedup import (
+        dedup_by_content_hash, winnow_match_pairs,
+    )
+
+    slow = {r.doc_id: r.n_copies for r in
+            dedup_by_content_hash(docs, "text", "doc_id").collect()}
+    fast = {r.doc_id: r.n_copies for r in
+            dedup_by_content_hash(docs, "text", "doc_id",
+                                  hash="xxhash64").collect()}
+    assert slow == fast
+
+    slow_pairs = {(r.id_1, r.id_2) for r in winnow_match_pairs(
+        docs, "doc_id", "text", min_common=5, max_fp_df=5).collect()}
+    fast_pairs = {(r.id_1, r.id_2) for r in winnow_match_pairs(
+        docs, "doc_id", "text", min_common=5, max_fp_df=5,
+        hash="xxhash64").collect()}
+    assert slow_pairs and fast_pairs
+    agreement = len(slow_pairs & fast_pairs) / len(slow_pairs | fast_pairs)
+    assert agreement >= 0.9, f"pair-set agreement {agreement:.2f}"
+    strong = {(r.id_1, r.id_2) for r in ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.7).collect()}
+    assert strong
+    assert len(strong & slow_pairs) / len(strong) >= 0.75
+    assert len(strong & fast_pairs) / len(strong) >= 0.75
+
+
 def test_bpe_token_count_examples(spark):
     """BPE pre-tokenizer split: contractions split off, letter/digit
     runs merge with a leading space, punctuation runs separate."""
