@@ -414,6 +414,54 @@ class KeyedCatalog:
             self.vacuum(table_name)
         return n_before
 
+    def register_bucketed(
+        self,
+        table_name: str,
+        *,
+        schema: str | None = None,
+        catalog_name: str | None = None,
+    ) -> str:
+        """Materialize the current snapshot as a Spark-catalog BUCKETED
+        table (``bucketBy(num_buckets, *keys)`` + ``sortBy(keys)``) and
+        return its catalog name — the co-located-join path.
+
+        The segment store clusters rows by key hash for pruning, but
+        Catalyst cannot see that layout, so kt⨝kt equi-joins still
+        shuffle both sides. Registration rewrites the snapshot through
+        Spark's native bucketing, which RECORDS the hash partitioning
+        in the catalog: a subsequent equi-join between two tables
+        registered with the same bucket count, joined on their full
+        bucket keys, plans as a sort-merge join with ZERO shuffle
+        exchanges on either side (and no Sort nodes either — sortBy
+        pre-sorts each bucket file). At 100 TB this is the difference
+        between re-shuffling two fact tables per join and reading them
+        join-ready; the rewrite is an ingest-time cost amortized over
+        every subsequent join, exactly like Hive/Iceberg bucketed
+        tables. ``repartition`` by the keys first so each bucket is
+        one file, not one file per (task × bucket).
+
+        The registration lives in the session catalog (in-memory
+        catalog here; a Hive/Glue metastore persists it in production)
+        with data external under ``<warehouse>/_bucketed/``.
+        Re-registering refreshes the snapshot. Extends the reference's
+        dialect surface (reference:pandabase/sql.py has no physical
+        layout control — SQLAlchemy delegates to the backing engine).
+        """
+        table_name = self._qualify(table_name, schema)
+        m = self.meta(table_name)
+        name = catalog_name or f"kt_bucketed_{table_name.replace('.', '_')}"
+        df = self.read_table(table_name)
+        (
+            df.repartition(m.num_buckets, *[F.col(k) for k in m.keys])
+            .write.mode("overwrite")
+            .bucketBy(m.num_buckets, *m.keys)
+            .sortBy(*m.keys)
+            .option("path", f"{self.warehouse}/_bucketed/{name}")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        return name
+
     def vacuum(self, table_name: str, *, schema: str | None = None) -> list[str]:
         """Delete segments no longer referenced by the CURRENT manifest
         (tombstoned by upserts or orphaned by a writer crash), then

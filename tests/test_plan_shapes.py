@@ -219,6 +219,44 @@ def test_no_forced_broadcast_of_scaling_dimensions():
     assert "F.broadcast(big)" in q18_src
 
 
+def test_colocated_kt_join_has_no_shuffle(spark, tmp_path):
+    """Two kt tables registered as co-bucketed catalog tables join on
+    their bucket keys with ZERO shuffle exchanges on either side —
+    the catalog-recorded hash partitioning replaces both Exchange
+    nodes (broadcast disabled to prove it's the bucketing, not a
+    small-side broadcast, doing the work)."""
+    import re
+
+    from pandabase_spark.io import KeyedCatalog
+
+    cat = KeyedCatalog(spark, str(tmp_path / "wh"))
+    cust = workload.load(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    tot = (
+        workload.load(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    cat.to_table(cust, "w_colo_a", keys=["c_custkey"])
+    cat.to_table(tot, "w_colo_b", keys=["o_custkey"])
+    a = cat.register_bucketed("w_colo_a")
+    b = cat.register_bucketed("w_colo_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(a).join(
+            spark.table(b), F.col("c_custkey") == F.col("o_custkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert not re.search(r"Exchange hashpartitioning", plan), plan
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan
+    assert j.count() > 0
+
+
 def test_q17_single_lineitem_scan(spark):
     """The decorrelated per-part average is a window over the pruned
     slice, not a second cuts-probe join — lineitem is scanned ONCE
