@@ -658,8 +658,11 @@ def kt_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
         )
     )
-    cat.to_table(cust, "w_colo_cust", keys=["c_custkey"])
-    cat.to_table(tot, "w_colo_ordtot", keys=["o_custkey"])
+    # bucket count is the co-location contract (both sides MUST match)
+    # and a scale knob: 8 suits gate-scale row counts; at 100 TB you
+    # size it so each bucket is a few hundred MB
+    cat.to_table(cust, "w_colo_cust", keys=["c_custkey"], num_buckets=8)
+    cat.to_table(tot, "w_colo_ordtot", keys=["o_custkey"], num_buckets=8)
     a = cat.register_bucketed("w_colo_cust")
     b = cat.register_bucketed("w_colo_ordtot")
     return (
@@ -4285,6 +4288,73 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return char_entropy(docs)
+
+
+# ---------------------------------------------------------------------------
+# mergeable sketches (rows-only: estimates are implementation-specific;
+# accuracy pinned against exact answers in tests/test_sketches.py)
+# ---------------------------------------------------------------------------
+
+@_q("sketch_distinct_users")
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via native HLL
+    sketches (Spark 4 DataSketches aggregates — JVM-side, no UDF),
+    plus the GLOBAL estimate re-derived by merging the per-type
+    sketches without rescanning events: the materialized-rollup
+    pattern that answers every coarser distinct-count question from
+    kilobyte sketch rows at 100 TB. Accuracy (≤5% vs exact) and
+    merge-losslessness pinned in tests/test_sketches.py."""
+    from pandabase_spark.operators.sketches import (
+        hll_distinct_rollup, hll_merge_rollup,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    per_type = hll_distinct_rollup(ev, ["event_type"], "user_id")
+    merged = hll_merge_rollup(per_type, []).select(
+        F.lit("__all__").alias("event_type"),
+        F.lit(None).cast("long").alias("n_rows"),
+        "distinct_est",
+    )
+    return per_type.drop("sketch").unionByName(merged)
+
+
+@_q("sketch_value_quantiles")
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantiles of event value per type from one KLL sketch
+    per group — fixed ~k·log(n) state with a proven rank-error bound
+    instead of a per-group sort; the mergeable latency-dashboard
+    aggregate. Rank error ≤3% pinned in tests/test_sketches.py."""
+    from pandabase_spark.operators.sketches import kll_quantile_rollup
+
+    ev = load(spark, sf_dir, "events")
+    out = kll_quantile_rollup(
+        ev, ["event_type"], "value", quantiles=(0.5, 0.9, 0.99)
+    )
+    return out.select(
+        "event_type", "n",
+        *[F.round(c, 4).alias(c) for c in ("q_50", "q_90", "q_99")],
+    )
+
+
+@_q("sketch_population_overlap")
+def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set-overlap estimate between the purchasing and
+    clicking user populations — the sketch-speed decontamination
+    triage (estimate corpus∩eval coverage BEFORE paying for the exact
+    join; operators/decontamination.py is the exact follow-up).
+    Intersection by inclusion-exclusion over one-pass union sketches;
+    error tracked against exact in tests/test_sketches.py."""
+    from pandabase_spark.operators.sketches import theta_overlap_estimate
+
+    ev = load(spark, sf_dir, "events")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    out = theta_overlap_estimate(buyers, clickers, "user_id")
+    return out.select(
+        *[F.round(c, 1).alias(c)
+          for c in ("est_left", "est_right", "est_union", "est_overlap")],
+        "overlap_frac_of_left",
+    )
 
 
 # ---------------------------------------------------------------------------
