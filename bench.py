@@ -103,6 +103,8 @@ def main() -> None:
               "q4_order_priority", "q7_nation_trade_volume",
               "q10_returned_items", "q14_promo_revenue",
               "q18_large_volume_orders", "q19_disjunctive_revenue",
+              "q6_forecast_revenue", "q8_market_share",
+              "q13_customer_distribution", "q15_top_supplier",
               "nation_revenue_share", "window_top3_lineitems",
               "window_rank_stats", "events_hourly", "hopping_window_counts",
               "funnel_click_to_purchase", "key_skew_report"):

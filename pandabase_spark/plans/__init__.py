@@ -56,8 +56,15 @@ def plan_audit(df: DataFrame) -> PlanAudit:
     """Parse the executed (AQE-final where available) plan of ``df``."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return PlanAudit(
+        # toString() truncates long filter lists mid-entry ("...," with
+        # no closing bracket) — stop at the bracket OR at the next
+        # field header, so a truncated list still reports its prefix
         pushed_filters=[
-            m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m
+            m
+            for m in re.findall(
+                r"PushedFilters: \[(.*?)(?:\]|(?=, ReadSchema))", plan
+            )
+            if m
         ],
         partition_filters=[
             m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if m

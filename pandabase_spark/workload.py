@@ -4291,6 +4291,169 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H shapes round-4 additions (q6/q8/q13/q15 — the remaining shapes
+# expressible without partsupp / shipmode / commit-receipt dates)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q6_forecast_revenue",
+    "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter-and-aggregate, zero joins. The whole
+    query is one scan whose three predicates all push to parquet
+    (row-group min/max skipping does the 100 TB work) plus a partial-
+    aggregated single-row sum — the query Spark should execute at IO
+    speed."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "q8_market_share",
+    "SELECT o_year, ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume "
+    "ELSE 0 END) / SUM(volume), 4) AS mkt_share FROM ("
+    "SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year, "
+    "l.l_extendedprice * (1 - l.l_discount) AS volume, n2.n_name AS nation "
+    "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey "
+    "JOIN region r ON n1.n_regionkey = r.r_regionkey "
+    "JOIN nation n2 ON s.s_nationkey = n2.n_nationkey "
+    "WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1998-01-01') GROUP BY o_year",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the widest join tree in
+    the suite (two facts + five dims, nation twice). Bounded dims
+    (nation ×2, region) broadcast by hint; part is filtered to one
+    type of six but still scales, so it and customer/supplier stay
+    AQE's runtime call. The conditional share division happens on the
+    tiny per-year aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "q13_customer_distribution",
+    "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+    "SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count "
+    "FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey "
+    "AND o.o_orderpriority <> '1-URGENT' "
+    "GROUP BY c.c_custkey) GROUP BY c_count",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — a LEFT
+    OUTER join with the filter INSIDE the join condition (customers
+    with zero qualifying orders must survive with count 0), then a
+    double aggregation. The outer join preserves every customer row;
+    count(o_orderkey) counts only matches. Both aggregations are
+    plain hash shuffles; the distribution result is tiny."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+    "SELECT s.s_suppkey, s.s_name, r.total_revenue "
+    "FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no "
+    "WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by quarterly revenue — an
+    aggregate compared against the scalar max OVER that same
+    aggregate, retaining ties. The revenue rollup (per-supplier, one
+    hash shuffle off the date-pruned scan) is computed once and
+    reused; the scalar max rides back as a 1-row broadcast cross.
+    Revenue is rounded to cents BEFORE the max comparison in both
+    engines, so float summation order cannot flip the tie set."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
 # mergeable sketches (rows-only: estimates are implementation-specific;
 # accuracy pinned against exact answers in tests/test_sketches.py)
 # ---------------------------------------------------------------------------

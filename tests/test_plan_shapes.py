@@ -257,6 +257,26 @@ def test_colocated_kt_join_has_no_shuffle(spark, tmp_path):
     assert j.count() > 0
 
 
+def test_q6_pure_scan_aggregate(spark):
+    """Q6 is the IO-speed query: all three predicates reach the
+    parquet scan, no joins, no window — one scan + one partial agg."""
+    a = plan_audit(workload.QUERIES["q6_forecast_revenue"](spark, SF_DIR))
+    assert any("l_shipdate" in f for f in a.pushed_filters)
+    assert any("l_discount" in f for f in a.pushed_filters)
+    assert any("l_quantity" in f for f in a.pushed_filters)
+    assert a.broadcast_joins + a.sortmerge_joins + a.nested_loop_joins == 0
+    assert a.python_free
+
+
+def test_q8_widest_join_tree_stays_safe(spark):
+    """Q8 joins two facts and five dims (nation twice): no cartesian/
+    nested-loop leak, date + type filters pushed to the scans."""
+    a = plan_audit(workload.QUERIES["q8_market_share"](spark, SF_DIR))
+    assert a.join_safe
+    assert any("o_orderdate" in f for f in a.pushed_filters)
+    assert any("p_type" in f for f in a.pushed_filters)
+
+
 def test_q17_single_lineitem_scan(spark):
     """The decorrelated per-part average is a window over the pruned
     slice, not a second cuts-probe join — lineitem is scanned ONCE
