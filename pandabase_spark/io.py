@@ -414,6 +414,52 @@ class KeyedCatalog:
             self.vacuum(table_name)
         return n_before
 
+    def clone_table(
+        self,
+        src: str,
+        dst: str,
+        *,
+        schema: str | None = None,
+        dst_schema: str | None = None,
+        version: int | None = None,
+    ) -> None:
+        """Zero-copy shallow clone (the Delta/Iceberg CLONE shape): a
+        new table whose first manifest REFERENCES the source's live
+        segments instead of copying them — metadata-only, O(manifest)
+        regardless of table size, so forking a 100 TB table for an
+        experiment costs one JSON write.
+
+        ``version=`` clones a historical snapshot (time-travel clone).
+        Writes to the clone land as local segments and manifest edits;
+        the source never changes (segment files are immutable and the
+        clone's commits touch only its own manifest). ``compact()`` on
+        the clone materializes it — after that it owns every byte it
+        references. The standard shallow-clone caveat applies exactly
+        as in Delta: ``vacuum()``/``drop_table()`` on the SOURCE can
+        delete segments a clone still references; compact the clone
+        first if the source's lifecycle is shorter.
+
+        External references are recorded as warehouse-relative
+        ``<src_table>/<segment>`` names (the ``/`` marks externality);
+        cloning a clone re-points at wherever each segment actually
+        lives, so chains never deepen the indirection.
+        """
+        src_q = self._qualify(src, schema)
+        dst_q = self._qualify(dst, dst_schema)
+        if not self.has_table(src_q):
+            raise NameError(f"no such table: {src_q}")
+        if self.has_table(dst_q):
+            raise ValueError(f"table {dst_q!r} already exists")
+        m = self.meta(src_q)
+        man = self._manifest(src_q, version=version)
+        segments = {
+            (seg if "/" in seg else f"{src_q}/{seg}"): bs
+            for seg, bs in man["segments"].items()
+        }
+        self.fs.mkdirs(self._path(dst_q))
+        self._write_meta(dst_q, m)
+        self._commit(dst_q, segments, v=0)
+
     def register_bucketed(
         self,
         table_name: str,
@@ -883,8 +929,14 @@ class KeyedCatalog:
     ) -> list[str]:
         man = self._manifest(table_name, version=version)
         want = None if buckets is None else set(buckets)
+        # a "/" in the segment name marks an external reference (from
+        # clone_table) — warehouse-relative instead of table-relative
         return [
-            f"{self._path(table_name)}/{seg}/{PART_DIR}={b}"
+            (
+                f"{self.warehouse}/{seg}/{PART_DIR}={b}"
+                if "/" in seg
+                else f"{self._path(table_name)}/{seg}/{PART_DIR}={b}"
+            )
             for seg, bs in man["segments"].items()
             for b in bs
             if want is None or b in want

@@ -4290,6 +4290,48 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(docs)
 
 
+@_q(
+    "kt_clone_divergence",
+    "SELECT 'src' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "ROUND(SUM(s_acctbal), 2) AS total_bal FROM supplier "
+    "UNION ALL "
+    "SELECT 'fork', CAST(COUNT(*) AS BIGINT), "
+    "ROUND(SUM(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 1000.0 "
+    "ELSE s_acctbal END), 2) FROM supplier",
+)
+def kt_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy shallow clone (Delta/Iceberg CLONE shape): fork a
+    keyed table by manifest reference — O(metadata) regardless of
+    table size — then upsert the FORK and read both. The source must
+    show its original state (clone writes never touch source
+    segments), the fork the patched one; which is exactly what the
+    two oracle branches state. At 100 TB this is how an experiment
+    forks a table for one JSON write instead of a copy job."""
+    cat = _catalog(spark, sf_dir)
+    for t in ("w_clone_src", "w_clone_fork"):
+        _fresh(cat, t)
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    cat.to_table(s, "w_clone_src", keys=["s_suppkey"], num_buckets=8)
+    cat.clone_table("w_clone_src", "w_clone_fork")
+    patch = s.where(F.col("s_suppkey") % 5 == 0).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 1000.0
+    )
+    cat.to_table(patch, "w_clone_fork", keys=["s_suppkey"], how="upsert")
+
+    def _summ(table: str, tag: str) -> DataFrame:
+        return cat.read_table(table).agg(
+            F.lit(tag).alias("snapshot"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+
+    return _summ("w_clone_src", "src").unionByName(
+        _summ("w_clone_fork", "fork")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H shapes round-4 additions (q6/q8/q13/q15 — the remaining shapes
 # expressible without partsupp / shipmode / commit-receipt dates)

@@ -308,3 +308,64 @@ def test_incremental_agg_equals_full_recompute(spark, catalog):
     got = {r["grp"]: (r["bal"], r["n"]) for r in incr.collect()}
     want = {r["grp"]: (r["bal"], r["n"]) for r in full.collect()}
     assert got == want
+
+
+def test_shallow_clone_is_zero_copy_and_isolated(spark, catalog):
+    """CLONE semantics: metadata-only fork (no data files written),
+    reads equal the source, writes to the clone never touch the
+    source, and compact() materializes the clone so vacuuming the
+    source can no longer break it."""
+    catalog.to_table(_mk(spark), "src", keys=["k"])
+    src_files = set(catalog.fs.list_dirs(catalog._path("src")))
+
+    catalog.clone_table("src", "fork")
+    # zero-copy: no seg- directory materialized under the clone
+    fork_dirs = set(catalog.fs.list_dirs(catalog._path("fork")))
+    assert not any(d.startswith("seg-") for d in fork_dirs)
+    assert (
+        sorted(catalog.read_table("fork").collect())
+        == sorted(catalog.read_table("src").collect())
+    )
+
+    # divergence: upsert the clone; source is bit-identical untouched
+    patch = spark.range(20).select(
+        F.col("id").alias("k"), F.lit(-1.0).alias("v")
+    )
+    catalog.to_table(patch, "fork", keys=["k"], how="upsert")
+    assert set(catalog.fs.list_dirs(catalog._path("src"))) == src_files
+    src_sum = catalog.read_table("src").agg(F.sum("v")).collect()[0][0]
+    fork_sum = catalog.read_table("fork").agg(F.sum("v")).collect()[0][0]
+    assert fork_sum == src_sum - sum(2.0 * k for k in range(20)) - 20.0
+
+    # materialize, then destroy the source: the clone must survive
+    catalog.compact("fork")
+    catalog.drop_table("src")
+    assert catalog.read_table("fork").count() == 200
+    assert (
+        catalog.read_table("fork").agg(F.sum("v")).collect()[0][0]
+        == fork_sum
+    )
+
+
+def test_clone_of_version_and_of_clone(spark, catalog):
+    """Time-travel clones fork a historical snapshot; cloning a clone
+    re-points at the original segments (no indirection chains)."""
+    catalog.to_table(_mk(spark), "vt", keys=["k"])
+    patch = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v")
+    )
+    catalog.to_table(patch, "vt", keys=["k"], how="upsert")
+
+    catalog.clone_table("vt", "vt_v1", version=1)
+    assert catalog.read_table("vt_v1").agg(F.sum("v")).collect()[0][0] == (
+        sum(2.0 * k for k in range(200))
+    )
+
+    catalog.clone_table("vt_v1", "vt_v1b")
+    man = catalog._manifest("vt_v1b")
+    # every reference points at the ORIGINAL table's segments
+    assert all(seg.startswith("vt/") for seg in man["segments"])
+    assert (
+        sorted(catalog.read_table("vt_v1b").collect())
+        == sorted(catalog.read_table("vt_v1").collect())
+    )
