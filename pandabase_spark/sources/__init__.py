@@ -30,22 +30,29 @@ def read_csv(
     *,
     header: bool = True,
     infer_schema: bool = True,
+    schema=None,
     narrow: bool = False,
     **options: str,
 ) -> DataFrame:
     """Distributed CSV read with cleaned column names.
+
+    Pass ``schema`` (StructType) to skip inference — the at-scale
+    contract: inference is an extra full pass over the files and
+    widens every integer to int64.
 
     ``narrow=True`` additionally applies the engine's value-narrowing
     rules (0/1 int columns → boolean, all-zero ints → double, all-null
     → dropped) in one aggregation pass — the same semantics the keyed
     write path applies (reference:pandabase/helpers.py:35-64,105-115).
     """
-    df = (
-        spark.read.option("header", str(header).lower())
-        .option("inferSchema", str(infer_schema).lower())
-        .options(**options)
-        .csv(path)
+    reader = spark.read.option("header", str(header).lower()).options(
+        **options
     )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", str(infer_schema).lower())
+    df = reader.csv(path)
     renames = {c: clean_name(c) for c in df.columns}
     df = df.selectExpr(
         *[f"`{old}` AS `{new}`" for old, new in renames.items()]
@@ -116,6 +123,19 @@ def read_orc(
 def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """ORC sink (schema-preserving, type-exact roundtrip)."""
     df.write.mode(mode).orc(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, *, mode: str = "overwrite", header: bool = True,
+    **options: str,
+) -> None:
+    """CSV sink (header row, Spark-partitioned files, splittable on
+    read). CSV is typeless — pair with an explicit ``schema=`` on
+    :func:`read_csv` for an exact roundtrip; doubles serialize in
+    shortest-roundtrip form."""
+    df.write.mode(mode).option("header", str(header).lower()).options(
+        **options
+    ).csv(path)
 
 
 def read_zipped_csv(

@@ -715,6 +715,25 @@ def jsonl_roundtrip_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl(spark, path, schema=src.schema)
 
 
+@_q("csv_roundtrip_part", "SELECT * FROM part")
+def csv_roundtrip_part_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part through a CSV write→read cycle (sources.write_csv /
+    read_csv with explicit schema): bigint/string/int/double columns
+    survive exactly. CSV is typeless, so the read passes the source
+    schema — inference would cost an extra full pass and widen int32
+    to int64 (the at-scale contract stated on read_csv)."""
+    from pandabase_spark.sources import read_csv, write_csv
+
+    src = load(spark, sf_dir, "part")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pandabase_src_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}",
+        "part_csv",
+    )
+    write_csv(src, path)
+    return read_csv(spark, path, schema=src.schema)
+
+
 @_q("orc_roundtrip_supplier", "SELECT * FROM supplier")
 def orc_roundtrip_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """supplier through an ORC write→read cycle (sources.write_orc /
@@ -3720,9 +3739,11 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
     # a part's lineitems are all kept or all dropped by the semi join,
     # so the window average over the pruned slice equals the full-scan
-    # per-part average
+    # per-part average. No forced broadcast: one brand of a scaling
+    # part table is still ~1/25 of a scaling dimension — AQE picks
+    # broadcast while it fits and shuffle-semi when it doesn't
     li_brand = li.join(
-        F.broadcast(p.select("p_partkey")),
+        p.select("p_partkey"),
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
