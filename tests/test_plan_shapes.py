@@ -354,3 +354,17 @@ def test_fuzzy_and_lm_plan_hygiene(spark):
     b = plan_audit(bigram_lm_score(docs, checkpoint=False))
     assert b.python_free  # model + scoring entirely Catalyst-side
     assert b.join_safe
+
+
+def test_q21_single_scan_decorrelation(spark):
+    """Q21's two correlated subqueries (EXISTS other-supplier, NOT
+    EXISTS other-LATE-supplier) are decorrelated into per-order window
+    set-sizes, NOT two extra self-joins — lineitem is scanned once,
+    the status filter reaches the orders scan, and no cartesian or
+    nested-loop join leaks in."""
+    a = plan_audit(workload.QUERIES["q21_waiting_suppliers"](spark, SF_DIR))
+    li_scans = sum("l_shipdate" in s and "l_suppkey" in s
+                   for s in a.read_schemas)
+    assert li_scans == 1, f"lineitem scanned {li_scans}x"
+    assert a.window_nodes >= 1 and a.join_safe
+    assert any("o_orderstatus" in f for f in a.pushed_filters)
