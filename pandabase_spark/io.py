@@ -466,6 +466,7 @@ class KeyedCatalog:
         *,
         schema: str | None = None,
         catalog_name: str | None = None,
+        bucket_cols: Sequence[str] | None = None,
     ) -> str:
         """Materialize the current snapshot as a Spark-catalog BUCKETED
         table (``bucketBy(num_buckets, *keys)`` + ``sortBy(keys)``) and
@@ -492,15 +493,29 @@ class KeyedCatalog:
         Re-registering refreshes the snapshot. Extends the reference's
         dialect surface (reference:pandabase/sql.py has no physical
         layout control — SQLAlchemy delegates to the backing engine).
+
+        ``bucket_cols`` (default: the table's keys) buckets on a
+        coarser column set — e.g. a composite-keyed fact bucketed on
+        its leading join/grouping key. Hash partitioning on a SUBSET
+        of a query's grouping keys still satisfies the clustered
+        distribution, so a groupBy on the bucket columns (or any
+        superset) aggregates with ZERO exchanges, and equi-joins on
+        them co-locate — the knob that makes one physical layout serve
+        both the per-entity rollup and the entity⨝entity join at
+        100 TB.
         """
         table_name = self._qualify(table_name, schema)
         m = self.meta(table_name)
+        bcols = list(bucket_cols) if bucket_cols is not None else list(m.keys)
+        unknown = [c for c in bcols if c not in m.schema.fieldNames()]
+        if unknown:
+            raise NameError(f"bucket_cols not in table schema: {unknown}")
         name = catalog_name or f"kt_bucketed_{table_name.replace('.', '_')}"
         df = self.read_table(table_name)
         (
-            df.repartition(m.num_buckets, *[F.col(k) for k in m.keys])
+            df.repartition(m.num_buckets, *[F.col(k) for k in bcols])
             .write.mode("overwrite")
-            .bucketBy(m.num_buckets, *m.keys)
+            .bucketBy(m.num_buckets, *bcols)
             .sortBy(*m.keys)
             .option("path", f"{self.warehouse}/_bucketed/{name}")
             .format("parquet")

@@ -678,6 +678,49 @@ def kt_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kt_colocated_agg",
+    # revenue in exact integer 10^-4 dollars (price cents × discount
+    # percent): per-order groups are small enough that a double SUM +
+    # ROUND(2) lands on rounding boundaries and flips the last cent
+    # between engines — integer arithmetic is hash-exact
+    "SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+    "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+    "* (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) "
+    "AS revenue_c "
+    "FROM lineitem WHERE l_orderkey <= 12000 GROUP BY l_orderkey",
+)
+def kt_colocated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-exchange aggregation over a coarse-bucketed keyed table:
+    lineitem (composite key) is registered bucketed on its LEADING key
+    only (``register_bucketed(bucket_cols=['l_orderkey'])``) — hash
+    partitioning on a subset of the grouping keys satisfies the
+    clustered distribution, so the per-order rollup plans as
+    partial→final HashAggregate with NO Exchange node at all (pinned
+    by tests/test_plan_shapes.py::test_colocated_agg_has_no_shuffle).
+    At 100 TB this is the layout that makes the per-entity rollup a
+    scan-local operation: one bucketed write at ingest, every
+    subsequent per-order / per-order-join query shuffle-free."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_colo_li")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 12000)
+    cat.to_table(li, "w_colo_li", keys=LI_KEYS, num_buckets=8)
+    t = cat.register_bucketed("w_colo_li", bucket_cols=["l_orderkey"])
+    return (
+        spark.table(t)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_c"),
+        )
+    )
+
+
+@_q(
     "kt_events_roundtrip",
     "SELECT event_id, user_id, event_type, value, "
     "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, "

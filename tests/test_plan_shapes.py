@@ -368,3 +368,52 @@ def test_q21_single_scan_decorrelation(spark):
     assert li_scans == 1, f"lineitem scanned {li_scans}x"
     assert a.window_nodes >= 1 and a.join_safe
     assert any("o_orderstatus" in f for f in a.pushed_filters)
+
+
+def test_colocated_agg_has_no_shuffle(spark, tmp_path):
+    """A composite-keyed kt table registered bucketed on its LEADING
+    key aggregates by that key with ZERO Exchange nodes — hash
+    partitioning on a subset of the grouping keys satisfies the
+    clustered distribution, so the rollup is partial→final
+    HashAggregate directly over the bucketed scan. Also holds for a
+    grouping SUPERSET (l_orderkey + another column)."""
+    import re
+
+    from pandabase_spark.io import KeyedCatalog
+
+    cat = KeyedCatalog(spark, str(tmp_path / "wh"))
+    # sf0.001 carries one duplicate composite key (absent at >=0.01)
+    li = workload.load(spark, SF_DIR, "lineitem").dropDuplicates(
+        workload.LI_KEYS
+    )
+    cat.to_table(li, "w_colo_li_t", keys=workload.LI_KEYS, num_buckets=4)
+    t = cat.register_bucketed("w_colo_li_t", bucket_cols=["l_orderkey"])
+    agg = (
+        spark.table(t)
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Exchange", plan), plan
+    sup = (
+        spark.table(t)
+        .groupBy("l_orderkey", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan2 = sup._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Exchange", plan2), plan2
+    assert agg.count() > 0
+
+
+def test_register_bucketed_rejects_unknown_bucket_col(spark, tmp_path):
+    import pytest as _pytest
+
+    from pandabase_spark.io import KeyedCatalog
+
+    cat = KeyedCatalog(spark, str(tmp_path / "wh"))
+    cust = workload.load(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cat.to_table(cust, "w_colo_badcol", keys=["c_custkey"])
+    with _pytest.raises(NameError):
+        cat.register_bucketed("w_colo_badcol", bucket_cols=["nope"])
