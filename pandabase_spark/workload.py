@@ -3180,6 +3180,66 @@ def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars")
 
 
+_SHARD_MANIFEST_ORACLE = f"""
+WITH p AS ({{profile}}),
+k AS (SELECT * FROM p WHERE quality >= 0.75),
+s AS (
+  SELECT k.* FROM k
+  JOIN (SELECT chash, min(doc_id) AS keep_id FROM k GROUP BY 1) g
+    ON k.chash = g.chash AND k.doc_id = g.keep_id)
+SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+            AS UBIGINT) % 4 AS INTEGER) AS shard,
+       lang_guess,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(quality), 4) AS avg_quality
+FROM s GROUP BY 1, 2
+"""
+
+
+@_q(
+    "training_shard_manifest",
+    _SHARD_MANIFEST_ORACLE.format(profile=_PROFILE_ORACLE),
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data preparation, composed from the
+    pipeline's own stages: profile (quality + language + content hash,
+    one codegen'd scan) → quality filter at 0.75 → exact dedup
+    (min-id survivor per content hash) → deterministic md5 shard
+    assignment → per-(shard, language) manifest of docs / tokens /
+    mean quality. This is the go/no-go artifact a 100 TB run emits
+    before writing shards: one document scan, one 16-byte-hash
+    shuffle for dedup, one small rollup — no stage rescans the corpus.
+    The md5 coin makes shard membership bit-identical across engines
+    and runs (same idiom as the sampling family)."""
+    from pandabase_spark.operators.text_analysis import document_profile
+
+    docs = load(spark, sf_dir, "documents")
+    prof = document_profile(docs)
+    kept = prof.where(F.col("quality") >= 0.75)
+    keep_ids = kept.groupBy("chash").agg(F.min("doc_id").alias("_keep_id"))
+    surv = kept.join(
+        keep_ids.withColumnRenamed("chash", "_ch"),
+        (kept.chash == F.col("_ch")) & (kept.doc_id == F.col("_keep_id")),
+        "left_semi",
+    )
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 4
+    ).cast("int")
+    return (
+        surv.withColumn("shard", shard)
+        .groupBy("shard", "lang_guess")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
 @_q(
     "full_outer_activity_join",
     "WITH ck AS (SELECT user_id, COUNT(*) AS n_clicks FROM events "

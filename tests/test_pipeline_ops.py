@@ -490,3 +490,19 @@ def test_weighted_sample_proportional(spark):
     assert a == b
     with pytest.raises(ValueError, match="fraction"):
         weighted_sample(df, weight_col="w", fraction=0.0, id_col="id")
+
+
+def test_training_shard_manifest_python_free_and_balanced(spark):
+    """The composed prepare-shards pipeline stays entirely
+    Catalyst-side (no Python eval nodes) and its md5 shard coin
+    spreads survivors across all 4 shards."""
+    from pandabase_spark import workload
+    from pandabase_spark.plans import plan_audit
+    from tests.conftest import SF_DIR
+
+    df = workload.QUERIES["training_shard_manifest"](spark, SF_DIR)
+    a = plan_audit(df)
+    assert a.python_free and a.join_safe
+    rows = df.collect()
+    assert {r["shard"] for r in rows} == {0, 1, 2, 3}
+    assert all(r["n_docs"] > 0 for r in rows)
