@@ -247,3 +247,114 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_RUNNING_AGG_OUT = (
+    "user_id BIGINT, n_events BIGINT, value_c BIGINT, max_evid BIGINT"
+)
+
+
+def running_agg(
+    stream_df: DataFrame,
+    *,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key running aggregate as a custom stateful operator with an
+    EXACT batch-equivalent end state.
+
+    Input must carry ``(key_col, value_c, event_id)`` with integer
+    ``value_c`` (pre-rounded JVM-side so no float ever accumulates in
+    Python). State per key is one fixed-width (n, value_sum, max_id)
+    tuple; each micro-batch updates it and emits the cumulative row,
+    so the LAST emission per key (max n_events — strictly monotone)
+    equals the batch GROUP BY exactly: integer sums are
+    arrival-order-free, which is what makes a custom stateful
+    streaming operator hash-checkable against a declarative SQL
+    aggregate. At 100 TB the state store holds one fixed-width row
+    per key, RocksDB-backed, partitioned by the same hash shuffle as
+    a batch groupBy.
+
+    Runs on ``applyInPandasWithState`` (Arrow-only runtime). The
+    modern Spark 4 form of the same processor is
+    :func:`running_agg_tws` — this sandbox lacks protobuf, which the
+    transformWithState Python state client requires, so that twin is
+    import-gated and skip-tested (same seam policy as the multimodal
+    codecs).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:  # NoTimeout: never fires
+            return
+        n, vc, me = state.get if state.exists else (0, 0, -1)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            vc += int(pdf["value_c"].sum())
+            me = max(me, int(pdf["event_id"].max()))
+        state.update((n, vc, me))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_c": [vc],
+                "max_evid": [me],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=_RUNNING_AGG_OUT,
+        stateStructType="n BIGINT, vc BIGINT, me BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_agg_tws(
+    stream_df: DataFrame,
+    *,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """:func:`running_agg` on ``transformWithStateInPandas`` — Spark
+    4's arbitrary-stateful-processing API (typed state handles, TTL,
+    timers; successor to applyInPandasWithState). Identical state,
+    emissions, and output schema; parity with the Arrow-only form is
+    asserted in tests/test_streaming.py (skipped where the runtime's
+    protobuf dependency is unavailable, as in this sandbox)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, vc BIGINT, me BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, vc, me = (
+                self._agg.get() if self._agg.exists() else (0, 0, -1)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                vc += int(pdf["value_c"].sum())
+                me = max(me, int(pdf["event_id"].max()))
+            self._agg.update((n, vc, me))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_c": [vc],
+                    "max_evid": [me],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=Proc(),
+        outputStructType=_RUNNING_AGG_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )

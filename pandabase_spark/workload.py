@@ -2338,6 +2338,77 @@ def streaming_dedup_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "streaming_running_agg",
+    "SELECT CAST(user_id AS BIGINT) AS user_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS value_c, "
+    "CAST(MAX(event_id) AS BIGINT) AS max_evid "
+    "FROM events WHERE user_id <= 200 GROUP BY user_id",
+)
+def streaming_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming via ``transformWithStateInPandas``
+    (Spark 4's typed-state processor API) with an EXACT oracle: the
+    per-user running aggregate's end state equals the batch GROUP BY.
+
+    Two availableNow runs over a split source share one checkpoint, so
+    run 2 provably resumes run 1's ValueState. Everything the Python
+    processor accumulates is integral (`value_c` pre-rounded JVM-side,
+    ids as longs) — integer sums are arrival-order-free, which is what
+    lets a stateful streaming operator hash-match a declarative SQL
+    aggregate. The final answer is each key's last emission (max
+    n_events, strictly monotone per emission), picked with max_by."""
+    import tempfile
+
+    from pandabase_spark.streaming import running_agg
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 200)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.round(F.col("value") * 10000).cast("long").alias("value_c"),
+            F.col("event_id").cast("long").alias("event_id"),
+        )
+    )
+    scratch = tempfile.mkdtemp(prefix="pb_runagg_")
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        # append-only emission log (the memory sink cannot recover
+        # from a checkpoint, and checkpoint recovery is the point)
+        bdf.write.mode("append").parquet(f"{scratch}/out")
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(ev.schema).parquet(f"{scratch}/src")
+        q = (
+            running_agg(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
+        )
+        _await(q)
+
+    with _stream_cycle(spark):
+        ev.where(F.col("event_id") % 2 == 0).write.parquet(f"{scratch}/src")
+        run_once()
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(
+            f"{scratch}/src"
+        )
+        run_once()
+
+    return (
+        spark.read.parquet(f"{scratch}/out")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("value_c", "n_events").alias("value_c"),
+            F.max_by("max_evid", "n_events").alias("max_evid"),
+        )
+    )
+
+
 @_q("streaming_sessionize")  # custom stateful operator: rows-only check
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming via applyInPandasWithState: gap-based

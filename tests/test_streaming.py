@@ -219,3 +219,98 @@ def test_sessionize_stateful(spark, tmp_path):
     assert by_user.get(7, 0) >= 1 and by_user.get(8, 0) >= 2
     s7 = out[out.user_id == 7].sort_values("session_start").iloc[0]
     assert s7["n_events"] == 3
+
+
+def _write_running_agg_src(spark, tmp_path, n_users=5, n_events=40):
+    rows = [
+        (i % n_users, (i * 37) % 1000 - 500, i)  # value_c spans negatives
+        for i in range(n_events)
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "value_c", "event_id"])
+    d = tmp_path / "runagg_src"
+    spark.createDataFrame(pdf).selectExpr(
+        "CAST(user_id AS LONG) user_id",
+        "CAST(value_c AS LONG) value_c",
+        "CAST(event_id AS LONG) event_id",
+    ).write.parquet(str(d))
+    return d
+
+
+def _drain_running_agg(spark, src, out, ckpt, impl):
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        impl(stream)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: bdf.write.mode("append").parquet(str(out))
+        )
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return (
+        spark.read.parquet(str(out))
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("value_c", "n_events").alias("value_c"),
+            F.max_by("max_evid", "n_events").alias("max_evid"),
+        )
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+
+def test_running_agg_end_state_equals_batch(spark, tmp_path):
+    """The stateful running aggregate's final emission per key must
+    equal the batch GROUP BY — the exact-oracle contract the gate
+    query relies on."""
+    from pandabase_spark.streaming import running_agg
+
+    src = _write_running_agg_src(spark, tmp_path)
+    got = _drain_running_agg(
+        spark, src, tmp_path / "out", tmp_path / "ck", running_agg
+    )
+    want = (
+        spark.read.parquet(str(src))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_c").alias("value_c"),
+            F.max("event_id").alias("max_evid"),
+        )
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python state client requires protobuf, "
+    "absent in this sandbox (documented seam; Arrow-only twin covers "
+    "the semantics)",
+)
+def test_running_agg_tws_parity(spark, tmp_path):
+    """transformWithStateInPandas twin produces the identical end
+    state as the applyInPandasWithState form."""
+    from pandabase_spark.streaming import running_agg, running_agg_tws
+
+    src = _write_running_agg_src(spark, tmp_path)
+    a = _drain_running_agg(
+        spark, src, tmp_path / "out_a", tmp_path / "ck_a", running_agg
+    )
+    b = _drain_running_agg(
+        spark, src, tmp_path / "out_b", tmp_path / "ck_b", running_agg_tws
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
