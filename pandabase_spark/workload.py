@@ -1080,6 +1080,124 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    from pandabase_spark.operators.zorder import zvalue_sql
+
+    z = zvalue_sql(["l_orderkey", "l_partkey"], bits=[14, 11])
+    return (
+        f"WITH z AS (SELECT l_orderkey, l_partkey, ({z}) AS zv "
+        "FROM lineitem) "
+        "SELECT CAST(zv >> 20 AS BIGINT) AS z_bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(MIN(l_orderkey) AS BIGINT) AS min_ok, "
+        "CAST(MAX(l_orderkey) AS BIGINT) AS max_ok, "
+        "CAST(MIN(l_partkey) AS BIGINT) AS min_pk, "
+        "CAST(MAX(l_partkey) AS BIGINT) AS max_pk "
+        "FROM z GROUP BY 1"
+    )
+
+
+@_q("zorder_bucket_spans", _zorder_oracle())
+def zorder_bucket_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key clustering audit: interleave (l_orderkey, l_partkey)
+    bits into a z-value (pure integer bit arithmetic — bit-identical
+    across engines) and roll up each 2^20-wide z-bucket's row count and
+    per-dimension min/max. The spans show why the layout matters: a
+    z-range bucket bounds BOTH columns, so files written in z order
+    prune on either predicate — single-column sort bounds only itself.
+    The write-side operator is ``operators/zorder.cluster_by_zorder``
+    (range exchange on the z-key + local sorts, no global sort); its
+    file-level pruning effect is pinned in tests/test_operators.py."""
+    from pandabase_spark.operators.zorder import zvalue
+
+    li = load(spark, sf_dir, "lineitem")
+    z = zvalue(["l_orderkey", "l_partkey"], bits=[14, 11])
+    return (
+        li.select("l_orderkey", "l_partkey", z)
+        .groupBy(
+            F.shiftright(F.col("zvalue"), 20).cast("long").alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").cast("long").alias("min_ok"),
+            F.max("l_orderkey").cast("long").alias("max_ok"),
+            F.min("l_partkey").cast("long").alias("min_pk"),
+            F.max("l_partkey").cast("long").alias("max_pk"),
+        )
+    )
+
+
+_CONCURRENCY_ORACLE = """
+WITH d AS (
+  SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + 600000000, -1 FROM events
+), r AS (
+  SELECT t // 3600000000 AS bucket,
+         SUM(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING)
+           AS conc
+  FROM d)
+SELECT CAST(bucket AS BIGINT) AS hour_bucket,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+FROM r GROUP BY 1
+"""
+
+
+@_q("concurrent_sessions_peak", _CONCURRENCY_ORACLE)
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per hour via a DISTRIBUTED sweep line: each
+    event opens a 10-minute activity interval; intervals become ±1
+    delta points; the running sum at a delta point is the live
+    concurrency. The oracle states this as one global running sum —
+    a single total order no cluster should ever execute. The Spark
+    plan is the two-phase distributed prefix sum instead:
+
+      1. per hour-bucket running sum over (t, delta) — one hash
+         exchange on bucket, each partition sorts only its own hour;
+      2. exclusive prefix of per-bucket delta TOTALS — a window over
+         #buckets rows (thousands, not billions) on one tiny exchange;
+      3. bucket offset + local running sum = global concurrency.
+
+    Equivalence holds because every delta point belongs to exactly one
+    bucket and the (t, delta) order is identical (ends sort before
+    starts at the same instant → end-exclusive intervals). Ties among
+    equal (t, delta) rows permute only equal partial sums, so MAX per
+    hour is deterministic. This is the general scalable-cumulative
+    pattern (sessions online, inventory levels, account balances) —
+    the shape that replaces any "ORDER BY over everything" window."""
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = load(spark, sf_dir, "events")
+    deltas = ev.select(us.alias("t"), F.lit(1).alias("delta")).unionAll(
+        ev.select((us + 600_000_000).alias("t"), F.lit(-1).alias("delta"))
+    )
+    deltas = deltas.withColumn("bucket", F.expr("t div 3600000000"))
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("run", F.sum("delta").over(w_local))
+    totals = deltas.groupBy("bucket").agg(F.sum("delta").alias("tot"))
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        local.join(F.broadcast(offsets), on="bucket")
+        .groupBy(F.col("bucket").cast("long").alias("hour_bucket"))
+        .agg(
+            F.max(F.col("run") + F.col("off")).cast("long").alias(
+                "peak_concurrency"
+            )
+        )
+    )
+
+
 @_q(
     "salted_skew_join",
     "SELECT e.event_id, e.user_id, c.c_name "

@@ -298,3 +298,55 @@ def test_approx_percentile_within_tolerance(spark):
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
     ).collect()[0]
     assert abs(got["approx"] - got["exact"]) / got["exact"] <= 0.01
+
+
+def test_zorder_clustering_bounds_both_dims(spark):
+    """cluster_by_zorder must produce partitions whose min/max spans
+    are tight on BOTH interleaved columns (the data-skipping claim),
+    where a single-column sort leaves the other column's span at
+    ~full range. Also: the layout costs exactly one (range) shuffle
+    and no global sort."""
+    from pandabase_spark.operators.zorder import cluster_by_zorder
+    from pandabase_spark.plans import plan_audit
+    from pandabase_spark.workload import load
+    from tests.conftest import SF_DIR
+
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    glob = li.agg(
+        (F.max("l_orderkey") - F.min("l_orderkey")).alias("ok"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("pk"),
+    ).collect()[0]
+
+    def mean_spans(df):
+        rows = (
+            df.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(
+                (F.max("l_orderkey") - F.min("l_orderkey")).alias("ok"),
+                (F.max("l_partkey") - F.min("l_partkey")).alias("pk"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .where(F.col("n") > 100)  # tiny stragglers aren't evidence
+            .collect()
+        )
+        return (
+            sum(r["ok"] for r in rows) / len(rows),
+            sum(r["pk"] for r in rows) / len(rows),
+        )
+
+    zdf = cluster_by_zorder(
+        li, ["l_orderkey", "l_partkey"], bits=[11, 8], num_partitions=32
+    )
+    z_ok, z_pk = mean_spans(zdf)
+    assert z_ok < 0.45 * glob["ok"], (z_ok, glob["ok"])
+    assert z_pk < 0.45 * glob["pk"], (z_pk, glob["pk"])
+
+    one_col = li.repartitionByRange(32, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    )
+    s_ok, s_pk = mean_spans(one_col)
+    assert s_ok < 0.45 * glob["ok"]
+    assert s_pk > 0.8 * glob["pk"], (s_pk, glob["pk"])  # unpruned dim
+
+    a = plan_audit(zdf)
+    assert a.shuffles == 1 and a.single_partition_exchanges == 0

@@ -417,3 +417,16 @@ def test_register_bucketed_rejects_unknown_bucket_col(spark, tmp_path):
     cat.to_table(cust, "w_colo_badcol", keys=["c_custkey"])
     with _pytest.raises(NameError):
         cat.register_bucketed("w_colo_badcol", bucket_cols=["nope"])
+
+
+def test_concurrency_sweep_is_two_phase(spark):
+    """The distributed prefix sum keeps the global total order off the
+    big side: the only single-partition exchange feeds the per-bucket
+    TOTALS window (thousands of rows), while the delta points
+    hash-partition by bucket and the offsets come back broadcast."""
+    a = plan_audit(
+        workload.QUERIES["concurrent_sessions_peak"](spark, SF_DIR)
+    )
+    assert a.single_partition_exchanges == 1
+    assert a.broadcast_joins >= 1
+    assert a.join_safe and a.window_nodes >= 2
