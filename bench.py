@@ -114,6 +114,11 @@ def main() -> None:
     for q in ("session_windows_events", "top_words"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
 
+    # --- round-4 additions: decorrelation, layout, scalable cumsum ---
+    for q in ("q21_waiting_suppliers", "concurrent_sessions_peak",
+              "zorder_bucket_spans", "training_shard_manifest"):
+        timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
+
     # --- LLM-pipeline ---
     for q in ("dedup_content_hash", "minhash_lsh_neardup",
               "winnow_match_pairs", "doc_profile", "bpe_token_stats",
