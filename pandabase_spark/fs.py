@@ -116,3 +116,54 @@ class HadoopFS:
                 fs.delete(jp, False)
             if not fs.rename(jtmp, jp):
                 raise IOError(f"rename {tmp} -> {p} failed") from ex
+
+    def write_text_if_absent(self, p: str, text: str) -> bool:
+        """Atomically create ``p`` with ``text``; False if ``p``
+        already exists — put-if-absent, the primitive an optimistic
+        commit protocol needs (Delta's log store contract). Uses
+        FileContext rename WITHOUT the OVERWRITE option, which the
+        filesystem rejects atomically when the destination exists
+        (HDFS/local); on schemes without a FileContext binding the
+        fallback is exists-check + no-overwrite rename — best effort,
+        same as any object store without conditional puts."""
+        import uuid
+
+        if self.exists(p):
+            return False
+        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        fs = self._fs(tmp)
+        out = fs.create(self._jpath(tmp), True)
+        try:
+            out.write(text.encode("utf-8"))
+        finally:
+            out.close()
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._jpath(tmp).toUri(), self._conf
+            )
+            gw = self._spark.sparkContext._gateway
+            opts = gw.new_array(
+                self._jvm.org.apache.hadoop.fs.Options.Rename, 1
+            )
+            opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.NONE
+            try:
+                fc.rename(self._jpath(tmp), self._jpath(p), opts)
+            except Exception as rex:
+                if "AlreadyExists" in str(rex) or "already exists" in str(
+                    rex
+                ):
+                    fs.delete(self._jpath(tmp), False)
+                    return False
+                raise
+            return True
+        except Exception as ex:
+            if "UnsupportedFileSystemException" not in str(ex):
+                raise
+            jp, jtmp = self._jpath(p), self._jpath(tmp)
+            if fs.exists(jp):
+                fs.delete(jtmp, False)
+                return False
+            if not fs.rename(jtmp, jp):
+                fs.delete(jtmp, False)
+                return False
+            return True

@@ -108,6 +108,16 @@ class IntegrityError(ValueError):
     """
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A commit raced a COMPLETED commit from another writer and lost
+    the put-if-absent claim on its version file (see
+    :meth:`KeyedCatalog._commit`). Re-read the table and retry —
+    the optimistic-concurrency loop every log-structured lakehouse
+    format (Delta/Iceberg) prescribes. The reference gets this from
+    the database's transactions (reference:pandabase/sql.py:261);
+    here the manifest log provides it."""
+
+
 @dataclass
 class TableMeta:
     keys: list[str]
@@ -249,17 +259,31 @@ class KeyedCatalog:
         return json.loads(self.fs.read_text(p))
 
     def _commit(self, table_name: str, segments: dict[str, list[int]], v: int) -> None:
-        """THE commit point: atomic overwrite-rename of the manifest.
+        """THE commit point, with optimistic concurrency detection.
 
-        A versioned copy lands in ``_pb_log/`` FIRST (history for
-        time-travel reads), then the current-pointer rename publishes
-        the snapshot. A crash between the two leaves an unreferenced
-        history file for a version that was never current — harmless,
-        and overwritten verbatim if the writer retries."""
+        The versioned history file is claimed with PUT-IF-ABSENT
+        (Delta's log-store contract): the first writer to create
+        ``{v+1}.json`` owns version v+1. If the claim fails and the
+        CURRENT pointer has already advanced past ``v``, another
+        writer completed a commit we never saw — raising
+        :class:`ConcurrentWriteError` instead of silently overwriting
+        turns a lost update into a retryable error (re-read the
+        snapshot, re-plan, re-commit). If the pointer still reads
+        ``v``, the existing file is an orphan from a writer that
+        crashed between the two steps — reclaimed verbatim, preserving
+        the documented crash-retry behavior. In-flight ties inside
+        that window remain governed by the single-writer contract;
+        completed commits are always detected."""
         doc = json.dumps({"v": v + 1, "segments": segments})
-        self.fs.write_text_atomic(
-            f"{self._path(table_name)}/{LOG_DIR}/{v + 1:010d}.json", doc
-        )
+        vpath = f"{self._path(table_name)}/{LOG_DIR}/{v + 1:010d}.json"
+        if not self.fs.write_text_if_absent(vpath, doc):
+            cur = self._manifest(table_name)["v"]
+            if cur != v:
+                raise ConcurrentWriteError(
+                    f"commit of {table_name} v{v + 1} lost: table is at "
+                    f"v{cur} (another writer committed). Re-read and retry."
+                )
+            self.fs.write_text_atomic(vpath, doc)  # crashed-writer orphan
         self.fs.write_text_atomic(f"{self._path(table_name)}/{LOG_FILE}", doc)
 
     def history(self, table_name: str, *, schema: str | None = None) -> list[dict]:

@@ -350,3 +350,27 @@ def test_zorder_clustering_bounds_both_dims(spark):
 
     a = plan_audit(zdf)
     assert a.shuffles == 1 and a.single_partition_exchanges == 0
+
+
+def test_zvalue_bijective_and_decodable(spark):
+    """For in-domain pairs the Morton key is a bijection: 500 seeded
+    random (a, b) pairs produce 500 distinct z-values, and de-
+    interleaving the bits (accounting for width normalization)
+    recovers exactly (a, b)."""
+    import random
+
+    from pandabase_spark.operators.zorder import zvalue
+
+    rng = random.Random(42)
+    wa, wb = 11, 8
+    pairs = list({(rng.randrange(1 << wa), rng.randrange(1 << wb))
+                  for _ in range(500)})
+    df = spark.createDataFrame(pairs, "a LONG, b LONG")
+    rows = df.select("a", "b", zvalue(["a", "b"], bits=[wa, wb])).collect()
+    assert len({r["zvalue"] for r in rows}) == len(pairs)
+    w = max(wa, wb)
+    for r in rows:
+        z = r["zvalue"]
+        na = sum(((z >> (2 * i)) & 1) << i for i in range(w))
+        nb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(w))
+        assert na >> (w - wa) == r["a"] and nb >> (w - wb) == r["b"]

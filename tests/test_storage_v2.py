@@ -369,3 +369,55 @@ def test_clone_of_version_and_of_clone(spark, catalog):
         sorted(catalog.read_table("vt_v1b").collect())
         == sorted(catalog.read_table("vt_v1").collect())
     )
+
+
+def test_commit_detects_completed_concurrent_writer(spark, catalog):
+    """A commit based on a stale snapshot must raise
+    ConcurrentWriteError once another writer's commit COMPLETED —
+    never silently overwrite the log (lost update)."""
+    import pytest as _pytest
+
+    from pandabase_spark.io import ConcurrentWriteError
+
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    catalog.to_table(df, "occ_t", keys=["k"])                    # v1
+    catalog.to_table(
+        df.withColumn("k", F.col("k") + 100), "occ_t",
+        keys=["k"], how="append",
+    )                                                            # v2
+    with _pytest.raises(ConcurrentWriteError, match="v2"):
+        catalog._commit("occ_t", {"seg-bogus": [0]}, v=1)        # stale base
+    # the losing commit must not have clobbered the current snapshot
+    assert catalog._manifest("occ_t")["v"] == 2
+    assert catalog.read_table("occ_t").count() == 20
+
+
+def test_commit_reclaims_crashed_writer_orphan(spark, catalog):
+    """A history file whose version never became current (writer
+    crashed between the two commit steps) is reclaimed verbatim by
+    the next committer instead of raising."""
+    import json
+
+    from pandabase_spark.io import LOG_DIR
+
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    catalog.to_table(df, "occ_o", keys=["k"])                    # v1
+    # simulate the crash: v2 history exists, current pointer still v1
+    orphan = f"{catalog._path('occ_o')}/{LOG_DIR}/0000000002.json"
+    catalog.fs.write_text_atomic(
+        orphan, json.dumps({"v": 2, "segments": {"seg-ghost": [0]}})
+    )
+    catalog.to_table(
+        df.withColumn("k", F.col("k") + 100), "occ_o",
+        keys=["k"], how="append",
+    )
+    man = catalog._manifest("occ_o")
+    assert man["v"] == 2 and "seg-ghost" not in man["segments"]
+    assert catalog.read_table("occ_o").count() == 20
+
+
+def test_write_text_if_absent_put_semantics(spark, catalog):
+    p = f"{catalog.warehouse}/_occ_probe.json"
+    assert catalog.fs.write_text_if_absent(p, "a") is True
+    assert catalog.fs.write_text_if_absent(p, "b") is False
+    assert catalog.fs.read_text(p) == "a"
