@@ -374,3 +374,51 @@ def test_zvalue_bijective_and_decodable(spark):
         na = sum(((z >> (2 * i)) & 1) << i for i in range(w))
         nb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(w))
         assert na >> (w - wa) == r["a"] and nb >> (w - wb) == r["b"]
+
+
+def test_udaf_seam_matches_builtin_twin(spark):
+    """The grouped-agg pandas UDAF (Python seam) and its Catalyst twin
+    must agree exactly; the twin is the production path."""
+    from pandabase_spark.functions.seams import (
+        weighted_mean_builtin, weighted_mean_udaf,
+    )
+    from pandabase_spark.workload import load
+    from tests.conftest import SF_DIR
+
+    li = load(spark, SF_DIR, "lineitem").where(F.col("l_orderkey") <= 200)
+    a = (
+        li.groupBy("l_returnflag")
+        .agg(weighted_mean_udaf()("l_extendedprice", "l_quantity")
+             .alias("wmean"))
+        .toPandas().set_index("l_returnflag").sort_index()
+    )
+    b = (
+        li.groupBy("l_returnflag")
+        .agg(weighted_mean_builtin("l_extendedprice", "l_quantity"))
+        .toPandas().set_index("l_returnflag").sort_index()
+    )
+    assert (a["wmean"] - b["wmean"]).abs().max() < 1e-9
+
+
+def test_udtf_seam_matches_builtin_twin(spark):
+    from pandabase_spark.functions.seams import (
+        sentence_udtf, sentences_builtin,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "One. Two.  Three."), (2, "Solo"), (3, ". .")],
+        "id INT, text STRING",
+    )
+    spark.udtf.register("pb_sentences", sentence_udtf())
+    df.createOrReplaceTempView("pb_udtf_in")
+    a = spark.sql(
+        "SELECT id, s.pos, s.sentence FROM pb_udtf_in, "
+        "LATERAL pb_sentences(text) s"
+    ).toPandas().sort_values(["id", "pos"], ignore_index=True)
+    b = (
+        df.select("id", *sentences_builtin("text"))
+        .toPandas().sort_values(["id", "pos"], ignore_index=True)
+    )
+    import pandas as _pd
+
+    _pd.testing.assert_frame_equal(a, b, check_dtype=False)
