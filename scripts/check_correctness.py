@@ -73,9 +73,11 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -122,7 +124,7 @@ def main() -> int:
             print(f"FAIL  {name}: {why}{dt_note}")
 
     print(
-        f"\n{len(qs) - len(failures)}/{len(qs)} clean; "
+        f"\n{n_run - len(failures)}/{n_run} clean; "
         f"failures: {failures if failures else 'none'}"
     )
     return 1 if failures else 0
