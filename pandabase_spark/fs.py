@@ -72,6 +72,14 @@ class HadoopFS:
             if s.isFile()
         )
 
+    def du(self, p: str) -> int:
+        """Total bytes under ``p`` (0 if absent) — getContentSummary,
+        one namenode call, no client-side recursion."""
+        if not self.exists(p):
+            return 0
+        fs = self._fs(p)
+        return fs.getContentSummary(self._jpath(p)).getLength()
+
     def read_text(self, p: str) -> str:
         # a py4j byte[] argument is passed by value, so readFully into a
         # Python buffer can't work — let the JVM produce the String

@@ -409,34 +409,70 @@ class KeyedCatalog:
         )
 
     def compact(
-        self, table_name: str, *, vacuum: bool = True, schema: str | None = None
+        self,
+        table_name: str,
+        *,
+        vacuum: bool = True,
+        schema: str | None = None,
+        target_bytes: int | None = None,
     ) -> int:
-        """OPTIMIZE: rewrite all live data into one fresh segment.
+        """OPTIMIZE: merge live segments into fewer, larger ones.
 
         Repeated upserts/appends grow the live (segment, bucket) path
-        count — each read then opens more, smaller files. Compaction
-        reads every live path once, writes a single segment owning all
-        buckets, and commits the swap atomically (same crash-safety as
-        any other write: old state intact until the manifest rename).
-        Returns the number of segments replaced. Run it like VACUUM/
-        OPTIMIZE in any LSM/log-structured store — periodically, or when
-        ``len(manifest['segments'])`` crosses a threshold.
+        count — each read then opens more, smaller files. With
+        ``target_bytes=None`` every live segment is rewritten into ONE
+        fresh segment — fine for small tables, impossible at 100 TB.
+        With ``target_bytes`` set, only segments SMALLER than the
+        target are merged (≥2 required) and full-sized segments are
+        left untouched: maintenance IO is bounded by the small-file
+        backlog, not the table — the LSM/Delta-OPTIMIZE bin-packing
+        shape, runnable incrementally forever. Either way the swap
+        commits atomically (old snapshot intact until the manifest
+        rename; a racing completed commit raises
+        :class:`ConcurrentWriteError` rather than losing data).
+        Returns the number of segments replaced.
         """
         table_name = self._qualify(table_name, schema)
         m = self.meta(table_name)
         man = self._manifest(table_name)
-        n_before = len(man["segments"])
-        if n_before <= 1:
+        segs: dict[str, list[int]] = man["segments"]
+        if target_bytes is None:
+            chosen = list(segs)
+        else:
+            chosen = [
+                s
+                for s in segs
+                if self.fs.du(
+                    f"{self.warehouse}/{s}"
+                    if "/" in s
+                    else f"{self._path(table_name)}/{s}"
+                )
+                < target_bytes
+            ]
+        if len(chosen) <= 1:
             return 0
-        all_rows = self._read_raw(table_name)
-        seg, buckets = self._write_segment(all_rows, table_name, m)
+        paths = [
+            (
+                f"{self.warehouse}/{s}/{PART_DIR}={b}"
+                if "/" in s
+                else f"{self._path(table_name)}/{s}/{PART_DIR}={b}"
+            )
+            for s in chosen
+            for b in segs[s]
+        ]
+        rows = self.spark.read.schema(m.schema).parquet(*paths)
+        seg, buckets = self._write_segment(rows, table_name, m)
         # re-read the manifest: committing against the version we read
         # keeps the single-writer contract explicit
         man = self._manifest(table_name)
-        self._commit(table_name, {seg: buckets}, v=man["v"])
+        merged = {
+            s: bs for s, bs in man["segments"].items() if s not in chosen
+        }
+        merged[seg] = buckets
+        self._commit(table_name, merged, v=man["v"])
         if vacuum:
             self.vacuum(table_name)
-        return n_before
+        return len(chosen)
 
     def clone_table(
         self,

@@ -421,3 +421,35 @@ def test_write_text_if_absent_put_semantics(spark, catalog):
     assert catalog.fs.write_text_if_absent(p, "a") is True
     assert catalog.fs.write_text_if_absent(p, "b") is False
     assert catalog.fs.read_text(p) == "a"
+
+
+def test_incremental_compact_merges_only_small_segments(spark, catalog):
+    """target_bytes compaction: the small-file backlog merges into one
+    segment while the full-sized base segment is left untouched —
+    bounded-IO maintenance, and the table's content is unchanged."""
+    big = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    catalog.to_table(big, "inc_c", keys=["k"])
+    base_seg = set(catalog._manifest("inc_c")["segments"])
+    for i in range(3):
+        patch = spark.range(50).select(
+            (F.col("id") + 100_000 + i * 1000).alias("k"),
+            F.lit(-1).alias("v"),
+        )
+        catalog.to_table(patch, "inc_c", keys=["k"], how="append")
+    assert len(catalog._manifest("inc_c")["segments"]) == 4
+    big_bytes = catalog.fs.du(
+        f"{catalog._path('inc_c')}/{next(iter(base_seg))}"
+    )
+    replaced = catalog.compact("inc_c", target_bytes=big_bytes)
+    assert replaced == 3
+    man = catalog._manifest("inc_c")
+    assert len(man["segments"]) == 2 and base_seg <= set(man["segments"])
+    assert catalog.read_table("inc_c").count() == 20_000 + 150
+    # idempotent: nothing small left to merge
+    assert catalog.compact("inc_c", target_bytes=big_bytes) == 0
+    # and the unbounded form still collapses everything to one
+    assert catalog.compact("inc_c") == 2
+    assert len(catalog._manifest("inc_c")["segments"]) == 1
+    assert catalog.read_table("inc_c").count() == 20_000 + 150
