@@ -125,3 +125,55 @@ def forward_fill(
     for c in value_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def linear_interpolate(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Pandas-style ``interpolate(method='time')`` per group: each null
+    value becomes the time-weighted blend of its nearest non-null
+    neighbors, ``prev + (next - prev) * (t - t_prev) / (t_next -
+    t_prev)``; rows before the first (after the last) observation take
+    the first (last) one — pandas' edge behavior under
+    ``limit_direction='both'``.
+
+    TWO windows over one hash shuffle on the group key: an unbounded-
+    preceding ``last(ignorenulls)`` pass carries (prev value, prev ts)
+    forward and an unbounded-following ``first(ignorenulls)`` pass
+    carries (next value, next ts) backward — no self-joins, no UDF,
+    fully codegen'd. ``ts_col`` must be numeric (epoch); keep it
+    integral so the blend weights are exact ratios of longs.
+    """
+    out_col = out_col or value_col
+    prev_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    next_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    obs_ts = F.when(v.isNotNull(), F.col(ts_col))
+    prev_v = F.last(v, ignorenulls=True).over(prev_w)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(prev_w)
+    next_v = F.first(v, ignorenulls=True).over(next_w)
+    next_t = F.first(obs_ts, ignorenulls=True).over(next_w)
+    blend = prev_v + (next_v - prev_v) * (
+        (F.col(ts_col) - prev_t).cast("double")
+        / (next_t - prev_t).cast("double")
+    )
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)       # before first observation
+        .when(next_v.isNull(), prev_v)       # after last observation
+        .otherwise(blend)
+    )
+    return df.withColumn(out_col, interp)

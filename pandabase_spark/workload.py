@@ -2273,6 +2273,87 @@ def events_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERP_ORACLE = """
+WITH binned AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bin_epoch,
+         SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(bin_epoch) AS lo, max(bin_epoch) AS hi
+  FROM binned GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         CAST(unnest(range(lo, hi + 3600, 3600)) AS BIGINT) AS bin_epoch
+  FROM spans
+), j AS (
+  SELECT sp.event_type, sp.bin_epoch, b.v
+  FROM spine sp LEFT JOIN binned b
+    ON b.event_type = sp.event_type AND b.bin_epoch = sp.bin_epoch
+), w AS (
+  SELECT event_type, bin_epoch, v,
+    last_value(v IGNORE NULLS) OVER pre AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN bin_epoch END IGNORE NULLS)
+      OVER pre AS pt,
+    first_value(v IGNORE NULLS) OVER post AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN bin_epoch END IGNORE NULLS)
+      OVER post AS nt
+  FROM j
+  WINDOW pre AS (PARTITION BY event_type ORDER BY bin_epoch
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         post AS (PARTITION BY event_type ORDER BY bin_epoch
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bin_epoch,
+  CAST(CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * (CAST(bin_epoch - pt AS DOUBLE)
+                                   / CAST(nt - pt AS DOUBLE))
+       END AS DOUBLE) AS value_interp
+FROM w
+"""
+
+
+@_q("events_linear_interpolate", _INTERP_ORACLE)
+def events_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas ``interpolate(method='time')`` made distributed: hourly
+    per-type averages, gaps densified with a per-group sequence spine,
+    missing hours filled with the time-weighted blend of the nearest
+    observations (edge hours take the nearest one, pandas
+    limit_direction='both'). Two ignorenulls windows over ONE shuffle
+    on the group key — no self-join, no UDF. The hourly aggregate is
+    an exact integer (per-event 1e-4 units, order-free long sum) and
+    the blend weights are ratios of integral epochs, so the output
+    doubles are BIT-identical across engines — no rounding of a
+    computed float anywhere (a second ROUND on the blend flips the
+    last digit between Spark's decimal HALF_UP and DuckDB's
+    scaled-double round)."""
+    from pandabase_spark.operators.timeseries import (
+        fill_gaps, linear_interpolate, resample,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 10000).cast("long")
+    )
+    binned = resample(
+        ev, ts_col="ts", interval_seconds=3600, group_cols=["event_type"],
+        aggs={"v": F.sum("value_c")},
+    )
+    dense = fill_gaps(
+        binned, interval_seconds=3600, group_cols=["event_type"],
+        fill={"v": None},
+    )
+    out = linear_interpolate(
+        dense, ts_col="bin_epoch", value_col="v",
+        group_cols=["event_type"], out_col="value_interp",
+    )
+    return out.select(
+        "event_type", "bin_epoch",
+        F.col("value_interp").cast("double").alias("value_interp"),
+    )
+
+
 @_q(
     "streaming_upsert_events",
     "SELECT count(*) AS n_rows, ROUND(SUM(value), 2) AS value_sum, "

@@ -98,3 +98,46 @@ def test_forward_fill_semantics(spark):
     )
     got = {r["id"]: r["v"] for r in out.collect()}
     assert got == {1: None, 2: 5.0, 3: 5.0, 4: 7.0, 5: 7.0, 6: None}
+
+
+def test_linear_interpolate_matches_pandas(spark):
+    """linear_interpolate must equal pandas interpolate(method='index',
+    limit_direction='both') per group, including edge extrapolation
+    and irregular spacing."""
+    import numpy as np
+    import pandas as pd
+
+    from pandabase_spark.operators.timeseries import linear_interpolate
+
+    rows = []
+    for g, series in {
+        "a": [(0, 10.0), (10, None), (20, None), (30, 40.0), (45, None),
+              (50, 0.0)],
+        "b": [(0, None), (5, 2.0), (10, None)],          # both edges
+        "c": [(0, None), (7, None)],                     # all null
+    }.items():
+        rows += [(g, t, v) for t, v in series]
+    pdf = pd.DataFrame(rows, columns=["g", "t", "v"])
+    sdf = spark.createDataFrame(pdf.astype({"t": "int64"}))
+    got = (
+        linear_interpolate(
+            sdf, ts_col="t", value_col="v", group_cols=["g"], out_col="vi"
+        )
+        .toPandas()
+        .sort_values(["g", "t"], ignore_index=True)
+    )
+    want_parts = []
+    for g, grp in pdf.groupby("g"):
+        s = grp.set_index("t")["v"]
+        want_parts.append(
+            s.interpolate(method="index", limit_direction="both")
+            .rename("vi").reset_index().assign(g=g)
+        )
+    want = (
+        pd.concat(want_parts)[["g", "t", "vi"]]
+        .sort_values(["g", "t"], ignore_index=True)
+    )
+    a, b = got["vi"].to_numpy(), want["vi"].to_numpy()
+    assert ((np.isnan(a) & np.isnan(b)) | (np.abs(a - b) < 1e-12)).all(), (
+        got, want,
+    )
