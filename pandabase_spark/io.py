@@ -993,6 +993,123 @@ class KeyedCatalog:
         segments[seg] = buckets
         self._commit(table_name, segments, v=man["v"])
 
+    def delete_rows(
+        self,
+        table_name: str,
+        predicate: "str | Column",
+        *,
+        schema: str | None = None,
+    ) -> int:
+        """DELETE FROM table WHERE predicate — bucket-pruned rewrite.
+
+        Only buckets holding at least one matching row are rewritten
+        (matches found with one pruned pass; at 100 TB the rewrite IO
+        is proportional to the touched data, not the table). Survivors
+        of the touched buckets land in a new segment and the manifest
+        swap is the same atomic commit as every other write, so the
+        delete is all-or-nothing and time travel keeps the pre-delete
+        snapshot. Returns the number of rows deleted. The reference
+        has no row-delete at all (only ``drop_db_table``,
+        reference:pandabase/util.py:5-20) — extension surface, the
+        Delta/Iceberg ``DELETE`` shape."""
+        table_name = self._qualify(table_name, schema)
+        m = self.meta(table_name)
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        full = self._read_raw(table_name)
+        hits = full.where(pred)
+        touched = [
+            r[0]
+            for r in hits.select(
+                _bucket_expr(m.keys, m.num_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return 0
+        existing = self._read_raw(table_name, buckets=touched)
+        n_deleted = existing.where(pred).count()
+        # SQL DELETE semantics: remove only rows where the predicate is
+        # TRUE — a NULL predicate keeps the row (~pred alone would drop
+        # NULL-predicate rows from both sides and silently lose data)
+        survivors = existing.where(~F.coalesce(pred, F.lit(False)))
+        man = self._manifest(table_name)
+        touched_set = set(touched)
+        segments: dict[str, list[int]] = {}
+        for old_seg, bs in man["segments"].items():
+            keep = [b for b in bs if b not in touched_set]
+            if keep:
+                segments[old_seg] = keep
+        if survivors.head(1):
+            seg, buckets = self._write_segment(survivors, table_name, m)
+            segments[seg] = buckets
+        self._commit(table_name, segments, v=man["v"])
+        return n_deleted
+
+    def update_rows(
+        self,
+        table_name: str,
+        predicate: "str | Column",
+        assignments: "dict[str, str | Column]",
+        *,
+        schema: str | None = None,
+    ) -> int:
+        """UPDATE table SET col = expr, ... WHERE predicate — the same
+        bucket-pruned rewrite as :meth:`delete_rows`, with matching
+        rows re-projected through the assignments instead of dropped.
+        Key columns cannot be assigned (that is an upsert/delete+insert,
+        not an update). Returns the number of rows updated."""
+        table_name = self._qualify(table_name, schema)
+        m = self.meta(table_name)
+        bad = [c for c in assignments if c in m.keys]
+        if bad:
+            raise NameError(f"cannot UPDATE key columns: {bad}")
+        unknown = [
+            c for c in assignments if c not in m.schema.fieldNames()
+        ]
+        if unknown:
+            raise NameError(f"UPDATE of unknown columns: {unknown}")
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        full = self._read_raw(table_name)
+        touched = [
+            r[0]
+            for r in full.where(pred)
+            .select(_bucket_expr(m.keys, m.num_buckets).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return 0
+        existing = self._read_raw(table_name, buckets=touched)
+        n_updated = existing.where(pred).count()
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        schema_t = self._table_schema(table_name)
+        updated = existing.select(
+            *[
+                (
+                    F.when(pred, exprs[c]).otherwise(F.col(c))
+                    .cast(schema_t[c].dataType).alias(c)
+                    if c in exprs
+                    else F.col(c)
+                )
+                for c in existing.columns
+            ]
+        )
+        seg, buckets = self._write_segment(updated, table_name, m)
+        man = self._manifest(table_name)
+        touched_set = set(touched)
+        segments = {
+            old_seg: keep
+            for old_seg, bs in man["segments"].items()
+            if (keep := [b for b in bs if b not in touched_set])
+        }
+        segments[seg] = buckets
+        self._commit(table_name, segments, v=man["v"])
+        return n_updated
+
     # ------------------------------------------------------------------
     # read path (reference:pandabase/sql.py:349-506 read_sql)
     # ------------------------------------------------------------------

@@ -223,6 +223,48 @@ def _ntok(c: str) -> str:
 # keyed-table family (reference parity: SURVEY.md §2 Table A)
 # ---------------------------------------------------------------------------
 
+@_q(
+    "kt_delete_rows",
+    "SELECT * FROM customer WHERE NOT (c_acctbal < 0)",
+)
+def kt_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM ... WHERE — bucket-pruned rewrite with SQL null
+    semantics (only predicate-TRUE rows go), atomic manifest swap,
+    pre-delete snapshot kept for time travel. The reference can only
+    drop whole tables (reference:pandabase/util.py:5-20)."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_del_cust")
+    cat.to_table(
+        load(spark, sf_dir, "customer"), "w_del_cust", keys=["c_custkey"]
+    )
+    cat.delete_rows("w_del_cust", "c_acctbal < 0")
+    return cat.read_table("w_del_cust")
+
+
+@_q(
+    "kt_update_rows",
+    "SELECT c_custkey, c_name, c_nationkey, "
+    "CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal, "
+    "CASE WHEN c_acctbal < 0 THEN 'DORMANT' ELSE c_mktsegment END "
+    "AS c_mktsegment FROM customer",
+)
+def kt_update_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE — the same bucket-pruned rewrite as
+    delete, with matched rows re-projected through the assignment
+    expressions (key columns refused). Unmatched buckets untouched."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_upd_cust")
+    cat.to_table(
+        load(spark, sf_dir, "customer"), "w_upd_cust", keys=["c_custkey"]
+    )
+    cat.update_rows(
+        "w_upd_cust",
+        "c_acctbal < 0",
+        {"c_acctbal": "0.0", "c_mktsegment": "'DORMANT'"},
+    )
+    return cat.read_table("w_upd_cust")
+
+
 @_q("kt_roundtrip_create", "SELECT * FROM customer")
 def kt_roundtrip_create(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A7: create_only + full-scan read (reference:pandabase/

@@ -453,3 +453,41 @@ def test_incremental_compact_merges_only_small_segments(spark, catalog):
     assert catalog.compact("inc_c") == 2
     assert len(catalog._manifest("inc_c")["segments"]) == 1
     assert catalog.read_table("inc_c").count() == 20_000 + 150
+
+
+def test_delete_rows_null_predicate_keeps_rows(spark, catalog):
+    """SQL DELETE semantics: a NULL-valued predicate keeps the row;
+    bucket pruning leaves untouched segments alone; time travel still
+    reads the pre-delete snapshot."""
+    pdf = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "v": [10.0, -5.0, None, -1.0]}
+    )
+    catalog.to_table(spark.createDataFrame(pdf), "del_t", keys=["k"])
+    n = catalog.delete_rows("del_t", "v < 0")
+    assert n == 2
+    left = {
+        r["k"]: r["v"] for r in catalog.read_table("del_t").collect()
+    }
+    assert set(left) == {1, 3}          # NULL predicate row survived
+    assert left[3] is None
+    # pre-delete snapshot intact
+    assert catalog.read_table("del_t", version=1).count() == 4
+    # no matches -> version unchanged, nothing rewritten
+    v = catalog._manifest("del_t")["v"]
+    assert catalog.delete_rows("del_t", "v > 1e9") == 0
+    assert catalog._manifest("del_t")["v"] == v
+
+
+def test_update_rows_guards_and_semantics(spark, catalog):
+    import pytest as _pytest
+
+    pdf = pd.DataFrame({"k": [1, 2, 3], "v": [1.0, -2.0, None]})
+    catalog.to_table(spark.createDataFrame(pdf), "upd_t", keys=["k"])
+    with _pytest.raises(NameError, match="key columns"):
+        catalog.update_rows("upd_t", "v < 0", {"k": "0"})
+    with _pytest.raises(NameError, match="unknown"):
+        catalog.update_rows("upd_t", "v < 0", {"nope": "0"})
+    n = catalog.update_rows("upd_t", "v < 0", {"v": "v * 10"})
+    assert n == 1
+    got = {r["k"]: r["v"] for r in catalog.read_table("upd_t").collect()}
+    assert got[1] == 1.0 and got[2] == -20.0 and got[3] is None
