@@ -76,7 +76,7 @@ from __future__ import annotations
 import json
 import uuid
 from dataclasses import dataclass, field
-from typing import Any, Sequence
+from typing import Any, Mapping, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -124,6 +124,7 @@ class TableMeta:
     auto_index: bool
     num_buckets: int
     schema_json: str = ""
+    constraints: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -132,6 +133,7 @@ class TableMeta:
     def from_json(cls, s: str) -> "TableMeta":
         d = json.loads(s)
         d.setdefault("schema_json", "")
+        d.setdefault("constraints", {})
         return cls(**d)
 
     @property
@@ -621,8 +623,16 @@ class KeyedCatalog:
         add_new_columns: bool = False,
         num_buckets: int | None = None,
         schema: str | None = None,
+        constraints: Mapping[str, str] | None = None,
     ) -> None:
         """Write a DataFrame into a keyed table.
+
+        ``constraints`` (create only): named CHECK expressions every
+        row of every future write must satisfy (TRUE — a NULL result
+        is a violation, Delta's CHECK rule); violating batches raise
+        :class:`IntegrityError` before anything is written. Manage on
+        an existing table with :meth:`add_constraint` /
+        :meth:`drop_constraint`.
 
         pandas input follows the reference's index-as-key convention
         (reference:pandabase/sql.py:52): a named (Multi)Index becomes the
@@ -644,7 +654,7 @@ class KeyedCatalog:
             self._to_table_checked(
                 df, self._qualify(table_name, schema), keys=keys, how=how,
                 auto_index=auto_index, add_new_columns=add_new_columns,
-                num_buckets=num_buckets,
+                num_buckets=num_buckets, constraints=constraints,
             )
         finally:
             self._release_staged()
@@ -664,8 +674,14 @@ class KeyedCatalog:
         auto_index: bool,
         add_new_columns: bool,
         num_buckets: int | None,
+        constraints: Mapping[str, str] | None = None,
     ) -> None:
         exists = self.has_table(table_name)
+        if exists and constraints:
+            raise NameError(
+                "constraints are declared at create time; use "
+                "add_constraint/drop_constraint on an existing table"
+            )
         target_schema = self.meta(table_name).schema if exists else None
         sdf, keys = self._normalize_input(df, keys, auto_index, target_schema)
         for k in keys:
@@ -683,7 +699,10 @@ class KeyedCatalog:
                 f"table {table_name} already exists; how='create_only' forbids this"
             )
         if not exists:
-            self._create(sdf, table_name, keys, auto_index, num_buckets)
+            self._create(
+                sdf, table_name, keys, auto_index, num_buckets,
+                constraints=constraints,
+            )
             return
 
         m = self.meta(table_name)
@@ -876,6 +895,7 @@ class KeyedCatalog:
         keys: Sequence[str],
         auto_index: bool,
         num_buckets: int | None,
+        constraints: Mapping[str, str] | None = None,
     ) -> None:
         self._check_unique(sdf, keys)
         m = TableMeta(
@@ -883,7 +903,9 @@ class KeyedCatalog:
             auto_index=auto_index,
             num_buckets=num_buckets or self.default_buckets,
             schema_json=json.dumps(sdf.schema.jsonValue()),
+            constraints=dict(constraints or {}),
         )
+        self._check_constraints(sdf, m)
         seg, buckets = self._write_segment(sdf, table_name, m)
         self._write_meta(table_name, m)
         self._commit(table_name, {seg: buckets}, v=0)
@@ -923,6 +945,7 @@ class KeyedCatalog:
         batch against ONLY the buckets it hashes into (manifest path
         pruning), then commits a new segment — no rewrite of existing
         data."""
+        self._check_constraints(sdf, m)
         if m.auto_index:
             base_row = (
                 self._read_raw(table_name).agg(F.max(AUTO_INDEX_NAME)).collect()[0][0]
@@ -975,6 +998,7 @@ class KeyedCatalog:
             batch_full = sdf.join(carried, on=list(m.keys), how="left")
         else:
             batch_full = sdf
+        self._check_constraints(batch_full, m)
         survivors = existing.join(
             sdf.select(*m.keys), on=list(m.keys), how="left_anti"
         )
@@ -992,6 +1016,78 @@ class KeyedCatalog:
                 segments[old_seg] = keep
         segments[seg] = buckets
         self._commit(table_name, segments, v=man["v"])
+
+    def _complete_to_schema(
+        self, sdf: DataFrame, schema: T.StructType
+    ) -> DataFrame:
+        """Null-fill table columns absent from a batch (the all-null
+        column drop and partial-column writes make batches narrower
+        than the table) so expressions over the full schema resolve."""
+        missing = [f for f in schema.fields if f.name not in sdf.columns]
+        for f in missing:
+            sdf = sdf.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return sdf
+
+    def _check_constraints(self, sdf: DataFrame, m: TableMeta) -> None:
+        """One aggregation pass counting violations of every declared
+        CHECK (NULL counts as a violation, per Delta); raises
+        IntegrityError naming each violated constraint. Callers pass
+        the EFFECTIVE row state (post-merge for upserts, null-completed
+        for appends) so constraints see what the table will contain."""
+        if not m.constraints:
+            return
+        sdf = self._complete_to_schema(sdf, m.schema)
+        aggs = [
+            F.sum(
+                (~F.coalesce(F.expr(expr), F.lit(False))).cast("long")
+            ).alias(name)
+            for name, expr in m.constraints.items()
+        ]
+        row = sdf.agg(*aggs).collect()[0]
+        bad = {
+            name: int(row[name])
+            for name in m.constraints
+            if row[name] and row[name] > 0
+        }
+        if bad:
+            raise IntegrityError(
+                "CHECK constraint violation(s): "
+                + ", ".join(
+                    f"{n} ({m.constraints[n]!r}): {c} row(s)"
+                    for n, c in bad.items()
+                )
+            )
+
+    def add_constraint(
+        self,
+        table_name: str,
+        name: str,
+        expr: str,
+        *,
+        schema: str | None = None,
+    ) -> None:
+        """Declare a CHECK on an existing table. Existing data is
+        validated first (one scan) — the constraint only lands if the
+        table already satisfies it, so readers can rely on it."""
+        table_name = self._qualify(table_name, schema)
+        m = self.meta(table_name)
+        probe = TableMeta(
+            keys=m.keys, auto_index=m.auto_index, num_buckets=m.num_buckets,
+            schema_json=m.schema_json, constraints={name: expr},
+        )
+        self._check_constraints(self._read_raw(table_name), probe)
+        m.constraints[name] = expr
+        self._write_meta(table_name, m)
+
+    def drop_constraint(
+        self, table_name: str, name: str, *, schema: str | None = None
+    ) -> None:
+        table_name = self._qualify(table_name, schema)
+        m = self.meta(table_name)
+        if name not in m.constraints:
+            raise NameError(f"no such constraint: {name}")
+        del m.constraints[name]
+        self._write_meta(table_name, m)
 
     def delete_rows(
         self,
@@ -1098,6 +1194,7 @@ class KeyedCatalog:
                 for c in existing.columns
             ]
         )
+        self._check_constraints(updated, m)
         seg, buckets = self._write_segment(updated, table_name, m)
         man = self._manifest(table_name)
         touched_set = set(touched)

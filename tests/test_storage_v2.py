@@ -491,3 +491,59 @@ def test_update_rows_guards_and_semantics(spark, catalog):
     assert n == 1
     got = {r["k"]: r["v"] for r in catalog.read_table("upd_t").collect()}
     assert got[1] == 1.0 and got[2] == -20.0 and got[3] is None
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, catalog):
+    """CHECK constraints: declared at create, validated on create/
+    append/upsert/update (NULL = violation, Delta's rule); violating
+    batches raise IntegrityError BEFORE anything commits;
+    add_constraint validates existing data first."""
+    import pytest as _pytest
+
+    from pandabase_spark.io import IntegrityError
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, 1.0, "b")], "k LONG, v DOUBLE, s STRING"
+    )
+    # violating create never materializes the table
+    with _pytest.raises(IntegrityError, match="v_pos"):
+        catalog.to_table(
+            df.withColumn("v", F.lit(-1.0)), "ck_t", keys=["k"],
+            constraints={"v_pos": "v > 0"},
+        )
+    assert not catalog.has_table("ck_t")
+    catalog.to_table(df, "ck_t", keys=["k"], constraints={"v_pos": "v > 0"})
+    # append: NULL v violates (must be TRUE)
+    bad = spark.createDataFrame([(3, None, "c")], "k LONG, v DOUBLE, s STRING")
+    with _pytest.raises(IntegrityError, match="1 row"):
+        catalog.to_table(bad, "ck_t", keys=["k"], how="append")
+    # upsert violation
+    with _pytest.raises(IntegrityError):
+        catalog.to_table(
+            df.withColumn("v", F.lit(0.0)), "ck_t", keys=["k"], how="upsert"
+        )
+    # update violation rolls back (count unchanged, values intact)
+    with _pytest.raises(IntegrityError):
+        catalog.update_rows("ck_t", "k = 1", {"v": "-9.0"})
+    got = {r["k"]: r["v"] for r in catalog.read_table("ck_t").collect()}
+    assert got == {1: 5.0, 2: 1.0}
+    # add_constraint validates existing data
+    with _pytest.raises(IntegrityError):
+        catalog.add_constraint("ck_t", "v_big", "v > 2")
+    catalog.add_constraint("ck_t", "s_nonempty", "length(s) > 0")
+    with _pytest.raises(IntegrityError, match="s_nonempty"):
+        catalog.to_table(
+            spark.createDataFrame([(9, 1.0, "")], "k LONG, v DOUBLE, s STRING"),
+            "ck_t", keys=["k"], how="append",
+        )
+    catalog.drop_constraint("ck_t", "s_nonempty")
+    catalog.to_table(
+        spark.createDataFrame([(9, 1.0, "")], "k LONG, v DOUBLE, s STRING"),
+        "ck_t", keys=["k"], how="append",
+    )
+    assert catalog.read_table("ck_t").count() == 3
+    # constraints survive catalog reopen (persisted in meta)
+    from pandabase_spark.io import KeyedCatalog
+
+    cat2 = KeyedCatalog(spark, catalog.warehouse)
+    assert cat2.meta("ck_t").constraints == {"v_pos": "v > 0"}
