@@ -98,6 +98,15 @@ def main() -> None:
         cat.read_table("b_lineitem", lowest=(1000, None, None, None),
                        highest=(20000, None, None, None))))
 
+    # predicate DML: point ops rewrite only the buckets their keys
+    # hash into (manifest-asserted in test_storage_v2.py), so cost is
+    # ~1/num_buckets of the table, not a full rewrite
+    timed("kt_delete_point", lambda: cat.delete_rows(
+        "b_lineitem", "l_orderkey = 1042"))
+    timed("kt_update_point", lambda: cat.update_rows(
+        "b_lineitem", "l_orderkey = 2042",
+        {"l_quantity": "l_quantity + 1.0"}))
+
     # --- analytics ---
     for q in ("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
               "q4_order_priority", "q7_nation_trade_volume",

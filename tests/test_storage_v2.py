@@ -547,3 +547,24 @@ def test_check_constraints_enforced_on_every_write_path(spark, catalog):
 
     cat2 = KeyedCatalog(spark, catalog.warehouse)
     assert cat2.meta("ck_t").constraints == {"v_pos": "v > 0"}
+
+
+def test_delete_rewrite_is_bucket_pruned(spark, catalog):
+    """A single-key DELETE must move only that key's bucket to the new
+    segment; every other bucket stays owned by the original segment —
+    the rewrite-IO-proportional-to-matches claim, asserted on the
+    manifest itself."""
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    catalog.to_table(df, "del_prune", keys=["k"], num_buckets=8)
+    (base_seg, base_buckets), = catalog._manifest("del_prune")[
+        "segments"
+    ].items()
+    assert catalog.delete_rows("del_prune", "k = 4242") == 1
+    man = catalog._manifest("del_prune")["segments"]
+    assert len(man) == 2
+    assert len(man[base_seg]) == len(base_buckets) - 1
+    new_seg = next(s for s in man if s != base_seg)
+    assert len(man[new_seg]) == 1
+    assert catalog.read_table("del_prune").count() == 9_999
