@@ -772,3 +772,121 @@ def fuzzy_match_pairs(
         )
         .where(F.col("edit_distance") <= max_distance)
     )
+
+
+def build_dedup_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    mode: str = "word",
+    max_shingle_df: int | None = None,
+) -> dict[str, DataFrame]:
+    """Fingerprint index of a corpus for INCREMENTAL dedup: content
+    hashes (exact), distinct shingle postings (inverted index), and
+    per-doc shingle counts. At 100 TB these three frames are persisted
+    as keyed tables at ingest time and maintained incrementally —
+    classifying a new batch then touches the index, never the corpus
+    text again. ``max_shingle_df`` bounds posting-list fan-out exactly
+    as in :func:`ngram_jaccard_pairs`."""
+    from pandabase_spark.functions.text import content_hash
+
+    hashes = (
+        df.select(content_hash(text_col).alias("chash"), F.col(id_col))
+        .groupBy("chash")
+        .agg(F.min(id_col).alias("match_id"))
+    )
+    sh = _shingle_rows(df, id_col, text_col, mode, n).distinct()
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("sh").count().where(F.col("count") <= max_shingle_df)
+        )
+        sh = sh.join(keep.select("sh"), on="sh", how="left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    return {
+        "hashes": hashes,
+        "shingles": sh.select(F.col(id_col).alias("_ix_id"), "sh"),
+        "sizes": sizes.select(
+            F.col(id_col).alias("_ix_id"), F.col("_n").alias("_ix_n")
+        ),
+    }
+
+
+def classify_against_index(
+    new_df: DataFrame,
+    index: dict[str, DataFrame],
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    mode: str = "word",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Classify a NEW batch against :func:`build_dedup_index` output —
+    the incremental-ingest dedup decision, one row per new document:
+
+    - ``exact_dup``: content hash already indexed (match_id = the
+      corpus's keep-id);
+    - ``near_dup``: best indexed Jaccard ≥ threshold (ties broken on
+      the RAW double then min match_id — identical bits across
+      engines, no rounded-rank flips);
+    - ``novel``: neither.
+
+    Exact wins over near; batch-internal duplicates are out of scope
+    (run the batch dedup first). Cost: the batch's shingles join the
+    inverted index — proportional to the batch and its candidate set,
+    with the corpus untouched."""
+    from pandabase_spark.functions.text import content_hash
+
+    new_h = new_df.select(
+        F.col(id_col), content_hash(text_col).alias("chash")
+    )
+    exact = new_h.join(index["hashes"], on="chash").select(
+        F.col(id_col),
+        F.lit("exact_dup").alias("status"),
+        F.col("match_id"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    rest = new_df.join(
+        exact.select(id_col), on=id_col, how="left_anti"
+    )
+    sh = _shingle_rows(rest, id_col, text_col, mode, n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nn"))
+    common = (
+        sh.join(index["shingles"], on="sh")
+        .groupBy(id_col, "_ix_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    jac = F.col("_c") / (F.col("_nn") + F.col("_ix_n") - F.col("_c"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_j").desc(), F.col("_ix_id")
+    )
+    near = (
+        common.join(sizes, on=id_col)
+        .join(index["sizes"], on="_ix_id")
+        .withColumn("_j", jac)
+        .where(F.col("_j") >= threshold)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.lit("near_dup").alias("status"),
+            F.col("_ix_id").alias("match_id"),
+            F.round("_j", 4).alias("jaccard"),
+        )
+    )
+    novel = (
+        rest.join(near.select(id_col), on=id_col, how="left_anti")
+        .select(
+            F.col(id_col),
+            F.lit("novel").alias("status"),
+            F.lit(None).cast(near.schema["match_id"].dataType).alias(
+                "match_id"
+            ),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+    )
+    return exact.unionByName(near).unionByName(novel)

@@ -2921,6 +2921,79 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("jaccard", F.round("jaccard", 4))
 
 
+_INCR_DEDUP_ORACLE = f"""
+WITH oldd AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400),
+ih AS (SELECT md5({_norm('text')}) AS chash, min(doc_id) AS match_id
+       FROM oldd GROUP BY 1),
+nh AS (SELECT doc_id, md5({_norm('text')}) AS chash FROM newd),
+ex AS (SELECT nh.doc_id, ih.match_id FROM nh JOIN ih USING (chash)),
+osh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string((string_split({_norm('text')}, ' '))[i:i+2], ' ')
+           AS s
+  FROM oldd,
+       unnest(range(1, greatest(len(string_split({_norm('text')}, ' '))
+                                - 2, 1) + 1)) AS r(i)
+), nsh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string((string_split({_norm('text')}, ' '))[i:i+2], ' ')
+           AS s
+  FROM newd,
+       unnest(range(1, greatest(len(string_split({_norm('text')}, ' '))
+                                - 2, 1) + 1)) AS r(i)
+  WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+), osz AS (SELECT doc_id, count(*) AS nsz FROM osh GROUP BY 1),
+nsz AS (SELECT doc_id, count(*) AS nsz FROM nsh GROUP BY 1),
+cm AS (
+  SELECT n.doc_id, o.doc_id AS mid, count(*) AS c
+  FROM nsh n JOIN osh o ON n.s = o.s GROUP BY 1, 2
+), j AS (
+  SELECT cm.doc_id, mid, c * 1.0 / (a.nsz + b.nsz - c) AS jraw
+  FROM cm JOIN nsz a ON a.doc_id = cm.doc_id
+  JOIN osz b ON b.doc_id = cm.mid
+), best AS (
+  SELECT doc_id, mid, jraw FROM j WHERE jraw >= 0.3
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY jraw DESC, mid) = 1
+)
+SELECT doc_id, 'exact_dup' AS status, CAST(match_id AS BIGINT) AS match_id,
+       CAST(NULL AS DOUBLE) AS jaccard
+FROM ex
+UNION ALL
+SELECT doc_id, 'near_dup', CAST(mid AS BIGINT), ROUND(jraw, 4) FROM best
+UNION ALL
+SELECT doc_id, 'novel', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM newd WHERE doc_id NOT IN
+  (SELECT doc_id FROM ex UNION ALL SELECT doc_id FROM best)
+"""
+
+
+@_q("incremental_dedup_classify", _INCR_DEDUP_ORACLE)
+def incremental_dedup_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: classify a NEW batch against the
+    persisted fingerprint index of the existing corpus — exact_dup
+    (content hash already indexed), near_dup (best indexed word-3-gram
+    Jaccard ≥ 0.3; ties broken on the raw double then min id), or
+    novel. The corpus text is NEVER rescanned: the batch's shingles
+    join the inverted-index postings — the only shape that keeps
+    per-batch dedup cost proportional to the batch at 100 TB, where
+    corpus-wide pair joins are a one-time backfill, not a pipeline
+    step."""
+    from pandabase_spark.operators.dedup import (
+        build_dedup_index, classify_against_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    idx = build_dedup_index(
+        docs.where(F.col("doc_id") < 400), "doc_id", "text"
+    )
+    return classify_against_index(
+        docs.where(F.col("doc_id") >= 400), idx, "doc_id", "text",
+        threshold=0.3,
+    ).withColumn("match_id", F.col("match_id").cast("long"))
+
+
 _COMPONENTS_ORACLE = f"""
 WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
 edges AS (

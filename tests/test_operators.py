@@ -422,3 +422,39 @@ def test_udtf_seam_matches_builtin_twin(spark):
     import pandas as _pd
 
     _pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_incremental_dedup_classify_planted(spark):
+    """All three classifications on a planted corpus: exact content
+    dup (after normalization), near-dup above the Jaccard threshold,
+    and a novel document; exact wins over near."""
+    from pandabase_spark.operators.dedup import (
+        build_dedup_index, classify_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different content about spark engines"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "  The quick brown fox jumps over the lazy dog today "),
+            (11, "the quick brown fox jumps over the lazy cat today"),
+            (12, "unrelated musings on duckdb oracles and parquet"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    idx = build_dedup_index(corpus, "doc_id", "text")
+    got = {
+        r["doc_id"]: r
+        for r in classify_against_index(
+            new, idx, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    assert got[10]["status"] == "exact_dup" and got[10]["match_id"] == 1
+    assert got[11]["status"] == "near_dup" and got[11]["match_id"] == 1
+    assert 0.3 <= got[11]["jaccard"] <= 1.0
+    assert got[12]["status"] == "novel" and got[12]["match_id"] is None
