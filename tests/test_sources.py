@@ -118,3 +118,48 @@ def test_partitioned_write_colocates_files(spark, tmp_path):
     one = back.where(F.col("grp") == "2")
     assert one.count() == 250
     assert set(one.select("id").toPandas()["id"] % 4) == {2}
+
+
+def test_jsonl_malformed_record_modes(spark, tmp_path):
+    """Dirty-data contract for the JSONL source: PERMISSIVE quarantines
+    malformed lines into the corrupt-record column (good fields NULL),
+    DROPMALFORMED silently drops them, FAILFAST raises — the three
+    industry-standard dispositions, all reachable through read_jsonl's
+    option passthrough. At 100 TB always PERMISSIVE + quarantine sink:
+    dropped rows are unauditable."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"k": 1, "v": "ok"}\n'
+        '{"k": 2, "v": "also ok"}\n'
+        '{"k": 3, "v": BROKEN!!\n'
+    )
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("_bad", T.StringType()),
+    ])
+    from pandabase_spark.sources import read_jsonl
+
+    perm = read_jsonl(
+        spark, str(p), schema=schema, mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_bad",
+    ).collect()
+    assert len(perm) == 3
+    quarantined = [r for r in perm if r["_bad"] is not None]
+    assert len(quarantined) == 1 and quarantined[0]["k"] is None
+    assert "BROKEN" in quarantined[0]["_bad"]
+
+    dropped = read_jsonl(
+        spark, str(p),
+        schema=T.StructType(schema.fields[:2]), mode="DROPMALFORMED",
+    ).collect()
+    assert {r["k"] for r in dropped} == {1, 2}
+
+    with _pytest.raises(Exception, match="Malformed|FAILFAST"):
+        read_jsonl(
+            spark, str(p),
+            schema=T.StructType(schema.fields[:2]), mode="FAILFAST",
+        ).collect()
