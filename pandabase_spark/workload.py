@@ -1169,6 +1169,42 @@ def zorder_bucket_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_rolling_median",
+    "SELECT event_id, user_id, "
+    "median(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), "
+    "event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_5 "
+    "FROM events WHERE user_id <= 20",
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the trailing 5 observations per user — a
+    robust smoother Spark has no native window aggregate for. The
+    bounded ROWS frame makes an exact distributed form cheap:
+    collect_list over the frame (≤5 doubles of state per row),
+    sort_array, pick-or-average the middle — all codegen'd array
+    expressions, no UDF, one shuffle on user_id. The oracle states it
+    as DuckDB's native windowed median; the midpoint average is the
+    same IEEE op on the same two doubles, so no rounding is needed.
+    Frame order ties break on event_id, making the window total."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")), "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list(F.col("value").cast("double")).over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        ((mid_lo + mid_hi) / 2.0).alias("med_5"),
+    )
+
+
 _CONCURRENCY_ORACLE = """
 WITH d AS (
   SELECT epoch_us(ts) AS t, 1 AS delta FROM events
