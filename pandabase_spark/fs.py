@@ -126,14 +126,19 @@ class HadoopFS:
                 raise IOError(f"rename {tmp} -> {p} failed") from ex
 
     def write_text_if_absent(self, p: str, text: str) -> bool:
-        """Atomically create ``p`` with ``text``; False if ``p``
+        """Create ``p`` with ``text`` iff absent; False if ``p``
         already exists — put-if-absent, the primitive an optimistic
         commit protocol needs (Delta's log store contract). Uses
-        FileContext rename WITHOUT the OVERWRITE option, which the
-        filesystem rejects atomically when the destination exists
-        (HDFS/local); on schemes without a FileContext binding the
-        fallback is exists-check + no-overwrite rename — best effort,
-        same as any object store without conditional puts."""
+        FileContext rename WITHOUT the OVERWRITE option. Truly atomic
+        only on HDFS, where the namenode rejects the rename when the
+        destination exists; Hadoop's LOCAL AbstractFileSystem
+        implements the no-overwrite check as exists-then-rename
+        (check-then-act), and schemes without a FileContext binding
+        fall back to an explicit exists-check + rename. Outside HDFS
+        the primitive is therefore best-effort — the residual
+        same-instant window is covered by the single-writer contract
+        (and _commit re-verifies CURRENT after every claim), same as
+        any object store without conditional puts."""
         import uuid
 
         if self.exists(p):
@@ -166,6 +171,11 @@ class HadoopFS:
             return True
         except Exception as ex:
             if "UnsupportedFileSystemException" not in str(ex):
+                # unexpected failure: don't leak the staged tmp file
+                try:
+                    fs.delete(self._jpath(tmp), False)
+                except Exception:
+                    pass
                 raise
             jp, jtmp = self._jpath(p), self._jpath(tmp)
             if fs.exists(jp):

@@ -273,18 +273,31 @@ class KeyedCatalog:
         snapshot, re-plan, re-commit). If the pointer still reads
         ``v``, the existing file is an orphan from a writer that
         crashed between the two steps — reclaimed verbatim, preserving
-        the documented crash-retry behavior. In-flight ties inside
-        that window remain governed by the single-writer contract;
-        completed commits are always detected."""
+        the documented crash-retry behavior.
+
+        The CURRENT pointer is re-read after EVERY claim outcome, not
+        only after a failed one: vacuum prunes non-current version
+        files, so a stale writer's put-if-absent on ``{v+1}.json`` can
+        SUCCEED even though v+1..v+k committed long ago — publishing
+        CURRENT then would silently roll the table back past every
+        newer commit. Winning the file claim is therefore necessary
+        but not sufficient; CURRENT must still read ``v`` before it is
+        advanced. In-flight ties inside the remaining
+        claim-to-publish window are governed by the single-writer
+        contract; completed commits are always detected."""
         doc = json.dumps({"v": v + 1, "segments": segments})
         vpath = f"{self._path(table_name)}/{LOG_DIR}/{v + 1:010d}.json"
-        if not self.fs.write_text_if_absent(vpath, doc):
-            cur = self._manifest(table_name)["v"]
-            if cur != v:
-                raise ConcurrentWriteError(
-                    f"commit of {table_name} v{v + 1} lost: table is at "
-                    f"v{cur} (another writer committed). Re-read and retry."
-                )
+        claimed = self.fs.write_text_if_absent(vpath, doc)
+        cur = self._manifest(table_name)["v"]
+        if cur != v:
+            if claimed:
+                # our stale claim must not shadow a vacuumed snapshot
+                self.fs.delete(vpath, recursive=False)
+            raise ConcurrentWriteError(
+                f"commit of {table_name} v{v + 1} lost: table is at "
+                f"v{cur} (another writer committed). Re-read and retry."
+            )
+        if not claimed:
             self.fs.write_text_atomic(vpath, doc)  # crashed-writer orphan
         self.fs.write_text_atomic(f"{self._path(table_name)}/{LOG_FILE}", doc)
 
@@ -464,9 +477,10 @@ class KeyedCatalog:
         ]
         rows = self.spark.read.schema(m.schema).parquet(*paths)
         seg, buckets = self._write_segment(rows, table_name, m)
-        # re-read the manifest: committing against the version we read
-        # keeps the single-writer contract explicit
-        man = self._manifest(table_name)
+        # commit against the SAME manifest the rewrite read from — a
+        # rival commit in the window must trip the put-if-absent claim,
+        # not be silently absorbed with its rows missing from the
+        # rewritten segment
         merged = {
             s: bs for s, bs in man["segments"].items() if s not in chosen
         }
@@ -1111,7 +1125,11 @@ class KeyedCatalog:
         table_name = self._qualify(table_name, schema)
         m = self.meta(table_name)
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        full = self._read_raw(table_name)
+        # one manifest snapshot for BOTH the data read and the commit
+        # version — a rival commit between plan and publish then trips
+        # ConcurrentWriteError instead of having its rows dropped
+        man = self._manifest(table_name)
+        full = self._read_raw(table_name, manifest=man)
         hits = full.where(pred)
         touched = [
             r[0]
@@ -1123,13 +1141,12 @@ class KeyedCatalog:
         ]
         if not touched:
             return 0
-        existing = self._read_raw(table_name, buckets=touched)
+        existing = self._read_raw(table_name, buckets=touched, manifest=man)
         n_deleted = existing.where(pred).count()
         # SQL DELETE semantics: remove only rows where the predicate is
         # TRUE — a NULL predicate keeps the row (~pred alone would drop
         # NULL-predicate rows from both sides and silently lose data)
         survivors = existing.where(~F.coalesce(pred, F.lit(False)))
-        man = self._manifest(table_name)
         touched_set = set(touched)
         segments: dict[str, list[int]] = {}
         for old_seg, bs in man["segments"].items():
@@ -1166,7 +1183,10 @@ class KeyedCatalog:
         if unknown:
             raise NameError(f"UPDATE of unknown columns: {unknown}")
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        full = self._read_raw(table_name)
+        # same snapshot discipline as delete_rows: read and commit
+        # against ONE captured manifest version
+        man = self._manifest(table_name)
+        full = self._read_raw(table_name, manifest=man)
         touched = [
             r[0]
             for r in full.where(pred)
@@ -1176,7 +1196,7 @@ class KeyedCatalog:
         ]
         if not touched:
             return 0
-        existing = self._read_raw(table_name, buckets=touched)
+        existing = self._read_raw(table_name, buckets=touched, manifest=man)
         n_updated = existing.where(pred).count()
         exprs = {
             c: (F.expr(e) if isinstance(e, str) else e)
@@ -1215,8 +1235,17 @@ class KeyedCatalog:
         table_name: str,
         buckets: Sequence[int] | None = None,
         version: int | None = None,
+        manifest: dict | None = None,
     ) -> list[str]:
-        man = self._manifest(table_name, version=version)
+        # ``manifest=`` pins the read to a caller-captured snapshot so
+        # DML rewrites read and commit against the SAME version — a
+        # rival commit in the window then trips the put-if-absent claim
+        # instead of being silently absorbed (and its rows lost)
+        man = (
+            manifest
+            if manifest is not None
+            else self._manifest(table_name, version=version)
+        )
         want = None if buckets is None else set(buckets)
         # a "/" in the segment name marks an external reference (from
         # clone_table) — warehouse-relative instead of table-relative
@@ -1236,11 +1265,14 @@ class KeyedCatalog:
         table_name: str,
         buckets: Sequence[int] | None = None,
         version: int | None = None,
+        manifest: dict | None = None,
     ) -> DataFrame:
         if not self.has_table(table_name):
             raise NameError(f"no such table: {table_name}")
         schema = self.meta(table_name).schema
-        paths = self._live_paths(table_name, buckets, version=version)
+        paths = self._live_paths(
+            table_name, buckets, version=version, manifest=manifest
+        )
         if not paths:
             return self.spark.createDataFrame([], schema)
         # explicit schema (from meta): older segments null-fill evolved

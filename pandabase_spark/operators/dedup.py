@@ -798,19 +798,29 @@ def build_dedup_index(
         .agg(F.min(id_col).alias("match_id"))
     )
     sh = _shingle_rows(df, id_col, text_col, mode, n).distinct()
+    out: dict[str, DataFrame] = {"hashes": hashes}
     if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("sh").count().where(F.col("count") <= max_shingle_df)
+        dfc = sh.groupBy("sh").count()
+        sh = sh.join(
+            dfc.where(F.col("count") <= max_shingle_df).select("sh"),
+            on="sh",
+            how="left_semi",
         )
-        sh = sh.join(keep.select("sh"), on="sh", how="left_semi")
+        # the PRUNED shingle list (distinct high-df values — small by
+        # construction: each appears in > max_shingle_df docs, so there
+        # are at most total_postings/max_shingle_df of them) is part of
+        # the index: classify_against_index must drop the same shingles
+        # from the BATCH side before sizing, or its Jaccard denominator
+        # mixes filtered index sizes with unfiltered batch sizes
+        out["pruned"] = dfc.where(
+            F.col("count") > max_shingle_df
+        ).select("sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    return {
-        "hashes": hashes,
-        "shingles": sh.select(F.col(id_col).alias("_ix_id"), "sh"),
-        "sizes": sizes.select(
-            F.col(id_col).alias("_ix_id"), F.col("_n").alias("_ix_n")
-        ),
-    }
+    out["shingles"] = sh.select(F.col(id_col).alias("_ix_id"), "sh")
+    out["sizes"] = sizes.select(
+        F.col(id_col).alias("_ix_id"), F.col("_n").alias("_ix_n")
+    )
+    return out
 
 
 def classify_against_index(
@@ -852,6 +862,10 @@ def classify_against_index(
         exact.select(id_col), on=id_col, how="left_anti"
     )
     sh = _shingle_rows(rest, id_col, text_col, mode, n).distinct()
+    if index.get("pruned") is not None:
+        # mirror the index's df cutoff on the batch side so both set
+        # sizes in the Jaccard denominator use the same universe
+        sh = sh.join(index["pruned"], on="sh", how="left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nn"))
     common = (
         sh.join(index["shingles"], on="sh")

@@ -249,9 +249,22 @@ def sessionize(
     )
 
 
-_RUNNING_AGG_OUT = (
-    "user_id BIGINT, n_events BIGINT, value_c BIGINT, max_evid BIGINT"
-)
+def _running_agg_out(stream_df: DataFrame, key_col: str) -> str:
+    """Output schema for the running-agg processors, derived from the
+    actual key column so ``key_col`` values other than ``user_id``
+    emit a correctly-named, correctly-typed key instead of a
+    mis-labeled hard-coded one."""
+    types = {f.name: f.dataType.simpleString() for f in stream_df.schema}
+    for req in (key_col, "value_c", "event_id"):
+        if req not in types:
+            raise NameError(
+                f"running_agg input lacks required column {req!r} "
+                f"(has: {sorted(types)})"
+            )
+    return (
+        f"{key_col} {types[key_col]}, n_events BIGINT, "
+        "value_c BIGINT, max_evid BIGINT"
+    )
 
 
 def running_agg(
@@ -294,7 +307,7 @@ def running_agg(
         state.update((n, vc, me))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                key_col: [key[0]],
                 "n_events": [n],
                 "value_c": [vc],
                 "max_evid": [me],
@@ -303,7 +316,7 @@ def running_agg(
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
         fn,
-        outputStructType=_RUNNING_AGG_OUT,
+        outputStructType=_running_agg_out(stream_df, key_col),
         stateStructType="n BIGINT, vc BIGINT, me BIGINT",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -342,7 +355,7 @@ def running_agg_tws(
             self._agg.update((n, vc, me))
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]],
+                    key_col: [key[0]],
                     "n_events": [n],
                     "value_c": [vc],
                     "max_evid": [me],
@@ -354,7 +367,7 @@ def running_agg_tws(
 
     return stream_df.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=Proc(),
-        outputStructType=_RUNNING_AGG_OUT,
+        outputStructType=_running_agg_out(stream_df, key_col),
         outputMode="Update",
         timeMode="None",
     )
