@@ -530,9 +530,9 @@ def winnow_fingerprints(
     *,
     n: int = 8,
     window: int = 4,
-    hash: str = "md5",
+    hash: str = "xxhash64",
 ) -> DataFrame:
-    """(id, fps) winnowed document fingerprints (array<string>, distinct).
+    """(id, fps) winnowed document fingerprints (array, distinct).
 
     The winnowing scheme of Schleimer/Wilkerson/Aiken (SIGMOD '03, the
     MOSS algorithm): hash every character ``n``-gram, slide a window of
@@ -548,19 +548,20 @@ def winnow_fingerprints(
     (non-attribute) array expression re-evaluates every md5 per window,
     turning O(len·w) into O(len²) per document.
 
-    ``hash`` picks the n-gram hash function — the oracle/fast split:
+    ``hash`` picks the n-gram hash function — the fast/oracle split:
 
-    - ``"md5"`` (default): hex strings compared lexicographically —
+    - ``"xxhash64"`` (default): native 64-bit hashes compared
+      numerically — whole-stage-codegen'd, no digest allocation,
+      measured ~2-3× faster end-to-end. Winnowing only needs *a*
+      deterministic min-selection, not a specific hash, so the
+      near-dup pairs the fast form finds coincide with md5's wherever
+      documents share ≥ min_common fingerprints under both
+      min-selections (pinned by the md5-vs-xxhash parity test). This
+      is the production default.
+    - ``"md5"``: hex strings compared lexicographically —
       reproducible in DuckDB, so the fingerprint set is
-      oracle-checkable. The constant factor is the md5 itself.
-    - ``"xxhash64"``: native 64-bit hashes compared numerically —
-      whole-stage-codegen'd, no digest allocation, measured ~2-3×
-      faster end-to-end. Winnowing only needs *a* deterministic
-      min-selection, not a specific hash, so the near-dup pairs the
-      fast form finds coincide with md5's wherever documents share
-      ≥ min_common fingerprints under both min-selections (pinned by
-      the md5-vs-xxhash parity test). Use this form in production;
-      keep md5 where an external engine must replay the fingerprints.
+      oracle-checkable. Reserved for queries an external engine must
+      replay; the constant factor is the md5 itself.
     """
     if hash not in ("md5", "xxhash64"):
         raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
@@ -614,7 +615,7 @@ def winnow_match_pairs(
     window: int = 4,
     min_common: int = 3,
     max_fp_df: int | None = None,
-    hash: str = "md5",
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_common`` winnowed fingerprints —
     the MOSS similarity-report shape. Plan: fingerprints → explode →

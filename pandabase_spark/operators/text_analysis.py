@@ -336,8 +336,9 @@ def bigram_lm_score(
     low = fluent under the corpus distribution.
 
     Plan: one explode produces the (doc, bigram) stream; the MODEL is
-    two aggregations of that stream (bigram counts, prefix counts) —
-    at most |V|² rows, broadcast back onto it. Scoring is a broadcast
+    ONE aggregation of that stream (bigram counts, at most |V|² rows)
+    from which the prefix counts and |V| are rolled up, broadcast back
+    onto it. Scoring is a broadcast
     join + per-doc average: no shuffle carries more than one row per
     (doc, distinct bigram). Train on a hash-sample at 100 TB; the
     model is frozen rows, so train-once/score-many falls out of
@@ -369,20 +370,32 @@ def bigram_lm_score(
             )
         ).alias("bg"),
     )
-    # four consumers read the bigram stream (bigram counts, prefix
-    # counts, vocab count, the scoring join) — persist it once or the
-    # explode+substr pipeline runs four times (measured 67s → 8s at
-    # 5k docs). Output is the small per-doc aggregate: checkpoint it,
-    # then release the cache before returning.
+    # two consumers read the bigram stream (the bigram-count aggregate
+    # and the scoring join) — persist it once or the explode+substr
+    # pipeline runs twice (measured 67s → 8s at 5k docs). Prefix
+    # counts and the |V| vocab size are both DERIVED from the tiny
+    # (≤|V|² rows) bigram-count frame instead of re-aggregating the
+    # full gram stream: sum(c_bg) grouped by first char equals the
+    # prefix count, and every observed character appears in some
+    # distinct bigram. Output is the small per-doc aggregate:
+    # checkpoint it, then release the caches before returning.
     grams = grams.persist()
+    big_counts = None
     try:
-        big_counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
-        pre_counts = grams.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
-            F.count(F.lit(1)).alias("c_pre")
+        big_counts = (
+            grams.groupBy("bg")
+            .agg(F.count(F.lit(1)).alias("c_bg"))
+            .persist()
         )
-        vocab = grams.select(
-            F.substring("bg", 1, 1).alias("ch")
-        ).union(grams.select(F.substring("bg", 2, 1))).distinct().count()
+        pre_counts = big_counts.groupBy(
+            F.substring("bg", 1, 1).alias("c1")
+        ).agg(F.sum("c_bg").alias("c_pre"))
+        vocab = (
+            big_counts.select(F.substring("bg", 1, 1).alias("ch"))
+            .union(big_counts.select(F.substring("bg", 2, 1)))
+            .distinct()
+            .count()
+        )
         model = big_counts.join(
             pre_counts, F.substring(big_counts.bg, 1, 1) == pre_counts.c1
         ).select(
@@ -403,4 +416,6 @@ def bigram_lm_score(
             out = out.localCheckpoint(eager=True)
     finally:
         grams.unpersist()
+        if big_counts is not None:
+            big_counts.unpersist()
     return out

@@ -3390,7 +3390,9 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandabase_spark.operators.dedup import winnow_fingerprints
 
     docs = load(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(docs, "doc_id", "text")
+    # hash="md5" pinned: this is the DuckDB-replayable oracle form; the
+    # production default is xxhash64 (benched as winnow_match_pairs)
+    fps = winnow_fingerprints(docs, "doc_id", "text", hash="md5")
     return fps.select(
         "doc_id",
         F.size("fps").cast("long").alias("n_fps"),
@@ -3416,8 +3418,9 @@ def winnow_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandabase_spark.operators.dedup import winnow_match_pairs
 
     docs = load(spark, sf_dir, "documents")
+    # hash="md5" pinned for DuckDB replayability (oracle form only)
     return winnow_match_pairs(
-        docs, "doc_id", "text", min_common=5, max_fp_df=5
+        docs, "doc_id", "text", min_common=5, max_fp_df=5, hash="md5"
     )
 
 
