@@ -114,6 +114,9 @@ def main() -> None:
               "q18_large_volume_orders", "q19_disjunctive_revenue",
               "q6_forecast_revenue", "q8_market_share",
               "q13_customer_distribution", "q15_top_supplier",
+              "q2_min_cost_supplier", "q9_product_profit",
+              "q11_important_stock", "q12_shipping_priority_classes",
+              "q16_supplier_part_counts", "q20_dominant_suppliers",
               "nation_revenue_share", "window_top3_lineitems",
               "window_rank_stats", "events_hourly", "hopping_window_counts",
               "funnel_click_to_purchase", "key_skew_report"):

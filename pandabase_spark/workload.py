@@ -4529,6 +4529,336 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion: q2/q9/q11/q12/q16/q20 shapes adapted to the driver
+# schema (no partsupp table — lineitem's (l_partkey, l_suppkey) pairs
+# stand in as the part-supplier relation; no shipmode/commitdate —
+# linestatus and shipping lag stand in). Money aggregates follow the
+# exact-integer-units discipline (×10⁴ BIGINT, scale-0 rounding only)
+# so Spark and DuckDB sums are bit-identical.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q2_min_cost_supplier",
+    "WITH offers AS ("
+    "SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost "
+    "FROM lineitem GROUP BY 1, 2"
+    "), eu AS ("
+    "SELECT s_suppkey, s_name, s_acctbal, n_name "
+    "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'EUROPE'"
+    "), ranked AS ("
+    "SELECT o.l_partkey, o.cost, e.s_name, e.s_acctbal, e.n_name, "
+    "MIN(o.cost) OVER (PARTITION BY o.l_partkey) AS mincost "
+    "FROM offers o JOIN eu e ON o.l_suppkey = e.s_suppkey"
+    ") "
+    "SELECT r.s_acctbal, r.s_name, r.n_name, p.p_partkey, p.p_type, "
+    "CAST(ROUND(r.cost * 10000) AS BIGINT) AS supply_cost_e4 "
+    "FROM ranked r JOIN part p ON p.p_partkey = r.l_partkey "
+    "WHERE p.p_size = 15 AND r.cost = r.mincost "
+    "ORDER BY r.s_acctbal DESC, r.n_name, r.s_name, p.p_partkey LIMIT 100",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each size-15 part, the EUROPE supplier(s)
+    offering the minimum unit cost — the classic correlated
+    min-subquery. Decorrelated the q17 way: the per-part minimum is an
+    unordered window over l_partkey on the region-restricted offer
+    table, so the "subquery" costs one extra window pass on the SAME
+    hash partitioning as the offer aggregation — no second scan, no
+    cuts-probe join. The offer table itself (per-(part,supp) MIN unit
+    price) is an order-free aggregate, so the double equality
+    ``cost = mincost`` is engine-exact. Nation/region broadcast by
+    hint; supplier scales, left to AQE. The final LIMIT is fully
+    tie-broken, so content is deterministic at any parallelism."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = (
+        offers.join(eu, offers.l_suppkey == F.col("s_suppkey"))
+        .withColumn("_mincost", F.min("cost").over(w))
+    )
+    return (
+        ranked.where(F.col("cost") == F.col("_mincost"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round(F.col("cost") * 10000)
+            .cast("long")
+            .alias("supply_cost_e4"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@_q(
+    "q9_product_profit",
+    "SELECT n.n_name AS nation, "
+    "CAST(year(o.o_orderdate) AS INTEGER) AS o_year, "
+    "CAST(SUM(CAST(ROUND(10000 * (l.l_extendedprice * (1 - l.l_discount) "
+    "- 0.1 * p.p_retailprice * l.l_quantity)) AS BIGINT)) AS BIGINT) "
+    "AS profit_e4 "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+    "WHERE p.p_name LIKE '%red%' "
+    "GROUP BY 1, 2",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    order year — the widest join in the suite (lineitem⨝part⨝supplier
+    ⨝orders⨝nation) with an expression aggregate. Supply cost is
+    proxied as 10% of retail price × quantity (no partsupp in the
+    driver schema). The p_name LIKE filter prunes part before the
+    join; nation broadcasts by hint; part/supplier/orders scale, so
+    AQE picks their strategies. Profit is per-row rounded to exact
+    1e-4 integer units and summed as BIGINT — the only cross-engine-
+    safe way to aggregate money over large groups (scale-0 double
+    rounding is identical in Spark and DuckDB; scale-k is not)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(F.round(10000 * amount).cast("long")).alias("profit_e4")
+        )
+    )
+
+
+@_q(
+    "q11_important_stock",
+    "WITH pv AS ("
+    "SELECT l.l_partkey AS ps_partkey, "
+    "CAST(SUM(CAST(ROUND(10000 * l.l_extendedprice * (1 - l.l_discount)) "
+    "AS BIGINT)) AS BIGINT) AS value_e4 "
+    "FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+    "WHERE n.n_name = 'NATION_7' GROUP BY 1"
+    "), tot AS (SELECT SUM(value_e4) AS total_e4 FROM pv) "
+    "SELECT pv.ps_partkey, pv.value_e4 FROM pv, tot "
+    "WHERE 1000 * pv.value_e4 > tot.total_e4 "
+    "ORDER BY pv.value_e4 DESC, pv.ps_partkey",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose supplied value from one nation
+    exceeds 0.1% of that nation's total — a global-scalar-subquery
+    threshold, the q22 pattern: the 1-row total broadcasts as a cross
+    join (never collected) and re-uses the per-part aggregate it was
+    derived from. Both sides of the threshold are exact 1e-4 integer
+    units, and the fraction compare is integer-multiplied
+    (1000·value > total) — no float epsilon anywhere. One fact
+    shuffle (groupBy l_partkey); the nation filter prunes the
+    supplier semi side before the fact join."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    nat_sup = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(nat_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.sum(
+                F.round(
+                    10000
+                    * F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                ).cast("long")
+            ).alias("value_e4")
+        )
+    )
+    tot = pv.agg(F.sum("value_e4").alias("_total_e4"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(1000 * F.col("value_e4") > F.col("_total_e4"))
+        .select("ps_partkey", "value_e4")
+        .orderBy(F.col("value_e4").desc(), "ps_partkey")
+    )
+
+
+@_q(
+    "q12_shipping_priority_classes",
+    "SELECT l.l_linestatus AS ship_class, "
+    "CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+    "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY "
+    "AND l.l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l.l_shipdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY 1",
+)
+def q12_shipping_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix of slow shipments by line status
+    (no l_shipmode/l_commitdate in the driver schema — linestatus is
+    the class and a ≥60-day ship lag is "late", as in q21). The
+    conditional-aggregation pair is the q14 pattern; the shipdate
+    year-window reaches the lineitem scan as a pushed filter, and the
+    lag predicate is a non-equi residual evaluated on the joined row.
+    One fact-fact shuffle on the order key, then a 2-group hash agg."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (
+                li.l_shipdate
+                >= o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+            ),
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q16_supplier_part_counts",
+    "SELECT p.p_type, p.p_size, "
+    "CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE p.p_brand <> 'Brand#11' "
+    "AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29) "
+    "AND l.l_suppkey NOT IN "
+    "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY 1, 2",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part class, with
+    a supplier exclusion list (negative balance standing in for the
+    complaint filter — no s_comment in the driver schema). The NOT IN
+    decorrelates to a left-anti join against the tiny exclusion frame
+    (broadcast); the brand/size filters prune part before the fact
+    join; COUNT(DISTINCT) is a two-phase hash aggregate — partial
+    distinct map-side, final on the (type, size) shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#11")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = load(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q20_dominant_suppliers",
+    "WITH sq AS ("
+    "SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS qty "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE p.p_name LIKE 'red%' "
+    "AND l.l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l.l_shipdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY 1, 2"
+    "), dom AS ("
+    "SELECT DISTINCT l_suppkey FROM ("
+    "SELECT l_suppkey, qty, "
+    "SUM(qty) OVER (PARTITION BY l_partkey) AS tqty FROM sq"
+    ") WHERE qty > 0.5 * tqty"
+    ") "
+    "SELECT s.s_name, n.n_name "
+    "FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey "
+    "JOIN region r ON r.r_regionkey = n.n_regionkey "
+    "WHERE r.r_name = 'ASIA' "
+    "AND s.s_suppkey IN (SELECT l_suppkey FROM dom) "
+    "ORDER BY s.s_name",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: ASIA suppliers who DOMINATED supply of a 'red'
+    part in 1996 (shipped more than half that part's total — availqty
+    > half-demand adapted to the driver schema, which has no
+    partsupp). The nested IN-chain decorrelates to: per-(part, supp)
+    qty aggregate → per-part total as an unordered window REUSING the
+    same hash partitioning (l_partkey leads the groupBy key, q17/q4
+    pattern) → threshold filter → distinct suppkeys → left-semi into
+    supplier. Quantities are integral doubles, so sums and the ×0.5
+    compare are exact. Part's name filter prunes before the fact
+    join; nation/region broadcast."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    sq = (
+        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        sq.withColumn("_tqty", F.sum("qty").over(w))
+        .where(F.col("qty") > 0.5 * F.col("_tqty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dom, s.s_suppkey == dom.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
 # window-function family extension: ntile / percent_rank / cume_dist
 # ---------------------------------------------------------------------------
 
