@@ -66,13 +66,32 @@ def companda(
     df2: DataFrame,
     keys: Sequence[str],
     epsilon: float = 0.001,
+    check_dtype: bool = False,
     ignore_all_nan_columns: bool = False,
+    ignore_index: bool = False,
 ) -> Companda:
     """Compare two DataFrames by key with numeric tolerance.
 
-    Defaults mirror the reference (epsilon=.001,
-    reference:pandabase/companda.py:42). Executes at most two Spark jobs:
-    an optional all-null-column probe, then one full-outer-join + agg.
+    Defaults mirror the reference (epsilon=.001, check_dtype=False,
+    ignore_index=False, reference:pandabase/companda.py:40-45).
+
+    ``check_dtype`` requires every shared column's Spark type to match
+    exactly before values are compared
+    (reference:pandabase/companda.py:121-127).
+
+    ``ignore_index`` is the reference's positional mode
+    (reference:pandabase/companda.py:94,89-119 — index names/values are
+    not compared; rows align by the key-sorted ORDER instead of by key
+    value, so frames with different key values but identical value
+    columns in that order are equal). Keys must totally order each
+    side — duplicate keys make positional alignment ambiguous, exactly
+    as a duplicated index does in the reference's sort. This mode is a
+    global sort per side (row_number over an unpartitioned window) —
+    parity surface for modest frames; the default key-aligned mode is
+    the one-shuffle form that scales.
+
+    Executes at most two Spark jobs: an optional all-null-column
+    probe, then one full-outer-join + agg.
     """
     if ignore_all_nan_columns:
         df1 = _drop_all_null(df1, keys)
@@ -83,12 +102,37 @@ def companda(
         only2 = set(df2.columns) - set(df1.columns)
         return Companda(False, f"column sets differ: left-only={only1}, right-only={only2}")
 
+    if check_dtype:
+        t1 = {f.name: f.dataType for f in df1.schema.fields}
+        t2 = {f.name: f.dataType for f in df2.schema.fields}
+        for c in df1.columns:
+            if t1[c] != t2[c]:
+                return Companda(
+                    False,
+                    f"columns equal, but datatypes not equal in column "
+                    f"{c}: {t1[c].simpleString()} / {t2[c].simpleString()}",
+                )
+
     value_cols = [c for c in df1.columns if c not in keys]
     types = {f.name: f.dataType for f in df1.schema.fields}
 
-    l = df1.select(*keys, *[F.col(c).alias(f"__l_{c}") for c in value_cols])
-    r = df2.select(*keys, *[F.col(c).alias(f"__r_{c}") for c in value_cols])
-    j = l.join(r, on=list(keys), how="full_outer")
+    if ignore_index:
+        n1, n2 = df1.count(), df2.count()
+        if n1 != n2:
+            return Companda(False, f"len(df1) = {n1}, len(df2) = {n2}")
+        l = _positional(df1, keys, value_cols, "l")
+        r = _positional(df2, keys, value_cols, "r")
+        j = l.join(r, on="__pos", how="inner")
+        expected_total = n1
+    else:
+        l = df1.select(
+            *keys, *[F.col(c).alias(f"__l_{c}") for c in value_cols]
+        )
+        r = df2.select(
+            *keys, *[F.col(c).alias(f"__r_{c}") for c in value_cols]
+        )
+        j = l.join(r, on=list(keys), how="full_outer")
+        expected_total = None
 
     row_checks = [
         F.sum((~_value_equal(c, types[c], epsilon)).cast("long")).alias(f"neq_{c}")
@@ -99,17 +143,35 @@ def companda(
         *row_checks,
     ).collect()[0]
 
-    n1, n2 = df1.count(), df2.count()
-    if n1 != n2 or counts["total"] != n1:
-        return Companda(
-            False,
-            f"key sets differ: left has {n1} rows, right has {n2}, "
-            f"union of keys has {counts['total']}",
-        )
+    if expected_total is None:
+        n1, n2 = df1.count(), df2.count()
+        if n1 != n2 or counts["total"] != n1:
+            return Companda(
+                False,
+                f"key sets differ: left has {n1} rows, right has {n2}, "
+                f"union of keys has {counts['total']}",
+            )
     bad = {c: counts[f"neq_{c}"] for c in value_cols if counts[f"neq_{c}"]}
     if bad:
         return Companda(False, f"values differ beyond epsilon={epsilon}: {bad}")
-    return Companda(True, "equal")
+    return Companda(
+        True, f"EQUAL, checked_dtype={check_dtype}, ignore_index={ignore_index}"
+    )
+
+
+def _positional(
+    df: DataFrame, keys: Sequence[str], value_cols: Sequence[str], side: str
+) -> DataFrame:
+    """(__pos, value columns) with __pos = row_number in key-sort order
+    — the distributed analog of the reference's ``sort_index()`` before
+    a positional walk (reference:pandabase/companda.py:89-91)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*[F.col(k) for k in keys])
+    return df.select(
+        F.row_number().over(w).alias("__pos"),
+        *[F.col(c).alias(f"__{side}_{c}") for c in value_cols],
+    )
 
 
 def companda_report(

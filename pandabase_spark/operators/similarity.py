@@ -323,14 +323,168 @@ def ivf_centroids(
     return centroids
 
 
+def _unit_expr(v: Column) -> Column:
+    """Unit-normalized double array of ``v`` (zero vectors unchanged)."""
+    dbl = F.transform(v, lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return F.when(nrm > 0, F.transform(dbl, lambda x: x / nrm)).otherwise(dbl)
+
+
+def _pack_centroids(centroids_df: DataFrame) -> DataFrame:
+    """1-row frame holding the whole quantizer as an
+    ``array<struct<cell,cvec>>`` sorted by cell — the broadcastable
+    DATA form of the centroid set (vs the codegen literal form)."""
+    return centroids_df.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cell").alias("cell"), F.col("cvec").alias("cvec")
+                )
+            )
+        ).alias("_cents")
+    )
+
+
+def _with_cell_from_df(
+    df: DataFrame,
+    vec_col: str,
+    centroids_df: DataFrame,
+    *,
+    out: str = "cell",
+) -> DataFrame:
+    """:func:`_with_cell` with centroids as DATA instead of literals:
+    the packed 1-row centroid array broadcasts (a broadcast
+    nested-loop join of exactly one row — no shuffle), and the per-row
+    argmax runs as ``transform``/``aggregate`` higher-order functions
+    over that array column. Same argmax and lowest-cell tie-break as
+    the literal path (the packed array is cell-sorted and
+    ``array_position`` returns the first maximum).
+
+    Crossover: literals constant-fold into whole-stage codegen —
+    fastest while n_cells × dim stays small (the generated method grows
+    with every centroid; plan build is driver-side work per query). At
+    coarse-quantizer scale (tens of thousands of cells × 1k dims =
+    multi-GB of literal text) codegen is impossible; this path carries
+    the quantizer as one broadcast variable instead, which is exactly
+    how a 100 TB deployment should ship it.
+    """
+    packed = _pack_centroids(centroids_df)
+    staged = df.crossJoin(F.broadcast(packed)).withColumn(
+        "_pb_dots",
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    c["cvec"],
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    pos = F.array_position(F.col("_pb_dots"), F.array_max("_pb_dots"))
+    cell = F.element_at(F.col("_cents"), pos.cast("int"))["cell"]
+    return staged.withColumn(out, cell).drop("_pb_dots", "_cents")
+
+
+def ivf_centroids_df(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """:func:`ivf_centroids` with the quantizer kept CLUSTER-RESIDENT:
+    returns a ``(cell int, cvec array<double>)`` DataFrame and never
+    collects a centroid to the driver. Same algorithm — identical
+    seeding (n_cells smallest ``xxhash64(id)``), identical exact-mean
+    Lloyd updates, empty cells keep their previous centroid — so the
+    two trainers produce the same quantizer (pinned by the parity
+    test). Each Lloyd step reassembles means distributedly
+    (groupBy(cell) + sorted collect_list over dim elements) and
+    localCheckpoints to cut the iteration lineage.
+
+    Use above the literal-path crossover (see
+    :func:`_with_cell_from_df`): at tens of thousands of cells × 1k
+    dims the driver-resident list is a multi-GB literal; here the
+    quantizer moves only as a broadcast variable.
+    """
+    from pyspark.sql.window import Window
+
+    train = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    if sample_mod is not None:
+        train = train.where(
+            F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0
+        )
+    order = F.xxhash64(F.col("_id").cast("string"))
+    seeds = train.orderBy(order).limit(n_cells)
+    n_seeds = seeds.count()
+    if n_seeds < n_cells:
+        raise ValueError(
+            f"need at least n_cells={n_cells} training vectors, got {n_seeds}"
+        )
+    # the window runs over the n_cells-row limit result — a single tiny
+    # partition, not a global sort of the corpus
+    w = Window.orderBy(order)
+    cents = seeds.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cell"),
+        _unit_expr(F.col("_v")).alias("cvec"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = _with_cell_from_df(train, "_v", cents, out="_cell").select(
+            "_cell", F.posexplode("_v").alias("_pos", "_x")
+        )
+        new = (
+            assigned.groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_pos").alias("p"), F.col("_m").alias("m")
+                        )
+                    )
+                ).alias("_pm")
+            )
+            .select(
+                F.col("_cell").alias("cell"),
+                _unit_expr(
+                    F.transform("_pm", lambda s: s["m"])
+                ).alias("cvec"),
+            )
+        )
+        empty = cents.join(new.select("cell"), on="cell", how="left_anti")
+        cents = new.unionByName(empty).localCheckpoint(eager=True)
+    return cents
+
+
 def ivf_assign(
-    df: DataFrame, centroids: list[list[float]], *, vec_col: str = "embedding"
+    df: DataFrame,
+    centroids: "list[list[float]] | DataFrame",
+    *,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Attach the IVF ``cell`` column (one projection, no shuffle).
 
+    ``centroids`` may be the driver-resident list
+    (:func:`ivf_centroids` — codegen-literal scoring, small
+    quantizers) or the cluster-resident DataFrame
+    (:func:`ivf_centroids_df` — broadcast-data scoring, large
+    quantizers); see :func:`_with_cell_from_df` for the crossover.
     At scale, run once at ingest and persist partitioned by ``cell`` —
     then every probe is a partition-pruned read.
     """
+    if isinstance(centroids, DataFrame):
+        return _with_cell_from_df(df, vec_col, centroids, out="cell")
     return _with_cell(df, vec_col, centroids, out="cell")
 
 
@@ -346,7 +500,7 @@ def ann_topk_ivf(
     nprobe: int = 3,
     iters: int = 2,
     sample_mod: int | None = None,
-    centroids: list[list[float]] | None = None,
+    centroids: "list[list[float]] | DataFrame | None" = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF index: exact cosine, but only inside
     the ``nprobe`` cells nearest each query (the FAISS IVF-flat recipe).
@@ -355,8 +509,11 @@ def ann_topk_ivf(
     expression: sort the (−dot, cell) struct array, slice, explode — and
     joins the cell-assigned corpus on ``cell``. Work per query is
     ~nprobe/n_cells of the corpus; recall is tuned by ``nprobe``.
-    Pass a prebuilt ``centroids`` list to skip training (the ingest-time
-    pattern). Returns (query_id, vec_id, cosine, rank).
+    Pass a prebuilt ``centroids`` list (small quantizers, codegen
+    literals) or DataFrame (:func:`ivf_centroids_df` — large
+    quantizers, broadcast data; same struct sort and tie-break) to skip
+    training (the ingest-time pattern).
+    Returns (query_id, vec_id, cosine, rank).
     """
     qid = query_id_col or id_col
     if centroids is None:
@@ -368,15 +525,35 @@ def ann_topk_ivf(
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    cell_structs = F.expr(
-        "array("
-        + ",".join(
-            f"named_struct('negdot', -({_dot_sql('_qvec', c)}), "
-            f"'cell', cast({i} as int))"
-            for i, c in enumerate(centroids)
+    if isinstance(centroids, DataFrame):
+        q = q.crossJoin(F.broadcast(_pack_centroids(centroids)))
+        cell_structs = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (
+                    -F.aggregate(
+                        F.zip_with(
+                            F.col("_qvec"),
+                            c["cvec"],
+                            lambda x, y: x.cast("double") * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ).alias("negdot"),
+                c["cell"].alias("cell"),
+            ),
         )
-        + ")"
-    )
+    else:
+        cell_structs = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('negdot', -({_dot_sql('_qvec', c)}), "
+                f"'cell', cast({i} as int))"
+                for i, c in enumerate(centroids)
+            )
+            + ")"
+        )
     probes = q.select(
         "query_id",
         "_qvec",

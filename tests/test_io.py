@@ -233,3 +233,38 @@ def test_companda_roundtrip_oracle(catalog, simple_pdf, spark):
     ).withColumn("date", F.col("date").cast("timestamp"))
     res = companda(back, orig.select(*back.columns), keys=["pk"])
     assert res, res.message
+
+
+def test_companda_check_dtype(spark):
+    """check_dtype truth table (reference:tests/test_companda.py:99-106
+    test_same_companda_alter_dtype: same values, different dtype →
+    equal by default, unequal with check_dtype=True)."""
+    a = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["k", "v"])
+    b = a.withColumn("v", F.col("v").cast("int"))
+    assert companda(a, b, keys=["k"]), "values equal within epsilon"
+    res = companda(a, b, keys=["k"], check_dtype=True)
+    assert not res
+    assert "datatypes not equal" in res.message
+    # matching dtypes still pass under check_dtype
+    assert companda(a, a, keys=["k"], check_dtype=True)
+
+
+def test_companda_ignore_index(spark):
+    """ignore_index truth table (reference:pandabase/companda.py:94:
+    index values are not compared; rows align positionally after the
+    index sort)."""
+    a = spark.createDataFrame([(1, "x", 1.0), (2, "y", 2.0)], ["k", "s", "v"])
+    # same value columns in key-sorted order, entirely different keys
+    b = spark.createDataFrame([(10, "x", 1.0), (20, "y", 2.0)], ["k", "s", "v"])
+    assert not companda(a, b, keys=["k"]), "key-aligned mode sees disjoint keys"
+    assert companda(a, b, keys=["k"], ignore_index=True)
+    # a genuine value difference still fails positionally
+    c = spark.createDataFrame([(10, "x", 1.0), (20, "z", 2.0)], ["k", "s", "v"])
+    res = companda(a, c, keys=["k"], ignore_index=True)
+    assert not res
+    # row-count mismatch short-circuits
+    d = spark.createDataFrame([(10, "x", 1.0)], ["k", "s", "v"])
+    assert not companda(a, d, keys=["k"], ignore_index=True)
+    # epsilon still applies in positional mode
+    e = spark.createDataFrame([(7, "x", 1.0005), (8, "y", 2.0)], ["k", "s", "v"])
+    assert companda(a, e, keys=["k"], ignore_index=True)

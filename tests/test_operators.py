@@ -194,6 +194,43 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert len(exact & approx) / len(exact) >= 0.5
 
 
+def test_ivf_dataframe_centroids_parity(spark):
+    """The cluster-resident trainer (ivf_centroids_df) runs the same
+    seeding and Lloyd updates as the driver-resident one, so the two
+    quantizers must agree to float tolerance — and the DataFrame-path
+    search must return the same result set as the literal path when
+    given the equivalent quantizer."""
+    from pandabase_spark.operators.similarity import (
+        ann_topk_ivf, ivf_centroids, ivf_centroids_df,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lists = ivf_centroids(emb, n_cells=8, iters=2)
+    cdf = ivf_centroids_df(emb, n_cells=8, iters=2)
+    got = {
+        r["cell"]: list(r["cvec"])
+        for r in cdf.collect()
+    }
+    assert set(got) == set(range(8))
+    for cell, vec in enumerate(lists):
+        assert got[cell] == pytest.approx(vec, abs=1e-9), f"cell {cell}"
+
+    q = emb.where(F.col("vec_id") < 5)
+    lit_res = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ann_topk_ivf(
+            emb, q, k=10, nprobe=3, centroids=lists
+        ).collect()
+    }
+    df_res = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ann_topk_ivf(
+            emb, q, k=10, nprobe=3, centroids=cdf
+        ).collect()
+    }
+    assert lit_res == df_res
+
+
 def test_winnow_guarantee_shared_substring(spark):
     """Winnowing guarantee (Schleimer et al. '03): two documents
     sharing a substring of length ≥ window + n - 1 (= 11 at n=8, w=4)
