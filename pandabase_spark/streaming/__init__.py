@@ -158,10 +158,15 @@ def interval_join(
     l = left.withWatermark(ts_col, watermark).alias("l")
     r = right.withWatermark(ts_col, watermark).alias("r")
     lts, rts = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
+    # CalendarInterval LITERALS, not make_interval() calls: Spark's
+    # streaming-join state analyzer (StreamingJoinHelper) only derives
+    # state-eviction watermarks from literal interval arithmetic, and
+    # OUTER stream-stream joins are rejected outright when it cannot —
+    # "not supported without ... an appropriate range condition".
     cond = (
         (F.col(f"l.{on}") == F.col(f"r.{on}"))
-        & (rts >= lts + F.make_interval(secs=F.lit(float(lo))))
-        & (rts <= lts + F.make_interval(secs=F.lit(float(hi))))
+        & (rts >= lts + F.expr(f"INTERVAL '{int(lo)}' SECOND"))
+        & (rts <= lts + F.expr(f"INTERVAL '{int(hi)}' SECOND"))
     )
     return l.join(r, cond, how)
 

@@ -2890,6 +2890,88 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_OUTER_INTERVAL_JOIN_ORACLE = """
+WITH cut AS (
+  SELECT LEAST(
+    (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+    (SELECT max(ts) FROM events WHERE event_type = 'click')
+  ) - INTERVAL 6 HOUR AS c
+)
+SELECT a.event_id AS purchase_id, b.event_id AS click_id, a.user_id,
+       CAST(epoch_us(a.ts) AS BIGINT) AS purchase_ts_us,
+       CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT) AS lag_us
+FROM events a LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.event_type = 'click'
+ AND epoch_us(b.ts) >= epoch_us(a.ts) - CAST(14400 AS BIGINT) * 1000000
+ AND epoch_us(b.ts) <= epoch_us(a.ts)
+WHERE a.event_type = 'purchase' AND a.ts <= (SELECT c FROM cut)
+"""
+
+
+@_q("streaming_outer_interval_join", _OUTER_INTERVAL_JOIN_ORACLE)
+def streaming_outer_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the late-arriving-
+    enrichment shape: every purchase emits, matched to preceding-4h
+    clicks when they exist, as a NULL-padded row when none do. The
+    null row for an unmatched left row is emitted only when the
+    WATERMARK passes its join window (state-timeout eviction) — the
+    remaining stateful-join shape after the inner form.
+
+    End-state determinism: a left row whose window the final watermark
+    never passes stays buffered and emits nothing, so the comparison
+    is restricted to purchases older than
+    min(max purchase ts, max click ts) − watermark − 1h margin — for
+    those the stream MUST have emitted exactly the batch LEFT JOIN
+    rows (matches as they arrived, nulls at eviction). The oracle
+    states the same cutoff in SQL. Bounds + both-side watermarks keep
+    state bounded exactly as in the inner form."""
+    import tempfile
+
+    from pandabase_spark.streaming import interval_join
+
+    scratch = tempfile.mkdtemp(prefix="pb_streamoij_")
+    ev = load(spark, sf_dir, "events").drop("props")
+    ev.where(F.col("event_type") == "purchase").write.parquet(f"{scratch}/l")
+    ev.where(F.col("event_type") == "click").write.parquet(f"{scratch}/r")
+    cut_row = (
+        ev.agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            ).alias("m")
+        )
+        .select(F.unix_micros("m").alias("us"))
+        .first()
+    )
+    cutoff_us = cut_row["us"] - 6 * 3600 * 1_000_000
+    schema = ev.schema
+    name = f"oij_{os.getpid()}"
+    with _stream_cycle(spark):
+        ls = spark.readStream.schema(schema).parquet(f"{scratch}/l")
+        rs = spark.readStream.schema(schema).parquet(f"{scratch}/r")
+        joined = interval_join(
+            ls, rs, on="user_id", bounds_seconds=(-14400, 0),
+            watermark="5 hours", how="left_outer",
+        ).select(
+            F.col("l.event_id").alias("purchase_id"),
+            F.col("r.event_id").alias("click_id"),
+            F.col("l.user_id").alias("user_id"),
+            F.unix_micros("l.ts").alias("purchase_ts_us"),
+            (F.unix_micros("l.ts") - F.unix_micros("r.ts")).alias("lag_us"),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
+        )
+        _await(q)
+    return spark.table(name).where(F.col("purchase_ts_us") <= cutoff_us)
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: dedup
 # ---------------------------------------------------------------------------

@@ -192,6 +192,57 @@ def test_interval_join_planted(spark, tmp_path):
         interval_join(bl, br, on="user_id", bounds_seconds=(5, -5))
 
 
+def test_outer_interval_join_emits_null_rows(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: an unmatched left row
+    must emit a NULL-padded row once the watermark (driven by a later
+    sentinel event) passes its join window; matched rows behave as in
+    the inner form."""
+    from pandabase_spark.streaming import interval_join
+
+    left = pd.DataFrame(
+        {
+            "user_id": [1, 3, 9],
+            "event_id": [100, 300, 999],
+            "ts": pd.to_datetime(
+                # user 3's purchase has NO click; the user-9 sentinel
+                # 10 hours later drags the watermark past both windows
+                ["2024-01-01 10:00", "2024-01-01 10:00", "2024-01-01 20:00"]
+            ),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": [1, 9],
+            "event_id": [10, 90],
+            "ts": pd.to_datetime(["2024-01-01 09:55", "2024-01-01 20:00"]),
+        }
+    )
+    ld, rd = tmp_path / "oijl", tmp_path / "oijr"
+    spark.createDataFrame(left).write.parquet(str(ld))
+    spark.createDataFrame(right).write.parquet(str(rd))
+    schema = spark.read.parquet(str(ld)).schema
+    ls = spark.readStream.schema(schema).parquet(str(ld))
+    rs = spark.readStream.schema(schema).parquet(str(rd))
+    joined = interval_join(
+        ls, rs, on="user_id", bounds_seconds=(-600, 0),
+        watermark="1 hour", how="left_outer",
+    ).select(
+        F.col("l.event_id").alias("lid"), F.col("r.event_id").alias("rid")
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("oij_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckoij"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["lid"], r["rid"]) for r in spark.table("oij_out").collect()}
+    # user 1 matched; user 3 null-padded at eviction; sentinel matched
+    assert (100, 10) in got
+    assert (300, None) in got
+    assert all(rid is not None for lid, rid in got if lid == 100)
+
+
 def test_sessionize_stateful(spark, tmp_path):
     rows = []
     for u, times in {
