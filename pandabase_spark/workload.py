@@ -5607,57 +5607,62 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.01 cost (streaming cycles last), so round 4 completes the
 # 130/130 driver-verified union. Already-green queries follow.
 _GATE_FIRST = [
-    # never-driver-checked block (r02∪r03 complement), cheapest first
-    "doc_length_percentiles_by_lang",
-    "normalize_text_docs",
-    "union_schema_drift",
-    "extract_numbers_from_text",
-    "sample_fixed_per_stratum",
-    "weighted_sample_by_length",
-    "latest_event_per_user",
-    "weekday_revenue_seasonality",
-    "nation_segment_rollcall",
-    "window_rank_stats",
-    "events_variant_extract",
-    "sql_api_revenue_by_status",
-    "full_outer_activity_join",
-    "conditional_agg_flags",
-    "value_histogram",
-    "events_windowed_dedup",
-    "embedding_norm_stats",
-    "hopping_window_counts",
-    "funnel_click_to_purchase",
-    "events_time_weighted_avg",
-    "events_forward_fill",
-    "customer_order_left_join",
-    "q4_order_priority",
-    "q14_promo_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_dormant_rich_customers",
-    "char_entropy_docs",
-    "monthly_revenue_growth",
-    "q17_small_qty_revenue",
-    "nation_revenue_share",
-    "fuzzy_match_pairs",
-    "data_quality_checks",
-    "fact_fact_reconciliation",
-    "key_skew_report",
-    "event_transition_matrix",
-    "q10_returned_items",
-    "q7_nation_trade_volume",
-    "cohort_retention",
-    "rfm_segments",
-    "events_mad_outliers",
-    "multimodal_embed_topk",
-    "dedup_savings_report",
-    "bigram_lm_score",
-    "nearest_centroid_confusion",
-    "streaming_dedup_end_state",
-    "streaming_interval_join",
-    "streaming_static_enrich",
-    "streaming_sessionize",
-    "streaming_late_data_drop",
+    # round-5 head: the 21 r4-tail queries the driver has never
+    # checked + the 7 new round-5 queries (TPC-H completion + outer
+    # streaming join), cheapest first — completing this block makes
+    # the driver-verified union cover every queries() entry
+    "q6_forecast_revenue",
+    "sketch_distinct_users",
+    "sketch_value_quantiles",
+    "sketch_population_overlap",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "q8_market_share",
+    "q12_shipping_priority_classes",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "q9_product_profit",
+    "q11_important_stock",
+    "csv_roundtrip_part",
+    "zorder_bucket_spans",
+    "events_rolling_median",
+    "events_linear_interpolate",
+    "concurrent_sessions_peak",
+    "kt_delete_rows",
+    "kt_update_rows",
+    "kt_colocated_join",
+    "kt_colocated_agg",
+    "kt_clone_divergence",
+    "training_shard_manifest",
+    "incremental_dedup_classify",
+    "streaming_outer_interval_join",
+    "q2_min_cost_supplier",
+    "streaming_running_agg",
+    # back-fill: oldest (r1/r2-only) greens, queued for
+    # re-confirmation against the current code
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "window_top3_lineitems",
+    "orders_priority_rollup",
+    "events_hourly",
+    "events_json_extract",
+    "events_user_deltas",
+    "events_moving_avg",
+    "salted_skew_join",
+    "asof_join_events",
+    "range_join_events",
+    "anti_join_idle_customers",
+    "semi_join_ordered_parts",
+    "rollup_orders",
+    "session_windows_events",
+    "top_words",
+    "label_centroids",
+    "unpivot_lineitem_metrics",
+    "cube_orders",
+    "grouping_sets_orders",
+    "pivot_orders",
+    "lineitem_stats",
 ]
 
 
