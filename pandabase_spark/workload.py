@@ -4650,7 +4650,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts-probe join. The offer table itself (per-(part,supp) MIN unit
     price) is an order-free aggregate, so the double equality
     ``cost = mincost`` is engine-exact. Nation/region broadcast by
-    hint; supplier scales, left to AQE. The final LIMIT is fully
+    hint; the EU supplier-key list broadcasts by hint into a semi join
+    on the aggregated offers (see the inline comment for the crossover
+    math). The final LIMIT is fully
     tie-broken, so content is deterministic at any parallelism."""
     from pyspark.sql.window import Window
 
@@ -4659,21 +4661,47 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     p = load(spark, sf_dir, "part").where(F.col("p_size") == 15)
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
-    )
     eu = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # big-data path, ONE fact shuffle total: repartition lineitem on
+    # the LEADING key — HashPartitioning(l_partkey) satisfies both the
+    # (l_partkey, l_suppkey) clustered distribution of the aggregate
+    # and the window's partitionBy, so agg and window share that
+    # exchange (PLANS.md shows the single-Exchange plan). The EU
+    # restriction (which must precede the window min — the minimum is
+    # over REGION suppliers only) applies to the AGGREGATED offer
+    # table, not the fact, via a BROADCAST semi join on the bare
+    # supplier-key column: the hint is deliberate — the static
+    # planner's size estimate for the dimension join output picks a
+    # sort-merge semi that would both shuffle the offers AND destroy
+    # the shared partitioning the window needs. A key column broadcasts
+    # up to ~8M suppliers at the 64MB threshold; beyond that drop the
+    # hint and pay one offers-side (post-aggregate, never lineitem)
+    # shuffle. Supplier attributes join AFTER the min-filter, touching
+    # only the winning rows.
+    offers = (
+        li.repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("cost")
+        )
+        .join(
+            F.broadcast(eu.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+    )
     w = Window.partitionBy("l_partkey")
-    ranked = (
-        offers.join(eu, offers.l_suppkey == F.col("s_suppkey"))
-        .withColumn("_mincost", F.min("cost").over(w))
+    best = offers.withColumn("_mincost", F.min("cost").over(w)).where(
+        F.col("cost") == F.col("_mincost")
     )
     return (
-        ranked.where(F.col("cost") == F.col("_mincost"))
+        best.join(eu, best.l_suppkey == F.col("s_suppkey"))
         .join(p, F.col("l_partkey") == p.p_partkey)
         .select(
             "s_acctbal",
@@ -4919,8 +4947,11 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # leading-key repartition: one exchange serves both the composite-
+    # key aggregate and the per-part window (see q2)
     sq = (
         li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .repartition(F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -4931,8 +4962,12 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
         .distinct()
     )
+    # dom is bounded by the number of 'red' parts (one dominant
+    # supplier per part at most) — broadcast it by hint; the static
+    # planner's estimate for the window-filtered aggregate otherwise
+    # picks a sort-merge semi that shuffles the supplier dimension
     return (
-        s.join(dom, s.s_suppkey == dom.l_suppkey, "left_semi")
+        s.join(F.broadcast(dom), s.s_suppkey == dom.l_suppkey, "left_semi")
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("s_name", "n_name")
