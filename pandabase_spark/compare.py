@@ -25,16 +25,29 @@ from pyspark.sql import types as T
 
 
 class Companda:
-    """Truthy/falsy comparison result (reference:pandabase/companda.py:19-37)."""
+    """Truthy/falsy comparison result (reference:pandabase/companda.py:19-37).
 
-    def __init__(self, equal: bool, message: str = ""):
+    ``columns_equal`` mirrors the reference's second field: False only
+    when the failure is a column-set mismatch (everything past the
+    column check reports True, even on value mismatches —
+    reference:companda.py:85-87 vs the later returns)."""
+
+    def __init__(
+        self, equal: bool, message: str = "", columns_equal: bool = True
+    ):
         self.equal = equal
+        self.columns_equal = columns_equal
         self.message = message
 
     def __bool__(self) -> bool:
         return self.equal
 
     def __repr__(self) -> str:
+        if not self.equal:
+            return (
+                f"Companda({self.equal}); columns_equal="
+                f"{self.columns_equal}. Unequal because: {self.message}"
+            )
         return f"Companda({self.equal}: {self.message})"
 
 
@@ -100,7 +113,11 @@ def companda(
     if set(df1.columns) != set(df2.columns):
         only1 = set(df1.columns) - set(df2.columns)
         only2 = set(df2.columns) - set(df1.columns)
-        return Companda(False, f"column sets differ: left-only={only1}, right-only={only2}")
+        return Companda(
+            False,
+            f"column sets differ: left-only={only1}, right-only={only2}",
+            columns_equal=False,
+        )
 
     if check_dtype:
         t1 = {f.name: f.dataType for f in df1.schema.fields}

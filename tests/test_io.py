@@ -245,8 +245,11 @@ def test_companda_check_dtype(spark):
     res = companda(a, b, keys=["k"], check_dtype=True)
     assert not res
     assert "datatypes not equal" in res.message
+    assert res.columns_equal  # dtype failure is NOT a column-set failure
     # matching dtypes still pass under check_dtype
     assert companda(a, a, keys=["k"], check_dtype=True)
+    # columns_equal is False only for column-set mismatches
+    assert not companda(a.drop("v"), b, keys=["k"]).columns_equal
 
 
 def test_companda_ignore_index(spark):

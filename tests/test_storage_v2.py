@@ -423,6 +423,82 @@ def test_write_text_if_absent_put_semantics(spark, catalog):
     assert catalog.fs.read_text(p) == "a"
 
 
+def test_stale_claim_after_vacuum_cannot_roll_back(spark, catalog):
+    """Vacuum prunes non-current version files, so a stale writer's
+    put-if-absent claim on an already-used version CAN succeed — the
+    commit must still detect that CURRENT moved on and raise instead
+    of republishing the stale document (which would roll the table
+    back past every newer commit)."""
+    import pytest as _pytest
+
+    from pandabase_spark.io import LOG_DIR, ConcurrentWriteError
+
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    catalog.to_table(df, "occ_v", keys=["k"])                      # v1
+    catalog.to_table(
+        df.withColumn("v", F.lit(2)), "occ_v", keys=["k"], how="upsert"
+    )                                                              # v2
+    catalog.to_table(
+        df.withColumn("v", F.lit(3)), "occ_v", keys=["k"], how="upsert"
+    )                                                              # v3
+    catalog.vacuum("occ_v")
+    log_dir = f"{catalog._path('occ_v')}/{LOG_DIR}"
+    # precondition: vacuum actually pruned v2's history file, so the
+    # stale claim below WILL win the put-if-absent
+    assert not catalog.fs.exists(f"{log_dir}/0000000002.json")
+    with _pytest.raises(ConcurrentWriteError, match="v3"):
+        catalog._commit("occ_v", {"seg-stale": [0]}, v=1)
+    # CURRENT untouched, and the stale claim file must not shadow the
+    # vacuumed snapshot in the history either
+    assert catalog._manifest("occ_v")["v"] == 3
+    assert not catalog.fs.exists(f"{log_dir}/0000000002.json")
+    assert [r["v"] for r in [catalog._manifest("occ_v")]] == [3]
+    assert catalog.read_table("occ_v").agg(F.max("v")).first()[0] == 3
+
+
+def test_dml_rewrite_detects_rival_commit_instead_of_absorbing(
+    spark, catalog, monkeypatch
+):
+    """delete_rows plans its rewrite from one manifest snapshot; if a
+    rival commit lands between planning and publish, the put-if-absent
+    claim must trip ConcurrentWriteError — re-reading a fresher
+    manifest at commit time would silently absorb the rival's commit
+    while dropping its rows from the rewritten buckets."""
+    import pytest as _pytest
+
+    from pandabase_spark.io import ConcurrentWriteError, KeyedCatalog
+
+    df = spark.range(20).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    catalog.to_table(df, "dml_race", keys=["k"])                   # v1
+
+    orig = KeyedCatalog._write_segment
+    fired = {}
+
+    def hooked(self, rows, table_name, m):
+        seg = orig(self, rows, table_name, m)
+        if table_name == "dml_race" and not fired.get("x"):
+            fired["x"] = True
+            # rival writer: append new keys, completing a commit in
+            # the window between the rewrite and the publish
+            self.to_table(
+                df.withColumn("k", F.col("k") + 1000),
+                "dml_race", keys=["k"], how="append",
+            )
+        return seg
+
+    monkeypatch.setattr(KeyedCatalog, "_write_segment", hooked)
+    with _pytest.raises(ConcurrentWriteError):
+        catalog.delete_rows("dml_race", "k < 5")
+    # the rival's commit survived intact; nothing was lost
+    assert catalog._manifest("dml_race")["v"] == 2
+    assert catalog.read_table("dml_race").count() == 40
+    # retried on the fresh snapshot, the delete works and keeps the
+    # rival's rows
+    monkeypatch.setattr(KeyedCatalog, "_write_segment", orig)
+    assert catalog.delete_rows("dml_race", "k < 5") == 5
+    assert catalog.read_table("dml_race").count() == 35
+
+
 def test_incremental_compact_merges_only_small_segments(spark, catalog):
     """target_bytes compaction: the small-file backlog merges into one
     segment while the full-sized base segment is left untouched —
