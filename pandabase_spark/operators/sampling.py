@@ -182,3 +182,146 @@ def weighted_sample(
         .where((F.col(weight_col) > 0) & (u < p))
         .drop("_mean_w")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    fractions: "tuple[float, float, float]" = (0.8, 0.1, 0.1),
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Attach a deterministic ``train``/``val``/``test`` label.
+
+    The assignment is a pure function of the row id (+ optional salt):
+    ``md5(id:salt)``'s first 8 hex digits → integer → percent bucket
+    0-99, cut at the cumulative fraction boundaries. Properties a
+    training pipeline needs and RNG-based splits lack: reproducible
+    across runs/engines (no seed state), STABLE under corpus growth
+    (a document's split never changes when other documents arrive —
+    the anti-leakage property), and re-derivable from the id alone.
+    ``salt`` yields independent re-splits (cross-validation folds).
+    One narrow projection — no shuffle, no state.
+
+    Fractions are rounded to whole percents (the bucket granularity);
+    they must sum to 1.
+    """
+    pcts = [round(f * 100) for f in fractions]
+    if sum(pcts) != 100 or any(p < 0 for p in pcts):
+        raise ValueError(
+            f"fractions must be non-negative whole percents summing to 1, "
+            f"got {fractions}"
+        )
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long"), F.lit(100)
+    )
+    label = (
+        F.when(bucket < pcts[0], F.lit("train"))
+        .when(bucket < pcts[0] + pcts[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(out, label)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    *,
+    budget: int,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins (sequence
+    packing): documents are sharded by id hash, ordered inside each
+    shard by the same hash, and bin k of a shard holds the documents
+    whose running token offset falls in ``[k·budget, (k+1)·budget)``
+    — the offset-packing scheme (a document may straddle its bin's
+    tail; the trainer's loader splits at the boundary, which is why
+    the byte offset is emitted). Deterministic end to end and stable
+    per shard.
+
+    Plan: one hash-partitioned window per shard (running SUM over the
+    md5 order) — the irreducible cost of sequential packing, made
+    parallel by sharding; no global sort, no driver state. Emits
+    (id, shard, bin_id, bin_offset, n_tokens).
+    """
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError(f"budget and n_shards must be positive")
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    staged = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("_tok"),
+        shard.alias("shard"),
+        h.alias("_h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum("_tok").over(w) - F.col("_tok")  # offset BEFORE this doc
+    return (
+        staged.withColumn("_off", run)
+        .select(
+            id_col,
+            "shard",
+            F.floor(F.col("_off") / budget).cast("long").alias("bin_id"),
+            F.pmod(F.col("_off"), F.lit(budget)).alias("bin_offset"),
+            F.col("_tok").alias("n_tokens"),
+        )
+    )
+
+
+def mixture_report(
+    df: DataFrame,
+    strata: Sequence[str],
+    token_col: str,
+    *,
+    target: "dict[tuple, float] | None" = None,
+) -> DataFrame:
+    """Per-stratum corpus composition + the resampling factor that
+    reaches a target mixture — the bookkeeping every training-data
+    assembly starts from. Emits (strata…, n_docs, n_tokens,
+    token_share, resample_factor) where resample_factor =
+    target_share / actual_share (default target: uniform over the
+    observed strata). Factors >1 mean upsample, <1 downsample; feed
+    them to :func:`weighted_sample` or repeat-count expansion.
+
+    One hash aggregate + a 1-row total broadcast back as a cross join
+    — no collect, no second scan of the corpus.
+    """
+    per = df.groupBy(*strata).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot"),
+        F.count(F.lit(1)).alias("_n_strata"),
+    )
+    out = per.crossJoin(F.broadcast(tot)).withColumn(
+        "token_share", F.col("n_tokens") / F.col("_tot")
+    )
+    if target is None:
+        tgt = 1.0 / F.col("_n_strata")
+    else:
+        expr = None
+        for key, share in target.items():
+            cond = None
+            key_t = key if isinstance(key, tuple) else (key,)
+            for c, v in zip(strata, key_t):
+                piece = F.col(c) == v
+                cond = piece if cond is None else (cond & piece)
+            expr = (
+                F.when(cond, F.lit(share))
+                if expr is None
+                else expr.when(cond, F.lit(share))
+            )
+        tgt = expr.otherwise(F.lit(0.0))
+    return out.withColumn(
+        "resample_factor", tgt / F.col("token_share")
+    ).drop("_tot", "_n_strata")

@@ -3747,6 +3747,94 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "train_val_test_split",
+    "SELECT doc_id, lang, CASE "
+    "WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8)) "
+    "AS UBIGINT) % 100 < 80 THEN 'train' "
+    "WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8)) "
+    "AS UBIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS split "
+    "FROM documents",
+)
+def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split labels: a pure function of
+    md5(doc_id:salt), so a document's split never changes as the
+    corpus grows (the anti-leakage property RNG splits lack) and both
+    engines assign bit-identical labels. One narrow projection."""
+    from pandabase_spark.operators.sampling import train_val_test_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = train_val_test_split(docs, "doc_id", salt="v1")
+    return out.select("doc_id", "lang", "split")
+
+
+@_q(
+    "pack_sequences_bins",
+    "WITH s AS ("
+    "SELECT doc_id, n_chars, "
+    "CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS UBIGINT) % 4 AS INTEGER) AS shard, "
+    "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents"
+    "), r AS ("
+    "SELECT doc_id, shard, n_chars, "
+    "SUM(n_chars) OVER (PARTITION BY shard ORDER BY h, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS off "
+    "FROM s"
+    ") "
+    "SELECT doc_id, shard, CAST(floor(off / 8192) AS BIGINT) AS bin_id, "
+    "CAST(off % 8192 AS BIGINT) AS bin_offset, "
+    "CAST(n_chars AS BIGINT) AS n_tokens FROM r",
+)
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into fixed-token-budget training bins
+    (budget 8192 of n_chars as the token proxy, 4 shards): documents
+    shard by id hash, order inside the shard by the same hash, and the
+    running offset places each one — offset packing, the shape a
+    sample-packing dataloader consumes. One window per shard, no
+    global sort; the md5 order makes bin membership engine-identical."""
+    from pandabase_spark.operators.sampling import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", "n_chars", budget=8192, n_shards=4
+    )
+
+
+@_q(
+    "mixture_report_by_lang",
+    "WITH per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), "
+    "t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot, "
+    "COUNT(*) AS ns FROM per) "
+    "SELECT lang, n_docs, n_tokens, "
+    "CAST(ROUND(n_tokens * 1000000.0 / tot) AS BIGINT) AS share_ppm, "
+    "CAST(ROUND((1.0 / ns) / (n_tokens * 1.0 / tot) * 1000000) AS BIGINT) "
+    "AS resample_ppm "
+    "FROM per, t",
+)
+def mixture_report_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture bookkeeping per language: doc/token composition +
+    the resampling factor reaching a uniform target mixture (>1e6 ppm
+    = upsample). Shares ship as scale-0-rounded ppm integers — the
+    cross-engine-exact form for ratio displays. One hash aggregate +
+    a broadcast 1-row total."""
+    from pandabase_spark.operators.sampling import mixture_report
+
+    docs = load(spark, sf_dir, "documents")
+    rep = mixture_report(docs, ["lang"], "n_chars")
+    return rep.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("token_share") * 1_000_000)
+        .cast("long")
+        .alias("share_ppm"),
+        F.round(F.col("resample_factor") * 1_000_000)
+        .cast("long")
+        .alias("resample_ppm"),
+    )
+
+
+@_q(
     "full_outer_activity_join",
     "WITH ck AS (SELECT user_id, COUNT(*) AS n_clicks FROM events "
     "WHERE event_type = 'click' GROUP BY user_id), "

@@ -506,3 +506,77 @@ def test_training_shard_manifest_python_free_and_balanced(spark):
     rows = df.collect()
     assert {r["shard"] for r in rows} == {0, 1, 2, 3}
     assert all(r["n_docs"] > 0 for r in rows)
+
+
+def test_train_val_test_split_stability_and_fractions(spark):
+    """The split label is a pure function of (id, salt): stable when
+    other rows arrive (anti-leakage), salt-independent re-splits,
+    roughly the requested proportions, and invalid fractions raise."""
+    from pandabase_spark.operators.sampling import train_val_test_split
+
+    base = spark.range(1000).withColumnRenamed("id", "doc_id")
+    full = train_val_test_split(base, "doc_id")
+    sub = train_val_test_split(base.where(F.col("doc_id") < 100), "doc_id")
+    got_full = {r["doc_id"]: r["split"] for r in full.collect()}
+    for r in sub.collect():  # growth never moves a document's split
+        assert got_full[r["doc_id"]] == r["split"]
+    from collections import Counter
+
+    c = Counter(got_full.values())
+    assert 0.7 < c["train"] / 1000 < 0.9
+    assert 0.05 < c["val"] / 1000 < 0.15
+    assert 0.05 < c["test"] / 1000 < 0.15
+    # a different salt is an independent re-split
+    resplit = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(base, "doc_id", salt="fold2").collect()
+    }
+    assert any(resplit[k] != got_full[k] for k in got_full)
+    with pytest.raises(ValueError, match="fractions"):
+        train_val_test_split(base, "doc_id", fractions=(0.5, 0.2, 0.2))
+
+
+def test_pack_sequences_offsets_are_contiguous_per_shard(spark):
+    """Offset packing invariants: within a shard, offsets are the
+    running prefix sum (contiguous, no gaps/overlaps), bin_id/offset
+    derive from the offset, and every doc appears exactly once."""
+    from pandabase_spark.operators.sampling import pack_sequences
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("tok")
+    )
+    out = pack_sequences(df, "doc_id", "tok", budget=256, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 500 and len({r["doc_id"] for r in rows}) == 500
+    by_shard = {}
+    for r in rows:
+        key = (r["shard"], r["bin_id"] * 256 + r["bin_offset"])
+        by_shard.setdefault(r["shard"], []).append((key[1], r["n_tokens"]))
+    for shard, items in by_shard.items():
+        items.sort()
+        pos = 0
+        for off, tok in items:
+            assert off == pos, f"gap in shard {shard}: {off} != {pos}"
+            pos += tok
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(df, "doc_id", "tok", budget=0)
+
+
+def test_mixture_report_factors(spark):
+    """Uniform-target factors invert the token shares; an explicit
+    target mixture overrides them; shares sum to 1."""
+    from pandabase_spark.operators.sampling import mixture_report
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 30), ("b", 20), ("c", 40)], ["src", "tok"]
+    )
+    rep = {r["src"]: r for r in mixture_report(df, ["src"], "tok").collect()}
+    assert abs(sum(r["token_share"] for r in rep.values()) - 1.0) < 1e-12
+    assert rep["a"]["token_share"] == pytest.approx(0.4)
+    assert rep["a"]["resample_factor"] == pytest.approx((1 / 3) / 0.4)
+    tgt = mixture_report(
+        df, ["src"], "tok", target={("a",): 0.5, ("b",): 0.25, ("c",): 0.25}
+    )
+    got = {r["src"]: r["resample_factor"] for r in tgt.collect()}
+    assert got["a"] == pytest.approx(0.5 / 0.4)
+    assert got["c"] == pytest.approx(0.25 / 0.4)
