@@ -177,3 +177,100 @@ def linear_interpolate(
         .otherwise(blend)
     )
     return df.withColumn(out_col, interp)
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    *,
+    alpha: float = 0.5,
+    span: int = 8,
+    group_cols: Sequence[str] = (),
+    tiebreak_col: str | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Bounded-window exponentially weighted moving average per group:
+    the pandas ``ewm(alpha=..).mean()`` recurrence truncated to the
+    last ``span`` observations,
+
+        ewma_t = Σ_{j<span} (1-α)^j · v_{t-j}  /  Σ_{j<span} (1-α)^j
+
+    with missing lags (series head) dropped from BOTH sums — exactly
+    pandas' finite-history normalization. The truncation is what makes
+    the operator scale-safe AND engine-exact: the weights are span
+    compile-time constants, the whole expression is one Window node of
+    ``span`` ``lag`` reads (single hash shuffle on the group key,
+    fully codegen'd, no carried state), and the same finite float
+    expression evaluates bit-identically in any engine — none of the
+    infinite-recurrence forms ((1-α)^(-i) rescaling) that overflow or
+    reorder floating point at scale. (1-α)^span < 0.4% of the weight
+    at the defaults, the standard truncation argument.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    b = 1.0 - alpha
+    v = F.col(value_col).cast("double")
+    terms = [v] + [
+        F.lag(v, j).over(w) * F.lit(b**j) for j in range(1, span)
+    ]
+    weights = [F.lit(1.0)] + [
+        F.when(
+            F.lag(v, j).over(w).isNotNull(), F.lit(b**j)
+        ).otherwise(F.lit(0.0))
+        for j in range(1, span)
+    ]
+    num = terms[0]
+    for t in terms[1:]:
+        num = num + F.coalesce(t, F.lit(0.0))
+    den = weights[0]
+    for t in weights[1:]:
+        den = den + t
+    return df.withColumn(out_col, num / den)
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    *,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history from an event stream:
+    collapse consecutive duplicate states per key, then emit one
+    validity interval per surviving state change —
+    ``(key, state, valid_from, valid_to, version)`` with ``valid_to``
+    NULL on the current row — the warehouse dimension-build shape
+    (Kimball SCD2), derived here instead of maintained by triggers.
+
+    Plan: two Window passes over the SAME hash partitioning on the
+    key (lag for change detection, then lead/row_number on the
+    filtered survivors for intervals + version) — one shuffle total,
+    no self-joins. ``tiebreak_col`` makes the order total when event
+    times can tie.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = df.withColumn(
+        "_prev", F.lag(state_col).over(w)
+    ).where(
+        F.col("_prev").isNull()
+        | ~F.col(state_col).eqNullSafe(F.col("_prev"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return changed.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("int").alias("version"),
+    )

@@ -1122,6 +1122,82 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_ewma_smooth",
+    "SELECT event_id, user_id, "
+    "CAST(ROUND(10000 * ("
+    "(value"
+    " + COALESCE(lag(value, 1) OVER w * 0.5, 0)"
+    " + COALESCE(lag(value, 2) OVER w * 0.25, 0)"
+    " + COALESCE(lag(value, 3) OVER w * 0.125, 0))"
+    " / "
+    "(1"
+    " + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 0.5 END"
+    " + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 0.25 END"
+    " + CASE WHEN lag(value, 3) OVER w IS NULL THEN 0 ELSE 0.125 END)"
+    ")) AS BIGINT) AS ewma_e4 "
+    "FROM events WHERE user_id <= 20 "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+)
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window EWMA (α=0.5, span=4) per user — pandas'
+    ``ewm().mean()`` recurrence truncated to compile-time-constant lag
+    weights: one Window node, one shuffle, no carried state, and a
+    finite float expression both engines evaluate bit-identically
+    (emitted in exact 1e-4 integer units, scale-0 rounding only)."""
+    from pandabase_spark.operators.timeseries import ewma
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    out = ewma(
+        ev, "value", "ts", alpha=0.5, span=4,
+        group_cols=["user_id"], tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("ewma") * 10000).cast("long").alias("ewma_e4"),
+    )
+
+
+@_q(
+    "scd2_user_state_history",
+    "WITH e AS (SELECT user_id, event_type, ts, event_id FROM events "
+    "WHERE user_id <= 50), "
+    "c AS (SELECT *, lag(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e), "
+    "s AS (SELECT user_id, event_type, ts, event_id FROM c "
+    "WHERE prev IS NULL OR event_type <> prev) "
+    "SELECT user_id, event_type AS state, "
+    "CAST(epoch_us(ts) AS BIGINT) AS valid_from_us, "
+    "CAST(epoch_us(lead(ts) OVER w2) AS BIGINT) AS valid_to_us, "
+    "CAST(row_number() OVER w2 AS INTEGER) AS version "
+    "FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)",
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build from the event stream: consecutive
+    duplicate states collapse, each survivor becomes a validity
+    interval (valid_to NULL = current) with a per-key version — the
+    Kimball warehouse-history shape derived in two window passes over
+    ONE hash shuffle on the key. Intervals ship as integer micros."""
+    from pandabase_spark.operators.timeseries import scd2_history
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") <= 50)
+    h = scd2_history(
+        ev, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    )
+    return h.select(
+        "user_id",
+        "state",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias(
+            "valid_from_us"
+        ),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias(
+            "valid_to_us"
+        ),
+        "version",
+    )
+
+
 def _zorder_oracle() -> str:
     from pandabase_spark.operators.zorder import zvalue_sql
 

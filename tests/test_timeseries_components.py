@@ -141,3 +141,52 @@ def test_linear_interpolate_matches_pandas(spark):
     assert ((np.isnan(a) & np.isnan(b)) | (np.abs(a - b) < 1e-12)).all(), (
         got, want,
     )
+
+
+def test_ewma_matches_manual_recurrence(spark):
+    """Span-4 EWMA equals the hand-computed truncated weighted mean,
+    including the short-history head normalization."""
+    from pandabase_spark.operators.timeseries import ewma
+
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], ["g", "t", "v"]
+    )
+    out = {
+        r["t"]: r["ewma"]
+        for r in ewma(
+            df, "v", "t", alpha=0.5, span=4, group_cols=["g"]
+        ).collect()
+    }
+    ws = [1.0, 0.5, 0.25, 0.125]
+    for t in range(5):
+        hist = vals[max(0, t - 3): t + 1][::-1]  # newest first
+        want = sum(v * w for v, w in zip(hist, ws)) / sum(ws[: len(hist)])
+        assert out[t] == pytest.approx(want, rel=1e-12), t
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, "v", "t", alpha=0.0)
+
+
+def test_scd2_history_intervals(spark):
+    """Consecutive duplicates collapse; intervals chain exactly
+    (valid_to == next valid_from); the last state is open-ended."""
+    from pandabase_spark.operators.timeseries import scd2_history
+
+    rows = [
+        (1, "a", 100), (1, "a", 200), (1, "b", 300),
+        (1, "b", 400), (1, "a", 500),
+        (2, "x", 100),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "t"])
+    h = sorted(
+        (
+            (r["k"], r["state"], r["valid_from"], r["valid_to"], r["version"])
+            for r in scd2_history(df, "k", "s", "t").collect()
+        )
+    )
+    assert h == [
+        (1, "a", 100, 300, 1),
+        (1, "a", 500, None, 3),
+        (1, "b", 300, 500, 2),
+        (2, "x", 100, None, 1),
+    ]
