@@ -285,7 +285,19 @@ class KeyedCatalog:
         advanced. In-flight ties inside the remaining
         claim-to-publish window are governed by the single-writer
         contract; completed commits are always detected."""
-        doc = json.dumps({"v": v + 1, "segments": segments})
+        import time as _time
+
+        # commit wall-clock in micros: the resolution key for
+        # AS-OF-timestamp time travel (version_as_of). Clock skew
+        # between writers can only mis-order commits by the skew
+        # amount — the version chain itself stays strictly ordered.
+        doc = json.dumps(
+            {
+                "v": v + 1,
+                "segments": segments,
+                "ts": int(_time.time() * 1_000_000),
+            }
+        )
         vpath = f"{self._path(table_name)}/{LOG_DIR}/{v + 1:010d}.json"
         claimed = self.fs.write_text_if_absent(vpath, doc)
         cur = self._manifest(table_name)["v"]
@@ -300,6 +312,42 @@ class KeyedCatalog:
         if not claimed:
             self.fs.write_text_atomic(vpath, doc)  # crashed-writer orphan
         self.fs.write_text_atomic(f"{self._path(table_name)}/{LOG_FILE}", doc)
+
+    def version_as_of(
+        self,
+        table_name: str,
+        ts: "float | int",
+        *,
+        schema: str | None = None,
+    ) -> int:
+        """Resolve an AS-OF wall-clock timestamp (epoch seconds, float
+        ok) to the snapshot version current at that instant — the
+        Delta ``TIMESTAMP AS OF`` shape: the LAST commit whose commit
+        time is ≤ ``ts`` among the RETAINED history (vacuum truncates
+        time travel, exactly as for version-based reads). Raises
+        NameError when no retained snapshot is old enough. Commits
+        from before this field existed (no ``ts`` in the doc) are
+        treated as infinitely old, so they resolve for any query time.
+        """
+        table_name = self._qualify(table_name, schema)
+        if not self.has_table(table_name):
+            raise NameError(f"no such table: {table_name}")
+        ts_us = int(float(ts) * 1_000_000)
+        log_dir = f"{self._path(table_name)}/{LOG_DIR}"
+        best = None
+        for f in self.fs.list_files(log_dir):
+            if not f.endswith(".json"):
+                continue
+            man = json.loads(self.fs.read_text(f"{log_dir}/{f}"))
+            if man.get("ts", 0) <= ts_us:
+                best = man["v"] if best is None else max(best, man["v"])
+        if best is None:
+            raise NameError(
+                f"table {table_name!r} has no snapshot at or before "
+                f"ts={ts} (first retained commit is newer, or history "
+                "was vacuumed)"
+            )
+        return best
 
     def history(self, table_name: str, *, schema: str | None = None) -> list[dict]:
         """Retained snapshots, oldest first: [{version, n_segments,
@@ -1290,6 +1338,7 @@ class KeyedCatalog:
         highest: Any = None,
         columns: Sequence[str] | None = None,
         version: int | None = None,
+        as_of: "float | int | None" = None,
         schema: str | None = None,
     ) -> DataFrame:
         """Full scan or inclusive key-range read.
@@ -1298,7 +1347,10 @@ class KeyedCatalog:
         the scan plans against that manifest's segment paths — same
         pruning, pushdown, and current-meta schema (columns evolved
         later read as NULL in old snapshots). Snapshots stay readable
-        until ``vacuum()`` deletes their segments.
+        until ``vacuum()`` deletes their segments. ``as_of=<epoch
+        seconds>`` is the TIMESTAMP AS OF form: it resolves to the
+        version current at that instant (:meth:`version_as_of`) and
+        reads it; mutually exclusive with ``version``.
 
         Single key: scalar bounds, ``lowest <= k <= highest``, either
         side optional (reference:pandabase/sql.py:383-399). Composite
@@ -1316,6 +1368,10 @@ class KeyedCatalog:
         prunes the scan column set.
         """
         table_name = self._qualify(table_name, schema)
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version= or as_of=, not both")
+            version = self.version_as_of(table_name, as_of)
         m = self.meta(table_name)
         nkeys = len(m.keys)
 

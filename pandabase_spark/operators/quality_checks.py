@@ -56,3 +56,42 @@ def check_rules(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
             "violation_pct"
         ),
     )
+
+
+def fk_violation_report(
+    pairs: "list[tuple[str, DataFrame, str, DataFrame, str]]",
+) -> DataFrame:
+    """Referential-integrity audit across a schema: one row per
+    declared foreign key with its orphan count (child rows whose key
+    has no parent). ``pairs`` is a list of
+    ``(name, child_df, child_key, parent_df, parent_key)``.
+
+    Each relationship is a LEFT ANTI join (NULL child keys are not
+    orphans — SQL FK semantics ignore NULLs) aggregated to one count;
+    the per-FK plans union into a single job. The anti join ships
+    only the child's key column and the parent's distinct keys —
+    broadcastable whenever the parent's key set fits, AQE's call
+    otherwise. The batch-audit twin of the write-time CHECK/PK
+    enforcement on keyed tables: run it per ingest to catch drift
+    between independently-loaded fact and dimension tables before a
+    100 TB join silently drops or duplicates rows.
+    """
+    out = None
+    for name, child, ckey, parent, pkey in pairs:
+        orphans = (
+            child.select(F.col(ckey).alias("_k"))
+            .where(F.col("_k").isNotNull())
+            .join(
+                parent.select(F.col(pkey).alias("_k")).distinct(),
+                on="_k",
+                how="left_anti",
+            )
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).alias("n_orphans"),
+            )
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    if out is None:
+        raise ValueError("no foreign-key pairs given")
+    return out

@@ -2020,6 +2020,53 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "fk_violation_report",
+    "SELECT 'orders->customer' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans "
+    "FROM orders o WHERE o.o_custkey IS NOT NULL AND o.o_custkey NOT IN "
+    "(SELECT c_custkey FROM customer) "
+    "UNION ALL "
+    "SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT) "
+    "FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND l.l_orderkey NOT IN "
+    "(SELECT o_orderkey FROM orders) "
+    "UNION ALL "
+    "SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT) "
+    "FROM lineitem l WHERE l.l_partkey IS NOT NULL AND l.l_partkey NOT IN "
+    "(SELECT p_partkey FROM part) "
+    "UNION ALL "
+    "SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT) "
+    "FROM lineitem l WHERE l.l_suppkey IS NOT NULL AND l.l_suppkey NOT IN "
+    "(SELECT s_suppkey FROM supplier) "
+    "UNION ALL "
+    "SELECT 'supplier->nation', CAST(COUNT(*) AS BIGINT) "
+    "FROM supplier s WHERE s.s_nationkey IS NOT NULL AND s.s_nationkey NOT IN "
+    "(SELECT n_nationkey FROM nation)",
+)
+def fk_violation_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the star schema: orphan counts
+    for five declared foreign keys, each a left-anti join shipping
+    only key columns (broadcast while the parent key set fits). The
+    batch twin of the keyed-table write-time constraints — run per
+    ingest so a 100 TB fact⨝dim join never silently drops rows."""
+    from pandabase_spark.operators.quality_checks import fk_violation_report
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return fk_violation_report(
+        [
+            ("orders->customer", o, "o_custkey", c, "c_custkey"),
+            ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", p, "p_partkey"),
+            ("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+            ("supplier->nation", s, "s_nationkey", n, "n_nationkey"),
+        ]
+    )
+
+
 _MAD_ORACLE = """
 WITH med AS (
   SELECT event_type, median(value) AS m FROM events GROUP BY event_type

@@ -580,3 +580,22 @@ def test_mixture_report_factors(spark):
     got = {r["src"]: r["resample_factor"] for r in tgt.collect()}
     assert got["a"] == pytest.approx(0.5 / 0.4)
     assert got["c"] == pytest.approx(0.25 / 0.4)
+
+
+def test_fk_violation_report_counts_planted_orphans(spark):
+    from pandabase_spark.operators.quality_checks import fk_violation_report
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 98)], ["id", "fk"]
+    )
+    parent = spark.createDataFrame([(10,), (11,)], ["pk"])
+    got = {
+        r["fk"]: r["n_orphans"]
+        for r in fk_violation_report(
+            [("child->parent", child, "fk", parent, "pk")]
+        ).collect()
+    }
+    # 99 and 98 are orphans; NULL fk is NOT an orphan (SQL FK rule)
+    assert got == {"child->parent": 2}
+    with pytest.raises(ValueError, match="no foreign-key"):
+        fk_violation_report([])

@@ -644,3 +644,32 @@ def test_delete_rewrite_is_bucket_pruned(spark, catalog):
     new_seg = next(s for s in man if s != base_seg)
     assert len(man[new_seg]) == 1
     assert catalog.read_table("del_prune").count() == 9_999
+
+
+def test_timestamp_as_of_time_travel(spark, catalog):
+    """TIMESTAMP AS OF resolution: a wall-clock instant between two
+    commits reads the earlier snapshot; before the first retained
+    commit raises; version= and as_of= are mutually exclusive."""
+    import time
+
+    import pytest as _pytest
+
+    df = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    t0 = time.time() - 1.0
+    catalog.to_table(df, "asof_t", keys=["k"])                     # v1
+    t_between = time.time() + 0.0005
+    time.sleep(0.01)
+    catalog.to_table(
+        df.withColumn("v", F.lit(2)), "asof_t", keys=["k"], how="upsert"
+    )                                                              # v2
+    assert catalog.version_as_of("asof_t", t_between) == 1
+    assert catalog.version_as_of("asof_t", time.time() + 1) == 2
+    got = catalog.read_table("asof_t", as_of=t_between)
+    assert got.agg(F.max("v")).first()[0] == 1
+    assert catalog.read_table(
+        "asof_t", as_of=time.time() + 1
+    ).agg(F.max("v")).first()[0] == 2
+    with _pytest.raises(NameError, match="no snapshot"):
+        catalog.version_as_of("asof_t", t0)
+    with _pytest.raises(ValueError, match="not both"):
+        catalog.read_table("asof_t", version=1, as_of=t_between)

@@ -365,3 +365,51 @@ def test_running_agg_tws_parity(spark, tmp_path):
         spark, src, tmp_path / "out_b", tmp_path / "ck_b", running_agg_tws
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_full_outer_interval_join(spark, tmp_path):
+    """FULL OUTER stream-stream interval join: unmatched rows on BOTH
+    sides emit null-padded at watermark eviction."""
+    from pandabase_spark.streaming import interval_join
+
+    left = pd.DataFrame(
+        {
+            "user_id": [1, 3, 9],
+            "event_id": [100, 300, 999],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:00", "2024-01-01 20:00"]
+            ),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": [1, 7, 9],
+            "event_id": [10, 70, 90],
+            "ts": pd.to_datetime(
+                ["2024-01-01 09:55", "2024-01-01 09:58", "2024-01-01 20:00"]
+            ),
+        }
+    )
+    ld, rd = tmp_path / "fojl", tmp_path / "fojr"
+    spark.createDataFrame(left).write.parquet(str(ld))
+    spark.createDataFrame(right).write.parquet(str(rd))
+    schema = spark.read.parquet(str(ld)).schema
+    ls = spark.readStream.schema(schema).parquet(str(ld))
+    rs = spark.readStream.schema(schema).parquet(str(rd))
+    joined = interval_join(
+        ls, rs, on="user_id", bounds_seconds=(-600, 0),
+        watermark="1 hour", how="full_outer",
+    ).select(
+        F.col("l.event_id").alias("lid"), F.col("r.event_id").alias("rid")
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("foj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckfoj"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["lid"], r["rid"]) for r in spark.table("foj_out").collect()}
+    assert (100, 10) in got      # matched
+    assert (300, None) in got    # left-unmatched evicted as null row
+    assert (None, 70) in got     # right-unmatched evicted as null row
