@@ -125,6 +125,7 @@ class TableMeta:
     num_buckets: int
     schema_json: str = ""
     constraints: dict = field(default_factory=dict)
+    stats_columns: list = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -134,6 +135,7 @@ class TableMeta:
         d = json.loads(s)
         d.setdefault("schema_json", "")
         d.setdefault("constraints", {})
+        d.setdefault("stats_columns", [])
         return cls(**d)
 
     @property
@@ -260,7 +262,74 @@ class KeyedCatalog:
             return {"v": 0, "segments": {}}
         return json.loads(self.fs.read_text(p))
 
-    def _commit(self, table_name: str, segments: dict[str, list[int]], v: int) -> None:
+    @staticmethod
+    def _json_stat(v: Any):
+        """JSON-safe form of a min/max stat value. Datetimes/dates use
+        ISO strings — their lexicographic order IS their temporal
+        order, so bound compares after round-trip stay correct."""
+        import datetime
+
+        if v is None:
+            return None
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, (int, float, str, bool)):
+            return v
+        return str(v)
+
+    def _segment_stats(
+        self, table_name: str, seg: str, m: TableMeta
+    ) -> dict:
+        """Per-(bucket) min/max of ``m.stats_columns`` for one segment,
+        read back from the files actually on disk (a column-pruned
+        scan of just the stat columns — parquet footers do most of the
+        work). Shape: {str(bucket): {col: [min, max]}}."""
+        base = (
+            f"{self.warehouse}/{seg}"
+            if "/" in seg
+            else f"{self._path(table_name)}/{seg}"
+        )
+        # read the bucket LEAF dirs directly (same as _read_raw): no
+        # partition inference, bucket id recovered from the file path
+        leaves = [
+            f"{base}/{d}"
+            for d in self.fs.list_dirs(base)
+            if d.startswith(f"{PART_DIR}=")
+        ]
+        df = self.spark.read.schema(m.schema).parquet(*leaves)
+        aggs = []
+        for c in m.stats_columns:
+            aggs.append(F.min(c).alias(f"_lo_{c}"))
+            aggs.append(F.max(c).alias(f"_hi_{c}"))
+        rows = (
+            df.withColumn(
+                PART_DIR,
+                F.regexp_extract(
+                    F.input_file_name(), f"{PART_DIR}=(\\d+)", 1
+                ).cast("int"),
+            )
+            .groupBy(PART_DIR)
+            .agg(*aggs)
+            .collect()
+        )
+        return {
+            str(r[PART_DIR]): {
+                c: [
+                    self._json_stat(r[f"_lo_{c}"]),
+                    self._json_stat(r[f"_hi_{c}"]),
+                ]
+                for c in m.stats_columns
+            }
+            for r in rows
+        }
+
+    def _commit(
+        self,
+        table_name: str,
+        segments: dict[str, list[int]],
+        v: int,
+        stats: dict | None = None,
+    ) -> None:
         """THE commit point, with optimistic concurrency detection.
 
         The versioned history file is claimed with PUT-IF-ABSENT
@@ -287,17 +356,36 @@ class KeyedCatalog:
         contract; completed commits are always detected."""
         import time as _time
 
+        # Data-skipping stats ride in the manifest, keyed by SEGMENT
+        # NAME — segments are immutable, so a segment's stats are valid
+        # in every manifest that references it. Merge order: caller-
+        # provided (clone carry-over) → prior CURRENT manifest (retained
+        # segments) → computed fresh for new segments when the table
+        # declares stats_columns. A segment with no stats entry is
+        # simply never pruned — stats are advisory, absence is safe.
+        m = self.meta(table_name)
+        allstats: dict = {}
+        if m.stats_columns:
+            prior = self._manifest(table_name).get("stats", {})
+            for seg in segments:
+                if stats and seg in stats:
+                    allstats[seg] = stats[seg]
+                elif seg in prior:
+                    allstats[seg] = prior[seg]
+                else:
+                    allstats[seg] = self._segment_stats(table_name, seg, m)
         # commit wall-clock in micros: the resolution key for
         # AS-OF-timestamp time travel (version_as_of). Clock skew
         # between writers can only mis-order commits by the skew
         # amount — the version chain itself stays strictly ordered.
-        doc = json.dumps(
-            {
-                "v": v + 1,
-                "segments": segments,
-                "ts": int(_time.time() * 1_000_000),
-            }
-        )
+        doc_d = {
+            "v": v + 1,
+            "segments": segments,
+            "ts": int(_time.time() * 1_000_000),
+        }
+        if allstats:
+            doc_d["stats"] = allstats
+        doc = json.dumps(doc_d)
         vpath = f"{self._path(table_name)}/{LOG_DIR}/{v + 1:010d}.json"
         claimed = self.fs.write_text_if_absent(vpath, doc)
         cur = self._manifest(table_name)["v"]
@@ -576,13 +664,21 @@ class KeyedCatalog:
             raise ValueError(f"table {dst_q!r} already exists")
         m = self.meta(src_q)
         man = self._manifest(src_q, version=version)
-        segments = {
-            (seg if "/" in seg else f"{src_q}/{seg}"): bs
-            for seg, bs in man["segments"].items()
+        rename = {
+            seg: (seg if "/" in seg else f"{src_q}/{seg}")
+            for seg in man["segments"]
+        }
+        segments = {rename[seg]: bs for seg, bs in man["segments"].items()}
+        # stats carry over under the renamed keys so the clone stays
+        # O(manifest) — nothing is rescanned for a metadata-only fork
+        stats = {
+            rename[seg]: st
+            for seg, st in man.get("stats", {}).items()
+            if seg in rename
         }
         self.fs.mkdirs(self._path(dst_q))
         self._write_meta(dst_q, m)
-        self._commit(dst_q, segments, v=0)
+        self._commit(dst_q, segments, v=0, stats=stats or None)
 
     def register_bucketed(
         self,
@@ -686,8 +782,16 @@ class KeyedCatalog:
         num_buckets: int | None = None,
         schema: str | None = None,
         constraints: Mapping[str, str] | None = None,
+        stats_columns: Sequence[str] | None = None,
     ) -> None:
         """Write a DataFrame into a keyed table.
+
+        ``stats_columns`` (create only): column names whose per-
+        (segment, bucket) min/max ride in every manifest commit,
+        enabling ``read_table(stats_bounds=...)`` file skipping on
+        NON-KEY ranges. Segments are immutable, so stats are computed
+        once per new segment (one column-pruned scan of the freshly
+        written files) and carried forward verbatim by later commits.
 
         ``constraints`` (create only): named CHECK expressions every
         row of every future write must satisfy (TRUE — a NULL result
@@ -717,6 +821,7 @@ class KeyedCatalog:
                 df, self._qualify(table_name, schema), keys=keys, how=how,
                 auto_index=auto_index, add_new_columns=add_new_columns,
                 num_buckets=num_buckets, constraints=constraints,
+                stats_columns=stats_columns,
             )
         finally:
             self._release_staged()
@@ -737,12 +842,17 @@ class KeyedCatalog:
         add_new_columns: bool,
         num_buckets: int | None,
         constraints: Mapping[str, str] | None = None,
+        stats_columns: Sequence[str] | None = None,
     ) -> None:
         exists = self.has_table(table_name)
         if exists and constraints:
             raise NameError(
                 "constraints are declared at create time; use "
                 "add_constraint/drop_constraint on an existing table"
+            )
+        if exists and stats_columns:
+            raise NameError(
+                "stats_columns are declared at create time"
             )
         target_schema = self.meta(table_name).schema if exists else None
         sdf, keys = self._normalize_input(df, keys, auto_index, target_schema)
@@ -763,7 +873,7 @@ class KeyedCatalog:
         if not exists:
             self._create(
                 sdf, table_name, keys, auto_index, num_buckets,
-                constraints=constraints,
+                constraints=constraints, stats_columns=stats_columns,
             )
             return
 
@@ -958,14 +1068,21 @@ class KeyedCatalog:
         auto_index: bool,
         num_buckets: int | None,
         constraints: Mapping[str, str] | None = None,
+        stats_columns: Sequence[str] | None = None,
     ) -> None:
         self._check_unique(sdf, keys)
+        bad_stats = [
+            c for c in (stats_columns or []) if c not in sdf.columns
+        ]
+        if bad_stats:
+            raise NameError(f"stats_columns not in schema: {bad_stats}")
         m = TableMeta(
             keys=list(keys),
             auto_index=auto_index,
             num_buckets=num_buckets or self.default_buckets,
             schema_json=json.dumps(sdf.schema.jsonValue()),
             constraints=dict(constraints or {}),
+            stats_columns=list(stats_columns or []),
         )
         self._check_constraints(sdf, m)
         seg, buckets = self._write_segment(sdf, table_name, m)
@@ -1284,6 +1401,7 @@ class KeyedCatalog:
         buckets: Sequence[int] | None = None,
         version: int | None = None,
         manifest: dict | None = None,
+        stats_bounds: "Mapping[str, tuple] | None" = None,
     ) -> list[str]:
         # ``manifest=`` pins the read to a caller-captured snapshot so
         # DML rewrites read and commit against the SAME version — a
@@ -1295,6 +1413,27 @@ class KeyedCatalog:
             else self._manifest(table_name, version=version)
         )
         want = None if buckets is None else set(buckets)
+        stats = man.get("stats", {}) if stats_bounds else {}
+
+        def skippable(seg: str, b: int) -> bool:
+            # manifest-level data skipping: drop a (segment, bucket)
+            # leaf when its recorded [min, max] provably misses the
+            # requested range. Missing stats → never skip (advisory).
+            st = stats.get(seg, {}).get(str(b))
+            if not st:
+                return False
+            for col, (lo, hi) in stats_bounds.items():
+                rng = st.get(col)
+                if not rng or rng[0] is None or rng[1] is None:
+                    continue
+                lo_j = self._json_stat(lo) if lo is not None else None
+                hi_j = self._json_stat(hi) if hi is not None else None
+                if (hi_j is not None and rng[0] > hi_j) or (
+                    lo_j is not None and rng[1] < lo_j
+                ):
+                    return True
+            return False
+
         # a "/" in the segment name marks an external reference (from
         # clone_table) — warehouse-relative instead of table-relative
         return [
@@ -1305,7 +1444,8 @@ class KeyedCatalog:
             )
             for seg, bs in man["segments"].items()
             for b in bs
-            if want is None or b in want
+            if (want is None or b in want)
+            and not (stats_bounds and skippable(seg, b))
         ]
 
     def _read_raw(
@@ -1314,12 +1454,17 @@ class KeyedCatalog:
         buckets: Sequence[int] | None = None,
         version: int | None = None,
         manifest: dict | None = None,
+        stats_bounds: "Mapping[str, tuple] | None" = None,
     ) -> DataFrame:
         if not self.has_table(table_name):
             raise NameError(f"no such table: {table_name}")
         schema = self.meta(table_name).schema
         paths = self._live_paths(
-            table_name, buckets, version=version, manifest=manifest
+            table_name,
+            buckets,
+            version=version,
+            manifest=manifest,
+            stats_bounds=stats_bounds,
         )
         if not paths:
             return self.spark.createDataFrame([], schema)
@@ -1339,9 +1484,23 @@ class KeyedCatalog:
         columns: Sequence[str] | None = None,
         version: int | None = None,
         as_of: "float | int | None" = None,
+        stats_bounds: "Mapping[str, tuple] | None" = None,
         schema: str | None = None,
     ) -> DataFrame:
         """Full scan or inclusive key-range read.
+
+        ``stats_bounds={col: (lo, hi)}`` (either side may be None) is
+        the NON-KEY range read for tables created with
+        ``stats_columns``: (segment, bucket) leaves whose manifest
+        [min, max] provably miss the range are skipped before the scan
+        plans — at 100 TB that skips file OPENS, a tier above parquet
+        row-group pruning (which still applies to the survivors via
+        the same bounds pushed as ordinary filters). The filter is
+        also applied to the returned rows, so semantics are exactly
+        ``WHERE lo <= col <= hi`` regardless of how much was skipped;
+        segments written before stats existed are read (never
+        silently dropped). Pair with ``cluster_by_zorder`` layouts so
+        per-leaf ranges are tight on every clustered dimension.
 
         ``version=N`` time-travels to snapshot N (see ``history()``):
         the scan plans against that manifest's segment paths — same
@@ -1406,7 +1565,20 @@ class KeyedCatalog:
             )
             buckets = self._batch_buckets(probe, m)
 
-        df = self._read_raw(table_name, buckets=buckets, version=version)
+        df = self._read_raw(
+            table_name,
+            buckets=buckets,
+            version=version,
+            stats_bounds=stats_bounds,
+        )
+        if stats_bounds:
+            for col, (slo, shi) in stats_bounds.items():
+                if col not in df.columns:
+                    raise NameError(f"stats_bounds column {col!r} not in table")
+                if slo is not None:
+                    df = df.where(F.col(col) >= slo)
+                if shi is not None:
+                    df = df.where(F.col(col) <= shi)
 
         for bound, is_lower in ((lo, True), (hi, False)):
             if bound is None:

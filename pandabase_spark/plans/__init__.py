@@ -28,6 +28,7 @@ class PlanAudit:
     nested_loop_joins: int = 0
     cartesian_products: int = 0
     shuffles: int = 0
+    hash_exchanges: int = 0
     single_partition_exchanges: int = 0
     codegen_stages: int = 0
     python_eval_nodes: int = 0
@@ -75,6 +76,7 @@ def plan_audit(df: DataFrame) -> PlanAudit:
         nested_loop_joins=plan.count("BroadcastNestedLoopJoin"),
         cartesian_products=plan.count("CartesianProduct"),
         shuffles=plan.count("Exchange"),
+        hash_exchanges=plan.count("Exchange hashpartitioning"),
         single_partition_exchanges=plan.count("SinglePartition"),
         codegen_stages=plan.count("WholeStageCodegen"),
         python_eval_nodes=plan.count("EvalPython")

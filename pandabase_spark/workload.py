@@ -242,6 +242,47 @@ def kt_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kt_stats_skipping_read",
+    "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+    "ROUND(SUM(o_totalprice), 2) AS total "
+    "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1996-04-01' "
+    "GROUP BY 1",
+)
+def kt_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-key range read through MANIFEST-LEVEL data skipping: the
+    table is created with ``stats_columns=['o_orderdate']``, so every
+    commit carries per-(segment, bucket) min/max and
+    ``read_table(stats_bounds=...)`` skips whole file opens before the
+    scan plans — a tier above parquet row-group pruning, which still
+    applies to the surviving leaves. The residual filter keeps the
+    semantics exactly WHERE lo <= col < hi (the oracle states the
+    plain filtered aggregate). Skipping effectiveness (leaf counts)
+    is pinned in test_storage_v2.py."""
+    import datetime
+
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_stats_orders")
+    cat.to_table(
+        load(spark, sf_dir, "orders"), "w_stats_orders",
+        keys=["o_orderkey"], stats_columns=["o_orderdate"],
+    )
+    got = cat.read_table(
+        "w_stats_orders",
+        stats_bounds={
+            "o_orderdate": (
+                datetime.datetime(1996, 1, 1),
+                datetime.datetime(1996, 3, 31, 23, 59, 59, 999999),
+            )
+        },
+    )
+    return got.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@_q(
     "kt_update_rows",
     "SELECT c_custkey, c_name, c_nationkey, "
     "CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal, "

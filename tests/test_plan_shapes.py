@@ -430,3 +430,22 @@ def test_concurrency_sweep_is_two_phase(spark):
     assert a.single_partition_exchanges == 1
     assert a.broadcast_joins >= 1
     assert a.join_safe and a.window_nodes >= 2
+
+
+def test_q2_decorrelation_shares_one_exchange(spark):
+    """q2's min-subquery decorrelation: the leading-key repartition
+    serves BOTH the composite-key offer aggregate and the per-part
+    window — exactly one hash exchange in the whole plan (the EU semi
+    and all attribute joins broadcast)."""
+    a = plan_audit(workload.QUERIES["q2_min_cost_supplier"](spark, SF_DIR))
+    assert a.hash_exchanges == 1
+    assert a.window_nodes >= 1
+    assert a.join_safe
+
+
+def test_q20_window_reuses_aggregate_exchange(spark):
+    """q20: aggregate + per-part window share the l_partkey exchange;
+    the only other hash exchange is the dominant-supplier distinct."""
+    a = plan_audit(workload.QUERIES["q20_dominant_suppliers"](spark, SF_DIR))
+    assert a.hash_exchanges <= 2
+    assert a.join_safe

@@ -673,3 +673,80 @@ def test_timestamp_as_of_time_travel(spark, catalog):
         catalog.version_as_of("asof_t", t0)
     with _pytest.raises(ValueError, match="not both"):
         catalog.read_table("asof_t", version=1, as_of=t_between)
+
+
+def test_stats_columns_file_skipping(spark, catalog):
+    """Manifest-level data skipping: a table created with
+    stats_columns records per-(segment, bucket) min/max in every
+    commit; read_table(stats_bounds=) plans only the overlapping
+    leaves, and the residual filter keeps semantics exact."""
+    a = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("v")
+    )
+    b = spark.range(1000, 1100).select(
+        F.col("id").alias("k"), (F.col("id") % 50 + 1000).alias("v")
+    )
+    catalog.to_table(a, "st_t", keys=["k"], num_buckets=4,
+                     stats_columns=["v"])
+    catalog.to_table(b, "st_t", keys=["k"], how="append")
+    man = catalog._manifest("st_t")
+    assert len(man["segments"]) == 2
+    assert set(man["stats"]) == set(man["segments"])
+    for seg, st in man["stats"].items():
+        for bucket, cols in st.items():
+            lo, hi = cols["v"]
+            assert lo is not None and lo <= hi
+
+    # bounds hitting only segment b: segment a's leaves are skipped
+    got = catalog.read_table("st_t", stats_bounds={"v": (1000, None)})
+    assert got.count() == 100
+    files = {r[0] for r in got.select(F.input_file_name()).collect()}
+    segs_touched = {f.split("/st_t/")[1].split("/")[0] for f in files}
+    assert len(segs_touched) == 1
+    # exact residual semantics inside a partially-overlapping range
+    mid = catalog.read_table("st_t", stats_bounds={"v": (40, 1005)})
+    vals = sorted(r["v"] for r in mid.select("v").distinct().collect())
+    assert vals == list(range(40, 50)) + list(range(1000, 1006))
+    # unknown column rejected; declared on existing table rejected
+    with pytest.raises(NameError, match="stats_bounds"):
+        catalog.read_table("st_t", stats_bounds={"nope": (1, 2)}).count()
+    with pytest.raises(NameError, match="create time"):
+        catalog.to_table(a, "st_t", keys=["k"], how="append",
+                         stats_columns=["v"])
+    with pytest.raises(NameError, match="not in schema"):
+        catalog.to_table(a, "st_bad", keys=["k"], stats_columns=["zz"])
+
+
+def test_stats_survive_dml_compact_and_clone(spark, catalog):
+    """Stats follow every commit path: upsert/delete rewrites compute
+    stats for their new segments, compaction re-derives them for the
+    merged segment, and a shallow clone carries them without
+    rescanning (O(manifest))."""
+    import datetime
+
+    base = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.timestamp_micros(
+            (F.col("id") * 86_400_000_000 + 1_600_000_000_000_000)
+        ).alias("ts"),
+    )
+    catalog.to_table(base, "st_d", keys=["k"], num_buckets=4,
+                     stats_columns=["ts"])
+    catalog.delete_rows("st_d", "k < 10")
+    man = catalog._manifest("st_d")
+    assert set(man["stats"]) == set(man["segments"])
+    # timestamp stats serialized as ISO strings, ordered correctly
+    for st in man["stats"].values():
+        for cols in st.values():
+            lo, hi = cols["ts"]
+            assert isinstance(lo, str) and lo <= hi
+    catalog.compact("st_d")
+    man2 = catalog._manifest("st_d")
+    assert set(man2["stats"]) == set(man2["segments"])
+    catalog.clone_table("st_d", "st_d2")
+    man3 = catalog._manifest("st_d2")
+    assert set(man3["stats"]) == set(man3["segments"])
+    # timestamp-bounded skipping read on the clone
+    cut = datetime.datetime(2020, 9, 23)
+    got = catalog.read_table("st_d2", stats_bounds={"ts": (None, cut)})
+    assert got.count() == got.where(F.col("ts") <= F.lit(cut)).count()
