@@ -1125,15 +1125,23 @@ class KeyedCatalog:
         pruning), then commits a new segment — no rewrite of existing
         data."""
         self._check_constraints(sdf, m)
+        # one manifest snapshot for the PK probe and the commit (same
+        # discipline as the DML rewrites): a rival commit in the window
+        # trips the claim instead of being silently absorbed
+        man = self._manifest(table_name)
         if m.auto_index:
             base_row = (
-                self._read_raw(table_name).agg(F.max(AUTO_INDEX_NAME)).collect()[0][0]
+                self._read_raw(table_name, manifest=man)
+                .agg(F.max(AUTO_INDEX_NAME))
+                .collect()[0][0]
             )
             sdf = sdf.drop(AUTO_INDEX_NAME)
             sdf = self._assign_auto_index(sdf, base=(base_row or -1) + 1)
         else:
             self._check_unique(sdf, m.keys)
-            existing = self._read_raw(table_name, buckets=self._batch_buckets(sdf, m))
+            existing = self._read_raw(
+                table_name, buckets=self._batch_buckets(sdf, m), manifest=man
+            )
             clash = (
                 existing.join(
                     sdf.select(*m.keys).hint("broadcast"), on=list(m.keys), how="inner"
@@ -1147,7 +1155,6 @@ class KeyedCatalog:
                     f"key {dict((k, clash[0][k]) for k in m.keys)} already exists"
                 )
         seg, buckets = self._write_segment(sdf, table_name, m)
-        man = self._manifest(table_name)
         segments = dict(man["segments"])
         segments[seg] = buckets
         self._commit(table_name, segments, v=man["v"])
@@ -1165,7 +1172,9 @@ class KeyedCatalog:
         """
         self._check_unique(sdf, m.keys)
         touched = self._batch_buckets(sdf, m)
-        existing = self._read_raw(table_name, buckets=touched)
+        # one manifest snapshot for the data read AND the commit
+        man = self._manifest(table_name)
+        existing = self._read_raw(table_name, buckets=touched, manifest=man)
         table_cols = list(existing.columns)
         preserved = [c for c in table_cols if c not in sdf.columns]
 
@@ -1186,7 +1195,6 @@ class KeyedCatalog:
         # columns was already completed via the `preserved` join above.
         merged = survivors.unionByName(batch_full, allowMissingColumns=True)
         seg, buckets = self._write_segment(merged, table_name, m)
-        man = self._manifest(table_name)
         touched_set = set(touched)
         segments: dict[str, list[int]] = {}
         for old_seg, bs in man["segments"].items():
@@ -1195,6 +1203,156 @@ class KeyedCatalog:
                 segments[old_seg] = keep
         segments[seg] = buckets
         self._commit(table_name, segments, v=man["v"])
+
+    def merge_table(
+        self,
+        source: DataFrame,
+        table_name: str,
+        *,
+        when_matched_update: "Mapping[str, str | Column] | str | None" = "all",
+        when_matched_delete: "str | Column | None" = None,
+        when_not_matched_insert: bool = True,
+        schema: str | None = None,
+    ) -> dict:
+        """Full MERGE with clauses — the Delta ``MERGE INTO`` shape the
+        plain ``how='upsert'`` path is a special case of:
+
+        - matched + ``when_matched_delete`` predicate TRUE → row
+          removed;
+        - otherwise matched → updated per ``when_matched_update``:
+          ``"all"`` replaces with the source row (classic upsert),
+          a mapping assigns only the named columns (expressions
+          reference target columns as ``t.<col>`` and source columns
+          as ``s.<col>`` — both sides carry every value column, so
+          unqualified names would be ambiguous), ``None`` leaves
+          matched rows untouched;
+        - source-only keys → inserted when
+          ``when_not_matched_insert`` (missing non-key columns
+          null-fill);
+        - target-only rows → always kept.
+
+        Matching is on the table's primary key (the bucket layout's
+        axis, so only the buckets the source hashes into are read and
+        rewritten — cost ∝ touched data at 100 TB, like every other
+        write). One atomic manifest swap; a rival commit in the window
+        raises :class:`ConcurrentWriteError`. Returns
+        ``{"updated": n, "deleted": n, "inserted": n}`` (one extra
+        aggregate job over the joined frame, Delta's operation
+        metrics). The reference has only whole-row upsert
+        (reference:pandabase/sql.py:300); clause-level MERGE is
+        extension surface.
+        """
+        table_name = self._qualify(table_name, schema)
+        m = self.meta(table_name)
+        if m.auto_index:
+            raise IOError("merge is not valid on auto-indexed tables")
+        missing = [k for k in m.keys if k not in source.columns]
+        if missing:
+            raise NameError(f"source lacks key columns: {missing}")
+        if isinstance(when_matched_update, str) and when_matched_update != "all":
+            raise ValueError(
+                "when_matched_update must be 'all', a mapping, or None"
+            )
+        bad = (
+            [c for c in when_matched_update if c in m.keys]
+            if isinstance(when_matched_update, Mapping)
+            else []
+        )
+        if bad:
+            raise NameError(f"cannot UPDATE key columns: {bad}")
+        self._check_unique(source, m.keys)
+
+        touched = self._batch_buckets(source, m)
+        man = self._manifest(table_name)
+        existing = self._read_raw(
+            table_name, buckets=touched, manifest=man
+        ).alias("t")
+        # keep ALL source columns: clause expressions may reference
+        # source-only columns (flags, payloads) that never land in the
+        # table — Delta MERGE scoping
+        src = source.alias("s")
+        # presence flags survive the full outer join where columns
+        # go NULL (same trick as table_changes)
+        t_tag = existing.withColumn("_in_t", F.lit(True))
+        s_tag = src.withColumn("_in_s", F.lit(True))
+        joined = t_tag.join(s_tag, on=list(m.keys), how="full_outer")
+
+        del_pred = (
+            F.expr(when_matched_delete)
+            if isinstance(when_matched_delete, str)
+            else when_matched_delete
+        )
+        matched = F.col("_in_t").isNotNull() & F.col("_in_s").isNotNull()
+        is_del = (
+            matched & F.coalesce(del_pred, F.lit(False))
+            if del_pred is not None
+            else F.lit(False)
+        )
+        upd_happens = (
+            F.lit(False) if when_matched_update is None else (matched & ~is_del)
+        )
+        counts = joined.agg(
+            F.sum(upd_happens.cast("long")).alias("updated"),
+            F.sum(is_del.cast("long")).alias("deleted"),
+            F.sum(
+                (F.col("_in_t").isNull() & F.lit(when_not_matched_insert))
+                .cast("long")
+            ).alias("inserted"),
+        ).collect()[0]
+
+        value_cols = [c for c in existing.columns if c not in m.keys]
+        src_cols = set(source.columns)
+
+        def merged_col(c: str) -> Column:
+            tcol, scol = F.col(f"t.{c}"), (
+                F.col(f"s.{c}") if c in src_cols else F.lit(None)
+            )
+            if when_matched_update is None:
+                upd = tcol
+            elif when_matched_update == "all":
+                # source wins where it has the column; absent source
+                # columns preserve the target value (partial-column
+                # upsert semantics)
+                upd = scol if c in src_cols else tcol
+            else:
+                ex = when_matched_update.get(c)
+                if ex is None:
+                    upd = tcol
+                else:
+                    upd = (F.expr(ex) if isinstance(ex, str) else ex).cast(
+                        existing.schema[c].dataType
+                    )
+            ins = scol if c in src_cols else F.lit(None)
+            return (
+                F.when(matched, upd)
+                .when(F.col("_in_t").isNotNull(), tcol)
+                .otherwise(ins)
+                .cast(existing.schema[c].dataType)
+                .alias(c)
+            )
+
+        keep = ~is_del & (
+            F.col("_in_t").isNotNull() | F.lit(when_not_matched_insert)
+        )
+        result = joined.where(keep).select(
+            *m.keys, *[merged_col(c) for c in value_cols]
+        )
+        self._check_constraints(result, m)
+        seg, buckets = self._write_segment(result, table_name, m)
+        touched_set = set(touched)
+        segments: dict[str, list[int]] = {}
+        for old_seg, bs in man["segments"].items():
+            kept = [b for b in bs if b not in touched_set]
+            if kept:
+                segments[old_seg] = kept
+        if buckets:
+            segments[seg] = buckets
+        self._commit(table_name, segments, v=man["v"])
+        return {
+            "updated": int(counts["updated"] or 0),
+            "deleted": int(counts["deleted"] or 0),
+            "inserted": int(counts["inserted"] or 0),
+        }
 
     def _complete_to_schema(
         self, sdf: DataFrame, schema: T.StructType

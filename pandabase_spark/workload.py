@@ -242,6 +242,56 @@ def kt_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kt_merge_clauses",
+    "WITH src AS ("
+    "SELECT c_custkey AS k, c_acctbal + 100 AS bal, "
+    "(c_custkey % 10 = 0) AS drop_it FROM customer WHERE c_custkey <= 300"
+    "), kept AS ("
+    "SELECT c.c_custkey, c.c_name, c.c_nationkey, "
+    "CASE WHEN s.k IS NOT NULL THEN s.bal ELSE c.c_acctbal END AS c_acctbal, "
+    "c.c_mktsegment "
+    "FROM customer c LEFT JOIN src s ON c.c_custkey = s.k "
+    "WHERE s.k IS NULL OR NOT s.drop_it"
+    "), ins AS ("
+    "SELECT c_custkey + 100000 AS c_custkey, CAST(NULL AS VARCHAR) AS c_name, "
+    "CAST(NULL AS INTEGER) AS c_nationkey, 50.0 AS c_acctbal, "
+    "CAST(NULL AS VARCHAR) AS c_mktsegment "
+    "FROM customer WHERE c_custkey <= 20"
+    ") SELECT * FROM kept UNION ALL SELECT * FROM ins",
+)
+def kt_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE with clauses (the Delta MERGE INTO shape): one
+    source frame updates matched balances through an expression,
+    deletes matched rows flagged by a SOURCE-only column, and inserts
+    unmatched keys (missing columns null) — all in one bucket-pruned
+    rewrite + one atomic commit. The oracle states the equivalent
+    final table as plain SQL over the same inputs."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_merge_cust")
+    c = load(spark, sf_dir, "customer")
+    cat.to_table(c, "w_merge_cust", keys=["c_custkey"])
+    ck = F.col("c_custkey")
+    upd = c.where(ck <= 300).select(
+        ck.alias("c_custkey"),
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        (ck % 10 == 0).alias("drop_it"),
+    )
+    new = c.where(ck <= 20).select(
+        (ck + 100000).alias("c_custkey"),
+        F.lit(50.0).alias("c_acctbal"),
+        F.lit(False).alias("drop_it"),
+    )
+    cat.merge_table(
+        upd.unionByName(new),
+        "w_merge_cust",
+        when_matched_update={"c_acctbal": "s.c_acctbal"},
+        when_matched_delete="s.drop_it",
+        when_not_matched_insert=True,
+    )
+    return cat.read_table("w_merge_cust")
+
+
+@_q(
     "kt_stats_skipping_read",
     "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
     "ROUND(SUM(o_totalprice), 2) AS total "

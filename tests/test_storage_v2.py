@@ -750,3 +750,51 @@ def test_stats_survive_dml_compact_and_clone(spark, catalog):
     cut = datetime.datetime(2020, 9, 23)
     got = catalog.read_table("st_d2", stats_bounds={"ts": (None, cut)})
     assert got.count() == got.where(F.col("ts") <= F.lit(cut)).count()
+
+
+def test_merge_table_clauses(spark, catalog):
+    """Full MERGE semantics: delete-on-predicate, expression update,
+    insert-on-no-match, target-only rows untouched, metrics counts,
+    and guards (auto-index, key assignment, missing keys)."""
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, 40.0, "d")],
+        ["k", "v", "tag"],
+    )
+    catalog.to_table(base, "mrg_t", keys=["k"], num_buckets=4)
+    src = spark.createDataFrame(
+        # k=1 matched (update), k=2 matched (delete flag), k=9 new
+        [(1, 100.0, True), (2, 0.0, False), (9, 900.0, True)],
+        ["k", "v", "keep"],
+    )
+    res = catalog.merge_table(
+        src, "mrg_t",
+        when_matched_update={"v": "t.v + s.v"},
+        when_matched_delete="NOT s.keep",
+        when_not_matched_insert=True,
+    )
+    assert res == {"updated": 1, "deleted": 1, "inserted": 1}
+    got = {r["k"]: (r["v"], r["tag"]) for r in catalog.read_table("mrg_t").collect()}
+    assert got[1] == (110.0, "a")        # t.v + s.v, tag preserved
+    assert 2 not in got                  # deleted
+    assert got[3] == (30.0, "c") and got[4] == (40.0, "d")  # untouched
+    assert got[9] == (900.0, None)       # inserted, missing col null
+
+    # "all" mode = classic upsert through the MERGE path
+    src2 = spark.createDataFrame([(3, 333.0)], ["k", "v"])
+    res2 = catalog.merge_table(src2, "mrg_t")
+    assert res2 == {"updated": 1, "deleted": 0, "inserted": 0}
+    got2 = {r["k"]: (r["v"], r["tag"]) for r in catalog.read_table("mrg_t").collect()}
+    assert got2[3] == (333.0, "c")       # partial-column: tag preserved
+
+    # update=None leaves matched rows alone and reports 0 updates
+    res3 = catalog.merge_table(
+        src2, "mrg_t", when_matched_update=None
+    )
+    assert res3 == {"updated": 0, "deleted": 0, "inserted": 0}
+
+    with pytest.raises(NameError, match="key columns"):
+        catalog.merge_table(src2, "mrg_t", when_matched_update={"k": "1"})
+    with pytest.raises(NameError, match="lacks key"):
+        catalog.merge_table(src2.withColumnRenamed("k", "x"), "mrg_t")
+    with pytest.raises(ValueError, match="'all'"):
+        catalog.merge_table(src2, "mrg_t", when_matched_update="some")
