@@ -19,7 +19,7 @@ import io
 import zipfile
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pandabase_spark.names import clean_name
 
@@ -190,3 +190,33 @@ def read_partitioned_parquet(
     (PartitionFilters in the scan node — see plans.plan_audit);
     filters on data columns still push into the parquet readers."""
     return spark.read.options(**options).parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw media ingestion: Spark's ``binaryFile`` source — one row per
+    file with (path, modificationTime, length, content BINARY) — the
+    entry point of the multimodal pipeline (payload bytes stay
+    JVM-side; decode happens later at the explicit
+    ``operators/multimodal.py`` mapInPandas seam).
+
+    ``glob`` filters by filename pattern (``pathGlobFilter``, e.g.
+    ``"*.png"``); ``max_bytes`` guards against a stray huge file
+    becoming one giant row (filter pushed as a LENGTH predicate, so
+    oversized files are skipped from the listing, not read). At scale,
+    pair with ``spark.sql.files.maxPartitionBytes`` so the scan packs
+    many small media files per task — the small-file problem is the
+    listing's, not this reader's.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df

@@ -163,3 +163,28 @@ def test_jsonl_malformed_record_modes(spark, tmp_path):
             spark, str(p),
             schema=T.StructType(schema.fields[:2]), mode="FAILFAST",
         ).collect()
+
+
+def test_read_binary_files(spark, tmp_path):
+    """binaryFile ingestion: one row per file, content intact, glob
+    filter and max_bytes guard applied before payload reads."""
+    from pandabase_spark.sources import read_binary_files
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG-fake-a" * 10)
+    (tmp_path / "b.png").write_bytes(b"\x89PNG-fake-bb" * 2000)
+    (tmp_path / "c.txt").write_text("not media")
+    df = read_binary_files(spark, str(tmp_path), glob="*.png")
+    rows = {r["path"].rsplit("/", 1)[1]: bytes(r["content"]) for r in df.collect()}
+    assert set(rows) == {"a.png", "b.png"}
+    assert rows["a.png"] == b"\x89PNG-fake-a" * 10
+    small = read_binary_files(
+        spark, str(tmp_path), glob="*.png", max_bytes=1000
+    )
+    assert [r["path"].rsplit("/", 1)[1] for r in small.collect()] == ["a.png"]
+    # pipes straight into the multimodal stats operator
+    from pandabase_spark.operators.multimodal import payload_stats
+
+    stats = payload_stats(
+        df.select(F.col("path").alias("doc_id"), F.col("content").alias("payload"))
+    )
+    assert stats.count() == 2
