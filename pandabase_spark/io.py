@@ -1029,7 +1029,11 @@ class KeyedCatalog:
         )
 
     def _write_segment(
-        self, sdf: DataFrame, table_name: str, m: TableMeta
+        self,
+        sdf: DataFrame,
+        table_name: str,
+        m: TableMeta,
+        pre_bucketed: bool = False,
     ) -> tuple[str, list[int]]:
         """Write one immutable segment; returns (segment name, buckets).
 
@@ -1042,13 +1046,24 @@ class KeyedCatalog:
         from the few row-groups that overlap. The bucket list is read
         back from the written directory names — no extra Spark job.
         Nothing is live until the manifest commit.
+
+        ``pre_bucketed``: the caller already attached ``PART_DIR`` and
+        repartitioned on it — skip both here, so the validation jobs
+        that ran on that frame and this write share ONE shuffle
+        (Spark reuses the map-side shuffle files of an identical RDD
+        lineage across actions as skipped stages).
         """
         seg = f"seg-{uuid.uuid4().hex[:12]}"
         seg_path = f"{self._path(table_name)}/{seg}"
+        staged = (
+            sdf
+            if pre_bucketed
+            else sdf.withColumn(
+                PART_DIR, _bucket_expr(m.keys, m.num_buckets)
+            ).repartition(PART_DIR)
+        )
         (
-            sdf.withColumn(PART_DIR, _bucket_expr(m.keys, m.num_buckets))
-            .repartition(PART_DIR)
-            .sortWithinPartitions(PART_DIR, *m.keys)
+            staged.sortWithinPartitions(PART_DIR, *m.keys)
             .write.mode("errorifexists")
             .partitionBy(PART_DIR)
             .parquet(seg_path)
@@ -1070,7 +1085,6 @@ class KeyedCatalog:
         constraints: Mapping[str, str] | None = None,
         stats_columns: Sequence[str] | None = None,
     ) -> None:
-        self._check_unique(sdf, keys)
         bad_stats = [
             c for c in (stats_columns or []) if c not in sdf.columns
         ]
@@ -1084,8 +1098,46 @@ class KeyedCatalog:
             constraints=dict(constraints or {}),
             stats_columns=list(stats_columns or []),
         )
-        self._check_constraints(sdf, m)
-        seg, buckets = self._write_segment(sdf, table_name, m)
+        # fail fast on NULL keys before any shuffle
+        from functools import reduce
+        import operator
+
+        any_null = reduce(operator.or_, [F.col(k).isNull() for k in keys])
+        if sdf.where(any_null).limit(1).collect():
+            raise ValueError("key columns may not contain NULL")
+        # ONE shuffle serves the whole create: bucket + repartition up
+        # front and PERSIST the shuffled frame (each Spark action
+        # re-plans, so without the persist the validation probe and
+        # the write would each run the exchange). The duplicate-key
+        # probe then runs as a (bucket, keys) aggregate —
+        # HashPartitioning(bucket) satisfies its clustered
+        # distribution because bucket is a function of the keys, so no
+        # second exchange — the constraint pass scans the cache, and
+        # the segment write streams it straight to parquet.
+        staged = (
+            sdf.withColumn(PART_DIR, _bucket_expr(m.keys, m.num_buckets))
+            .repartition(PART_DIR)
+            .persist()
+        )
+        try:
+            dup = (
+                staged.groupBy(PART_DIR, *keys)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"duplicate key in batch: "
+                    f"{ {k: dup[0][k] for k in keys} }"
+                )
+            self._check_constraints(staged.drop(PART_DIR), m)
+            seg, buckets = self._write_segment(
+                staged, table_name, m, pre_bucketed=True
+            )
+        finally:
+            staged.unpersist()
         self._write_meta(table_name, m)
         self._commit(table_name, {seg: buckets}, v=0)
 
