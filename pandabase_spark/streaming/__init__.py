@@ -376,3 +376,51 @@ def running_agg_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_merge(
+    catalog: KeyedCatalog,
+    stream_df: DataFrame,
+    table_name: str,
+    *,
+    checkpoint: str,
+    when_matched_update="all",
+    when_matched_delete=None,
+    when_not_matched_insert: bool = True,
+    trigger_available_now: bool = True,
+    dedup_within_batch: bool = True,
+) -> StreamingQuery:
+    """Continuous MERGE: each micro-batch runs the full clause MERGE
+    (:meth:`KeyedCatalog.merge_table`) against the keyed table — the
+    CDC-apply pattern (upstream change feed carrying update/delete
+    markers folds into the table incrementally, one atomic manifest
+    commit per micro-batch). :func:`stream_upsert` is the
+    whole-row-wins special case of this. The table must already exist
+    (clauses need its key/schema metadata). ``dedup_within_batch``
+    keeps the LAST row per key inside a micro-batch, so a key that
+    changed twice in one batch applies its final state.
+    """
+    m = catalog.meta(table_name)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        b = batch_df
+        if dedup_within_batch:
+            b = b.dropDuplicates(list(m.keys))
+        catalog.merge_table(
+            b,
+            table_name,
+            when_matched_update=when_matched_update,
+            when_matched_delete=when_matched_delete,
+            when_not_matched_insert=when_not_matched_insert,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

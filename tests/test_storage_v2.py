@@ -798,3 +798,62 @@ def test_merge_table_clauses(spark, catalog):
         catalog.merge_table(src2.withColumnRenamed("k", "x"), "mrg_t")
     with pytest.raises(ValueError, match="'all'"):
         catalog.merge_table(src2, "mrg_t", when_matched_update="some")
+
+
+def test_merge_table_matches_python_reference(spark, catalog):
+    """Seeded fuzz: random target/source/clause combinations must match
+    a plain-Python MERGE reference (delete > update > insert priority,
+    target-only rows kept, metrics consistent)."""
+    import random
+
+    rnd = random.Random(42)
+    for trial in range(3):
+        n_t = rnd.randint(5, 40)
+        t_rows = {k: round(rnd.uniform(-50, 50), 2) for k in range(n_t)}
+        src_keys = rnd.sample(range(n_t + 20), rnd.randint(3, 25))
+        s_rows = {
+            k: (round(rnd.uniform(-50, 50), 2), rnd.random() < 0.3)
+            for k in src_keys
+        }
+        insert = rnd.random() < 0.7
+        name = f"fz_{trial}"
+        if catalog.has_table(name):
+            catalog.drop_table(name)
+        catalog.to_table(
+            spark.createDataFrame(
+                [(k, v) for k, v in t_rows.items()], ["k", "v"]
+            ),
+            name, keys=["k"], num_buckets=4,
+        )
+        res = catalog.merge_table(
+            spark.createDataFrame(
+                [(k, v, d) for k, (v, d) in s_rows.items()],
+                ["k", "v", "drop_it"],
+            ),
+            name,
+            when_matched_update={"v": "s.v"},
+            when_matched_delete="s.drop_it",
+            when_not_matched_insert=insert,
+        )
+        want = {}
+        n_upd = n_del = n_ins = 0
+        for k, v in t_rows.items():
+            if k in s_rows:
+                sv, d = s_rows[k]
+                if d:
+                    n_del += 1
+                else:
+                    want[k] = sv
+                    n_upd += 1
+            else:
+                want[k] = v
+        for k, (sv, d) in s_rows.items():
+            if k not in t_rows and insert:
+                want[k] = sv
+                n_ins += 1
+        got = {r["k"]: r["v"] for r in catalog.read_table(name).collect()}
+        assert got == want, f"trial {trial}"
+        assert res == {
+            "updated": n_upd, "deleted": n_del, "inserted": n_ins
+        }, f"trial {trial}"
+        catalog.drop_table(name)

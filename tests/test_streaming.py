@@ -413,3 +413,33 @@ def test_full_outer_interval_join(spark, tmp_path):
     assert (100, 10) in got      # matched
     assert (300, None) in got    # left-unmatched evicted as null row
     assert (None, 70) in got     # right-unmatched evicted as null row
+
+
+def test_stream_merge_cdc_apply(spark, catalog, tmp_path):
+    """foreachBatch MERGE: a change feed with update/delete markers
+    folds into the keyed table — deletes remove, updates apply, new
+    keys insert, one commit per micro-batch."""
+    from pandabase_spark.streaming import stream_merge
+
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    catalog.to_table(base, "cdc_t", keys=["k"])
+    feed = spark.createDataFrame(
+        # k=1 update, k=2 delete, k=99 insert
+        [(1, 100.0, "u"), (2, 0.0, "d"), (99, 9.0, "u")],
+        ["k", "v", "op"],
+    )
+    d = tmp_path / "cdc_src"
+    feed.write.parquet(str(d))
+    stream = spark.readStream.schema(feed.schema).parquet(str(d))
+    q = stream_merge(
+        catalog, stream, "cdc_t",
+        checkpoint=str(tmp_path / "cdc_ck"),
+        when_matched_update={"v": "s.v"},
+        when_matched_delete="s.op = 'd'",
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in catalog.read_table("cdc_t").collect()}
+    assert got[1] == 100.0 and 2 not in got and got[99] == 9.0
+    assert len(got) == 10  # 10 - 1 deleted + 1 inserted
