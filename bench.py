@@ -222,7 +222,9 @@ def main() -> None:
     a_q5 = plan_audit(Q["q5_nation_revenue"](spark, sf_dir))
     a_top = plan_audit(Q["top_words"](spark, sf_dir))
     a_prof = plan_audit(Q["doc_profile"](spark, sf_dir))
+    a_q2 = plan_audit(Q["q2_min_cost_supplier"](spark, sf_dir))
     plan_checks = {
+        "q2_single_hash_exchange": a_q2.hash_exchanges == 1,
         "q1_filter_pushed_to_scan": any(
             "l_shipdate" in f for f in a_q1.pushed_filters
         ),
