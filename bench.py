@@ -128,7 +128,8 @@ def main() -> None:
 
     # --- round-4 additions: decorrelation, layout, scalable cumsum ---
     for q in ("q21_waiting_suppliers", "concurrent_sessions_peak",
-              "zorder_bucket_spans", "training_shard_manifest"):
+              "zorder_bucket_spans", "training_shard_manifest",
+              "training_corpus_manifest_v2"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
 
     # --- LLM-pipeline ---

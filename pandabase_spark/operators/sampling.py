@@ -232,6 +232,7 @@ def pack_sequences(
     *,
     budget: int,
     n_shards: int = 16,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training bins (sequence
     packing): documents are sharded by id hash, ordered inside each
@@ -245,7 +246,10 @@ def pack_sequences(
     Plan: one hash-partitioned window per shard (running SUM over the
     md5 order) — the irreducible cost of sequential packing, made
     parallel by sharding; no global sort, no driver state. Emits
-    (id, shard, bin_id, bin_offset, n_tokens).
+    (group_cols…, id, shard, bin_id, bin_offset, n_tokens).
+
+    ``group_cols`` scopes packing (shards AND bins) within each group
+    — e.g. ``["split"]`` so train bins never mix validation documents.
     """
     if budget <= 0 or n_shards <= 0:
         raise ValueError(f"budget and n_shards must be positive")
@@ -254,13 +258,14 @@ def pack_sequences(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
     ).cast("int")
     staged = df.select(
+        *group_cols,
         F.col(id_col),
         F.col(token_col).cast("long").alias("_tok"),
         shard.alias("shard"),
         h.alias("_h"),
     )
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*group_cols, "shard")
         .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -268,6 +273,7 @@ def pack_sequences(
     return (
         staged.withColumn("_off", run)
         .select(
+            *group_cols,
             id_col,
             "shard",
             F.floor(F.col("_off") / budget).cast("long").alias("bin_id"),

@@ -3960,6 +3960,100 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS_V2_ORACLE = """
+WITH p AS ({profile}),
+k AS (SELECT * FROM p WHERE quality >= 0.75 AND doc_id % 7 <> 0),
+s AS (
+  SELECT k.* FROM k
+  JOIN (SELECT chash, min(doc_id) AS keep_id FROM k GROUP BY 1) g
+    ON k.chash = g.chash AND k.doc_id = g.keep_id),
+sh AS (SELECT DISTINCT doc_id, s FROM ({grams})),
+contam AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT * FROM sh WHERE doc_id % 7 <> 0) c
+  JOIN (SELECT * FROM sh WHERE doc_id % 7 = 0) e ON c.s = e.s),
+clean AS (
+  SELECT * FROM s WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+sp AS (
+  SELECT *, CASE
+    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8))
+         AS UBIGINT) % 100 < 80 THEN 'train'
+    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8))
+         AS UBIGINT) % 100 < 90 THEN 'val'
+    ELSE 'test' END AS split
+  FROM clean),
+st AS (
+  SELECT split, doc_id, n_tokens,
+    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         AS UBIGINT) % 4 AS INTEGER) AS shard,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM sp),
+pk AS (
+  SELECT split, shard, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY split, shard ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+  FROM st)
+SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(MAX(floor(off / 4096)) + 1 AS BIGINT) AS n_bins
+FROM pk GROUP BY 1, 2
+"""
+
+
+@_q(
+    "training_corpus_manifest_v2",
+    _CORPUS_V2_ORACLE.format(
+        profile=_PROFILE_ORACLE, grams=_grams_sql(_toks("text"), 8)
+    ),
+)
+def training_corpus_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data assembly, composed from the engine's own
+    stages: profile (quality + content hash + token counts, one
+    codegen'd scan) → quality gate at 0.75 → eval slice held out →
+    exact dedup (min-id per content hash) → benchmark DECONTAMINATION
+    (drop corpus docs sharing a word-8-gram with the eval slice —
+    broadcast inverted index) → deterministic md5 train/val/test split
+    (stable under corpus growth) → per-split sequence PACKING into
+    4096-token bins across 4 shards → per-(split, shard) manifest of
+    docs / tokens / bins. Every stage is hash-deterministic, so the
+    whole pipeline is one DuckDB-replayable expression; at 100 TB it
+    is one corpus scan + the dedup hash shuffle + the decontamination
+    broadcast join + one packing window per (split, shard)."""
+    from pandabase_spark.operators.decontamination import contamination_report
+    from pandabase_spark.operators.sampling import (
+        pack_sequences, train_val_test_split,
+    )
+    from pandabase_spark.operators.text_analysis import document_profile
+
+    docs = load(spark, sf_dir, "documents")
+    corpus_raw = docs.where(F.col("doc_id") % 7 != 0)
+    eval_raw = docs.where(F.col("doc_id") % 7 == 0)
+    prof = document_profile(docs)
+    kept = prof.where(
+        (F.col("quality") >= 0.75) & (F.col("doc_id") % 7 != 0)
+    )
+    keep_ids = kept.groupBy("chash").agg(F.min("doc_id").alias("_keep_id"))
+    surv = kept.join(
+        keep_ids.withColumnRenamed("chash", "_ch"),
+        (kept.chash == F.col("_ch")) & (kept.doc_id == F.col("_keep_id")),
+        "left_semi",
+    )
+    contam_ids = contamination_report(corpus_raw, eval_raw, n=8).select(
+        "doc_id"
+    )
+    clean = surv.join(contam_ids, on="doc_id", how="left_anti")
+    split = train_val_test_split(clean, "doc_id", salt="v1")
+    packed = pack_sequences(
+        split, "doc_id", "n_tokens",
+        budget=4096, n_shards=4, group_cols=["split"],
+    )
+    return packed.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max("bin_id") + 1).alias("n_bins"),
+    )
+
+
 @_q(
     "train_val_test_split",
     "SELECT doc_id, lang, CASE "

@@ -449,3 +449,14 @@ def test_q20_window_reuses_aggregate_exchange(spark):
     a = plan_audit(workload.QUERIES["q20_dominant_suppliers"](spark, SF_DIR))
     assert a.hash_exchanges <= 2
     assert a.join_safe
+
+
+def test_corpus_manifest_v2_python_free(spark):
+    """The full composed assembly pipeline (profile → quality → dedup
+    → decontamination → split → pack → manifest) stays entirely
+    Catalyst-side, with no cartesian joins."""
+    a = plan_audit(
+        workload.QUERIES["training_corpus_manifest_v2"](spark, SF_DIR)
+    )
+    assert a.python_free
+    assert a.join_safe
