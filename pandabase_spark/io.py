@@ -329,6 +329,7 @@ class KeyedCatalog:
         segments: dict[str, list[int]],
         v: int,
         stats: dict | None = None,
+        op: str = "write",
     ) -> None:
         """THE commit point, with optimistic concurrency detection.
 
@@ -382,6 +383,7 @@ class KeyedCatalog:
             "v": v + 1,
             "segments": segments,
             "ts": int(_time.time() * 1_000_000),
+            "op": op,
         }
         if allstats:
             doc_d["stats"] = allstats
@@ -455,6 +457,8 @@ class KeyedCatalog:
             out.append(
                 {
                     "version": man["v"],
+                    "operation": man.get("op"),
+                    "ts_us": man.get("ts"),
                     "n_segments": len(man["segments"]),
                     "n_paths": sum(len(b) for b in man["segments"].values()),
                     "current": man["v"] == cur,
@@ -621,7 +625,7 @@ class KeyedCatalog:
             s: bs for s, bs in man["segments"].items() if s not in chosen
         }
         merged[seg] = buckets
-        self._commit(table_name, merged, v=man["v"])
+        self._commit(table_name, merged, v=man["v"], op="compact")
         if vacuum:
             self.vacuum(table_name)
         return len(chosen)
@@ -678,7 +682,7 @@ class KeyedCatalog:
         }
         self.fs.mkdirs(self._path(dst_q))
         self._write_meta(dst_q, m)
-        self._commit(dst_q, segments, v=0, stats=stats or None)
+        self._commit(dst_q, segments, v=0, stats=stats or None, op="clone")
 
     def register_bucketed(
         self,
@@ -1139,7 +1143,7 @@ class KeyedCatalog:
         finally:
             staged.unpersist()
         self._write_meta(table_name, m)
-        self._commit(table_name, {seg: buckets}, v=0)
+        self._commit(table_name, {seg: buckets}, v=0, op="create")
 
     def _check_unique(self, sdf: DataFrame, keys: Sequence[str]) -> None:
         """In-batch duplicate-key check (reference requires a unique
@@ -1209,7 +1213,7 @@ class KeyedCatalog:
         seg, buckets = self._write_segment(sdf, table_name, m)
         segments = dict(man["segments"])
         segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"])
+        self._commit(table_name, segments, v=man["v"], op="append")
 
     def _upsert(self, sdf: DataFrame, table_name: str, m: TableMeta) -> None:
         """MERGE: batch rows win on matched keys (all incoming columns,
@@ -1254,7 +1258,7 @@ class KeyedCatalog:
             if keep:
                 segments[old_seg] = keep
         segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"])
+        self._commit(table_name, segments, v=man["v"], op="upsert")
 
     def merge_table(
         self,
@@ -1399,7 +1403,7 @@ class KeyedCatalog:
                 segments[old_seg] = kept
         if buckets:
             segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"])
+        self._commit(table_name, segments, v=man["v"], op="merge")
         return {
             "updated": int(counts["updated"] or 0),
             "deleted": int(counts["deleted"] or 0),
@@ -1531,7 +1535,7 @@ class KeyedCatalog:
         if survivors.head(1):
             seg, buckets = self._write_segment(survivors, table_name, m)
             segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"])
+        self._commit(table_name, segments, v=man["v"], op="delete")
         return n_deleted
 
     def update_rows(
@@ -1599,7 +1603,7 @@ class KeyedCatalog:
             if (keep := [b for b in bs if b not in touched_set])
         }
         segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"])
+        self._commit(table_name, segments, v=man["v"], op="update")
         return n_updated
 
     # ------------------------------------------------------------------

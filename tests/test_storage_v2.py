@@ -857,3 +857,25 @@ def test_merge_table_matches_python_reference(spark, catalog):
             "updated": n_upd, "deleted": n_del, "inserted": n_ins
         }, f"trial {trial}"
         catalog.drop_table(name)
+
+
+def test_history_records_operations(spark, catalog):
+    """Every commit records its operation (DESCRIBE HISTORY parity):
+    create / append / upsert / delete / compact / merge / clone."""
+    df = spark.range(20).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    catalog.to_table(df, "hist_t", keys=["k"], num_buckets=4)
+    catalog.to_table(
+        df.withColumn("k", F.col("k") + 100), "hist_t",
+        keys=["k"], how="append",
+    )
+    catalog.to_table(df.limit(5), "hist_t", keys=["k"], how="upsert")
+    catalog.delete_rows("hist_t", "k = 3")
+    catalog.merge_table(
+        spark.createDataFrame([(999, 9.0)], ["k", "v"]), "hist_t"
+    )
+    catalog.compact("hist_t", vacuum=False)
+    ops = [h["operation"] for h in catalog.history("hist_t")]
+    assert ops == ["create", "append", "upsert", "delete", "merge", "compact"]
+    assert all(h["ts_us"] for h in catalog.history("hist_t"))
+    catalog.clone_table("hist_t", "hist_t2")
+    assert catalog.history("hist_t2")[0]["operation"] == "clone"
