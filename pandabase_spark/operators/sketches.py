@@ -154,3 +154,63 @@ def theta_overlap_estimate(
             "overlap_frac_of_left"
         ),
     )
+
+
+def cms_frequencies(
+    df: DataFrame,
+    col: str,
+    probe_values: "list",
+    *,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-min-sketch frequency estimates for a probe set of heavy
+    keys — the sublinear answer to "how often does each of THESE
+    values occur" over a corpus too big to group exactly.
+
+    The sketch builds distributed (``F.count_min_sketch`` — a
+    mergeable JVM aggregate, one pass, O(1/eps · ln 1/confidence)
+    space — exactly the structure you would persist per shard and
+    merge at 100 TB); the serialized bytes deserialize driver-side
+    (``CountMinSketch.readFrom``) and probing a handful of keys is
+    O(probe set). CMS guarantee: estimate ≥ true count, and ≤ true +
+    eps·N with the given confidence — overcounts only, pinned in
+    pytest. Deterministic for a fixed seed.
+    """
+    row = df.agg(
+        F.count_min_sketch(
+            col, F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed)
+        ).alias("_sk")
+    ).first()
+    spark = df.sparkSession
+    sk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(row["_sk"])
+    )
+    rows = [(v, int(sk.estimateCount(v))) for v in probe_values]
+    return spark.createDataFrame(rows, [col, "est_count"])
+
+
+def bloom_membership(
+    df: DataFrame,
+    col: str,
+    probe_values: "list",
+    *,
+    expected_items: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Bloom-filter membership of a candidate list against ``df[col]``
+    — the pre-join existence filter: build once over the big side,
+    ship the compact bitset (not the key set), and drop candidates
+    that provably do not exist before any expensive join or lookup.
+
+    The filter builds distributed (the JVM ``stat.bloomFilter``
+    mergeable aggregate — Spark's own runtime-filter structure made
+    explicit); candidates probe driver-side. No false NEGATIVES ever
+    (every true member reports True, pinned in pytest); false
+    positives ≤ ``fpp``. Returns (value, might_contain).
+    """
+    bf = df._jdf.stat().bloomFilter(col, int(expected_items), float(fpp))
+    spark = df.sparkSession
+    rows = [(v, bool(bf.mightContain(v))) for v in probe_values]
+    return spark.createDataFrame(rows, [col, "might_contain"])

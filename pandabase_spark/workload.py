@@ -4054,6 +4054,19 @@ def training_corpus_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("sketch_user_frequencies")  # CMS: overcount-only bounds in pytest
+def sketch_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency probes for ten heavy users: the
+    mergeable sublinear structure built in one distributed pass, then
+    probed driver-side — rows-only by nature (CMS estimates may
+    overcount by ≤ eps·N; never undercount — bounds pinned in
+    tests/test_sketches.py)."""
+    from pandabase_spark.operators.sketches import cms_frequencies
+
+    ev = load(spark, sf_dir, "events")
+    return cms_frequencies(ev, "user_id", list(range(1, 11)))
+
+
 @_q(
     "train_val_test_split",
     "SELECT doc_id, lang, CASE "

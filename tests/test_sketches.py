@@ -83,3 +83,48 @@ def test_theta_overlap_tracks_exact_containment(spark, events):
         0.1 * exact_overlap, 3
     )
     assert 0.0 <= got["overlap_frac_of_left"] <= 1.0
+
+
+def test_cms_bounds(spark):
+    """CMS guarantee: never undercounts, overcounts by at most eps*N
+    (at the test's confidence; deterministic for the fixed seed)."""
+    from pandabase_spark.operators.sketches import cms_frequencies
+    from pandabase_spark.workload import load
+    from tests.conftest import SF_DIR
+
+    ev = load(spark, SF_DIR, "events")
+    n = ev.count()
+    probes = list(range(1, 21))
+    true = {
+        r["user_id"]: r["count"]
+        for r in ev.groupBy("user_id").count().collect()
+    }
+    got = {
+        r["user_id"]: r["est_count"]
+        for r in cms_frequencies(ev, "user_id", probes, eps=0.001).collect()
+    }
+    for u in probes:
+        t = true.get(u, 0)
+        assert got[u] >= t, f"user {u} undercounted"
+        assert got[u] <= t + 0.001 * n + 1, f"user {u} over bound"
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true member reports might_contain=True; a disjoint probe
+    set reports mostly False (fpp-bounded)."""
+    from pandabase_spark.operators.sketches import bloom_membership
+    from pandabase_spark.workload import load
+    from tests.conftest import SF_DIR
+
+    ev = load(spark, SF_DIR, "events")
+    members = [r["user_id"] for r in ev.select("user_id").distinct().limit(50).collect()]
+    absent = [10_000_000 + i for i in range(200)]
+    got = {
+        r["user_id"]: r["might_contain"]
+        for r in bloom_membership(
+            ev, "user_id", members + absent, expected_items=10000, fpp=0.01
+        ).collect()
+    }
+    assert all(got[m] for m in members), "false negative"
+    fp = sum(1 for a in absent if got[a])
+    assert fp <= 0.05 * len(absent), f"fp rate too high: {fp}/200"
