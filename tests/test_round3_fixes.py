@@ -186,5 +186,5 @@ def test_driver_contract_shape():
         # sketch estimates are implementation-specific by nature;
         # accuracy pinned vs exact in tests/test_sketches.py
         "sketch_distinct_users", "sketch_value_quantiles",
-        "sketch_population_overlap",
+        "sketch_population_overlap", "sketch_user_frequencies",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
