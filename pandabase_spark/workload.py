@@ -6083,6 +6083,18 @@ _GATE_FIRST = [
     "streaming_outer_interval_join",
     "q2_min_cost_supplier",
     "streaming_running_agg",
+    # round-5 late additions (never driver-checked) — with these the
+    # head-50 makes the driver union cover ALL queries() entries
+    "train_val_test_split",
+    "pack_sequences_bins",
+    "mixture_report_by_lang",
+    "events_ewma_smooth",
+    "scd2_user_state_history",
+    "fk_violation_report",
+    "sketch_user_frequencies",
+    "kt_stats_skipping_read",
+    "kt_merge_clauses",
+    "training_corpus_manifest_v2",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code
     "q3_top_orders",
@@ -6096,17 +6108,7 @@ _GATE_FIRST = [
     "salted_skew_join",
     "asof_join_events",
     "range_join_events",
-    "anti_join_idle_customers",
-    "semi_join_ordered_parts",
-    "rollup_orders",
     "session_windows_events",
-    "top_words",
-    "label_centroids",
-    "unpivot_lineitem_metrics",
-    "cube_orders",
-    "grouping_sets_orders",
-    "pivot_orders",
-    "lineitem_stats",
 ]
 
 
