@@ -1713,8 +1713,11 @@ class KeyedCatalog:
         also applied to the returned rows, so semantics are exactly
         ``WHERE lo <= col <= hi`` regardless of how much was skipped;
         segments written before stats existed are read (never
-        silently dropped). Pair with ``cluster_by_zorder`` layouts so
-        per-leaf ranges are tight on every clustered dimension.
+        silently dropped). Effectiveness tracks how the stat column
+        correlates with SEGMENT boundaries: time-ordered ingest gives
+        each appended segment a tight window (the common case —
+        event-time reads skip every other day's segments), while a
+        column uniform across every write prunes nothing.
 
         ``version=N`` time-travels to snapshot N (see ``history()``):
         the scan plans against that manifest's segment paths — same

@@ -879,3 +879,20 @@ def test_history_records_operations(spark, catalog):
     assert all(h["ts_us"] for h in catalog.history("hist_t"))
     catalog.clone_table("hist_t", "hist_t2")
     assert catalog.history("hist_t2")[0]["operation"] == "clone"
+
+
+def test_stats_bounds_without_stats_is_filter_only(spark, catalog):
+    """stats_bounds on a table created WITHOUT stats_columns: no
+    pruning metadata exists, so every leaf is read — but the residual
+    filter still yields exact WHERE semantics (never silent misses)."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("v")
+    )
+    catalog.to_table(df, "nostat_t", keys=["k"], num_buckets=4)
+    got = catalog.read_table("nostat_t", stats_bounds={"v": (3, 5)})
+    assert got.count() == 30
+    assert got.agg(F.min("v"), F.max("v")).first() == (3, 5)
+    import pytest as _pytest
+
+    with _pytest.raises(NameError, match="no such table"):
+        catalog.version_as_of("never_created", 0)
