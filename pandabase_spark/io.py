@@ -99,6 +99,34 @@ LOG_FILE = "_pandabase_log.json"
 LOG_DIR = "_pb_log"
 WRITE_MODES = ("create_only", "append", "upsert")
 
+# Per-(segment, bucket, column) Bloom filter sizing for equality data
+# skipping. 8192 bits / 5 hashes ≈ 1% false-positive rate at ~850 keys
+# per filter; a bucket holding more distinct values degrades toward
+# "never skip" (more false positives), NEVER toward wrong results —
+# the filter only ever prunes provably-absent leaves. ~1 KB of bitset
+# (1.4 KB base64) per entry keeps manifests small: a 32-bucket segment
+# with one bloom column adds ~45 KB of metadata regardless of data size.
+BLOOM_M = 8192
+BLOOM_K = 5
+
+
+def _bloom_b64(positions: "set[int] | list[int]", m_bits: int = BLOOM_M) -> str:
+    """Pack set bit positions into a base64 bitset (LSB-first bytes)."""
+    import base64
+
+    buf = bytearray(m_bits // 8)
+    for p in positions:
+        buf[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(buf)).decode("ascii")
+
+
+def _bloom_maybe_contains(b64: str, positions: "list[int]") -> bool:
+    """True unless some probe bit is unset (i.e. value provably absent)."""
+    import base64
+
+    buf = base64.b64decode(b64)
+    return all(buf[p >> 3] & (1 << (p & 7)) for p in positions)
+
 
 class IntegrityError(ValueError):
     """Primary-key violation (append overlap / in-batch duplicates).
@@ -126,6 +154,7 @@ class TableMeta:
     schema_json: str = ""
     constraints: dict = field(default_factory=dict)
     stats_columns: list = field(default_factory=list)
+    bloom_columns: list = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -136,6 +165,7 @@ class TableMeta:
         d.setdefault("schema_json", "")
         d.setdefault("constraints", {})
         d.setdefault("stats_columns", [])
+        d.setdefault("bloom_columns", [])
         return cls(**d)
 
     @property
@@ -323,12 +353,99 @@ class KeyedCatalog:
             for r in rows
         }
 
+    def _segment_blooms(
+        self, table_name: str, seg: str, m: TableMeta
+    ) -> dict:
+        """Per-(bucket) Bloom bitsets of ``m.bloom_columns`` for one
+        segment — equality data skipping a tier above min/max stats
+        (high-cardinality string/id columns where ranges prune
+        nothing). One distributed job for ALL columns: every row emits
+        BLOOM_K candidate bit positions per column (JVM-side
+        ``xxhash64(col, seed) mod BLOOM_M``), one explode, then
+        ``collect_set`` per (bucket, column) — the set is bounded by
+        BLOOM_M (8192) regardless of row count, so the collect is
+        metadata-sized. NULLs set no bits (a bloom probe is an
+        equality probe; NULL never equals). Shape:
+        {str(bucket): {col: {"m": .., "k": .., "b64": ..}}}."""
+        base = (
+            f"{self.warehouse}/{seg}"
+            if "/" in seg
+            else f"{self._path(table_name)}/{seg}"
+        )
+        leaves = [
+            f"{base}/{d}"
+            for d in self.fs.list_dirs(base)
+            if d.startswith(f"{PART_DIR}=")
+        ]
+        df = self.spark.read.schema(m.schema).parquet(*leaves)
+        probes = []
+        for ci, c in enumerate(m.bloom_columns):
+            for s in range(BLOOM_K):
+                probes.append(
+                    F.struct(
+                        F.lit(ci).alias("ci"),
+                        F.when(
+                            F.col(c).isNotNull(),
+                            F.pmod(
+                                F.xxhash64(F.col(c), F.lit(s)),
+                                F.lit(BLOOM_M),
+                            ),
+                        ).alias("p"),
+                    )
+                )
+        rows = (
+            df.withColumn(
+                PART_DIR,
+                F.regexp_extract(
+                    F.input_file_name(), f"{PART_DIR}=(\\d+)", 1
+                ).cast("int"),
+            )
+            .select(PART_DIR, F.explode(F.array(*probes)).alias("cp"))
+            .where(F.col("cp.p").isNotNull())
+            .groupBy(PART_DIR, F.col("cp.ci").alias("ci"))
+            .agg(F.collect_set("cp.p").alias("ps"))
+            .collect()
+        )
+        out: dict = {}
+        for r in rows:
+            col = m.bloom_columns[r["ci"]]
+            out.setdefault(str(r[PART_DIR]), {})[col] = {
+                "m": BLOOM_M,
+                "k": BLOOM_K,
+                "b64": _bloom_b64(r["ps"]),
+            }
+        return out
+
+    def _bloom_positions(self, value: Any, dtype: T.DataType) -> list[int]:
+        """Probe bit positions for ``value`` under the SAME JVM
+        expressions that built the filters (``xxhash64(lit(value)
+        cast col-type, seed) mod m``) — a 1-row driver-side job, so
+        Python never re-implements the hash and can never drift from
+        it."""
+        row = (
+            self.spark.range(1)
+            .select(
+                *[
+                    F.pmod(
+                        F.xxhash64(
+                            F.lit(value).cast(dtype), F.lit(s)
+                        ),
+                        F.lit(BLOOM_M),
+                    ).alias(f"p{s}")
+                    for s in range(BLOOM_K)
+                ]
+            )
+            .first()
+        )
+        return [row[f"p{s}"] for s in range(BLOOM_K)]
+
     def _commit(
         self,
         table_name: str,
         segments: dict[str, list[int]],
         v: int,
         stats: dict | None = None,
+        blooms: dict | None = None,
         op: str = "write",
     ) -> None:
         """THE commit point, with optimistic concurrency detection.
@@ -375,6 +492,19 @@ class KeyedCatalog:
                     allstats[seg] = prior[seg]
                 else:
                     allstats[seg] = self._segment_stats(table_name, seg, m)
+        # bloom filters follow the same merge discipline: segment-
+        # immutable, carried forward verbatim, computed once for
+        # segments that lack an entry. Absence is advisory-safe.
+        allblooms: dict = {}
+        if m.bloom_columns:
+            priorb = self._manifest(table_name).get("blooms", {})
+            for seg in segments:
+                if blooms and seg in blooms:
+                    allblooms[seg] = blooms[seg]
+                elif seg in priorb:
+                    allblooms[seg] = priorb[seg]
+                else:
+                    allblooms[seg] = self._segment_blooms(table_name, seg, m)
         # commit wall-clock in micros: the resolution key for
         # AS-OF-timestamp time travel (version_as_of). Clock skew
         # between writers can only mis-order commits by the skew
@@ -387,6 +517,8 @@ class KeyedCatalog:
         }
         if allstats:
             doc_d["stats"] = allstats
+        if allblooms:
+            doc_d["blooms"] = allblooms
         doc = json.dumps(doc_d)
         vpath = f"{self._path(table_name)}/{LOG_DIR}/{v + 1:010d}.json"
         claimed = self.fs.write_text_if_absent(vpath, doc)
@@ -680,9 +812,73 @@ class KeyedCatalog:
             for seg, st in man.get("stats", {}).items()
             if seg in rename
         }
+        blooms = {
+            rename[seg]: bl
+            for seg, bl in man.get("blooms", {}).items()
+            if seg in rename
+        }
         self.fs.mkdirs(self._path(dst_q))
         self._write_meta(dst_q, m)
-        self._commit(dst_q, segments, v=0, stats=stats or None, op="clone")
+        self._commit(
+            dst_q, segments, v=0, stats=stats or None,
+            blooms=blooms or None, op="clone",
+        )
+
+    def restore_table(
+        self,
+        table_name: str,
+        version: int,
+        *,
+        schema: str | None = None,
+    ) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF — the Delta rollback
+        shape: commit a NEW snapshot whose segment set (and stats) are
+        exactly those of historical ``version``. The version chain
+        only ever moves forward — the bad commits stay in history (and
+        in ``table_changes``/``history()``), so a restore is itself
+        auditable and restorable, unlike rewinding the CURRENT
+        pointer, which would silently orphan commits and break the
+        OCC put-if-absent chain.
+
+        Metadata-only and O(manifest): segments are immutable, so
+        re-referencing them costs one JSON write no matter how many
+        bytes they hold. If ``vacuum()`` already deleted a segment the
+        target snapshot needs, the restore refuses up front (ValueError
+        listing the missing segments) instead of committing a snapshot
+        that cannot be scanned — the same truncation tradeoff as
+        version reads. Restoring to the current version is a no-op
+        that still commits (op='restore'), mirroring Delta's RESTORE
+        semantics of always recording the operation. Returns the new
+        version number.
+        """
+        table_name = self._qualify(table_name, schema)
+        if not self.has_table(table_name):
+            raise NameError(f"no such table: {table_name}")
+        target = self._manifest(table_name, version=version)
+        missing = [
+            seg
+            for seg in target["segments"]
+            if not self.fs.exists(
+                f"{self.warehouse}/{seg}"
+                if "/" in seg
+                else f"{self._path(table_name)}/{seg}"
+            )
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore {table_name!r} to v{version}: segments "
+                f"{missing} were deleted by vacuum()"
+            )
+        cur = self._manifest(table_name)
+        self._commit(
+            table_name,
+            dict(target["segments"]),
+            v=cur["v"],
+            stats=target.get("stats") or None,
+            blooms=target.get("blooms") or None,
+            op="restore",
+        )
+        return cur["v"] + 1
 
     def register_bucketed(
         self,
@@ -787,6 +983,7 @@ class KeyedCatalog:
         schema: str | None = None,
         constraints: Mapping[str, str] | None = None,
         stats_columns: Sequence[str] | None = None,
+        bloom_columns: Sequence[str] | None = None,
     ) -> None:
         """Write a DataFrame into a keyed table.
 
@@ -796,6 +993,13 @@ class KeyedCatalog:
         NON-KEY ranges. Segments are immutable, so stats are computed
         once per new segment (one column-pruned scan of the freshly
         written files) and carried forward verbatim by later commits.
+
+        ``bloom_columns`` (create only): column names whose per-
+        (segment, bucket) Bloom bitsets ride in every manifest commit,
+        enabling ``read_table(bloom_point=...)`` file skipping on
+        NON-KEY equality probes — the high-cardinality complement to
+        min/max stats (the Delta bloom-filter-index shape, kept in the
+        manifest instead of sidecar files).
 
         ``constraints`` (create only): named CHECK expressions every
         row of every future write must satisfy (TRUE — a NULL result
@@ -825,7 +1029,7 @@ class KeyedCatalog:
                 df, self._qualify(table_name, schema), keys=keys, how=how,
                 auto_index=auto_index, add_new_columns=add_new_columns,
                 num_buckets=num_buckets, constraints=constraints,
-                stats_columns=stats_columns,
+                stats_columns=stats_columns, bloom_columns=bloom_columns,
             )
         finally:
             self._release_staged()
@@ -847,6 +1051,7 @@ class KeyedCatalog:
         num_buckets: int | None,
         constraints: Mapping[str, str] | None = None,
         stats_columns: Sequence[str] | None = None,
+        bloom_columns: Sequence[str] | None = None,
     ) -> None:
         exists = self.has_table(table_name)
         if exists and constraints:
@@ -857,6 +1062,10 @@ class KeyedCatalog:
         if exists and stats_columns:
             raise NameError(
                 "stats_columns are declared at create time"
+            )
+        if exists and bloom_columns:
+            raise NameError(
+                "bloom_columns are declared at create time"
             )
         target_schema = self.meta(table_name).schema if exists else None
         sdf, keys = self._normalize_input(df, keys, auto_index, target_schema)
@@ -878,6 +1087,7 @@ class KeyedCatalog:
             self._create(
                 sdf, table_name, keys, auto_index, num_buckets,
                 constraints=constraints, stats_columns=stats_columns,
+                bloom_columns=bloom_columns,
             )
             return
 
@@ -1088,12 +1298,18 @@ class KeyedCatalog:
         num_buckets: int | None,
         constraints: Mapping[str, str] | None = None,
         stats_columns: Sequence[str] | None = None,
+        bloom_columns: Sequence[str] | None = None,
     ) -> None:
         bad_stats = [
             c for c in (stats_columns or []) if c not in sdf.columns
         ]
         if bad_stats:
             raise NameError(f"stats_columns not in schema: {bad_stats}")
+        bad_blooms = [
+            c for c in (bloom_columns or []) if c not in sdf.columns
+        ]
+        if bad_blooms:
+            raise NameError(f"bloom_columns not in schema: {bad_blooms}")
         m = TableMeta(
             keys=list(keys),
             auto_index=auto_index,
@@ -1101,6 +1317,7 @@ class KeyedCatalog:
             schema_json=json.dumps(sdf.schema.jsonValue()),
             constraints=dict(constraints or {}),
             stats_columns=list(stats_columns or []),
+            bloom_columns=list(bloom_columns or []),
         )
         # fail fast on NULL keys before any shuffle
         from functools import reduce
@@ -1616,6 +1833,7 @@ class KeyedCatalog:
         version: int | None = None,
         manifest: dict | None = None,
         stats_bounds: "Mapping[str, tuple] | None" = None,
+        bloom_probe: "Mapping[str, list[int]] | None" = None,
     ) -> list[str]:
         # ``manifest=`` pins the read to a caller-captured snapshot so
         # DML rewrites read and commit against the SAME version — a
@@ -1628,6 +1846,7 @@ class KeyedCatalog:
         )
         want = None if buckets is None else set(buckets)
         stats = man.get("stats", {}) if stats_bounds else {}
+        blooms = man.get("blooms", {}) if bloom_probe else {}
 
         def skippable(seg: str, b: int) -> bool:
             # manifest-level data skipping: drop a (segment, bucket)
@@ -1648,6 +1867,19 @@ class KeyedCatalog:
                     return True
             return False
 
+        def bloom_skippable(seg: str, b: int) -> bool:
+            # equality data skipping: drop a leaf when its Bloom filter
+            # proves the probed value absent. Missing filter → read
+            # (advisory); false positives → read (never wrong results).
+            bl = blooms.get(seg, {}).get(str(b))
+            if not bl:
+                return False
+            for col, positions in bloom_probe.items():
+                ent = bl.get(col)
+                if ent and not _bloom_maybe_contains(ent["b64"], positions):
+                    return True
+            return False
+
         # a "/" in the segment name marks an external reference (from
         # clone_table) — warehouse-relative instead of table-relative
         return [
@@ -1660,6 +1892,7 @@ class KeyedCatalog:
             for b in bs
             if (want is None or b in want)
             and not (stats_bounds and skippable(seg, b))
+            and not (bloom_probe and bloom_skippable(seg, b))
         ]
 
     def _read_raw(
@@ -1669,6 +1902,7 @@ class KeyedCatalog:
         version: int | None = None,
         manifest: dict | None = None,
         stats_bounds: "Mapping[str, tuple] | None" = None,
+        bloom_probe: "Mapping[str, list[int]] | None" = None,
     ) -> DataFrame:
         if not self.has_table(table_name):
             raise NameError(f"no such table: {table_name}")
@@ -1679,6 +1913,7 @@ class KeyedCatalog:
             version=version,
             manifest=manifest,
             stats_bounds=stats_bounds,
+            bloom_probe=bloom_probe,
         )
         if not paths:
             return self.spark.createDataFrame([], schema)
@@ -1699,9 +1934,22 @@ class KeyedCatalog:
         version: int | None = None,
         as_of: "float | int | None" = None,
         stats_bounds: "Mapping[str, tuple] | None" = None,
+        bloom_point: "Mapping[str, Any] | None" = None,
         schema: str | None = None,
     ) -> DataFrame:
         """Full scan or inclusive key-range read.
+
+        ``bloom_point={col: value}`` is the EQUALITY companion to
+        ``stats_bounds`` for tables created with ``bloom_columns``:
+        (segment, bucket) leaves whose manifest Bloom filter proves
+        the value absent are skipped before the scan plans. Built for
+        high-cardinality columns where min/max ranges never prune
+        (ids, hashes, emails): at 100 TB a needle-in-haystack point
+        read touches only the leaves whose filter fires, ~1% false-
+        positive extra opens at the default sizing. The equality is
+        re-applied as an ordinary pushed filter, so semantics are
+        exactly ``WHERE col = value`` regardless of what was skipped;
+        missing filters (pre-bloom segments) are always read.
 
         ``stats_bounds={col: (lo, hi)}`` (either side may be None) is
         the NON-KEY range read for tables created with
@@ -1782,12 +2030,28 @@ class KeyedCatalog:
             )
             buckets = self._batch_buckets(probe, m)
 
+        bloom_probe = None
+        if bloom_point:
+            tbl_schema = m.schema
+            for col in bloom_point:
+                if col not in tbl_schema.names:
+                    raise NameError(
+                        f"bloom_point column {col!r} not in table"
+                    )
+            bloom_probe = {
+                col: self._bloom_positions(val, tbl_schema[col].dataType)
+                for col, val in bloom_point.items()
+            }
         df = self._read_raw(
             table_name,
             buckets=buckets,
             version=version,
             stats_bounds=stats_bounds,
+            bloom_probe=bloom_probe,
         )
+        if bloom_point:
+            for col, val in bloom_point.items():
+                df = df.where(F.col(col) == val)
         if stats_bounds:
             for col, (slo, shi) in stats_bounds.items():
                 if col not in df.columns:

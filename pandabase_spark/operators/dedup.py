@@ -905,3 +905,98 @@ def classify_against_index(
         )
     )
     return exact.unionByName(near).unionByName(novel)
+
+
+def span_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 16,
+) -> DataFrame:
+    """Corpus-wide EXACT SPAN dedup with document reconstruction — the
+    sub-document granularity pass (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", adapted from suffix-
+    array substrings to fixed ``span_words``-word windows, which keep
+    the operator a pure shuffle pipeline instead of a driver-side
+    suffix array). Every document is cut into consecutive
+    non-overlapping word spans; a span that already occurred earlier
+    in the corpus (by ``(doc_id, span_idx)`` order) is DROPPED, and
+    each document's text is rebuilt from its surviving spans —
+    boilerplate shared across documents disappears while unique prose
+    stays.
+
+    Scale shape — deliberately WINDOW-FREE: ranking occurrences with
+    ``row_number() OVER (PARTITION BY span)`` would funnel every copy
+    of a viral span into one task. Instead the first occurrence is a
+    ``groupBy(span).agg(F.min(struct(doc_id, span_idx)))`` — partial
+    aggregation combines duplicate spans map-side, so a span repeated
+    a billion times ships ONE row per map partition to the reducer;
+    the keeper row already carries everything reconstruction needs, so
+    there is no join back to the exploded span stream at all. Two
+    shuffles total (span agg, doc_id regroup) plus a broadcast-sized
+    left join from the totals frame; the span split itself is a
+    narrow Catalyst ``slice``/``array_join`` over the word array — no
+    Python anywhere.
+
+    Returns one row per input document:
+    ``(id_col, text_dedup, spans_kept, spans_dropped)`` — a fully
+    duplicated document survives with ``text_dedup=''`` (callers
+    filter ``spans_kept > 0`` to discard husks; keeping the row makes
+    the drop auditable).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("long")
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans.cast("int") - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * span_words + 1, span_words), " "
+                ),
+            )
+        ).alias("span_idx", "span"),
+    )
+    keepers = (
+        spans.groupBy("span")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("i"),
+                    F.col("span_idx").cast("long").alias("x"),
+                )
+            ).alias("first")
+        )
+        .select(
+            F.col("first.i").alias(id_col),
+            F.col("first.x").alias("span_idx"),
+            "span",
+        )
+    )
+    rebuilt = keepers.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("span_idx", "span"))
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("spans_kept"),
+    )
+    totals = docs.select(F.col(id_col), n_spans.alias("_n_spans"))
+    return (
+        totals.join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("spans_kept", F.lit(0)).cast("long").alias(
+                "spans_kept"
+            ),
+            (F.col("_n_spans") - F.coalesce("spans_kept", F.lit(0))).alias(
+                "spans_dropped"
+            ),
+        )
+    )

@@ -333,6 +333,36 @@ def kt_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kt_bloom_skipping_read",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+    "WHERE c_name = 'Customer#000000042'",
+)
+def kt_bloom_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-haystack point read through MANIFEST-LEVEL Bloom
+    skipping: the table is created with ``bloom_columns=['c_name']``
+    (high-cardinality — min/max stats would never prune it), so every
+    commit carries a per-(segment, bucket) Bloom bitset and
+    ``read_table(bloom_point=...)`` skips whole file opens whose
+    filter proves the name absent. Probe positions are computed by
+    the SAME JVM xxhash64 expressions that built the filters (a 1-row
+    job — Python never re-implements the hash). The equality is
+    re-applied as a pushed filter, so semantics are exactly the
+    oracle's WHERE regardless of skipping; false positives cost only
+    extra opens. Skipping effectiveness (leaf counts) is pinned in
+    test_storage_v2.py."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_bloom_cust")
+    cat.to_table(
+        load(spark, sf_dir, "customer"), "w_bloom_cust",
+        keys=["c_custkey"], bloom_columns=["c_name"],
+    )
+    got = cat.read_table(
+        "w_bloom_cust", bloom_point={"c_name": "Customer#000000042"}
+    )
+    return got.select("c_custkey", "c_name", "c_mktsegment")
+
+
+@_q(
     "kt_update_rows",
     "SELECT c_custkey, c_name, c_nationkey, "
     "CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal, "
@@ -650,6 +680,30 @@ def kt_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     patch = s.withColumn("s_acctbal", F.col("s_acctbal") + 1000.0)
     cat.to_table(patch, "w_supp_tt", keys=["s_suppkey"], how="upsert")
     return cat.read_table("w_supp_tt", version=1)
+
+
+@_q(
+    "kt_restore",
+    "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+)
+def kt_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION AS OF: create (v1), corrupt every balance
+    via upsert (v2), delete a third of the rows (v3), then
+    restore_table(..., 1) commits v4 referencing v1's exact segment
+    set — the read must be byte-identical to the source. Rollback is
+    a FORWARD commit (metadata-only, O(manifest)), so the bad history
+    stays auditable and the OCC chain is never rewound."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_supp_restore")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    cat.to_table(s, "w_supp_restore", keys=["s_suppkey"])
+    bad = s.withColumn("s_acctbal", F.col("s_acctbal") * -1.0)
+    cat.to_table(bad, "w_supp_restore", keys=["s_suppkey"], how="upsert")
+    cat.delete_rows("w_supp_restore", "s_suppkey % 3 = 0")
+    cat.restore_table("w_supp_restore", 1)
+    return cat.read_table("w_supp_restore")
 
 
 @_q(
@@ -3359,6 +3413,62 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
     comp = connected_components(pairs)
     return comp.select(F.col("id").alias("doc_id"), "component_id")
+
+
+_SPAN_DEDUP_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(pos // 16 AS BIGINT) AS span_idx,
+         string_agg(word, ' ' ORDER BY pos) AS span
+  FROM words GROUP BY 1, 2
+),
+keepers AS (
+  SELECT span,
+         MIN(struct_pack(doc_id := doc_id, span_idx := span_idx)) AS first
+  FROM spans GROUP BY 1
+),
+kept AS (
+  SELECT first.doc_id AS doc_id, first.span_idx AS span_idx, span
+  FROM keepers
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(span, ' ' ORDER BY span_idx) AS text_dedup,
+         CAST(COUNT(*) AS BIGINT) AS spans_kept
+  FROM kept GROUP BY 1
+),
+totals AS (
+  SELECT doc_id,
+         CAST(CEIL(len(string_split(text, ' ')) / 16.0) AS BIGINT) AS n_spans
+  FROM documents
+)
+SELECT t.doc_id, COALESCE(r.text_dedup, '') AS text_dedup,
+       COALESCE(r.spans_kept, 0) AS spans_kept,
+       t.n_spans - COALESCE(r.spans_kept, 0) AS spans_dropped
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@_q("span_dedup_reconstruct", _SPAN_DEDUP_ORACLE)
+def span_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: cut every document into consecutive
+    16-word spans, drop each span's later corpus-wide occurrences
+    (first by (doc_id, span_idx) kept), rebuild documents from the
+    survivors — the Lee et al. '22 substring-dedup shape as a pure
+    shuffle pipeline. Deliberately window-free: first occurrence is a
+    min-struct aggregate (map-side combine absorbs viral-span skew),
+    and the keeper rows themselves carry the reconstruction — no join
+    back to the exploded span stream. Both engines compare the raw
+    span STRINGS, so the oracle equality is exact."""
+    from pandabase_spark.operators.dedup import span_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return span_dedup(docs, text_col="text", id_col="doc_id", span_words=16)
 
 
 @_q("minhash_lsh_neardup")  # approximate: rows-only check (no oracle)
@@ -6095,6 +6205,9 @@ _GATE_FIRST = [
     "kt_stats_skipping_read",
     "kt_merge_clauses",
     "training_corpus_manifest_v2",
+    "kt_restore",
+    "kt_bloom_skipping_read",
+    "span_dedup_reconstruct",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code
     "q3_top_orders",

@@ -599,3 +599,40 @@ def test_fk_violation_report_counts_planted_orphans(spark):
     assert got == {"child->parent": 2}
     with pytest.raises(ValueError, match="no foreign-key"):
         fk_violation_report([])
+
+
+def test_span_dedup_planted_boilerplate(spark):
+    """Planted 4-word boilerplate shared by three docs: only the first
+    occurrence (lowest doc_id, then span_idx) survives; unique spans
+    are untouched; a fully duplicated doc becomes an empty husk with
+    an auditable drop count."""
+    from pandabase_spark.operators.dedup import span_dedup
+
+    boiler = "all rights reserved inc"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta"),
+            (2, f"epsilon zeta eta theta {boiler}"),
+            (3, boiler),                       # fully duplicate
+            (4, "iota kappa lambda mu"),       # untouched
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in span_dedup(docs, span_words=4).collect()
+    }
+    assert got[1]["text_dedup"] == f"{boiler} alpha beta gamma delta"
+    assert got[1]["spans_kept"] == 2 and got[1]["spans_dropped"] == 0
+    assert got[2]["text_dedup"] == "epsilon zeta eta theta"
+    assert got[2]["spans_kept"] == 1 and got[2]["spans_dropped"] == 1
+    assert got[3]["text_dedup"] == "" and got[3]["spans_kept"] == 0
+    assert got[3]["spans_dropped"] == 1
+    assert got[4]["text_dedup"] == "iota kappa lambda mu"
+    # duplicate span WITHIN one doc: first span wins, second drops
+    rep = spark.createDataFrame(
+        [(7, "a b c d a b c d x y z w")], ["doc_id", "text"]
+    )
+    r7 = span_dedup(rep, span_words=4).collect()[0]
+    assert r7["text_dedup"] == "a b c d x y z w"
+    assert r7["spans_kept"] == 2 and r7["spans_dropped"] == 1

@@ -896,3 +896,123 @@ def test_stats_bounds_without_stats_is_filter_only(spark, catalog):
 
     with _pytest.raises(NameError, match="no such table"):
         catalog.version_as_of("never_created", 0)
+
+
+def test_restore_is_forward_commit(spark, catalog):
+    """restore_table re-references the target snapshot's segments in a
+    NEW commit: content rolls back, the version chain moves forward,
+    and the bad versions stay in history()."""
+    catalog.to_table(_mk(spark), "res_t", keys=["k"])
+    bad = spark.range(200).select(
+        F.col("id").alias("k"), F.lit(-1.0).alias("v")
+    )
+    catalog.to_table(bad, "res_t", keys=["k"], how="upsert")
+    catalog.delete_rows("res_t", "k < 50")
+    assert catalog.read_table("res_t").count() == 150
+    new_v = catalog.restore_table("res_t", 1)
+    assert new_v == 4
+    got = dict(catalog.read_table("res_t").select("k", "v").collect())
+    assert len(got) == 200 and got[10] == 20.0
+    hist = catalog.history("res_t")
+    assert [h["operation"] for h in hist] == [
+        "create", "upsert", "delete", "restore"
+    ]
+    # restore commits share v1's segment set — metadata-only rollback
+    assert (
+        catalog._manifest("res_t", version=4)["segments"]
+        == catalog._manifest("res_t", version=1)["segments"]
+    )
+    # and the rolled-back snapshots remain time-travel readable
+    assert catalog.read_table("res_t", version=3).count() == 150
+
+
+def test_restore_refuses_vacuumed_target(spark, catalog):
+    """A restore target whose segments were vacuumed fails up front
+    (or the pruned manifest itself is gone) — never a committed
+    snapshot that cannot be scanned."""
+    catalog.to_table(_mk(spark), "resv_t", keys=["k"])
+    patch = spark.range(200).select(
+        F.col("id").alias("k"), F.lit(7.0).alias("v")
+    )
+    catalog.to_table(patch, "resv_t", keys=["k"], how="upsert")
+    assert catalog.vacuum("resv_t")
+    with pytest.raises((ValueError, NameError)):
+        catalog.restore_table("resv_t", 1)
+    # current state untouched by the refused restore
+    assert catalog.read_table("resv_t").where(F.col("v") == 7.0).count() == 200
+
+
+def test_bloom_point_skips_leaves_exactly(spark, catalog):
+    """Two disjoint segments with bloom_columns: a probe for a value
+    in only one of them plans strictly fewer leaves, results stay
+    exact, and an absent probe returns empty (usually planning zero
+    leaves, modulo the ~1% false-positive rate)."""
+    a = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("alpha_"), F.col("id")).alias("tag"),
+    )
+    b = spark.range(500, 1000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("beta_"), F.col("id")).alias("tag"),
+    )
+    catalog.to_table(a, "bl_t", keys=["k"], bloom_columns=["tag"],
+                     num_buckets=4)
+    catalog.to_table(b, "bl_t", keys=["k"], how="append")
+    man = catalog._manifest("bl_t")
+    assert set(man["blooms"]) == set(man["segments"])
+    all_leaves = catalog._live_paths("bl_t")
+    probe = {
+        "tag": catalog._bloom_positions(
+            "beta_777", catalog.meta("bl_t").schema["tag"].dataType
+        )
+    }
+    pruned = catalog._live_paths("bl_t", bloom_probe=probe)
+    assert len(pruned) < len(all_leaves)
+    got = catalog.read_table("bl_t", bloom_point={"tag": "beta_777"})
+    assert [r["k"] for r in got.collect()] == [777]
+    assert catalog.read_table("bl_t", bloom_point={"tag": "absent"}).count() == 0
+
+
+def test_bloom_nulls_set_no_bits_and_carry_through_compact(spark, catalog):
+    """NULL values never poison the filter (a NULL row's leaf can still
+    be skipped for other probes) and compaction recomputes blooms for
+    the merged segment via the commit-time merge discipline."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0,
+               F.concat(F.lit("t"), F.col("id"))).alias("tag"),
+    )
+    catalog.to_table(df, "bln_t", keys=["k"], bloom_columns=["tag"],
+                     num_buckets=2)
+    patch = spark.range(100, 160).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("x"), F.col("id")).alias("tag"),
+    )
+    catalog.to_table(patch, "bln_t", keys=["k"], how="upsert")
+    catalog.compact("bln_t")
+    man = catalog._manifest("bln_t")
+    assert len(man["segments"]) == 1
+    assert set(man["blooms"]) == set(man["segments"])
+    got = catalog.read_table("bln_t", bloom_point={"tag": "x120"})
+    assert got.count() == 1
+    # NULL-tag rows are reachable by ordinary reads, never via bloom
+    assert catalog.read_table("bln_t").where(F.col("tag").isNull()).count() == 50
+
+
+def test_bloom_columns_create_only_and_schema_checked(spark, catalog):
+    catalog.to_table(_mk(spark), "blc_t", keys=["k"])
+    with pytest.raises(NameError, match="create time"):
+        catalog.to_table(
+            _mk(spark), "blc_t", keys=["k"], how="append",
+            bloom_columns=["v"],
+        )
+    with pytest.raises(NameError, match="bloom_columns"):
+        catalog.to_table(
+            _mk(spark), "blc_t2", keys=["k"], bloom_columns=["nope"]
+        )
+    # a table without bloom_columns ignores bloom_point gracefully?
+    # no — unknown column raises; known column just never skips
+    with pytest.raises(NameError, match="bloom_point"):
+        catalog.read_table("blc_t", bloom_point={"nope": 1})
+    got = catalog.read_table("blc_t", bloom_point={"v": 10.0})
+    assert [r["k"] for r in got.collect()] == [5]
