@@ -331,3 +331,62 @@ def mixture_report(
     return out.withColumn(
         "resample_factor", tgt / F.col("token_share")
     ).drop("_tot", "_n_strata")
+
+
+def temperature_sample(
+    df: DataFrame,
+    *,
+    strata: Sequence[str],
+    id_col: str,
+    total: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture sampling: draw a deterministic sample
+    of ~``total`` rows whose stratum proportions follow
+    ``n_s ** alpha`` instead of the raw counts — the multilingual-
+    corpus rebalancing rule (alpha-sampling, e.g. mBERT/XLM-R's
+    exponent-smoothed language mixture): ``alpha=1`` preserves the
+    natural distribution, ``alpha=0`` is uniform over strata, and the
+    usual ``alpha≈0.3–0.7`` lifts low-resource strata without letting
+    any single giant stratum dominate.
+
+    Determinism discipline (same as every sampler here): per-stratum
+    take counts use INTEGER arithmetic end to end —
+    ``t_s = (total * w_s) div sum(w_s)`` with
+    ``w_s = floor(sqrt(n_s))`` for the default ``alpha=0.5`` (IEEE
+    sqrt is correctly rounded, so both engines floor the same value;
+    other alphas go through ``pow``, which is 1-ulp and therefore
+    exact-replay only per-engine) — and each stratum keeps the
+    ``t_s``-prefix of the md5-hash order. Floor loss means the sample
+    is ≤ ``total`` by at most one row per stratum.
+
+    Plan: one stratum-count aggregate, a 1-row total broadcast, a
+    broadcast join of take counts back onto the corpus (strata
+    cardinality ≪ corpus), and the per-stratum window prefix — no
+    collect, no RNG state.
+    """
+    if total <= 0:
+        raise ValueError(f"total must be positive, got {total}")
+    n = F.col("_n_s").cast("double")
+    weight = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
+    per = (
+        df.groupBy(*strata)
+        .agg(F.count(F.lit(1)).alias("_n_s"))
+        .withColumn("_w_s", F.floor(weight).cast("long"))
+    )
+    tot = per.agg(F.sum("_w_s").alias("_w_tot"))
+    takes = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_t_s",
+            F.expr(f"CAST({int(total)} * _w_s AS BIGINT) DIV _w_tot"),
+        )
+        .select(*strata, "_t_s")
+    )
+    w = Window.partitionBy(*strata).orderBy(*_hash_order(id_col))
+    return (
+        df.join(F.broadcast(takes), on=list(strata))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.col("_t_s"))
+        .drop("_rn", "_t_s")
+    )

@@ -4266,6 +4266,35 @@ def mixture_report_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "temperature_mixture_sample",
+    "WITH per AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), "
+    "w AS (SELECT lang, CAST(FLOOR(SQRT(n)) AS BIGINT) AS s FROM per), "
+    "tot AS (SELECT CAST(SUM(s) AS BIGINT) AS ts FROM w), "
+    "tk AS (SELECT lang, (300 * s) // ts AS t FROM w, tot), "
+    "ranked AS (SELECT d.doc_id, d.lang, ROW_NUMBER() OVER ("
+    "PARTITION BY d.lang ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id"
+    ") AS rn FROM documents d) "
+    "SELECT r.doc_id, r.lang FROM ranked r JOIN tk USING (lang) "
+    "WHERE r.rn <= tk.t",
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-smoothed language rebalancing (the mBERT/XLM-R
+    temperature-sampling rule): draw ~300 docs whose per-language
+    share follows sqrt(count) instead of raw counts — low-resource
+    languages lifted, the head language capped. Take counts are pure
+    integer arithmetic off floor(sqrt(n)) (IEEE sqrt is correctly
+    rounded, so both engines agree exactly) and each language keeps
+    the md5-hash-order prefix — deterministic, RNG-free, one
+    aggregate + broadcast takes + per-stratum window prefix."""
+    from pandabase_spark.operators.sampling import temperature_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, strata=["lang"], id_col="doc_id", total=300, alpha=0.5
+    ).select("doc_id", "lang")
+
+
+@_q(
     "full_outer_activity_join",
     "WITH ck AS (SELECT user_id, COUNT(*) AS n_clicks FROM events "
     "WHERE event_type = 'click' GROUP BY user_id), "
@@ -6208,6 +6237,7 @@ _GATE_FIRST = [
     "kt_restore",
     "kt_bloom_skipping_read",
     "span_dedup_reconstruct",
+    "temperature_mixture_sample",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code
     "q3_top_orders",

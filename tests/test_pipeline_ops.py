@@ -636,3 +636,39 @@ def test_span_dedup_planted_boilerplate(spark):
     r7 = span_dedup(rep, span_words=4).collect()[0]
     assert r7["text_dedup"] == "a b c d x y z w"
     assert r7["spans_kept"] == 2 and r7["spans_dropped"] == 1
+
+
+def test_temperature_sample_rebalances_toward_uniform(spark):
+    """alpha=0.5 lifts the low-resource stratum's share above its
+    natural proportion and caps the head stratum's; alpha=1.0
+    reproduces near-natural proportions; determinism across calls."""
+    from pandabase_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i, "small") for i in range(900, 1000)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = temperature_sample(
+        df, strata=["lang"], id_col="doc_id", total=200, alpha=0.5
+    )
+    counts = {r["lang"]: r["n"] for r in
+              got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # natural shares 90%/10%; sqrt-weights 30/10 -> targets 150/50
+    assert counts["big"] == 150 and counts["small"] == 50
+    nat = temperature_sample(
+        df, strata=["lang"], id_col="doc_id", total=200, alpha=1.0
+    )
+    ncounts = {r["lang"]: r["n"] for r in
+               nat.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert ncounts["big"] == 180 and ncounts["small"] == 20
+    # deterministic: same call, same rows
+    a = sorted(r["doc_id"] for r in got.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_sample(
+            df, strata=["lang"], id_col="doc_id", total=200, alpha=0.5
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="total"):
+        temperature_sample(df, strata=["lang"], id_col="doc_id", total=0)
