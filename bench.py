@@ -107,6 +107,30 @@ def main() -> None:
         "b_lineitem", "l_orderkey = 2042",
         {"l_quantity": "l_quantity + 1.0"}))
 
+    # Bloom-index point read: customer split into two disjoint
+    # segments, filter on the high-cardinality c_name. The recorded
+    # leaf counts (all vs bloom-pruned) are the skipping-effectiveness
+    # fact: at 100 TB those are file OPENS avoided before the scan
+    # plans. Timed value = the pruned point read, end to end.
+    if cat.has_table("b_bloom_cust"):
+        cat.drop_table("b_bloom_cust")
+    cust = workload.load(spark, sf_dir, "customer")
+    half = cust.where(F.col("c_custkey") % 2 == 0)
+    cat.to_table(half, "b_bloom_cust", keys=["c_custkey"],
+                 bloom_columns=["c_name"])
+    cat.to_table(cust.where(F.col("c_custkey") % 2 == 1),
+                 "b_bloom_cust", keys=["c_custkey"], how="append")
+    probe_name = "Customer#000000042"
+    timed("kt_bloom_point_read", lambda: force(
+        cat.read_table("b_bloom_cust", bloom_point={"c_name": probe_name})))
+    bloom_probe = {"c_name": cat._bloom_positions(
+        probe_name, cat.meta("b_bloom_cust").schema["c_name"].dataType)}
+    bloom_leaves = {
+        "all": len(cat._live_paths("b_bloom_cust")),
+        "bloom_pruned": len(cat._live_paths(
+            "b_bloom_cust", bloom_probe=bloom_probe)),
+    }
+
     # --- analytics ---
     for q in ("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
               "q4_order_priority", "q7_nation_trade_volume",
@@ -253,6 +277,7 @@ def main() -> None:
         "create_rows_per_sec": create_rps,
         "append_rows_per_sec": append_rps,
         "upsert_rows_per_sec": upsert_rps,
+        "bloom_leaves": bloom_leaves,
         "plan_checks": plan_checks,
     }))
 
