@@ -78,3 +78,96 @@ def key_skew_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    bucket_width: float = 10.0,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic, distributed —
+    the drift check between two cohorts' value distributions (train
+    vs serve, this week vs last week) that decides whether a pipeline
+    needs re-calibration.
+
+    D = max over observed values v of |F_a(v) − F_b(v)| needs the
+    running counts of both samples over the GLOBAL value order — the
+    textbook form is one ``ORDER BY value`` window, a single total
+    order no cluster should execute. This is the same two-phase
+    distributed prefix sum as the sweep-line concurrency operator:
+
+      1. per distinct value: (count_a, count_b) — one hash aggregate
+         (ties collapse here, so the CDF is evaluated once per
+         distinct value, right-continuous);
+      2. per range-bucket (``floor(value / bucket_width)``) local
+         running sums — each partition sorts only its bucket;
+      3. exclusive prefix over per-bucket TOTALS (thousands of rows,
+         one tiny exchange) broadcast back as offsets.
+
+    Exactness discipline: the returned row is pure integers —
+    ``ks_num = max |c_a·n_b − c_b·n_a|`` with ``n_a``/``n_b`` the
+    sample sizes, so D = ks_num / (n_a·n_b) with zero float
+    accumulation (products stay < 2^63 up to ~3·10^9 rows per side;
+    beyond that, pre-scale counts). NULL values are excluded (a NULL
+    has no place on the real line)."""
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col)
+    per = (
+        df.where(F.col(group_col).isin(group_a, group_b) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, 1).otherwise(0)
+            ).alias("_da"),
+            F.sum(
+                F.when(F.col(group_col) == group_b, 1).otherwise(0)
+            ).alias("_db"),
+        )
+        .withColumn(
+            "_bkt", F.floor(F.col("_v") / F.lit(float(bucket_width)))
+        )
+    )
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = per.withColumn("_ca", F.sum("_da").over(w_local)).withColumn(
+        "_cb", F.sum("_db").over(w_local)
+    )
+    totals = per.groupBy("_bkt").agg(
+        F.sum("_da").alias("_ta"), F.sum("_db").alias("_tb")
+    )
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_ta").over(w_off), F.lit(0)).alias("_oa"),
+        F.coalesce(F.sum("_tb").over(w_off), F.lit(0)).alias("_ob"),
+    )
+    tot = per.agg(
+        F.sum("_da").cast("long").alias("n_a"),
+        F.sum("_db").cast("long").alias("n_b"),
+    )
+    return (
+        local.join(F.broadcast(offsets), on="_bkt")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    (F.col("_ca") + F.col("_oa")) * F.col("n_b")
+                    - (F.col("_cb") + F.col("_ob")) * F.col("n_a")
+                )
+            )
+            .cast("long")
+            .alias("ks_num")
+        )
+        .select("ks_num", "n_a", "n_b")
+    )

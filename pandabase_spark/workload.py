@@ -5712,6 +5712,46 @@ def bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs)
 
 
+_KS_ORACLE = """
+WITH per AS (
+  SELECT value AS v,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS da,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS db
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY 1
+), c AS (
+  SELECT SUM(da) OVER (ORDER BY v) AS ca,
+         SUM(db) OVER (ORDER BY v) AS cb
+  FROM per
+), t AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b
+  FROM per
+)
+SELECT CAST(MAX(ABS(ca * n_b - cb * n_a)) AS BIGINT) AS ks_num, n_a, n_b
+FROM c, t GROUP BY n_a, n_b
+"""
+
+
+@_q("ks_drift_click_vs_purchase", _KS_ORACLE)
+def ks_drift_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between the click and purchase
+    value distributions — the distribution-drift check (train vs
+    serve) every pipeline monitor needs. The oracle states the
+    textbook single global running sum; the Spark plan is the
+    two-phase distributed prefix sum (per-range-bucket local cumsums
+    + tiny bucket-total offsets), the same scalable-cumulative shape
+    as concurrent_sessions_peak. The result row is pure integers
+    (ks_num = max |c_a·n_b − c_b·n_a|), so cross-engine equality is
+    exact — D itself is ks_num/(n_a·n_b)."""
+    from pandabase_spark.operators.profiling import ks_two_sample
+
+    ev = load(spark, sf_dir, "events")
+    return ks_two_sample(
+        ev, "value", "event_type", "click", "purchase", bucket_width=10.0
+    )
+
+
 _SKEW_ORACLE = """
 WITH prof AS (
   SELECT 'event_type' AS key_col, CAST(event_type AS VARCHAR) AS value,
@@ -6238,6 +6278,7 @@ _GATE_FIRST = [
     "kt_bloom_skipping_read",
     "span_dedup_reconstruct",
     "temperature_mixture_sample",
+    "ks_drift_click_vs_purchase",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code
     "q3_top_orders",

@@ -672,3 +672,30 @@ def test_temperature_sample_rebalances_toward_uniform(spark):
     assert a == b
     with pytest.raises(ValueError, match="total"):
         temperature_sample(df, strata=["lang"], id_col="doc_id", total=0)
+
+
+def test_ks_two_sample_known_value(spark):
+    """Hand-computed KS on tiny samples; identical samples give 0;
+    disjoint samples give the max D = 1 (ks_num = n_a * n_b)."""
+    from pandabase_spark.operators.profiling import ks_two_sample
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 2.0), ("b", 3.0), ("b", 4.0)],
+        ["g", "v"],
+    )
+    r = ks_two_sample(df, "v", "g", "a", "b", bucket_width=1.0).collect()[0]
+    # F_a - F_b peaks at 1/3: ks_num = 3 over denominator 9
+    assert (r["ks_num"], r["n_a"], r["n_b"]) == (3, 3, 3)
+    same = ks_two_sample(
+        df.where(F.col("g") == "a").unionByName(
+            df.where(F.col("g") == "a").withColumn("g", F.lit("b"))
+        ),
+        "v", "g", "a", "b",
+    ).collect()[0]
+    assert same["ks_num"] == 0
+    disj = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], ["g", "v"]
+    )
+    rd = ks_two_sample(disj, "v", "g", "a", "b").collect()[0]
+    assert rd["ks_num"] == rd["n_a"] * rd["n_b"] == 2
