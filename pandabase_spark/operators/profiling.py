@@ -171,3 +171,76 @@ def ks_two_sample(
         )
         .select("ks_num", "n_a", "n_b")
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_buckets: int = 8,
+    bucket_width: float = 10.0,
+) -> DataFrame:
+    """Exact equi-depth (equi-height) histogram, distributed — the
+    optimizer-statistics / data-profiling shape: ``n_buckets`` ranges
+    each holding ~N/n rows regardless of how skewed the values are
+    (where equi-WIDTH bins collapse under skew).
+
+    Definition is rank-based on DISTINCT values, so it is fully
+    deterministic and tie-stable: a value v lands in bucket
+    ``floor(rows_before_v * n / N)`` — every duplicate of v stays in
+    one bucket (no arbitrary NTILE tie-splitting), which also makes
+    the result reproducible across engines in pure integer
+    arithmetic.
+
+    The global running count never materializes as a global window:
+    same two-phase distributed prefix sum as :func:`ks_two_sample`
+    (per-distinct-value counts → range-bucket local cumsums → tiny
+    bucket-total offsets). Output: (bucket, lo, hi, n_rows,
+    n_distinct) per non-empty bucket. NULLs are excluded."""
+    from pyspark.sql.window import Window
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    v = F.col(value_col)
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_bkt", F.floor(F.col("_v") / F.lit(float(bucket_width)))
+        )
+    )
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = per.withColumn(
+        "_cb_local", F.coalesce(F.sum("_c").over(w_local), F.lit(0))
+    )
+    totals = per.groupBy("_bkt").agg(F.sum("_c").alias("_t"))
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off")
+    )
+    tot = per.agg(F.sum("_c").alias("_n"))
+    return (
+        local.join(F.broadcast(offsets), on="_bkt")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"CAST((_cb_local + _off) * {int(n_buckets)} AS BIGINT) "
+                "DIV _n"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+            F.sum("_c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        )
+    )

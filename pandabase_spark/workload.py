@@ -5752,6 +5752,39 @@ def ks_drift_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HISTOGRAM_ORACLE = """
+WITH per AS (
+  SELECT value AS v, COUNT(*) AS c FROM events
+  WHERE value IS NOT NULL GROUP BY 1
+), c AS (
+  SELECT v, c,
+         COALESCE(SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM per
+), t AS (SELECT SUM(c) AS n FROM per)
+SELECT CAST(cb * 8 // n AS BIGINT) AS bucket,
+       MIN(v) AS lo, MAX(v) AS hi,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct
+FROM c, t GROUP BY 1
+"""
+
+
+@_q("equi_depth_histogram_values", _HISTOGRAM_ORACLE)
+def equi_depth_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-bucket equi-depth histogram of event values — the
+    optimizer-statistics profile that survives skew (equi-width bins
+    collapse under a hot range; equi-depth holds ~N/8 rows each).
+    Rank-based on distinct values in pure integer arithmetic (bucket
+    = rows_before * 8 div N, ties never split), computed with the
+    two-phase distributed prefix sum instead of the oracle's global
+    running-count window."""
+    from pandabase_spark.operators.profiling import equi_depth_histogram
+
+    ev = load(spark, sf_dir, "events")
+    return equi_depth_histogram(ev, "value", n_buckets=8, bucket_width=10.0)
+
+
 _SKEW_ORACLE = """
 WITH prof AS (
   SELECT 'event_type' AS key_col, CAST(event_type AS VARCHAR) AS value,
@@ -6279,6 +6312,7 @@ _GATE_FIRST = [
     "span_dedup_reconstruct",
     "temperature_mixture_sample",
     "ks_drift_click_vs_purchase",
+    "equi_depth_histogram_values",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code
     "q3_top_orders",

@@ -699,3 +699,31 @@ def test_ks_two_sample_known_value(spark):
     )
     rd = ks_two_sample(disj, "v", "g", "a", "b").collect()[0]
     assert rd["ks_num"] == rd["n_a"] * rd["n_b"] == 2
+
+
+def test_equi_depth_histogram_balanced_under_skew(spark):
+    """A hot value holding half the rows: equi-depth still puts ~N/n
+    rows per bucket (the hot value's bucket is the exception — ties
+    never split), and bucket ranges partition the value domain."""
+    from pandabase_spark.operators.profiling import equi_depth_histogram
+
+    rows = [(float(i),) for i in range(100)] + [(50.5,)] * 100
+    df = spark.createDataFrame(rows, ["v"])
+    got = sorted(
+        equi_depth_histogram(df, "v", n_buckets=4, bucket_width=25.0)
+        .collect(),
+        key=lambda r: r["bucket"],
+    )
+    # the hot value's 100 rows span ranks 51-150, swallowing bucket
+    # 2's whole rank range — only non-empty buckets are emitted
+    assert [r["bucket"] for r in got] == [0, 1, 3]
+    assert sum(r["n_rows"] for r in got) == 200
+    # the duplicated value stays whole in ONE bucket
+    hot = [r for r in got if r["lo"] <= 50.5 <= r["hi"]]
+    assert len(hot) == 1 and hot[0]["n_rows"] >= 100
+    # ranges are disjoint and ordered
+    for a, b in zip(got, got[1:]):
+        assert a["hi"] < b["lo"]
+    import pytest as _p
+    with _p.raises(ValueError, match="n_buckets"):
+        equi_depth_histogram(df, "v", n_buckets=0)
