@@ -4164,6 +4164,138 @@ def training_corpus_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_ORACLE = """
+WITH p AS ({profile}),
+keep AS (
+  SELECT chash, MIN(doc_id) AS keep_id FROM p
+  WHERE doc_id % 7 <> 0 AND lang_guess <> 'und' AND quality >= 0.75
+  GROUP BY 1),
+sh AS (SELECT DISTINCT doc_id, s FROM ({grams})),
+contam AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT * FROM sh WHERE doc_id % 7 <> 0) c
+  JOIN (SELECT * FROM sh WHERE doc_id % 7 = 0) e ON c.s = e.s),
+f AS (
+  SELECT p.doc_id, p.n_tokens,
+    (p.doc_id % 7 <> 0) AS f1,
+    (p.doc_id % 7 <> 0 AND p.lang_guess <> 'und') AS f2,
+    (p.doc_id % 7 <> 0 AND p.lang_guess <> 'und' AND p.quality >= 0.75)
+      AS f3,
+    (p.doc_id % 7 <> 0 AND p.lang_guess <> 'und' AND p.quality >= 0.75
+     AND p.doc_id = k.keep_id) AS f4,
+    (p.doc_id % 7 <> 0 AND p.lang_guess <> 'und' AND p.quality >= 0.75
+     AND p.doc_id = k.keep_id
+     AND p.doc_id NOT IN (SELECT doc_id FROM contam)) AS f5
+  FROM p LEFT JOIN keep k ON p.chash = k.chash)
+SELECT 0 AS stage, 'raw' AS stage_name,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM f
+UNION ALL SELECT 1, 'eval_holdout',
+  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(SUM(CASE WHEN f1 THEN n_tokens ELSE 0 END) AS BIGINT) FROM f
+UNION ALL SELECT 2, 'lang_identified',
+  CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(SUM(CASE WHEN f2 THEN n_tokens ELSE 0 END) AS BIGINT) FROM f
+UNION ALL SELECT 3, 'quality_gate',
+  CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(SUM(CASE WHEN f3 THEN n_tokens ELSE 0 END) AS BIGINT) FROM f
+UNION ALL SELECT 4, 'exact_dedup',
+  CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(SUM(CASE WHEN f4 THEN n_tokens ELSE 0 END) AS BIGINT) FROM f
+UNION ALL SELECT 5, 'decontaminated',
+  CAST(SUM(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(SUM(CASE WHEN f5 THEN n_tokens ELSE 0 END) AS BIGINT) FROM f
+"""
+
+
+@_q(
+    "corpus_quality_funnel",
+    _FUNNEL_ORACLE.format(
+        profile=_PROFILE_ORACLE, grams=_grams_sql(_toks("text"), 8)
+    ),
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: document/token survival through every
+    assembly stage (raw → eval holdout → language-ID → quality gate →
+    exact dedup → decontamination) as ONE row per stage — the funnel
+    chart a 100 TB run publishes so a silent 40% drop at some stage
+    is seen before training starts.
+
+    Scale shape: stage membership is computed as CUMULATIVE FLAGS on
+    a single annotated frame (one profile scan + the dedup hash
+    shuffle + the decontamination broadcast join), then ONE aggregate
+    row stacked into stage rows — the naive per-stage recount would
+    rescan the corpus once per stage. The oracle states exactly that
+    naive recount, which is the correctness contract, not the plan."""
+    from pandabase_spark.operators.decontamination import (
+        contamination_report,
+    )
+    from pandabase_spark.operators.text_analysis import document_profile
+
+    docs = load(spark, sf_dir, "documents")
+    prof = document_profile(docs)
+    f1 = F.col("doc_id") % 7 != 0
+    f2 = f1 & (F.col("lang_guess") != "und")
+    f3 = f2 & (F.col("quality") >= 0.75)
+    base = (
+        prof.withColumn("_f1", f1)
+        .withColumn("_f2", f2)
+        .withColumn("_f3", f3)
+    )
+    keep = (
+        base.where("_f3")
+        .groupBy("chash")
+        .agg(F.min("doc_id").alias("_keep_id"))
+    )
+    base = base.join(keep, on="chash", how="left").withColumn(
+        "_f4", F.col("_f3") & (F.col("doc_id") == F.col("_keep_id"))
+    )
+    contam = (
+        contamination_report(
+            docs.where(f1), docs.where(~f1), n=8
+        )
+        .select("doc_id")
+        .withColumn("_hit", F.lit(True))
+    )
+    base = base.join(contam, on="doc_id", how="left").withColumn(
+        "_f5", F.col("_f4") & F.col("_hit").isNull()
+    )
+
+    def stage(flag: str | None, i: int):
+        cond = F.lit(True) if flag is None else F.col(flag)
+        return [
+            F.sum(F.when(cond, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_c{i}"),
+            F.sum(F.when(cond, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias(f"_t{i}"),
+        ]
+
+    one = base.agg(
+        *(
+            stage(None, 0)
+            + stage("_f1", 1)
+            + stage("_f2", 2)
+            + stage("_f3", 3)
+            + stage("_f4", 4)
+            + stage("_f5", 5)
+        )
+    )
+    names = [
+        "raw", "eval_holdout", "lang_identified",
+        "quality_gate", "exact_dedup", "decontaminated",
+    ]
+    pairs = ", ".join(
+        f"{i}, '{n}', _c{i}, _t{i}" for i, n in enumerate(names)
+    )
+    return one.select(
+        F.expr(
+            f"stack(6, {pairs}) AS (stage, stage_name, n_docs, n_tokens)"
+        )
+    )
+
+
 @_q("sketch_user_frequencies")  # CMS: overcount-only bounds in pytest
 def sketch_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency probes for ten heavy users: the
@@ -6313,6 +6445,7 @@ _GATE_FIRST = [
     "temperature_mixture_sample",
     "ks_drift_click_vs_purchase",
     "equi_depth_histogram_values",
+    "corpus_quality_funnel",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code
     "q3_top_orders",
