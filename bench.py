@@ -165,6 +165,13 @@ def main() -> None:
               "doc_length_percentiles_by_lang"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
 
+    # --- round-5 additions: sub-document dedup, drift/profile stats,
+    # temperature mixture, the composed funnel ---
+    for q in ("span_dedup_reconstruct", "temperature_mixture_sample",
+              "ks_drift_click_vs_purchase", "equi_depth_histogram_values",
+              "corpus_quality_funnel"):
+        timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
+
     # winnow: the headline number is the PRODUCTION default (xxhash64,
     # now the operator default); the md5 twin exists only for DuckDB
     # oracle replay and is timed separately so its cost never pollutes

@@ -5917,6 +5917,30 @@ def equi_depth_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_depth_histogram(ev, "value", n_buckets=8, bucket_width=10.0)
 
 
+@_q(
+    "skyline_cheap_small_parts",
+    "SELECT p_partkey, p_retailprice, p_size FROM part a "
+    "WHERE NOT EXISTS (SELECT 1 FROM part b "
+    "WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size "
+    "AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))",
+)
+def skyline_cheap_small_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts minimizing (retail price, size) — the
+    skyline query (EDBT '23 ports it to Spark SQL via grid
+    partitioning; for 2-D the prefix-minimum envelope is strictly
+    better). The oracle states the textbook O(n²) NOT EXISTS
+    self-join; the Spark plan is one hash aggregate on price + the
+    two-phase distributed prefix min + a frontier semi-join — no
+    pairwise comparison, no global window, AQE free to broadcast the
+    (frontier-sized) join side."""
+    from pandabase_spark.operators.skyline import skyline_2d
+
+    p = load(spark, sf_dir, "part")
+    return skyline_2d(p, "p_retailprice", "p_size", bucket_width=10.0).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
 _SKEW_ORACLE = """
 WITH prof AS (
   SELECT 'event_type' AS key_col, CAST(event_type AS VARCHAR) AS value,
@@ -6446,6 +6470,7 @@ _GATE_FIRST = [
     "ks_drift_click_vs_purchase",
     "equi_depth_histogram_values",
     "corpus_quality_funnel",
+    "skyline_cheap_small_parts",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code
     "q3_top_orders",

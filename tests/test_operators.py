@@ -505,3 +505,38 @@ def test_incremental_dedup_classify_planted(spark):
     assert got[11]["status"] == "near_dup" and got[11]["match_id"] == 1
     assert 0.3 <= got[11]["jaccard"] <= 1.0
     assert got[12]["status"] == "novel" and got[12]["match_id"] is None
+
+
+def test_skyline_2d_exact_vs_bruteforce(spark):
+    """Seeded random points: the envelope-based skyline equals the
+    O(n²) brute-force definition exactly, duplicates of a frontier
+    point all survive, and dominated-by-equal-x rows drop."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pandabase_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(42)
+    pts = [(i, float(rng.randint(0, 50)), float(rng.randint(0, 50)))
+           for i in range(300)]
+    pts += [(900, -1.0, 60.0), (901, -1.0, 60.0)]  # duplicate frontier pt
+    pts += [(902, -1.0, 61.0)]                     # same x, larger y: out
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    got = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+    brute = {
+        i for (i, x, y) in pts
+        if not any(
+            (x2 <= x and y2 <= y and (x2 < x or y2 < y))
+            for (_, x2, y2) in pts
+        )
+    }
+    assert got == brute
+    assert {900, 901} <= got and 902 not in got
+    # NULLs excluded entirely
+    withnull = df.union(
+        spark.createDataFrame([(903, None, 1.0)], df.schema)
+    )
+    assert 903 not in {
+        r["id"] for r in skyline_2d(withnull, "x", "y").collect()
+    }
