@@ -5918,6 +5918,44 @@ def equi_depth_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "parts_bought_together",
+    "WITH facts AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i "
+    "FROM lineitem), "
+    "item_n AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM facts "
+    "GROUP BY 1), "
+    "tot AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets "
+    "FROM facts), "
+    "pairs AS (SELECT a.i AS item_a, c.i AS item_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_co "
+    "FROM facts a JOIN facts c ON a.b = c.b AND a.i < c.i "
+    "GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+    "SELECT p.item_a, p.item_b, p.n_co, na.n AS n_a, nb.n AS n_b, "
+    "t.n_baskets, "
+    "(1000000 * t.n_baskets * p.n_co) // (na.n * nb.n) AS lift_ppm "
+    "FROM pairs p JOIN item_n na ON na.i = p.item_a "
+    "JOIN item_n nb ON nb.i = p.item_b, tot t",
+)
+def parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequently-bought-together part pairs with lift — the
+    association-mining primitive. Pairs exist only within an order,
+    so the self-join fans out at most basket-size² per order (avg 4
+    parts/order here; the operator's max_basket cap bounds the
+    pathological case) — Σ B², linear in lineitem, one shuffle on
+    the order key. Lift ships as integer ppm (1e6·N·n_co div
+    n_a·n_b) for exact cross-engine replay."""
+    from pandabase_spark.operators.market_basket import co_occurrence_lift
+
+    li = load(spark, sf_dir, "lineitem")
+    return co_occurrence_lift(
+        li, "l_orderkey", "l_partkey", min_count=2
+    ).select(
+        F.col("item_a").alias("item_a"),
+        F.col("item_b").alias("item_b"),
+        "n_co", "n_a", "n_b", "n_baskets", "lift_ppm",
+    )
+
+
+@_q(
     "skyline_cheap_small_parts",
     "SELECT p_partkey, p_retailprice, p_size FROM part a "
     "WHERE NOT EXISTS (SELECT 1 FROM part b "
@@ -6471,6 +6509,7 @@ _GATE_FIRST = [
     "equi_depth_histogram_values",
     "corpus_quality_funnel",
     "skyline_cheap_small_parts",
+    "parts_bought_together",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code
     "q3_top_orders",

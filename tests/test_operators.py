@@ -540,3 +540,32 @@ def test_skyline_2d_exact_vs_bruteforce(spark):
     assert 903 not in {
         r["id"] for r in skyline_2d(withnull, "x", "y").collect()
     }
+
+
+def test_co_occurrence_lift_known_values(spark):
+    """Hand-checked baskets: counts, lift, canonical ordering, the
+    distinct-per-basket rule, and the mega-basket cap."""
+    from pyspark.sql import functions as F
+
+    from pandabase_spark.operators.market_basket import co_occurrence_lift
+
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "y"), (4, "y"),   # duplicate item in one basket: once
+    ]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    got = {(r["item_a"], r["item_b"]): r
+           for r in co_occurrence_lift(df, "b", "i", min_count=2).collect()}
+    assert set(got) == {("x", "y")}
+    r = got[("x", "y")]
+    # n_co=2, n_x=3, n_y=3, N=4 -> lift = 4*2/9 = 0.888...
+    assert (r["n_co"], r["n_a"], r["n_b"], r["n_baskets"]) == (2, 3, 3, 4)
+    assert r["lift_ppm"] == (1_000_000 * 4 * 2) // 9
+    # a mega-basket above the cap contributes nothing
+    mega = [(9, f"m{k}") for k in range(20)]
+    df2 = spark.createDataFrame(rows + mega, ["b", "i"])
+    capped = co_occurrence_lift(df2, "b", "i", min_count=1, max_basket=10)
+    assert not [r for r in capped.collect()
+                if r["item_a"].startswith("m")]
