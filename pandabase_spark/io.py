@@ -155,6 +155,7 @@ class TableMeta:
     constraints: dict = field(default_factory=dict)
     stats_columns: list = field(default_factory=list)
     bloom_columns: list = field(default_factory=list)
+    sketch_columns: list = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -166,6 +167,7 @@ class TableMeta:
         d.setdefault("constraints", {})
         d.setdefault("stats_columns", [])
         d.setdefault("bloom_columns", [])
+        d.setdefault("sketch_columns", [])
         return cls(**d)
 
     @property
@@ -416,6 +418,129 @@ class KeyedCatalog:
             }
         return out
 
+    def _segment_sketches(
+        self, table_name: str, seg: str, m: TableMeta
+    ) -> dict:
+        """Per-segment mergeable sketches of ``m.sketch_columns`` —
+        KLL (quantiles/ranks) over the numeric cast and HLL (distinct
+        count) over the raw value, both Spark-4 native DataSketches
+        aggregates (JVM, codegen'd). One column-pruned job per
+        segment for ALL columns; each sketch is a few KB of base64 in
+        the manifest regardless of segment size. Because the sketch
+        families are MERGEABLE, table-level statistics come from
+        folding the per-segment entries — O(#segments) metadata, the
+        data itself is never rescanned (the incremental, ANALYZE-free
+        form of table stats). Shape:
+        {col: {"kll": b64, "hll": b64}}."""
+        import base64
+
+        base = (
+            f"{self.warehouse}/{seg}"
+            if "/" in seg
+            else f"{self._path(table_name)}/{seg}"
+        )
+        leaves = [
+            f"{base}/{d}"
+            for d in self.fs.list_dirs(base)
+            if d.startswith(f"{PART_DIR}=")
+        ]
+        df = self.spark.read.schema(m.schema).parquet(*leaves)
+        aggs = []
+        for c in m.sketch_columns:
+            aggs.append(
+                F.kll_sketch_agg_double(F.col(c).cast("double")).alias(
+                    f"_kll_{c}"
+                )
+            )
+            # HLL accepts int/long/string/binary only — hash any other
+            # type through its canonical string form (distinct-count
+            # preserving; doubles stringify uniquely)
+            aggs.append(
+                F.hll_sketch_agg(F.col(c).cast("string")).alias(
+                    f"_hll_{c}"
+                )
+            )
+        row = df.agg(*aggs).first()
+        out = {}
+        for c in m.sketch_columns:
+            kll, hll = row[f"_kll_{c}"], row[f"_hll_{c}"]
+            out[c] = {
+                "kll": base64.b64encode(kll).decode() if kll else None,
+                "hll": base64.b64encode(hll).decode() if hll else None,
+            }
+        return out
+
+    def table_sketch_stats(
+        self,
+        table_name: str,
+        column: str,
+        *,
+        quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+        schema: str | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Table-level statistics from MANIFEST SKETCHES ONLY — no
+        data scan: decode every live segment's KLL/HLL entry for
+        ``column``, fold them with the native merge aggregates, and
+        emit one row (n_rows, distinct_est, q_<..> per requested
+        quantile). At 100 TB this answers "what does this column look
+        like" in O(#segments) metadata time; accuracy is the sketch
+        families' published bounds (KLL ~1.65% rank error at the
+        default k, HLL ~2% at lgK=12), pinned in pytest. Raises if
+        the table was not created with ``sketch_columns`` covering
+        the column, or some segment predates the declaration (stats
+        here must never silently under-count)."""
+        import base64
+
+        table_name = self._qualify(table_name, schema)
+        m = self.meta(table_name)
+        if column not in m.sketch_columns:
+            raise NameError(
+                f"column {column!r} has no manifest sketches "
+                f"(table sketch_columns={m.sketch_columns})"
+            )
+        man = self._manifest(table_name, version=version)
+        entries = []
+        for seg in man["segments"]:
+            ent = man.get("sketches", {}).get(seg, {}).get(column)
+            if not ent or not ent.get("kll"):
+                raise ValueError(
+                    f"segment {seg} of {table_name!r} carries no "
+                    f"sketch for {column!r} — cannot answer from "
+                    "metadata without under-counting"
+                )
+            entries.append(
+                (
+                    bytearray(base64.b64decode(ent["kll"])),
+                    bytearray(base64.b64decode(ent["hll"]))
+                    if ent.get("hll")
+                    else None,
+                )
+            )
+        sk = self.spark.createDataFrame(
+            entries,
+            T.StructType(
+                [
+                    T.StructField("_kll", T.BinaryType()),
+                    T.StructField("_hll", T.BinaryType()),
+                ]
+            ),
+        )
+        merged_kll = F.kll_merge_agg_double(F.col("_kll"))
+        aggs = [
+            F.kll_sketch_get_n_double(merged_kll).alias("n_rows"),
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("_hll")))
+            .cast("long")
+            .alias("distinct_est"),
+        ]
+        for q in quantiles:
+            aggs.append(
+                F.kll_sketch_get_quantile_double(
+                    merged_kll, F.lit(float(q))
+                ).alias(f"q_{str(q).replace('.', '_')}")
+            )
+        return sk.agg(*aggs)
+
     def _bloom_positions(self, value: Any, dtype: T.DataType) -> list[int]:
         """Probe bit positions for ``value`` under the SAME JVM
         expressions that built the filters (``xxhash64(lit(value)
@@ -446,6 +571,7 @@ class KeyedCatalog:
         v: int,
         stats: dict | None = None,
         blooms: dict | None = None,
+        sketches: dict | None = None,
         op: str = "write",
     ) -> None:
         """THE commit point, with optimistic concurrency detection.
@@ -505,6 +631,18 @@ class KeyedCatalog:
                     allblooms[seg] = priorb[seg]
                 else:
                     allblooms[seg] = self._segment_blooms(table_name, seg, m)
+        allsketches: dict = {}
+        if m.sketch_columns:
+            priors = self._manifest(table_name).get("sketches", {})
+            for seg in segments:
+                if sketches and seg in sketches:
+                    allsketches[seg] = sketches[seg]
+                elif seg in priors:
+                    allsketches[seg] = priors[seg]
+                else:
+                    allsketches[seg] = self._segment_sketches(
+                        table_name, seg, m
+                    )
         # commit wall-clock in micros: the resolution key for
         # AS-OF-timestamp time travel (version_as_of). Clock skew
         # between writers can only mis-order commits by the skew
@@ -519,6 +657,8 @@ class KeyedCatalog:
             doc_d["stats"] = allstats
         if allblooms:
             doc_d["blooms"] = allblooms
+        if allsketches:
+            doc_d["sketches"] = allsketches
         doc = json.dumps(doc_d)
         vpath = f"{self._path(table_name)}/{LOG_DIR}/{v + 1:010d}.json"
         claimed = self.fs.write_text_if_absent(vpath, doc)
@@ -817,11 +957,16 @@ class KeyedCatalog:
             for seg, bl in man.get("blooms", {}).items()
             if seg in rename
         }
+        sketches = {
+            rename[seg]: sk
+            for seg, sk in man.get("sketches", {}).items()
+            if seg in rename
+        }
         self.fs.mkdirs(self._path(dst_q))
         self._write_meta(dst_q, m)
         self._commit(
             dst_q, segments, v=0, stats=stats or None,
-            blooms=blooms or None, op="clone",
+            blooms=blooms or None, sketches=sketches or None, op="clone",
         )
 
     def restore_table(
@@ -876,6 +1021,7 @@ class KeyedCatalog:
             v=cur["v"],
             stats=target.get("stats") or None,
             blooms=target.get("blooms") or None,
+            sketches=target.get("sketches") or None,
             op="restore",
         )
         return cur["v"] + 1
@@ -984,6 +1130,7 @@ class KeyedCatalog:
         constraints: Mapping[str, str] | None = None,
         stats_columns: Sequence[str] | None = None,
         bloom_columns: Sequence[str] | None = None,
+        sketch_columns: Sequence[str] | None = None,
     ) -> None:
         """Write a DataFrame into a keyed table.
 
@@ -993,6 +1140,13 @@ class KeyedCatalog:
         NON-KEY ranges. Segments are immutable, so stats are computed
         once per new segment (one column-pruned scan of the freshly
         written files) and carried forward verbatim by later commits.
+
+        ``sketch_columns`` (create only): column names whose per-
+        segment KLL (quantiles) + HLL (distinct) sketches ride in
+        every manifest commit; :meth:`table_sketch_stats` then answers
+        table-level distribution questions from metadata alone —
+        incremental, ANALYZE-free statistics (mergeable sketches fold
+        across segments without rescanning data).
 
         ``bloom_columns`` (create only): column names whose per-
         (segment, bucket) Bloom bitsets ride in every manifest commit,
@@ -1030,6 +1184,7 @@ class KeyedCatalog:
                 auto_index=auto_index, add_new_columns=add_new_columns,
                 num_buckets=num_buckets, constraints=constraints,
                 stats_columns=stats_columns, bloom_columns=bloom_columns,
+                sketch_columns=sketch_columns,
             )
         finally:
             self._release_staged()
@@ -1052,6 +1207,7 @@ class KeyedCatalog:
         constraints: Mapping[str, str] | None = None,
         stats_columns: Sequence[str] | None = None,
         bloom_columns: Sequence[str] | None = None,
+        sketch_columns: Sequence[str] | None = None,
     ) -> None:
         exists = self.has_table(table_name)
         if exists and constraints:
@@ -1066,6 +1222,10 @@ class KeyedCatalog:
         if exists and bloom_columns:
             raise NameError(
                 "bloom_columns are declared at create time"
+            )
+        if exists and sketch_columns:
+            raise NameError(
+                "sketch_columns are declared at create time"
             )
         target_schema = self.meta(table_name).schema if exists else None
         sdf, keys = self._normalize_input(df, keys, auto_index, target_schema)
@@ -1087,7 +1247,7 @@ class KeyedCatalog:
             self._create(
                 sdf, table_name, keys, auto_index, num_buckets,
                 constraints=constraints, stats_columns=stats_columns,
-                bloom_columns=bloom_columns,
+                bloom_columns=bloom_columns, sketch_columns=sketch_columns,
             )
             return
 
@@ -1299,6 +1459,7 @@ class KeyedCatalog:
         constraints: Mapping[str, str] | None = None,
         stats_columns: Sequence[str] | None = None,
         bloom_columns: Sequence[str] | None = None,
+        sketch_columns: Sequence[str] | None = None,
     ) -> None:
         bad_stats = [
             c for c in (stats_columns or []) if c not in sdf.columns
@@ -1310,6 +1471,11 @@ class KeyedCatalog:
         ]
         if bad_blooms:
             raise NameError(f"bloom_columns not in schema: {bad_blooms}")
+        bad_sk = [
+            c for c in (sketch_columns or []) if c not in sdf.columns
+        ]
+        if bad_sk:
+            raise NameError(f"sketch_columns not in schema: {bad_sk}")
         m = TableMeta(
             keys=list(keys),
             auto_index=auto_index,
@@ -1318,6 +1484,7 @@ class KeyedCatalog:
             constraints=dict(constraints or {}),
             stats_columns=list(stats_columns or []),
             bloom_columns=list(bloom_columns or []),
+            sketch_columns=list(sketch_columns or []),
         )
         # fail fast on NULL keys before any shuffle
         from functools import reduce

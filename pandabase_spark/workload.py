@@ -4296,6 +4296,35 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("kt_manifest_sketch_stats")  # sketch-approximate: rows-only check
+def kt_manifest_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table statistics answered from MANIFEST SKETCHES ONLY — the
+    incremental, ANALYZE-free form: the table is created with
+    ``sketch_columns=['o_totalprice']``, every commit attaches a
+    per-segment KLL (quantiles, exact n) + HLL (distinct) sketch
+    (Spark-4 native DataSketches aggregates, computed once per
+    immutable segment), and ``table_sketch_stats`` folds the live
+    segments' sketches with the native merge aggregates — the data
+    is never rescanned, cost is O(#segments) metadata. Declared
+    rows-only: quantiles/distinct are sketch-approximate (error
+    bounds pinned in test_storage_v2.py); n_rows is exact by KLL
+    construction."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_sketch_orders")
+    o = load(spark, sf_dir, "orders")
+    cat.to_table(
+        o.where(F.col("o_orderkey") % 2 == 0), "w_sketch_orders",
+        keys=["o_orderkey"], sketch_columns=["o_totalprice"],
+    )
+    cat.to_table(
+        o.where(F.col("o_orderkey") % 2 == 1), "w_sketch_orders",
+        keys=["o_orderkey"], how="append",
+    )
+    return cat.table_sketch_stats(
+        "w_sketch_orders", "o_totalprice", quantiles=(0.5, 0.95)
+    )
+
+
 @_q("sketch_user_frequencies")  # CMS: overcount-only bounds in pytest
 def sketch_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency probes for ten heavy users: the
@@ -6510,6 +6539,7 @@ _GATE_FIRST = [
     "corpus_quality_funnel",
     "skyline_cheap_small_parts",
     "parts_bought_together",
+    "kt_manifest_sketch_stats",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code
     "q3_top_orders",

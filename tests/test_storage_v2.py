@@ -1016,3 +1016,37 @@ def test_bloom_columns_create_only_and_schema_checked(spark, catalog):
         catalog.read_table("blc_t", bloom_point={"nope": 1})
     got = catalog.read_table("blc_t", bloom_point={"v": 10.0})
     assert [r["k"] for r in got.collect()] == [5]
+
+
+def test_manifest_sketch_stats_bounds_and_lifecycle(spark, catalog):
+    """KLL n is exact; the median tracks the true median within KLL's
+    rank-error bound; HLL distinct within ~5%; stats answer from
+    metadata across append/compact/clone; a column without sketches
+    refuses instead of under-counting."""
+    df = spark.range(20000).select(
+        F.col("id").alias("k"), (F.col("id") % 997).cast("double").alias("v")
+    )
+    catalog.to_table(df, "sk_t", keys=["k"], sketch_columns=["v"],
+                     num_buckets=4)
+    patch = spark.range(20000, 30000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 997 + 2000).cast("double").alias("v"),
+    )
+    catalog.to_table(patch, "sk_t", keys=["k"], how="append")
+    r = catalog.table_sketch_stats("sk_t", "v", quantiles=(0.5,)).collect()[0]
+    assert r["n_rows"] == 30000
+    # exact distinct = 997 + 997 = 1994
+    assert abs(r["distinct_est"] - 1994) / 1994 < 0.05
+    # true median of the mixture: 30k values, rank 15k → ~747 (the
+    # lower block holds 20k values 0..996) — allow KLL rank error
+    assert abs(r["q_0_5"] - 747) < 60
+    catalog.compact("sk_t")
+    r2 = catalog.table_sketch_stats("sk_t", "v", quantiles=(0.5,)).collect()[0]
+    assert r2["n_rows"] == 30000
+    catalog.clone_table("sk_t", "sk_t2")
+    assert catalog.table_sketch_stats("sk_t2", "v").collect()[0]["n_rows"] == 30000
+    with pytest.raises(NameError, match="sketch"):
+        catalog.table_sketch_stats("sk_t", "k")
+    with pytest.raises(NameError, match="create time"):
+        catalog.to_table(df, "sk_t", keys=["k"], how="append",
+                         sketch_columns=["v"])
