@@ -1050,3 +1050,24 @@ def test_manifest_sketch_stats_bounds_and_lifecycle(spark, catalog):
     with pytest.raises(NameError, match="create time"):
         catalog.to_table(df, "sk_t", keys=["k"], how="append",
                          sketch_columns=["v"])
+
+
+def test_estimate_range_rows_tracks_exact_selectivity(spark, catalog):
+    """Planner-style selectivity from manifest sketches: estimates
+    track exact range counts within the KLL rank-error envelope,
+    open bounds work, and uncovered columns refuse."""
+    df = spark.range(50000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    catalog.to_table(df, "sel_t", keys=["k"], sketch_columns=["v"],
+                     num_buckets=4)
+    n = 50000
+    for lo, hi, exact in (
+        (100.0, 299.0, 10000),     # 200 of 1000 values x 50 each
+        (None, 499.0, 25000),
+        (900.0, None, 5000),
+    ):
+        est = catalog.estimate_range_rows("sel_t", "v", lo, hi)
+        assert abs(est - exact) <= 0.04 * n, (lo, hi, est, exact)
+    with pytest.raises(NameError, match="sketch"):
+        catalog.estimate_range_rows("sel_t", "k", 0, 10)
