@@ -3616,6 +3616,25 @@ def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
+@_q("ann_topk_pq")  # approximate: rows-only check (no oracle)
+def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via product quantization (Jégou et al.
+    IVFADC's PQ half): vectors compress to m=16 codebook codes
+    (~16× less corpus state than raw doubles) and queries score
+    asymmetric distances through the codes — per pair m lookups, not
+    a 64-dim fold. Deterministic hash-seeded training; recall floors
+    (planted top-1 and corpus-wide@10 at finer quantization) are
+    pinned in tests/test_operators.py. Compose with the IVF cell
+    filter for probe-a-fraction at 100 TB."""
+    from pandabase_spark.operators.similarity import ann_topk_pq
+
+    e = load(spark, sf_dir, "embeddings")
+    return ann_topk_pq(
+        e, e.where(F.col("vec_id") < 5), k=10, m=16, n_codes=32,
+        iters=2, sample_mod=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: text analysis
 # ---------------------------------------------------------------------------
@@ -6540,6 +6559,7 @@ _GATE_FIRST = [
     "skyline_cheap_small_parts",
     "parts_bought_together",
     "kt_manifest_sketch_stats",
+    "ann_topk_pq",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code
     "q3_top_orders",
