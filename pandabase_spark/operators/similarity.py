@@ -801,3 +801,105 @@ def ann_topk_pq(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "approx_dist", "rank")
     )
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    sample_mod: int | None = None,
+    centroids: "list[list[float]] | None" = None,
+    codebooks: "list[list[list[float]]] | None" = None,
+) -> DataFrame:
+    """The full FAISS IVFADC composition: an IVF coarse quantizer
+    bounds WHICH rows are scored (~nprobe/n_cells of the corpus per
+    query) and product-quantization codes bound WHAT each scoring
+    touches (m code lookups over ~16-32×-compressed state instead of
+    a d-dim float fold). This is the billion-scale ANN recipe: at
+    100 TB the encoded corpus is cell-partitioned at ingest
+    (``ivf_assign`` + ``pq_encode``, both narrow projections), so a
+    query plans a partition-pruned read of its probed cells and
+    never touches raw vectors.
+
+    Both index artifacts are deterministic (hash-seeded k-means) and
+    prebuildable via ``centroids=`` / ``codebooks=`` — the ingest-time
+    pattern; recall composes the two stages' floors and is pinned in
+    pytest. Returns (query_id, vec_id, approx_dist, rank)."""
+    from pyspark.sql.window import Window
+
+    qid = query_id_col or id_col
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, id_col=id_col, vec_col=vec_col,
+            n_cells=n_cells, iters=iters, sample_mod=sample_mod,
+        )
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            corpus, id_col=id_col, vec_col=vec_col, m=m, k=n_codes,
+            iters=iters, sample_mod=sample_mod,
+        )
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    encoded = pq_encode(
+        ivf_assign(corpus, centroids, vec_col=vec_col),
+        codebooks,
+        vec_col=vec_col,
+    ).select(F.col(id_col).alias("vec_id"), "cell", "pq_code")
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    cell_structs = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('negdot', -({_dot_sql('_qvec', c)}), "
+            f"'cell', cast({i} as int))"
+            for i, c in enumerate(centroids)
+        )
+        + ")"
+    )
+    probes = q.select(
+        "query_id",
+        "_qvec",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(cell_structs), 1, nprobe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    books_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_arr_sql(c) for c in book) + ")"
+            for book in codebooks
+        )
+        + ")"
+    )
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, (acc, j) -> acc + "
+        "aggregate(zip_with("
+        f"slice(`_qvec`, j * {d} + 1, {d}), "
+        f"element_at(element_at({books_sql}, j + 1), "
+        "element_at(`pq_code`, j + 1) + 1), "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "0D, (a, v) -> a + v))"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("vec_id")
+    )
+    return (
+        encoded.join(F.broadcast(probes), on="cell")
+        .withColumn("approx_dist", F.round(adc, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "approx_dist", "rank")
+    )

@@ -3635,6 +3635,22 @@ def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ann_topk_ivfpq")  # approximate: rows-only check (no oracle)
+def ann_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS IVFADC shape: IVF cells bound WHICH rows score
+    (~nprobe/n_cells of the corpus), PQ codes bound WHAT scoring
+    touches (m lookups over compressed state) — the billion-scale ANN
+    recipe. Both index artifacts deterministic and prebuildable at
+    ingest; planted-recall floor pinned in tests."""
+    from pandabase_spark.operators.similarity import ann_topk_ivfpq
+
+    e = load(spark, sf_dir, "embeddings")
+    return ann_topk_ivfpq(
+        e, e.where(F.col("vec_id") < 5), k=10,
+        n_cells=16, nprobe=6, m=16, n_codes=32, iters=2, sample_mod=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: text analysis
 # ---------------------------------------------------------------------------
@@ -6560,6 +6576,7 @@ _GATE_FIRST = [
     "parts_bought_together",
     "kt_manifest_sketch_stats",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code
     "q3_top_orders",

@@ -618,3 +618,35 @@ def test_pq_recall_planted_and_corpus(spark):
         assert all(0 <= c < 16 for c in r["pq_code"])
     with pytest.raises(ValueError, match="divisible"):
         pq_codebooks(emb, m=7)
+
+
+def test_ivfpq_planted_recall(spark):
+    """Full IVFADC composition: planted near-identicals land in the
+    query's probed cell AND quantize to the same codes — top-1 must
+    hold through both approximation stages."""
+    from pyspark.sql import functions as F
+
+    from pandabase_spark.operators.similarity import ann_topk_ivfpq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.limit(10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda v: v.cast("double") * 1.000001
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias(
+            "embedding"
+        ),
+    ).unionByName(base)
+    queries = base.withColumnRenamed("vec_id", "qid")
+    got = ann_topk_ivfpq(
+        corpus, queries, query_id_col="qid", k=1,
+        n_cells=8, nprobe=2, m=8, n_codes=16, sample_mod=2,
+    )
+    hits = got.where(
+        F.col("vec_id") == F.col("query_id") - 100000
+    ).count()
+    assert hits >= 9
