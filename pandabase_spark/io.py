@@ -295,6 +295,23 @@ class KeyedCatalog:
         return json.loads(self.fs.read_text(p))
 
     @staticmethod
+    def _resolve_nb(m: TableMeta, man: dict) -> TableMeta:
+        """Effective bucketing for the snapshot in hand: the manifest's
+        recorded ``nb`` overrides create-time meta (bucket-count
+        evolution via :meth:`rebucket_table`). Every operation that
+        computes bucket ids MUST use the meta returned here with the
+        SAME pinned manifest it reads/commits against — bucket
+        pruning and upsert bucket replacement are only sound when the
+        hash function matches the layout the segments were written
+        under."""
+        import dataclasses
+
+        nb = man.get("nb")
+        if nb and nb != m.num_buckets:
+            return dataclasses.replace(m, num_buckets=nb)
+        return m
+
+    @staticmethod
     def _json_stat(v: Any):
         """JSON-safe form of a min/max stat value. Datetimes/dates use
         ISO strings — their lexicographic order IS their temporal
@@ -633,8 +650,16 @@ class KeyedCatalog:
         blooms: dict | None = None,
         sketches: dict | None = None,
         op: str = "write",
+        nb: int | None = None,
     ) -> None:
         """THE commit point, with optimistic concurrency detection.
+
+        ``nb`` records the bucket count the committed segments are
+        laid out under; omitted, it carries the prior manifest's value
+        (falling back to create-time meta). Manifest-resident ``nb``
+        is what makes :meth:`rebucket_table` an ATOMIC cutover — the
+        effective bucketing changes exactly when the commit lands,
+        with no separate meta write to crash between.
 
         The versioned history file is claimed with PUT-IF-ABSENT
         (Delta's log-store contract): the first writer to create
@@ -668,9 +693,10 @@ class KeyedCatalog:
         # declares stats_columns. A segment with no stats entry is
         # simply never pruned — stats are advisory, absence is safe.
         m = self.meta(table_name)
+        prior_man = self._manifest(table_name)
         allstats: dict = {}
         if m.stats_columns:
-            prior = self._manifest(table_name).get("stats", {})
+            prior = prior_man.get("stats", {})
             for seg in segments:
                 if stats and seg in stats:
                     allstats[seg] = stats[seg]
@@ -683,7 +709,7 @@ class KeyedCatalog:
         # segments that lack an entry. Absence is advisory-safe.
         allblooms: dict = {}
         if m.bloom_columns:
-            priorb = self._manifest(table_name).get("blooms", {})
+            priorb = prior_man.get("blooms", {})
             for seg in segments:
                 if blooms and seg in blooms:
                     allblooms[seg] = blooms[seg]
@@ -693,7 +719,7 @@ class KeyedCatalog:
                     allblooms[seg] = self._segment_blooms(table_name, seg, m)
         allsketches: dict = {}
         if m.sketch_columns:
-            priors = self._manifest(table_name).get("sketches", {})
+            priors = prior_man.get("sketches", {})
             for seg in segments:
                 if sketches and seg in sketches:
                     allsketches[seg] = sketches[seg]
@@ -712,6 +738,7 @@ class KeyedCatalog:
             "segments": segments,
             "ts": int(_time.time() * 1_000_000),
             "op": op,
+            "nb": nb or prior_man.get("nb") or m.num_buckets,
         }
         if allstats:
             doc_d["stats"] = allstats
@@ -922,6 +949,7 @@ class KeyedCatalog:
         table_name = self._qualify(table_name, schema)
         m = self.meta(table_name)
         man = self._manifest(table_name)
+        m = self._resolve_nb(m, man)
         segs: dict[str, list[int]] = man["segments"]
         if target_bytes is None:
             chosen = list(segs)
@@ -1027,6 +1055,7 @@ class KeyedCatalog:
         self._commit(
             dst_q, segments, v=0, stats=stats or None,
             blooms=blooms or None, sketches=sketches or None, op="clone",
+            nb=man.get("nb") or m.num_buckets,
         )
 
     def restore_table(
@@ -1083,8 +1112,51 @@ class KeyedCatalog:
             blooms=target.get("blooms") or None,
             sketches=target.get("sketches") or None,
             op="restore",
+            nb=target.get("nb") or self.meta(table_name).num_buckets,
         )
         return cur["v"] + 1
+
+    def rebucket_table(
+        self,
+        table_name: str,
+        new_buckets: int,
+        *,
+        schema: str | None = None,
+    ) -> int:
+        """Change a table's bucket count ONLINE — the layout-evolution
+        operation a growing table eventually needs (a table bucketed
+        for 1 GB is hot-spotted at 1 TB; Iceberg calls this partition
+        spec evolution). Rewrites the live rows into one segment laid
+        out under ``new_buckets`` and commits it with the new count
+        recorded IN THE MANIFEST — the cutover is exactly as atomic
+        as any commit, with no separate meta write to crash between:
+        every reader/writer resolves the effective bucketing from the
+        snapshot it pinned (:meth:`_resolve_nb`), so point-lookup
+        pruning, upsert bucket replacement, and time travel into
+        pre-rebucket snapshots all hash under the layout those
+        segments were actually written with. Concurrent-commit races
+        surface as ConcurrentWriteError like every other write.
+        Returns the new version number."""
+        if new_buckets <= 0:
+            raise ValueError(f"new_buckets must be positive: {new_buckets}")
+        table_name = self._qualify(table_name, schema)
+        if not self.has_table(table_name):
+            raise NameError(f"no such table: {table_name}")
+        m = self.meta(table_name)
+        man = self._manifest(table_name)
+        cur_nb = man.get("nb") or m.num_buckets
+        if new_buckets == cur_nb:
+            return man["v"]  # already laid out this way — no-op
+        import dataclasses
+
+        m2 = dataclasses.replace(m, num_buckets=new_buckets)
+        rows = self._read_raw(table_name, manifest=man)
+        seg, buckets = self._write_segment(rows, table_name, m2)
+        self._commit(
+            table_name, {seg: buckets}, v=man["v"],
+            op="rebucket", nb=new_buckets,
+        )
+        return man["v"] + 1
 
     def register_bucketed(
         self,
@@ -1131,7 +1203,9 @@ class KeyedCatalog:
         100 TB.
         """
         table_name = self._qualify(table_name, schema)
-        m = self.meta(table_name)
+        m = self._resolve_nb(
+            self.meta(table_name), self._manifest(table_name)
+        )
         bcols = list(bucket_cols) if bucket_cols is not None else list(m.keys)
         unknown = [c for c in bcols if c not in m.schema.fieldNames()]
         if unknown:
@@ -1629,6 +1703,7 @@ class KeyedCatalog:
         # discipline as the DML rewrites): a rival commit in the window
         # trips the claim instead of being silently absorbed
         man = self._manifest(table_name)
+        m = self._resolve_nb(m, man)
         if m.auto_index:
             base_row = (
                 self._read_raw(table_name, manifest=man)
@@ -1671,9 +1746,12 @@ class KeyedCatalog:
         immutable); orphan segment cleaned by vacuum().
         """
         self._check_unique(sdf, m.keys)
-        touched = self._batch_buckets(sdf, m)
-        # one manifest snapshot for the data read AND the commit
+        # one manifest snapshot for the data read AND the commit —
+        # and ITS bucketing, so touched-bucket replacement always
+        # matches the live layout even right after a rebucket
         man = self._manifest(table_name)
+        m = self._resolve_nb(m, man)
+        touched = self._batch_buckets(sdf, m)
         existing = self._read_raw(table_name, buckets=touched, manifest=man)
         table_cols = list(existing.columns)
         preserved = [c for c in table_cols if c not in sdf.columns]
@@ -1762,8 +1840,9 @@ class KeyedCatalog:
             raise NameError(f"cannot UPDATE key columns: {bad}")
         self._check_unique(source, m.keys)
 
-        touched = self._batch_buckets(source, m)
         man = self._manifest(table_name)
+        m = self._resolve_nb(m, man)
+        touched = self._batch_buckets(source, m)
         existing = self._read_raw(
             table_name, buckets=touched, manifest=man
         ).alias("t")
@@ -1952,6 +2031,7 @@ class KeyedCatalog:
         # version — a rival commit between plan and publish then trips
         # ConcurrentWriteError instead of having its rows dropped
         man = self._manifest(table_name)
+        m = self._resolve_nb(m, man)
         full = self._read_raw(table_name, manifest=man)
         hits = full.where(pred)
         touched = [
@@ -2009,6 +2089,7 @@ class KeyedCatalog:
         # same snapshot discipline as delete_rows: read and commit
         # against ONE captured manifest version
         man = self._manifest(table_name)
+        m = self._resolve_nb(m, man)
         full = self._read_raw(table_name, manifest=man)
         touched = [
             r[0]
@@ -2224,6 +2305,14 @@ class KeyedCatalog:
                 raise ValueError("pass either version= or as_of=, not both")
             version = self.version_as_of(table_name, as_of)
         m = self.meta(table_name)
+        if self.has_table(table_name):
+            # point-lookup bucket pruning must hash under the TARGET
+            # snapshot's recorded bucket count (rebucket evolution) —
+            # the same pinned manifest then serves the scan
+            _man = self._manifest(table_name, version=version)
+            m = self._resolve_nb(m, _man)
+        else:
+            _man = None
         nkeys = len(m.keys)
 
         def norm_bound(bound):
@@ -2272,7 +2361,7 @@ class KeyedCatalog:
         df = self._read_raw(
             table_name,
             buckets=buckets,
-            version=version,
+            manifest=_man,
             stats_bounds=stats_bounds,
             bloom_probe=bloom_probe,
         )

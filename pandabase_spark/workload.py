@@ -707,6 +707,39 @@ def kt_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kt_rebucket",
+    "SELECT s_suppkey, s_name, "
+    "CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100.0 ELSE s_acctbal "
+    "END AS s_acctbal FROM supplier",
+)
+def kt_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online bucket-count evolution: create at 4 buckets, upsert a
+    fifth of the rows, rebucket to 16 (one atomic commit — the new
+    count rides in the manifest, so there is no meta write to crash
+    between), then upsert again UNDER THE NEW LAYOUT and read back.
+    Every operation resolves the effective bucketing from the
+    snapshot it pinned, so bucket replacement stays sound across the
+    cutover — the content must equal the oracle's plain expression
+    regardless of layout."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_supp_rebucket")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    cat.to_table(s, "w_supp_rebucket", keys=["s_suppkey"], num_buckets=4)
+    half = s.where(F.col("s_suppkey") % 5 == 0).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 50.0
+    )
+    cat.to_table(half, "w_supp_rebucket", keys=["s_suppkey"], how="upsert")
+    cat.rebucket_table("w_supp_rebucket", 16)
+    again = s.where(F.col("s_suppkey") % 5 == 0).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 100.0
+    )
+    cat.to_table(again, "w_supp_rebucket", keys=["s_suppkey"], how="upsert")
+    return cat.read_table("w_supp_rebucket")
+
+
+@_q(
     "kt_table_changes",
     "SELECT s_suppkey, s_name, s_acctbal + 1000.0 AS s_acctbal, "
     "'update' AS _change_type FROM supplier WHERE s_suppkey % 3 = 0 "
@@ -6576,6 +6609,9 @@ _GATE_FIRST = [
     "parts_bought_together",
     "kt_manifest_sketch_stats",
     "ann_topk_pq",
+    "kt_rebucket",
+    # slot 51+: ann_topk_ivfpq is rows-only and pytest-pinned — the
+    # one never-driver-checked entry that can safely wait for r6
     "ann_topk_ivfpq",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code

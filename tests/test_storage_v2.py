@@ -1071,3 +1071,50 @@ def test_estimate_range_rows_tracks_exact_selectivity(spark, catalog):
         assert abs(est - exact) <= 0.04 * n, (lo, hi, est, exact)
     with pytest.raises(NameError, match="sketch"):
         catalog.estimate_range_rows("sel_t", "k", 0, 10)
+
+
+def test_rebucket_atomic_cutover_and_history(spark, catalog):
+    """Online bucket-count evolution: rebucket rewrites the layout in
+    one atomic commit (manifest-resident nb); point lookups, upserts,
+    and deletes after the cutover hash under the NEW layout; time
+    travel into pre-rebucket snapshots hashes under the OLD one; and
+    restore brings a snapshot's bucketing back with it."""
+    catalog.to_table(_mk(spark, 400), "rb_t", keys=["k"], num_buckets=4)
+    patch = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(-5.0).alias("v")
+    )
+    catalog.to_table(patch, "rb_t", keys=["k"], how="upsert")  # v2
+    v3 = catalog.rebucket_table("rb_t", 16)
+    assert v3 == 3
+    man = catalog._manifest("rb_t")
+    assert man["nb"] == 16 and len(man["segments"]) == 1
+    # reads + point lookup under the new layout
+    assert catalog.read_table("rb_t").count() == 400
+    assert catalog.read_table("rb_t", lowest=7, highest=7).collect()[0]["v"] == -5.0
+    # writes after the cutover: upsert replaces the RIGHT rows
+    catalog.to_table(
+        spark.range(100, 120).select(
+            F.col("id").alias("k"), F.lit(77.0).alias("v")
+        ),
+        "rb_t", keys=["k"], how="upsert",
+    )
+    got = dict(catalog.read_table("rb_t").select("k", "v").collect())
+    assert got[110] == 77.0 and got[7] == -5.0 and got[300] == 600.0
+    assert len(got) == 400
+    catalog.delete_rows("rb_t", "k >= 390")
+    assert catalog.read_table("rb_t").count() == 390
+    # time travel into the pre-rebucket snapshot still point-prunes
+    # correctly (old nb=4 layout)
+    assert catalog.read_table(
+        "rb_t", lowest=7, highest=7, version=2
+    ).collect()[0]["v"] == -5.0
+    # restore to v2 brings the 4-bucket layout back
+    catalog.restore_table("rb_t", 2)
+    assert catalog._manifest("rb_t")["nb"] == 4
+    assert catalog.read_table("rb_t").count() == 400
+    assert catalog.read_table("rb_t", lowest=7, highest=7).collect()[0]["v"] == -5.0
+    # no-op rebucket returns current version without committing
+    v_before = catalog._manifest("rb_t")["v"]
+    assert catalog.rebucket_table("rb_t", 4) == v_before
+    with pytest.raises(ValueError, match="positive"):
+        catalog.rebucket_table("rb_t", 0)
