@@ -156,6 +156,15 @@ class TableMeta:
     stats_columns: list = field(default_factory=list)
     bloom_columns: list = field(default_factory=list)
     sketch_columns: list = field(default_factory=list)
+    # column-mapping schema evolution (rename/drop without rewriting
+    # data): colmap maps CURRENT logical name -> stable identity (the
+    # column's birth name); retired_names lists every name ever
+    # vacated by a rename or drop — re-using one is refused, which is
+    # what prevents old files' physical columns from resurrecting
+    # under a recycled name (Delta solves the same hazard with
+    # physical IDs).
+    colmap: dict = field(default_factory=dict)
+    retired_names: list = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -168,6 +177,8 @@ class TableMeta:
         d.setdefault("stats_columns", [])
         d.setdefault("bloom_columns", [])
         d.setdefault("sketch_columns", [])
+        d.setdefault("colmap", {})
+        d.setdefault("retired_names", [])
         return cls(**d)
 
     @property
@@ -651,6 +662,7 @@ class KeyedCatalog:
         sketches: dict | None = None,
         op: str = "write",
         nb: int | None = None,
+        segcols: dict | None = None,
     ) -> None:
         """THE commit point, with optimistic concurrency detection.
 
@@ -733,12 +745,28 @@ class KeyedCatalog:
         # AS-OF-timestamp time travel (version_as_of). Clock skew
         # between writers can only mis-order commits by the skew
         # amount — the version chain itself stays strictly ordered.
+        # per-segment physical column names, keyed by stable column
+        # identity: a segment written BEFORE a rename keeps its
+        # on-disk names here, so reads can map them to the current
+        # logical schema without rewriting data. Carried forward like
+        # stats; new segments record the current mapping.
+        cur_sc = {
+            m.colmap.get(f.name, f.name): f.name
+            for f in m.schema.fields
+        }
+        prior_sc = prior_man.get("segcols", {})
+        given_sc = segcols or {}
+        segcols = {
+            seg: given_sc.get(seg) or prior_sc.get(seg, cur_sc)
+            for seg in segments
+        }
         doc_d = {
             "v": v + 1,
             "segments": segments,
             "ts": int(_time.time() * 1_000_000),
             "op": op,
             "nb": nb or prior_man.get("nb") or m.num_buckets,
+            "segcols": segcols,
         }
         if allstats:
             doc_d["stats"] = allstats
@@ -966,16 +994,12 @@ class KeyedCatalog:
             ]
         if len(chosen) <= 1:
             return 0
-        paths = [
-            (
-                f"{self.warehouse}/{s}/{PART_DIR}={b}"
-                if "/" in s
-                else f"{self._path(table_name)}/{s}/{PART_DIR}={b}"
-            )
-            for s in chosen
-            for b in segs[s]
-        ]
-        rows = self.spark.read.schema(m.schema).parquet(*paths)
+        # read the chosen segments through _read_raw (against a
+        # chosen-only view of the pinned manifest) so column-mapped
+        # pre-rename segments rewrite under the CURRENT names
+        sub_man = dict(man)
+        sub_man["segments"] = {s: segs[s] for s in chosen}
+        rows = self._read_raw(table_name, manifest=sub_man)
         seg, buckets = self._write_segment(rows, table_name, m)
         # commit against the SAME manifest the rewrite read from — a
         # rival commit in the window must trip the put-if-absent claim,
@@ -1050,12 +1074,18 @@ class KeyedCatalog:
             for seg, sk in man.get("sketches", {}).items()
             if seg in rename
         }
+        segcols = {
+            rename[seg]: sc
+            for seg, sc in man.get("segcols", {}).items()
+            if seg in rename
+        }
         self.fs.mkdirs(self._path(dst_q))
         self._write_meta(dst_q, m)
         self._commit(
             dst_q, segments, v=0, stats=stats or None,
             blooms=blooms or None, sketches=sketches or None, op="clone",
             nb=man.get("nb") or m.num_buckets,
+            segcols=segcols or None,
         )
 
     def restore_table(
@@ -1113,8 +1143,170 @@ class KeyedCatalog:
             sketches=target.get("sketches") or None,
             op="restore",
             nb=target.get("nb") or self.meta(table_name).num_buckets,
+            segcols=target.get("segcols") or None,
         )
         return cur["v"] + 1
+
+    def rename_column(
+        self,
+        table_name: str,
+        old: str,
+        new: str,
+        *,
+        schema: str | None = None,
+    ) -> None:
+        """Metadata-only column rename (the Delta column-mapping
+        shape): no data file is touched. Existing segments keep their
+        on-disk names; the manifest's per-segment ``segcols`` map
+        (stable column identity → written physical name) lets every
+        read translate them to the current logical schema, while new
+        segments write the new name. ``new`` must be a clean,
+        never-used name — re-using a vacated name is refused, which
+        is what prevents a dropped/renamed column's old file data
+        from resurrecting under a recycled name. Key columns are
+        immutable (they define bucketing and PK semantics); columns
+        referenced by CHECK constraints are refused (constraint
+        expressions store the name). Stats/bloom/sketch declarations
+        and their manifest entries follow the rename, so data
+        skipping keeps working. Crash between the history commit and
+        the meta write leaves the table un-renamed and fully
+        consistent (stats keyed under the new name simply stop
+        matching until retried — skipping is advisory)."""
+        table_name = self._qualify(table_name, schema)
+        m = self.meta(table_name)
+        if old not in m.schema.names:
+            raise NameError(f"no such column: {old!r}")
+        if old in m.keys:
+            raise NameError(f"cannot rename key column {old!r}")
+        if not is_clean(new):
+            raise NameError(f"new name {new!r} is not a clean name")
+        if new in m.schema.names or new in m.retired_names:
+            raise NameError(
+                f"column name {new!r} is already in use or was retired "
+                "(names are never recycled — column mapping would "
+                "resurrect old file data)"
+            )
+        for cname, expr in m.constraints.items():
+            import re as _re
+
+            if _re.search(rf"\b{_re.escape(old)}\b", expr):
+                raise NameError(
+                    f"column {old!r} is referenced by constraint "
+                    f"{cname!r}; drop the constraint first"
+                )
+        man = self._manifest(table_name)
+
+        def ren(lst):
+            return [new if c == old else c for c in lst]
+
+        def ren_keys(per_seg: dict) -> dict:
+            # stats/blooms shape: {seg: {bucket: {col: payload}}}
+            return {
+                seg: {
+                    b: {
+                        (new if c == old else c): v
+                        for c, v in cols.items()
+                    }
+                    for b, cols in ent.items()
+                }
+                for seg, ent in per_seg.items()
+            }
+
+        # manifest entry keys follow the rename so skipping lookups
+        # under the NEW name keep matching (stats/blooms are keyed
+        # {seg: {bucket: {col: ...}}}, sketches {seg: {col: ...}})
+        stats = ren_keys(man.get("stats", {})) or None
+        blooms = ren_keys(man.get("blooms", {})) or None
+        sketches = {
+            seg: {(new if c == old else c): v for c, v in ent.items()}
+            for seg, ent in man.get("sketches", {}).items()
+        } or None
+        self._commit(
+            table_name,
+            dict(man["segments"]),
+            v=man["v"],
+            stats=stats,
+            blooms=blooms,
+            sketches=sketches,
+            op="rename_column",
+        )
+        import dataclasses
+
+        fields = [
+            T.StructField(new, f.dataType, f.nullable)
+            if f.name == old
+            else f
+            for f in m.schema.fields
+        ]
+        colmap = dict(m.colmap)
+        colmap[new] = colmap.pop(old, old)  # stable identity follows
+        m2 = dataclasses.replace(
+            m,
+            schema_json=json.dumps(T.StructType(fields).jsonValue()),
+            colmap=colmap,
+            retired_names=m.retired_names + [old],
+            stats_columns=ren(m.stats_columns),
+            bloom_columns=ren(m.bloom_columns),
+            sketch_columns=ren(m.sketch_columns),
+        )
+        self._write_meta(table_name, m2)
+
+    def drop_column(
+        self,
+        table_name: str,
+        col: str,
+        *,
+        schema: str | None = None,
+    ) -> None:
+        """Metadata-only column drop: the column leaves the logical
+        schema; file bytes stay where they are (vacuumed naturally as
+        segments are rewritten by upserts/compaction). The name is
+        retired permanently — re-adding it is refused so old files'
+        data can never resurrect under the recycled name. Key
+        columns, skipping-declared columns (stats/bloom/sketch), and
+        constraint-referenced columns are refused; undeclare those
+        first."""
+        table_name = self._qualify(table_name, schema)
+        m = self.meta(table_name)
+        if col not in m.schema.names:
+            raise NameError(f"no such column: {col!r}")
+        if col in m.keys:
+            raise NameError(f"cannot drop key column {col!r}")
+        for fam, lst in (
+            ("stats_columns", m.stats_columns),
+            ("bloom_columns", m.bloom_columns),
+            ("sketch_columns", m.sketch_columns),
+        ):
+            if col in lst:
+                raise NameError(
+                    f"column {col!r} is declared in {fam}; it backs "
+                    "manifest skipping metadata and cannot be dropped"
+                )
+        for cname, expr in m.constraints.items():
+            import re as _re
+
+            if _re.search(rf"\b{_re.escape(col)}\b", expr):
+                raise NameError(
+                    f"column {col!r} is referenced by constraint "
+                    f"{cname!r}; drop the constraint first"
+                )
+        man = self._manifest(table_name)
+        self._commit(
+            table_name, dict(man["segments"]), v=man["v"],
+            op="drop_column",
+        )
+        import dataclasses
+
+        fields = [f for f in m.schema.fields if f.name != col]
+        colmap = dict(m.colmap)
+        colmap.pop(col, None)
+        m2 = dataclasses.replace(
+            m,
+            schema_json=json.dumps(T.StructType(fields).jsonValue()),
+            colmap=colmap,
+            retired_names=m.retired_names + [col],
+        )
+        self._write_meta(table_name, m2)
 
     def rebucket_table(
         self,
@@ -1401,6 +1593,16 @@ class KeyedCatalog:
                 f"columns {[f.name for f in new_cols]} not in table {table_name}; "
                 f"pass add_new_columns=True to evolve the schema "
                 f"(reference:pandabase/sql.py:195-197)"
+            )
+        revived = [
+            f.name for f in new_cols if f.name in m.retired_names
+        ]
+        if revived:
+            raise NameError(
+                f"column names {revived} were retired by a rename/drop "
+                "and cannot be recycled — old segments still hold data "
+                "under them on disk, and a recycled name would "
+                "resurrect it"
             )
         sdf = coerce_to_table_schema(sdf, existing_schema, keys)
         if new_cols:
@@ -2189,12 +2391,15 @@ class KeyedCatalog:
             return False
 
         # a "/" in the segment name marks an external reference (from
-        # clone_table) — warehouse-relative instead of table-relative
+        # clone_table) — warehouse-relative instead of table-relative.
+        # Pairs (seg, path): callers needing only counts len() the
+        # list; _read_raw groups by segment for column-mapped reads.
         return [
             (
+                seg,
                 f"{self.warehouse}/{seg}/{PART_DIR}={b}"
                 if "/" in seg
-                else f"{self._path(table_name)}/{seg}/{PART_DIR}={b}"
+                else f"{self._path(table_name)}/{seg}/{PART_DIR}={b}",
             )
             for seg, bs in man["segments"].items()
             for b in bs
@@ -2214,20 +2419,65 @@ class KeyedCatalog:
     ) -> DataFrame:
         if not self.has_table(table_name):
             raise NameError(f"no such table: {table_name}")
-        schema = self.meta(table_name).schema
-        paths = self._live_paths(
+        m = self.meta(table_name)
+        schema = m.schema
+        man = (
+            manifest
+            if manifest is not None
+            else self._manifest(table_name, version=version)
+        )
+        pairs = self._live_paths(
             table_name,
             buckets,
-            version=version,
-            manifest=manifest,
+            manifest=man,
             stats_bounds=stats_bounds,
             bloom_probe=bloom_probe,
         )
-        if not paths:
+        if not pairs:
             return self.spark.createDataFrame([], schema)
-        # explicit schema (from meta): older segments null-fill evolved
-        # columns, and no footer-merging job is needed
-        return self.spark.read.schema(schema).parquet(*paths)
+        # Column-mapping read assembly: a segment written before a
+        # rename holds the OLD physical names on disk; its manifest
+        # segcols entry ({stable identity -> physical name}) maps them
+        # to the current logical schema. Segments sharing a mapping
+        # read as one group (explicit schema: evolved columns
+        # null-fill, no footer merging); differing groups union by
+        # name. The never-renamed fast path is a single read exactly
+        # as before.
+        cur_sc = {
+            m.colmap.get(f.name, f.name): f.name for f in schema.fields
+        }
+        seg_sc = man.get("segcols", {})
+        groups: dict[tuple, list[str]] = {}
+        for seg, path in pairs:
+            sc = seg_sc.get(seg) or cur_sc
+            key = tuple(sorted(sc.items()))
+            groups.setdefault(key, []).append(path)
+        cur_key = tuple(sorted(cur_sc.items()))
+        frames = []
+        for key, paths in groups.items():
+            if key == cur_key:
+                frames.append(
+                    self.spark.read.schema(schema).parquet(*paths)
+                )
+                continue
+            sc = dict(key)
+            phys_fields, aliases = [], []
+            for f in schema.fields:
+                stable = m.colmap.get(f.name, f.name)
+                phys = sc.get(stable, f.name)
+                phys_fields.append(
+                    T.StructField(phys, f.dataType, True)
+                )
+                aliases.append(F.col(phys).alias(f.name))
+            frames.append(
+                self.spark.read.schema(T.StructType(phys_fields))
+                .parquet(*paths)
+                .select(*aliases)
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
 
     def _table_schema(self, table_name: str) -> T.StructType:
         return self.meta(table_name).schema

@@ -740,6 +740,42 @@ def kt_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kt_rename_column",
+    "SELECT s_suppkey, s_name, "
+    "CASE WHEN s_suppkey % 4 = 0 THEN 0.0 ELSE s_acctbal END AS balance "
+    "FROM supplier "
+    "UNION ALL SELECT s_suppkey + 300000, s_name, s_acctbal "
+    "FROM supplier WHERE s_suppkey % 10 = 0",
+)
+def kt_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column rename (Delta column-mapping shape):
+    create, RENAME s_acctbal→balance (zero data rewritten —
+    pre-rename segments keep their on-disk names and read through
+    the manifest's per-segment name map), then append NEW-era rows
+    and upsert across both eras under the new name. The final read
+    must union both physical eras into one logical schema matching
+    the oracle exactly."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_supp_rename")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    cat.to_table(s, "w_supp_rename", keys=["s_suppkey"])
+    cat.rename_column("w_supp_rename", "s_acctbal", "balance")
+    extra = s.where(F.col("s_suppkey") % 10 == 0).select(
+        (F.col("s_suppkey") + 300000).alias("s_suppkey"),
+        "s_name",
+        F.col("s_acctbal").alias("balance"),
+    )
+    cat.to_table(extra, "w_supp_rename", keys=["s_suppkey"], how="append")
+    zeroed = s.where(F.col("s_suppkey") % 4 == 0).select(
+        "s_suppkey", "s_name", F.lit(0.0).alias("balance")
+    )
+    cat.to_table(zeroed, "w_supp_rename", keys=["s_suppkey"], how="upsert")
+    return cat.read_table("w_supp_rename")
+
+
+@_q(
     "kt_table_changes",
     "SELECT s_suppkey, s_name, s_acctbal + 1000.0 AS s_acctbal, "
     "'update' AS _change_type FROM supplier WHERE s_suppkey % 3 = 0 "
@@ -6608,10 +6644,12 @@ _GATE_FIRST = [
     "skyline_cheap_small_parts",
     "parts_bought_together",
     "kt_manifest_sketch_stats",
-    "ann_topk_pq",
     "kt_rebucket",
-    # slot 51+: ann_topk_ivfpq is rows-only and pytest-pinned — the
-    # one never-driver-checked entry that can safely wait for r6
+    "kt_rename_column",
+    # slot 51+: the rows-only ANN entries are pytest-pinned (planted
+    # recall + corpus floors) — the never-driver-checked entries that
+    # can safely wait for r6
+    "ann_topk_pq",
     "ann_topk_ivfpq",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code

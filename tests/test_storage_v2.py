@@ -1118,3 +1118,69 @@ def test_rebucket_atomic_cutover_and_history(spark, catalog):
     assert catalog.rebucket_table("rb_t", 4) == v_before
     with pytest.raises(ValueError, match="positive"):
         catalog.rebucket_table("rb_t", 0)
+
+
+def test_rename_and_drop_column_mapping(spark, catalog):
+    """Metadata-only rename/drop: pre-rename segments keep their
+    on-disk names and read through the manifest segcols map; new
+    writes land under the new name and both eras union cleanly;
+    retired names can never be recycled; compaction rewrites old
+    segments under current names; time travel still reads."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"),
+        F.concat(F.lit("t"), F.col("id")).alias("tag"),
+    )
+    catalog.to_table(df, "cm_t", keys=["k"], num_buckets=4)
+    catalog.rename_column("cm_t", "v", "value")
+    got = catalog.read_table("cm_t")
+    assert set(got.columns) == {"k", "value", "tag"}
+    assert dict(got.select("k", "value").collect())[10] == 20.0
+    # new-era write under the new name; both eras read together
+    patch = spark.range(100, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 3.0).alias("value"),
+        F.lit("new").alias("tag"),
+    )
+    catalog.to_table(patch, "cm_t", keys=["k"], how="append")
+    allrows = dict(catalog.read_table("cm_t").select("k", "value").collect())
+    assert len(allrows) == 150 and allrows[10] == 20.0 and allrows[120] == 360.0
+    # upsert touching BOTH eras' buckets
+    up = spark.range(50, 110).select(
+        F.col("id").alias("k"), F.lit(-1.0).alias("value"),
+        F.lit("up").alias("tag"),
+    )
+    catalog.to_table(up, "cm_t", keys=["k"], how="upsert")
+    rows = dict(catalog.read_table("cm_t").select("k", "value").collect())
+    assert rows[55] == -1.0 and rows[105] == -1.0 and rows[10] == 20.0
+    # history ops recorded; time travel to v1 reads under CURRENT schema
+    ops = [h["operation"] for h in catalog.history("cm_t")]
+    assert "rename_column" in ops
+    v1 = catalog.read_table("cm_t", version=1)
+    assert set(v1.columns) == {"k", "value", "tag"} and v1.count() == 100
+    # guards
+    with pytest.raises(NameError, match="key column"):
+        catalog.rename_column("cm_t", "k", "kk")
+    with pytest.raises(NameError, match="retired|in use"):
+        catalog.rename_column("cm_t", "tag", "v")  # recycle refused
+    with pytest.raises(NameError, match="retired"):
+        catalog.to_table(
+            spark.range(5).select(
+                F.col("id").alias("k"), F.lit(1.0).alias("value"),
+                F.lit("x").alias("tag"), F.lit(9.9).alias("v"),
+            ),
+            "cm_t", keys=["k"], how="upsert", add_new_columns=True,
+        )
+    # drop: column leaves the logical schema, name retired
+    catalog.drop_column("cm_t", "tag")
+    assert set(catalog.read_table("cm_t").columns) == {"k", "value"}
+    with pytest.raises(NameError, match="retired"):
+        catalog.to_table(
+            spark.range(5).select(
+                F.col("id").alias("k"), F.lit(1.0).alias("value"),
+                F.lit("z").alias("tag"),
+            ),
+            "cm_t", keys=["k"], how="upsert", add_new_columns=True,
+        )
+    # compaction rewrites everything under current names
+    catalog.compact("cm_t")
+    final = dict(catalog.read_table("cm_t").select("k", "value").collect())
+    assert len(final) == 150 and final[10] == 20.0 and final[55] == -1.0
