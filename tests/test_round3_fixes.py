@@ -182,9 +182,12 @@ def test_driver_contract_shape():
     assert rows_only == {
         "multimodal_decode_fake", "multimodal_embed_topk",
         "minhash_lsh_neardup", "simhash_neardup",
-        "ann_topk_lsh", "ann_topk_ivf", "streaming_sessionize",
+        "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
+        "ann_topk_ivfpq", "streaming_sessionize",
         # sketch estimates are implementation-specific by nature;
-        # accuracy pinned vs exact in tests/test_sketches.py
+        # accuracy pinned vs exact in tests/test_sketches.py (and
+        # manifest-sketch stats in test_storage_v2.py)
         "sketch_distinct_users", "sketch_value_quantiles",
         "sketch_population_overlap", "sketch_user_frequencies",
+        "kt_manifest_sketch_stats",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
