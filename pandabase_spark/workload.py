@@ -2809,6 +2809,54 @@ def streaming_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_sketch_ingest",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events",
+)
+def streaming_sketch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest with INCREMENTAL manifest statistics: events
+    stream in 4 micro-batches into a table declared with
+    ``sketch_columns=['value']`` — every per-batch commit attaches
+    that batch's segment KLL/HLL sketches — and the final answer is
+    read from ``table_sketch_stats``, i.e. FROM METADATA ONLY, no
+    data scan. The projected ``n_rows`` is exact by KLL construction
+    (the sketch tracks n precisely; only quantiles/distincts are
+    approximate), so the oracle is the plain COUNT(*) — an exact
+    end-to-end check that per-micro-batch sketch maintenance loses
+    nothing."""
+    import tempfile
+
+    from pandabase_spark.streaming import stream_upsert
+
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_ev_sketch_stream")
+    scratch = tempfile.mkdtemp(prefix="pb_stream_")
+    ev = load(spark, sf_dir, "events").drop("props")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{scratch}/src")
+    # declare sketches at create with a real bootstrap slice (an
+    # empty frame would lose the schema to the reference's all-null
+    # column drop); the stream then upserts every event, replacing
+    # the bootstrap rows idempotently
+    cat.to_table(
+        ev.where(F.col("event_id") % 100 == 0), "w_ev_sketch_stream",
+        keys=["event_id"], sketch_columns=["value"],
+    )
+    with _stream_cycle(spark):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/src")
+        )
+        q = stream_upsert(
+            cat, stream, "w_ev_sketch_stream",
+            keys=["event_id"], checkpoint=f"{scratch}/ckpt",
+        )
+        _await(q)
+    return cat.table_sketch_stats(
+        "w_ev_sketch_stream", "value", quantiles=()
+    ).select(F.col("n_rows").cast("long").alias("n_rows"))
+
+
+@_q(
     "streaming_windowed_counts",
     "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
     "event_type, count(*) AS n_events, ROUND(SUM(value), 4) AS value_sum "
@@ -6651,6 +6699,7 @@ _GATE_FIRST = [
     # can safely wait for r6
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    "streaming_sketch_ingest",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code
     "q3_top_orders",
