@@ -447,19 +447,29 @@ class KeyedCatalog:
         return out
 
     def _segment_sketches(
-        self, table_name: str, seg: str, m: TableMeta
+        self,
+        table_name: str,
+        seg: str,
+        m: TableMeta,
+        buckets: "Sequence[int] | None" = None,
     ) -> dict:
         """Per-segment mergeable sketches of ``m.sketch_columns`` —
-        KLL (quantiles/ranks) over the numeric cast and HLL (distinct
-        count) over the raw value, both Spark-4 native DataSketches
-        aggregates (JVM, codegen'd). One column-pruned job per
-        segment for ALL columns; each sketch is a few KB of base64 in
-        the manifest regardless of segment size. Because the sketch
-        families are MERGEABLE, table-level statistics come from
-        folding the per-segment entries — O(#segments) metadata, the
-        data itself is never rescanned (the incremental, ANALYZE-free
-        form of table stats). Shape:
-        {col: {"kll": b64, "hll": b64}}."""
+        KLL (quantiles/ranks) over the numeric try_cast (non-numeric
+        values contribute NULL → skipped, so string sketch columns
+        keep HLL distinct counts without crashing the KLL cast under
+        ANSI mode) and HLL (distinct count) over the canonical string
+        form, both Spark-4 native DataSketches aggregates (JVM,
+        codegen'd). ``buckets`` restricts the scan to the segment's
+        LIVE buckets — required when a partial-bucket DML shrank the
+        segment, where a whole-segment sketch would double-count the
+        replaced buckets' rows against the rewriting segment's own
+        sketch. One column-pruned job per segment for ALL columns;
+        each sketch is a few KB of base64 in the manifest regardless
+        of segment size. Because the sketch families are MERGEABLE,
+        table-level statistics come from folding the per-segment
+        entries — O(#segments) metadata, the data itself is never
+        rescanned (the incremental, ANALYZE-free form of table
+        stats). Shape: {col: {"kll": b64, "hll": b64}}."""
         import base64
 
         base = (
@@ -467,18 +477,23 @@ class KeyedCatalog:
             if "/" in seg
             else f"{self._path(table_name)}/{seg}"
         )
+        want = None if buckets is None else {int(b) for b in buckets}
         leaves = [
             f"{base}/{d}"
             for d in self.fs.list_dirs(base)
             if d.startswith(f"{PART_DIR}=")
+            and (
+                want is None
+                or int(d.split("=", 1)[1]) in want
+            )
         ]
         df = self.spark.read.schema(m.schema).parquet(*leaves)
         aggs = []
         for c in m.sketch_columns:
             aggs.append(
-                F.kll_sketch_agg_double(F.col(c).cast("double")).alias(
-                    f"_kll_{c}"
-                )
+                F.kll_sketch_agg_double(
+                    F.col(c).try_cast("double")
+                ).alias(f"_kll_{c}")
             )
             # HLL accepts int/long/string/binary only — hash any other
             # type through its canonical string form (distinct-count
@@ -588,22 +603,30 @@ class KeyedCatalog:
         (~1.65% of N at the default k). Either bound may be None
         (open side). Requires ``sketch_columns`` coverage — raises
         rather than guessing."""
-        stats_df = self.table_sketch_stats(
-            table_name, column, quantiles=(), schema=schema,
-            version=version,
-        )
-        # rank() returns the fraction of values <= q; difference the
-        # two sides on the merged sketch in the same tiny job
-        man = self._manifest(
-            self._qualify(table_name, schema), version=version
-        )
         import base64
 
-        entries = [
-            (bytearray(base64.b64decode(
-                man["sketches"][seg][column]["kll"])),)
-            for seg in man["segments"]
-        ]
+        table_name = self._qualify(table_name, schema)
+        m = self.meta(table_name)
+        if column not in m.sketch_columns:
+            raise NameError(
+                f"column {column!r} has no manifest sketches "
+                f"(table sketch_columns={m.sketch_columns})"
+            )
+        # ONE manifest fetch serves validation and decoding — a rival
+        # commit cannot slip between a check and a re-read
+        man = self._manifest(table_name, version=version)
+        entries = []
+        for seg in man["segments"]:
+            ent = man.get("sketches", {}).get(seg, {}).get(column)
+            if not ent or not ent.get("kll"):
+                raise ValueError(
+                    f"segment {seg} of {table_name!r} carries no "
+                    f"sketch for {column!r} — cannot estimate from "
+                    "metadata without under-counting"
+                )
+            entries.append(
+                (bytearray(base64.b64decode(ent["kll"])),)
+            )
         sk = self.spark.createDataFrame(
             entries,
             T.StructType([T.StructField("_kll", T.BinaryType())]),
@@ -732,14 +755,21 @@ class KeyedCatalog:
         allsketches: dict = {}
         if m.sketch_columns:
             priors = prior_man.get("sketches", {})
-            for seg in segments:
+            prior_segs = prior_man.get("segments", {})
+            for seg, bs in segments.items():
                 if sketches and seg in sketches:
                     allsketches[seg] = sketches[seg]
-                elif seg in priors:
+                elif seg in priors and sorted(bs) == sorted(
+                    prior_segs.get(seg, [])
+                ):
+                    # carry ONLY while the live bucket list is
+                    # unchanged — a partial-bucket DML shrank the
+                    # segment, and the whole-segment sketch would
+                    # double-count the replaced buckets' rows
                     allsketches[seg] = priors[seg]
                 else:
                     allsketches[seg] = self._segment_sketches(
-                        table_name, seg, m
+                        table_name, seg, m, buckets=bs
                     )
         # commit wall-clock in micros: the resolution key for
         # AS-OF-timestamp time travel (version_as_of). Clock skew
@@ -2344,7 +2374,7 @@ class KeyedCatalog:
         manifest: dict | None = None,
         stats_bounds: "Mapping[str, tuple] | None" = None,
         bloom_probe: "Mapping[str, list[int]] | None" = None,
-    ) -> list[str]:
+    ) -> "list[tuple[str, str]]":
         # ``manifest=`` pins the read to a caller-captured snapshot so
         # DML rewrites read and commit against the SAME version — a
         # rival commit in the window then trips the put-if-absent claim
@@ -2386,7 +2416,16 @@ class KeyedCatalog:
                 return False
             for col, positions in bloom_probe.items():
                 ent = bl.get(col)
-                if ent and not _bloom_maybe_contains(ent["b64"], positions):
+                # probes were computed under the CURRENT sizing; an
+                # entry written under a different (m, k) cannot be
+                # consulted safely (wrong bits → false skips, larger
+                # m → out-of-range reads) — treat it as missing
+                if (
+                    ent
+                    and ent.get("m") == BLOOM_M
+                    and ent.get("k") == BLOOM_K
+                    and not _bloom_maybe_contains(ent["b64"], positions)
+                ):
                     return True
             return False
 

@@ -2810,7 +2810,10 @@ def streaming_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "streaming_sketch_ingest",
-    "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events",
+    # COUNT(value), not COUNT(*): KLL n counts the values the sketch
+    # ingested, and NULLs never enter a sketch — identical semantics
+    # even if a future datagen introduces null values
+    "SELECT CAST(COUNT(value) AS BIGINT) AS n_rows FROM events",
 )
 def streaming_sketch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest with INCREMENTAL manifest statistics: events
@@ -2820,7 +2823,8 @@ def streaming_sketch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     read from ``table_sketch_stats``, i.e. FROM METADATA ONLY, no
     data scan. The projected ``n_rows`` is exact by KLL construction
     (the sketch tracks n precisely; only quantiles/distincts are
-    approximate), so the oracle is the plain COUNT(*) — an exact
+    approximate; NULLs never enter a sketch, hence the oracle's
+    COUNT(value)) — an exact
     end-to-end check that per-micro-batch sketch maintenance loses
     nothing."""
     import tempfile
@@ -6127,8 +6131,11 @@ def parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandabase_spark.operators.market_basket import co_occurrence_lift
 
     li = load(spark, sf_dir, "lineitem")
+    # max_basket=None matches the (uncapped) oracle exactly — TPC-H
+    # baskets max out in the low teens; the cap is a production knob,
+    # demonstrated in the operator's own pytest
     return co_occurrence_lift(
-        li, "l_orderkey", "l_partkey", min_count=2
+        li, "l_orderkey", "l_partkey", min_count=2, max_basket=None
     ).select(
         F.col("item_a").alias("item_a"),
         F.col("item_b").alias("item_b"),

@@ -1184,3 +1184,37 @@ def test_rename_and_drop_column_mapping(spark, catalog):
     catalog.compact("cm_t")
     final = dict(catalog.read_table("cm_t").select("k", "value").collect())
     assert len(final) == 150 and final[10] == 20.0 and final[55] == -1.0
+
+
+def test_sketch_stats_exact_after_partial_bucket_dml(spark, catalog):
+    """Regression (review finding): a partial-bucket upsert shrinks a
+    segment's live bucket list — carried whole-segment sketches would
+    double-count the replaced buckets' rows. After the fix, sketches
+    recompute over the LIVE buckets only, so n stays exact through
+    upsert, delete, and merge."""
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    catalog.to_table(df, "skdml_t", keys=["k"], sketch_columns=["v"],
+                     num_buckets=8)
+    one = spark.createDataFrame([(5, 999.0)], ["k", "v"])
+    catalog.to_table(one, "skdml_t", keys=["k"], how="upsert")
+    r = catalog.table_sketch_stats("skdml_t", "v", quantiles=()).collect()[0]
+    assert r["n_rows"] == 1000, r
+    catalog.delete_rows("skdml_t", "k < 100")
+    r2 = catalog.table_sketch_stats("skdml_t", "v", quantiles=()).collect()[0]
+    assert r2["n_rows"] == 900, r2
+
+
+def test_sketch_columns_on_strings(spark, catalog):
+    """Regression (review finding): a non-numeric sketch column must
+    not crash the KLL cast under ANSI mode — HLL distinct stays
+    available, KLL simply sees no values."""
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("user_"), (F.col("id") % 50)).alias("name"),
+    )
+    catalog.to_table(df, "skstr_t", keys=["k"], sketch_columns=["name"])
+    r = catalog.table_sketch_stats("skstr_t", "name", quantiles=()).collect()[0]
+    assert abs(r["distinct_est"] - 50) <= 3
+    assert r["n_rows"] == 0  # no numeric values entered the KLL
