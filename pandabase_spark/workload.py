@@ -1014,6 +1014,41 @@ def jsonl_roundtrip_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl(spark, path, schema=src.schema)
 
 
+@_q(
+    "python_datasource_synth",
+    "WITH r AS (SELECT i, md5(CAST(i AS VARCHAR)) AS h "
+    "FROM range(20000) t(i)), "
+    "d AS (SELECT i, CASE CAST(('0x' || substr(h, 1, 8)) AS UBIGINT) % 3 "
+    "WHEN 0 THEN 'view' WHEN 1 THEN 'click' ELSE 'purchase' END AS kind, "
+    "CAST(CAST(('0x' || substr(h, 9, 8)) AS UBIGINT) % 10000 AS DOUBLE) "
+    "/ 100.0 AS amount FROM r) "
+    "SELECT kind, CAST(COUNT(*) AS BIGINT) AS n, "
+    "ROUND(SUM(amount), 2) AS amount_sum FROM d GROUP BY 1",
+)
+def python_datasource_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API end to end: the ``pb_synth``
+    custom format (pure-Python DataSource subclass, SPARK-44076)
+    plans 8 genuine input partitions and generates deterministic
+    md5-derived rows on the executors; the DuckDB oracle regenerates
+    the identical stream from range() — bit-for-bit, both the 3-way
+    kind split and the amount sums. Proves the integration seam
+    (schema declaration, options, split planning, per-partition
+    iteration); production data stays on the JVM scan paths."""
+    from pandabase_spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("pb_synth")
+        .option("n", 20000)
+        .option("parts", 8)
+        .load()
+    )
+    return df.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("amount"), 2).alias("amount_sum"),
+    )
+
+
 @_q("csv_roundtrip_part", "SELECT * FROM part")
 def csv_roundtrip_part_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part through a CSV write→read cycle (sources.write_csv /
@@ -6707,6 +6742,7 @@ _GATE_FIRST = [
     "ann_topk_pq",
     "ann_topk_ivfpq",
     "streaming_sketch_ingest",
+    "python_datasource_synth",
     # back-fill: oldest (r1/r2-only) greens, queued for
     # re-confirmation against the current code
     "q3_top_orders",

@@ -188,3 +188,31 @@ def test_read_binary_files(spark, tmp_path):
         df.select(F.col("path").alias("doc_id"), F.col("content").alias("payload"))
     )
     assert stats.count() == 2
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """pb_synth (Spark 4 Python Data Source API): split planning
+    yields the requested partition count with non-overlapping ranges,
+    rows are deterministic across reads, and options rescale."""
+    from pyspark.sql import functions as F
+
+    from pandabase_spark.sources.pyds import register
+
+    register(spark)
+
+    def load(n, parts):
+        return (
+            spark.read.format("pb_synth")
+            .option("n", n).option("parts", parts).load()
+        )
+
+    df = load(1000, 5)
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 1000
+    ids = [r["event_id"] for r in df.select("event_id").collect()]
+    assert sorted(ids) == list(range(1000))  # no overlap, no gaps
+    a = sorted(map(tuple, load(200, 3).collect()))
+    b = sorted(map(tuple, load(200, 7).collect()))
+    assert a == b  # partitioning never changes content
+    kinds = {r["kind"] for r in df.select("kind").distinct().collect()}
+    assert kinds == {"view", "click", "purchase"}
