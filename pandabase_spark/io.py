@@ -337,26 +337,61 @@ class KeyedCatalog:
             return v
         return str(v)
 
-    def _segment_stats(
-        self, table_name: str, seg: str, m: TableMeta
-    ) -> dict:
-        """Per-(bucket) min/max of ``m.stats_columns`` for one segment,
-        read back from the files actually on disk (a column-pruned
-        scan of just the stat columns — parquet footers do most of the
-        work). Shape: {str(bucket): {col: [min, max]}}."""
+    def _segment_frame(
+        self,
+        table_name: str,
+        seg: str,
+        m: TableMeta,
+        man: "dict | None" = None,
+        buckets: "Sequence[int] | None" = None,
+    ) -> DataFrame:
+        """One segment's rows under the CURRENT logical schema — the
+        single place the per-segment metadata readers (stats, blooms,
+        sketches) get their frames, so a segment written before a
+        column rename is read through its manifest ``segcols`` name
+        map instead of null-filling the renamed column (which would
+        silently corrupt the recomputed metadata). ``buckets``
+        restricts to the live leaf dirs."""
         base = (
             f"{self.warehouse}/{seg}"
             if "/" in seg
             else f"{self._path(table_name)}/{seg}"
         )
-        # read the bucket LEAF dirs directly (same as _read_raw): no
-        # partition inference, bucket id recovered from the file path
+        want = None if buckets is None else {int(b) for b in buckets}
         leaves = [
             f"{base}/{d}"
             for d in self.fs.list_dirs(base)
             if d.startswith(f"{PART_DIR}=")
+            and (want is None or int(d.split("=", 1)[1]) in want)
         ]
-        df = self.spark.read.schema(m.schema).parquet(*leaves)
+        schema = m.schema
+        sc = (man or {}).get("segcols", {}).get(seg)
+        if not sc:
+            return self.spark.read.schema(schema).parquet(*leaves)
+        phys_fields, aliases = [], []
+        for f in schema.fields:
+            stable = m.colmap.get(f.name, f.name)
+            phys = sc.get(stable, f.name)
+            phys_fields.append(T.StructField(phys, f.dataType, True))
+            aliases.append(F.col(phys).alias(f.name))
+        return (
+            self.spark.read.schema(T.StructType(phys_fields))
+            .parquet(*leaves)
+            .select(*aliases)
+        )
+
+    def _segment_stats(
+        self,
+        table_name: str,
+        seg: str,
+        m: TableMeta,
+        man: "dict | None" = None,
+    ) -> dict:
+        """Per-(bucket) min/max of ``m.stats_columns`` for one segment,
+        read back from the files actually on disk (a column-pruned
+        scan of just the stat columns — parquet footers do most of the
+        work). Shape: {str(bucket): {col: [min, max]}}."""
+        df = self._segment_frame(table_name, seg, m, man)
         aggs = []
         for c in m.stats_columns:
             aggs.append(F.min(c).alias(f"_lo_{c}"))
@@ -384,7 +419,11 @@ class KeyedCatalog:
         }
 
     def _segment_blooms(
-        self, table_name: str, seg: str, m: TableMeta
+        self,
+        table_name: str,
+        seg: str,
+        m: TableMeta,
+        man: "dict | None" = None,
     ) -> dict:
         """Per-(bucket) Bloom bitsets of ``m.bloom_columns`` for one
         segment — equality data skipping a tier above min/max stats
@@ -397,17 +436,7 @@ class KeyedCatalog:
         metadata-sized. NULLs set no bits (a bloom probe is an
         equality probe; NULL never equals). Shape:
         {str(bucket): {col: {"m": .., "k": .., "b64": ..}}}."""
-        base = (
-            f"{self.warehouse}/{seg}"
-            if "/" in seg
-            else f"{self._path(table_name)}/{seg}"
-        )
-        leaves = [
-            f"{base}/{d}"
-            for d in self.fs.list_dirs(base)
-            if d.startswith(f"{PART_DIR}=")
-        ]
-        df = self.spark.read.schema(m.schema).parquet(*leaves)
+        df = self._segment_frame(table_name, seg, m, man)
         probes = []
         for ci, c in enumerate(m.bloom_columns):
             for s in range(BLOOM_K):
@@ -452,6 +481,7 @@ class KeyedCatalog:
         seg: str,
         m: TableMeta,
         buckets: "Sequence[int] | None" = None,
+        man: "dict | None" = None,
     ) -> dict:
         """Per-segment mergeable sketches of ``m.sketch_columns`` —
         KLL (quantiles/ranks) over the numeric try_cast (non-numeric
@@ -472,22 +502,9 @@ class KeyedCatalog:
         stats). Shape: {col: {"kll": b64, "hll": b64}}."""
         import base64
 
-        base = (
-            f"{self.warehouse}/{seg}"
-            if "/" in seg
-            else f"{self._path(table_name)}/{seg}"
+        df = self._segment_frame(
+            table_name, seg, m, man, buckets=buckets
         )
-        want = None if buckets is None else {int(b) for b in buckets}
-        leaves = [
-            f"{base}/{d}"
-            for d in self.fs.list_dirs(base)
-            if d.startswith(f"{PART_DIR}=")
-            and (
-                want is None
-                or int(d.split("=", 1)[1]) in want
-            )
-        ]
-        df = self.spark.read.schema(m.schema).parquet(*leaves)
         aggs = []
         for c in m.sketch_columns:
             aggs.append(
@@ -627,6 +644,8 @@ class KeyedCatalog:
             entries.append(
                 (bytearray(base64.b64decode(ent["kll"])),)
             )
+        if not entries:
+            return 0  # zero live segments = zero rows, exactly
         sk = self.spark.createDataFrame(
             entries,
             T.StructType([T.StructField("_kll", T.BinaryType())]),
@@ -738,7 +757,9 @@ class KeyedCatalog:
                 elif seg in prior:
                     allstats[seg] = prior[seg]
                 else:
-                    allstats[seg] = self._segment_stats(table_name, seg, m)
+                    allstats[seg] = self._segment_stats(
+                        table_name, seg, m, man=prior_man
+                    )
         # bloom filters follow the same merge discipline: segment-
         # immutable, carried forward verbatim, computed once for
         # segments that lack an entry. Absence is advisory-safe.
@@ -751,7 +772,9 @@ class KeyedCatalog:
                 elif seg in priorb:
                     allblooms[seg] = priorb[seg]
                 else:
-                    allblooms[seg] = self._segment_blooms(table_name, seg, m)
+                    allblooms[seg] = self._segment_blooms(
+                        table_name, seg, m, man=prior_man
+                    )
         allsketches: dict = {}
         if m.sketch_columns:
             priors = prior_man.get("sketches", {})
@@ -769,7 +792,7 @@ class KeyedCatalog:
                     allsketches[seg] = priors[seg]
                 else:
                     allsketches[seg] = self._segment_sketches(
-                        table_name, seg, m, buckets=bs
+                        table_name, seg, m, buckets=bs, man=prior_man
                     )
         # commit wall-clock in micros: the resolution key for
         # AS-OF-timestamp time travel (version_as_of). Clock skew

@@ -201,6 +201,8 @@ def equi_depth_histogram(
 
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive: {bucket_width}")
     v = F.col(value_col)
     per = (
         df.where(v.isNotNull())

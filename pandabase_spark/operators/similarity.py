@@ -595,6 +595,39 @@ def _sqdist_sql(vec_col: str, vals: "list[float]") -> str:
     )
 
 
+def _books_sql(codebooks: "list[list[list[float]]]") -> str:
+    """Nested array literal of the whole codebook set (m × k × d/m
+    doubles) as one server-parsed string — shared by the ADC scorers."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_arr_sql(c) for c in book) + ")"
+            for book in codebooks
+        )
+        + ")"
+    )
+
+
+def _adc_expr(codebooks: "list[list[list[float]]]") -> Column:
+    """Asymmetric-distance expression: dist² ≈ Σ_j ||q_j −
+    C_j[code_j]||² evaluated against the staged ``_qvec`` (exact
+    query) and ``pq_code`` (compressed corpus row) columns, with the
+    codebooks inlined as a literal. One definition serves both the
+    PQ-exhaustive and the IVFADC scorer — the formula can never
+    diverge between them."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    return F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, (acc, j) -> acc + "
+        "aggregate(zip_with("
+        f"slice(`_qvec`, j * {d} + 1, {d}), "
+        f"element_at(element_at({_books_sql(codebooks)}, j + 1), "
+        "element_at(`pq_code`, j + 1) + 1), "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "0D, (a, v) -> a + v))"
+    )
+
+
 def pq_codebooks(
     corpus: DataFrame,
     *,
@@ -615,9 +648,18 @@ def pq_codebooks(
     (m·k·(d/m) floats — an index artifact, deliberately driver-side
     and literal-broadcastable, same contract as :func:`ivf_centroids`).
     Deterministic: subspace seeds come from the ``k`` rows with the
-    smallest ``xxhash64(id)``; Lloyd updates are exact per-(cell,
-    position) means. ``sample_mod`` trains on the deterministic 1/mod
-    hash-sample — codebook quality needs samples, not the corpus."""
+    smallest ``xxhash64(id)``; Lloyd updates are exact per-(subspace,
+    cell, position) means. ``sample_mod`` trains on the deterministic
+    1/mod hash-sample — codebook quality needs samples, not the
+    corpus.
+
+    Cost shape: ALL ``m`` subspaces train in ONE job per Lloyd
+    iteration — per row the m cell assignments are staged literal
+    folds, then a single posexplode keys the means by (subspace,
+    cell, position) — instead of m independent pipelines re-scanning
+    the sample m×iters times. The training frame is persisted across
+    iterations and released in a ``finally``.
+    """
     dim_row = corpus.select(F.size(vec_col)).first()
     if dim_row is None:
         raise ValueError("cannot train PQ on an empty corpus")
@@ -632,59 +674,82 @@ def pq_codebooks(
         train = train.where(
             F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0
         )
-    seed_rows = (
-        train.orderBy(F.xxhash64(F.col("_id").cast("string")))
-        .limit(k)
-        .select("_v")
-        .collect()
-    )
-    if len(seed_rows) < k:
-        raise ValueError(
-            f"need at least k={k} training vectors, got {len(seed_rows)}"
+    train = train.persist()
+    try:
+        seed_rows = (
+            train.orderBy(F.xxhash64(F.col("_id").cast("string")))
+            .limit(k)
+            .select("_v")
+            .collect()
         )
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        cents = [
-            [float(x) for x in r["_v"][j * d : (j + 1) * d]]
-            for r in seed_rows
-        ]
-        sub = train.select(
-            F.slice("_v", j * d + 1, d).alias("_sv")
-        )
-        for _ in range(iters):
-            dists = F.expr(
-                "array("
-                + ",".join(_sqdist_sql("_sv", c) for c in cents)
-                + ")"
+        if len(seed_rows) < k:
+            raise ValueError(
+                f"need at least k={k} training vectors, "
+                f"got {len(seed_rows)}"
             )
-            assigned = (
-                sub.withColumn("_pb_d", dists)
-                .withColumn(
-                    "_cell",
+        books = [
+            [
+                [float(x) for x in r["_v"][j * d : (j + 1) * d]]
+                for r in seed_rows
+            ]
+            for j in range(m)
+        ]
+        for _ in range(iters):
+            staged = train
+            cell_cols = []
+            for j in range(m):
+                sv = f"_pb_sv{j}"
+                staged = staged.withColumn(
+                    sv, F.slice("_v", j * d + 1, d)
+                ).withColumn(
+                    f"_pb_d{j}",
+                    F.expr(
+                        "array("
+                        + ",".join(
+                            _sqdist_sql(sv, c) for c in books[j]
+                        )
+                        + ")"
+                    ),
+                )
+                cell_cols.append(
                     (
                         F.array_position(
-                            F.col("_pb_d"), F.array_min("_pb_d")
+                            F.col(f"_pb_d{j}"),
+                            F.array_min(f"_pb_d{j}"),
                         )
                         - 1
-                    ).cast("int"),
+                    ).cast("int")
                 )
-                .select("_cell", F.posexplode("_sv").alias("_pos", "_x"))
+            ex = (
+                staged.withColumn("_cells", F.array(*cell_cols))
+                .select("_cells", F.posexplode("_v").alias("_pos", "_x"))
+                .withColumn(
+                    "_j", F.expr(f"_pos div {d}").cast("int")
+                )
+                .withColumn("_sp", F.pmod("_pos", F.lit(d)))
+                .withColumn(
+                    "_cell", F.element_at("_cells", F.col("_j") + 1)
+                )
             )
             means = (
-                assigned.groupBy("_cell", "_pos")
+                ex.groupBy("_j", "_cell", "_sp")
                 .agg(F.avg("_x").alias("_m"))
                 .collect()
             )
-            by_cell: dict[int, dict[int, float]] = {}
+            upd: dict[tuple, dict[int, float]] = {}
             for r in means:
-                by_cell.setdefault(r["_cell"], {})[r["_pos"]] = r["_m"]
-            cents = [
-                [by_cell[c][p] for p in sorted(by_cell[c])]
-                if c in by_cell
-                else cents[c]
-                for c in range(k)
+                upd.setdefault((r["_j"], r["_cell"]), {})[r["_sp"]] = r["_m"]
+            books = [
+                [
+                    [upd[(j, c)][sp] for sp in sorted(upd[(j, c)])]
+                    if (j, c) in upd
+                    else books[j][c]  # empty cell keeps its centroid
+                    for c in range(k)
+                ]
+                for j in range(m)
             ]
-        books.append(cents)
+    finally:
+        train.unpersist()
     return books
 
 
@@ -749,14 +814,14 @@ def ann_topk_pq(
     instead of a d-dim float fold, over ~32× less corpus state.
 
     Scoring keeps the QUERY exact (asymmetric): dist² ≈
-    Σ_j ||q_j − C_j[code_j]||², built as one server-parsed expression
-    over the code array with the codebooks inlined as a nested
-    literal (m·k·(d/m) doubles — KBs). Like
-    :func:`cosine_topk`, the query set is broadcast and the corpus
-    scanned once; compose with the IVF cell filter for the
-    probe-a-fraction regime at scale. Returns (query_id, vec_id,
-    approx_dist, rank) — ranks are approximate by construction
-    (quantization error), the recall contract is pinned in pytest.
+    Σ_j ||q_j − C_j[code_j]||², built by :func:`_adc_expr` (one
+    server-parsed expression with the codebooks inlined — shared with
+    the IVFADC scorer). Like :func:`cosine_topk`, the query set is
+    broadcast and the corpus scanned once; compose with the IVF cell
+    filter for the probe-a-fraction regime at scale. Returns
+    (query_id, vec_id, approx_dist, rank) — ranks are approximate by
+    construction (quantization error), the recall contract is pinned
+    in pytest.
     """
     from pyspark.sql.window import Window
 
@@ -766,37 +831,18 @@ def ann_topk_pq(
             corpus, id_col=id_col, vec_col=vec_col, m=m, k=n_codes,
             iters=iters, sample_mod=sample_mod,
         )
-    m = len(codebooks)
-    d = len(codebooks[0][0])
     encoded = pq_encode(corpus, codebooks, vec_col=vec_col).select(
         F.col(id_col).alias("vec_id"), "pq_code"
     )
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    books_sql = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(_arr_sql(c) for c in book) + ")"
-            for book in codebooks
-        )
-        + ")"
-    )
-    adc = F.expr(
-        f"aggregate(sequence(0, {m - 1}), 0D, (acc, j) -> acc + "
-        "aggregate(zip_with("
-        f"slice(`_qvec`, j * {d} + 1, {d}), "
-        f"element_at(element_at({books_sql}, j + 1), "
-        "element_at(`pq_code`, j + 1) + 1), "
-        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
-        "0D, (a, v) -> a + v))"
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("vec_id")
     )
     return (
         encoded.crossJoin(F.broadcast(q))
-        .withColumn("approx_dist", F.round(adc, 6))
+        .withColumn("approx_dist", F.round(_adc_expr(codebooks), 6))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "approx_dist", "rank")
@@ -833,7 +879,9 @@ def ann_topk_ivfpq(
     Both index artifacts are deterministic (hash-seeded k-means) and
     prebuildable via ``centroids=`` / ``codebooks=`` — the ingest-time
     pattern; recall composes the two stages' floors and is pinned in
-    pytest. Returns (query_id, vec_id, approx_dist, rank)."""
+    pytest. The cell-probe expansion reuses :func:`ann_topk_ivf`'s
+    struct-sort idiom and the scorer is the shared :func:`_adc_expr`.
+    Returns (query_id, vec_id, approx_dist, rank)."""
     from pyspark.sql.window import Window
 
     qid = query_id_col or id_col
@@ -847,8 +895,6 @@ def ann_topk_ivfpq(
             corpus, id_col=id_col, vec_col=vec_col, m=m, k=n_codes,
             iters=iters, sample_mod=sample_mod,
         )
-    m = len(codebooks)
-    d = len(codebooks[0][0])
     encoded = pq_encode(
         ivf_assign(corpus, centroids, vec_col=vec_col),
         codebooks,
@@ -876,29 +922,12 @@ def ann_topk_ivfpq(
             )
         ).alias("cell"),
     )
-    books_sql = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(_arr_sql(c) for c in book) + ")"
-            for book in codebooks
-        )
-        + ")"
-    )
-    adc = F.expr(
-        f"aggregate(sequence(0, {m - 1}), 0D, (acc, j) -> acc + "
-        "aggregate(zip_with("
-        f"slice(`_qvec`, j * {d} + 1, {d}), "
-        f"element_at(element_at({books_sql}, j + 1), "
-        "element_at(`pq_code`, j + 1) + 1), "
-        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
-        "0D, (a, v) -> a + v))"
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("vec_id")
     )
     return (
         encoded.join(F.broadcast(probes), on="cell")
-        .withColumn("approx_dist", F.round(adc, 6))
+        .withColumn("approx_dist", F.round(_adc_expr(codebooks), 6))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "approx_dist", "rank")

@@ -55,6 +55,8 @@ def skyline_2d(
     """
     from pyspark.sql.window import Window
 
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive: {bucket_width}")
     x, y = F.col(x_col), F.col(y_col)
     rows = df.where(x.isNotNull() & y.isNotNull())
     gmin = (

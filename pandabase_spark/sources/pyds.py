@@ -47,6 +47,10 @@ class SyntheticEventsReader(DataSourceReader):
 
     def partitions(self):
         n, parts = self._n, self._parts
+        if n <= 0:
+            # Spark substitutes [None] for an empty partition list and
+            # read(None) would crash — one empty range yields no rows
+            return [_RangePartition(0, 0)]
         step = max(1, (n + parts - 1) // parts)
         return [
             _RangePartition(lo, min(lo + step, n))

@@ -1218,3 +1218,41 @@ def test_sketch_columns_on_strings(spark, catalog):
     r = catalog.table_sketch_stats("skstr_t", "name", quantiles=()).collect()[0]
     assert abs(r["distinct_est"] - 50) <= 3
     assert r["n_rows"] == 0  # no numeric values entered the KLL
+
+
+def test_sketch_recompute_reads_renamed_segments_correctly(spark, catalog):
+    """Regression (review finding): after a metadata-only rename, a
+    partial-bucket DML forces sketch recompute on PRE-RENAME segments
+    — the reader must translate their on-disk names through segcols
+    instead of null-filling the renamed column (which silently zeroed
+    the recomputed statistics)."""
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    catalog.to_table(df, "skren_t", keys=["k"], sketch_columns=["v"],
+                     num_buckets=8)
+    catalog.rename_column("skren_t", "v", "val")
+    # one-row upsert shrinks the old segment's bucket list → recompute
+    catalog.to_table(
+        spark.createDataFrame([(5, 999.0)], ["k", "val"]),
+        "skren_t", keys=["k"], how="upsert",
+    )
+    r = catalog.table_sketch_stats("skren_t", "val", quantiles=(0.5,)).collect()[0]
+    assert r["n_rows"] == 1000, r
+    assert abs(r["q_0_5"] - 48) <= 5  # median of id % 97 ≈ 48
+    # stats/bloom recompute paths share the same mapped reader: a
+    # bloom+stats table survives the same rename+DML sequence
+    df2 = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("t"), F.col("id")).alias("tag"),
+        (F.col("id") % 50).cast("double").alias("x"),
+    )
+    catalog.to_table(df2, "skren_b", keys=["k"], bloom_columns=["tag"],
+                     stats_columns=["x"], num_buckets=4)
+    catalog.rename_column("skren_b", "tag", "label")
+    catalog.to_table(
+        spark.createDataFrame([(7, "t7x", 1.0)], ["k", "label", "x"]),
+        "skren_b", keys=["k"], how="upsert",
+    )
+    got = catalog.read_table("skren_b", bloom_point={"label": "t300"})
+    assert got.count() == 1
