@@ -97,7 +97,14 @@ PART_DIR = "_pb_b"
 META_FILE = "_pandabase_meta.json"
 LOG_FILE = "_pandabase_log.json"
 LOG_DIR = "_pb_log"
+DV_DIR = "_pb_dv"
 WRITE_MODES = ("create_only", "append", "upsert")
+
+# delete_rows(strategy="auto"): record a deletion vector instead of
+# rewriting buckets when at most this many rows match. Point deletes
+# (the hot case at 100 TB — "remove this document") then rewrite ZERO
+# data files; wide deletes amortize the rewrite they pay for.
+DV_AUTO_MAX_ROWS = 10_000
 
 # Per-(segment, bucket, column) Bloom filter sizing for equality data
 # skipping. 8192 bits / 5 hashes ≈ 1% false-positive rate at ~850 keys
@@ -705,6 +712,8 @@ class KeyedCatalog:
         op: str = "write",
         nb: int | None = None,
         segcols: dict | None = None,
+        dvs: dict | None = None,
+        dvs_base: dict | None = None,
     ) -> None:
         """THE commit point, with optimistic concurrency detection.
 
@@ -813,6 +822,28 @@ class KeyedCatalog:
             seg: given_sc.get(seg) or prior_sc.get(seg, cur_sc)
             for seg in segments
         }
+        # Deletion vectors: merge-on-read tombstone key-sets, each
+        # scoped to the exact (segment, bucket) leaves that held its
+        # keys at delete time. Carried forward with leaves INTERSECTED
+        # against the committed segment set — a rewritten/compacted
+        # leaf has the deletion folded into its data, so the DV no
+        # longer applies to it; a DV whose every leaf was rewritten is
+        # dropped (its sidecar reclaimed by vacuum). ``dvs_base``
+        # (restore/clone) replaces the prior manifest's set outright.
+        alldvs: dict = {}
+        base_dvs = (
+            dvs_base if dvs_base is not None else prior_man.get("dvs", {})
+        )
+        for dname, dv in base_dvs.items():
+            leaves = {
+                seg: kept
+                for seg, bs in dv.get("leaves", {}).items()
+                if (kept := [b for b in bs if b in set(segments.get(seg, []))])
+            }
+            if leaves:
+                alldvs[dname] = {**dv, "leaves": leaves}
+        if dvs:
+            alldvs.update(dvs)
         doc_d = {
             "v": v + 1,
             "segments": segments,
@@ -821,6 +852,8 @@ class KeyedCatalog:
             "nb": nb or prior_man.get("nb") or m.num_buckets,
             "segcols": segcols,
         }
+        if alldvs:
+            doc_d["dvs"] = alldvs
         if allstats:
             doc_d["stats"] = allstats
         if allblooms:
@@ -1132,6 +1165,26 @@ class KeyedCatalog:
             for seg, sc in man.get("segcols", {}).items()
             if seg in rename
         }
+        # deletion vectors follow the same externality convention:
+        # a "/" in the file ref marks it warehouse-relative (the
+        # source table's sidecar), and covered leaves re-key to the
+        # renamed segment names
+        dvs = {
+            dname: {
+                **dv,
+                "file": (
+                    dv["file"]
+                    if "/" in dv["file"]
+                    else f"{src_q}/{DV_DIR}/{dv['file']}"
+                ),
+                "leaves": {
+                    rename[seg]: bs
+                    for seg, bs in dv.get("leaves", {}).items()
+                    if seg in rename
+                },
+            }
+            for dname, dv in man.get("dvs", {}).items()
+        }
         self.fs.mkdirs(self._path(dst_q))
         self._write_meta(dst_q, m)
         self._commit(
@@ -1139,6 +1192,7 @@ class KeyedCatalog:
             blooms=blooms or None, sketches=sketches or None, op="clone",
             nb=man.get("nb") or m.num_buckets,
             segcols=segcols or None,
+            dvs_base={}, dvs=dvs or None,
         )
 
     def restore_table(
@@ -1181,6 +1235,15 @@ class KeyedCatalog:
                 else f"{self._path(table_name)}/{seg}"
             )
         ]
+        missing += [
+            f"{DV_DIR}/{dv['file']}"
+            for dv in target.get("dvs", {}).values()
+            if not self.fs.exists(
+                f"{self.warehouse}/{dv['file']}"
+                if "/" in dv["file"]
+                else f"{self._path(table_name)}/{DV_DIR}/{dv['file']}"
+            )
+        ]
         if missing:
             raise ValueError(
                 f"cannot restore {table_name!r} to v{version}: segments "
@@ -1197,6 +1260,10 @@ class KeyedCatalog:
             op="restore",
             nb=target.get("nb") or self.meta(table_name).num_buckets,
             segcols=target.get("segcols") or None,
+            # the restored snapshot's deletion vectors, verbatim —
+            # NOT the current manifest's (a DV added after `version`
+            # must not survive the rollback)
+            dvs_base=target.get("dvs", {}),
         )
         return cur["v"] + 1
 
@@ -1475,20 +1542,40 @@ class KeyedCatalog:
         time travel, exactly the Delta/Iceberg VACUUM tradeoff. Safe
         for the single-writer contract; returns deleted segment names."""
         table_name = self._qualify(table_name, schema)
-        live = set(self._manifest(table_name)["segments"])
+        cur_man = self._manifest(table_name)
+        live = set(cur_man["segments"])
+        live_dvs = {
+            dv["file"]
+            for dv in cur_man.get("dvs", {}).values()
+            if "/" not in dv["file"]  # external (clone) refs are the
+        }                             # source table's to reclaim
         gone = []
         for d in self.fs.list_dirs(self._path(table_name)):
             if d.startswith("seg-") and d not in live:
                 self.fs.delete(f"{self._path(table_name)}/{d}")
                 gone.append(d)
+        dv_root = f"{self._path(table_name)}/{DV_DIR}"
+        if self.fs.exists(dv_root):
+            for d in self.fs.list_dirs(dv_root):
+                if d not in live_dvs:
+                    self.fs.delete(f"{dv_root}/{d}")
+                    gone.append(f"{DV_DIR}/{d}")
         if gone:
-            cur_v = self._manifest(table_name)["v"]
+            cur_v = cur_man["v"]
             log_dir = f"{self._path(table_name)}/{LOG_DIR}"
             for f in self.fs.list_files(log_dir):
                 if not f.endswith(".json"):
                     continue
                 man = json.loads(self.fs.read_text(f"{log_dir}/{f}"))
-                if man["v"] != cur_v and not set(man["segments"]) <= live:
+                man_dvs = {
+                    dv["file"]
+                    for dv in man.get("dvs", {}).values()
+                    if "/" not in dv["file"]
+                }
+                if man["v"] != cur_v and (
+                    not set(man["segments"]) <= live
+                    or not man_dvs <= live_dvs
+                ):
                     self.fs.delete(f"{log_dir}/{f}", recursive=False)
         return gone
 
@@ -2266,21 +2353,48 @@ class KeyedCatalog:
         predicate: "str | Column",
         *,
         schema: str | None = None,
+        strategy: str = "auto",
     ) -> int:
-        """DELETE FROM table WHERE predicate — bucket-pruned rewrite.
+        """DELETE FROM table WHERE predicate.
 
-        Only buckets holding at least one matching row are rewritten
-        (matches found with one pruned pass; at 100 TB the rewrite IO
-        is proportional to the touched data, not the table). Survivors
-        of the touched buckets land in a new segment and the manifest
-        swap is the same atomic commit as every other write, so the
-        delete is all-or-nothing and time travel keeps the pre-delete
-        snapshot. Returns the number of rows deleted. The reference
-        has no row-delete at all (only ``drop_db_table``,
-        reference:pandabase/util.py:5-20) — extension surface, the
-        Delta/Iceberg ``DELETE`` shape."""
+        Two physical strategies, chosen by ``strategy``:
+
+        - ``"rewrite"`` — bucket-pruned rewrite: only buckets holding
+          at least one matching row are rewritten (matches found with
+          one pruned pass; at 100 TB the rewrite IO is proportional to
+          the touched data, not the table).
+        - ``"dv"`` — deletion vector (merge-on-read, the Delta DV
+          shape): the matching PRIMARY KEYS are written to a tiny
+          sidecar file and the manifest records which (segment,
+          bucket) leaves it covers; ZERO data files are rewritten.
+          Reads anti-join only the covered leaves against the
+          broadcast tombstone set; compaction/upserts of a covered
+          bucket fold the deletion into data and retire the DV entry.
+          At 100 TB a point delete ("remove this document") is one
+          key-file write + one manifest commit instead of a
+          ~1/num_buckets table rewrite. Refused on tables with
+          ``sketch_columns`` (per-segment sketches cannot subtract;
+          the rewrite path recomputes them — the carry discipline).
+        - ``"auto"`` (default) — ``"dv"`` when at most
+          ``DV_AUTO_MAX_ROWS`` rows match and the table has no sketch
+          columns, else ``"rewrite"``.
+
+        Either way the manifest swap is the same atomic commit as
+        every other write, so the delete is all-or-nothing and time
+        travel keeps the pre-delete snapshot. Returns the number of
+        rows deleted. The reference has no row-delete at all (only
+        ``drop_db_table``, reference:pandabase/util.py:5-20) —
+        extension surface."""
+        if strategy not in ("auto", "dv", "rewrite"):
+            raise ValueError(f"unknown delete strategy: {strategy!r}")
         table_name = self._qualify(table_name, schema)
         m = self.meta(table_name)
+        if strategy == "dv" and m.sketch_columns:
+            raise ValueError(
+                "deletion vectors are not supported on tables with "
+                "sketch_columns (sketches cannot subtract); use "
+                "strategy='rewrite'"
+            )
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         # one manifest snapshot for BOTH the data read and the commit
         # version — a rival commit between plan and publish then trips
@@ -2299,6 +2413,17 @@ class KeyedCatalog:
         ]
         if not touched:
             return 0
+        use_dv = strategy == "dv"
+        if strategy == "auto" and not m.sketch_columns:
+            # the hits frame was just computed for the bucket probe;
+            # counting it is a second pruned pass, still far cheaper
+            # than a speculative rewrite
+            use_dv = (
+                hits.limit(DV_AUTO_MAX_ROWS + 1).count()
+                <= DV_AUTO_MAX_ROWS
+            )
+        if use_dv:
+            return self._delete_dv(table_name, m, man, hits, touched)
         existing = self._read_raw(table_name, buckets=touched, manifest=man)
         n_deleted = existing.where(pred).count()
         # SQL DELETE semantics: remove only rows where the predicate is
@@ -2317,6 +2442,69 @@ class KeyedCatalog:
         self._commit(table_name, segments, v=man["v"], op="delete")
         return n_deleted
 
+    def _delete_dv(
+        self,
+        table_name: str,
+        m: TableMeta,
+        man: dict,
+        hits: DataFrame,
+        touched: "list[int]",
+        new_rows: DataFrame | None = None,
+        op: str = "delete_dv",
+    ) -> int:
+        """Commit a deletion vector for ``hits`` (already DV-filtered
+        rows of the pinned ``man`` snapshot): write the matching keys
+        as a sidecar, record the covered (segment, bucket) leaves, and
+        commit with the old segment set UNCHANGED — zero data files
+        rewritten. ``new_rows`` (the merge-on-read UPDATE path)
+        additionally lands as a fresh segment that the DV does NOT
+        cover: the tombstoned keys' new versions."""
+        import uuid
+
+        dv_name = f"dv-{uuid.uuid4().hex[:16]}"
+        dv_path = f"{self._path(table_name)}/{DV_DIR}/{dv_name}"
+        keys_df = hits.select(*m.keys)
+        # a point delete's key set is tiny — one output file keeps the
+        # sidecar a single open at read time
+        keys_df.coalesce(1).write.mode("errorifexists").parquet(dv_path)
+        n_deleted = self.spark.read.parquet(dv_path).count()
+        if n_deleted == 0:
+            self.fs.delete(dv_path)
+            return 0
+        touched_set = set(touched)
+        leaves = {
+            seg: kept
+            for seg, bs in man["segments"].items()
+            if (kept := [b for b in bs if b in touched_set])
+        }
+        entry = {
+            "file": dv_name,
+            "leaves": leaves,
+            "n": n_deleted,
+            # stable column identity -> physical sidecar column name,
+            # so the anti-join survives later key renames (same
+            # mapping discipline as segcols)
+            "cols": {
+                m.colmap.get(k, k): k for k in m.keys
+            },
+        }
+        segments = dict(man["segments"])
+        if new_rows is not None:
+            seg, buckets = self._write_segment(new_rows, table_name, m)
+            segments[seg] = buckets
+        try:
+            self._commit(
+                table_name,
+                segments,
+                v=man["v"],
+                op=op,
+                dvs={dv_name: entry},
+            )
+        except ConcurrentWriteError:
+            self.fs.delete(dv_path)  # lost the race — no orphan sidecar
+            raise
+        return n_deleted
+
     def update_rows(
         self,
         table_name: str,
@@ -2324,14 +2512,30 @@ class KeyedCatalog:
         assignments: "dict[str, str | Column]",
         *,
         schema: str | None = None,
+        strategy: str = "auto",
     ) -> int:
-        """UPDATE table SET col = expr, ... WHERE predicate — the same
-        bucket-pruned rewrite as :meth:`delete_rows`, with matching
-        rows re-projected through the assignments instead of dropped.
-        Key columns cannot be assigned (that is an upsert/delete+insert,
-        not an update). Returns the number of rows updated."""
+        """UPDATE table SET col = expr, ... WHERE predicate.
+
+        ``strategy="rewrite"`` is the same bucket-pruned rewrite as
+        :meth:`delete_rows`, with matching rows re-projected through
+        the assignments instead of dropped. ``strategy="dv"``
+        (merge-on-read) writes ONLY the updated rows as a new segment
+        and a deletion vector tombstoning their old versions in the
+        covered leaves — write IO is O(updated rows), not
+        O(touched buckets); ``"auto"`` picks the DV path for small
+        updates exactly like :meth:`delete_rows`. Key columns cannot
+        be assigned (that is an upsert/delete+insert, not an update).
+        Returns the number of rows updated."""
+        if strategy not in ("auto", "dv", "rewrite"):
+            raise ValueError(f"unknown update strategy: {strategy!r}")
         table_name = self._qualify(table_name, schema)
         m = self.meta(table_name)
+        if strategy == "dv" and m.sketch_columns:
+            raise ValueError(
+                "deletion vectors are not supported on tables with "
+                "sketch_columns (sketches cannot subtract); use "
+                "strategy='rewrite'"
+            )
         bad = [c for c in assignments if c in m.keys]
         if bad:
             raise NameError(f"cannot UPDATE key columns: {bad}")
@@ -2355,13 +2559,40 @@ class KeyedCatalog:
         ]
         if not touched:
             return 0
-        existing = self._read_raw(table_name, buckets=touched, manifest=man)
-        n_updated = existing.where(pred).count()
         exprs = {
             c: (F.expr(e) if isinstance(e, str) else e)
             for c, e in assignments.items()
         }
         schema_t = self._table_schema(table_name)
+        use_dv = strategy == "dv"
+        if strategy == "auto" and not m.sketch_columns:
+            use_dv = (
+                full.where(pred).limit(DV_AUTO_MAX_ROWS + 1).count()
+                <= DV_AUTO_MAX_ROWS
+            )
+        if use_dv:
+            # merge-on-read UPDATE: new segment = the updated rows
+            # only; a DV tombstones their old versions in the covered
+            # leaves. Write IO is O(updated rows).
+            hits = full.where(pred)
+            upd_rows = hits.select(
+                *[
+                    (
+                        exprs[c].cast(schema_t[c].dataType).alias(c)
+                        if c in exprs
+                        else F.col(c)
+                    )
+                    for c in full.columns
+                ]
+            )
+            self._check_constraints(upd_rows, m)
+            n_updated = self._delete_dv(
+                table_name, m, man, hits, touched, new_rows=upd_rows,
+                op="update_dv",
+            )
+            return n_updated
+        existing = self._read_raw(table_name, buckets=touched, manifest=man)
+        n_updated = existing.where(pred).count()
         updated = existing.select(
             *[
                 (
@@ -2375,7 +2606,10 @@ class KeyedCatalog:
         )
         self._check_constraints(updated, m)
         seg, buckets = self._write_segment(updated, table_name, m)
-        man = self._manifest(table_name)
+        # commit against the SAME pinned manifest the rewrite read
+        # from (not a re-read — a rival commit in the window must trip
+        # the claim, not have its touched-bucket rows silently dropped
+        # from the new snapshot)
         touched_set = set(touched)
         segments = {
             old_seg: keep
@@ -2509,31 +2743,109 @@ class KeyedCatalog:
             m.colmap.get(f.name, f.name): f.name for f in schema.fields
         }
         seg_sc = man.get("segcols", {})
-        groups: dict[tuple, list[str]] = {}
-        for seg, path in pairs:
-            sc = seg_sc.get(seg) or cur_sc
-            key = tuple(sorted(sc.items()))
-            groups.setdefault(key, []).append(path)
         cur_key = tuple(sorted(cur_sc.items()))
-        frames = []
-        for key, paths in groups.items():
-            if key == cur_key:
+
+        def assemble(sub_pairs: "list[tuple[str, str]]") -> DataFrame:
+            groups: dict[tuple, list[str]] = {}
+            for seg, path in sub_pairs:
+                sc = seg_sc.get(seg) or cur_sc
+                key = tuple(sorted(sc.items()))
+                groups.setdefault(key, []).append(path)
+            frames = []
+            for key, paths in groups.items():
+                if key == cur_key:
+                    frames.append(
+                        self.spark.read.schema(schema).parquet(*paths)
+                    )
+                    continue
+                sc = dict(key)
+                phys_fields, aliases = [], []
+                for f in schema.fields:
+                    stable = m.colmap.get(f.name, f.name)
+                    phys = sc.get(stable, f.name)
+                    phys_fields.append(
+                        T.StructField(phys, f.dataType, True)
+                    )
+                    aliases.append(F.col(phys).alias(f.name))
                 frames.append(
-                    self.spark.read.schema(schema).parquet(*paths)
+                    self.spark.read.schema(T.StructType(phys_fields))
+                    .parquet(*paths)
+                    .select(*aliases)
                 )
-                continue
-            sc = dict(key)
+            out = frames[0]
+            for fr in frames[1:]:
+                out = out.unionByName(fr)
+            return out
+
+        # Deletion-vector application (merge-on-read): only the leaves
+        # a DV explicitly covers are anti-joined against its tombstone
+        # keys — a key re-inserted AFTER the delete lives in a newer,
+        # uncovered segment and is never touched. DV sidecars hold
+        # O(deleted keys) rows, so the anti-join broadcasts; uncovered
+        # leaves stream through untouched.
+        man_dvs = man.get("dvs", {})
+        read_leaves = {
+            (seg, int(path.rsplit("=", 1)[1])) for seg, path in pairs
+        }
+        live_dvs = [
+            dv
+            for dv in man_dvs.values()
+            if any(
+                (seg, b) in read_leaves
+                for seg, bs in dv.get("leaves", {}).items()
+                for b in bs
+            )
+        ]
+        if not live_dvs:
+            return assemble(pairs)
+        covered = {
+            (seg, b)
+            for dv in live_dvs
+            for seg, bs in dv.get("leaves", {}).items()
+            for b in bs
+        }
+        cov_pairs = [
+            (seg, p)
+            for seg, p in pairs
+            if (seg, int(p.rsplit("=", 1)[1])) in covered
+        ]
+        rest_pairs = [
+            (seg, p)
+            for seg, p in pairs
+            if (seg, int(p.rsplit("=", 1)[1])) not in covered
+        ]
+        keyset = self._dv_keys(table_name, live_dvs, m)
+        out = assemble(cov_pairs).join(
+            F.broadcast(keyset), on=list(m.keys), how="left_anti"
+        )
+        if rest_pairs:
+            out = out.unionByName(assemble(rest_pairs))
+        return out
+
+    def _dv_keys(
+        self, table_name: str, dvs: "list[dict]", m: TableMeta
+    ) -> DataFrame:
+        """Union of the tombstone key-sets of ``dvs``, read through the
+        same stable-identity column mapping as data segments (a DV
+        written before a key rename still anti-joins correctly)."""
+        frames = []
+        key_fields = [f for f in m.schema.fields if f.name in m.keys]
+        for dv in dvs:
+            path = (
+                f"{self.warehouse}/{dv['file']}"
+                if "/" in dv["file"]
+                else f"{self._path(table_name)}/{DV_DIR}/{dv['file']}"
+            )
+            sc = dv.get("cols") or {}
             phys_fields, aliases = [], []
-            for f in schema.fields:
+            for f in key_fields:
                 stable = m.colmap.get(f.name, f.name)
                 phys = sc.get(stable, f.name)
-                phys_fields.append(
-                    T.StructField(phys, f.dataType, True)
-                )
+                phys_fields.append(T.StructField(phys, f.dataType, True))
                 aliases.append(F.col(phys).alias(f.name))
             frames.append(
                 self.spark.read.schema(T.StructType(phys_fields))
-                .parquet(*paths)
+                .parquet(path)
                 .select(*aliases)
             )
         out = frames[0]

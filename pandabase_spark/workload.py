@@ -2847,12 +2847,16 @@ def streaming_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_sketch_ingest",
     # COUNT(value), not COUNT(*): KLL n counts the values the sketch
     # ingested, and NULLs never enter a sketch — identical semantics
-    # even if a future datagen introduces null values
-    "SELECT CAST(COUNT(value) AS BIGINT) AS n_rows FROM events",
+    # even if a future datagen introduces null values. The even-id
+    # half keeps this gate entry cheap (each micro-batch commit is a
+    # full upsert cycle); incrementality needs >=2 batches + the
+    # bootstrap, not a large corpus.
+    "SELECT CAST(COUNT(value) AS BIGINT) AS n_rows FROM events "
+    "WHERE event_id % 2 = 0",
 )
 def streaming_sketch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest with INCREMENTAL manifest statistics: events
-    stream in 4 micro-batches into a table declared with
+    stream in 2 micro-batches into a table declared with
     ``sketch_columns=['value']`` — every per-batch commit attaches
     that batch's segment KLL/HLL sketches — and the final answer is
     read from ``table_sketch_stats``, i.e. FROM METADATA ONLY, no
@@ -2869,8 +2873,11 @@ def streaming_sketch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _catalog(spark, sf_dir)
     _fresh(cat, "w_ev_sketch_stream")
     scratch = tempfile.mkdtemp(prefix="pb_stream_")
-    ev = load(spark, sf_dir, "events").drop("props")
-    ev.repartition(4).write.mode("overwrite").parquet(f"{scratch}/src")
+    ev = (
+        load(spark, sf_dir, "events").drop("props")
+        .where(F.col("event_id") % 2 == 0)
+    )
+    ev.repartition(2).write.mode("overwrite").parquet(f"{scratch}/src")
     # declare sketches at create with a real bootstrap slice (an
     # empty frame would lose the schema to the reference's all-null
     # column drop); the stream then upserts every event, replacing
@@ -6674,89 +6681,68 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate ordering
 # ---------------------------------------------------------------------------
 # The driver walks QUERIES in dict order and checks exactly 50 per
-# round (r2 stopped at 50/68; r3's LLM-first head got 50/130). The
-# r02∪r03 union covers 80/130; this head is exactly the 50 queries
-# with no driver CORRECTNESS row in any round, ascending measured
-# sf0.01 cost (streaming cycles last), so round 4 completes the
-# 130/130 driver-verified union. Already-green queries follow.
+# round. After r5 the driver union covers 180/184; this round-6 head
+# leads with the final 4 never-driver-checked entries (slots 51-54
+# last round; streaming_sketch_ingest trimmed to 2 micro-batches so
+# it can't eat the round budget), then the new round-6 queries, then
+# back-fills with the OLDEST driver greens (r2-only, then the oldest
+# r2+r3 keyed-table rows) for re-confirmation against current code.
 _GATE_FIRST = [
-    # round-5 head: the 21 r4-tail queries the driver has never
-    # checked + the 7 new round-5 queries (TPC-H completion + outer
-    # streaming join), cheapest first — completing this block makes
-    # the driver-verified union cover every queries() entry
-    "q6_forecast_revenue",
-    "sketch_distinct_users",
-    "sketch_value_quantiles",
-    "sketch_population_overlap",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    "q8_market_share",
-    "q12_shipping_priority_classes",
-    "q16_supplier_part_counts",
-    "q20_dominant_suppliers",
-    "q9_product_profit",
-    "q11_important_stock",
-    "csv_roundtrip_part",
-    "zorder_bucket_spans",
-    "events_rolling_median",
-    "events_linear_interpolate",
-    "concurrent_sessions_peak",
-    "kt_delete_rows",
-    "kt_update_rows",
-    "kt_colocated_join",
-    "kt_colocated_agg",
-    "kt_clone_divergence",
-    "training_shard_manifest",
-    "incremental_dedup_classify",
-    "streaming_outer_interval_join",
-    "q2_min_cost_supplier",
-    "streaming_running_agg",
-    # round-5 late additions (never driver-checked) — with these the
-    # head-50 makes the driver union cover ALL queries() entries
-    "train_val_test_split",
-    "pack_sequences_bins",
-    "mixture_report_by_lang",
-    "events_ewma_smooth",
-    "scd2_user_state_history",
-    "fk_violation_report",
-    "sketch_user_frequencies",
-    "kt_stats_skipping_read",
-    "kt_merge_clauses",
-    "training_corpus_manifest_v2",
-    "kt_restore",
-    "kt_bloom_skipping_read",
-    "span_dedup_reconstruct",
-    "temperature_mixture_sample",
-    "ks_drift_click_vs_purchase",
-    "equi_depth_histogram_values",
-    "corpus_quality_funnel",
-    "skyline_cheap_small_parts",
-    "parts_bought_together",
-    "kt_manifest_sketch_stats",
-    "kt_rebucket",
-    "kt_rename_column",
-    # slot 51+: the rows-only ANN entries are pytest-pinned (planted
-    # recall + corpus floors) — the never-driver-checked entries that
-    # can safely wait for r6
+    # slots 1-4: complete the 184/184 driver union
     "ann_topk_pq",
     "ann_topk_ivfpq",
-    "streaming_sketch_ingest",
     "python_datasource_synth",
-    # back-fill: oldest (r1/r2-only) greens, queued for
-    # re-confirmation against the current code
+    "streaming_sketch_ingest",
+    # round-6 additions land here (inserted as they are built)
+    # back-fill: r2-only greens, cheap analytics first
     "q3_top_orders",
     "q5_nation_revenue",
-    "window_top3_lineitems",
+    "q6_revenue_change",
+    "having_fat_orders",
+    "distinct_users_by_type",
+    "quantiles_order_price",
     "orders_priority_rollup",
+    "rollup_orders",
+    "cube_orders",
+    "grouping_sets_orders",
+    "pivot_orders",
+    "lineitem_stats",
+    "set_ops_segments",
+    "anti_join_idle_customers",
+    "semi_join_ordered_parts",
+    "top_words",
+    "label_centroids",
+    "unpivot_lineitem_metrics",
+    "window_top3_lineitems",
     "events_hourly",
     "events_json_extract",
     "events_user_deltas",
     "events_moving_avg",
+    "events_resample_fill",
     "salted_skew_join",
     "asof_join_events",
     "range_join_events",
     "session_windows_events",
+    # r2-only streaming cycles (heavier — near the end)
+    "streaming_upsert_events",
+    "streaming_windowed_counts",
+    # oldest keyed-table greens (r2+r3) — re-confirm the write paths
+    "kt_roundtrip_create",
+    "kt_range_read_single",
+    "kt_range_read_composite",
+    "kt_range_read_open",
+    "kt_projection",
+    "kt_append",
+    "kt_upsert",
+    "kt_upsert_partial_cols",
+    "kt_describe",
+    "kt_schema_evolution",
+    "kt_coercion",
+    "kt_boolean_narrowing",
+    "kt_autoindex_append",
+    "kt_companda_report",
+    "kt_embeddings_roundtrip",
+    "kt_time_travel",
 ]
 
 

@@ -1,0 +1,265 @@
+"""Deletion-vector (merge-on-read) DML guarantees.
+
+The property under test: a point DELETE/UPDATE commits WITHOUT
+rewriting any data file — the manifest gains a ``dvs`` entry scoping a
+tombstone key-set to the exact (segment, bucket) leaves that held the
+keys — and every read path (scans, time travel, clones, write-path
+probes) sees the post-delete state; rewrites of a covered bucket fold
+the deletion into data and retire the DV. The reference has no
+row-level DML at all (only ``drop_db_table``,
+reference:pandabase/util.py:5-20); this is the Delta deletion-vector
+shape re-expressed over the segment store.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandabase_spark.io import DV_DIR, KeyedCatalog
+
+
+def _mk(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+
+
+def _data_files(catalog, table):
+    """Every parquet data file of the table's live segments."""
+    files = []
+    for d in catalog.fs.list_dirs(catalog._path(table)):
+        if d.startswith("seg-"):
+            seg_dir = f"{catalog._path(table)}/{d}"
+            for sub in catalog.fs.list_dirs(seg_dir):
+                files += [
+                    f"{d}/{sub}/{f}"
+                    for f in catalog.fs.list_files(f"{seg_dir}/{sub}")
+                    if f.endswith(".parquet")
+                ]
+    return sorted(files)
+
+
+def test_point_delete_rewrites_zero_data_files(spark, catalog):
+    catalog.to_table(_mk(spark), "dv_t", keys=["k"], num_buckets=8)
+    before_files = _data_files(catalog, "dv_t")
+    before_segments = catalog._manifest("dv_t")["segments"]
+    assert catalog.delete_rows("dv_t", "k = 42") == 1
+    man = catalog._manifest("dv_t")
+    # zero data files written or dropped; segment set untouched
+    assert _data_files(catalog, "dv_t") == before_files
+    assert man["segments"] == before_segments
+    assert man["op"] == "delete_dv"
+    (dv,) = man["dvs"].values()
+    assert dv["n"] == 1
+    # the DV covers exactly the one bucket leaf the key hashed into
+    (leaf_buckets,) = dv["leaves"].values()
+    assert len(leaf_buckets) == 1
+    # reads exclude the key; everything else intact
+    out = catalog.read_table("dv_t")
+    assert out.count() == 999
+    assert out.where("k = 42").count() == 0
+    # range read and point read agree
+    assert catalog.read_table("dv_t", lowest=40, highest=44).count() == 4
+
+
+def test_reinsert_after_dv_delete_is_visible(spark, catalog):
+    """A key re-inserted AFTER its DV delete lives in a new, uncovered
+    segment — the tombstone must not touch it (leaf scoping, not
+    global key suppression)."""
+    catalog.to_table(_mk(spark, 100), "dv_re", keys=["k"])
+    catalog.delete_rows("dv_re", "k = 7")
+    assert catalog.read_table("dv_re").where("k = 7").count() == 0
+    patch = spark.createDataFrame(
+        pd.DataFrame({"k": [7], "v": [777.0]})
+    )
+    # append succeeds: the PK probe reads through the DV
+    catalog.to_table(patch, "dv_re", keys=["k"], how="append")
+    got = catalog.read_table("dv_re").where("k = 7").collect()
+    assert len(got) == 1 and got[0]["v"] == 777.0
+    assert catalog.read_table("dv_re").count() == 100
+
+
+def test_dv_update_writes_only_updated_rows(spark, catalog):
+    catalog.to_table(_mk(spark), "dv_u", keys=["k"], num_buckets=8)
+    (base_seg,) = catalog._manifest("dv_u")["segments"]
+    n = catalog.update_rows("dv_u", "k in (5, 10)", {"v": "v + 0.5"})
+    assert n == 2
+    man = catalog._manifest("dv_u")
+    assert man["op"] == "update_dv"
+    # old segment fully intact; new segment holds ONLY the 2 new rows
+    assert sorted(man["segments"][base_seg]) == list(range(8))
+    new_seg = next(s for s in man["segments"] if s != base_seg)
+    new_rows = spark.read.parquet(
+        f"{catalog._path('dv_u')}/{new_seg}"
+    )
+    assert new_rows.count() == 2
+    got = {
+        r["k"]: r["v"]
+        for r in catalog.read_table("dv_u")
+        .where("k in (4, 5, 10)")
+        .collect()
+    }
+    assert got == {4: 8.0, 5: 10.5, 10: 20.5}
+    assert catalog.read_table("dv_u").count() == 1000
+
+
+def test_compact_folds_dv_and_vacuum_reclaims_sidecar(spark, catalog):
+    catalog.to_table(_mk(spark, 500), "dv_c", keys=["k"])
+    # fragment so compact has >1 segment to merge
+    catalog.to_table(
+        _mk(spark, 100).withColumn("k", F.col("k") + 10_000),
+        "dv_c", keys=["k"], how="append",
+    )
+    catalog.delete_rows("dv_c", "k = 3")
+    catalog.delete_rows("dv_c", "k = 10001")
+    assert len(catalog._manifest("dv_c")["dvs"]) == 2
+    dv_root = f"{catalog._path('dv_c')}/{DV_DIR}"
+    assert len(catalog.fs.list_dirs(dv_root)) == 2
+    catalog.compact("dv_c")
+    man = catalog._manifest("dv_c")
+    # deletions folded into the rewritten segment; DV entries retired
+    assert "dvs" not in man
+    assert catalog.read_table("dv_c").count() == 598
+    # vacuum (run by compact) reclaimed the sidecars
+    assert catalog.fs.list_dirs(dv_root) == []
+
+
+def test_bucket_rewrite_retires_covered_leaf(spark, catalog):
+    """An upsert that rewrites a DV-covered bucket folds the deletion
+    for that leaf; leaves in untouched buckets stay covered."""
+    catalog.to_table(_mk(spark), "dv_up", keys=["k"], num_buckets=8)
+    catalog.delete_rows("dv_up", "k in (0, 1, 2, 3, 4, 5, 6, 7)")
+    (dv,) = catalog._manifest("dv_up")["dvs"].values()
+    covered0 = sorted(b for bs in dv["leaves"].values() for b in bs)
+    # upsert k=0 -> rewrites exactly its bucket, folding the deletion
+    # for that leaf and reviving the key with the batch value
+    b0 = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(0).cast("bigint")), F.lit(8)).cast("int")
+    ).collect()[0][0]
+    assert b0 in covered0
+    catalog.to_table(
+        spark.range(1).select(
+            F.lit(0).cast("bigint").alias("k"), F.lit(0.5).alias("v")
+        ),
+        "dv_up", keys=["k"], how="upsert",
+    )
+    man = catalog._manifest("dv_up")
+    (dv2,) = man["dvs"].values()
+    left = sorted(b for bs in dv2["leaves"].values() for b in bs)
+    assert left == [b for b in covered0 if b != b0]
+    # keys whose leaves are still covered stay deleted; k=0 revived
+    assert catalog.read_table("dv_up").where(
+        "k between 1 and 7"
+    ).count() == 0
+    assert (
+        catalog.read_table("dv_up").where("k = 0").collect()[0]["v"]
+        == 0.5
+    )
+    assert catalog.read_table("dv_up").count() == 993
+
+
+def test_dv_time_travel_and_restore(spark, catalog):
+    catalog.to_table(_mk(spark, 50), "dv_tt", keys=["k"])      # v1
+    catalog.delete_rows("dv_tt", "k = 9")                      # v2 (dv)
+    assert catalog.read_table("dv_tt", version=1).count() == 50
+    assert catalog.read_table("dv_tt", version=2).count() == 49
+    catalog.restore_table("dv_tt", 1)                          # v3
+    assert catalog.read_table("dv_tt").count() == 50
+    # restoring FORWARD to the post-delete snapshot re-applies the DV
+    catalog.restore_table("dv_tt", 2)                          # v4
+    assert catalog.read_table("dv_tt").count() == 49
+    assert "dvs" in catalog._manifest("dv_tt")
+
+
+def test_clone_carries_dv_and_stays_isolated(spark, catalog):
+    catalog.to_table(_mk(spark, 60), "dv_src", keys=["k"])
+    catalog.delete_rows("dv_src", "k = 5")
+    catalog.clone_table("dv_src", "dv_dst")
+    assert catalog.read_table("dv_dst").count() == 59
+    assert catalog.read_table("dv_dst").where("k = 5").count() == 0
+    # a delete on the clone must not touch the source
+    catalog.delete_rows("dv_dst", "k = 6")
+    assert catalog.read_table("dv_dst").count() == 58
+    assert catalog.read_table("dv_src").count() == 59
+    assert catalog.read_table("dv_src").where("k = 6").count() == 1
+
+
+def test_sketch_tables_refuse_dv_and_auto_falls_back(spark, catalog):
+    catalog.to_table(
+        _mk(spark, 300), "dv_sk", keys=["k"], sketch_columns=["v"]
+    )
+    with pytest.raises(ValueError, match="sketch_columns"):
+        catalog.delete_rows("dv_sk", "k = 1", strategy="dv")
+    with pytest.raises(ValueError, match="sketch_columns"):
+        catalog.update_rows(
+            "dv_sk", "k = 1", {"v": "v + 1"}, strategy="dv"
+        )
+    # auto silently takes the rewrite path; sketches stay exact
+    assert catalog.delete_rows("dv_sk", "k = 1") == 1
+    man = catalog._manifest("dv_sk")
+    assert man["op"] == "delete" and "dvs" not in man
+    stats = catalog.table_sketch_stats("dv_sk", "v", quantiles=())
+    assert stats.collect()[0]["n_rows"] == 299
+
+
+def test_dv_survives_column_rename(spark, catalog):
+    """Metadata-only column rename after a DV delete: the DV sidecar
+    holds only KEY columns (which can never be renamed), so the
+    anti-join is rename-proof by construction; the renamed value
+    column still reads through the covered-leaf assembly."""
+    catalog.to_table(_mk(spark, 40), "dv_rn", keys=["k"])
+    catalog.delete_rows("dv_rn", "k = 11")
+    catalog.rename_column("dv_rn", "v", "val")
+    out = catalog.read_table("dv_rn")
+    assert out.count() == 39
+    assert out.where("k = 11").count() == 0
+    assert out.where("k = 12").collect()[0]["val"] == 24.0
+
+
+def test_wide_delete_auto_takes_rewrite_path(spark, catalog, monkeypatch):
+    import pandabase_spark.io as io_mod
+
+    monkeypatch.setattr(io_mod, "DV_AUTO_MAX_ROWS", 10)
+    catalog.to_table(_mk(spark, 200), "dv_wide", keys=["k"])
+    assert catalog.delete_rows("dv_wide", "k < 100") == 100
+    man = catalog._manifest("dv_wide")
+    assert man["op"] == "delete" and "dvs" not in man
+    assert catalog.read_table("dv_wide").count() == 100
+
+
+def test_dv_commit_race_cleans_sidecar(spark, catalog, monkeypatch):
+    """A rival commit landing between the DV's snapshot pin and its
+    publish trips ConcurrentWriteError AND removes the orphan sidecar
+    (same no-litter discipline as the crashed-writer paths)."""
+    from pandabase_spark.io import ConcurrentWriteError
+
+    df = _mk(spark, 30)
+    catalog.to_table(df, "dv_race", keys=["k"])                 # v1
+    orig = KeyedCatalog._delete_dv
+    fired = {}
+
+    def hooked(self, table_name, m, man, hits, touched, **kw):
+        if table_name == "dv_race" and not fired.get("x"):
+            fired["x"] = True
+            self.to_table(
+                df.withColumn("k", F.col("k") + 1000),
+                "dv_race", keys=["k"], how="append",
+            )
+        return orig(self, table_name, m, man, hits, touched, **kw)
+
+    monkeypatch.setattr(KeyedCatalog, "_delete_dv", hooked)
+    with pytest.raises(ConcurrentWriteError):
+        catalog.delete_rows("dv_race", "k = 2")
+    # rival intact, no DV committed, no sidecar orphaned
+    assert catalog.read_table("dv_race").count() == 60
+    assert "dvs" not in catalog._manifest("dv_race")
+    dv_root = f"{catalog._path('dv_race')}/{DV_DIR}"
+    assert (
+        not catalog.fs.exists(dv_root)
+        or catalog.fs.list_dirs(dv_root) == []
+    )
+    # retried on the fresh snapshot it lands
+    assert catalog.delete_rows("dv_race", "k = 2") == 1
+    assert catalog.read_table("dv_race").count() == 59

@@ -488,14 +488,16 @@ def test_dml_rewrite_detects_rival_commit_instead_of_absorbing(
 
     monkeypatch.setattr(KeyedCatalog, "_write_segment", hooked)
     with _pytest.raises(ConcurrentWriteError):
-        catalog.delete_rows("dml_race", "k < 5")
+        catalog.delete_rows("dml_race", "k < 5", strategy="rewrite")
     # the rival's commit survived intact; nothing was lost
     assert catalog._manifest("dml_race")["v"] == 2
     assert catalog.read_table("dml_race").count() == 40
     # retried on the fresh snapshot, the delete works and keeps the
     # rival's rows
     monkeypatch.setattr(KeyedCatalog, "_write_segment", orig)
-    assert catalog.delete_rows("dml_race", "k < 5") == 5
+    assert (
+        catalog.delete_rows("dml_race", "k < 5", strategy="rewrite") == 5
+    )
     assert catalog.read_table("dml_race").count() == 35
 
 
@@ -637,7 +639,10 @@ def test_delete_rewrite_is_bucket_pruned(spark, catalog):
     (base_seg, base_buckets), = catalog._manifest("del_prune")[
         "segments"
     ].items()
-    assert catalog.delete_rows("del_prune", "k = 4242") == 1
+    assert (
+        catalog.delete_rows("del_prune", "k = 4242", strategy="rewrite")
+        == 1
+    )
     man = catalog._manifest("del_prune")["segments"]
     assert len(man) == 2
     assert len(man[base_seg]) == len(base_buckets) - 1
@@ -869,13 +874,15 @@ def test_history_records_operations(spark, catalog):
         keys=["k"], how="append",
     )
     catalog.to_table(df.limit(5), "hist_t", keys=["k"], how="upsert")
-    catalog.delete_rows("hist_t", "k = 3")
+    catalog.delete_rows("hist_t", "k = 3")      # auto -> deletion vector
     catalog.merge_table(
         spark.createDataFrame([(999, 9.0)], ["k", "v"]), "hist_t"
     )
     catalog.compact("hist_t", vacuum=False)
     ops = [h["operation"] for h in catalog.history("hist_t")]
-    assert ops == ["create", "append", "upsert", "delete", "merge", "compact"]
+    assert ops == [
+        "create", "append", "upsert", "delete_dv", "merge", "compact",
+    ]
     assert all(h["ts_us"] for h in catalog.history("hist_t"))
     catalog.clone_table("hist_t", "hist_t2")
     assert catalog.history("hist_t2")[0]["operation"] == "clone"
@@ -915,7 +922,7 @@ def test_restore_is_forward_commit(spark, catalog):
     assert len(got) == 200 and got[10] == 20.0
     hist = catalog.history("res_t")
     assert [h["operation"] for h in hist] == [
-        "create", "upsert", "delete", "restore"
+        "create", "upsert", "delete_dv", "restore"
     ]
     # restore commits share v1's segment set — metadata-only rollback
     assert (
