@@ -386,6 +386,39 @@ def kt_update_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read_table("w_upd_cust")
 
 
+@_q(
+    "kt_delete_dv",
+    "SELECT c_custkey, c_name, c_nationkey, "
+    "CASE WHEN c_custkey % 97 = 1 THEN c_acctbal + 5.0 ELSE c_acctbal END "
+    "AS c_acctbal, c_mktsegment "
+    "FROM customer WHERE NOT (c_custkey % 101 = 7)",
+)
+def kt_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read point DML via deletion vectors (the Delta DV
+    shape): the DELETE commits a tombstone key sidecar with the
+    segment set UNCHANGED (zero data files rewritten —
+    tests/test_deletion_vectors.py pins that property), and the
+    UPDATE lands only the updated rows as a new segment plus a DV
+    over their old versions. Reads anti-join just the covered
+    (segment, bucket) leaves against the broadcast key set. The
+    reference has no row-level DML (reference:pandabase/util.py:
+    5-20); at 100 TB this turns "remove this document" from a
+    ~1/num_buckets table rewrite into one tiny sidecar write."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_dv_cust")
+    cat.to_table(
+        load(spark, sf_dir, "customer"), "w_dv_cust", keys=["c_custkey"]
+    )
+    cat.delete_rows("w_dv_cust", "c_custkey % 101 = 7", strategy="dv")
+    cat.update_rows(
+        "w_dv_cust",
+        "c_custkey % 97 = 1",
+        {"c_acctbal": "c_acctbal + 5.0"},
+        strategy="dv",
+    )
+    return cat.read_table("w_dv_cust")
+
+
 @_q("kt_roundtrip_create", "SELECT * FROM customer")
 def kt_roundtrip_create(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A7: create_only + full-scan read (reference:pandabase/
@@ -3117,16 +3150,58 @@ def streaming_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("streaming_sessionize")  # custom stateful operator: rows-only check
+@_q(
+    "streaming_sessionize",
+    # exact twin of the state machine: a session closes when the next
+    # event is STRICTLY more than 30 min after the running session end
+    # (times nondecreasing per the feed discipline, so running end ==
+    # previous event). Integer-micros output keeps the comparison
+    # timezone-free.
+    """
+WITH flags AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id <= 100
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, t,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(MIN(t) AS BIGINT) AS start_us,
+  CAST(MAX(t) AS BIGINT) AS end_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming via applyInPandasWithState: gap-based
     sessionization (30-min gap) over a real readStream cycle — the
     sanctioned escape hatch for semantics Spark's built-in streaming
-    operators cannot express (per-key state machine, Arrow-batched).
-    Sessions provably closed by a later event are emitted; the summary
-    is deterministic for a fixed input. No SQL oracle by nature (the
-    driver contract's custom-stateful-streaming exemption); the batch
-    twin `session_windows_events` carries the exact-SQL check."""
+    operators cannot express (per-key state machine, Arrow-batched) —
+    with an EXACT oracle (was rows-only through round 5).
+
+    What makes a stateful stream hash-match declarative SQL here:
+
+    - **Time-ordered feeds.** The operator sorts within a batch, so
+      the state machine sees globally nondecreasing event time iff
+      batches do; the source is split at the time midpoint into two
+      runs sharing one checkpoint (which also proves state resume —
+      sessions straddling the split must survive the restart).
+    - **Sentinel flush.** The last session of every user only leaves
+      state via event-time timeout. Two far-future sentinel feeds
+      (a reserved user_id = -1) advance the watermark past every real
+      session's end + gap and trigger the timeout batch — the same
+      end-state determinism trick as `streaming_late_data_drop`.
+      Timeouts fire one batch AFTER the watermark advances, hence two
+      sentinel runs, not one.
+    - **Integer end state.** Output compares as epoch micros + count,
+      so no float accumulation and no timestamp formatting ambiguity.
+    """
     import tempfile
 
     from pandabase_spark.streaming import sessionize
@@ -3135,28 +3210,64 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load(spark, sf_dir, "events")
         .where(F.col("user_id") <= 100)
-        .select("user_id", "ts")
+        .select(F.col("user_id").cast("long").alias("user_id"), "ts")
     )
-    ev.write.mode("overwrite").parquet(f"{scratch}/src")
-    name = f"sessions_{os.getpid()}"
-    with _stream_cycle(spark):
+    mid_us, mx_us = ev.agg(
+        (
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2
+        ).cast("long"),
+        F.unix_micros(F.max("ts")),
+    ).first()
+    day_us = 86_400_000_000
+
+    def sentinel(off_us: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.timestamp_micros(F.lit(mx_us + off_us)).alias("ts"),
+        )
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        # append-only emission log (memory sinks cannot recover from a
+        # checkpoint, and checkpoint recovery is part of the check)
+        bdf.write.mode("append").parquet(f"{scratch}/out")
+
+    def run_once() -> None:
         stream = spark.readStream.schema(ev.schema).parquet(f"{scratch}/src")
-        sess = sessionize(stream, gap_minutes=30)
         q = (
-            sess.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
+            sessionize(stream, gap_minutes=30)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
             .trigger(availableNow=True)
             .option("checkpointLocation", f"{scratch}/ckpt")
             .start()
         )
         _await(q)
+
+    with _stream_cycle(spark):
+        # coalesce(1): one file per feed = one micro-batch per run, so
+        # the in-run sort covers the whole feed
+        ev.where(F.unix_micros("ts") <= mid_us).coalesce(1).write.parquet(
+            f"{scratch}/src"
+        )
+        run_once()
+        ev.where(F.unix_micros("ts") > mid_us).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{scratch}/src")
+        run_once()
+        for off in (day_us, 2 * day_us):
+            sentinel(off).coalesce(1).write.mode("append").parquet(
+                f"{scratch}/src"
+            )
+            run_once()
+
     return (
-        spark.table(name)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sessions"),
-            F.sum("n_events").cast("long").alias("n_events"),
+        spark.read.parquet(f"{scratch}/out")
+        .where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
         )
     )
 
@@ -6694,6 +6805,8 @@ _GATE_FIRST = [
     "python_datasource_synth",
     "streaming_sketch_ingest",
     # round-6 additions land here (inserted as they are built)
+    "kt_delete_dv",
+    "streaming_sessionize",  # newly oracled (was rows-only r4)
     # back-fill: r2-only greens, cheap analytics first
     "q3_top_orders",
     "q5_nation_revenue",

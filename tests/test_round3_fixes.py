@@ -183,7 +183,7 @@ def test_driver_contract_shape():
         "multimodal_decode_fake", "multimodal_embed_topk",
         "minhash_lsh_neardup", "simhash_neardup",
         "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
-        "ann_topk_ivfpq", "streaming_sessionize",
+        "ann_topk_ivfpq",
         # sketch estimates are implementation-specific by nature;
         # accuracy pinned vs exact in tests/test_sketches.py (and
         # manifest-sketch stats in test_storage_v2.py)
