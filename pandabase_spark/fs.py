@@ -72,6 +72,17 @@ class HadoopFS:
             if s.isFile()
         )
 
+    def copy(self, src: str, dst: str) -> None:
+        """Recursive copy ``src`` -> ``dst`` (FileUtil.copy, source
+        kept). ``dst`` must not already exist — it becomes the copy."""
+        FileUtil = self._jvm.org.apache.hadoop.fs.FileUtil
+        if not FileUtil.copy(
+            self._fs(src), self._jpath(src),
+            self._fs(dst), self._jpath(dst),
+            False, self._conf,
+        ):
+            raise IOError(f"copy {src} -> {dst} failed")
+
     def du(self, p: str) -> int:
         """Total bytes under ``p`` (0 if absent) — getContentSummary,
         one namenode call, no client-side recursion."""

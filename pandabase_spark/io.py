@@ -106,6 +106,23 @@ WRITE_MODES = ("create_only", "append", "upsert")
 # data files; wide deletes amortize the rewrite they pay for.
 DV_AUTO_MAX_ROWS = 10_000
 
+# read_table(stats_bounds=...) planner gate: when the bounded column
+# also carries manifest sketches, the range's selectivity is estimated
+# first (estimate_range_rows — O(#segments) metadata, no data scan);
+# a range this unselective skips the per-leaf min/max probe entirely
+# (it would prune ~nothing) and warns — the CBO use of the sketch
+# surface. Results are identical either way (bounds re-apply as
+# ordinary pushed filters).
+STATS_PROBE_MAX_FRAC = 0.9
+
+# Accrual budget: a table holds at most this many LIVE deletion
+# vectors. The commit that would exceed it folds (materializes) the
+# oldest DVs into their covered buckets — Delta's tombstone-ratio
+# trigger reshaped for the segment store. Bounds the per-read cost of
+# merge-on-read at O(DV_MAX_LIVE) sidecar opens + a bounded broadcast,
+# no matter how many point deletes accrue between compactions.
+DV_MAX_LIVE = 8
+
 # Per-(segment, bucket, column) Bloom filter sizing for equality data
 # skipping. 8192 bits / 5 hashes ≈ 1% false-positive rate at ~850 keys
 # per filter; a bucket holding more distinct values degrades toward
@@ -163,6 +180,14 @@ class TableMeta:
     stats_columns: list = field(default_factory=list)
     bloom_columns: list = field(default_factory=list)
     sketch_columns: list = field(default_factory=list)
+    # Z-order clustering (create time): every segment write — create,
+    # append, upsert rewrite, compaction, DML survivors — locally
+    # sorts each bucket by the Morton key over these columns, so
+    # parquet ROW-GROUP min/max stats stay tight on every clustered
+    # dimension through the table's whole DML lifetime (the Delta
+    # OPTIMIZE ZORDER BY layout, preserved by construction instead of
+    # re-applied by a maintenance job).
+    cluster_by: list = field(default_factory=list)
     # column-mapping schema evolution (rename/drop without rewriting
     # data): colmap maps CURRENT logical name -> stable identity (the
     # column's birth name); retired_names lists every name ever
@@ -186,6 +211,7 @@ class TableMeta:
         d.setdefault("sketch_columns", [])
         d.setdefault("colmap", {})
         d.setdefault("retired_names", [])
+        d.setdefault("cluster_by", [])
         return cls(**d)
 
     @property
@@ -221,6 +247,10 @@ class KeyedCatalog:
         # DataFrames persisted mid-write (auto-index staging) that must
         # be released once the segment write has materialized them
         self._pending_unpersist: list[DataFrame] = []
+        # decision trail of the last read_table(stats_bounds=...) —
+        # {col: {est_rows, total_est, frac, probed}} when sketch
+        # selectivity gated the min/max leaf probe
+        self._last_range_decision: dict | None = None
 
     # ------------------------------------------------------------------
     # catalog utilities (reference:pandabase/util.py:5-80, helpers.py:175-182)
@@ -393,12 +423,16 @@ class KeyedCatalog:
         seg: str,
         m: TableMeta,
         man: "dict | None" = None,
+        buckets: "Sequence[int] | None" = None,
     ) -> dict:
         """Per-(bucket) min/max of ``m.stats_columns`` for one segment,
         read back from the files actually on disk (a column-pruned
         scan of just the stat columns — parquet footers do most of the
-        work). Shape: {str(bucket): {col: [min, max]}}."""
-        df = self._segment_frame(table_name, seg, m, man)
+        work). ``buckets`` restricts to the segment's LIVE buckets so
+        a commit-time recompute after partial-bucket DML neither
+        rescans superseded leaves nor records dead entries. Shape:
+        {str(bucket): {col: [min, max]}}."""
+        df = self._segment_frame(table_name, seg, m, man, buckets=buckets)
         aggs = []
         for c in m.stats_columns:
             aggs.append(F.min(c).alias(f"_lo_{c}"))
@@ -431,6 +465,7 @@ class KeyedCatalog:
         seg: str,
         m: TableMeta,
         man: "dict | None" = None,
+        buckets: "Sequence[int] | None" = None,
     ) -> dict:
         """Per-(bucket) Bloom bitsets of ``m.bloom_columns`` for one
         segment — equality data skipping a tier above min/max stats
@@ -442,8 +477,9 @@ class KeyedCatalog:
         BLOOM_M (8192) regardless of row count, so the collect is
         metadata-sized. NULLs set no bits (a bloom probe is an
         equality probe; NULL never equals). Shape:
-        {str(bucket): {col: {"m": .., "k": .., "b64": ..}}}."""
-        df = self._segment_frame(table_name, seg, m, man)
+        {str(bucket): {col: {"m": .., "k": .., "b64": ..}}}.
+        ``buckets`` restricts to live leaves, as in _segment_stats."""
+        df = self._segment_frame(table_name, seg, m, man, buckets=buckets)
         probes = []
         for ci, c in enumerate(m.bloom_columns):
             for s in range(BLOOM_K):
@@ -584,6 +620,23 @@ class KeyedCatalog:
                     else None,
                 )
             )
+        if not entries:
+            # zero live segments (every row deleted): n_rows=0 and
+            # NULL quantiles, not a NULL-everything row — same empty
+            # guard as estimate_range_rows
+            fields = [
+                T.StructField("n_rows", T.LongType()),
+                T.StructField("distinct_est", T.LongType()),
+            ] + [
+                T.StructField(
+                    f"q_{str(q).replace('.', '_')}", T.DoubleType()
+                )
+                for q in quantiles
+            ]
+            return self.spark.createDataFrame(
+                [tuple([0, 0] + [None] * len(quantiles))],
+                T.StructType(fields),
+            )
         sk = self.spark.createDataFrame(
             entries,
             T.StructType(
@@ -714,6 +767,7 @@ class KeyedCatalog:
         segcols: dict | None = None,
         dvs: dict | None = None,
         dvs_base: dict | None = None,
+        meta: "TableMeta | None" = None,
     ) -> None:
         """THE commit point, with optimistic concurrency detection.
 
@@ -755,7 +809,11 @@ class KeyedCatalog:
         # segments) → computed fresh for new segments when the table
         # declares stats_columns. A segment with no stats entry is
         # simply never pruned — stats are advisory, absence is safe.
-        m = self.meta(table_name)
+        # ``meta`` overrides the on-disk TableMeta: schema-changing
+        # ops (rename/drop/restore) pass their POST-op meta so this
+        # commit's snapshot reflects the operation it records, even
+        # though the meta file itself is written after the commit.
+        m = meta if meta is not None else self.meta(table_name)
         prior_man = self._manifest(table_name)
         allstats: dict = {}
         if m.stats_columns:
@@ -764,10 +822,20 @@ class KeyedCatalog:
                 if stats and seg in stats:
                     allstats[seg] = stats[seg]
                 elif seg in prior:
-                    allstats[seg] = prior[seg]
+                    # prune carried per-bucket entries to the LIVE
+                    # bucket list — partial-bucket DML tombstones
+                    # buckets, and dead entries would bloat every
+                    # later manifest
+                    live = {str(b) for b in segments[seg]}
+                    allstats[seg] = {
+                        b: st
+                        for b, st in prior[seg].items()
+                        if b in live
+                    }
                 else:
                     allstats[seg] = self._segment_stats(
-                        table_name, seg, m, man=prior_man
+                        table_name, seg, m, man=prior_man,
+                        buckets=segments[seg],
                     )
         # bloom filters follow the same merge discipline: segment-
         # immutable, carried forward verbatim, computed once for
@@ -779,10 +847,16 @@ class KeyedCatalog:
                 if blooms and seg in blooms:
                     allblooms[seg] = blooms[seg]
                 elif seg in priorb:
-                    allblooms[seg] = priorb[seg]
+                    live = {str(b) for b in segments[seg]}
+                    allblooms[seg] = {
+                        b: bl
+                        for b, bl in priorb[seg].items()
+                        if b in live
+                    }
                 else:
                     allblooms[seg] = self._segment_blooms(
-                        table_name, seg, m, man=prior_man
+                        table_name, seg, m, man=prior_man,
+                        buckets=segments[seg],
                     )
         allsketches: dict = {}
         if m.sketch_columns:
@@ -851,6 +925,12 @@ class KeyedCatalog:
             "op": op,
             "nb": nb or prior_man.get("nb") or m.num_buckets,
             "segcols": segcols,
+            # full TableMeta snapshot: what RESTORE needs to bring a
+            # rename/drop back along with the segment set — schema,
+            # column mapping, AND the declaration lists/constraints
+            # that reference column names (Delta RESTORE semantics).
+            # A few hundred bytes per commit, far below stats/blooms.
+            "meta_schema": json.loads(m.to_json()),
         }
         if alldvs:
             doc_d["dvs"] = alldvs
@@ -1123,7 +1203,11 @@ class KeyedCatalog:
         references. The standard shallow-clone caveat applies exactly
         as in Delta: ``vacuum()``/``drop_table()`` on the SOURCE can
         delete segments a clone still references; compact the clone
-        first if the source's lifecycle is shorter.
+        first if the source's lifecycle is shorter. Deletion-vector
+        sidecars are exempt from the caveat — they are O(deleted
+        keys), so the clone copies them locally at clone time and a
+        source-side DV retirement (compact / covered-bucket rewrite +
+        vacuum) can never break the clone's reads.
 
         External references are recorded as warehouse-relative
         ``<src_table>/<segment>`` names (the ``/`` marks externality);
@@ -1165,27 +1249,34 @@ class KeyedCatalog:
             for seg, sc in man.get("segcols", {}).items()
             if seg in rename
         }
-        # deletion vectors follow the same externality convention:
-        # a "/" in the file ref marks it warehouse-relative (the
-        # source table's sidecar), and covered leaves re-key to the
-        # renamed segment names
-        dvs = {
-            dname: {
+        self.fs.mkdirs(self._path(dst_q))
+        # deletion-vector sidecars are COPIED into the clone, not
+        # externally referenced: they are O(deleted keys) — tiny — so
+        # copying keeps the clone's zero-copy economics while cutting
+        # the lifecycle coupling (the SOURCE retires a DV on compact/
+        # covered-bucket rewrite and its vacuum then deletes the
+        # sidecar; an external reference would break the clone's
+        # reads). Segments stay shared; only tombstones are owned.
+        dvs = {}
+        for dname, dv in man.get("dvs", {}).items():
+            src_file = (
+                f"{self.warehouse}/{dv['file']}"
+                if "/" in dv["file"]
+                else f"{self._path(src_q)}/{DV_DIR}/{dv['file']}"
+            )
+            local = dv["file"].rsplit("/", 1)[-1]
+            self.fs.copy(
+                src_file, f"{self._path(dst_q)}/{DV_DIR}/{local}"
+            )
+            dvs[dname] = {
                 **dv,
-                "file": (
-                    dv["file"]
-                    if "/" in dv["file"]
-                    else f"{src_q}/{DV_DIR}/{dv['file']}"
-                ),
+                "file": local,
                 "leaves": {
                     rename[seg]: bs
                     for seg, bs in dv.get("leaves", {}).items()
                     if seg in rename
                 },
             }
-            for dname, dv in man.get("dvs", {}).items()
-        }
-        self.fs.mkdirs(self._path(dst_q))
         self._write_meta(dst_q, m)
         self._commit(
             dst_q, segments, v=0, stats=stats or None,
@@ -1221,6 +1312,16 @@ class KeyedCatalog:
         that still commits (op='restore'), mirroring Delta's RESTORE
         semantics of always recording the operation. Returns the new
         version number.
+
+        The LOGICAL SCHEMA restores along with the segment set: each
+        commit snapshots its TableMeta (``meta_schema`` in the
+        manifest), so restoring past a ``rename_column``/
+        ``drop_column`` brings the old names and the dropped column's
+        data back — Delta RESTORE parity. Names vacated in either
+        epoch stay permanently retired (union), so no name is ever
+        recycled across a restore. Manifests written before the
+        snapshot existed restore the segment set only (legacy
+        behavior, current schema kept).
         """
         table_name = self._qualify(table_name, schema)
         if not self.has_table(table_name):
@@ -1250,6 +1351,37 @@ class KeyedCatalog:
                 f"{missing} were deleted by vacuum()"
             )
         cur = self._manifest(table_name)
+        m = self.meta(table_name)
+        # Logical-schema restore (Delta RESTORE parity): the target
+        # manifest's meta_schema snapshot brings a rename/drop back
+        # along with the segment set. retired_names stays the UNION
+        # of both epochs — a name vacated after the snapshot must
+        # remain unrecyclable even though the restore resurrected an
+        # older schema (recycling would let old file bytes resurrect
+        # under the recycled name). Pre-snapshot manifests (no
+        # meta_schema) keep the current schema: segment-set-only
+        # restore, the documented legacy behavior.
+        snap = target.get("meta_schema")
+        m2 = None
+        if snap and snap != json.loads(m.to_json()):
+            live = {
+                f["name"]
+                for f in json.loads(snap["schema_json"])["fields"]
+            }
+            # names the restore itself vacates (e.g. the post-rename
+            # name when rolling back past the rename) retire too —
+            # segments written under them may exist in history, and
+            # recycling such a name could resurrect their file data
+            vanished = [n for n in m.schema.names if n not in live]
+            merged_retired = list(
+                dict.fromkeys(
+                    snap["retired_names"] + m.retired_names + vanished
+                )
+            )
+            m2 = TableMeta.from_json(json.dumps(snap))
+            m2.retired_names = [
+                n for n in merged_retired if n not in live
+            ]
         self._commit(
             table_name,
             dict(target["segments"]),
@@ -1258,14 +1390,37 @@ class KeyedCatalog:
             blooms=target.get("blooms") or None,
             sketches=target.get("sketches") or None,
             op="restore",
-            nb=target.get("nb") or self.meta(table_name).num_buckets,
+            nb=target.get("nb") or m.num_buckets,
             segcols=target.get("segcols") or None,
             # the restored snapshot's deletion vectors, verbatim —
             # NOT the current manifest's (a DV added after `version`
             # must not survive the rollback)
             dvs_base=target.get("dvs", {}),
+            meta=m2,
         )
+        if m2 is not None:
+            self._write_meta(table_name, m2)
         return cur["v"] + 1
+
+    def _constraint_references(
+        self, m: TableMeta, col: str, expr: str
+    ) -> bool:
+        """True iff CHECK-constraint body ``expr`` references column
+        ``col`` — decided by RESOLUTION, not text: the expression is
+        analyzed against the schema minus ``col``, so only a genuine
+        column reference fails to resolve. (A word-boundary regex
+        false-positives on the name appearing inside a string
+        literal, rejecting valid renames/drops.) Driver-side analysis
+        only — no job runs."""
+        rest = T.StructType(
+            [f for f in m.schema.fields if f.name != col]
+        )
+        probe = self.spark.createDataFrame([], rest)
+        try:
+            probe.select(F.expr(expr)).schema
+            return False
+        except Exception:
+            return True
 
     def rename_column(
         self,
@@ -1307,9 +1462,7 @@ class KeyedCatalog:
                 "resurrect old file data)"
             )
         for cname, expr in m.constraints.items():
-            import re as _re
-
-            if _re.search(rf"\b{_re.escape(old)}\b", expr):
+            if self._constraint_references(m, old, expr):
                 raise NameError(
                     f"column {old!r} is referenced by constraint "
                     f"{cname!r}; drop the constraint first"
@@ -1341,15 +1494,6 @@ class KeyedCatalog:
             seg: {(new if c == old else c): v for c, v in ent.items()}
             for seg, ent in man.get("sketches", {}).items()
         } or None
-        self._commit(
-            table_name,
-            dict(man["segments"]),
-            v=man["v"],
-            stats=stats,
-            blooms=blooms,
-            sketches=sketches,
-            op="rename_column",
-        )
         import dataclasses
 
         fields = [
@@ -1368,6 +1512,19 @@ class KeyedCatalog:
             stats_columns=ren(m.stats_columns),
             bloom_columns=ren(m.bloom_columns),
             sketch_columns=ren(m.sketch_columns),
+            cluster_by=ren(m.cluster_by),
+        )
+        # the commit carries the POST-rename meta snapshot so a later
+        # RESTORE to this version brings the renamed schema with it
+        self._commit(
+            table_name,
+            dict(man["segments"]),
+            v=man["v"],
+            stats=stats,
+            blooms=blooms,
+            sketches=sketches,
+            op="rename_column",
+            meta=m2,
         )
         self._write_meta(table_name, m2)
 
@@ -1396,6 +1553,7 @@ class KeyedCatalog:
             ("stats_columns", m.stats_columns),
             ("bloom_columns", m.bloom_columns),
             ("sketch_columns", m.sketch_columns),
+            ("cluster_by", m.cluster_by),
         ):
             if col in lst:
                 raise NameError(
@@ -1403,18 +1561,12 @@ class KeyedCatalog:
                     "manifest skipping metadata and cannot be dropped"
                 )
         for cname, expr in m.constraints.items():
-            import re as _re
-
-            if _re.search(rf"\b{_re.escape(col)}\b", expr):
+            if self._constraint_references(m, col, expr):
                 raise NameError(
                     f"column {col!r} is referenced by constraint "
                     f"{cname!r}; drop the constraint first"
                 )
         man = self._manifest(table_name)
-        self._commit(
-            table_name, dict(man["segments"]), v=man["v"],
-            op="drop_column",
-        )
         import dataclasses
 
         fields = [f for f in m.schema.fields if f.name != col]
@@ -1425,6 +1577,11 @@ class KeyedCatalog:
             schema_json=json.dumps(T.StructType(fields).jsonValue()),
             colmap=colmap,
             retired_names=m.retired_names + [col],
+        )
+        # commit carries the POST-drop meta snapshot (RESTORE parity)
+        self._commit(
+            table_name, dict(man["segments"]), v=man["v"],
+            op="drop_column", meta=m2,
         )
         self._write_meta(table_name, m2)
 
@@ -1597,6 +1754,7 @@ class KeyedCatalog:
         stats_columns: Sequence[str] | None = None,
         bloom_columns: Sequence[str] | None = None,
         sketch_columns: Sequence[str] | None = None,
+        cluster_by: Sequence[str] | None = None,
     ) -> None:
         """Write a DataFrame into a keyed table.
 
@@ -1650,7 +1808,7 @@ class KeyedCatalog:
                 auto_index=auto_index, add_new_columns=add_new_columns,
                 num_buckets=num_buckets, constraints=constraints,
                 stats_columns=stats_columns, bloom_columns=bloom_columns,
-                sketch_columns=sketch_columns,
+                sketch_columns=sketch_columns, cluster_by=cluster_by,
             )
         finally:
             self._release_staged()
@@ -1674,6 +1832,7 @@ class KeyedCatalog:
         stats_columns: Sequence[str] | None = None,
         bloom_columns: Sequence[str] | None = None,
         sketch_columns: Sequence[str] | None = None,
+        cluster_by: Sequence[str] | None = None,
     ) -> None:
         exists = self.has_table(table_name)
         if exists and constraints:
@@ -1692,6 +1851,10 @@ class KeyedCatalog:
         if exists and sketch_columns:
             raise NameError(
                 "sketch_columns are declared at create time"
+            )
+        if exists and cluster_by:
+            raise NameError(
+                "cluster_by is declared at create time"
             )
         target_schema = self.meta(table_name).schema if exists else None
         sdf, keys = self._normalize_input(df, keys, auto_index, target_schema)
@@ -1714,6 +1877,7 @@ class KeyedCatalog:
                 sdf, table_name, keys, auto_index, num_buckets,
                 constraints=constraints, stats_columns=stats_columns,
                 bloom_columns=bloom_columns, sketch_columns=sketch_columns,
+                cluster_by=cluster_by,
             )
             return
 
@@ -1912,8 +2076,25 @@ class KeyedCatalog:
                 PART_DIR, _bucket_expr(m.keys, m.num_buckets)
             ).repartition(PART_DIR)
         )
+        if m.cluster_by:
+            # Z-order layout: each bucket's rows sort by the Morton
+            # key over the declared dimensions (keys as tiebreak), so
+            # parquet row-group min/max prune on EVERY clustered
+            # column for predicate-pushdown scans. Local sort only —
+            # no extra shuffle — and because this is THE segment
+            # writer, append/upsert/DML/compaction all preserve the
+            # clustering by construction.
+            from .operators.zorder import zvalue
+
+            sort_cols = [
+                F.col(PART_DIR),
+                zvalue(m.cluster_by),
+                *[F.col(k) for k in m.keys],
+            ]
+        else:
+            sort_cols = [F.col(PART_DIR), *[F.col(k) for k in m.keys]]
         (
-            staged.sortWithinPartitions(PART_DIR, *m.keys)
+            staged.sortWithinPartitions(*sort_cols)
             .write.mode("errorifexists")
             .partitionBy(PART_DIR)
             .parquet(seg_path)
@@ -1936,6 +2117,7 @@ class KeyedCatalog:
         stats_columns: Sequence[str] | None = None,
         bloom_columns: Sequence[str] | None = None,
         sketch_columns: Sequence[str] | None = None,
+        cluster_by: Sequence[str] | None = None,
     ) -> None:
         bad_stats = [
             c for c in (stats_columns or []) if c not in sdf.columns
@@ -1952,6 +2134,18 @@ class KeyedCatalog:
         ]
         if bad_sk:
             raise NameError(f"sketch_columns not in schema: {bad_sk}")
+        for c in cluster_by or []:
+            if c not in sdf.columns:
+                raise NameError(f"cluster_by column not in schema: {c}")
+            dt = sdf.schema[c].dataType
+            if not isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                raise ValueError(
+                    f"cluster_by needs integer columns; {c} is "
+                    f"{dt.simpleString()} (bucket continuous values "
+                    "into an integer column first)"
+                )
         m = TableMeta(
             keys=list(keys),
             auto_index=auto_index,
@@ -1961,6 +2155,7 @@ class KeyedCatalog:
             stats_columns=list(stats_columns or []),
             bloom_columns=list(bloom_columns or []),
             sketch_columns=list(sketch_columns or []),
+            cluster_by=list(cluster_by or []),
         )
         # fail fast on NULL keys before any shuffle
         from functools import reduce
@@ -2472,10 +2667,55 @@ class KeyedCatalog:
             self.fs.delete(dv_path)
             return 0
         touched_set = set(touched)
+        base_dvs = man.get("dvs", {})
+        segments = dict(man["segments"])
+        # Accrual budget (Delta's tombstone-ratio shape): at most
+        # DV_MAX_LIVE live DVs per table, enforced in THIS commit —
+        # when the new DV would push past the budget, the OLDEST DVs
+        # are folded (materialized) into their covered buckets as one
+        # bounded rewrite amortized over the deletes that accrued, so
+        # reads never open an unbounded sidecar list. Manifest dict
+        # order is accrual order (JSON round-trips preserve it).
+        n_over = len(base_dvs) + 1 - DV_MAX_LIVE
+        folded: set[int] = set()
+        if n_over > 0:
+            fold_names = list(base_dvs)[:n_over]
+            folded = {
+                b
+                for dn in fold_names
+                for bs in base_dvs[dn]["leaves"].values()
+                for b in bs
+            }
+            # the rewrite reads through EVERY covering DV and drops
+            # the new tombstones too, so the rewritten buckets carry
+            # no obligation to any sidecar; _commit's leaf
+            # intersection then retires the folded DVs (and prunes
+            # any newer DV's leaves in the same buckets — also
+            # correct, their tombstones folded in here as well)
+            existing = self._read_raw(
+                table_name, buckets=sorted(folded), manifest=man
+            )
+            tomb = self.spark.read.parquet(dv_path)
+            survivors = existing.join(
+                F.broadcast(tomb), on=list(m.keys), how="left_anti"
+            )
+            segments = {
+                s: keep
+                for s, bs in segments.items()
+                if (keep := [b for b in bs if b not in folded])
+            }
+            if survivors.head(1):
+                seg, buckets = self._write_segment(
+                    survivors, table_name, m
+                )
+                segments[seg] = buckets
+            op = f"{op}+fold"
         leaves = {
             seg: kept
             for seg, bs in man["segments"].items()
-            if (kept := [b for b in bs if b in touched_set])
+            if (kept := [
+                b for b in bs if b in touched_set and b not in folded
+            ])
         }
         entry = {
             "file": dv_name,
@@ -2488,7 +2728,6 @@ class KeyedCatalog:
                 m.colmap.get(k, k): k for k in m.keys
             },
         }
-        segments = dict(man["segments"])
         if new_rows is not None:
             seg, buckets = self._write_segment(new_rows, table_name, m)
             segments[seg] = buckets
@@ -2498,11 +2737,15 @@ class KeyedCatalog:
                 segments,
                 v=man["v"],
                 op=op,
-                dvs={dv_name: entry},
+                # every touched bucket folded => the deletion is
+                # already physical and the sidecar carries nothing
+                dvs={dv_name: entry} if leaves else None,
             )
         except ConcurrentWriteError:
             self.fs.delete(dv_path)  # lost the race — no orphan sidecar
             raise
+        if not leaves:
+            self.fs.delete(dv_path)
         return n_deleted
 
     def update_rows(
@@ -2780,46 +3023,45 @@ class KeyedCatalog:
         # Deletion-vector application (merge-on-read): only the leaves
         # a DV explicitly covers are anti-joined against its tombstone
         # keys — a key re-inserted AFTER the delete lives in a newer,
-        # uncovered segment and is never touched. DV sidecars hold
-        # O(deleted keys) rows, so the anti-join broadcasts; uncovered
-        # leaves stream through untouched.
+        # uncovered segment and is never touched. Each leaf is
+        # anti-joined against EXACTLY the DVs that cover it (leaves
+        # grouped by covering-DV set), never a pooled union: a later
+        # DV covering the re-insert segment must not drag an earlier
+        # DV's keys onto it. DV sidecars hold O(deleted keys) rows, so
+        # the anti-joins broadcast; uncovered leaves stream through
+        # untouched.
         man_dvs = man.get("dvs", {})
         read_leaves = {
             (seg, int(path.rsplit("=", 1)[1])) for seg, path in pairs
         }
-        live_dvs = [
-            dv
-            for dv in man_dvs.values()
-            if any(
-                (seg, b) in read_leaves
-                for seg, bs in dv.get("leaves", {}).items()
-                for b in bs
-            )
-        ]
-        if not live_dvs:
+        leaf_dvs: "dict[tuple, set[str]]" = {}
+        for dname, dv in man_dvs.items():
+            for seg, bs in dv.get("leaves", {}).items():
+                for b in bs:
+                    if (seg, b) in read_leaves:
+                        leaf_dvs.setdefault((seg, b), set()).add(dname)
+        if not leaf_dvs:
             return assemble(pairs)
-        covered = {
-            (seg, b)
-            for dv in live_dvs
-            for seg, bs in dv.get("leaves", {}).items()
-            for b in bs
-        }
-        cov_pairs = [
-            (seg, p)
-            for seg, p in pairs
-            if (seg, int(p.rsplit("=", 1)[1])) in covered
-        ]
-        rest_pairs = [
-            (seg, p)
-            for seg, p in pairs
-            if (seg, int(p.rsplit("=", 1)[1])) not in covered
-        ]
-        keyset = self._dv_keys(table_name, live_dvs, m)
-        out = assemble(cov_pairs).join(
-            F.broadcast(keyset), on=list(m.keys), how="left_anti"
-        )
+        groups: "dict[frozenset, list]" = {}
+        rest_pairs = []
+        for seg, p in pairs:
+            ds = leaf_dvs.get((seg, int(p.rsplit("=", 1)[1])))
+            if ds:
+                groups.setdefault(frozenset(ds), []).append((seg, p))
+            else:
+                rest_pairs.append((seg, p))
+        out = None
+        for dnames, gpairs in groups.items():
+            keyset = self._dv_keys(
+                table_name, [man_dvs[d] for d in sorted(dnames)], m
+            )
+            fr = assemble(gpairs).join(
+                F.broadcast(keyset), on=list(m.keys), how="left_anti"
+            )
+            out = fr if out is None else out.unionByName(fr)
         if rest_pairs:
-            out = out.unionByName(assemble(rest_pairs))
+            fr = assemble(rest_pairs)
+            out = fr if out is None else out.unionByName(fr)
         return out
 
     def _dv_keys(
@@ -2982,11 +3224,62 @@ class KeyedCatalog:
                 col: self._bloom_positions(val, tbl_schema[col].dataType)
                 for col, val in bloom_point.items()
             }
+        # Selectivity-gated skipping (the sketch surface consumed as
+        # a planner primitive): for a bounds column that also carries
+        # manifest sketches, estimate the range's row fraction first;
+        # an unselective range (> STATS_PROBE_MAX_FRAC of the table)
+        # skips the per-leaf min/max probe — it would prune ~nothing —
+        # and warns the caller. The decision trail is kept on
+        # ``_last_range_decision`` for tests/introspection. Bounds
+        # still re-apply as pushed filters, so results never change.
+        eff_bounds = stats_bounds
+        self._last_range_decision = None
+        if stats_bounds:
+            eff: dict = {}
+            decision: dict = {}
+            for col, (slo, shi) in stats_bounds.items():
+                info: dict = {"probed": True}
+                if col in m.sketch_columns:
+                    try:
+                        est = self.estimate_range_rows(
+                            table_name, col,
+                            float(slo) if slo is not None else None,
+                            float(shi) if shi is not None else None,
+                            version=version,
+                        )
+                        tot = self.estimate_range_rows(
+                            table_name, col, None, None, version=version
+                        )
+                        frac = est / tot if tot else 0.0
+                        info = {
+                            "est_rows": est,
+                            "total_est": tot,
+                            "frac": frac,
+                            "probed": frac <= STATS_PROBE_MAX_FRAC,
+                        }
+                        if not info["probed"]:
+                            import warnings
+
+                            warnings.warn(
+                                f"stats_bounds on {col!r} matches "
+                                f"~{frac:.0%} of {table_name!r} "
+                                "(sketch estimate); skipping the "
+                                "min/max leaf probe — consider a "
+                                "tighter range",
+                                stacklevel=2,
+                            )
+                    except (TypeError, ValueError):
+                        pass  # non-numeric bounds: probe as before
+                if info["probed"]:
+                    eff[col] = (slo, shi)
+                decision[col] = info
+            self._last_range_decision = decision
+            eff_bounds = eff or None
         df = self._read_raw(
             table_name,
             buckets=buckets,
             manifest=_man,
-            stats_bounds=stats_bounds,
+            stats_bounds=eff_bounds,
             bloom_probe=bloom_probe,
         )
         if bloom_point:

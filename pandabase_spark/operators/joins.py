@@ -184,6 +184,14 @@ def salted_join(
     Prefer AQE's skew-join handling when it applies; this is for plans
     AQE cannot split (e.g. join followed by a bucketed write, or AQE
     off) and as the explicit, testable form of the technique.
+    Evidence that AQE does handle the plain-shuffle-join case at
+    runtime (final plan marked ``skew=true``):
+    tests/test_plan_shapes.py::test_aqe_splits_skewed_join_at_runtime
+    and the ``aqe_skew_join_split`` bench fact. Manual salting wins
+    exactly when the split must be IN the plan: a bucketed/partitioned
+    write downstream (AQE's split breaks the output partitioning
+    requirement), stream-stream joins (no runtime re-plan), or
+    engines/paths with AQE disabled.
 
     Only left-preserving join types are allowed: the right side is
     replicated ``salt`` times, so 'right'/'full' would emit each

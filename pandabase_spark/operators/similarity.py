@@ -488,6 +488,42 @@ def ivf_assign(
     return _with_cell(df, vec_col, centroids, out="cell")
 
 
+# Literal-path crossover for the coarse quantizer: the codegen'd
+# literal scorer inlines every centroid component into the expression
+# tree (n_cells x dim scoring terms); past this many terms, plan size
+# and codegen time dominate and the cluster-resident DataFrame
+# quantizer (same algorithm, broadcast data) wins. ann_topk_ivf
+# auto-picks via _auto_centroids when no prebuilt quantizer is given.
+IVF_LITERAL_MAX_TERMS = 65_536
+
+
+def _auto_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    iters: int,
+    sample_mod: "int | None",
+):
+    """Train the coarse quantizer on the side of the literal-path
+    crossover the index size calls for: driver-resident literal list
+    below ``IVF_LITERAL_MAX_TERMS`` = n_cells x dim scoring terms,
+    the cluster-resident DataFrame (:func:`ivf_centroids_df`) above
+    it. The two trainers are pinned to produce the identical
+    quantizer (parity test), so the switch never changes results —
+    only where the quantizer lives and how scoring compiles."""
+    row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = row["d"] if row else 0
+    kw = dict(
+        id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        iters=iters, sample_mod=sample_mod,
+    )
+    if n_cells * dim > IVF_LITERAL_MAX_TERMS:
+        return ivf_centroids_df(corpus, **kw)
+    return ivf_centroids(corpus, **kw)
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -517,7 +553,7 @@ def ann_topk_ivf(
     """
     qid = query_id_col or id_col
     if centroids is None:
-        centroids = ivf_centroids(
+        centroids = _auto_centroids(
             corpus, id_col=id_col, vec_col=vec_col,
             n_cells=n_cells, iters=iters, sample_mod=sample_mod,
         )

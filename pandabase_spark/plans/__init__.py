@@ -36,6 +36,12 @@ class PlanAudit:
     parquet_scans: int = 0
     take_ordered: int = 0
     filter_lines: list[str] = field(default_factory=list)
+    # AQE runtime facts — only populated after the df has EXECUTED
+    # (AQE finalizes the plan at runtime; audit a pre-execution frame
+    # and these read 0/False)
+    aqe_final: bool = False
+    skew_joins: int = 0
+    aqe_shuffle_reads: int = 0
 
     @property
     def python_free(self) -> bool:
@@ -88,4 +94,7 @@ def plan_audit(df: DataFrame) -> PlanAudit:
         filter_lines=[
             ln for ln in plan.splitlines() if re.search(r"\bFilter\b", ln)
         ],
+        aqe_final="isFinalPlan=true" in plan,
+        skew_joins=plan.count("skew=true"),
+        aqe_shuffle_reads=plan.count("AQEShuffleRead"),
     )

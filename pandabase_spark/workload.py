@@ -419,6 +419,38 @@ def kt_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read_table("w_dv_cust")
 
 
+@_q(
+    "kt_cluster_by_zorder",
+    f"SELECT {_LI_COLS_SQL} FROM {_LI_UNIQUE_SQL} "
+    "WHERE l_orderkey <= 30000 AND NOT (l_orderkey % 50 = 3) "
+    "AND l_partkey <= 400 AND l_suppkey <= 20",
+)
+def kt_cluster_by_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared Z-order clustering on the keyed-table write path:
+    ``to_table(cluster_by=[...])`` makes EVERY segment write (create,
+    append, DML survivors, compaction) locally sort each bucket by
+    the Morton key over the declared dimensions, so parquet row-group
+    min/max stats stay tight on both columns through the table's DML
+    lifetime — Delta's OPTIMIZE ZORDER BY preserved by construction
+    instead of re-applied by a maintenance job (row-group-overlap
+    effectiveness pinned in tests/test_storage_v2.py). Results are
+    layout-independent: this query proves the clustered table still
+    answers a 2-D selective read exactly."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_zorder_li")
+    cat.to_table(
+        _li_unique(spark, sf_dir).where("l_orderkey <= 30000"),
+        "w_zorder_li", keys=LI_KEYS,
+        cluster_by=["l_partkey", "l_suppkey"],
+    )
+    cat.delete_rows("w_zorder_li", "l_orderkey % 50 = 3")
+    return _ts_to_str(
+        cat.read_table("w_zorder_li").where(
+            "l_partkey <= 400 AND l_suppkey <= 20"
+        )
+    )
+
+
 @_q("kt_roundtrip_create", "SELECT * FROM customer")
 def kt_roundtrip_create(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A7: create_only + full-scan read (reference:pandabase/
@@ -6799,63 +6831,64 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # back-fills with the OLDEST driver greens (r2-only, then the oldest
 # r2+r3 keyed-table rows) for re-confirmation against current code.
 _GATE_FIRST = [
-    # slots 1-4: complete the 184/184 driver union
-    "ann_topk_pq",
-    "ann_topk_ivfpq",
-    "python_datasource_synth",
-    "streaming_sketch_ingest",
-    # round-6 additions land here (inserted as they are built)
+    # round-7 additions: never driver-checked
+    "kt_cluster_by_zorder",
+    # round-7 code-touched: _read_raw per-DV leaf scoping + the
+    # DV_MAX_LIVE auto-fold changed the DV read/commit paths —
+    # re-confirm against current code even though green r6
     "kt_delete_dv",
-    "streaming_sessionize",  # newly oracled (was rows-only r4)
-    # back-fill: r2-only greens, cheap analytics first
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "q6_revenue_change",
-    "having_fat_orders",
-    "distinct_users_by_type",
-    "quantiles_order_price",
-    "orders_priority_rollup",
-    "rollup_orders",
-    "cube_orders",
-    "grouping_sets_orders",
-    "pivot_orders",
-    "lineitem_stats",
-    "set_ops_segments",
-    "anti_join_idle_customers",
-    "semi_join_ordered_parts",
-    "top_words",
-    "label_centroids",
-    "unpivot_lineitem_metrics",
-    "window_top3_lineitems",
-    "events_hourly",
-    "events_json_extract",
-    "events_user_deltas",
-    "events_moving_avg",
-    "events_resample_fill",
-    "salted_skew_join",
-    "asof_join_events",
-    "range_join_events",
-    "session_windows_events",
-    # r2-only streaming cycles (heavier — near the end)
-    "streaming_upsert_events",
-    "streaming_windowed_counts",
-    # oldest keyed-table greens (r2+r3) — re-confirm the write paths
-    "kt_roundtrip_create",
-    "kt_range_read_single",
-    "kt_range_read_composite",
-    "kt_range_read_open",
-    "kt_projection",
-    "kt_append",
-    "kt_upsert",
-    "kt_upsert_partial_cols",
-    "kt_describe",
-    "kt_schema_evolution",
-    "kt_coercion",
-    "kt_boolean_narrowing",
-    "kt_autoindex_append",
-    "kt_companda_report",
+    # back-fill: the ENTIRE r3-last-checked block (oldest greens —
+    # JSONL/ORC/partitioned sinks, the text/dedup/sampling block,
+    # multimodal, the r3 kt rows)
     "kt_embeddings_roundtrip",
     "kt_time_travel",
+    "kt_table_changes",
+    "kt_incremental_agg",
+    "kt_events_roundtrip",
+    "jsonl_roundtrip_customer",
+    "orc_roundtrip_supplier",
+    "partitioned_sink_prune",
+    "q1_pricing_summary",
+    "dedup_content_hash",
+    "dedup_exact_groups",
+    "ngram_jaccard_pairs",
+    "neardup_components",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "embedding_neardup_exact",
+    "cosine_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "doc_profile",
+    "corpus_language_summary",
+    "quality_filter_summary",
+    "token_histogram",
+    "bpe_token_stats",
+    "doc_winnow_fingerprints",
+    "winnow_match_pairs",
+    "tfidf_top_terms",
+    "repetition_signals",
+    "contamination_report",
+    "stratified_sample_frac",
+    "stratified_token_sample",
+    "interleave_shards_mix",
+    "pii_scan_redact",
+    "chunk_documents_windowed",
+    "multimodal_payload_stats",
+    "multimodal_decode_fake",
+    # remaining slots: the oldest r4 greens
+    "nearest_centroid_confusion",
+    "cohort_retention",
+    "rfm_segments",
+    "event_transition_matrix",
+    "monthly_revenue_growth",
+    "events_time_weighted_avg",
+    "data_quality_checks",
+    "events_mad_outliers",
+    "events_forward_fill",
+    "union_schema_drift",
+    "extract_numbers_from_text",
+    "events_variant_extract",
 ]
 
 

@@ -81,6 +81,39 @@ def test_reinsert_after_dv_delete_is_visible(spark, catalog):
     assert catalog.read_table("dv_re").count() == 100
 
 
+def test_cross_dv_keys_scoped_to_own_leaves(spark, catalog):
+    """Two DVs sharing a bucket must each apply ONLY to the leaves
+    they cover: delete k=7 (DV-A, base segment), re-insert k=7 (new
+    segment DV-A does not cover), delete k=27 (DV-B, which covers
+    BOTH segments' leaf) — the re-inserted k=7 row must survive reads
+    AND any subsequent rewrite. A pooled union-of-keysets anti-join
+    over the union of covered leaves silently loses it."""
+    catalog.to_table(_mk(spark, 100), "dv_x", keys=["k"], num_buckets=1)
+    catalog.delete_rows("dv_x", "k = 7")                      # DV-A
+    catalog.to_table(
+        spark.createDataFrame(pd.DataFrame({"k": [7], "v": [777.0]})),
+        "dv_x", keys=["k"], how="append",
+    )
+    catalog.delete_rows("dv_x", "k = 27")                     # DV-B
+    man = catalog._manifest("dv_x")
+    assert len(man["dvs"]) == 2
+    # DV-B covers both segments' single bucket — the contamination trap
+    (dv_b,) = [d for d in man["dvs"].values() if d["n"] == 1 and
+               len(d["leaves"]) == 2] or [None]
+    assert dv_b is not None
+    out = catalog.read_table("dv_x")
+    got = out.where("k = 7").collect()
+    assert len(got) == 1 and got[0]["v"] == 777.0
+    assert out.where("k = 27").count() == 0
+    assert out.count() == 99
+    # a rewrite must persist the correct state, not a contaminated read
+    catalog.compact("dv_x")
+    out2 = catalog.read_table("dv_x")
+    assert out2.where("k = 7").collect()[0]["v"] == 777.0
+    assert out2.where("k = 27").count() == 0
+    assert out2.count() == 99
+
+
 def test_dv_update_writes_only_updated_rows(spark, catalog):
     catalog.to_table(_mk(spark), "dv_u", keys=["k"], num_buckets=8)
     (base_seg,) = catalog._manifest("dv_u")["segments"]
@@ -174,16 +207,34 @@ def test_dv_time_travel_and_restore(spark, catalog):
 
 
 def test_clone_carries_dv_and_stays_isolated(spark, catalog):
-    catalog.to_table(_mk(spark, 60), "dv_src", keys=["k"])
+    catalog.to_table(_mk(spark, 60), "dv_src", keys=["k"], num_buckets=8)
     catalog.delete_rows("dv_src", "k = 5")
     catalog.clone_table("dv_src", "dv_dst")
     assert catalog.read_table("dv_dst").count() == 59
     assert catalog.read_table("dv_dst").where("k = 5").count() == 0
+    # the clone owns a LOCAL copy of the sidecar (no "/" = local)
+    (dv,) = catalog._manifest("dv_dst")["dvs"].values()
+    assert "/" not in dv["file"]
     # a delete on the clone must not touch the source
     catalog.delete_rows("dv_dst", "k = 6")
     assert catalog.read_table("dv_dst").count() == 58
     assert catalog.read_table("dv_src").count() == 59
     assert catalog.read_table("dv_src").where("k = 6").count() == 1
+    # the SOURCE retiring + vacuuming its DV must not break the
+    # clone's reads (sidecars are copied, not externally referenced):
+    # upsert k=5 on the source rewrites the covered bucket, retiring
+    # the DV; vacuum then reclaims the sidecar the clone once saw
+    catalog.to_table(
+        spark.createDataFrame(pd.DataFrame({"k": [5], "v": [5.5]})),
+        "dv_src", keys=["k"], how="upsert",
+    )
+    assert "dvs" not in catalog._manifest("dv_src")
+    catalog.vacuum("dv_src")
+    assert catalog.fs.list_dirs(
+        f"{catalog._path('dv_src')}/{DV_DIR}"
+    ) == []
+    assert catalog.read_table("dv_dst").count() == 58
+    assert catalog.read_table("dv_dst").where("k = 5").count() == 0
 
 
 def test_sketch_tables_refuse_dv_and_auto_falls_back(spark, catalog):
@@ -216,6 +267,40 @@ def test_dv_survives_column_rename(spark, catalog):
     assert out.count() == 39
     assert out.where("k = 11").count() == 0
     assert out.where("k = 12").collect()[0]["val"] == 24.0
+
+
+def test_dv_accrual_budget_auto_folds_oldest(spark, catalog, monkeypatch):
+    """Point deletes accruing past DV_MAX_LIVE trigger an in-commit
+    fold of the oldest DVs: live sidecar count stays bounded (the
+    read cost is O(DV_MAX_LIVE) opens forever, no manual compact
+    needed), deletions below the budget still rewrite zero data
+    files, and every deleted key stays deleted through the folds."""
+    import pandabase_spark.io as io_mod
+
+    monkeypatch.setattr(io_mod, "DV_MAX_LIVE", 3)
+    catalog.to_table(_mk(spark, 200), "dv_b", keys=["k"], num_buckets=4)
+    before_files = _data_files(catalog, "dv_b")
+    for k in (1, 2):
+        catalog.delete_rows("dv_b", f"k = {k}")
+    # below budget: zero-rewrite property intact
+    assert _data_files(catalog, "dv_b") == before_files
+    assert len(catalog._manifest("dv_b")["dvs"]) == 2
+    for k in (3, 4, 5, 6, 7):
+        catalog.delete_rows("dv_b", f"k = {k}")
+    man = catalog._manifest("dv_b")
+    assert len(man.get("dvs", {})) <= 3
+    out = catalog.read_table("dv_b")
+    assert out.count() == 193
+    assert out.where("k between 1 and 7").count() == 0
+    # vacuum reclaims exactly the retired sidecars
+    catalog.vacuum("dv_b")
+    live = {
+        dv["file"]
+        for dv in catalog._manifest("dv_b").get("dvs", {}).values()
+    }
+    assert set(
+        catalog.fs.list_dirs(f"{catalog._path('dv_b')}/{DV_DIR}")
+    ) == live
 
 
 def test_wide_delete_auto_takes_rewrite_path(spark, catalog, monkeypatch):

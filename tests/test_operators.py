@@ -650,3 +650,41 @@ def test_ivfpq_planted_recall(spark):
         F.col("vec_id") == F.col("query_id") - 100000
     ).count()
     assert hits >= 9
+
+
+def test_ivf_auto_crossover_picks_trainer_by_index_size(spark, monkeypatch):
+    """ann_topk_ivf with no prebuilt quantizer trains on the side of
+    the literal-path crossover the index size calls for: literal list
+    below IVF_LITERAL_MAX_TERMS = n_cells x dim, cluster-resident
+    DataFrame above. Results are identical either side (the trainers
+    are parity-pinned); only the quantizer's residence switches."""
+    import pandabase_spark.operators.similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = emb.select(F.size("embedding")).first()[0]
+    q = emb.where("vec_id < 3")
+
+    calls = []
+    orig_list, orig_df = sim.ivf_centroids, sim.ivf_centroids_df
+    monkeypatch.setattr(
+        sim, "ivf_centroids",
+        lambda *a, **k: (calls.append("list"), orig_list(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        sim, "ivf_centroids_df",
+        lambda *a, **k: (calls.append("df"), orig_df(*a, **k))[1],
+    )
+
+    # below the crossover: 8 cells x dim << default threshold
+    monkeypatch.setattr(sim, "IVF_LITERAL_MAX_TERMS", 8 * dim + 1)
+    low = sim.ann_topk_ivf(emb, q, k=5, n_cells=8, nprobe=8)
+    low_rows = {(r["query_id"], r["vec_id"]) for r in low.collect()}
+    assert calls == ["list"]
+
+    # above it: same workload, threshold lowered under 8 x dim
+    monkeypatch.setattr(sim, "IVF_LITERAL_MAX_TERMS", 8 * dim - 1)
+    high = sim.ann_topk_ivf(emb, q, k=5, n_cells=8, nprobe=8)
+    high_rows = {(r["query_id"], r["vec_id"]) for r in high.collect()}
+    assert calls == ["list", "df"]
+    # identical results — the switch changes residence, not answers
+    assert low_rows == high_rows

@@ -460,3 +460,51 @@ def test_corpus_manifest_v2_python_free(spark):
     )
     assert a.python_free
     assert a.join_safe
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """AQE's runtime skew handling (on by default in our session,
+    session.py) splits a hot key's oversized shuffle partition: the
+    FINAL adaptive plan marks the join skew=true with an
+    AQEShuffleRead doing the split. This is the evidence behind the
+    guidance in operators/joins.py: prefer AQE where it applies;
+    salted_join is for the plans AQE cannot split (skew under a
+    bucketed-write output requirement, stream-stream joins, AQE off)
+    where the salt must be explicit in the plan."""
+    from pandabase_spark.plans import plan_audit
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .cast("long")
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        j = left.join(right, on="k")
+        rows = j.collect()  # AQE finalizes at runtime
+        a = plan_audit(j)
+        assert a.aqe_final
+        assert a.skew_joins >= 1, "AQE did not mark the join skewed"
+        assert a.aqe_shuffle_reads >= 1
+        # the split never changes results
+        assert len(rows) == 400000
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

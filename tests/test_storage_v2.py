@@ -1263,3 +1263,246 @@ def test_sketch_recompute_reads_renamed_segments_correctly(spark, catalog):
     )
     got = catalog.read_table("skren_b", bloom_point={"label": "t300"})
     assert got.count() == 1
+
+
+def test_sketch_stats_empty_table_returns_zero(spark, catalog):
+    """Deleting every row leaves zero live segments; metadata stats
+    must answer n_rows=0 / distinct_est=0 (NULL quantiles), mirroring
+    estimate_range_rows' empty guard — never a NULL-everything row."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    catalog.to_table(df, "sk_e", keys=["k"], sketch_columns=["v"])
+    catalog.delete_rows("sk_e", "k >= 0")
+    assert catalog._manifest("sk_e")["segments"] == {}
+    r = catalog.table_sketch_stats(
+        "sk_e", "v", quantiles=(0.5,)
+    ).collect()[0]
+    assert r["n_rows"] == 0 and r["distinct_est"] == 0
+    assert r["q_0_5"] is None
+    assert catalog.estimate_range_rows("sk_e", "v", 0.0, 10.0) == 0
+
+
+def test_partial_dml_keeps_only_live_bucket_stats(spark, catalog):
+    """Partial-bucket DML tombstones buckets inside a segment; the
+    next commit's stats/bloom manifest entries must cover EXACTLY the
+    live bucket list — dead entries bloat every later manifest, and
+    the recompute path must not rescan superseded leaves."""
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    catalog.to_table(
+        df, "st_p", keys=["k"], num_buckets=8,
+        stats_columns=["v"], bloom_columns=["v"],
+    )
+    catalog.delete_rows("st_p", "k = 7", strategy="rewrite")
+    man = catalog._manifest("st_p")
+    assert len(man["segments"]) == 2  # tombstoned base + survivors
+    for seg, bs in man["segments"].items():
+        live = {str(b) for b in bs}
+        assert set(man["stats"][seg]) == live
+        assert set(man["blooms"][seg]) == live
+    # the tombstoned bucket is gone from the base segment's entries
+    base = min(man["segments"], key=lambda s: len(man["segments"][s]) * -1)
+    assert len(man["segments"][base]) >= 7
+    # reads and skipping still correct after the prune
+    assert catalog.read_table("st_p").count() == 999
+    assert catalog.read_table(
+        "st_p", stats_bounds={"v": (500.0, 510.0)}
+    ).where("v between 500 and 510").count() == 11
+
+
+def test_cluster_by_zorder_rowgroup_skipping_survives_dml(spark, catalog):
+    """cluster_by=... Z-orders every segment write: parquet row-group
+    min/max stats on BOTH clustered dims stay tight (a narrow 2-D
+    predicate overlaps few row groups, vs ~all of them in a key-sorted
+    twin), and because the layout lives in _write_segment, compaction
+    after DML preserves it without a separate OPTIMIZE job."""
+    import pyarrow.parquet as pq
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 32 * 1024)
+    try:
+        df = spark.range(40000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 64).cast("int").alias("x"),
+            (F.floor(F.col("id") / 64) % 64).cast("int").alias("y"),
+        )
+        catalog.to_table(df, "zc_t", keys=["k"], num_buckets=2,
+                         cluster_by=["x", "y"])
+        catalog.to_table(df.withColumn("k", F.col("k") + 100000),
+                         "zc_plain", keys=["k"], num_buckets=2)
+
+        def overlap_frac(table):
+            """Fraction of row groups whose x AND y stats overlap the
+            narrow box x<=7, y<=7."""
+            root = catalog._path(table)
+            hit = tot = 0
+            for d in catalog.fs.list_dirs(root):
+                if not d.startswith("seg-"):
+                    continue
+                for b in catalog.fs.list_dirs(f"{root}/{d}"):
+                    for f in catalog.fs.list_files(f"{root}/{d}/{b}"):
+                        if not f.endswith(".parquet"):
+                            continue
+                        pf = pq.ParquetFile(
+                            f"{root}/{d}/{b}/{f}".replace("file:", "")
+                        )
+                        names = pf.schema_arrow.names
+                        xi, yi = names.index("x"), names.index("y")
+                        for i in range(pf.metadata.num_row_groups):
+                            rg = pf.metadata.row_group(i)
+                            sx = rg.column(xi).statistics
+                            sy = rg.column(yi).statistics
+                            tot += 1
+                            if sx.min <= 7 and sy.min <= 7:
+                                hit += 1
+            assert tot >= 8, f"need multiple row groups, got {tot}"
+            return hit / tot
+
+        plain = overlap_frac("zc_plain")
+        clustered = overlap_frac("zc_t")
+        # key-sorted layout: x cycles 0..63 within every row group, so
+        # essentially every group overlaps; z-order confines the box
+        assert plain > 0.8, plain
+        assert clustered < 0.5 * plain, (clustered, plain)
+
+        # roundtrip correctness is untouched by layout
+        assert catalog.read_table("zc_t").count() == 40000
+        got = catalog.read_table("zc_t").where(
+            "x <= 7 and y <= 7"
+        ).count()
+        assert got == df.where("x <= 7 and y <= 7").count()
+
+        # DML + compaction preserve the clustering (THE segment
+        # writer applies it; no OPTIMIZE re-run needed)
+        catalog.delete_rows("zc_t", "k = 5", strategy="rewrite")
+        catalog.to_table(
+            df.withColumn("k", F.col("k") + 200000).limit(5000),
+            "zc_t", keys=["k"], how="append",
+        )
+        catalog.compact("zc_t")
+        assert overlap_frac("zc_t") < 0.5 * plain
+        assert catalog.read_table("zc_t").count() == 44999
+
+        # guards: create-time only, integer dims only, drop refused
+        with pytest.raises(NameError, match="create time"):
+            catalog.to_table(df, "zc_t", keys=["k"], how="append",
+                             cluster_by=["x"])
+        with pytest.raises(ValueError, match="integer"):
+            catalog.to_table(df.withColumn("f", F.rand()), "zc_f",
+                             keys=["k"], cluster_by=["f"])
+        with pytest.raises(NameError, match="cluster_by"):
+            catalog.drop_column("zc_t", "x")
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+
+def test_restore_brings_schema_back_past_rename_and_drop(spark, catalog):
+    """RESTORE carries the logical schema with the segment set (Delta
+    parity): restoring past a rename_column + drop_column resurrects
+    the old names and the dropped column's data; names vacated AFTER
+    the restore target stay unrecyclable (union of retired_names)."""
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+        (F.col("id") * 2).alias("w"),
+    )
+    catalog.to_table(df, "rs_t", keys=["k"])              # v1
+    catalog.rename_column("rs_t", "v", "val")             # v2
+    catalog.drop_column("rs_t", "w")                      # v3
+    assert set(catalog.read_table("rs_t").columns) == {"k", "val"}
+    catalog.restore_table("rs_t", 1)                      # v4
+    out = catalog.read_table("rs_t")
+    assert set(out.columns) == {"k", "v", "w"}
+    assert out.where("k = 3").collect()[0]["w"] == 6
+    assert out.where("k = 3").collect()[0]["v"] == 3.0
+    # names vacated after v1 stay retired — no recycling ever
+    with pytest.raises(NameError, match="retired|in use"):
+        catalog.rename_column("rs_t", "w", "val")
+    # restoring FORWARD to the post-rename snapshot re-applies it
+    catalog.restore_table("rs_t", 2)                      # v5
+    out2 = catalog.read_table("rs_t")
+    assert set(out2.columns) == {"k", "val", "w"}
+    assert out2.where("k = 3").collect()[0]["val"] == 3.0
+    # writes after the roundtrip still work under the restored schema
+    catalog.to_table(
+        spark.range(50, 60).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("double").alias("val"),
+            (F.col("id") * 2).alias("w"),
+        ),
+        "rs_t", keys=["k"], how="append",
+    )
+    assert catalog.read_table("rs_t").count() == 60
+
+
+def test_rename_allowed_when_name_only_in_constraint_literal(spark, catalog):
+    """Constraint-reference detection is by RESOLUTION, not regex: a
+    column whose name appears only inside another constraint's STRING
+    LITERAL renames/drops fine; a genuine reference still refuses."""
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.lit("status ok").alias("status"),
+        F.col("id").cast("double").alias("v"),
+    )
+    catalog.to_table(
+        df, "cl_t", keys=["k"],
+        constraints={"c_lit": "status != 'bad v status'"},
+    )
+    # "v" appears only inside the literal — rename and re-check pass
+    catalog.rename_column("cl_t", "v", "value")
+    assert set(catalog.read_table("cl_t").columns) == {
+        "k", "status", "value"
+    }
+    catalog.drop_column("cl_t", "value")
+    # a genuine reference still refuses
+    with pytest.raises(NameError, match="constraint"):
+        catalog.rename_column("cl_t", "status", "state")
+
+
+def test_range_read_consumes_selectivity_estimate(spark, catalog):
+    """read_table(stats_bounds=...) consults the manifest-sketch
+    selectivity estimate before probing leaves: a selective range
+    probes (and actually skips leaves); an unselective one skips the
+    probe and warns. Results are identical either way."""
+    import warnings as _w
+
+    df = spark.range(40000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    # append in two value-disjoint halves so min/max CAN prune
+    catalog.to_table(
+        df.where("v < 500"), "sel_r", keys=["k"], num_buckets=4,
+        stats_columns=["v"], sketch_columns=["v"],
+    )
+    catalog.to_table(
+        df.where("v >= 500"), "sel_r", keys=["k"], how="append",
+    )
+    all_leaves = len(catalog._live_paths("sel_r"))
+    # selective range: estimate says ~10% → probe runs, leaves skip
+    got = catalog.read_table(
+        "sel_r", stats_bounds={"v": (0.0, 99.0)}
+    )
+    dec = catalog._last_range_decision["v"]
+    assert dec["probed"] and dec["frac"] < 0.3, dec
+    assert got.count() == df.where("v <= 99").count()
+    pruned = len(
+        catalog._live_paths("sel_r", stats_bounds={"v": (0.0, 99.0)})
+    )
+    assert pruned < all_leaves
+    # unselective range: probe skipped, warning raised, same answer
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got2 = catalog.read_table(
+            "sel_r", stats_bounds={"v": (0.0, 2000.0)}
+        )
+        dec2 = catalog._last_range_decision["v"]
+        assert not dec2["probed"] and dec2["frac"] > 0.9, dec2
+        assert any("skipping the" in str(w.message) for w in rec)
+    assert got2.count() == 40000
