@@ -303,6 +303,29 @@ def test_dv_accrual_budget_auto_folds_oldest(spark, catalog, monkeypatch):
     ) == live
 
 
+def test_dv_budget_fold_under_update_path(spark, catalog, monkeypatch):
+    """The accrual fold also fires on the UPDATE merge-on-read path:
+    the commit that would exceed DV_MAX_LIVE folds the oldest DVs,
+    lands the updated rows as their own (uncovered) segment, and
+    every earlier delete/update stays applied."""
+    import pandabase_spark.io as io_mod
+
+    monkeypatch.setattr(io_mod, "DV_MAX_LIVE", 2)
+    catalog.to_table(_mk(spark, 120), "dv_uf", keys=["k"], num_buckets=4)
+    catalog.delete_rows("dv_uf", "k = 10")                     # DV 1
+    catalog.update_rows("dv_uf", "k = 20", {"v": "111.0"})     # DV 2
+    # third DV-commit exceeds the budget of 2 → folds the oldest
+    catalog.update_rows("dv_uf", "k = 30", {"v": "222.0"})
+    man = catalog._manifest("dv_uf")
+    assert len(man.get("dvs", {})) <= 2
+    out = catalog.read_table("dv_uf")
+    assert out.count() == 119
+    got = {r["k"]: r["v"] for r in out.where("k in (10,20,30)").collect()}
+    assert got == {20: 111.0, 30: 222.0}
+    # updates keep exactly one live version per key through the folds
+    assert out.groupBy("k").count().where("count > 1").count() == 0
+
+
 def test_wide_delete_auto_takes_rewrite_path(spark, catalog, monkeypatch):
     import pandabase_spark.io as io_mod
 
