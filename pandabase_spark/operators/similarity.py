@@ -617,6 +617,124 @@ def ann_topk_ivf(
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: the cell-partitioned, partition-pruned serving shape
+# ---------------------------------------------------------------------------
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+    sample_mod: "int | None" = None,
+) -> None:
+    """Build the IVF index ONCE at ingest and persist it
+    cell-partitioned — the 100 TB serving shape the in-memory
+    :func:`ann_topk_ivf` docstrings promise: ``<path>/data`` holds the
+    cell-assigned corpus written ``partitionBy("cell")`` (one
+    directory per inverted list); ``<path>/centroids`` holds the
+    trained quantizer as (cell, cvec) rows. A probe then reads ONLY
+    its probed cells' directories via Spark partition pruning
+    (PartitionFilters on ``cell``, plan-asserted in
+    tests/test_plan_shapes.py) — unprobed cells are never even
+    listed, so query IO is ~nprobe/n_cells of the corpus at any
+    corpus size. Deterministic end to end (hash-seeded k-means):
+    rebuilding the index reproduces it bit-identically."""
+    spark = corpus.sparkSession
+    centroids = ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        iters=iters, sample_mod=sample_mod,
+    )
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>",
+    )
+    cdf.coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/centroids"
+    )
+    (
+        ivf_assign(corpus, centroids, vec_col=vec_col)
+        .repartition("cell")
+        .write.mode("errorifexists")
+        .partitionBy("cell")
+        .parquet(f"{path}/data")
+    )
+
+
+def ann_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: "str | None" = None,
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Serve approximate top-k from a :func:`write_ivf_index` index:
+    load the quantizer sidecar (tiny), pick each query's ``nprobe``
+    nearest cells, and scan ONLY those cells' partitions — the probed
+    cell set is collected to a literal ``cell IN (...)`` predicate
+    (<= n_queries x nprobe ints), so pruning happens at PLANNING time
+    and unprobed directories are never opened. Scoring inside the
+    probed cells is :func:`ann_topk_ivf`'s exact cosine; with the
+    same quantizer the two return IDENTICAL rows (pinned in pytest) —
+    persistence changes where the inverted lists live, never the
+    answer. Returns (query_id, vec_id, cosine, rank)."""
+    from pyspark.sql.window import Window
+
+    qid = query_id_col or id_col
+    crows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    )
+    centroids = [list(r["cvec"]) for r in crows]
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    cell_structs = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('negdot', -({_dot_sql('_qvec', c)}), "
+            f"'cell', cast({i} as int))"
+            for i, c in enumerate(centroids)
+        )
+        + ")"
+    )
+    probes = q.select(
+        "query_id",
+        "_qvec",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(cell_structs), 1, nprobe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    data = spark.read.parquet(f"{path}/data").where(
+        F.col("cell").isin(cells)
+    )
+    scored = data.join(F.broadcast(probes), on="cell").select(
+        "query_id",
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): compressed approximate distances
 # ---------------------------------------------------------------------------

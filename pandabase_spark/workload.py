@@ -3922,6 +3922,34 @@ def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
+@_q("ann_topk_ivf_indexed")  # approximate: rows-only check (no oracle)
+def ann_topk_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted serving shape of the IVF index: built ONCE
+    (write_ivf_index — quantizer sidecar + corpus partitioned by
+    cell, one directory per inverted list) and queried by scanning
+    ONLY the probed cells' partitions (literal ``cell IN`` predicate
+    → planning-time partition pruning, asserted in
+    tests/test_plan_shapes.py). With the same quantizer this returns
+    rows IDENTICAL to ann_topk_ivf (pinned in pytest) — persistence
+    moves the inverted lists to disk, never changes the answer. At
+    100 TB this is the deployment pattern: index IO at query time is
+    ~nprobe/n_cells of the corpus regardless of corpus size."""
+    from pandabase_spark.operators.similarity import (
+        ann_topk_indexed, write_ivf_index,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    path = f"{cat.warehouse}/_ann_ivf_index"
+    if cat.fs.exists(path):
+        cat.fs.delete(path)
+    write_ivf_index(e, path, n_cells=16, iters=2, sample_mod=2)
+    out = ann_topk_indexed(
+        spark, path, e.where(F.col("vec_id") < 5), k=10, nprobe=6
+    )
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
 @_q("ann_topk_pq")  # approximate: rows-only check (no oracle)
 def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via product quantization (Jégou et al.
@@ -6833,6 +6861,7 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_FIRST = [
     # round-7 additions: never driver-checked
     "kt_cluster_by_zorder",
+    "ann_topk_ivf_indexed",
     # round-7 code-touched: _read_raw per-DV leaf scoping + the
     # DV_MAX_LIVE auto-fold changed the DV read/commit paths —
     # re-confirm against current code even though green r6
@@ -6888,7 +6917,6 @@ _GATE_FIRST = [
     "events_forward_fill",
     "union_schema_drift",
     "extract_numbers_from_text",
-    "events_variant_extract",
 ]
 
 

@@ -688,3 +688,34 @@ def test_ivf_auto_crossover_picks_trainer_by_index_size(spark, monkeypatch):
     assert calls == ["list", "df"]
     # identical results — the switch changes residence, not answers
     assert low_rows == high_rows
+
+
+def test_persisted_ivf_index_identical_to_in_memory(spark, tmp_path):
+    """write_ivf_index + ann_topk_indexed return rows IDENTICAL to
+    ann_topk_ivf under the same (deterministic, hash-seeded)
+    quantizer: persistence moves the inverted lists to disk and turns
+    probes into partition-pruned scans, but never changes the answer."""
+    from pandabase_spark.operators.similarity import (
+        ann_topk_indexed, ann_topk_ivf, write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 4")
+    mem = ann_topk_ivf(
+        emb, q, k=10, n_cells=8, nprobe=4, iters=2, sample_mod=2
+    )
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, path, n_cells=8, iters=2, sample_mod=2)
+    disk = ann_topk_indexed(spark, path, q, k=10, nprobe=4)
+    as_set = lambda df: {
+        (r["query_id"], r["vec_id"], round(r["cosine"], 9), r["rank"])
+        for r in df.collect()
+    }
+    assert as_set(mem) == as_set(disk)
+    # the index is layout-real: one directory per inverted list
+    import os
+
+    cells = sorted(
+        d for d in os.listdir(f"{path}/data") if d.startswith("cell=")
+    )
+    assert len(cells) >= 2

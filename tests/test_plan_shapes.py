@@ -508,3 +508,26 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_indexed_ann_probe_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index serves probes via PLANNING-time
+    partition pruning: the data scan carries a PartitionFilters entry
+    on `cell`, so unprobed inverted-list directories are never opened
+    — the property that keeps query IO at ~nprobe/n_cells of the
+    corpus at any scale."""
+    from pandabase_spark.operators.similarity import (
+        ann_topk_indexed, write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, path, n_cells=8, iters=2, sample_mod=2)
+    out = ann_topk_indexed(
+        spark, path, emb.where("vec_id < 2"), k=5, nprobe=2
+    )
+    a = plan_audit(out)
+    assert any("cell" in pf for pf in a.partition_filters), (
+        a.partition_filters
+    )
+    assert a.join_safe
