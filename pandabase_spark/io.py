@@ -1692,20 +1692,45 @@ class KeyedCatalog:
         )
         return name
 
-    def vacuum(self, table_name: str, *, schema: str | None = None) -> list[str]:
+    def vacuum(
+        self,
+        table_name: str,
+        *,
+        schema: str | None = None,
+        retain_last: int = 0,
+    ) -> list[str]:
         """Delete segments no longer referenced by the CURRENT manifest
         (tombstoned by upserts or orphaned by a writer crash), then
         prune history snapshots that referenced them — vacuum truncates
         time travel, exactly the Delta/Iceberg VACUUM tradeoff. Safe
-        for the single-writer contract; returns deleted segment names."""
+        for the single-writer contract; returns deleted segment names.
+
+        ``retain_last=N`` protects a RETENTION WINDOW (Delta's
+        ``RETAIN``): segments and DV sidecars referenced by any of the
+        last N versions BELOW current stay on disk and those snapshots
+        stay readable/restorable — only history older than the window
+        is truncated. The default (0) keeps today's semantics: only
+        the current snapshot survives. At 100 TB this is what lets a
+        nightly vacuum coexist with readers pinned to recent
+        snapshots and with same-day RESTORE."""
         table_name = self._qualify(table_name, schema)
         cur_man = self._manifest(table_name)
-        live = set(cur_man["segments"])
+        protected = [cur_man]
+        for v in range(
+            cur_man["v"] - 1, max(cur_man["v"] - 1 - retain_last, 0), -1
+        ):
+            try:
+                protected.append(self._manifest(table_name, version=v))
+            except NameError:
+                break  # already vacuumed past here — window ends
+        live = {seg for man in protected for seg in man["segments"]}
         live_dvs = {
             dv["file"]
-            for dv in cur_man.get("dvs", {}).values()
+            for man in protected
+            for dv in man.get("dvs", {}).values()
             if "/" not in dv["file"]  # external (clone) refs are the
         }                             # source table's to reclaim
+        protected_vs = {man["v"] for man in protected}
         gone = []
         for d in self.fs.list_dirs(self._path(table_name)):
             if d.startswith("seg-") and d not in live:
@@ -1718,7 +1743,6 @@ class KeyedCatalog:
                     self.fs.delete(f"{dv_root}/{d}")
                     gone.append(f"{DV_DIR}/{d}")
         if gone:
-            cur_v = cur_man["v"]
             log_dir = f"{self._path(table_name)}/{LOG_DIR}"
             for f in self.fs.list_files(log_dir):
                 if not f.endswith(".json"):
@@ -1729,7 +1753,7 @@ class KeyedCatalog:
                     for dv in man.get("dvs", {}).values()
                     if "/" not in dv["file"]
                 }
-                if man["v"] != cur_v and (
+                if man["v"] not in protected_vs and (
                     not set(man["segments"]) <= live
                     or not man_dvs <= live_dvs
                 ):

@@ -1506,3 +1506,44 @@ def test_range_read_consumes_selectivity_estimate(spark, catalog):
         assert not dec2["probed"] and dec2["frac"] > 0.9, dec2
         assert any("skipping the" in str(w.message) for w in rec)
     assert got2.count() == 40000
+
+
+def test_vacuum_retention_window_protects_time_travel(spark, catalog):
+    """vacuum(retain_last=N) truncates only history OLDER than the
+    window: the last N versions below current stay readable and
+    restorable while segments exclusive to older snapshots are
+    reclaimed — a nightly vacuum can coexist with readers pinned to
+    recent snapshots. retain_last=0 keeps the old all-truncating
+    semantics."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    catalog.to_table(df, "vr_t", keys=["k"], num_buckets=2)   # v1
+    for i in range(3):  # v2..v4: each upsert rewrites both buckets
+        catalog.to_table(
+            df.withColumn("v", F.col("v") + i + 1),
+            "vr_t", keys=["k"], how="upsert",
+        )
+    assert catalog.read_table("vr_t", version=1).count() == 100
+    gone = catalog.vacuum("vr_t", retain_last=2)
+    assert gone  # v1's exclusive segments reclaimed
+    # inside the window: v2, v3, v4 all read and restore
+    for v in (2, 3, 4):
+        assert catalog.read_table("vr_t", version=v).count() == 100
+    assert catalog.read_table("vr_t", version=3).where(
+        "k = 0"
+    ).collect()[0]["v"] == 2.0
+    # outside the window: truncated
+    with pytest.raises(NameError, match="vacuum"):
+        catalog.read_table("vr_t", version=1)
+    with pytest.raises(NameError, match="vacuum"):
+        catalog.restore_table("vr_t", 1)
+    # restore INSIDE the window still works after the vacuum
+    catalog.restore_table("vr_t", 2)                          # v5
+    assert catalog.read_table("vr_t").where(
+        "k = 0"
+    ).collect()[0]["v"] == 1.0
+    # retain_last=0 (default) then truncates the rest
+    catalog.vacuum("vr_t")
+    with pytest.raises(NameError):
+        catalog.read_table("vr_t", version=3)
