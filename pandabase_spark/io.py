@@ -1123,6 +1123,7 @@ class KeyedCatalog:
         vacuum: bool = True,
         schema: str | None = None,
         target_bytes: int | None = None,
+        retain_last: int = 0,
     ) -> int:
         """OPTIMIZE: merge live segments into fewer, larger ones.
 
@@ -1177,7 +1178,10 @@ class KeyedCatalog:
         merged[seg] = buckets
         self._commit(table_name, merged, v=man["v"], op="compact")
         if vacuum:
-            self.vacuum(table_name)
+            # retain_last passes through to vacuum's retention window
+            # (see vacuum) — a scheduled OPTIMIZE need not truncate
+            # the time travel recent readers are pinned to
+            self.vacuum(table_name, retain_last=retain_last)
         return len(chosen)
 
     def clone_table(

@@ -1547,3 +1547,22 @@ def test_vacuum_retention_window_protects_time_travel(spark, catalog):
     catalog.vacuum("vr_t")
     with pytest.raises(NameError):
         catalog.read_table("vr_t", version=3)
+
+
+def test_compact_passes_retention_to_vacuum(spark, catalog):
+    """compact(retain_last=N) merges the live segments but keeps the
+    last N pre-compact snapshots readable — OPTIMIZE without
+    truncating the time travel recent readers are pinned to."""
+    df = spark.range(80).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    catalog.to_table(df, "cr_t", keys=["k"])                  # v1
+    catalog.to_table(
+        df.withColumn("k", F.col("k") + 1000),
+        "cr_t", keys=["k"], how="append",
+    )                                                         # v2
+    assert catalog.compact("cr_t", retain_last=2) == 2        # v3
+    assert catalog.read_table("cr_t").count() == 160
+    # both pre-compact snapshots survive inside the window
+    assert catalog.read_table("cr_t", version=1).count() == 80
+    assert catalog.read_table("cr_t", version=2).count() == 160
