@@ -352,6 +352,22 @@ def main() -> None:
         )
         if len(line) <= 1900:
             break
+    else:
+        # terminal guarantee: if even 1-decimal timings overflow the
+        # driver's capture window (query roster grows every round),
+        # keep the contract keys parseable and point at the committed
+        # detail file rather than silently losing the whole line
+        line = json.dumps(
+            {
+                "metric": "workload_total",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": {"see": "BENCH_DETAIL.json"},
+                "n_runs": repeat_default,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
     print(line)
 
 

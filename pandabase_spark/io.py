@@ -706,6 +706,19 @@ class KeyedCatalog:
             )
         if not entries:
             return 0  # zero live segments = zero rows, exactly
+        est, _ = self._kll_range_estimate(entries, lo, hi)
+        return est
+
+    def _kll_range_estimate(
+        self,
+        entries: "list[tuple]",
+        lo: "float | None",
+        hi: "float | None",
+    ) -> "tuple[int, int]":
+        """(estimated rows in [lo, hi], total rows) from one merged-KLL
+        aggregation — a single tiny Spark job serves both numbers, so
+        callers needing the selectivity FRACTION (read_table's probe
+        gate) don't pay a second estimation pass."""
         sk = self.spark.createDataFrame(
             entries,
             T.StructType([T.StructField("_kll", T.BinaryType())]),
@@ -729,7 +742,8 @@ class KeyedCatalog:
         # get_rank is P(X < q); the <= hi side is off by the mass AT
         # hi — within the sketch's own error envelope, fine for
         # planning purposes
-        return int(round(row["_n"] * max(0.0, row["_hr"] - row["_lr"])))
+        est = int(round(row["_n"] * max(0.0, row["_hr"] - row["_lr"])))
+        return est, int(row["_n"])
 
     def _bloom_positions(self, value: Any, dtype: T.DataType) -> list[int]:
         """Probe bit positions for ``value`` under the SAME JVM
@@ -1253,6 +1267,25 @@ class KeyedCatalog:
             for seg, sc in man.get("segcols", {}).items()
             if seg in rename
         }
+        # up-front existence check (mirrors restore_table): cloning a
+        # historical version whose DV sidecars were since reclaimed by
+        # vacuum must refuse with a clear error BEFORE any directory
+        # is created — not fail mid-copy leaving a half-built table
+        missing = [
+            dv["file"]
+            for dv in man.get("dvs", {}).values()
+            if not self.fs.exists(
+                f"{self.warehouse}/{dv['file']}"
+                if "/" in dv["file"]
+                else f"{self._path(src_q)}/{DV_DIR}/{dv['file']}"
+            )
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot clone {src_q!r}"
+                + (f" at v{version}" if version is not None else "")
+                + f": DV sidecars {missing} were deleted by vacuum()"
+            )
         self.fs.mkdirs(self._path(dst_q))
         # deletion-vector sidecars are COPIED into the clone, not
         # externally referenced: they are O(deleted keys) — tiny — so
@@ -1726,7 +1759,10 @@ class KeyedCatalog:
             try:
                 protected.append(self._manifest(table_name, version=v))
             except NameError:
-                break  # already vacuumed past here — window ends
+                # a previously-vacuumed version leaves a GAP, not an
+                # end: intact older snapshots inside the requested
+                # window must still be protected
+                continue
         live = {seg for man in protected for seg in man["segments"]}
         live_dvs = {
             dv["file"]
@@ -2705,24 +2741,33 @@ class KeyedCatalog:
         # reads never open an unbounded sidecar list. Manifest dict
         # order is accrual order (JSON round-trips preserve it).
         n_over = len(base_dvs) + 1 - DV_MAX_LIVE
-        folded: set[int] = set()
+        folded_pairs: "set[tuple[str, int]]" = set()
         if n_over > 0:
             fold_names = list(base_dvs)[:n_over]
-            folded = {
-                b
+            folded_pairs = {
+                (seg, b)
                 for dn in fold_names
-                for bs in base_dvs[dn]["leaves"].values()
+                for seg, bs in base_dvs[dn]["leaves"].items()
                 for b in bs
             }
-            # the rewrite reads through EVERY covering DV and drops
-            # the new tombstones too, so the rewritten buckets carry
-            # no obligation to any sidecar; _commit's leaf
-            # intersection then retires the folded DVs (and prunes
-            # any newer DV's leaves in the same buckets — also
-            # correct, their tombstones folded in here as well)
-            existing = self._read_raw(
-                table_name, buckets=sorted(folded), manifest=man
-            )
+            # rewrite EXACTLY the folded DVs' covered (segment,
+            # bucket) leaves — a leaves-only view of the pinned
+            # manifest keeps the rewrite IO proportional to the
+            # covered data, never to every segment that happens to
+            # share a bucket id. The read goes through every covering
+            # DV and drops the new tombstones too, so the rewritten
+            # leaves carry no obligation to any sidecar; _commit's
+            # leaf intersection then retires the folded DVs (and
+            # prunes any newer DV's leaves rewritten here — also
+            # correct, their tombstones folded in as well).
+            sub_man = dict(man)
+            sub_man["segments"] = {
+                seg: sorted(
+                    b for (s, b) in folded_pairs if s == seg
+                )
+                for seg in {s for s, _ in folded_pairs}
+            }
+            existing = self._read_raw(table_name, manifest=sub_man)
             tomb = self.spark.read.parquet(dv_path)
             survivors = existing.join(
                 F.broadcast(tomb), on=list(m.keys), how="left_anti"
@@ -2730,7 +2775,9 @@ class KeyedCatalog:
             segments = {
                 s: keep
                 for s, bs in segments.items()
-                if (keep := [b for b in bs if b not in folded])
+                if (keep := [
+                    b for b in bs if (s, b) not in folded_pairs
+                ])
             }
             if survivors.head(1):
                 seg, buckets = self._write_segment(
@@ -2742,7 +2789,9 @@ class KeyedCatalog:
             seg: kept
             for seg, bs in man["segments"].items()
             if (kept := [
-                b for b in bs if b in touched_set and b not in folded
+                b
+                for b in bs
+                if b in touched_set and (seg, b) not in folded_pairs
             ])
         }
         entry = {
@@ -3267,16 +3316,31 @@ class KeyedCatalog:
             decision: dict = {}
             for col, (slo, shi) in stats_bounds.items():
                 info: dict = {"probed": True}
-                if col in m.sketch_columns:
+                if col in m.sketch_columns and _man is not None:
                     try:
-                        est = self.estimate_range_rows(
-                            table_name, col,
+                        # decode from the ALREADY-pinned manifest and
+                        # estimate range + total in ONE tiny job —
+                        # no extra manifest fetch, no second pass
+                        import base64
+
+                        entries = []
+                        for seg in _man["segments"]:
+                            ent = (
+                                _man.get("sketches", {})
+                                .get(seg, {})
+                                .get(col)
+                            )
+                            if not ent or not ent.get("kll"):
+                                raise ValueError("uncovered segment")
+                            entries.append(
+                                (bytearray(base64.b64decode(ent["kll"])),)
+                            )
+                        if not entries:
+                            raise ValueError("no live segments")
+                        est, tot = self._kll_range_estimate(
+                            entries,
                             float(slo) if slo is not None else None,
                             float(shi) if shi is not None else None,
-                            version=version,
-                        )
-                        tot = self.estimate_range_rows(
-                            table_name, col, None, None, version=version
                         )
                         frac = est / tot if tot else 0.0
                         info = {

@@ -645,14 +645,19 @@ def write_ivf_index(
     corpus size. Deterministic end to end (hash-seeded k-means):
     rebuilding the index reproduces it bit-identically."""
     spark = corpus.sparkSession
-    centroids = ivf_centroids(
+    # train on the right side of the literal-path crossover: large
+    # quantizers stay cluster-resident end to end (never collected)
+    centroids = _auto_centroids(
         corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
         iters=iters, sample_mod=sample_mod,
     )
-    cdf = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, cvec array<double>",
-    )
+    if isinstance(centroids, DataFrame):
+        cdf = centroids
+    else:
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, cvec array<double>",
+        )
     cdf.coalesce(1).write.mode("errorifexists").parquet(
         f"{path}/centroids"
     )
@@ -689,22 +694,47 @@ def ann_topk_indexed(
     from pyspark.sql.window import Window
 
     qid = query_id_col or id_col
-    crows = (
-        spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
-    )
-    centroids = [list(r["cvec"]) for r in crows]
+    cdf = spark.read.parquet(f"{path}/centroids")
+    head = cdf.select(F.size("cvec").alias("d")).first()
+    dim = head["d"] if head else 0
+    n_cells = cdf.count()
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    cell_structs = F.expr(
-        "array("
-        + ",".join(
-            f"named_struct('negdot', -({_dot_sql('_qvec', c)}), "
-            f"'cell', cast({i} as int))"
-            for i, c in enumerate(centroids)
+    # same literal-vs-DataFrame crossover as the in-memory path: a
+    # large quantizer scores as broadcast DATA (one-row cross join +
+    # higher-order functions), never as a multi-MB codegen literal
+    if n_cells * dim > IVF_LITERAL_MAX_TERMS:
+        q = q.crossJoin(F.broadcast(_pack_centroids(cdf)))
+        cell_structs = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (
+                    -F.aggregate(
+                        F.zip_with(
+                            F.col("_qvec"),
+                            c["cvec"],
+                            lambda x, y: x.cast("double") * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ).alias("negdot"),
+                c["cell"].alias("cell"),
+            ),
         )
-        + ")"
-    )
+    else:
+        crows = cdf.orderBy("cell").collect()
+        centroids = [list(r["cvec"]) for r in crows]
+        cell_structs = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('negdot', -({_dot_sql('_qvec', c)}), "
+                f"'cell', cast({i} as int))"
+                for i, c in enumerate(centroids)
+            )
+            + ")"
+        )
     probes = q.select(
         "query_id",
         "_qvec",

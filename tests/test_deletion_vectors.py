@@ -303,6 +303,51 @@ def test_dv_accrual_budget_auto_folds_oldest(spark, catalog, monkeypatch):
     ) == live
 
 
+def test_dv_fold_scopes_io_to_covered_leaves(spark, catalog, monkeypatch):
+    """The accrual fold rewrites EXACTLY the folded DVs' covered
+    (segment, bucket) leaves: an uncovered segment that happens to
+    share a bucket id is neither read nor rewritten — fold IO is
+    proportional to covered data, not to every segment holding that
+    bucket."""
+    import pandabase_spark.io as io_mod
+
+    monkeypatch.setattr(io_mod, "DV_MAX_LIVE", 1)
+    catalog.to_table(_mk(spark, 50), "dv_sc", keys=["k"], num_buckets=1)
+    (base_seg,) = catalog._manifest("dv_sc")["segments"]
+    catalog.delete_rows("dv_sc", "k = 1")       # DV-A covers (base, 0)
+    catalog.to_table(
+        _mk(spark, 50).withColumn("k", F.col("k") + 1000),
+        "dv_sc", keys=["k"], how="append",      # uncovered, bucket 0
+    )
+    new_seg = next(
+        s for s in catalog._manifest("dv_sc")["segments"]
+        if s != base_seg
+    )
+    seg_dir = f"{catalog._path('dv_sc')}/{new_seg}"
+    files_before = {
+        f"{d}/{f}"
+        for d in catalog.fs.list_dirs(seg_dir)
+        for f in catalog.fs.list_files(f"{seg_dir}/{d}")
+    }
+    catalog.delete_rows("dv_sc", "k = 2")       # exceeds budget: fold
+    man = catalog._manifest("dv_sc")
+    assert man["op"].endswith("+fold")
+    # the uncovered segment survives the fold byte-identically
+    assert new_seg in man["segments"]
+    assert man["segments"][new_seg] == [0]
+    files_after = {
+        f"{d}/{f}"
+        for d in catalog.fs.list_dirs(seg_dir)
+        for f in catalog.fs.list_files(f"{seg_dir}/{d}")
+    }
+    assert files_after == files_before
+    # the base segment's covered leaf was folded away
+    assert base_seg not in man["segments"]
+    out = catalog.read_table("dv_sc")
+    assert out.count() == 98
+    assert out.where("k in (1, 2)").count() == 0
+
+
 def test_dv_budget_fold_under_update_path(spark, catalog, monkeypatch):
     """The accrual fold also fires on the UPDATE merge-on-read path:
     the commit that would exceed DV_MAX_LIVE folds the oldest DVs,
@@ -371,3 +416,21 @@ def test_dv_commit_race_cleans_sidecar(spark, catalog, monkeypatch):
     # retried on the fresh snapshot it lands
     assert catalog.delete_rows("dv_race", "k = 2") == 1
     assert catalog.read_table("dv_race").count() == 59
+
+
+def test_clone_refuses_missing_dv_sidecar_cleanly(spark, catalog):
+    """Cloning a snapshot whose DV sidecar file is gone (a vacuum
+    that crashed between the sidecar delete and the manifest prune)
+    refuses up front (ValueError, like restore) — no half-built
+    destination directory. A completed vacuum prunes the manifest
+    itself, which already refuses with NameError at lookup."""
+    catalog.to_table(_mk(spark, 40), "dv_cv", keys=["k"], num_buckets=4)
+    catalog.delete_rows("dv_cv", "k = 5")                     # v2 (DV)
+    (dv,) = catalog._manifest("dv_cv")["dvs"].values()
+    catalog.fs.delete(
+        f"{catalog._path('dv_cv')}/{DV_DIR}/{dv['file']}"
+    )
+    with pytest.raises(ValueError, match="vacuum"):
+        catalog.clone_table("dv_cv", "dv_cv2", version=2)
+    assert not catalog.has_table("dv_cv2")
+    assert not catalog.fs.exists(catalog._path("dv_cv2"))

@@ -719,3 +719,25 @@ def test_persisted_ivf_index_identical_to_in_memory(spark, tmp_path):
         d for d in os.listdir(f"{path}/data") if d.startswith("cell=")
     )
     assert len(cells) >= 2
+
+
+def test_persisted_ivf_index_df_branch_parity(spark, tmp_path, monkeypatch):
+    """Above the literal-path crossover the persisted index trains AND
+    serves cluster-resident (DataFrame quantizer, broadcast-data
+    scoring) — and returns exactly the rows of the literal path."""
+    import pandabase_spark.operators.similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 3")
+    as_set = lambda df: {
+        (r["query_id"], r["vec_id"], round(r["cosine"], 9), r["rank"])
+        for r in df.collect()
+    }
+    lit_path = str(tmp_path / "idx_lit")
+    sim.write_ivf_index(emb, lit_path, n_cells=8, iters=2, sample_mod=2)
+    lit = as_set(sim.ann_topk_indexed(spark, lit_path, q, k=5, nprobe=4))
+    monkeypatch.setattr(sim, "IVF_LITERAL_MAX_TERMS", 1)
+    df_path = str(tmp_path / "idx_df")
+    sim.write_ivf_index(emb, df_path, n_cells=8, iters=2, sample_mod=2)
+    dfr = as_set(sim.ann_topk_indexed(spark, df_path, q, k=5, nprobe=4))
+    assert lit == dfr
