@@ -184,6 +184,10 @@ def test_driver_contract_shape():
         "minhash_lsh_neardup", "simhash_neardup",
         "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
         "ann_topk_ivfpq",
+        # persisted IVF serving path: rows-only like its in-memory
+        # twin, but pinned row-IDENTICAL to ann_topk_ivf in
+        # tests/test_operators.py
+        "ann_topk_ivf_indexed",
         # sketch estimates are implementation-specific by nature;
         # accuracy pinned vs exact in tests/test_sketches.py (and
         # manifest-sketch stats in test_storage_v2.py)
