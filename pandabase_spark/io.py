@@ -1729,6 +1729,29 @@ class KeyedCatalog:
         )
         return name
 
+    def register_view(
+        self,
+        table_name: str,
+        view_name: str | None = None,
+        *,
+        schema: str | None = None,
+        version: int | None = None,
+    ) -> str:
+        """Expose a keyed table to ``spark.sql`` as a temp view — the
+        SQL front door over the same pruned, DV-filtered, column-
+        mapped scan :meth:`read_table` plans (a view is a named lazy
+        plan: every predicate in the SQL still pushes into the
+        parquet scan through it). ``version=`` registers a
+        time-travel snapshot. Returns the view name. The view pins
+        the manifest CURRENT at registration — re-register to see
+        later commits (same semantics as Delta's DataFrame-as-view)."""
+        table_name = self._qualify(table_name, schema)
+        name = view_name or f"kt_{table_name.replace('.', '_')}"
+        self.read_table(
+            table_name, version=version
+        ).createOrReplaceTempView(name)
+        return name
+
     def vacuum(
         self,
         table_name: str,

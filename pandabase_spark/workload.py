@@ -748,6 +748,41 @@ def kt_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kt_sql_over_view",
+    "SELECT 'v1' AS src, n_regionkey, count(*) AS n_nations FROM nation "
+    "GROUP BY n_regionkey "
+    "UNION ALL "
+    "SELECT 'cur' AS src, n_regionkey, count(*) * 2 AS n_nations "
+    "FROM nation GROUP BY n_regionkey",
+)
+def kt_sql_over_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """register_view: the spark.sql front door over a keyed table.
+    Create (v1), append a key-shifted copy of every row (v2), then
+    register BOTH a version=1 time-travel view and a current view and
+    aggregate each in ONE SQL statement. A view is a named lazy plan
+    over the same pruned, DV-filtered, column-mapped scan read_table
+    builds, so the v1 branch must count the original rows and the cur
+    branch exactly twice that — and every SQL predicate still reaches
+    the parquet scan through the view (plan-checked in
+    tests/test_sql_views.py)."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_nation_sqlv")
+    n = load(spark, sf_dir, "nation")
+    cat.to_table(n, "w_nation_sqlv", keys=["n_nationkey"])
+    shifted = n.withColumn("n_nationkey", F.col("n_nationkey") + 1000)
+    cat.to_table(shifted, "w_nation_sqlv", keys=["n_nationkey"], how="append")
+    v1 = cat.register_view("w_nation_sqlv", "nation_sqlv_v1", version=1)
+    cur = cat.register_view("w_nation_sqlv", "nation_sqlv_cur")
+    return spark.sql(
+        f"SELECT 'v1' AS src, n_regionkey, count(*) AS n_nations "
+        f"FROM {v1} GROUP BY n_regionkey "
+        f"UNION ALL "
+        f"SELECT 'cur' AS src, n_regionkey, count(*) AS n_nations "
+        f"FROM {cur} GROUP BY n_regionkey"
+    )
+
+
+@_q(
     "kt_restore",
     "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
 )
@@ -6862,6 +6897,7 @@ _GATE_FIRST = [
     # round-7 additions: never driver-checked
     "kt_cluster_by_zorder",
     "ann_topk_ivf_indexed",
+    "kt_sql_over_view",
     # round-7 code-touched: _read_raw per-DV leaf scoping + the
     # DV_MAX_LIVE auto-fold changed the DV read/commit paths —
     # re-confirm against current code even though green r6
@@ -6916,7 +6952,8 @@ _GATE_FIRST = [
     "events_mad_outliers",
     "events_forward_fill",
     "union_schema_drift",
-    "extract_numbers_from_text",
+    # extract_numbers_from_text (r4-green) yields its slot to
+    # kt_sql_over_view this round; first in the r8 rotation
 ]
 
 
