@@ -238,10 +238,28 @@ class KeyedCatalog:
     API, never ``os``/``shutil``.
     """
 
-    def __init__(self, spark: SparkSession, warehouse: str, default_buckets: int = 32):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        default_buckets: int = 32,
+        *,
+        auto_compact_segments: "int | None" = None,
+        auto_compact_target_bytes: int = 64 * 1024 * 1024,
+    ):
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
         self.default_buckets = default_buckets
+        # opt-in write-path maintenance (the Delta autoCompact shape):
+        # when a write commits and the table's live segment count
+        # exceeds ``auto_compact_segments``, the small-segment backlog
+        # (< ``auto_compact_target_bytes``) is bin-packed in a
+        # follow-up commit — the small-file problem of high-frequency
+        # ingest, bounded at the source instead of by a scheduled job.
+        # Best-effort: a lost OCC race skips the pass (the next write
+        # re-triggers), and snapshots are retained (vacuum=False).
+        self.auto_compact_segments = auto_compact_segments
+        self.auto_compact_target_bytes = auto_compact_target_bytes
         self.fs = HadoopFS(spark)
         self.fs.mkdirs(self.warehouse)
         # DataFrames persisted mid-write (auto-index staging) that must
@@ -341,6 +359,51 @@ class KeyedCatalog:
         if not self.fs.exists(p):
             return {"v": 0, "segments": {}}
         return json.loads(self.fs.read_text(p))
+
+    def _maybe_auto_compact(self, table_name: str) -> None:
+        """Write-path compaction trigger (see ``auto_compact_segments``
+        in :meth:`__init__`): fires AFTER the write's own commit, so
+        the user's write is never failed by maintenance — a lost OCC
+        race here is swallowed and the next write re-triggers."""
+        budget = self.auto_compact_segments
+        if not budget:
+            return
+        if len(self._manifest(table_name)["segments"]) <= budget:
+            return
+        try:
+            self.compact(
+                table_name,
+                vacuum=False,
+                target_bytes=self.auto_compact_target_bytes,
+            )
+        except ConcurrentWriteError:
+            pass
+
+    def last_txn_version(
+        self, table_name: str, app_id: str, *, schema: str | None = None
+    ) -> "int | None":
+        """Highest ``txn`` version the table has committed for
+        ``app_id`` (None if never seen) — the read side of the
+        Delta-style txnAppId/txnVersion idempotent-write contract.
+        Streaming sinks use it implicitly (see
+        :mod:`pandabase_spark.streaming`); batch jobs replaying a
+        work queue can consult it directly before re-submitting."""
+        table_name = self._qualify(table_name, schema)
+        got = self._manifest(table_name).get("txns", {}).get(str(app_id))
+        return int(got) if got is not None else None
+
+    def _txn_applied(
+        self, table_name: str, txn: "tuple[str, int] | None"
+    ) -> bool:
+        """True iff this (app_id, version) write already committed —
+        the replay guard. Checked against the CURRENT manifest; a
+        racing duplicate that slips past the check loses the OCC
+        claim in :meth:`_commit` instead, and its retry lands here."""
+        if txn is None:
+            return False
+        app, tv = txn
+        last = self._manifest(table_name).get("txns", {}).get(str(app))
+        return last is not None and int(tv) <= int(last)
 
     @staticmethod
     def _resolve_nb(m: TableMeta, man: dict) -> TableMeta:
@@ -782,8 +845,17 @@ class KeyedCatalog:
         dvs: dict | None = None,
         dvs_base: dict | None = None,
         meta: "TableMeta | None" = None,
+        txn: "tuple[str, int] | None" = None,
     ) -> None:
         """THE commit point, with optimistic concurrency detection.
+
+        ``txn=(app_id, version)`` records an application transaction
+        watermark in the manifest (Delta's txnAppId/txnVersion
+        idempotent-write contract): writers that pass ``txn=`` are
+        skipped on replay when the manifest already carries a version
+        >= theirs for that app id (:meth:`_txn_applied`). The map is
+        carried forward by EVERY commit — including compaction,
+        rebucket, and DML — so a watermark survives table maintenance.
 
         ``nb`` records the bucket count the committed segments are
         laid out under; omitted, it carries the prior manifest's value
@@ -946,6 +1018,13 @@ class KeyedCatalog:
             # A few hundred bytes per commit, far below stats/blooms.
             "meta_schema": json.loads(m.to_json()),
         }
+        txns = dict(prior_man.get("txns", {}))
+        if txn is not None:
+            app, tv = txn
+            tv = int(tv)
+            txns[str(app)] = max(tv, txns.get(str(app), tv))
+        if txns:
+            doc_d["txns"] = txns
         if alldvs:
             doc_d["dvs"] = alldvs
         if allstats:
@@ -1746,11 +1825,58 @@ class KeyedCatalog:
         the manifest CURRENT at registration — re-register to see
         later commits (same semantics as Delta's DataFrame-as-view)."""
         table_name = self._qualify(table_name, schema)
-        name = view_name or f"kt_{table_name.replace('.', '_')}"
+        name = view_name or "kt_" + table_name.replace(".", "_").replace(
+            "/", "_"
+        )
         self.read_table(
             table_name, version=version
         ).createOrReplaceTempView(name)
         return name
+
+    def sql(self, query: str, *, schema: str | None = None) -> DataFrame:
+        """Run ANSI SQL over this catalog: each keyed table the query
+        references is registered as a temp view under its BARE table
+        name (pinned at the snapshot current now, like
+        :meth:`register_view`), then the statement is handed to
+        ``spark.sql``. This is the raw-SQL parity point with the
+        reference, where ``con`` is a SQLAlchemy engine and any
+        statement can always go through ``engine.execute``
+        (reference:pandabase/pandabase.py engine_builder). Views are
+        lazy named plans over the same scans :meth:`read_table`
+        builds, so pruning, DV filtering, column mapping, and
+        predicate pushdown all still apply — SQL is a front door,
+        never a second engine.
+
+        Referenced tables are found by intersecting the query's
+        identifiers with :meth:`table_names` (only real tables ever
+        register, and each call re-pins them fresh); a quoted name
+        that slips past the scan is caught by the analyzer's
+        missing-relation error and registered on retry."""
+        import re
+
+        names = set(self.table_names(schema=schema))
+        seen = {
+            tok
+            for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query)
+        } & names
+        for t in seen:
+            self.register_view(t, t, schema=schema)
+        for _ in range(len(names) + 1):
+            try:
+                return self.spark.sql(query)
+            except Exception as e:  # AnalysisException: missing relation
+                missing = None
+                params = getattr(e, "getMessageParameters", lambda: {})()
+                if params:
+                    missing = (params.get("relationName") or "").strip(
+                        "`"
+                    )
+                if missing in names and missing not in seen:
+                    seen.add(missing)
+                    self.register_view(missing, missing, schema=schema)
+                else:
+                    raise
+        raise RuntimeError("catalog.sql failed to resolve relations")
 
     def vacuum(
         self,
@@ -1842,8 +1968,19 @@ class KeyedCatalog:
         bloom_columns: Sequence[str] | None = None,
         sketch_columns: Sequence[str] | None = None,
         cluster_by: Sequence[str] | None = None,
+        txn: "tuple[str, int] | None" = None,
     ) -> None:
         """Write a DataFrame into a keyed table.
+
+        ``txn=(app_id, version)`` makes the write IDEMPOTENT under
+        replay (Delta's txnAppId/txnVersion contract): the manifest
+        records the highest version committed per app id, and a write
+        whose version is <= that watermark returns without touching
+        the table. This is what turns at-least-once delivery (Spark
+        Structured Streaming micro-batch retries, work-queue
+        re-submissions) into exactly-once table state even for
+        NON-idempotent batches — a replayed strict append neither
+        duplicates rows nor trips the PK check; it is simply skipped.
 
         ``stats_columns`` (create only): column names whose per-
         (segment, bucket) min/max ride in every manifest commit,
@@ -1896,6 +2033,7 @@ class KeyedCatalog:
                 num_buckets=num_buckets, constraints=constraints,
                 stats_columns=stats_columns, bloom_columns=bloom_columns,
                 sketch_columns=sketch_columns, cluster_by=cluster_by,
+                txn=txn,
             )
         finally:
             self._release_staged()
@@ -1920,8 +2058,11 @@ class KeyedCatalog:
         bloom_columns: Sequence[str] | None = None,
         sketch_columns: Sequence[str] | None = None,
         cluster_by: Sequence[str] | None = None,
+        txn: "tuple[str, int] | None" = None,
     ) -> None:
         exists = self.has_table(table_name)
+        if exists and self._txn_applied(table_name, txn):
+            return
         if exists and constraints:
             raise NameError(
                 "constraints are declared at create time; use "
@@ -1964,7 +2105,7 @@ class KeyedCatalog:
                 sdf, table_name, keys, auto_index, num_buckets,
                 constraints=constraints, stats_columns=stats_columns,
                 bloom_columns=bloom_columns, sketch_columns=sketch_columns,
-                cluster_by=cluster_by,
+                cluster_by=cluster_by, txn=txn,
             )
             return
 
@@ -2009,9 +2150,9 @@ class KeyedCatalog:
             self._write_meta(table_name, m)
 
         if how == "append":
-            self._append(sdf, table_name, m)
+            self._append(sdf, table_name, m, txn=txn)
         else:
-            self._upsert(sdf, table_name, m)
+            self._upsert(sdf, table_name, m, txn=txn)
 
     def _normalize_input(
         self,
@@ -2205,6 +2346,7 @@ class KeyedCatalog:
         bloom_columns: Sequence[str] | None = None,
         sketch_columns: Sequence[str] | None = None,
         cluster_by: Sequence[str] | None = None,
+        txn: "tuple[str, int] | None" = None,
     ) -> None:
         bad_stats = [
             c for c in (stats_columns or []) if c not in sdf.columns
@@ -2285,7 +2427,7 @@ class KeyedCatalog:
         finally:
             staged.unpersist()
         self._write_meta(table_name, m)
-        self._commit(table_name, {seg: buckets}, v=0, op="create")
+        self._commit(table_name, {seg: buckets}, v=0, op="create", txn=txn)
 
     def _check_unique(self, sdf: DataFrame, keys: Sequence[str]) -> None:
         """In-batch duplicate-key check (reference requires a unique
@@ -2316,7 +2458,13 @@ class KeyedCatalog:
             .collect()
         ]
 
-    def _append(self, sdf: DataFrame, table_name: str, m: TableMeta) -> None:
+    def _append(
+        self,
+        sdf: DataFrame,
+        table_name: str,
+        m: TableMeta,
+        txn: "tuple[str, int] | None" = None,
+    ) -> None:
         """Strict append: any incoming key already present → IntegrityError
         (reference:pandabase/sql.py:264-266). The overlap probe joins the
         batch against ONLY the buckets it hashes into (manifest path
@@ -2356,9 +2504,16 @@ class KeyedCatalog:
         seg, buckets = self._write_segment(sdf, table_name, m)
         segments = dict(man["segments"])
         segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"], op="append")
+        self._commit(table_name, segments, v=man["v"], op="append", txn=txn)
+        self._maybe_auto_compact(table_name)
 
-    def _upsert(self, sdf: DataFrame, table_name: str, m: TableMeta) -> None:
+    def _upsert(
+        self,
+        sdf: DataFrame,
+        table_name: str,
+        m: TableMeta,
+        txn: "tuple[str, int] | None" = None,
+    ) -> None:
         """MERGE: batch rows win on matched keys (all incoming columns,
         NULLs included — reference:pandabase/sql.py:300); table columns
         absent from the batch are preserved; unmatched keys insert.
@@ -2404,7 +2559,8 @@ class KeyedCatalog:
             if keep:
                 segments[old_seg] = keep
         segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"], op="upsert")
+        self._commit(table_name, segments, v=man["v"], op="upsert", txn=txn)
+        self._maybe_auto_compact(table_name)
 
     def merge_table(
         self,
@@ -2415,6 +2571,7 @@ class KeyedCatalog:
         when_matched_delete: "str | Column | None" = None,
         when_not_matched_insert: bool = True,
         schema: str | None = None,
+        txn: "tuple[str, int] | None" = None,
     ) -> dict:
         """Full MERGE with clauses — the Delta ``MERGE INTO`` shape the
         plain ``how='upsert'`` path is a special case of:
@@ -2445,6 +2602,9 @@ class KeyedCatalog:
         extension surface.
         """
         table_name = self._qualify(table_name, schema)
+        if self._txn_applied(table_name, txn):
+            # replayed transaction: already committed, report a no-op
+            return {"updated": 0, "deleted": 0, "inserted": 0}
         m = self.meta(table_name)
         if m.auto_index:
             raise IOError("merge is not valid on auto-indexed tables")
@@ -2550,7 +2710,8 @@ class KeyedCatalog:
                 segments[old_seg] = kept
         if buckets:
             segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"], op="merge")
+        self._commit(table_name, segments, v=man["v"], op="merge", txn=txn)
+        self._maybe_auto_compact(table_name)
         return {
             "updated": int(counts["updated"] or 0),
             "deleted": int(counts["deleted"] or 0),

@@ -43,18 +43,27 @@ def stream_upsert(
     checkpoint: str,
     trigger_available_now: bool = True,
     dedup_within_batch: bool = True,
+    txn_app_id: "str | None" = None,
 ) -> StreamingQuery:
     """Continuously upsert a stream into a keyed table.
 
     Each micro-batch runs the batch MERGE plan (pruned bucket read +
     anti-join + new segment + manifest commit) — exactly-once per batch
-    at the table level because the manifest commit is atomic and
-    re-processing a batch upserts the same keys idempotently.
+    at the table level: the manifest commit is atomic, re-processing a
+    batch upserts the same keys idempotently, AND every batch commits
+    with ``txn=(app_id, batch_id)`` (Delta's txnAppId/txnVersion
+    contract), so a replayed micro-batch — lost checkpoint, foreachBatch
+    retry after a committed-but-unacknowledged epoch — is skipped
+    outright instead of re-applied. ``txn_app_id`` defaults to the
+    checkpoint path (one stream = one app id); set it explicitly when
+    a rebuilt stream with a FRESH checkpoint must continue the same
+    idempotence domain.
 
     ``dedup_within_batch`` keeps the last row per key inside a
     micro-batch (source retractions/duplicates would otherwise trip the
     unique-key check).
     """
+    app = txn_app_id or f"stream:{checkpoint}"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -63,9 +72,14 @@ def stream_upsert(
         if dedup_within_batch:
             b = b.dropDuplicates(list(keys))
         if catalog.has_table(table_name):
-            catalog.to_table(b, table_name, keys=keys, how="upsert")
+            catalog.to_table(
+                b, table_name, keys=keys, how="upsert",
+                txn=(app, batch_id),
+            )
         else:
-            catalog.to_table(b, table_name, keys=keys)
+            catalog.to_table(
+                b, table_name, keys=keys, txn=(app, batch_id)
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -389,6 +403,7 @@ def stream_merge(
     when_not_matched_insert: bool = True,
     trigger_available_now: bool = True,
     dedup_within_batch: bool = True,
+    txn_app_id: "str | None" = None,
 ) -> StreamingQuery:
     """Continuous MERGE: each micro-batch runs the full clause MERGE
     (:meth:`KeyedCatalog.merge_table`) against the keyed table — the
@@ -399,8 +414,16 @@ def stream_merge(
     (clauses need its key/schema metadata). ``dedup_within_batch``
     keeps the LAST row per key inside a micro-batch, so a key that
     changed twice in one batch applies its final state.
+
+    Exactly-once under replay: every batch commits with
+    ``txn=(app_id, batch_id)``, so a re-delivered micro-batch is
+    skipped rather than re-merged — this matters MORE here than for
+    plain upsert, because a replayed ``when_matched_delete`` or an
+    assignment like ``t.n + s.n`` is NOT key-idempotent.
+    ``txn_app_id`` defaults to the checkpoint path.
     """
     m = catalog.meta(table_name)
+    app = txn_app_id or f"stream:{checkpoint}"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -414,6 +437,7 @@ def stream_merge(
             when_matched_update=when_matched_update,
             when_matched_delete=when_matched_delete,
             when_not_matched_insert=when_not_matched_insert,
+            txn=(app, batch_id),
         )
 
     writer = (

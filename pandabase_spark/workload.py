@@ -783,6 +783,60 @@ def kt_sql_over_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kt_catalog_sql",
+    "SELECT r.r_name, count(*) AS n_nations, min(n.n_name) AS first_nation "
+    "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE n.n_nationkey >= 5 GROUP BY r.r_name",
+)
+def kt_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """catalog.sql(): one SQL statement joining two keyed tables by
+    their bare names — every catalog table is auto-registered as a
+    view over its current snapshot, then the statement runs through
+    spark.sql. The raw-SQL parity point with the reference's
+    SQLAlchemy engine (any statement via engine.execute); the join,
+    filter, and aggregate all plan against the same pruned keyed-table
+    scans read_table builds."""
+    cat = _catalog(spark, sf_dir)
+    for t, key in (("nation", "n_nationkey"), ("region", "r_regionkey")):
+        _fresh(cat, f"w_{t}_csql")
+        cat.to_table(load(spark, sf_dir, t), f"w_{t}_csql", keys=[key])
+    return cat.sql(
+        "SELECT r.r_name, count(*) AS n_nations, "
+        "min(n.n_name) AS first_nation "
+        "FROM w_nation_csql n JOIN w_region_csql r "
+        "ON n.n_regionkey = r.r_regionkey "
+        "WHERE n.n_nationkey >= 5 GROUP BY r.r_name"
+    )
+
+
+@_q(
+    "kt_txn_exactly_once",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def kt_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional write idempotence (Delta txnAppId/txnVersion):
+    the tail half of nation is appended TWICE with the same
+    txn=(app, version) — the replay is skipped against the manifest's
+    per-app watermark, so the table equals plain nation with no
+    duplicate rows and no PK violation. The guard is what upgrades
+    at-least-once micro-batch delivery to exactly-once table state
+    (streaming sinks pass txn=(app, batch_id) automatically)."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_nation_txn")
+    n = load(spark, sf_dir, "nation")
+    cat.to_table(
+        n.where("n_nationkey < 12"), "w_nation_txn", keys=["n_nationkey"]
+    )
+    tail = n.where("n_nationkey >= 12")
+    for _ in range(2):  # second apply is the replay — skipped
+        cat.to_table(
+            tail, "w_nation_txn", keys=["n_nationkey"], how="append",
+            txn=("loader", 1),
+        )
+    return cat.read_table("w_nation_txn")
+
+
+@_q(
     "kt_restore",
     "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
 )
@@ -6898,6 +6952,8 @@ _GATE_FIRST = [
     "kt_cluster_by_zorder",
     "ann_topk_ivf_indexed",
     "kt_sql_over_view",
+    "kt_catalog_sql",
+    "kt_txn_exactly_once",
     # round-7 code-touched: _read_raw per-DV leaf scoping + the
     # DV_MAX_LIVE auto-fold changed the DV read/commit paths —
     # re-confirm against current code even though green r6
@@ -6950,10 +7006,10 @@ _GATE_FIRST = [
     "events_time_weighted_avg",
     "data_quality_checks",
     "events_mad_outliers",
-    "events_forward_fill",
-    "union_schema_drift",
-    # extract_numbers_from_text (r4-green) yields its slot to
-    # kt_sql_over_view this round; first in the r8 rotation
+    # events_forward_fill, union_schema_drift, and
+    # extract_numbers_from_text (all r4-green) yield their slots to
+    # kt_sql_over_view, kt_catalog_sql, and kt_txn_exactly_once this
+    # round; first in the r8 rotation
 ]
 
 

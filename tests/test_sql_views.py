@@ -68,6 +68,43 @@ def test_register_view_respects_dv_deletes(spark, catalog):
     assert [r.k for r in rows] == [1, 2, 3, 4, 6, 7, 8, 9]
 
 
+def test_catalog_sql_joins_bare_names(spark, catalog):
+    catalog.to_table(_mk(spark, 30), "left_t", keys=["k"])
+    dim = spark.createDataFrame(
+        [(g, f"g{g}") for g in range(7)], "grp bigint, label string"
+    )
+    catalog.to_table(dim, "dim_t", keys=["grp"])
+    got = catalog.sql(
+        "SELECT d.label, count(*) AS n FROM left_t l "
+        "JOIN dim_t d USING (grp) GROUP BY d.label ORDER BY d.label"
+    ).collect()
+    assert len(got) == 7
+    assert sum(r.n for r in got) == 30
+
+
+def test_catalog_sql_repins_current_snapshot_each_call(spark, catalog):
+    catalog.to_table(_mk(spark, 10), "fresh_t", keys=["k"])
+    assert catalog.sql("SELECT count(*) AS n FROM fresh_t").first().n == 10
+    catalog.to_table(
+        _mk(spark, 25).where(F.col("k") >= 10),
+        "fresh_t", keys=["k"], how="append",
+    )
+    # unlike a manually-registered view, sql() re-pins per call
+    assert catalog.sql("SELECT count(*) AS n FROM fresh_t").first().n == 25
+
+
+def test_catalog_sql_namespaced(spark, catalog):
+    catalog.to_table(_mk(spark, 12), "ns_t", keys=["k"], schema="s1")
+    n = catalog.sql("SELECT count(*) AS n FROM ns_t", schema="s1").first().n
+    assert n == 12
+
+
+def test_catalog_sql_unknown_relation_still_raises(spark, catalog):
+    catalog.to_table(_mk(spark, 5), "known_t", keys=["k"])
+    with pytest.raises(Exception, match="no_such_t|NOT_FOUND"):
+        catalog.sql("SELECT * FROM known_t JOIN no_such_t USING (k)")
+
+
 def test_sql_predicate_pushes_through_view(spark, catalog):
     catalog.to_table(_mk(spark, 200), "vq", keys=["k"])
     catalog.register_view("vq", "vq_v")
