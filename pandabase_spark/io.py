@@ -2797,8 +2797,13 @@ class KeyedCatalog:
         *,
         schema: str | None = None,
         strategy: str = "auto",
+        txn: "tuple[str, int] | None" = None,
     ) -> int:
         """DELETE FROM table WHERE predicate.
+
+        ``txn=(app_id, version)`` makes the delete idempotent under
+        replay (same watermark contract as :meth:`to_table`): a
+        re-delivered CDC delete batch is skipped, returning 0.
 
         Two physical strategies, chosen by ``strategy``:
 
@@ -2831,6 +2836,8 @@ class KeyedCatalog:
         if strategy not in ("auto", "dv", "rewrite"):
             raise ValueError(f"unknown delete strategy: {strategy!r}")
         table_name = self._qualify(table_name, schema)
+        if self._txn_applied(table_name, txn):
+            return 0
         m = self.meta(table_name)
         if strategy == "dv" and m.sketch_columns:
             raise ValueError(
@@ -2866,7 +2873,9 @@ class KeyedCatalog:
                 <= DV_AUTO_MAX_ROWS
             )
         if use_dv:
-            return self._delete_dv(table_name, m, man, hits, touched)
+            return self._delete_dv(
+                table_name, m, man, hits, touched, txn=txn
+            )
         existing = self._read_raw(table_name, buckets=touched, manifest=man)
         n_deleted = existing.where(pred).count()
         # SQL DELETE semantics: remove only rows where the predicate is
@@ -2882,7 +2891,7 @@ class KeyedCatalog:
         if survivors.head(1):
             seg, buckets = self._write_segment(survivors, table_name, m)
             segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"], op="delete")
+        self._commit(table_name, segments, v=man["v"], op="delete", txn=txn)
         return n_deleted
 
     def _delete_dv(
@@ -2894,6 +2903,7 @@ class KeyedCatalog:
         touched: "list[int]",
         new_rows: DataFrame | None = None,
         op: str = "delete_dv",
+        txn: "tuple[str, int] | None" = None,
     ) -> int:
         """Commit a deletion vector for ``hits`` (already DV-filtered
         rows of the pinned ``man`` snapshot): write the matching keys
@@ -3001,6 +3011,7 @@ class KeyedCatalog:
                 # every touched bucket folded => the deletion is
                 # already physical and the sidecar carries nothing
                 dvs={dv_name: entry} if leaves else None,
+                txn=txn,
             )
         except ConcurrentWriteError:
             self.fs.delete(dv_path)  # lost the race — no orphan sidecar
@@ -3017,8 +3028,14 @@ class KeyedCatalog:
         *,
         schema: str | None = None,
         strategy: str = "auto",
+        txn: "tuple[str, int] | None" = None,
     ) -> int:
         """UPDATE table SET col = expr, ... WHERE predicate.
+
+        ``txn=(app_id, version)`` makes the update idempotent under
+        replay (same watermark contract as :meth:`to_table`) — the
+        guard that matters most for relative assignments like
+        ``{"v": "v + 1"}``, which would otherwise double-apply.
 
         ``strategy="rewrite"`` is the same bucket-pruned rewrite as
         :meth:`delete_rows`, with matching rows re-projected through
@@ -3033,6 +3050,8 @@ class KeyedCatalog:
         if strategy not in ("auto", "dv", "rewrite"):
             raise ValueError(f"unknown update strategy: {strategy!r}")
         table_name = self._qualify(table_name, schema)
+        if self._txn_applied(table_name, txn):
+            return 0
         m = self.meta(table_name)
         if strategy == "dv" and m.sketch_columns:
             raise ValueError(
@@ -3092,7 +3111,7 @@ class KeyedCatalog:
             self._check_constraints(upd_rows, m)
             n_updated = self._delete_dv(
                 table_name, m, man, hits, touched, new_rows=upd_rows,
-                op="update_dv",
+                op="update_dv", txn=txn,
             )
             return n_updated
         existing = self._read_raw(table_name, buckets=touched, manifest=man)
@@ -3121,7 +3140,7 @@ class KeyedCatalog:
             if (keep := [b for b in bs if b not in touched_set])
         }
         segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"], op="update")
+        self._commit(table_name, segments, v=man["v"], op="update", txn=txn)
         return n_updated
 
     # ------------------------------------------------------------------

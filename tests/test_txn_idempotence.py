@@ -114,6 +114,37 @@ def test_merge_increment_replay_not_double_applied(spark, catalog):
     assert vals == {6.0}
 
 
+def test_delete_and_update_replay_skipped(spark, catalog):
+    catalog.to_table(_mk(spark, 0, 40, v=1.0), "tx_f", keys=["k"])
+    n = catalog.delete_rows("tx_f", "k >= 30", txn=("cdc", 1))
+    assert n == 10
+    assert catalog.delete_rows("tx_f", "k >= 20", txn=("cdc", 1)) == 0
+    assert catalog.read_table("tx_f").count() == 30
+    # relative assignment: replay would double-apply without the guard
+    n = catalog.update_rows(
+        "tx_f", "k < 10", {"v": "v + 1"}, txn=("cdc", 2)
+    )
+    assert n == 10
+    assert catalog.update_rows(
+        "tx_f", "k < 10", {"v": "v + 1"}, txn=("cdc", 2)
+    ) == 0
+    got = dict(
+        (r.k, r.v) for r in catalog.read_table("tx_f").collect()
+    )
+    assert all(got[k] == 2.0 for k in range(10))
+    assert all(got[k] == 1.0 for k in range(10, 30))
+    # DV strategies honor the watermark too
+    n = catalog.delete_rows(
+        "tx_f", "k = 5", strategy="dv", txn=("cdc", 3)
+    )
+    assert n == 1
+    assert catalog.delete_rows(
+        "tx_f", "k = 6", strategy="dv", txn=("cdc", 3)
+    ) == 0
+    assert catalog.read_table("tx_f").count() == 29
+    assert catalog.last_txn_version("tx_f", "cdc") == 3
+
+
 def test_stream_merge_replay_with_fresh_checkpoint_is_noop(
     spark, catalog, tmp_path
 ):
