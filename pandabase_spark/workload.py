@@ -810,6 +810,52 @@ def kt_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_kt_source",
+    "SELECT n_regionkey, count(*) * 2 AS n_rows, "
+    "min(n_name) AS first_name FROM nation GROUP BY n_regionkey",
+)
+def streaming_kt_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed table as a Structured Streaming SOURCE (the read-side
+    twin of streaming_upsert_events): nation lands in two commits
+    (create + key-shifted append), then
+    ``readStream.format("keyed_table_stream")`` tails the manifest log
+    and drains both into a memory sink — offsets are manifest
+    versions, partitions are the new (segment, bucket) leaves, rows
+    cross via executor-side pyarrow reads. The drained sink must
+    aggregate to exactly twice nation per region: every appended row
+    exactly once, none of the pre-existing rows twice."""
+    import tempfile
+
+    from pandabase_spark.sources.kt_stream import stream_read_table
+
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_nation_srcst")
+    n = load(spark, sf_dir, "nation")
+    cat.to_table(n, "w_nation_srcst", keys=["n_nationkey"])
+    shifted = n.withColumn("n_nationkey", F.col("n_nationkey") + 1000)
+    cat.to_table(
+        shifted, "w_nation_srcst", keys=["n_nationkey"], how="append"
+    )
+    scratch = tempfile.mkdtemp(prefix="pb_ktsrc_")
+    sink = "w_nation_srcst_sink"
+    spark.catalog.dropTempView(sink)
+    with _stream_cycle(spark):
+        q = (
+            stream_read_table(cat, "w_nation_srcst")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    return spark.table(sink).groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+@_q(
     "kt_txn_exactly_once",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 )
@@ -6954,6 +7000,7 @@ _GATE_FIRST = [
     "kt_sql_over_view",
     "kt_catalog_sql",
     "kt_txn_exactly_once",
+    "streaming_kt_source",
     # round-7 code-touched: _read_raw per-DV leaf scoping + the
     # DV_MAX_LIVE auto-fold changed the DV read/commit paths —
     # re-confirm against current code even though green r6
@@ -7005,11 +7052,10 @@ _GATE_FIRST = [
     "monthly_revenue_growth",
     "events_time_weighted_avg",
     "data_quality_checks",
-    "events_mad_outliers",
-    # events_forward_fill, union_schema_drift, and
-    # extract_numbers_from_text (all r4-green) yield their slots to
-    # kt_sql_over_view, kt_catalog_sql, and kt_txn_exactly_once this
-    # round; first in the r8 rotation
+    # events_mad_outliers, events_forward_fill, union_schema_drift,
+    # and extract_numbers_from_text (all r4-green) yield their slots
+    # to kt_sql_over_view, kt_catalog_sql, kt_txn_exactly_once, and
+    # streaming_kt_source this round; first in the r8 rotation
 ]
 
 
