@@ -1112,6 +1112,49 @@ class KeyedCatalog:
             )
         return sorted(out, key=lambda d: d["version"])
 
+    def table_detail(
+        self, table_name: str, *, schema: str | None = None
+    ) -> dict:
+        """DESCRIBE DETAIL (the Delta shape): one metadata-only dict of
+        the table's physical facts — location, current version, live
+        segment/leaf counts and on-disk bytes, bucket count, keys,
+        clustering and declared index columns, live DV count,
+        constraint names. O(manifest + one du per segment); no job
+        runs and no data is read — at 100 TB this answers "how big is
+        this table and how is it laid out" without a scan."""
+        table_name = self._qualify(table_name, schema)
+        m = self.meta(table_name)
+        man = self._manifest(table_name)
+        m = self._resolve_nb(m, man)
+        size = sum(
+            self.fs.du(
+                f"{self.warehouse}/{s}"
+                if "/" in s
+                else f"{self._path(table_name)}/{s}"
+            )
+            for s in man["segments"]
+        )
+        return {
+            "name": table_name,
+            "location": self._path(table_name),
+            "format": "parquet",
+            "version": man["v"],
+            "last_operation": man.get("op"),
+            "last_commit_ts_us": man.get("ts"),
+            "keys": list(m.keys),
+            "num_buckets": m.num_buckets,
+            "n_segments": len(man["segments"]),
+            "n_leaves": sum(len(b) for b in man["segments"].values()),
+            "size_bytes": int(size),
+            "n_live_dvs": len(man.get("dvs", {})),
+            "cluster_by": list(m.cluster_by),
+            "stats_columns": list(m.stats_columns),
+            "bloom_columns": list(m.bloom_columns),
+            "sketch_columns": list(m.sketch_columns),
+            "constraints": sorted(m.constraints),
+            "auto_index": m.auto_index,
+        }
+
     def describe(
         self, table_name: str | None = None, *, schema: str | None = None
     ) -> DataFrame:
@@ -1884,6 +1927,7 @@ class KeyedCatalog:
         *,
         schema: str | None = None,
         retain_last: int = 0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete segments no longer referenced by the CURRENT manifest
         (tombstoned by upserts or orphaned by a writer crash), then
@@ -1898,7 +1942,12 @@ class KeyedCatalog:
         is truncated. The default (0) keeps today's semantics: only
         the current snapshot survives. At 100 TB this is what lets a
         nightly vacuum coexist with readers pinned to recent
-        snapshots and with same-day RESTORE."""
+        snapshots and with same-day RESTORE.
+
+        ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) returns the
+        same list WITHOUT deleting anything — the safety preview
+        before truncating time travel (history files are left intact
+        too, since nothing they reference is removed)."""
         table_name = self._qualify(table_name, schema)
         cur_man = self._manifest(table_name)
         protected = [cur_man]
@@ -1923,14 +1972,18 @@ class KeyedCatalog:
         gone = []
         for d in self.fs.list_dirs(self._path(table_name)):
             if d.startswith("seg-") and d not in live:
-                self.fs.delete(f"{self._path(table_name)}/{d}")
+                if not dry_run:
+                    self.fs.delete(f"{self._path(table_name)}/{d}")
                 gone.append(d)
         dv_root = f"{self._path(table_name)}/{DV_DIR}"
         if self.fs.exists(dv_root):
             for d in self.fs.list_dirs(dv_root):
                 if d not in live_dvs:
-                    self.fs.delete(f"{dv_root}/{d}")
+                    if not dry_run:
+                        self.fs.delete(f"{dv_root}/{d}")
                     gone.append(f"{DV_DIR}/{d}")
+        if dry_run:
+            return gone
         if gone:
             log_dir = f"{self._path(table_name)}/{LOG_DIR}"
             for f in self.fs.list_files(log_dir):
