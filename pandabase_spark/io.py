@@ -846,6 +846,7 @@ class KeyedCatalog:
         dvs_base: dict | None = None,
         meta: "TableMeta | None" = None,
         txn: "tuple[str, int] | None" = None,
+        ingest: "dict[str, int] | None" = None,
     ) -> None:
         """THE commit point, with optimistic concurrency detection.
 
@@ -1025,6 +1026,15 @@ class KeyedCatalog:
             txns[str(app)] = max(tv, txns.get(str(app), tv))
         if txns:
             doc_d["txns"] = txns
+        # COPY INTO file ledger: carried forward like txns so the data
+        # write and the loaded-file record land in ONE atomic commit —
+        # a crash can never leave a file loaded-but-unrecorded (double
+        # load) or recorded-but-unloaded (data loss)
+        loaded = dict(prior_man.get("ingest", {}))
+        if ingest:
+            loaded.update(ingest)
+        if loaded:
+            doc_d["ingest"] = loaded
         if alldvs:
             doc_d["dvs"] = alldvs
         if allstats:
@@ -1921,6 +1931,76 @@ class KeyedCatalog:
                     raise
         raise RuntimeError("catalog.sql failed to resolve relations")
 
+    def copy_into(
+        self,
+        table_name: str,
+        source_dir: str,
+        *,
+        keys: Sequence[str] | None = None,
+        how: str = "append",
+        format: str = "parquet",
+        reader_options: "Mapping[str, str] | None" = None,
+        schema: str | None = None,
+    ) -> dict:
+        """COPY INTO: file-level idempotent directory ingestion (the
+        Delta ``COPY INTO`` shape). Lists ``source_dir``, loads ONLY
+        files the table has never ingested, writes them as one
+        ``how`` batch (append/upsert), and records the loaded file
+        names in the manifest's ingest ledger IN THE SAME COMMIT —
+        re-running after any crash or scheduler retry loads each file
+        exactly once (the data and its record are atomic; contrast a
+        separate bookkeeping table, which can desync either way).
+
+        Returns ``{"files_loaded", "files_skipped", "rows_loaded"}``.
+        The ledger keys are absolute file paths, so the same filename
+        arriving in a different drop directory still loads. Ledger
+        entries are ~100 bytes each and carried forward by every
+        commit: right-sized for directory-drop ingestion (thousands
+        of files); a firehose of millions of small files should flow
+        through the streaming sink instead, where the checkpoint +
+        txn watermark provide the same exactly-once contract without
+        per-file manifest state."""
+        if how not in ("append", "upsert"):
+            raise ValueError("copy_into supports how='append'|'upsert'")
+        qualified = self._qualify(table_name, schema)
+        suffix = {
+            "parquet": ".parquet", "json": ".json", "jsonl": ".jsonl",
+            "csv": ".csv", "orc": ".orc",
+        }.get(format, f".{format}")
+        fmt = "json" if format == "jsonl" else format
+        files = sorted(
+            f"{source_dir.rstrip('/')}/{f}"
+            for f in self.fs.list_files(source_dir)
+            if f.endswith(suffix) and not f.startswith(("_", "."))
+        )
+        ledger = self._manifest(qualified).get("ingest", {})
+        new = [f for f in files if f not in ledger]
+        if not new:
+            return {
+                "files_loaded": 0,
+                "files_skipped": len(files),
+                "rows_loaded": 0,
+            }
+        reader = self.spark.read.format(fmt)
+        for k, v in (reader_options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(new)
+        n_rows = df.count()
+        exists = self.has_table(qualified)
+        if exists and keys is None:
+            keys = self.meta(qualified).keys
+        v_next = self._manifest(qualified)["v"] + 1 if exists else 1
+        self.to_table(
+            df, table_name, keys=keys,
+            how=how if exists else "create_only", schema=schema,
+            ingest={f: v_next for f in new},
+        )
+        return {
+            "files_loaded": len(new),
+            "files_skipped": len(files) - len(new),
+            "rows_loaded": n_rows,
+        }
+
     def vacuum(
         self,
         table_name: str,
@@ -2022,6 +2102,7 @@ class KeyedCatalog:
         sketch_columns: Sequence[str] | None = None,
         cluster_by: Sequence[str] | None = None,
         txn: "tuple[str, int] | None" = None,
+        ingest: "dict[str, int] | None" = None,
     ) -> None:
         """Write a DataFrame into a keyed table.
 
@@ -2086,7 +2167,7 @@ class KeyedCatalog:
                 num_buckets=num_buckets, constraints=constraints,
                 stats_columns=stats_columns, bloom_columns=bloom_columns,
                 sketch_columns=sketch_columns, cluster_by=cluster_by,
-                txn=txn,
+                txn=txn, ingest=ingest,
             )
         finally:
             self._release_staged()
@@ -2112,6 +2193,7 @@ class KeyedCatalog:
         sketch_columns: Sequence[str] | None = None,
         cluster_by: Sequence[str] | None = None,
         txn: "tuple[str, int] | None" = None,
+        ingest: "dict[str, int] | None" = None,
     ) -> None:
         exists = self.has_table(table_name)
         if exists and self._txn_applied(table_name, txn):
@@ -2158,7 +2240,7 @@ class KeyedCatalog:
                 sdf, table_name, keys, auto_index, num_buckets,
                 constraints=constraints, stats_columns=stats_columns,
                 bloom_columns=bloom_columns, sketch_columns=sketch_columns,
-                cluster_by=cluster_by, txn=txn,
+                cluster_by=cluster_by, txn=txn, ingest=ingest,
             )
             return
 
@@ -2203,9 +2285,9 @@ class KeyedCatalog:
             self._write_meta(table_name, m)
 
         if how == "append":
-            self._append(sdf, table_name, m, txn=txn)
+            self._append(sdf, table_name, m, txn=txn, ingest=ingest)
         else:
-            self._upsert(sdf, table_name, m, txn=txn)
+            self._upsert(sdf, table_name, m, txn=txn, ingest=ingest)
 
     def _normalize_input(
         self,
@@ -2400,6 +2482,7 @@ class KeyedCatalog:
         sketch_columns: Sequence[str] | None = None,
         cluster_by: Sequence[str] | None = None,
         txn: "tuple[str, int] | None" = None,
+        ingest: "dict[str, int] | None" = None,
     ) -> None:
         bad_stats = [
             c for c in (stats_columns or []) if c not in sdf.columns
@@ -2480,7 +2563,10 @@ class KeyedCatalog:
         finally:
             staged.unpersist()
         self._write_meta(table_name, m)
-        self._commit(table_name, {seg: buckets}, v=0, op="create", txn=txn)
+        self._commit(
+            table_name, {seg: buckets}, v=0, op="create", txn=txn,
+            ingest=ingest,
+        )
 
     def _check_unique(self, sdf: DataFrame, keys: Sequence[str]) -> None:
         """In-batch duplicate-key check (reference requires a unique
@@ -2517,6 +2603,7 @@ class KeyedCatalog:
         table_name: str,
         m: TableMeta,
         txn: "tuple[str, int] | None" = None,
+        ingest: "dict[str, int] | None" = None,
     ) -> None:
         """Strict append: any incoming key already present → IntegrityError
         (reference:pandabase/sql.py:264-266). The overlap probe joins the
@@ -2557,7 +2644,10 @@ class KeyedCatalog:
         seg, buckets = self._write_segment(sdf, table_name, m)
         segments = dict(man["segments"])
         segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"], op="append", txn=txn)
+        self._commit(
+            table_name, segments, v=man["v"], op="append", txn=txn,
+            ingest=ingest,
+        )
         self._maybe_auto_compact(table_name)
 
     def _upsert(
@@ -2566,6 +2656,7 @@ class KeyedCatalog:
         table_name: str,
         m: TableMeta,
         txn: "tuple[str, int] | None" = None,
+        ingest: "dict[str, int] | None" = None,
     ) -> None:
         """MERGE: batch rows win on matched keys (all incoming columns,
         NULLs included — reference:pandabase/sql.py:300); table columns
@@ -2612,7 +2703,10 @@ class KeyedCatalog:
             if keep:
                 segments[old_seg] = keep
         segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"], op="upsert", txn=txn)
+        self._commit(
+            table_name, segments, v=man["v"], op="upsert", txn=txn,
+            ingest=ingest,
+        )
         self._maybe_auto_compact(table_name)
 
     def merge_table(

@@ -856,6 +856,28 @@ def streaming_kt_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kt_copy_into",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def kt_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO file-level idempotence: nation lands as parquet files
+    in a drop directory, copy_into ingests them, and a SECOND
+    copy_into of the same directory is a recorded no-op (the ledger
+    rides in the same commit as the data) — the table must equal
+    plain nation, each file loaded exactly once."""
+    import tempfile
+
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_nation_ci")
+    scratch = tempfile.mkdtemp(prefix="pb_ci_")
+    n = load(spark, sf_dir, "nation")
+    n.repartition(2).write.mode("overwrite").parquet(f"{scratch}/drop")
+    for _ in range(2):  # second run must skip every file
+        cat.copy_into("w_nation_ci", f"{scratch}/drop", keys=["n_nationkey"])
+    return cat.read_table("w_nation_ci")
+
+
+@_q(
     "kt_txn_exactly_once",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 )
@@ -7001,6 +7023,7 @@ _GATE_FIRST = [
     "kt_catalog_sql",
     "kt_txn_exactly_once",
     "streaming_kt_source",
+    "kt_copy_into",
     # round-7 code-touched: _read_raw per-DV leaf scoping + the
     # DV_MAX_LIVE auto-fold changed the DV read/commit paths —
     # re-confirm against current code even though green r6
@@ -7051,11 +7074,11 @@ _GATE_FIRST = [
     "event_transition_matrix",
     "monthly_revenue_growth",
     "events_time_weighted_avg",
-    "data_quality_checks",
-    # events_mad_outliers, events_forward_fill, union_schema_drift,
-    # and extract_numbers_from_text (all r4-green) yield their slots
-    # to kt_sql_over_view, kt_catalog_sql, kt_txn_exactly_once, and
-    # streaming_kt_source this round; first in the r8 rotation
+    # data_quality_checks, events_mad_outliers, events_forward_fill,
+    # union_schema_drift, and extract_numbers_from_text (all
+    # r4-green) yield their slots to kt_sql_over_view,
+    # kt_catalog_sql, kt_txn_exactly_once, streaming_kt_source, and
+    # kt_copy_into this round; first in the r8 rotation
 ]
 
 
