@@ -286,41 +286,55 @@ def ivf_centroids(
     train = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if sample_mod is not None:
         train = train.where(F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0)
-    seeds = (
-        train.orderBy(F.xxhash64(F.col("_id").cast("string")))
-        .limit(n_cells)
-        .select("_v")
-        .collect()
-    )
-    if len(seeds) < n_cells:
-        raise ValueError(
-            f"need at least n_cells={n_cells} training vectors, got {len(seeds)}"
-        )
-
-    def _unit(vec: list[float]) -> list[float]:
-        n = sum(x * x for x in vec) ** 0.5
-        return [x / n for x in vec] if n > 0 else list(vec)
-
-    centroids = [_unit([float(x) for x in r["_v"]]) for r in seeds]
-    for _ in range(iters):
-        assigned = _with_cell(train, "_v", centroids, out="_cell").select(
-            "_cell", F.posexplode("_v").alias("_pos", "_x")
-        )
-        means = (
-            assigned.groupBy("_cell", "_pos")
-            .agg(F.avg("_x").alias("_m"))
+    # the TRAINING SAMPLE is re-scanned once per Lloyd iteration plus
+    # the seed job — persist it for the loop, spread across the
+    # cluster first (a sampled single-file source would otherwise run
+    # every Lloyd stage as one task). That is what sample_mod is for
+    # at 100 TB: the sample is sized to fit the cluster, while the
+    # full corpus is only ever touched by the one-pass assignment.
+    # Both trainers spread identically, preserving their parity pin.
+    train = train.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).persist()
+    try:
+        seeds = (
+            train.orderBy(F.xxhash64(F.col("_id").cast("string")))
+            .limit(n_cells)
+            .select("_v")
             .collect()
         )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["_cell"], {})[r["_pos"]] = r["_m"]
-        centroids = [
-            _unit([by_cell[c][p] for p in sorted(by_cell[c])])
-            if c in by_cell
-            else centroids[c]  # empty cell keeps its previous centroid
-            for c in range(n_cells)
-        ]
-    return centroids
+        if len(seeds) < n_cells:
+            raise ValueError(
+                f"need at least n_cells={n_cells} training vectors, "
+                f"got {len(seeds)}"
+            )
+
+        def _unit(vec: list[float]) -> list[float]:
+            n = sum(x * x for x in vec) ** 0.5
+            return [x / n for x in vec] if n > 0 else list(vec)
+
+        centroids = [_unit([float(x) for x in r["_v"]]) for r in seeds]
+        for _ in range(iters):
+            assigned = _with_cell(
+                train, "_v", centroids, out="_cell"
+            ).select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+            means = (
+                assigned.groupBy("_cell", "_pos")
+                .agg(F.avg("_x").alias("_m"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cell.setdefault(r["_cell"], {})[r["_pos"]] = r["_m"]
+            centroids = [
+                _unit([by_cell[c][p] for p in sorted(by_cell[c])])
+                if c in by_cell
+                else centroids[c]  # empty cell keeps its previous centroid
+                for c in range(n_cells)
+            ]
+        return centroids
+    finally:
+        train.unpersist()
 
 
 def _unit_expr(v: Column) -> Column:
@@ -424,6 +438,13 @@ def ivf_centroids_df(
         train = train.where(
             F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0
         )
+    # persist + spread the TRAINING SAMPLE for the seed job + Lloyd
+    # loop (same rationale and the same repartition as ivf_centroids,
+    # so the two trainers stay parity-identical); the centroid frames
+    # are already lineage-cut via localCheckpoint
+    train = train.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).persist()
     order = F.xxhash64(F.col("_id").cast("string"))
     seeds = train.orderBy(order).limit(n_cells)
     n_seeds = seeds.count()
@@ -464,6 +485,7 @@ def ivf_centroids_df(
         )
         empty = cents.join(new.select("cell"), on="cell", how="left_anti")
         cents = new.unionByName(empty).localCheckpoint(eager=True)
+    train.unpersist()
     return cents
 
 
