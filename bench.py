@@ -310,6 +310,27 @@ def main() -> None:
         "aqe_skew_join_split": aqe_skew_fact(),
     }
 
+    # Manifest-size fact: the commit JSON must stay O(segments), with
+    # leaf-proportional skipping metadata (stats/blooms/sketches)
+    # offloaded to a sidecar past SKIP_INLINE_MAX (io.py) — at 100 TB
+    # (10^5-10^6 leaves) an inline manifest would be the new
+    # bottleneck: every reader of every version re-parses it just to
+    # learn the segment list. Recorded: bytes, leaves, bytes/leaf for
+    # the bloom-bearing bench table, and whether the offload engaged.
+    # The size-vs-leaves curve is documented in SURVEY.md §8 (measured
+    # by scripts/manifest_curve.py).
+    import json as _json
+
+    _man = cat._manifest("b_bloom_cust")
+    _leaves = len(cat._live_paths("b_bloom_cust"))
+    _man_bytes = len(_json.dumps(_man))
+    plan_checks["manifest_bytes"] = _man_bytes
+    plan_checks["manifest_leaves"] = _leaves
+    plan_checks["manifest_bytes_per_leaf"] = round(
+        _man_bytes / max(_leaves, 1), 1
+    )
+    plan_checks["manifest_skip_offloaded"] = "skip" in _man
+
     # The driver records only the LAST 2,000 chars of stdout — r5/r6
     # both lost every per-query timing because the line ran 4,130
     # chars (parsed: null in BENCH_r{5,6}.json). The single stdout

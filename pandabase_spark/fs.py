@@ -72,6 +72,21 @@ class HadoopFS:
             if s.isFile()
         )
 
+    def canonical(self, p: str) -> str:
+        """Fully-qualified canonical URI for ``p``: scheme + authority
+        + normalized absolute path via ``FileSystem.makeQualified``;
+        local (``file:``) paths additionally resolve symlinks and
+        ``..`` through ``os.path.realpath``. The same physical
+        location always maps to ONE string however the caller spelled
+        it — what an idempotence ledger needs for its keys."""
+        q = self._fs(p).makeQualified(self._jpath(p))
+        uri = q.toUri()
+        if (uri.getScheme() or "file") == "file":
+            import os
+
+            return "file:" + os.path.realpath(uri.getPath())
+        return q.toString()
+
     def copy(self, src: str, dst: str) -> None:
         """Recursive copy ``src`` -> ``dst`` (FileUtil.copy, source
         kept). ``dst`` must not already exist — it becomes the copy."""

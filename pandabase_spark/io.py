@@ -100,6 +100,18 @@ LOG_DIR = "_pb_log"
 DV_DIR = "_pb_dv"
 WRITE_MODES = ("create_only", "append", "upsert")
 
+# Data-skipping metadata (stats/blooms/sketches) rides INLINE in the
+# manifest while its serialized form stays under this budget; above it,
+# the commit writes the whole skipping dict to a per-version sidecar
+# (<v>.skip.json) and the manifest holds only the reference. Rationale
+# at 100 TB: per-(segment,bucket) entries grow with the LEAF count
+# (10^5-10^6 leaves), and every reader of every version would otherwise
+# re-parse megabytes of skipping JSON just to learn the segment list —
+# the Delta checkpoint / Iceberg manifest-file separation. 256 KiB
+# keeps small tables zero-extra-IO (one file read, as today) and caps
+# the manifest itself at O(segments), not O(leaves).
+SKIP_INLINE_MAX = 256 * 1024
+
 # delete_rows(strategy="auto"): record a deletion vector instead of
 # rewriting buckets when at most this many rows match. Point deletes
 # (the hot case at 100 TB — "remove this document") then rewrite ZERO
@@ -265,6 +277,10 @@ class KeyedCatalog:
         # DataFrames persisted mid-write (auto-index staging) that must
         # be released once the segment write has materialized them
         self._pending_unpersist: list[DataFrame] = []
+        # memoized sidecar skipping dicts, keyed (table, sidecar file):
+        # sidecars are immutable once written, so entries never go
+        # stale; bounded FIFO keeps driver memory O(1)
+        self._skip_cache: "dict[tuple[str, str], dict]" = {}
         # decision trail of the last read_table(stats_bounds=...) —
         # {col: {est_rows, total_est, frac, probed}} when sketch
         # selectivity gated the min/max leaf probe
@@ -359,6 +375,32 @@ class KeyedCatalog:
         if not self.fs.exists(p):
             return {"v": 0, "segments": {}}
         return json.loads(self.fs.read_text(p))
+
+    def _skipping(self, table_name: str, man: dict) -> dict:
+        """The data-skipping dict ({stats, blooms, sketches}) of a
+        manifest — inline for small tables, loaded (and memoized) from
+        the ``<v>.skip.json`` sidecar once a commit's skipping payload
+        outgrew :data:`SKIP_INLINE_MAX`. Every reader goes through
+        here, so the offload is invisible above this line.
+        ``table_name`` must be qualified."""
+        ref = man.get("skip")
+        if not ref:
+            return {
+                k: man.get(k, {})
+                for k in ("stats", "blooms", "sketches")
+            }
+        key = (table_name, ref)
+        hit = self._skip_cache.get(key)
+        if hit is None:
+            hit = json.loads(
+                self.fs.read_text(
+                    f"{self._path(table_name)}/{LOG_DIR}/{ref}"
+                )
+            )
+            if len(self._skip_cache) >= 8:
+                self._skip_cache.pop(next(iter(self._skip_cache)))
+            self._skip_cache[key] = hit
+        return hit
 
     def _maybe_auto_compact(self, table_name: str) -> None:
         """Write-path compaction trigger (see ``auto_compact_segments``
@@ -666,9 +708,10 @@ class KeyedCatalog:
                 f"(table sketch_columns={m.sketch_columns})"
             )
         man = self._manifest(table_name, version=version)
+        sketches = self._skipping(table_name, man).get("sketches", {})
         entries = []
         for seg in man["segments"]:
-            ent = man.get("sketches", {}).get(seg, {}).get(column)
+            ent = sketches.get(seg, {}).get(column)
             if not ent or not ent.get("kll"):
                 raise ValueError(
                     f"segment {seg} of {table_name!r} carries no "
@@ -755,9 +798,10 @@ class KeyedCatalog:
         # ONE manifest fetch serves validation and decoding — a rival
         # commit cannot slip between a check and a re-read
         man = self._manifest(table_name, version=version)
+        sketches = self._skipping(table_name, man).get("sketches", {})
         entries = []
         for seg in man["segments"]:
-            ent = man.get("sketches", {}).get(seg, {}).get(column)
+            ent = sketches.get(seg, {}).get(column)
             if not ent or not ent.get("kll"):
                 raise ValueError(
                     f"segment {seg} of {table_name!r} carries no "
@@ -902,9 +946,10 @@ class KeyedCatalog:
         # though the meta file itself is written after the commit.
         m = meta if meta is not None else self.meta(table_name)
         prior_man = self._manifest(table_name)
+        prior_skip = self._skipping(table_name, prior_man)
         allstats: dict = {}
         if m.stats_columns:
-            prior = prior_man.get("stats", {})
+            prior = prior_skip.get("stats", {})
             for seg in segments:
                 if stats and seg in stats:
                     allstats[seg] = stats[seg]
@@ -929,7 +974,7 @@ class KeyedCatalog:
         # segments that lack an entry. Absence is advisory-safe.
         allblooms: dict = {}
         if m.bloom_columns:
-            priorb = prior_man.get("blooms", {})
+            priorb = prior_skip.get("blooms", {})
             for seg in segments:
                 if blooms and seg in blooms:
                     allblooms[seg] = blooms[seg]
@@ -947,7 +992,7 @@ class KeyedCatalog:
                     )
         allsketches: dict = {}
         if m.sketch_columns:
-            priors = prior_man.get("sketches", {})
+            priors = prior_skip.get("sketches", {})
             prior_segs = prior_man.get("segments", {})
             for seg, bs in segments.items():
                 if sketches and seg in sketches:
@@ -1037,12 +1082,39 @@ class KeyedCatalog:
             doc_d["ingest"] = loaded
         if alldvs:
             doc_d["dvs"] = alldvs
-        if allstats:
-            doc_d["stats"] = allstats
-        if allblooms:
-            doc_d["blooms"] = allblooms
-        if allsketches:
-            doc_d["sketches"] = allsketches
+        skipping = {
+            k: d
+            for k, d in (
+                ("stats", allstats),
+                ("blooms", allblooms),
+                ("sketches", allsketches),
+            )
+            if d
+        }
+        skip_path = None
+        if skipping:
+            blob = json.dumps(skipping)
+            if len(blob) > SKIP_INLINE_MAX:
+                # leaf-proportional skipping metadata moves to a
+                # per-version sidecar; the manifest stays O(segments).
+                # Written BEFORE the claim: a crash leaves an orphan
+                # sidecar (reclaimed by vacuum), never a manifest
+                # pointing at a missing file. The name carries a
+                # writer-unique suffix so a rival's same-version
+                # sidecar can never be overwritten or deleted by a
+                # loser's cleanup.
+                import uuid as _uuid
+
+                skip_file = (
+                    f"{v + 1:010d}-{_uuid.uuid4().hex[:8]}.skip.json"
+                )
+                skip_path = (
+                    f"{self._path(table_name)}/{LOG_DIR}/{skip_file}"
+                )
+                self.fs.write_text_atomic(skip_path, blob)
+                doc_d["skip"] = skip_file
+            else:
+                doc_d.update(skipping)
         doc = json.dumps(doc_d)
         vpath = f"{self._path(table_name)}/{LOG_DIR}/{v + 1:010d}.json"
         claimed = self.fs.write_text_if_absent(vpath, doc)
@@ -1051,6 +1123,9 @@ class KeyedCatalog:
             if claimed:
                 # our stale claim must not shadow a vacuumed snapshot
                 self.fs.delete(vpath, recursive=False)
+            if skip_path is not None:
+                # ours alone (writer-unique name) — safe to reclaim now
+                self.fs.delete(skip_path, recursive=False)
             raise ConcurrentWriteError(
                 f"commit of {table_name} v{v + 1} lost: table is at "
                 f"v{cur} (another writer committed). Re-read and retry."
@@ -1082,7 +1157,7 @@ class KeyedCatalog:
         log_dir = f"{self._path(table_name)}/{LOG_DIR}"
         best = None
         for f in self.fs.list_files(log_dir):
-            if not f.endswith(".json"):
+            if not f.endswith(".json") or f.endswith(".skip.json"):
                 continue
             man = json.loads(self.fs.read_text(f"{log_dir}/{f}"))
             if man.get("ts", 0) <= ts_us:
@@ -1105,7 +1180,7 @@ class KeyedCatalog:
         cur = self._manifest(table_name)["v"]
         out = []
         for f in self.fs.list_files(f"{self._path(table_name)}/{LOG_DIR}"):
-            if not f.endswith(".json"):
+            if not f.endswith(".json") or f.endswith(".skip.json"):
                 continue
             man = json.loads(
                 self.fs.read_text(f"{self._path(table_name)}/{LOG_DIR}/{f}")
@@ -1379,19 +1454,20 @@ class KeyedCatalog:
         segments = {rename[seg]: bs for seg, bs in man["segments"].items()}
         # stats carry over under the renamed keys so the clone stays
         # O(manifest) — nothing is rescanned for a metadata-only fork
+        src_skip = self._skipping(src_q, man)
         stats = {
             rename[seg]: st
-            for seg, st in man.get("stats", {}).items()
+            for seg, st in src_skip.get("stats", {}).items()
             if seg in rename
         }
         blooms = {
             rename[seg]: bl
-            for seg, bl in man.get("blooms", {}).items()
+            for seg, bl in src_skip.get("blooms", {}).items()
             if seg in rename
         }
         sketches = {
             rename[seg]: sk
-            for seg, sk in man.get("sketches", {}).items()
+            for seg, sk in src_skip.get("sketches", {}).items()
             if seg in rename
         }
         segcols = {
@@ -1551,13 +1627,14 @@ class KeyedCatalog:
             m2.retired_names = [
                 n for n in merged_retired if n not in live
             ]
+        t_skip = self._skipping(table_name, target)
         self._commit(
             table_name,
             dict(target["segments"]),
             v=cur["v"],
-            stats=target.get("stats") or None,
-            blooms=target.get("blooms") or None,
-            sketches=target.get("sketches") or None,
+            stats=t_skip.get("stats") or None,
+            blooms=t_skip.get("blooms") or None,
+            sketches=t_skip.get("sketches") or None,
             op="restore",
             nb=target.get("nb") or m.num_buckets,
             segcols=target.get("segcols") or None,
@@ -1657,11 +1734,12 @@ class KeyedCatalog:
         # manifest entry keys follow the rename so skipping lookups
         # under the NEW name keep matching (stats/blooms are keyed
         # {seg: {bucket: {col: ...}}}, sketches {seg: {col: ...}})
-        stats = ren_keys(man.get("stats", {})) or None
-        blooms = ren_keys(man.get("blooms", {})) or None
+        man_skip = self._skipping(table_name, man)
+        stats = ren_keys(man_skip.get("stats", {})) or None
+        blooms = ren_keys(man_skip.get("blooms", {})) or None
         sketches = {
             seg: {(new if c == old else c): v for c, v in ent.items()}
-            for seg, ent in man.get("sketches", {}).items()
+            for seg, ent in man_skip.get("sketches", {}).items()
         } or None
         import dataclasses
 
@@ -1904,7 +1982,15 @@ class KeyedCatalog:
         identifiers with :meth:`table_names` (only real tables ever
         register, and each call re-pins them fresh); a quoted name
         that slips past the scan is caught by the analyzer's
-        missing-relation error and registered on retry."""
+        missing-relation error and registered on retry.
+
+        View hygiene: a pre-existing temp view under a referenced
+        table's bare name raises (never silently clobbered — a
+        registered-then-forgotten snapshot reading stale data is the
+        worst failure mode here); the views this call pins are
+        dropped before returning (temp-view substitution happens at
+        analysis, so the returned DataFrame keeps its resolved plan
+        — later plain ``spark.sql`` never sees a stale snapshot)."""
         import re
 
         names = set(self.table_names(schema=schema))
@@ -1912,24 +1998,43 @@ class KeyedCatalog:
             tok
             for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query)
         } & names
-        for t in seen:
+        registered: list[str] = []
+
+        def _pin(t: str) -> None:
+            if self.spark.catalog.tableExists(t):
+                raise ValueError(
+                    f"temp view or table {t!r} already exists and would "
+                    f"shadow catalog table {t!r} in catalog.sql — drop "
+                    "it, or pin a snapshot explicitly via "
+                    "register_view(table, other_name)"
+                )
             self.register_view(t, t, schema=schema)
-        for _ in range(len(names) + 1):
-            try:
-                return self.spark.sql(query)
-            except Exception as e:  # AnalysisException: missing relation
-                missing = None
-                params = getattr(e, "getMessageParameters", lambda: {})()
-                if params:
-                    missing = (params.get("relationName") or "").strip(
-                        "`"
-                    )
-                if missing in names and missing not in seen:
-                    seen.add(missing)
-                    self.register_view(missing, missing, schema=schema)
-                else:
-                    raise
-        raise RuntimeError("catalog.sql failed to resolve relations")
+            registered.append(t)
+
+        try:
+            for t in seen:
+                _pin(t)
+            for _ in range(len(names) + 1):
+                try:
+                    return self.spark.sql(query)
+                except Exception as e:  # AnalysisException: missing rel
+                    missing = None
+                    params = getattr(
+                        e, "getMessageParameters", lambda: {}
+                    )()
+                    if params:
+                        missing = (
+                            params.get("relationName") or ""
+                        ).strip("`")
+                    if missing in names and missing not in seen:
+                        seen.add(missing)
+                        _pin(missing)
+                    else:
+                        raise
+            raise RuntimeError("catalog.sql failed to resolve relations")
+        finally:
+            for t in registered:
+                self.spark.catalog.dropTempView(t)
 
     def copy_into(
         self,
@@ -1952,29 +2057,57 @@ class KeyedCatalog:
         separate bookkeeping table, which can desync either way).
 
         Returns ``{"files_loaded", "files_skipped", "rows_loaded"}``.
-        The ledger keys are absolute file paths, so the same filename
-        arriving in a different drop directory still loads. Ledger
-        entries are ~100 bytes each and carried forward by every
-        commit: right-sized for directory-drop ingestion (thousands
-        of files); a firehose of millions of small files should flow
-        through the streaming sink instead, where the checkpoint +
-        txn watermark provide the same exactly-once contract without
-        per-file manifest state."""
+        The ledger keys are CANONICAL absolute file URIs
+        (:meth:`HadoopFS.canonical`: scheme-qualified, symlinks and
+        relative segments resolved), so the same directory spelled as
+        a relative path, a ``file://`` URI, or through a symlink
+        still dedupes — while the same filename arriving in a truly
+        different drop directory still loads. Pre-canonicalization
+        ledger entries (raw joined paths) are honored on read, so
+        existing tables stay idempotent. Ledger entries are ~100
+        bytes each and carried forward by every commit: right-sized
+        for directory-drop ingestion (thousands of files); a firehose
+        of millions of small files should flow through the streaming
+        sink instead, where the checkpoint + txn watermark provide
+        the same exactly-once contract without per-file manifest
+        state."""
         if how not in ("append", "upsert"):
             raise ValueError("copy_into supports how='append'|'upsert'")
         qualified = self._qualify(table_name, schema)
+        exists = self.has_table(qualified)
+        if not exists and keys is None:
+            raise ValueError(
+                f"copy_into target {qualified!r} does not exist — pass "
+                "keys= so the first load can create it"
+            )
         suffix = {
             "parquet": ".parquet", "json": ".json", "jsonl": ".jsonl",
             "csv": ".csv", "orc": ".orc",
         }.get(format, f".{format}")
         fmt = "json" if format == "jsonl" else format
-        files = sorted(
-            f"{source_dir.rstrip('/')}/{f}"
+        names = [
+            f
             for f in self.fs.list_files(source_dir)
             if f.endswith(suffix) and not f.startswith(("_", "."))
+        ]
+        if not names and not exists:
+            raise IOError(
+                f"copy_into: no *{suffix} files in {source_dir!r} and "
+                f"table {qualified!r} does not exist — nothing was "
+                "created"
+            )
+        src_root = self.fs.canonical(source_dir).rstrip("/")
+        legacy_root = source_dir.rstrip("/")
+        # (canonical ledger key, legacy pre-normalization key) pairs
+        files = sorted(
+            (f"{src_root}/{f}", f"{legacy_root}/{f}") for f in names
         )
         ledger = self._manifest(qualified).get("ingest", {})
-        new = [f for f in files if f not in ledger]
+        new = [
+            (key, old)
+            for key, old in files
+            if key not in ledger and old not in ledger
+        ]
         if not new:
             return {
                 "files_loaded": 0,
@@ -1984,16 +2117,15 @@ class KeyedCatalog:
         reader = self.spark.read.format(fmt)
         for k, v in (reader_options or {}).items():
             reader = reader.option(k, v)
-        df = reader.load(new)
+        df = reader.load([key for key, _ in new])
         n_rows = df.count()
-        exists = self.has_table(qualified)
         if exists and keys is None:
             keys = self.meta(qualified).keys
         v_next = self._manifest(qualified)["v"] + 1 if exists else 1
         self.to_table(
             df, table_name, keys=keys,
             how=how if exists else "create_only", schema=schema,
-            ingest={f: v_next for f in new},
+            ingest={key: v_next for key, _ in new},
         )
         return {
             "files_loaded": len(new),
@@ -2064,22 +2196,35 @@ class KeyedCatalog:
                     gone.append(f"{DV_DIR}/{d}")
         if dry_run:
             return gone
-        if gone:
-            log_dir = f"{self._path(table_name)}/{LOG_DIR}"
-            for f in self.fs.list_files(log_dir):
-                if not f.endswith(".json"):
-                    continue
-                man = json.loads(self.fs.read_text(f"{log_dir}/{f}"))
-                man_dvs = {
-                    dv["file"]
-                    for dv in man.get("dvs", {}).values()
-                    if "/" not in dv["file"]
-                }
-                if man["v"] not in protected_vs and (
+        log_dir = f"{self._path(table_name)}/{LOG_DIR}"
+        kept_skips: set[str] = set()
+        for f in self.fs.list_files(log_dir):
+            if not f.endswith(".json") or f.endswith(".skip.json"):
+                continue
+            man = json.loads(self.fs.read_text(f"{log_dir}/{f}"))
+            man_dvs = {
+                dv["file"]
+                for dv in man.get("dvs", {}).values()
+                if "/" not in dv["file"]
+            }
+            if (
+                gone
+                and man["v"] not in protected_vs
+                and (
                     not set(man["segments"]) <= live
                     or not man_dvs <= live_dvs
-                ):
-                    self.fs.delete(f"{log_dir}/{f}", recursive=False)
+                )
+            ):
+                self.fs.delete(f"{log_dir}/{f}", recursive=False)
+            elif man.get("skip"):
+                kept_skips.add(man["skip"])
+        # skipping sidecars live and die with their manifest; a
+        # sidecar no surviving manifest references (its version was
+        # pruned above, or its writer crashed/lost the OCC race before
+        # publishing) is reclaimed here
+        for f in self.fs.list_files(log_dir):
+            if f.endswith(".skip.json") and f not in kept_skips:
+                self.fs.delete(f"{log_dir}/{f}", recursive=False)
         return gone
 
     # ------------------------------------------------------------------
@@ -2717,6 +2862,9 @@ class KeyedCatalog:
         when_matched_update: "Mapping[str, str | Column] | str | None" = "all",
         when_matched_delete: "str | Column | None" = None,
         when_not_matched_insert: bool = True,
+        when_not_matched_by_source_update: "Mapping[str, str | Column] | None" = None,
+        when_not_matched_by_source_delete: "str | Column | bool | None" = None,
+        merge_schema: bool = False,
         schema: str | None = None,
         txn: "tuple[str, int] | None" = None,
     ) -> dict:
@@ -2735,17 +2883,38 @@ class KeyedCatalog:
         - source-only keys → inserted when
           ``when_not_matched_insert`` (missing non-key columns
           null-fill);
-        - target-only rows → always kept.
+        - target-only rows: ``when_not_matched_by_source_delete``
+          predicate TRUE (``True`` for unconditional) → row removed;
+          otherwise ``when_not_matched_by_source_update`` (a mapping;
+          expressions reference target columns as ``t.<col>`` — there
+          is no source row) assigns the named columns; with neither
+          clause they are kept untouched. Delete is evaluated first,
+          Delta clause order. Predicates/expressions here must not
+          reference ``s.<col>`` (always NULL for these rows).
+
+        ``merge_schema=True`` admits source-only *columns* (Delta's
+        ``withSchemaEvolution()``): they are appended to the table
+        schema (nullable, source dtype) before the merge — existing
+        rows and pre-merge segments read NULL for them, matched rows
+        take the source value under ``when_matched_update='all'``,
+        inserts carry them. Without it, source-only columns stay
+        clause-scope only (usable in expressions, never stored).
 
         Matching is on the table's primary key (the bucket layout's
         axis, so only the buckets the source hashes into are read and
         rewritten — cost ∝ touched data at 100 TB, like every other
-        write). One atomic manifest swap; a rival commit in the window
-        raises :class:`ConcurrentWriteError`. Returns
+        write). The BY SOURCE clauses widen that: an update mapping
+        must rewrite every bucket (any target-only row changes); a
+        delete predicate prunes to the buckets that actually hold
+        doomed rows (one pruned probe pass), so a selective CDC
+        retention delete still touches only affected data. One atomic
+        manifest swap; a rival commit in the window raises
+        :class:`ConcurrentWriteError`. Returns
         ``{"updated": n, "deleted": n, "inserted": n}`` (one extra
-        aggregate job over the joined frame, Delta's operation
-        metrics). The reference has only whole-row upsert
-        (reference:pandabase/sql.py:300); clause-level MERGE is
+        aggregate job over the joined frame; Delta's operation
+        metrics — BY SOURCE updates/deletes fold into the same
+        counters, as Delta's do). The reference has only whole-row
+        upsert (reference:pandabase/sql.py:300); clause-level MERGE is
         extension surface.
         """
         table_name = self._qualify(table_name, schema)
@@ -2767,13 +2936,76 @@ class KeyedCatalog:
             if isinstance(when_matched_update, Mapping)
             else []
         )
+        if isinstance(when_not_matched_by_source_update, Mapping):
+            bad += [
+                c for c in when_not_matched_by_source_update if c in m.keys
+            ]
         if bad:
             raise NameError(f"cannot UPDATE key columns: {bad}")
         self._check_unique(source, m.keys)
 
+        new_fields = [
+            f for f in source.schema.fields
+            if f.name not in m.schema.names
+        ]
+        if new_fields and merge_schema:
+            revived = [
+                f.name for f in new_fields if f.name in m.retired_names
+            ]
+            if revived:
+                raise NameError(
+                    f"column names {revived} were retired by a "
+                    "rename/drop and cannot be recycled — old segments "
+                    "still hold data under them on disk"
+                )
+            # same crash-safe order as to_table(add_new_columns=True):
+            # meta grows first; pre-merge segments null-fill on read
+            # (a crash here leaves a harmless superset schema).
+            evolved = T.StructType(
+                list(m.schema.fields)
+                + [T.StructField(f.name, f.dataType, True) for f in new_fields]
+            )
+            m.schema_json = json.dumps(evolved.jsonValue())
+            self._write_meta(table_name, m)
+        if isinstance(when_not_matched_by_source_update, Mapping):
+            unknown = [
+                c for c in when_not_matched_by_source_update
+                if c not in m.schema.names
+            ]
+            if unknown:
+                raise NameError(
+                    f"BY SOURCE update assigns unknown columns: {unknown}"
+                )
+
         man = self._manifest(table_name)
         m = self._resolve_nb(m, man)
         touched = self._batch_buckets(source, m)
+        bs_del_pred = (
+            F.lit(True)
+            if when_not_matched_by_source_delete is True
+            else F.expr(when_not_matched_by_source_delete)
+            if isinstance(when_not_matched_by_source_delete, str)
+            else when_not_matched_by_source_delete
+        )
+        if when_not_matched_by_source_update is not None:
+            # every target-only row is rewritten → every bucket
+            touched = list(range(m.num_buckets))
+        elif bs_del_pred is not None:
+            # delete-only BY SOURCE: one pruned probe finds the buckets
+            # that actually hold doomed (target-only ∧ predicate) rows,
+            # so the rewrite stays ∝ touched data even on a selective
+            # retention delete over a huge table.
+            doomed = (
+                self._read_raw(table_name, manifest=man)
+                .alias("t")
+                .join(
+                    source.select(*m.keys), on=list(m.keys), how="left_anti"
+                )
+                .where(bs_del_pred)
+            )
+            touched = sorted(
+                set(touched) | set(self._batch_buckets(doomed, m))
+            )
         existing = self._read_raw(
             table_name, buckets=touched, manifest=man
         ).alias("t")
@@ -2793,17 +3025,28 @@ class KeyedCatalog:
             else when_matched_delete
         )
         matched = F.col("_in_t").isNotNull() & F.col("_in_s").isNotNull()
+        target_only = F.col("_in_t").isNotNull() & F.col("_in_s").isNull()
         is_del = (
             matched & F.coalesce(del_pred, F.lit(False))
             if del_pred is not None
             else F.lit(False)
         )
+        is_bs_del = (
+            target_only & F.coalesce(bs_del_pred, F.lit(False))
+            if bs_del_pred is not None
+            else F.lit(False)
+        )
         upd_happens = (
             F.lit(False) if when_matched_update is None else (matched & ~is_del)
         )
+        bs_upd_happens = (
+            target_only & ~is_bs_del
+            if when_not_matched_by_source_update is not None
+            else F.lit(False)
+        )
         counts = joined.agg(
-            F.sum(upd_happens.cast("long")).alias("updated"),
-            F.sum(is_del.cast("long")).alias("deleted"),
+            F.sum((upd_happens | bs_upd_happens).cast("long")).alias("updated"),
+            F.sum((is_del | is_bs_del).cast("long")).alias("deleted"),
             F.sum(
                 (F.col("_in_t").isNull() & F.lit(when_not_matched_insert))
                 .cast("long")
@@ -2832,16 +3075,27 @@ class KeyedCatalog:
                     upd = (F.expr(ex) if isinstance(ex, str) else ex).cast(
                         existing.schema[c].dataType
                     )
+            bs_ex = (
+                when_not_matched_by_source_update.get(c)
+                if when_not_matched_by_source_update is not None
+                else None
+            )
+            if bs_ex is None:
+                tgt_only_val = tcol
+            else:
+                tgt_only_val = (
+                    F.expr(bs_ex) if isinstance(bs_ex, str) else bs_ex
+                ).cast(existing.schema[c].dataType)
             ins = scol if c in src_cols else F.lit(None)
             return (
                 F.when(matched, upd)
-                .when(F.col("_in_t").isNotNull(), tcol)
+                .when(F.col("_in_t").isNotNull(), tgt_only_val)
                 .otherwise(ins)
                 .cast(existing.schema[c].dataType)
                 .alias(c)
             )
 
-        keep = ~is_del & (
+        keep = ~is_del & ~is_bs_del & (
             F.col("_in_t").isNotNull() | F.lit(when_not_matched_insert)
         )
         result = joined.where(keep).select(
@@ -3312,8 +3566,13 @@ class KeyedCatalog:
             else self._manifest(table_name, version=version)
         )
         want = None if buckets is None else set(buckets)
-        stats = man.get("stats", {}) if stats_bounds else {}
-        blooms = man.get("blooms", {}) if bloom_probe else {}
+        skip = (
+            self._skipping(table_name, man)
+            if (stats_bounds or bloom_probe)
+            else {}
+        )
+        stats = skip.get("stats", {}) if stats_bounds else {}
+        blooms = skip.get("blooms", {}) if bloom_probe else {}
 
         def skippable(seg: str, b: int) -> bool:
             # manifest-level data skipping: drop a (segment, bucket)
@@ -3673,13 +3932,12 @@ class KeyedCatalog:
                         # no extra manifest fetch, no second pass
                         import base64
 
+                        _sk = self._skipping(table_name, _man).get(
+                            "sketches", {}
+                        )
                         entries = []
                         for seg in _man["segments"]:
-                            ent = (
-                                _man.get("sketches", {})
-                                .get(seg, {})
-                                .get(col)
-                            )
+                            ent = _sk.get(seg, {}).get(col)
                             if not ent or not ent.get("kll"):
                                 raise ValueError("uncovered segment")
                             entries.append(

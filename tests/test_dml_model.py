@@ -119,3 +119,222 @@ def test_random_dml_walk_matches_model(spark, catalog, seed):
             for r in catalog.read_table(t, version=ver).collect()
         }
         assert got == snap, f"seed={seed} version={ver}"
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_random_ddl_dml_walk_matches_model(spark, catalog, seed):
+    """The round-8 extension of the walk: MERGE clauses (incl. WHEN
+    NOT MATCHED BY SOURCE), rename_column, add/drop column (schema
+    evolution both ways), and restore_table interleaved with the core
+    DML — 30+ steps, model-checked after every one. The round-6
+    cross-DV bug was an interleaving no example test covered; schema
+    changes x restore x merge is the next such space. Rows are
+    modeled as {col: value} dicts so renames/drops/restores can
+    reshape the schema mid-walk."""
+    rng = random.Random(seed)
+    t = f"ddlwalk_{seed}"
+    vcol, scol = "v", "s"
+    extras: list[str] = []
+    model = {k: {vcol: k * 0.25, scol: f"s{k}"} for k in range(0, 30)}
+    catalog.to_table(
+        _mk_df(spark, [(k, r[vcol], r[scol]) for k, r in model.items()]),
+        t, keys=["k"], num_buckets=4,
+    )
+    deleted: set[int] = set()
+    next_fresh = 1000
+    name_seq = 0
+    snapshots: list[tuple[int, dict, str, str, list]] = []
+
+    def cols() -> list[str]:
+        return [vcol, scol] + extras
+
+    def df_for(rows: "dict[int, dict]"):
+        schema = "k bigint, " + ", ".join(
+            f"{c} {'double' if c == vcol else 'string'}" for c in cols()
+        )
+        data = [
+            tuple([k] + [r.get(c) for c in cols()])
+            for k, r in rows.items()
+        ]
+        return spark.createDataFrame(data, schema=schema)
+
+    def check(step, op):
+        got = {}
+        for r in catalog.read_table(t).collect():
+            d = r.asDict()
+            k = d.pop("k")
+            got[k] = d
+        want = {
+            k: {c: r.get(c) for c in cols()} for k, r in model.items()
+        }
+        assert got == want, f"seed={seed} step={step} op={op}"
+
+    ops = (
+        ["append"] * 2 + ["upsert"] * 3 + ["delete"] * 3 + ["update"] * 3
+        + ["merge"] * 4 + ["rename"] * 2 + ["addcol"] * 2 + ["dropcol"] * 2
+        + ["restore"] * 2 + ["compact"]
+    )
+    for step in range(32):
+        op = rng.choice(ops)
+        if op == "append":
+            n = rng.randint(1, 6)
+            keys = range(next_fresh, next_fresh + n)
+            next_fresh += n
+            rows = {
+                k: {
+                    **{c: None for c in extras},
+                    vcol: k * 0.25, scol: f"s{k}",
+                }
+                for k in keys
+            }
+            catalog.to_table(df_for(rows), t, keys=["k"], how="append")
+            model.update(rows)
+        elif op == "upsert":
+            pool = (
+                rng.sample(sorted(model), min(len(model), 5))
+                + rng.sample(sorted(deleted), min(len(deleted), 2))
+                + [next_fresh]
+            )
+            next_fresh += 1
+            rows = {
+                k: {
+                    **{c: f"e{k}" for c in extras},
+                    vcol: k * 0.25 + 2.0, scol: f"u{k}",
+                }
+                for k in pool
+            }
+            catalog.to_table(df_for(rows), t, keys=["k"], how="upsert")
+            model.update(rows)
+            deleted.difference_update(pool)
+        elif op == "delete":
+            m, r = rng.choice([3, 5]), rng.randint(0, 2)
+            n = catalog.delete_rows(
+                t, f"k % {m} = {r}",
+                strategy=rng.choice(["dv", "rewrite", "auto"]),
+            )
+            hit = [k for k in model if k % m == r]
+            assert n == len(hit)
+            for k in hit:
+                del model[k]
+                deleted.add(k)
+        elif op == "update":
+            cut = rng.choice([5.0, 20.0, 300.0])
+            n = catalog.update_rows(
+                t, f"{vcol} < {cut}",
+                {vcol: f"{vcol} + 1.5", scol: f"upper({scol})"},
+                strategy=rng.choice(["dv", "rewrite", "auto"]),
+            )
+            hit = [k for k, r in model.items() if r[vcol] < cut]
+            assert n == len(hit)
+            for k in hit:
+                model[k][vcol] += 1.5
+                model[k][scol] = (
+                    model[k][scol].upper()
+                    if model[k][scol] is not None
+                    else None
+                )
+        elif op == "merge":
+            pool = (
+                rng.sample(sorted(model), min(len(model), 5))
+                + rng.sample(sorted(deleted), min(len(deleted), 2))
+                + [next_fresh]
+            )
+            next_fresh += 1
+            src = {
+                k: {"sv": round(k * 0.5, 2), "flag": rng.random() < 0.3}
+                for k in pool
+            }
+            src_df = spark.createDataFrame(
+                [(k, r["sv"], r["flag"]) for k, r in src.items()],
+                schema=f"k bigint, {vcol} double, flag boolean",
+            )
+            insert = rng.random() < 0.7
+            bs_mode = rng.choice(["none", "del", "upd"])
+            cut = rng.choice([3.0, 50.0])
+            pre = set(model)  # matched/not-matched decided pre-merge
+            catalog.merge_table(
+                src_df, t,
+                when_matched_update={vcol: f"t.{vcol} + s.{vcol}"},
+                when_matched_delete="s.flag",
+                when_not_matched_insert=insert,
+                when_not_matched_by_source_delete=(
+                    f"t.{vcol} > {cut}" if bs_mode == "del" else None
+                ),
+                when_not_matched_by_source_update=(
+                    {scol: f"concat(t.{scol}, '!')"}
+                    if bs_mode == "upd"
+                    else None
+                ),
+            )
+            for k in list(model):
+                if k in src:
+                    if src[k]["flag"]:
+                        del model[k]
+                        deleted.add(k)
+                    else:
+                        model[k][vcol] += src[k]["sv"]
+                elif bs_mode == "del" and (
+                    model[k][vcol] is not None and model[k][vcol] > cut
+                ):
+                    del model[k]
+                    deleted.add(k)
+                elif bs_mode == "upd":
+                    model[k][scol] = (
+                        model[k][scol] + "!"
+                        if model[k][scol] is not None
+                        else None
+                    )
+            if insert:
+                # NOT MATCHED = absent from the target BEFORE the
+                # merge; a matched-then-deleted key never re-inserts
+                for k, r in src.items():
+                    if k not in pre:
+                        model[k] = {
+                            **{c: None for c in cols()}, vcol: r["sv"],
+                        }
+                        deleted.discard(k)
+        elif op == "rename":
+            name_seq += 1
+            new = f"{scol}_r{name_seq}"
+            catalog.rename_column(t, scol, new)
+            for r in model.values():
+                r[new] = r.pop(scol, None)
+            scol = new
+        elif op == "addcol":
+            name_seq += 1
+            c = f"x{name_seq}"
+            pool = rng.sample(sorted(model), min(len(model), 4))
+            add_df = spark.createDataFrame(
+                [(k, f"n{k}") for k in pool],
+                schema=f"k bigint, {c} string",
+            )
+            catalog.to_table(
+                add_df, t, keys=["k"], how="upsert", add_new_columns=True
+            )
+            extras.append(c)
+            for k, r in model.items():
+                r[c] = f"n{k}" if k in pool else None
+        elif op == "dropcol":
+            if not extras:
+                continue
+            c = extras.pop(rng.randrange(len(extras)))
+            catalog.drop_column(t, c)
+            for r in model.values():
+                r.pop(c, None)
+        elif op == "restore":
+            if not snapshots:
+                continue
+            ver, snap, sv, ss, sx = rng.choice(snapshots)
+            catalog.restore_table(t, version=ver)
+            model = {k: dict(r) for k, r in snap.items()}
+            vcol, scol, extras = sv, ss, list(sx)
+        elif op == "compact":
+            catalog.compact(t, vacuum=False)
+
+        check(step, op)
+        if rng.random() < 0.3:
+            snapshots.append((
+                catalog._manifest(t)["v"],
+                {k: dict(r) for k, r in model.items()},
+                vcol, scol, list(extras),
+            ))

@@ -44,6 +44,15 @@ def test_clean_name_rejects(bad):
         clean_name(bad)
 
 
+def test_clean_name_digit_check_runs_on_cleaned_form():
+    """Pinned divergence (see clean_name docstring): the leading-digit
+    check inspects the CLEANED name, so ' 1abc' raises here although
+    the reference's raw-first-char check would let it through
+    (reference:pandabase/helpers.py:185-196)."""
+    with pytest.raises(NameError, match="digit"):
+        clean_name(" 1abc")
+
+
 def test_is_clean():
     assert is_clean("abc_def")
     assert not is_clean("Abc")

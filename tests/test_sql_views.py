@@ -99,6 +99,25 @@ def test_catalog_sql_namespaced(spark, catalog):
     assert n == 12
 
 
+def test_catalog_sql_view_hygiene(spark, catalog):
+    """catalog.sql never clobbers a user temp view (raises on the name
+    conflict) and drops its own pinned views before returning — a
+    later plain spark.sql against the bare name can't read a stale
+    snapshot, while the returned DataFrame keeps its resolved plan."""
+    catalog.to_table(_mk(spark, 10), "hyg_t", keys=["k"])
+    df = catalog.sql("SELECT count(*) AS n FROM hyg_t")
+    # pinned view dropped after the call, DataFrame still executes
+    assert not spark.catalog.tableExists("hyg_t")
+    assert df.first().n == 10
+    # a pre-existing user temp view under the table's name raises
+    spark.range(3).createOrReplaceTempView("hyg_t")
+    with pytest.raises(ValueError, match="shadow"):
+        catalog.sql("SELECT count(*) AS n FROM hyg_t")
+    # the user's view survived the refusal
+    assert spark.table("hyg_t").count() == 3
+    spark.catalog.dropTempView("hyg_t")
+
+
 def test_catalog_sql_unknown_relation_still_raises(spark, catalog):
     catalog.to_table(_mk(spark, 5), "known_t", keys=["k"])
     with pytest.raises(Exception, match="no_such_t|NOT_FOUND"):

@@ -805,6 +805,171 @@ def test_merge_table_clauses(spark, catalog):
         catalog.merge_table(src2, "mrg_t", when_matched_update="some")
 
 
+def test_skipping_sidecar_offload(spark, catalog, monkeypatch):
+    """Past SKIP_INLINE_MAX the commit moves stats/blooms/sketches to
+    a <v>-<writer>.skip.json sidecar: the manifest stays O(segments),
+    every skipping consumer (leaf pruning, bloom probe, sketch stats,
+    clone, rename, restore, vacuum) resolves through _skipping, and
+    vacuum reclaims sidecars with their manifests."""
+    import pandabase_spark.io as io
+
+    monkeypatch.setattr(io, "SKIP_INLINE_MAX", 64)
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    catalog.to_table(
+        df, "skp_t", keys=["k"], num_buckets=4,
+        stats_columns=["v"], bloom_columns=["k"], sketch_columns=["v"],
+    )
+    man = catalog._manifest("skp_t")
+    assert man.get("skip", "").endswith(".skip.json")
+    assert "stats" not in man and "blooms" not in man
+    log_dir = f"{catalog._path('skp_t')}/{io.LOG_DIR}"
+    assert man["skip"] in catalog.fs.list_files(log_dir)
+
+    # every skipping consumer still works through the sidecar
+    got = catalog.read_table("skp_t", stats_bounds={"v": (10.0, 20.0)})
+    assert got.count() == 11
+    hit = catalog.read_table("skp_t", bloom_point={"k": 7})
+    assert hit.where(F.col("k") == 7).count() == 1
+    st = catalog.table_sketch_stats("skp_t", "v").first()
+    assert st["n_rows"] == 400
+    # history / AS OF never parse a sidecar as a manifest
+    assert [h["version"] for h in catalog.history("skp_t")] == [1]
+
+    # a second commit carries the skipping forward into its own sidecar
+    catalog.to_table(
+        spark.range(400, 500).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        "skp_t", keys=["k"], how="append",
+    )
+    man2 = catalog._manifest("skp_t")
+    assert man2["skip"] != man["skip"]
+    # clone resolves the source sidecar (stats carried, nothing rescanned)
+    catalog.clone_table("skp_t", "skp_c")
+    got_c = catalog.read_table("skp_c", stats_bounds={"v": (10.0, 20.0)})
+    assert got_c.count() == 11
+    # vacuum reclaims the superseded version's sidecar with it
+    catalog.to_table(
+        df.limit(5), "skp_t", keys=["k"], how="upsert"
+    )
+    catalog.vacuum("skp_t")
+    files = catalog.fs.list_files(log_dir)
+    skips = [f for f in files if f.endswith(".skip.json")]
+    cur_skip = catalog._manifest("skp_t").get("skip")
+    assert skips == [cur_skip]
+    assert catalog.read_table("skp_t").count() == 500
+    catalog.drop_table("skp_t")
+    catalog.drop_table("skp_c")
+
+
+def test_merge_by_source_clauses(spark, catalog):
+    """WHEN NOT MATCHED BY SOURCE (Delta parity): delete target-only
+    rows on a predicate (or unconditionally with True), update
+    target-only rows via a mapping, delete-before-update precedence,
+    metrics folded into the same counters."""
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, 40.0, "d"),
+         (5, 50.0, "e")],
+        ["k", "v", "tag"],
+    )
+    catalog.to_table(base, "mbs_t", keys=["k"], num_buckets=4)
+    src = spark.createDataFrame([(1, 100.0), (9, 900.0)], ["k", "v"])
+
+    # delete-only BY SOURCE with a predicate: k=2..5 are target-only;
+    # only v >= 40 (k=4,5) are doomed
+    res = catalog.merge_table(
+        src, "mbs_t",
+        when_not_matched_by_source_delete="t.v >= 40",
+    )
+    assert res == {"updated": 1, "deleted": 2, "inserted": 1}
+    got = {r["k"]: (r["v"], r["tag"]) for r in catalog.read_table("mbs_t").collect()}
+    assert set(got) == {1, 2, 3, 9}
+    assert got[1] == (100.0, "a") and got[9] == (900.0, None)
+    assert got[2] == (20.0, "b") and got[3] == (30.0, "c")
+
+    # BY SOURCE update mapping: flag the rows the source no longer has
+    res2 = catalog.merge_table(
+        spark.createDataFrame([(1, 111.0)], ["k", "v"]), "mbs_t",
+        when_matched_update=None,
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"tag": "concat(t.tag, '!')"},
+    )
+    assert res2 == {"updated": 3, "deleted": 0, "inserted": 0}
+    got2 = {r["k"]: r["tag"] for r in catalog.read_table("mbs_t").collect()}
+    assert got2 == {1: "a", 2: "b!", 3: "c!", 9: None}
+
+    # delete evaluated before update; True = unconditional delete
+    res3 = catalog.merge_table(
+        spark.createDataFrame([(2, 2.0)], ["k", "v"]), "mbs_t",
+        when_matched_update=None,
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete="t.k = 9",
+        when_not_matched_by_source_update={"v": "t.v * 0"},
+    )
+    assert res3 == {"updated": 2, "deleted": 1, "inserted": 0}
+    got3 = {r["k"]: r["v"] for r in catalog.read_table("mbs_t").collect()}
+    # k=2 is matched (update=None keeps 20.0); target-only 1,3 zeroed
+    assert got3 == {1: 0.0, 2: 20.0, 3: 0.0}
+
+    with pytest.raises(NameError, match="key columns"):
+        catalog.merge_table(
+            src, "mbs_t", when_not_matched_by_source_update={"k": "0"}
+        )
+    with pytest.raises(NameError, match="unknown columns"):
+        catalog.merge_table(
+            src, "mbs_t", when_not_matched_by_source_update={"nope": "0"}
+        )
+    catalog.drop_table("mbs_t")
+
+
+def test_merge_schema_evolution(spark, catalog):
+    """merge_schema=True admits source-only columns (Delta
+    withSchemaEvolution): schema grows, pre-merge segments read NULL
+    for the new column, matched rows take source values, inserts carry
+    them; without the flag the column stays clause-scope only; retired
+    names are rejected."""
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"]
+    )
+    catalog.to_table(base, "mse_t", keys=["k"], num_buckets=4)
+    src = spark.createDataFrame(
+        [(2, 200.0, "fr"), (9, 900.0, "de")], ["k", "v", "lang"]
+    )
+
+    # default: source-only column is clause-scope, never stored
+    catalog.merge_table(src, "mse_t", when_not_matched_insert=False)
+    assert "lang" not in catalog.read_table("mse_t").columns
+
+    res = catalog.merge_table(src, "mse_t", merge_schema=True)
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    got = {r["k"]: (r["v"], r["lang"]) for r in catalog.read_table("mse_t").collect()}
+    assert got == {
+        1: (10.0, None),      # pre-merge segment null-fills
+        2: (200.0, "fr"),     # matched: source value
+        3: (30.0, None),
+        9: (900.0, "de"),     # inserted with the new column
+    }
+    # evolved schema is durable: a later plain upsert sees the column
+    m = catalog.meta("mse_t")
+    assert "lang" in m.schema.names
+
+    # cross-era read: time travel to the pre-evolution version still
+    # works under the evolved meta (old segments null-fill)
+    hist = catalog.history("mse_t")
+    v0 = min(h["version"] for h in hist)
+    old = catalog.read_table("mse_t", version=v0)
+    assert "lang" in old.columns
+    assert old.where(F.col("lang").isNotNull()).count() == 0
+
+    # retired names cannot be recycled through merge_schema
+    catalog.drop_column("mse_t", "lang")
+    with pytest.raises(NameError, match="retired"):
+        catalog.merge_table(src, "mse_t", merge_schema=True)
+    catalog.drop_table("mse_t")
+
+
 def test_merge_table_matches_python_reference(spark, catalog):
     """Seeded fuzz: random target/source/clause combinations must match
     a plain-Python MERGE reference (delete > update > insert priority,
@@ -812,7 +977,7 @@ def test_merge_table_matches_python_reference(spark, catalog):
     import random
 
     rnd = random.Random(42)
-    for trial in range(3):
+    for trial in range(5):
         n_t = rnd.randint(5, 40)
         t_rows = {k: round(rnd.uniform(-50, 50), 2) for k in range(n_t)}
         src_keys = rnd.sample(range(n_t + 20), rnd.randint(3, 25))
@@ -821,6 +986,9 @@ def test_merge_table_matches_python_reference(spark, catalog):
             for k in src_keys
         }
         insert = rnd.random() < 0.7
+        # BY SOURCE clause mix: none / delete-only / update-only / both
+        bs_del = rnd.random() < 0.5   # "t.v > 10" on target-only rows
+        bs_upd = rnd.random() < 0.5   # v -> round(t.v - 1, 2)
         name = f"fz_{trial}"
         if catalog.has_table(name):
             catalog.drop_table(name)
@@ -839,6 +1007,10 @@ def test_merge_table_matches_python_reference(spark, catalog):
             when_matched_update={"v": "s.v"},
             when_matched_delete="s.drop_it",
             when_not_matched_insert=insert,
+            when_not_matched_by_source_delete="t.v > 10" if bs_del else None,
+            when_not_matched_by_source_update=(
+                {"v": "round(t.v - 1, 2)"} if bs_upd else None
+            ),
         )
         want = {}
         n_upd = n_del = n_ins = 0
@@ -850,6 +1022,11 @@ def test_merge_table_matches_python_reference(spark, catalog):
                 else:
                     want[k] = sv
                     n_upd += 1
+            elif bs_del and v > 10:
+                n_del += 1
+            elif bs_upd:
+                want[k] = round(v - 1, 2)
+                n_upd += 1
             else:
                 want[k] = v
         for k, (sv, d) in s_rows.items():
