@@ -331,6 +331,26 @@ def main() -> None:
     )
     plan_checks["manifest_skip_offloaded"] = "skip" in _man
 
+    # Input-layout fact: parquet scan parallelism is bounded by ROW
+    # GROUPS, not spark.sql.files.maxPartitionBytes — a single-row-
+    # group input file serializes every raw-table scan onto one task
+    # no matter the core count. Recording the layout alongside the
+    # timings lets a cross-round comparison separate "the plan got
+    # slower" from "the data drop got coarser": the r4->r7 TPC-H
+    # drift (q4 0.73->2.65s, q6 0.26->1.19s — q6 has NO join) was
+    # exactly this; re-laying the same rows into 30 row groups returns
+    # q6's shape to 0.37s. Managed (kt_*) tables are immune — the
+    # segment writer lays out multi-file buckets.
+    try:
+        import pyarrow.parquet as _pq
+
+        plan_checks["input_rowgroups"] = {
+            t: _pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata.num_row_groups
+            for t in ("lineitem", "orders", "customer")
+        }
+    except Exception:
+        plan_checks["input_rowgroups"] = "unavailable"
+
     # The driver records only the LAST 2,000 chars of stdout — r5/r6
     # both lost every per-query timing because the line ran 4,130
     # chars (parsed: null in BENCH_r{5,6}.json). The single stdout

@@ -29,37 +29,30 @@ from pandabase_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    targets = [int(a) for a in sys.argv[1:]] or [8, 64, 512, 2048]
+    targets = [int(a) for a in sys.argv[1:]] or [8, 64, 256, 1024]
     spark = get_spark()
     wh = tempfile.mkdtemp(prefix="pb_manifest_curve_")
     cat = KeyedCatalog(spark, wh)
-    rows_per_seg = 256
     print(f"{'leaves':>8} {'segments':>9} {'manifest_B':>11} "
           f"{'sidecar_B':>10} {'B_per_leaf':>10} {'offloaded':>9}")
-    for want in targets:
-        # leaves = segments x buckets; wide bucketing keeps the number
-        # of append commits (each one a PK-probe + commit) small
-        nb = min(want, 64)
-        n_segs = max(want // nb, 1)
-        name = f"curve_{want}"
+    for nb in targets:
+        # leaf count scales with the bucket count: ONE commit per
+        # target (each commit pays stats+bloom+sketch jobs, so
+        # segment-count scaling would take minutes for no extra
+        # information — per-leaf entry size is what's being measured)
+        name = f"curve_{nb}"
         if cat.has_table(name):
             cat.drop_table(name)
-        for s in range(n_segs):
-            df = spark.range(
-                s * rows_per_seg, (s + 1) * rows_per_seg
-            ).select(
-                F.col("id").alias("k"),
-                (F.col("id") * 1.0).alias("v"),
-                F.concat(F.lit("u"), F.col("id")).alias("tag"),
-            )
-            if s == 0:
-                cat.to_table(
-                    df, name, keys=["k"], num_buckets=nb,
-                    stats_columns=["v"], bloom_columns=["tag"],
-                    sketch_columns=["v"],
-                )
-            else:
-                cat.to_table(df, name, keys=["k"], how="append")
+        df = spark.range(4 * nb).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.0).alias("v"),
+            F.concat(F.lit("u"), F.col("id")).alias("tag"),
+        )
+        cat.to_table(
+            df, name, keys=["k"], num_buckets=nb,
+            stats_columns=["v"], bloom_columns=["tag"],
+            sketch_columns=["v"],
+        )
         man = cat._manifest(name)
         leaves = len(cat._live_paths(name))
         man_b = len(json.dumps(man))
