@@ -1304,7 +1304,12 @@ class KeyedCatalog:
         """
         table_name = self._qualify(table_name, schema)
         m = self.meta(table_name)
-        a = self._read_raw(table_name, version=v_from)
+        if v_from == 0:
+            # before the first commit: empty baseline — every current
+            # row surfaces as an insert (the CDC bootstrap read)
+            a = self.spark.createDataFrame([], m.schema)
+        else:
+            a = self._read_raw(table_name, version=v_from)
         b = self._read_raw(table_name, version=v_to)
         keys = list(m.keys)
         vals = [c for c in a.columns if c not in keys]

@@ -186,22 +186,89 @@ class _KTStreamReader(DataSourceStreamReader):
         pass
 
 
+class _CommitsPartition(InputPartition):
+    def __init__(self, events):
+        self.events = list(events)
+
+
+class _CommitEventsReader(DataSourceStreamReader):
+    """``commits=true`` mode: one row PER COMMIT — (v, op, ts_us,
+    n_segments) — instead of the commit's data rows. Metadata-bound
+    (a micro-batch moves a handful of tuples however large the table
+    is); the consumption pattern is foreachBatch computing the exact
+    JVM-side diff for the batch's version range — see
+    ``streaming.stream_table_changes``. Rewrites/DML/compaction are
+    fine here: the consumer diffs snapshots, so there is no
+    append-only restriction."""
+
+    def __init__(self, table_dir: str, options):
+        self._dir = table_dir
+        self._start = int(options.get("starting_version", "0") or 0)
+
+    def initialOffset(self):
+        return {"version": self._start}
+
+    def latestOffset(self):
+        p = os.path.join(self._dir, _LOG_FILE)
+        if not os.path.exists(p):
+            return {"version": 0}
+        return {"version": int(_read_json(p)["v"])}
+
+    def partitions(self, start, end):
+        s, e = int(start["version"]), int(end["version"])
+        events = []
+        for v in range(s + 1, e + 1):
+            man = _manifest_at(self._dir, v)
+            events.append((
+                v,
+                man.get("op"),
+                man.get("ts"),
+                len(man.get("segments", {})),
+            ))
+        return [_CommitsPartition(events)]
+
+    def read(self, partition: _CommitsPartition):
+        yield from partition.events
+
+    def commit(self, end):
+        pass
+
+
+_COMMITS_SCHEMA = T.StructType([
+    T.StructField("v", T.LongType(), False),
+    T.StructField("op", T.StringType(), True),
+    T.StructField("ts_us", T.LongType(), True),
+    T.StructField("n_segments", T.IntegerType(), True),
+])
+
+
 class KeyedTableStreamSource(DataSource):
     """``spark.readStream.format("keyed_table_stream")
     .option("path", <warehouse>/<table>)``; options:
-    ``starting_version`` (default 0), ``ignore_changes``."""
+    ``starting_version`` (default 0), ``ignore_changes``,
+    ``commits`` (true = one metadata row per commit instead of data
+    rows — the CDC feed's driver)."""
 
     @classmethod
     def name(cls):
         return "keyed_table_stream"
 
+    def _commits_mode(self) -> bool:
+        return (
+            str(self.options.get("commits", "false")).lower() == "true"
+        )
+
     def schema(self):
+        if self._commits_mode():
+            return _COMMITS_SCHEMA
         meta = _read_json(
             os.path.join(self.options["path"], _META_FILE)
         )
         return T.StructType.fromJson(json.loads(meta["schema_json"]))
 
     def streamReader(self, schema):
+        if self._commits_mode():
+            return _CommitEventsReader(self.options["path"], self.options)
         return _KTStreamReader(self.options["path"], self.options)
 
 
@@ -217,3 +284,10 @@ def stream_read_table(catalog, table_name: str, **options):
     for k, v in options.items():
         reader = reader.option(k, str(v))
     return reader.load()
+
+
+def stream_read_commits(catalog, table_name: str, **options):
+    """Streaming DataFrame of ``table_name``'s COMMIT EVENTS
+    (v, op, ts_us, n_segments) — the metadata tail that drives
+    continuous CDC consumption (``streaming.stream_table_changes``)."""
+    return stream_read_table(catalog, table_name, commits="true", **options)

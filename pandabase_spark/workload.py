@@ -946,6 +946,71 @@ def streaming_kt_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_kt_cdc_replica",
+    "WITH base AS ("
+    "SELECT c_custkey, c_name, c_nationkey, "
+    "CASE WHEN c_custkey <= 100 THEN c_acctbal + 100 ELSE c_acctbal END "
+    "AS c_acctbal, c_mktsegment "
+    "FROM customer WHERE c_custkey <= 300"
+    "), appended AS ("
+    "SELECT c_custkey + 100000 AS c_custkey, c_name, c_nationkey, "
+    "c_acctbal, c_mktsegment FROM customer WHERE c_custkey <= 50"
+    "), unioned AS ("
+    "SELECT * FROM base UNION ALL SELECT * FROM appended"
+    ") SELECT * FROM unioned WHERE NOT (c_acctbal < 0)",
+)
+def streaming_kt_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLICATION through the commit-log stream (Delta CDF +
+    foreachBatch shape): the source table takes a create, an upsert,
+    an append, and a predicate DELETE across four commits; a
+    commits=true stream (one metadata row per commit) drives
+    foreachBatch, each batch computing the exact JVM-side snapshot
+    diff (table_changes) for its version range and folding it into
+    the replica with one clause-MERGE (deletes via a source-only
+    _del flag). Drained in TWO availableNow cycles over one
+    checkpoint — the second resumes from the persisted version
+    offset, so the replica is built from two INCREMENTAL diffs, not
+    one bootstrap. The oracle states the source's final state in
+    plain SQL; replication is correct iff the replica equals it."""
+    import tempfile
+
+    from pandabase_spark.streaming import stream_replicate
+
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_cdc_src")
+    _fresh(cat, "w_cdc_replica")
+    c = load(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    cat.to_table(c.where(ck <= 300), "w_cdc_src", keys=["c_custkey"])
+    cat.to_table(
+        c.where(ck <= 100).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100
+        ),
+        "w_cdc_src", keys=["c_custkey"], how="upsert",
+    )
+    scratch = tempfile.mkdtemp(prefix="pb_cdcrep_")
+    with _stream_cycle(spark):
+        q = stream_replicate(
+            cat, "w_cdc_src", "w_cdc_replica",
+            checkpoint=f"{scratch}/ckpt",
+        )
+        _await(q)
+        # more commits AFTER the first drain: the second cycle must
+        # resume from the checkpointed version offset
+        cat.to_table(
+            c.where(ck <= 50).withColumn("c_custkey", ck + 100000),
+            "w_cdc_src", keys=["c_custkey"], how="append",
+        )
+        cat.delete_rows("w_cdc_src", "c_acctbal < 0")
+        q2 = stream_replicate(
+            cat, "w_cdc_src", "w_cdc_replica",
+            checkpoint=f"{scratch}/ckpt",
+        )
+        _await(q2)
+    return cat.read_table("w_cdc_replica")
+
+
+@_q(
     "kt_copy_into",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 )
@@ -7106,20 +7171,21 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # back-fills with the OLDEST driver greens (r2-only, then the oldest
 # r2+r3 keyed-table rows) for re-confirmation against current code.
 _GATE_FIRST = [
-    # round-8 additions: never driver-checked (MERGE BY SOURCE +
-    # merge-time schema evolution)
+    # round-8 additions: never driver-checked (MERGE BY SOURCE,
+    # merge-time schema evolution, CDC replication through the
+    # commit-log stream)
     "kt_merge_by_source",
     "kt_merge_schema_evolution",
+    "streaming_kt_cdc_replica",
     # round-8 code-touched: copy_into grew canonical ledger keys +
     # early validation; catalog.sql grew view hygiene (shadow guard +
     # drop-after); merge_table grew the BY SOURCE/merge_schema
-    # clauses (shared clause plumbing); the IVF trainer's persist got
-    # a try/finally — re-confirm all against current code
+    # clauses (shared clause plumbing); table_changes grew the
+    # v_from=0 empty baseline — re-confirm all against current code
     "kt_copy_into",
     "kt_catalog_sql",
     "kt_merge_clauses",
-    "ann_topk_ivf",
-    "kt_sql_over_view",
+    "kt_table_changes",
     # back-fill: the ENTIRE r4-last-checked block (oldest greens) —
     # after this head no query's last driver check is older than r5.
     # TPC-H shapes first (they also answer the r7 join-suite wall-time

@@ -130,3 +130,59 @@ def test_end_to_end_readstream_into_memory_sink(spark, catalog, tmp_path):
         assert got == sum(k * 2.0 for k in range(40))
     finally:
         q.stop()
+
+
+def test_commit_events_mode_emits_metadata_rows(spark, catalog):
+    """commits=true: one (v, op, ts_us, n_segments) row per commit —
+    metadata-bound however large the table — and rewrites/DML are
+    first-class (no append-only guard)."""
+    from pandabase_spark.sources.kt_stream import _CommitEventsReader
+
+    catalog.to_table(_batch(spark, 0, 10), "st_ev", keys=["k"])
+    catalog.to_table(_batch(spark, 0, 5), "st_ev", keys=["k"], how="upsert")
+    catalog.delete_rows("st_ev", "k = 1")
+    r = _CommitEventsReader(catalog._path("st_ev"), {})
+    assert r.latestOffset() == {"version": 3}
+    rows = []
+    for p in r.partitions({"version": 0}, {"version": 3}):
+        rows.extend(r.read(p))
+    assert [x[0] for x in rows] == [1, 2, 3]
+    assert [x[1] for x in rows] == ["create", "upsert", "delete_dv"]
+    assert all(isinstance(x[2], int) for x in rows)
+
+
+def test_stream_replicate_incremental_and_replay_safe(spark, catalog, tmp_path):
+    """CDC replication: two availableNow cycles over one checkpoint
+    build the replica from two INCREMENTAL diffs (offset persisted);
+    a third cycle with nothing new is a no-op; the replica equals the
+    source after upserts, appends, and deletes."""
+    from pandabase_spark.streaming import stream_replicate
+
+    def drain(q):
+        q.awaitTermination(120)
+
+    ck = str(tmp_path / "ckpt")
+    catalog.to_table(_batch(spark, 0, 20), "cdc_s", keys=["k"])
+    catalog.to_table(
+        _batch(spark, 0, 5).withColumn("v", F.col("v") + 100),
+        "cdc_s", keys=["k"], how="upsert",
+    )
+    drain(stream_replicate(catalog, "cdc_s", "cdc_r", checkpoint=ck))
+    got1 = {r.k: r.v for r in catalog.read_table("cdc_r").collect()}
+    assert got1 == {k: (k * 2.0 + 100 if k < 5 else k * 2.0) for k in range(20)}
+
+    # more commits, second cycle resumes from the checkpointed offset
+    catalog.to_table(_batch(spark, 20, 30), "cdc_s", keys=["k"], how="append")
+    catalog.delete_rows("cdc_s", "k % 7 = 0 AND k >= 5")
+    drain(stream_replicate(catalog, "cdc_s", "cdc_r", checkpoint=ck))
+    want = {r.k: r.v for r in catalog.read_table("cdc_s").collect()}
+    got2 = {r.k: r.v for r in catalog.read_table("cdc_r").collect()}
+    assert got2 == want
+
+    # nothing new: a third cycle must change nothing (and the replica's
+    # txn watermark makes even a replayed batch a no-op)
+    v_before = catalog._manifest("cdc_r")["v"]
+    drain(stream_replicate(catalog, "cdc_s", "cdc_r", checkpoint=ck))
+    got3 = {r.k: r.v for r in catalog.read_table("cdc_r").collect()}
+    assert got3 == want
+    assert catalog._manifest("cdc_r")["v"] == v_before
