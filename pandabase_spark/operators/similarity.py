@@ -493,6 +493,119 @@ def ivf_centroids_df(
     return cents
 
 
+def _with_cells_topn(
+    df: DataFrame,
+    vec_col: str,
+    centroids: "list[list[float]] | DataFrame",
+    n: int,
+    *,
+    out: str = "cells",
+) -> DataFrame:
+    """Attach the ``n`` NEAREST cells as an array column (top-1 is
+    :func:`ivf_assign`'s cell) — the multi-assignment used for
+    bucketed near-dup candidate generation, so a pair straddling a
+    cell boundary still shares at least one bucket. Same
+    literal-vs-broadcast-data quantizer crossover as everywhere else;
+    ties break to the lower cell id (stable sort on (negdot, cell))."""
+    if isinstance(centroids, DataFrame):
+        staged = df.crossJoin(F.broadcast(_pack_centroids(centroids)))
+        structs = F.zip_with(
+            F.col("_cents"),
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        c["cvec"],
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            ),
+            lambda c, d: F.struct(
+                (-d).alias("negdot"), c["cell"].alias("cell")
+            ),
+        )
+        cells = F.transform(
+            F.slice(F.array_sort(structs), 1, n), lambda s: s["cell"]
+        )
+        return staged.withColumn(out, cells).drop("_cents")
+    arr = (
+        "array("
+        + ",".join(
+            f"named_struct('negdot', -({_dot_sql(vec_col, c)}), "
+            f"'cell', cast({i} as int))"
+            for i, c in enumerate(centroids)
+        )
+        + ")"
+    )
+    return df.withColumn(
+        out,
+        F.expr(f"transform(slice(array_sort({arr}), 1, {n}), s -> s.cell)"),
+    )
+
+
+def ivf_neardup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_cells: int = 16,
+    nassign: int = 2,
+    iters: int = 2,
+    sample_mod: "int | None" = None,
+    centroids: "list[list[float]] | DataFrame | None" = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at corpus scale: candidates are
+    confined to IVF cells (each vector multi-assigned to its
+    ``nassign`` nearest cells so boundary-straddling pairs still
+    collide), exact cosine verifies candidates only, pairs emit once
+    (``id_1 < id_2``, deduped across shared cells). The semantic-dedup
+    analogue of MinHash-LSH banding: candidate generation is a
+    per-cell self-join — at 100 TB each cell is ~n/n_cells vectors
+    and the shuffle key is the cell id — never an all-pairs product.
+    Recall misses only pairs whose cell sets are disjoint; raising
+    ``nassign`` (or ``n_cells`` resolution) trades candidate volume
+    for recall, pinned against the exact join in pytest. Pass
+    ``centroids`` to reuse a trained quantizer (e.g. the persisted
+    index's sidecar); threshold semantics match
+    :func:`embedding layer <cosine_topk>` cosine."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _auto_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+            iters=iters, sample_mod=sample_mod,
+        )
+    )
+    assigned = _with_cells_topn(
+        corpus.select(id_col, vec_col), vec_col, cents, nassign
+    ).select(
+        F.col(id_col), F.col(vec_col), F.explode("cells").alias("cell")
+    )
+    a = assigned.select(
+        "cell", F.col(id_col).alias("id_1"), F.col(vec_col).alias("_v1")
+    )
+    b = assigned.select(
+        "cell", F.col(id_col).alias("id_2"), F.col(vec_col).alias("_v2")
+    )
+    cand = (
+        a.join(b, on="cell")
+        .where(F.col("id_1") < F.col("id_2"))
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    return (
+        cand.select(
+            "id_1", "id_2",
+            cosine_similarity(F.col("_v1"), F.col("_v2")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .withColumn("cosine", F.round("cosine", 4))
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: "list[list[float]] | DataFrame",

@@ -4140,6 +4140,24 @@ def _emb_sample(col: str):
     )
 
 
+@_q("embedding_neardup_ivf")  # approximate: rows-only check (no oracle)
+def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup at corpus scale: candidate pairs confined to
+    IVF cells (each vector multi-assigned to its 2 nearest cells so
+    boundary pairs still collide), exact cosine verified on candidates
+    only — the embedding analogue of MinHash-LSH banding, and the
+    100 TB path the gated exact verifier (`embedding_neardup_exact`)
+    audits. Recall vs the exact all-pairs join is pinned in
+    tests/test_operators.py."""
+    from pandabase_spark.operators.similarity import ivf_neardup_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_neardup_pairs(
+        e, id_col="vec_id", vec_col="embedding",
+        threshold=0.4, n_cells=8, nassign=2,
+    ).orderBy("id_1", "id_2")
+
+
 @_q(
     "embedding_neardup_exact",
     f"SELECT a.vec_id AS id_1, b.vec_id AS id_2, ROUND({_COS}, 4) AS cosine "

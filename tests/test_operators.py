@@ -116,6 +116,62 @@ def test_embedding_near_dup_lsh_finds_planted(spark):
     assert expect <= found
 
 
+def test_ivf_neardup_pairs_recall_and_parity(spark):
+    """IVF-bucketed semantic near-dup: planted exact near-duplicates
+    must all surface (their cosine ~1 puts both vectors in the same
+    nearest cells), candidates stay cell-confined, and the two
+    quantizer carriers (codegen literal vs broadcast DataFrame)
+    return identical pairs."""
+    from pandabase_spark.operators.similarity import (
+        _with_cells_topn, ivf_centroids, ivf_centroids_df,
+        ivf_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    planted = emb.limit(5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    pairs = ivf_neardup_pairs(
+        corpus, threshold=0.999, n_cells=8, nassign=2
+    )
+    found = {(r.id_1, r.id_2) for r in pairs.collect()}
+    expect = {(i, i + 100000) for i in range(5)}
+    assert expect <= found
+    # sanity on the threshold: every returned pair really is >= 0.999
+    assert pairs.where(F.col("cosine") < 0.999).count() == 0
+
+    # carrier parity: same trained quantizer through both forms
+    lit_c = ivf_centroids(corpus, n_cells=8)
+    df_c = ivf_centroids_df(corpus, n_cells=8)
+    p_lit = {
+        (r.id_1, r.id_2)
+        for r in ivf_neardup_pairs(
+            corpus, threshold=0.9, centroids=lit_c
+        ).collect()
+    }
+    p_df = {
+        (r.id_1, r.id_2)
+        for r in ivf_neardup_pairs(
+            corpus, threshold=0.9, centroids=df_c
+        ).collect()
+    }
+    assert p_lit == p_df
+    # top-1 of the multi-assignment equals ivf_assign's cell
+    from pandabase_spark.operators.similarity import ivf_assign
+
+    top1 = _with_cells_topn(corpus, "embedding", lit_c, 1).select(
+        "vec_id", F.element_at("cells", 1).alias("cell")
+    )
+    ref = ivf_assign(corpus, lit_c).select("vec_id", "cell")
+    assert top1.exceptAll(ref).count() == 0
+
+
 def test_approx_distinct_within_tolerance(spark):
     """HLL++ sketch (the scale path) tracks the exact distinct count
     within its advertised error at rsd=0.02."""
