@@ -1879,6 +1879,57 @@ class KeyedCatalog:
         )
         return man["v"] + 1
 
+    def cluster_table(
+        self,
+        table_name: str,
+        cluster_by: Sequence[str],
+        *,
+        schema: str | None = None,
+        rewrite: bool = True,
+    ) -> None:
+        """ALTER the Z-order clustering declaration of an existing
+        table (``to_table(cluster_by=)`` declares it at create; Delta
+        calls this ``ALTER TABLE ... CLUSTER BY``). The declaration
+        lands in table meta first, so every FUTURE segment — appends,
+        upsert rewrites, DML, compaction — lays out under the new
+        dimensions by construction (the Z-sort lives in THE segment
+        writer). ``rewrite=True`` (default) then compacts the live
+        segments so existing data adopts the layout immediately;
+        ``rewrite=False`` is the 100 TB mode — a metadata-only
+        declaration change, with old segments re-laid incrementally
+        as ordinary maintenance/DML touches them (Delta's clustering
+        works the same way: OPTIMIZE applies it, writes follow it).
+        Pass an empty list to un-cluster. Columns must exist and be
+        integers (same rule as create — bucket continuous values
+        first)."""
+        table_name = self._qualify(table_name, schema)
+        m = self.meta(table_name)
+        for c in cluster_by:
+            if c not in m.schema.names:
+                raise NameError(f"cluster_by column not in schema: {c}")
+            dt = m.schema[c].dataType
+            if not isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                raise ValueError(
+                    f"cluster_by needs integer columns; {c} is "
+                    f"{dt.simpleString()} (bucket continuous values "
+                    "into an integer column first)"
+                )
+        m.cluster_by = list(cluster_by)
+        self._write_meta(table_name, m)
+        if rewrite:
+            # direct rewrite rather than compact(): compact no-ops on a
+            # single live segment, but adopting a layout must rewrite
+            # regardless of segment count
+            man = self._manifest(table_name)
+            m2 = self._resolve_nb(m, man)
+            rows = self._read_raw(table_name, manifest=man)
+            seg, buckets = self._write_segment(rows, table_name, m2)
+            self._commit(
+                table_name, {seg: buckets}, v=man["v"], op="cluster"
+            )
+
     def register_bucketed(
         self,
         table_name: str,

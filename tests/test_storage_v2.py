@@ -1563,6 +1563,19 @@ def test_cluster_by_zorder_rowgroup_skipping_survives_dml(spark, catalog):
         assert overlap_frac("zc_t") < 0.5 * plain
         assert catalog.read_table("zc_t").count() == 44999
 
+        # ALTER CLUSTER BY: the key-sorted twin adopts the layout via
+        # cluster_table (meta first, rewrite via compact), dropping its
+        # overlap to clustered levels; rewrite=False changes only the
+        # declaration (future segments), leaving current files alone
+        catalog.cluster_table("zc_plain", ["x", "y"])
+        catalog.vacuum("zc_plain")  # overlap_frac walks ON-DISK segs
+        assert overlap_frac("zc_plain") < 0.5 * plain
+        assert catalog.read_table("zc_plain").count() == 40000
+        catalog.cluster_table("zc_plain", [], rewrite=False)
+        assert catalog.meta("zc_plain").cluster_by == []
+        with pytest.raises(NameError, match="not in schema"):
+            catalog.cluster_table("zc_plain", ["nope"])
+
         # guards: create-time only, integer dims only, drop refused
         with pytest.raises(NameError, match="create time"):
             catalog.to_table(df, "zc_t", keys=["k"], how="append",
