@@ -541,6 +541,35 @@ def kt_cluster_by_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "kt_cluster_alter",
+    f"SELECT {_LI_COLS_SQL} FROM {_LI_UNIQUE_SQL} "
+    "WHERE l_orderkey <= 20000 "
+    "AND l_partkey <= 400 AND l_suppkey <= 20",
+)
+def kt_cluster_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER CLUSTER BY on a LIVE table (cluster_table): the table is
+    created key-sorted, then reclustered onto (l_partkey, l_suppkey)
+    — meta first so future segments adopt the layout by
+    construction, plus the default one-commit rewrite so existing
+    data does too (rewrite=False is the 100 TB metadata-only mode).
+    Results are layout-independent: the reclustered table must answer
+    the same 2-D selective read exactly; layout adoption (row-group
+    overlap drop) is pinned in tests/test_storage_v2.py."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_recluster_li")
+    cat.to_table(
+        _li_unique(spark, sf_dir).where("l_orderkey <= 20000"),
+        "w_recluster_li", keys=LI_KEYS,
+    )
+    cat.cluster_table("w_recluster_li", ["l_partkey", "l_suppkey"])
+    return _ts_to_str(
+        cat.read_table("w_recluster_li").where(
+            "l_partkey <= 400 AND l_suppkey <= 20"
+        )
+    )
+
+
 @_q("kt_roundtrip_create", "SELECT * FROM customer")
 def kt_roundtrip_create(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A7: create_only + full-scan read (reference:pandabase/
