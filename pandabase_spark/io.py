@@ -112,6 +112,13 @@ WRITE_MODES = ("create_only", "append", "upsert")
 # the manifest itself at O(segments), not O(leaves).
 SKIP_INLINE_MAX = 256 * 1024
 
+
+def _op_str(v) -> "str | None":
+    """Loggable form of a predicate/expression argument for the
+    commit's op_params record (Columns stringify to their expression
+    tree; strings pass through)."""
+    return None if v is None else (v if isinstance(v, str) else str(v))
+
 # delete_rows(strategy="auto"): record a deletion vector instead of
 # rewriting buckets when at most this many rows match. Point deletes
 # (the hot case at 100 TB — "remove this document") then rewrite ZERO
@@ -891,8 +898,14 @@ class KeyedCatalog:
         meta: "TableMeta | None" = None,
         txn: "tuple[str, int] | None" = None,
         ingest: "dict[str, int] | None" = None,
+        op_params: "dict | None" = None,
     ) -> None:
         """THE commit point, with optimistic concurrency detection.
+
+        ``op_params`` records the operation's salient arguments in the
+        commit (Delta's operationParameters): the forensic answer to
+        "what predicate did that delete run?" months later, surfaced
+        by :meth:`history`. Small JSON-able values only.
 
         ``txn=(app_id, version)`` records an application transaction
         watermark in the manifest (Delta's txnAppId/txnVersion
@@ -1064,6 +1077,8 @@ class KeyedCatalog:
             # A few hundred bytes per commit, far below stats/blooms.
             "meta_schema": json.loads(m.to_json()),
         }
+        if op_params:
+            doc_d["op_params"] = op_params
         txns = dict(prior_man.get("txns", {}))
         if txn is not None:
             app, tv = txn
@@ -1189,6 +1204,7 @@ class KeyedCatalog:
                 {
                     "version": man["v"],
                     "operation": man.get("op"),
+                    "operation_parameters": man.get("op_params"),
                     "ts_us": man.get("ts"),
                     "n_segments": len(man["segments"]),
                     "n_paths": sum(len(b) for b in man["segments"].values()),
@@ -1402,7 +1418,13 @@ class KeyedCatalog:
             s: bs for s, bs in man["segments"].items() if s not in chosen
         }
         merged[seg] = buckets
-        self._commit(table_name, merged, v=man["v"], op="compact")
+        self._commit(
+            table_name, merged, v=man["v"], op="compact",
+            op_params={
+                "target_bytes": target_bytes,
+                "merged_segments": len(chosen),
+            },
+        )
         if vacuum:
             # retain_last passes through to vacuum's retention window
             # (see vacuum) — a scheduled OPTIMIZE need not truncate
@@ -1531,6 +1553,7 @@ class KeyedCatalog:
         self._commit(
             dst_q, segments, v=0, stats=stats or None,
             blooms=blooms or None, sketches=sketches or None, op="clone",
+            op_params={"src": src_q, "version": version},
             nb=man.get("nb") or m.num_buckets,
             segcols=segcols or None,
             dvs_base={}, dvs=dvs or None,
@@ -1641,6 +1664,7 @@ class KeyedCatalog:
             blooms=t_skip.get("blooms") or None,
             sketches=t_skip.get("sketches") or None,
             op="restore",
+            op_params={"version": version},
             nb=target.get("nb") or m.num_buckets,
             segcols=target.get("segcols") or None,
             # the restored snapshot's deletion vectors, verbatim —
@@ -1876,6 +1900,7 @@ class KeyedCatalog:
         self._commit(
             table_name, {seg: buckets}, v=man["v"],
             op="rebucket", nb=new_buckets,
+            op_params={"new_buckets": new_buckets},
         )
         return man["v"] + 1
 
@@ -1927,7 +1952,8 @@ class KeyedCatalog:
             rows = self._read_raw(table_name, manifest=man)
             seg, buckets = self._write_segment(rows, table_name, m2)
             self._commit(
-                table_name, {seg: buckets}, v=man["v"], op="cluster"
+                table_name, {seg: buckets}, v=man["v"], op="cluster",
+                op_params={"cluster_by": list(cluster_by)},
             )
 
     def register_bucketed(
@@ -3167,7 +3193,36 @@ class KeyedCatalog:
                 segments[old_seg] = kept
         if buckets:
             segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"], op="merge", txn=txn)
+        self._commit(
+            table_name, segments, v=man["v"], op="merge", txn=txn,
+            op_params={
+                "when_matched_update": (
+                    when_matched_update
+                    if when_matched_update in ("all", None)
+                    else {
+                        c: _op_str(e)
+                        for c, e in when_matched_update.items()
+                    }
+                ),
+                "when_matched_delete": _op_str(when_matched_delete),
+                "when_not_matched_insert": when_not_matched_insert,
+                "when_not_matched_by_source_update": (
+                    None
+                    if when_not_matched_by_source_update is None
+                    else {
+                        c: _op_str(e)
+                        for c, e in
+                        when_not_matched_by_source_update.items()
+                    }
+                ),
+                "when_not_matched_by_source_delete": (
+                    True
+                    if when_not_matched_by_source_delete is True
+                    else _op_str(when_not_matched_by_source_delete)
+                ),
+                "merge_schema": merge_schema,
+            },
+        )
         self._maybe_auto_compact(table_name)
         return {
             "updated": int(counts["updated"] or 0),
@@ -3331,7 +3386,10 @@ class KeyedCatalog:
             )
         if use_dv:
             return self._delete_dv(
-                table_name, m, man, hits, touched, txn=txn
+                table_name, m, man, hits, touched, txn=txn,
+                op_params={
+                    "predicate": _op_str(predicate), "strategy": "dv",
+                },
             )
         existing = self._read_raw(table_name, buckets=touched, manifest=man)
         n_deleted = existing.where(pred).count()
@@ -3348,7 +3406,12 @@ class KeyedCatalog:
         if survivors.head(1):
             seg, buckets = self._write_segment(survivors, table_name, m)
             segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"], op="delete", txn=txn)
+        self._commit(
+            table_name, segments, v=man["v"], op="delete", txn=txn,
+            op_params={
+                "predicate": _op_str(predicate), "strategy": "rewrite",
+            },
+        )
         return n_deleted
 
     def _delete_dv(
@@ -3361,6 +3424,7 @@ class KeyedCatalog:
         new_rows: DataFrame | None = None,
         op: str = "delete_dv",
         txn: "tuple[str, int] | None" = None,
+        op_params: "dict | None" = None,
     ) -> int:
         """Commit a deletion vector for ``hits`` (already DV-filtered
         rows of the pinned ``man`` snapshot): write the matching keys
@@ -3469,6 +3533,7 @@ class KeyedCatalog:
                 # already physical and the sidecar carries nothing
                 dvs={dv_name: entry} if leaves else None,
                 txn=txn,
+                op_params=op_params,
             )
         except ConcurrentWriteError:
             self.fs.delete(dv_path)  # lost the race — no orphan sidecar
@@ -3569,6 +3634,13 @@ class KeyedCatalog:
             n_updated = self._delete_dv(
                 table_name, m, man, hits, touched, new_rows=upd_rows,
                 op="update_dv", txn=txn,
+                op_params={
+                    "predicate": _op_str(predicate),
+                    "assignments": {
+                        c: _op_str(e) for c, e in assignments.items()
+                    },
+                    "strategy": "dv",
+                },
             )
             return n_updated
         existing = self._read_raw(table_name, buckets=touched, manifest=man)
@@ -3597,7 +3669,16 @@ class KeyedCatalog:
             if (keep := [b for b in bs if b not in touched_set])
         }
         segments[seg] = buckets
-        self._commit(table_name, segments, v=man["v"], op="update", txn=txn)
+        self._commit(
+            table_name, segments, v=man["v"], op="update", txn=txn,
+            op_params={
+                "predicate": _op_str(predicate),
+                "assignments": {
+                    c: _op_str(e) for c, e in assignments.items()
+                },
+                "strategy": "rewrite",
+            },
+        )
         return n_updated
 
     # ------------------------------------------------------------------

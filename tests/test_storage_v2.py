@@ -1064,6 +1064,26 @@ def test_history_records_operations(spark, catalog):
     catalog.clone_table("hist_t", "hist_t2")
     assert catalog.history("hist_t2")[0]["operation"] == "clone"
 
+    # operation_parameters (Delta's operationParameters): the commit
+    # records the verbs' salient arguments for forensics
+    hist = {h["operation"]: h for h in catalog.history("hist_t")}
+    assert hist["delete_dv"]["operation_parameters"] == {
+        "predicate": "k = 3", "strategy": "dv",
+    }
+    mp = hist["merge"]["operation_parameters"]
+    assert mp["when_matched_update"] == "all"
+    assert mp["when_not_matched_insert"] is True
+    assert hist["compact"]["operation_parameters"]["merged_segments"] >= 2
+    assert (
+        catalog.history("hist_t2")[0]["operation_parameters"]["src"]
+        == "hist_t"
+    )
+    catalog.update_rows("hist_t", "k = 4", {"v": "v + 1"})
+    up = catalog.history("hist_t")[-1]
+    assert up["operation"] in ("update", "update_dv")
+    assert up["operation_parameters"]["predicate"] == "k = 4"
+    assert up["operation_parameters"]["assignments"] == {"v": "v + 1"}
+
 
 def test_stats_bounds_without_stats_is_filter_only(spark, catalog):
     """stats_bounds on a table created WITHOUT stats_columns: no
