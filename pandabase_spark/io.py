@@ -216,6 +216,11 @@ class TableMeta:
     # physical IDs).
     colmap: dict = field(default_factory=dict)
     retired_names: list = field(default_factory=list)
+    # generated columns (create time): {col: sql_expr} computed from
+    # other columns of the same row — a write that omits the column
+    # gets it computed; a write that provides it is validated against
+    # the expression (Delta's GENERATED ALWAYS AS contract).
+    generated: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -231,6 +236,7 @@ class TableMeta:
         d.setdefault("colmap", {})
         d.setdefault("retired_names", [])
         d.setdefault("cluster_by", [])
+        d.setdefault("generated", {})
         return cls(**d)
 
     @property
@@ -1742,6 +1748,16 @@ class KeyedCatalog:
                     f"column {old!r} is referenced by constraint "
                     f"{cname!r}; drop the constraint first"
                 )
+        if old in m.generated:
+            raise NameError(
+                f"column {old!r} is GENERATED and cannot be renamed"
+            )
+        for gcol, gexpr in m.generated.items():
+            if self._constraint_references(m, old, gexpr):
+                raise NameError(
+                    f"column {old!r} is referenced by generated "
+                    f"column {gcol!r}; it cannot be renamed"
+                )
         man = self._manifest(table_name)
 
         def ren(lst):
@@ -1830,6 +1846,7 @@ class KeyedCatalog:
             ("bloom_columns", m.bloom_columns),
             ("sketch_columns", m.sketch_columns),
             ("cluster_by", m.cluster_by),
+            ("generated", list(m.generated)),
         ):
             if col in lst:
                 raise NameError(
@@ -1841,6 +1858,12 @@ class KeyedCatalog:
                 raise NameError(
                     f"column {col!r} is referenced by constraint "
                     f"{cname!r}; drop the constraint first"
+                )
+        for gcol, gexpr in m.generated.items():
+            if self._constraint_references(m, col, gexpr):
+                raise NameError(
+                    f"column {col!r} is referenced by generated "
+                    f"column {gcol!r}; it cannot be dropped"
                 )
         man = self._manifest(table_name)
         import dataclasses
@@ -2328,10 +2351,21 @@ class KeyedCatalog:
         bloom_columns: Sequence[str] | None = None,
         sketch_columns: Sequence[str] | None = None,
         cluster_by: Sequence[str] | None = None,
+        generated: "Mapping[str, str] | None" = None,
         txn: "tuple[str, int] | None" = None,
         ingest: "dict[str, int] | None" = None,
     ) -> None:
         """Write a DataFrame into a keyed table.
+
+        ``generated`` (create only): ``{col: sql_expr}`` GENERATED
+        columns computed from other columns of the same row — every
+        later write that omits the column gets it computed
+        JVM-side; a write that provides it is validated against the
+        expression in one aggregation pass (mismatch →
+        IntegrityError), so the stored invariant can never drift
+        (Delta's GENERATED ALWAYS AS). Keys cannot be generated;
+        renaming/dropping a generated column or a column its
+        expression references is refused.
 
         ``txn=(app_id, version)`` makes the write IDEMPOTENT under
         replay (Delta's txnAppId/txnVersion contract): the manifest
@@ -2394,7 +2428,7 @@ class KeyedCatalog:
                 num_buckets=num_buckets, constraints=constraints,
                 stats_columns=stats_columns, bloom_columns=bloom_columns,
                 sketch_columns=sketch_columns, cluster_by=cluster_by,
-                txn=txn, ingest=ingest,
+                generated=generated, txn=txn, ingest=ingest,
             )
         finally:
             self._release_staged()
@@ -2419,6 +2453,7 @@ class KeyedCatalog:
         bloom_columns: Sequence[str] | None = None,
         sketch_columns: Sequence[str] | None = None,
         cluster_by: Sequence[str] | None = None,
+        generated: "Mapping[str, str] | None" = None,
         txn: "tuple[str, int] | None" = None,
         ingest: "dict[str, int] | None" = None,
     ) -> None:
@@ -2446,6 +2481,10 @@ class KeyedCatalog:
             raise NameError(
                 "cluster_by is declared at create time"
             )
+        if exists and generated:
+            raise NameError(
+                "generated columns are declared at create time"
+            )
         target_schema = self.meta(table_name).schema if exists else None
         sdf, keys = self._normalize_input(df, keys, auto_index, target_schema)
         for k in keys:
@@ -2467,7 +2506,8 @@ class KeyedCatalog:
                 sdf, table_name, keys, auto_index, num_buckets,
                 constraints=constraints, stats_columns=stats_columns,
                 bloom_columns=bloom_columns, sketch_columns=sketch_columns,
-                cluster_by=cluster_by, txn=txn, ingest=ingest,
+                cluster_by=cluster_by, generated=generated,
+                txn=txn, ingest=ingest,
             )
             return
 
@@ -2499,6 +2539,7 @@ class KeyedCatalog:
                 "resurrect it"
             )
         sdf = coerce_to_table_schema(sdf, existing_schema, keys)
+        sdf = self._apply_generated(sdf, m.generated, m.schema)
         if new_cols:
             # schema evolution (reference:pandabase/sql.py:509-517): meta
             # grows first; old segments simply null-fill the new columns
@@ -2708,9 +2749,16 @@ class KeyedCatalog:
         bloom_columns: Sequence[str] | None = None,
         sketch_columns: Sequence[str] | None = None,
         cluster_by: Sequence[str] | None = None,
+        generated: "Mapping[str, str] | None" = None,
         txn: "tuple[str, int] | None" = None,
         ingest: "dict[str, int] | None" = None,
     ) -> None:
+        bad_keys = [c for c in (generated or {}) if c in keys]
+        if bad_keys:
+            raise NameError(
+                f"key columns cannot be generated: {bad_keys}"
+            )
+        sdf = self._apply_generated(sdf, dict(generated or {}), None)
         bad_stats = [
             c for c in (stats_columns or []) if c not in sdf.columns
         ]
@@ -2748,6 +2796,7 @@ class KeyedCatalog:
             bloom_columns=list(bloom_columns or []),
             sketch_columns=list(sketch_columns or []),
             cluster_by=list(cluster_by or []),
+            generated=dict(generated or {}),
         )
         # fail fast on NULL keys before any shuffle
         from functools import reduce
@@ -3239,6 +3288,53 @@ class KeyedCatalog:
         missing = [f for f in schema.fields if f.name not in sdf.columns]
         for f in missing:
             sdf = sdf.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return sdf
+
+    def _apply_generated(
+        self,
+        sdf: DataFrame,
+        generated: "Mapping[str, str]",
+        schema: "T.StructType | None",
+    ) -> DataFrame:
+        """Enforce GENERATED columns on a batch: absent columns are
+        computed from their expressions (dict order, so a generated
+        column may reference one declared before it); present columns
+        are validated against the expressions in ONE aggregation pass
+        (null-safe equality; any mismatch raises IntegrityError before
+        anything is written). ``schema`` pins dtypes for existing
+        tables; at create the expression's own type stands."""
+        if not generated:
+            return sdf
+        def typed(col: str, expr: str) -> Column:
+            e = F.expr(expr)
+            if schema is not None and col in schema.names:
+                e = e.cast(schema[col].dataType)
+            return e
+
+        present = [c for c in generated if c in sdf.columns]
+        for col, expr in generated.items():
+            if col not in sdf.columns:
+                sdf = sdf.withColumn(col, typed(col, expr))
+        if present:
+            row = sdf.agg(
+                *[
+                    F.sum(
+                        (~F.col(c).eqNullSafe(typed(c, generated[c])))
+                        .cast("long")
+                    ).alias(c)
+                    for c in present
+                ]
+            ).first()
+            bad = {c: int(row[c]) for c in present if row[c]}
+            if bad:
+                raise IntegrityError(
+                    "generated-column violation(s): "
+                    + ", ".join(
+                        f"{c} (GENERATED ALWAYS AS {generated[c]!r}): "
+                        f"{n} row(s)"
+                        for c, n in bad.items()
+                    )
+                )
         return sdf
 
     def _check_constraints(self, sdf: DataFrame, m: TableMeta) -> None:

@@ -570,6 +570,40 @@ def kt_cluster_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "kt_generated_columns",
+    f"SELECT {_ORDERS_COLS_SQL}, "
+    "CAST(year(o_orderdate) AS INT) AS o_year, "
+    "o_totalprice > 200000 AS o_big "
+    "FROM orders WHERE o_orderkey <= 30000",
+)
+def kt_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED columns (Delta GENERATED ALWAYS AS): o_year and
+    o_big are declared as expressions at create; the create batch
+    omits both (computed JVM-side), the append provides o_year
+    (validated against the expression in one aggregation pass) and
+    omits o_big (computed). The oracle restates the whole table with
+    the expressions inline — storage can never drift from them."""
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_gen_orders")
+    o = load(spark, sf_dir, "orders").where("o_orderkey <= 30000")
+    half = F.col("o_orderkey") % 2 == 0
+    cat.to_table(
+        o.where(half), "w_gen_orders", keys=["o_orderkey"],
+        generated={
+            "o_year": "cast(year(o_orderdate) as int)",
+            "o_big": "o_totalprice > 200000",
+        },
+    )
+    cat.to_table(
+        o.where(~half).withColumn(
+            "o_year", F.year("o_orderdate").cast("int")
+        ),
+        "w_gen_orders", keys=["o_orderkey"], how="append",
+    )
+    return _ts_to_str(cat.read_table("w_gen_orders"))
+
+
 @_q("kt_roundtrip_create", "SELECT * FROM customer")
 def kt_roundtrip_create(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A7: create_only + full-scan read (reference:pandabase/

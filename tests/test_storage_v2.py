@@ -805,6 +805,65 @@ def test_merge_table_clauses(spark, catalog):
         catalog.merge_table(src2, "mrg_t", when_matched_update="some")
 
 
+def test_generated_columns(spark, catalog):
+    """GENERATED ALWAYS AS: absent columns computed at write (create,
+    append, upsert; chained expressions in declaration order),
+    provided columns validated (mismatch -> IntegrityError, nothing
+    written), keys ungeneratable, declaration create-only,
+    rename/drop of the column or its inputs refused."""
+    from pandabase_spark.io import IntegrityError
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    catalog.to_table(
+        df, "gen_t", keys=["k"],
+        generated={"v2": "v * 2", "v3": "v2 + 1"},  # v3 chains on v2
+    )
+    got = {r.k: (r.v2, r.v3) for r in catalog.read_table("gen_t").collect()}
+    assert got == {k: (k * 2.0, k * 2.0 + 1) for k in range(10)}
+
+    # append omitting both: computed; upsert providing a CORRECT v2
+    catalog.to_table(
+        df.withColumn("k", F.col("k") + 100), "gen_t",
+        keys=["k"], how="append",
+    )
+    catalog.to_table(
+        spark.createDataFrame([(3, 30.0, 60.0)], ["k", "v", "v2"]),
+        "gen_t", keys=["k"], how="upsert",
+    )
+    got2 = {r.k: (r.v2, r.v3) for r in catalog.read_table("gen_t").collect()}
+    assert got2[103] == (6.0, 7.0)   # k shifted, v stays 3.0 -> v2=6
+    assert got2[3] == (60.0, 61.0)
+
+    # providing a WRONG value refuses the whole batch
+    n_before = catalog.read_table("gen_t").count()
+    with pytest.raises(IntegrityError, match="GENERATED ALWAYS AS"):
+        catalog.to_table(
+            spark.createDataFrame([(999, 1.0, 5.0)], ["k", "v", "v2"]),
+            "gen_t", keys=["k"], how="append",
+        )
+    assert catalog.read_table("gen_t").count() == n_before
+
+    # guards
+    with pytest.raises(NameError, match="create time"):
+        catalog.to_table(
+            df.withColumn("k", F.col("k") + 500), "gen_t",
+            keys=["k"], how="append", generated={"x": "v"},
+        )
+    with pytest.raises(NameError, match="cannot be generated"):
+        catalog.to_table(df, "gen_k", keys=["k"], generated={"k": "1"})
+    with pytest.raises(NameError, match="generated"):
+        catalog.drop_column("gen_t", "v2")
+    with pytest.raises(NameError, match="referenced by generated"):
+        catalog.drop_column("gen_t", "v")
+    with pytest.raises(NameError, match="GENERATED"):
+        catalog.rename_column("gen_t", "v2", "v2x")
+    with pytest.raises(NameError, match="referenced by generated"):
+        catalog.rename_column("gen_t", "v", "vx")
+    catalog.drop_table("gen_t")
+
+
 def test_skipping_sidecar_offload(spark, catalog, monkeypatch):
     """Past SKIP_INLINE_MAX the commit moves stats/blooms/sketches to
     a <v>-<writer>.skip.json sidecar: the manifest stays O(segments),
