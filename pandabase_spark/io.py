@@ -1258,8 +1258,25 @@ class KeyedCatalog:
             "stats_columns": list(m.stats_columns),
             "bloom_columns": list(m.bloom_columns),
             "sketch_columns": list(m.sketch_columns),
+            "generated": dict(m.generated),
             "constraints": sorted(m.constraints),
             "auto_index": m.auto_index,
+            # metadata-size facts: the manifest every reader parses
+            # vs the skipping payload only pruning probes read (0 /
+            # absent file name while it still rides inline)
+            "manifest_bytes": len(
+                self.fs.read_text(f"{self._path(table_name)}/{LOG_FILE}")
+            ),
+            "skip_sidecar_bytes": (
+                len(
+                    self.fs.read_text(
+                        f"{self._path(table_name)}/{LOG_DIR}/"
+                        f"{man['skip']}"
+                    )
+                )
+                if man.get("skip")
+                else 0
+            ),
         }
 
     def describe(

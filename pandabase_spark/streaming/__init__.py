@@ -458,6 +458,7 @@ def stream_table_changes(
     checkpoint: str,
     starting_version: int = 0,
     trigger_available_now: bool = True,
+    with_range: bool = False,
 ) -> StreamingQuery:
     """Continuous CDC consumption — the Delta change-data-feed +
     foreachBatch shape. The stream itself is the table's COMMIT LOG
@@ -485,8 +486,14 @@ def stream_table_changes(
         if not rows:
             return
         vs = [r["v"] for r in rows]
-        changes = catalog.table_changes(table_name, min(vs) - 1, max(vs))
-        apply_fn(changes, batch_id)
+        lo, hi = min(vs) - 1, max(vs)
+        changes = catalog.table_changes(table_name, lo, hi)
+        if with_range:
+            # consumers that need pre-images (e.g. incremental view
+            # maintenance) get the diffed version range too
+            apply_fn(changes, batch_id, lo, hi)
+        else:
+            apply_fn(changes, batch_id)
 
     writer = (
         ev.writeStream.foreachBatch(_on_batch)
@@ -549,4 +556,101 @@ def stream_replicate(
         checkpoint=checkpoint,
         starting_version=starting_version,
         trigger_available_now=trigger_available_now,
+    )
+
+
+def stream_incremental_agg(
+    catalog: KeyedCatalog,
+    source_table: str,
+    view_table: str,
+    *,
+    group_col: str,
+    value_col: str,
+    checkpoint: str,
+    starting_version: int = 0,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained MATERIALIZED VIEW: ``view_table`` holds
+    ``GROUP BY group_col -> (agg_sum = SUM(value_col), n_rows)`` over
+    ``source_table`` and is updated from the CDC feed with ONLY the
+    changed keys — per micro-batch:
+
+        delta(group) = Σ post-images − Σ pre-images
+
+    where post-images ride on the diff itself and pre-images are the
+    from-version snapshot pruned to the changed keys (a keyed semi
+    read). The delta folds into the view with one expression-MERGE
+    (``t.agg_sum + s.d_sum``); groups whose row count reaches zero are
+    deleted. ``txn=(app, batch_id)`` makes a replayed batch a no-op —
+    essential here, since the relative fold is not key-idempotent. At
+    100 TB this maintains an aggregate over a mutating table by
+    reprocessing deltas, never the table. NULL groups are not
+    supported (the view is keyed by ``group_col``); sums of floats
+    accumulate in fold order, so compare downstream with a rounding
+    tolerance as usual for float aggregation."""
+    app = f"ivm:{checkpoint}"
+    src_keys = list(catalog.meta(source_table).keys)
+
+    def _apply(changes: DataFrame, batch_id: int, lo: int, hi: int) -> None:
+        post = changes.where(
+            F.col("_change_type").isin("insert", "update")
+        )
+        post_d = post.groupBy(group_col).agg(
+            F.sum(value_col).alias("_p"),
+            F.count(F.lit(1)).alias("_pn"),
+        )
+        if lo == 0:
+            delta = post_d.select(
+                F.col(group_col),
+                F.col("_p").alias("d_sum"),
+                F.col("_pn").alias("d_n"),
+            )
+        else:
+            pre = catalog.read_table(source_table, version=lo).join(
+                changes.select(*src_keys), on=src_keys, how="left_semi"
+            )
+            pre_d = pre.groupBy(group_col).agg(
+                F.sum(value_col).alias("_q"),
+                F.count(F.lit(1)).alias("_qn"),
+            )
+            delta = (
+                post_d.join(pre_d, on=group_col, how="full_outer")
+                .fillna(0, ["_p", "_pn", "_q", "_qn"])
+                .select(
+                    F.col(group_col),
+                    (F.col("_p") - F.col("_q")).alias("d_sum"),
+                    (F.col("_pn") - F.col("_qn")).alias("d_n"),
+                )
+            )
+        delta = delta.where(
+            (F.col("d_sum") != 0) | (F.col("d_n") != 0)
+        )
+        src = delta.select(
+            group_col, "d_sum", "d_n",
+            F.col("d_sum").alias("agg_sum"),
+            F.col("d_n").alias("n_rows"),
+        )
+        if not catalog.has_table(view_table):
+            catalog.to_table(
+                src.where(F.col("d_n") != 0).select(
+                    group_col, "agg_sum", "n_rows"
+                ),
+                view_table, keys=[group_col], txn=(app, batch_id),
+            )
+            return
+        catalog.merge_table(
+            src, view_table,
+            when_matched_delete="t.n_rows + s.d_n = 0",
+            when_matched_update={
+                "agg_sum": "t.agg_sum + s.d_sum",
+                "n_rows": "t.n_rows + s.d_n",
+            },
+            when_not_matched_insert=True,
+            txn=(app, batch_id),
+        )
+
+    return stream_table_changes(
+        catalog, source_table, _apply,
+        checkpoint=checkpoint, starting_version=starting_version,
+        trigger_available_now=trigger_available_now, with_range=True,
     )

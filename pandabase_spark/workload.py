@@ -1248,6 +1248,70 @@ def kt_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_kt_ivm_view",
+    "WITH final AS ("
+    "SELECT s_suppkey, s_nationkey, "
+    "CASE WHEN s_suppkey % 4 = 0 THEN s_acctbal + 500.0 ELSE s_acctbal END "
+    "AS s_acctbal FROM supplier "
+    "UNION ALL "
+    "SELECT s_suppkey + 200000, s_nationkey, s_acctbal FROM supplier "
+    "WHERE s_suppkey % 9 = 0"
+    "), kept AS (SELECT * FROM final WHERE NOT (s_acctbal < 0)) "
+    "SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS total_bal, "
+    "CAST(COUNT(*) AS BIGINT) AS n_rows FROM kept GROUP BY s_nationkey",
+)
+def streaming_kt_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained MATERIALIZED VIEW
+    (streaming.stream_incremental_agg): a per-nation balance rollup
+    over a mutating supplier table is kept up to date from the CDC
+    feed — per micro-batch, delta(group) = Σ post-images − Σ
+    pre-images over the CHANGED KEYS ONLY (pre-images via a keyed
+    semi read of the from-version snapshot), folded into the view
+    with one expression-MERGE; zero-row groups delete. Drained in TWO
+    availableNow cycles over one checkpoint (create+upsert, then a
+    predicate DELETE), so the view is built from incremental deltas,
+    never a rescan. The oracle recomputes the rollup from scratch —
+    the incrementally-maintained view must match it exactly."""
+    import tempfile
+
+    from pandabase_spark.streaming import stream_incremental_agg
+
+    cat = _catalog(spark, sf_dir)
+    _fresh(cat, "w_ivm_src")
+    _fresh(cat, "w_ivm_view")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    cat.to_table(s, "w_ivm_src", keys=["s_suppkey"])
+    patch = s.where(F.col("s_suppkey") % 4 == 0).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 500.0
+    )
+    inserts = s.where(F.col("s_suppkey") % 9 == 0).withColumn(
+        "s_suppkey", F.col("s_suppkey") + 200000
+    )
+    cat.to_table(
+        patch.unionByName(inserts), "w_ivm_src",
+        keys=["s_suppkey"], how="upsert",
+    )
+    scratch = tempfile.mkdtemp(prefix="pb_ivm_")
+    kw = dict(
+        group_col="s_nationkey", value_col="s_acctbal",
+        checkpoint=f"{scratch}/ckpt",
+    )
+    with _stream_cycle(spark):
+        _await(stream_incremental_agg(cat, "w_ivm_src", "w_ivm_view", **kw))
+        # a DELETE lands AFTER the first drain: the second cycle must
+        # resume from the checkpointed version and decrement the view
+        cat.delete_rows("w_ivm_src", "s_acctbal < 0")
+        _await(stream_incremental_agg(cat, "w_ivm_src", "w_ivm_view", **kw))
+    return cat.read_table("w_ivm_view").select(
+        "s_nationkey",
+        F.round("agg_sum", 2).alias("total_bal"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+@_q(
     "kt_incremental_agg",
     "WITH final AS ("
     "SELECT s_suppkey, s_nationkey, "

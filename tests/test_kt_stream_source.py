@@ -186,3 +186,52 @@ def test_stream_replicate_incremental_and_replay_safe(spark, catalog, tmp_path):
     got3 = {r.k: r.v for r in catalog.read_table("cdc_r").collect()}
     assert got3 == want
     assert catalog._manifest("cdc_r")["v"] == v_before
+
+
+def test_stream_incremental_agg_maintains_view(spark, catalog, tmp_path):
+    """Materialized-view maintenance from the CDC feed: the view
+    equals a from-scratch GROUP BY after updates, inserts, and a
+    delete that empties one group (its row deletes); a replayed cycle
+    with nothing new is a no-op (txn watermark)."""
+    from pandabase_spark.streaming import stream_incremental_agg
+
+    def drain(q):
+        q.awaitTermination(120)
+
+    src = spark.createDataFrame(
+        [(k, k % 3, float(k)) for k in range(12)], ["k", "g", "x"]
+    )
+    catalog.to_table(src, "ivm_s", keys=["k"])
+    ck = str(tmp_path / "ck")
+    kw = dict(group_col="g", value_col="x", checkpoint=ck)
+    drain(stream_incremental_agg(catalog, "ivm_s", "ivm_v", **kw))
+
+    def view():
+        return {
+            r.g: (r.agg_sum, r.n_rows)
+            for r in catalog.read_table("ivm_v").collect()
+        }
+
+    def expect():
+        rows = catalog.read_table("ivm_s").collect()
+        out = {}
+        for r in rows:
+            s, n = out.get(r.g, (0.0, 0))
+            out[r.g] = (s + r.x, n + 1)
+        return out
+
+    assert view() == expect()
+    # update + insert, then a delete that empties group g=2 entirely
+    catalog.to_table(
+        spark.createDataFrame([(0, 0, 100.0), (50, 1, 7.0)], ["k", "g", "x"]),
+        "ivm_s", keys=["k"], how="upsert",
+    )
+    catalog.delete_rows("ivm_s", "g = 2")
+    drain(stream_incremental_agg(catalog, "ivm_s", "ivm_v", **kw))
+    got = view()
+    assert got == expect()
+    assert 2 not in got  # emptied group's row deleted, not zeroed
+    # nothing new: no-op cycle, view version unchanged
+    v = catalog._manifest("ivm_v")["v"]
+    drain(stream_incremental_agg(catalog, "ivm_s", "ivm_v", **kw))
+    assert catalog._manifest("ivm_v")["v"] == v and view() == expect()

@@ -30,6 +30,9 @@ def test_table_detail_metadata_facts(spark, catalog):
     assert d["stats_columns"] == ["v"]
     assert d["constraints"] == ["v_pos"]
     assert d["n_live_dvs"] == 0
+    assert d["manifest_bytes"] > 0
+    assert d["skip_sidecar_bytes"] == 0  # inline while small
+    assert d["generated"] == {}
     catalog.delete_rows("dt_t", "k = 1", strategy="dv")
     assert catalog.table_detail("dt_t")["n_live_dvs"] == 1
 
