@@ -188,6 +188,9 @@ def test_driver_contract_shape():
         # twin, but pinned row-IDENTICAL to ann_topk_ivf in
         # tests/test_operators.py
         "ann_topk_ivf_indexed",
+        # IVF-bucketed semantic near-dup: approximate like the LSH
+        # variant; recall + carrier parity pinned in test_operators.py
+        "embedding_neardup_ivf",
         # sketch estimates are implementation-specific by nature;
         # accuracy pinned vs exact in tests/test_sketches.py (and
         # manifest-sketch stats in test_storage_v2.py)
