@@ -4160,6 +4160,81 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), "component_id")
 
 
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+edges AS (
+  SELECT id_1 AS src, id_2 AS dst FROM pairs
+  UNION SELECT id_2, id_1 FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, r.comp FROM reach r JOIN edges e ON e.dst = r.id
+),
+comp AS (
+  SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component_id
+  FROM reach GROUP BY id
+),
+all_docs AS (
+  SELECT d.doc_id,
+         COALESCE(c.component_id, d.doc_id) AS component_id,
+         length(d.text) AS _len
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, component_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY component_id ORDER BY _len DESC, doc_id ASC
+         ) AS rn
+  FROM all_docs
+)
+SELECT doc_id, component_id, rn = 1 AS keep FROM ranked
+"""
+
+
+@_q("neardup_canonical_keep", _CANONICAL_ORACLE)
+def neardup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL decision: one canonical
+    representative per duplicate cluster. Near-dup pairs (inverted-
+    index Jaccard) → connected components → per-component rank by
+    (text length DESC, doc_id ASC) — the longest variant survives,
+    deterministic tiebreak — emitting (doc_id, component_id, keep)
+    for EVERY document (singletons keep themselves). At 100 TB the
+    rank window partitions by component (clusters are small by
+    construction); no global sort, no all-pairs. The keep=false rows
+    are the corpus's reclaimable duplicates, joinable back to any
+    downstream sampler/packer."""
+    from pyspark.sql.window import Window
+
+    from pandabase_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+    alld = (
+        docs.select("doc_id", F.length("text").alias("_len"))
+        .join(comp, on="doc_id", how="left")
+        .withColumn(
+            "component_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")),
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("_len").desc(), F.col("doc_id").asc()
+    )
+    return alld.select(
+        "doc_id",
+        "component_id",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 _SPAN_DEDUP_ORACLE = """
 WITH words AS (
   SELECT doc_id,
