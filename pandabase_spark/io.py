@@ -3013,6 +3013,7 @@ class KeyedCatalog:
         when_not_matched_by_source_update: "Mapping[str, str | Column] | None" = None,
         when_not_matched_by_source_delete: "str | Column | bool | None" = None,
         merge_schema: bool = False,
+        metrics: bool = True,
         schema: str | None = None,
         txn: "tuple[str, int] | None" = None,
     ) -> dict:
@@ -3192,14 +3193,26 @@ class KeyedCatalog:
             if when_not_matched_by_source_update is not None
             else F.lit(False)
         )
-        counts = joined.agg(
-            F.sum((upd_happens | bs_upd_happens).cast("long")).alias("updated"),
-            F.sum((is_del | is_bs_del).cast("long")).alias("deleted"),
-            F.sum(
-                (F.col("_in_t").isNull() & F.lit(when_not_matched_insert))
-                .cast("long")
-            ).alias("inserted"),
-        ).collect()[0]
+        # the metrics aggregate executes the WHOLE joined plan a
+        # second time (the result write is the first); hot-loop
+        # callers that ignore the counts (per-micro-batch CDC applies)
+        # pass metrics=False and save that execution
+        counts = (
+            joined.agg(
+                F.sum(
+                    (upd_happens | bs_upd_happens).cast("long")
+                ).alias("updated"),
+                F.sum((is_del | is_bs_del).cast("long")).alias("deleted"),
+                F.sum(
+                    (
+                        F.col("_in_t").isNull()
+                        & F.lit(when_not_matched_insert)
+                    ).cast("long")
+                ).alias("inserted"),
+            ).collect()[0]
+            if metrics
+            else {"updated": 0, "deleted": 0, "inserted": 0}
+        )
 
         value_cols = [c for c in existing.columns if c not in m.keys]
         src_cols = set(source.columns)

@@ -546,6 +546,7 @@ def stream_replicate(
             when_matched_update="all",
             when_matched_delete="s._del",
             when_not_matched_insert=True,
+            metrics=False,  # counts re-execute the diff; unused here
             txn=(app, batch_id),
         )
 
@@ -646,6 +647,7 @@ def stream_incremental_agg(
                 "n_rows": "t.n_rows + s.d_n",
             },
             when_not_matched_insert=True,
+            metrics=False,  # counts re-execute the delta; unused here
             txn=(app, batch_id),
         )
 
