@@ -809,6 +809,26 @@ def write_ivf_index(
     )
 
 
+def _existing_cells(spark, data_path: str) -> "set[int]":
+    """Cell ids that actually have a ``cell=<c>`` partition directory
+    under ``data_path`` — one non-recursive Hadoop ``listStatus`` (names
+    only; works on any FileSystem the session can read). The quantizer
+    may legitimately contain cells no vector was assigned to; probing
+    those must be a no-op, not a PATH_NOT_FOUND crash."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(data_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: "set[int]" = set()
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("cell="):
+            try:
+                out.add(int(name[5:]))
+            except ValueError:
+                continue
+    return out
+
+
 def ann_topk_indexed(
     spark,
     path: str,
@@ -896,16 +916,34 @@ def ann_topk_indexed(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
     # open ONLY the probed cells' directories (basePath keeps `cell` a
-    # partition column): at 10^5+ cells a full partition discovery of
-    # <path>/data is itself a fixed listing cost — the probe should
-    # never list directories it won't read. The residual isin filter
-    # keeps semantics explicit and the PartitionFilters plan fact
-    # asserted in test_plan_shapes.py.
-    data = (
-        spark.read.option("basePath", f"{path}/data")
-        .parquet(*[f"{path}/data/cell={c}" for c in cells])
-        .where(F.col("cell").isin(cells))
-    )
+    # partition column): at 10^5+ cells a full partition FILE discovery
+    # of <path>/data is itself a fixed listing cost — the probe should
+    # never list files it won't read. But a probed cell may have NO
+    # directory at all: ivf_centroids carries empty cells forward (a
+    # centroid can be no vector's top-1 assignment), and the writer's
+    # partitionBy only creates directories for non-empty cells — so the
+    # probed list is intersected with the directories that exist. That
+    # is ONE non-recursive name listing of <path>/data (an O(n_cells)
+    # dirname RPC, not the per-file discovery this path avoids). The
+    # residual isin filter keeps semantics explicit and the
+    # PartitionFilters plan fact asserted in test_plan_shapes.py.
+    existing = _existing_cells(spark, f"{path}/data")
+    cells = [c for c in cells if c in existing]
+    if not cells:
+        # no probed cell holds data (empty query set, or every probed
+        # cell empty): empty result with the contract schema, zero scan
+        # (planning-time FALSE filter — no partition is read)
+        data = (
+            spark.read.option("basePath", f"{path}/data")
+            .parquet(f"{path}/data")
+            .where(F.lit(False))
+        )
+    else:
+        data = (
+            spark.read.option("basePath", f"{path}/data")
+            .parquet(*[f"{path}/data/cell={c}" for c in cells])
+            .where(F.col("cell").isin(cells))
+        )
     scored = data.join(F.broadcast(probes), on="cell").select(
         "query_id",
         F.col(id_col),

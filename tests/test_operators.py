@@ -777,6 +777,42 @@ def test_persisted_ivf_index_identical_to_in_memory(spark, tmp_path):
     assert len(cells) >= 2
 
 
+def test_persisted_ivf_index_empty_and_missing_cells(spark, tmp_path):
+    """A probed cell with no data directory is a no-op, not a crash:
+    ivf_centroids deliberately carries forward centroids for empty
+    cells, so the quantizer can name cells partitionBy never wrote.
+    An empty query set short-circuits to an empty result with the
+    contract schema."""
+    from pandabase_spark.operators.similarity import (
+        ann_topk_indexed, write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf_sparse")
+    write_ivf_index(emb, path, n_cells=8, iters=2, sample_mod=2)
+    # force a quantizer/data mismatch: drop two cell directories so
+    # every nprobe=8 probe set includes cells with no data partition
+    import shutil, os
+
+    dirs = sorted(
+        d for d in os.listdir(f"{path}/data") if d.startswith("cell=")
+    )
+    assert len(dirs) >= 3
+    for d in dirs[:2]:
+        shutil.rmtree(f"{path}/data/{d}")
+    q = emb.where("vec_id < 3")
+    out = ann_topk_indexed(spark, path, q, k=5, nprobe=8)
+    rows = out.collect()
+    assert len(rows) > 0  # surviving cells still serve
+    assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
+    # empty query set: empty result, same schema, no crash
+    empty = ann_topk_indexed(
+        spark, path, emb.where("vec_id < 0"), k=5, nprobe=4
+    )
+    assert empty.collect() == []
+    assert empty.columns == ["query_id", "vec_id", "cosine", "rank"]
+
+
 def test_persisted_ivf_index_df_branch_parity(spark, tmp_path, monkeypatch):
     """Above the literal-path crossover the persisted index trains AND
     serves cluster-resident (DataFrame quantizer, broadcast-data
