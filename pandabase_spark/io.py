@@ -2343,10 +2343,25 @@ class KeyedCatalog:
         # skipping sidecars live and die with their manifest; a
         # sidecar no surviving manifest references (its version was
         # pruned above, or its writer crashed/lost the OCC race before
-        # publishing) is reclaimed here
+        # publishing) is reclaimed here. Guard: _commit deliberately
+        # writes the sidecar BEFORE claiming the manifest, so an
+        # IN-FLIGHT commit's sidecar is unreferenced but must survive
+        # — its name encodes the version it is committing
+        # (``{v:010d}-{writer}.skip.json``), which is strictly greater
+        # than the CURRENT version until the claim lands. Only
+        # sidecars at or below the current version (orphans by
+        # construction: their version already committed without them,
+        # or was vacuumed) are reclaimed.
         for f in self.fs.list_files(log_dir):
-            if f.endswith(".skip.json") and f not in kept_skips:
-                self.fs.delete(f"{log_dir}/{f}", recursive=False)
+            if not f.endswith(".skip.json") or f in kept_skips:
+                continue
+            try:
+                sv = int(f.split("-", 1)[0])
+            except ValueError:
+                sv = None
+            if sv is not None and sv > cur_man["v"]:
+                continue  # possibly an in-flight commit's sidecar
+            self.fs.delete(f"{log_dir}/{f}", recursive=False)
         return gone
 
     # ------------------------------------------------------------------
@@ -3041,6 +3056,16 @@ class KeyedCatalog:
           Delta clause order. Predicates/expressions here must not
           reference ``s.<col>`` (always NULL for these rows).
 
+        GENERATED columns cannot be assigned by either update mapping;
+        they are recomputed over the post-merge frame (Delta enforces
+        generated columns on MERGE too), and source-provided values
+        are validated against the recomputation for the rows they
+        land in — a wrong provided value raises
+        :class:`IntegrityError` before anything is written, same as
+        :meth:`to_table`. Passing ``False`` for
+        ``when_not_matched_by_source_delete`` means "no clause",
+        identical to ``None``.
+
         ``merge_schema=True`` admits source-only *columns* (Delta's
         ``withSchemaEvolution()``): they are appended to the table
         schema (nullable, source dtype) before the merge — existing
@@ -3080,6 +3105,11 @@ class KeyedCatalog:
             raise ValueError(
                 "when_matched_update must be 'all', a mapping, or None"
             )
+        # falsy BY-SOURCE delete is a no-clause, not a literal-False
+        # predicate (False would otherwise reach the doomed-row probe
+        # as a Python bool and TypeError inside where/coalesce)
+        if when_not_matched_by_source_delete is False:
+            when_not_matched_by_source_delete = None
         bad = (
             [c for c in when_matched_update if c in m.keys]
             if isinstance(when_matched_update, Mapping)
@@ -3091,6 +3121,34 @@ class KeyedCatalog:
             ]
         if bad:
             raise NameError(f"cannot UPDATE key columns: {bad}")
+        # GENERATED columns are invariants, not assignable state: a
+        # mapping assignment could store any value, and an update to a
+        # referenced base column would leave the stored value stale —
+        # both silently break the "can never drift" contract. MERGE
+        # recomputes every generated column over the post-merge frame
+        # (declaration order, same chaining as _apply_generated);
+        # source-PROVIDED generated values are validated against the
+        # recomputed result for the rows they land in (inserts, and
+        # matched rows under when_matched_update='all') — the same
+        # validate-on-provide contract as to_table.
+        gen_assigned = sorted(
+            {
+                c
+                for mapping in (
+                    when_matched_update,
+                    when_not_matched_by_source_update,
+                )
+                if isinstance(mapping, Mapping)
+                for c in mapping
+                if c in m.generated
+            }
+        )
+        if gen_assigned:
+            raise NameError(
+                f"cannot assign GENERATED columns in MERGE: "
+                f"{gen_assigned}; generated columns are always "
+                "recomputed from their expressions"
+            )
         self._check_unique(source, m.keys)
 
         new_fields = [
@@ -3259,9 +3317,50 @@ class KeyedCatalog:
         keep = ~is_del & ~is_bs_del & (
             F.col("_in_t").isNotNull() | F.lit(when_not_matched_insert)
         )
+        # provenance riders for generated-column validation: which
+        # rows took their stored value from the source, and what the
+        # source provided (dropped before the write)
+        validate_gen = [c for c in m.generated if c in src_cols]
+        prov = []
+        if validate_gen:
+            from_src = F.col("_in_t").isNull() | (
+                matched & F.lit(when_matched_update == "all")
+            )
+            prov = [from_src.alias("_gc_from_src")] + [
+                F.col(f"s.{c}").alias(f"_gc_prov_{c}")
+                for c in validate_gen
+            ]
         result = joined.where(keep).select(
-            *m.keys, *[merged_col(c) for c in value_cols]
+            *m.keys, *[merged_col(c) for c in value_cols], *prov
         )
+        # matched rows whose referenced base columns changed, BY-SOURCE
+        # updates, and inserts that omitted the column all land correct
+        result = self._regenerate(result, m)
+        if validate_gen:
+            vrow = result.agg(
+                *[
+                    F.sum(
+                        (
+                            F.col("_gc_from_src")
+                            & ~F.col(f"_gc_prov_{c}").eqNullSafe(F.col(c))
+                        ).cast("long")
+                    ).alias(c)
+                    for c in validate_gen
+                ]
+            ).first()
+            vbad = {c: int(vrow[c] or 0) for c in validate_gen if vrow[c]}
+            if vbad:
+                raise IntegrityError(
+                    "generated-column violation(s) in MERGE source: "
+                    + ", ".join(
+                        f"{c} (GENERATED ALWAYS AS "
+                        f"{m.generated[c]!r}): {n} row(s)"
+                        for c, n in vbad.items()
+                    )
+                )
+            result = result.drop(
+                "_gc_from_src", *[f"_gc_prov_{c}" for c in validate_gen]
+            )
         self._check_constraints(result, m)
         seg, buckets = self._write_segment(result, table_name, m)
         touched_set = set(touched)
@@ -3364,6 +3463,20 @@ class KeyedCatalog:
                         f"{n} row(s)"
                         for c, n in bad.items()
                     )
+                )
+        return sdf
+
+    def _regenerate(self, sdf: DataFrame, m: TableMeta) -> DataFrame:
+        """Recompute every GENERATED column in declaration order (a
+        generated column may reference one declared before it) — a
+        pure projection: rows whose referenced inputs are unchanged
+        reproduce their stored value bit-identically, so DML that
+        rewrites a referenced base column can never leave a generated
+        column stale."""
+        for c, gexpr in m.generated.items():
+            if c in sdf.columns:
+                sdf = sdf.withColumn(
+                    c, F.expr(gexpr).cast(m.schema[c].dataType)
                 )
         return sdf
 
@@ -3710,6 +3823,12 @@ class KeyedCatalog:
         bad = [c for c in assignments if c in m.keys]
         if bad:
             raise NameError(f"cannot UPDATE key columns: {bad}")
+        bad_gen = [c for c in assignments if c in m.generated]
+        if bad_gen:
+            raise NameError(
+                f"cannot UPDATE GENERATED columns: {bad_gen}; they are "
+                "always recomputed from their expressions"
+            )
         unknown = [
             c for c in assignments if c not in m.schema.fieldNames()
         ]
@@ -3756,6 +3875,10 @@ class KeyedCatalog:
                     for c in full.columns
                 ]
             )
+            # an assignment to a referenced base column (e.g. SET v
+            # where v2 = v * 2) recomputes the generated column in the
+            # same rewrite — UPDATE keeps the stored invariant
+            upd_rows = self._regenerate(upd_rows, m)
             self._check_constraints(upd_rows, m)
             n_updated = self._delete_dv(
                 table_name, m, man, hits, touched, new_rows=upd_rows,
@@ -3782,6 +3905,7 @@ class KeyedCatalog:
                 for c in existing.columns
             ]
         )
+        updated = self._regenerate(updated, m)
         self._check_constraints(updated, m)
         seg, buckets = self._write_segment(updated, table_name, m)
         # commit against the SAME pinned manifest the rewrite read

@@ -864,6 +864,147 @@ def test_generated_columns(spark, catalog):
     catalog.drop_table("gen_t")
 
 
+def test_generated_columns_merge_and_update(spark, catalog):
+    """GENERATED invariants survive MERGE and UPDATE (the to_table
+    contract extended to every DML verb): mapping assignments to a
+    generated column are rejected; updates to a referenced base
+    column recompute the generated column in the same rewrite;
+    inserts that omit it compute it; source-provided wrong values
+    raise before anything is written."""
+    from pandabase_spark.io import IntegrityError
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    catalog.to_table(
+        df, "gen_dml", keys=["k"],
+        generated={"v2": "v * 2", "v3": "v2 + 1"},
+    )
+
+    # mapping assignment to a generated column: rejected, both clauses
+    src = spark.createDataFrame([(3, 30.0)], ["k", "v"])
+    with pytest.raises(NameError, match="GENERATED"):
+        catalog.merge_table(
+            src, "gen_dml", when_matched_update={"v2": "s.v"}
+        )
+    with pytest.raises(NameError, match="GENERATED"):
+        catalog.merge_table(
+            src, "gen_dml",
+            when_not_matched_by_source_update={"v3": "t.v3 + 1"},
+        )
+    with pytest.raises(NameError, match="GENERATED"):
+        catalog.update_rows("gen_dml", "k = 3", {"v2": "99.0"})
+
+    # mapping update of the REFERENCED base column recomputes the
+    # chain (v -> v2 -> v3) in the same rewrite
+    catalog.merge_table(
+        src, "gen_dml", when_matched_update={"v": "s.v"}
+    )
+    got = {
+        r.k: (r.v, r.v2, r.v3)
+        for r in catalog.read_table("gen_dml").collect()
+    }
+    assert got[3] == (30.0, 60.0, 61.0)
+
+    # UPDATE of the base column recomputes too — both strategies
+    catalog.update_rows(
+        "gen_dml", "k = 4", {"v": "v + 100.0"}, strategy="rewrite"
+    )
+    catalog.update_rows(
+        "gen_dml", "k = 5", {"v": "v + 100.0"}, strategy="dv"
+    )
+    got = {
+        r.k: (r.v, r.v2, r.v3)
+        for r in catalog.read_table("gen_dml").collect()
+    }
+    assert got[4] == (104.0, 208.0, 209.0)
+    assert got[5] == (105.0, 210.0, 211.0)
+
+    # insert-by-merge omitting generated columns: computed
+    catalog.merge_table(
+        spark.createDataFrame([(50, 7.0)], ["k", "v"]), "gen_dml"
+    )
+    got = {
+        r.k: (r.v2, r.v3)
+        for r in catalog.read_table("gen_dml").collect()
+    }
+    assert got[50] == (14.0, 15.0)
+
+    # source-PROVIDED generated values: correct passes, wrong raises
+    catalog.merge_table(
+        spark.createDataFrame([(60, 8.0, 16.0)], ["k", "v", "v2"]),
+        "gen_dml",
+    )
+    assert got != {}  # table still readable
+    n = catalog.read_table("gen_dml").count()
+    with pytest.raises(IntegrityError, match="GENERATED ALWAYS AS"):
+        catalog.merge_table(
+            spark.createDataFrame([(70, 9.0, 5.0)], ["k", "v", "v2"]),
+            "gen_dml",
+        )
+    assert catalog.read_table("gen_dml").count() == n
+
+    # BY SOURCE update of a referenced base column recomputes as well
+    catalog.merge_table(
+        spark.createDataFrame([(0, 0.0)], ["k", "v"]), "gen_dml",
+        when_matched_update=None,
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"v": "t.v + 1000.0"},
+    )
+    row = (
+        catalog.read_table("gen_dml").where("k = 50").collect()[0]
+    )
+    assert (row.v, row.v2, row.v3) == (1007.0, 2014.0, 2015.0)
+    catalog.drop_table("gen_dml")
+
+
+def test_merge_by_source_delete_false_is_none(spark, catalog):
+    """when_not_matched_by_source_delete=False means 'no clause' —
+    previously a Python bool fell into the predicate path and raised
+    TypeError inside the doomed-row probe."""
+    catalog.to_table(_mk(spark, 20), "bsf_t", keys=["k"])
+    src = spark.createDataFrame([(5, 1.5)], ["k", "v"])
+    out = catalog.merge_table(
+        src, "bsf_t", when_not_matched_by_source_delete=False
+    )
+    assert out == {"updated": 1, "deleted": 0, "inserted": 0}
+    assert catalog.read_table("bsf_t").count() == 20
+    catalog.drop_table("bsf_t")
+
+
+def test_vacuum_spares_inflight_commit_sidecar(spark, catalog, monkeypatch):
+    """_commit writes the skipping sidecar BEFORE claiming the
+    manifest; a vacuum racing that window must not reclaim it (the
+    commit would then publish a manifest whose skip reference is a
+    missing file). Sidecars whose encoded version is above CURRENT
+    are left alone; true orphans (version <= CURRENT) are reclaimed."""
+    import pandabase_spark.io as io_mod
+
+    monkeypatch.setattr(io_mod, "SKIP_INLINE_MAX", 1)  # always offload
+    df = _mk(spark, 50)
+    catalog.to_table(df, "vac_t", keys=["k"], stats_columns=["v"])
+    log_dir = f"{catalog._path('vac_t')}/{io_mod.LOG_DIR}"
+    cur_v = catalog._manifest("vac_t")["v"]
+
+    # simulate the in-flight window: a sidecar for version cur+1
+    # exists but its manifest has not been claimed yet
+    inflight = f"{cur_v + 1:010d}-deadbeef.skip.json"
+    catalog.fs.write_text_atomic(f"{log_dir}/{inflight}", "{}")
+    # and a true orphan: a sidecar at the CURRENT version that no
+    # manifest references (its writer lost the race long ago)
+    orphan = f"{cur_v:010d}-0badc0de.skip.json"
+    catalog.fs.write_text_atomic(f"{log_dir}/{orphan}", "{}")
+
+    catalog.vacuum("vac_t")
+    files = set(catalog.fs.list_files(log_dir))
+    assert inflight in files, "in-flight commit's sidecar was reclaimed"
+    assert orphan not in files, "true orphan sidecar survived vacuum"
+    # the referenced sidecar of the CURRENT manifest survives too
+    cur_skip = catalog._manifest("vac_t").get("skip")
+    assert cur_skip and cur_skip in files
+    catalog.drop_table("vac_t")
+
+
 def test_skipping_sidecar_offload(spark, catalog, monkeypatch):
     """Past SKIP_INLINE_MAX the commit moves stats/blooms/sketches to
     a <v>-<writer>.skip.json sidecar: the manifest stays O(segments),
