@@ -62,6 +62,45 @@ def main() -> None:
         timings[name] = round(best, 3)
         n_runs[name] = n
 
+    # Noise-immune write-path facts: wall time on this shared VM moves
+    # 2-5x between identical runs, so each single-shot DML/maintenance
+    # op also records its Spark JOB COUNT (deterministic for a fixed
+    # code path + data — the fact that distinguishes "code grew a
+    # scan" from "a neighbor stole the CPU") and the table-directory
+    # byte delta (bytes the op physically wrote, manifest included).
+    # Budgets are asserted in tests/test_plan_shapes.py.
+    dml_facts: dict[str, dict] = {}
+    sc = spark.sparkContext
+
+    def timed_dml(name: str, fn, table_path: str | None = None) -> None:
+        du0 = _du(table_path) if table_path else None
+        group = f"bench-{name}"
+        sc.setJobGroup(group, name)
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        sc.setJobGroup(None, None)
+        timings[name] = round(dt, 3)
+        n_runs[name] = 1
+        fact = {"n_jobs": len(sc.statusTracker().getJobIdsForGroup(group))}
+        if table_path is not None:
+            fact["bytes_written"] = max(_du(table_path) - du0, 0)
+        dml_facts[name] = fact
+
+    def _du(path: str) -> int:
+        import os as _os
+
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+        total = 0
+        for root, _dirs, files in _os.walk(path):
+            for f in files:
+                try:
+                    total += _os.path.getsize(_os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
     Q = workload.QUERIES
 
     # --- keyed-table write path (the reference's core workload) ---
@@ -76,24 +115,25 @@ def main() -> None:
         if cat.has_table(t):
             cat.drop_table(t)
 
-    timed("kt_create_lineitem", lambda: cat.to_table(
-        li, "b_lineitem", keys=workload.LI_KEYS), repeat=1)
+    bl_path = cat._path("b_lineitem")
+    timed_dml("kt_create_lineitem", lambda: cat.to_table(
+        li, "b_lineitem", keys=workload.LI_KEYS), table_path=bl_path)
 
     # append 10% new keys (shifted orderkeys far beyond the live range)
     patch = li.limit(li_rows // 10).withColumn(
         "l_orderkey", F.col("l_orderkey") + 100_000_000
     )
-    timed("kt_append_10pct", lambda: cat.to_table(
+    timed_dml("kt_append_10pct", lambda: cat.to_table(
         patch, "b_lineitem", keys=workload.LI_KEYS, how="append"),
-        repeat=1)
+        table_path=bl_path)
 
     # upsert 10% existing keys with changed values
     up = li.limit(li_rows // 10).withColumn(
         "l_quantity", F.col("l_quantity") + 1.0
     )
-    timed("kt_upsert_10pct", lambda: cat.to_table(
+    timed_dml("kt_upsert_10pct", lambda: cat.to_table(
         up, "b_lineitem", keys=workload.LI_KEYS, how="upsert"),
-        repeat=1)
+        table_path=bl_path)
 
     timed("kt_range_read", lambda: force(
         cat.read_table("b_lineitem", lowest=(1000, None, None, None),
@@ -111,7 +151,8 @@ def main() -> None:
             "l_orderkey", F.col("l_orderkey") + (200 + i) * 1_000_000
         )
         cat.to_table(frag, "b_lineitem", keys=workload.LI_KEYS, how="append")
-    timed("kt_compact", lambda: cat.compact("b_lineitem"), repeat=1)
+    timed_dml("kt_compact", lambda: cat.compact("b_lineitem"),
+              table_path=bl_path)
     timed("kt_range_read_compacted", lambda: force(
         cat.read_table("b_lineitem", lowest=(1000, None, None, None),
                        highest=(20000, None, None, None))))
@@ -119,11 +160,11 @@ def main() -> None:
     # predicate DML: point ops rewrite only the buckets their keys
     # hash into (manifest-asserted in test_storage_v2.py), so cost is
     # ~1/num_buckets of the table, not a full rewrite
-    timed("kt_delete_point", lambda: cat.delete_rows(
-        "b_lineitem", "l_orderkey = 1042"), repeat=1)
-    timed("kt_update_point", lambda: cat.update_rows(
+    timed_dml("kt_delete_point", lambda: cat.delete_rows(
+        "b_lineitem", "l_orderkey = 1042"), table_path=bl_path)
+    timed_dml("kt_update_point", lambda: cat.update_rows(
         "b_lineitem", "l_orderkey = 2042",
-        {"l_quantity": "l_quantity + 1.0"}), repeat=1)
+        {"l_quantity": "l_quantity + 1.0"}), table_path=bl_path)
 
     # Bloom-index point read: customer split into two disjoint
     # segments, filter on the high-cardinality c_name. The recorded
@@ -373,6 +414,7 @@ def main() -> None:
         "upsert_rows_per_sec": upsert_rps,
         "bloom_leaves": bloom_leaves,
         "plan_checks": plan_checks,
+        "dml_facts": dml_facts,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:

@@ -2905,6 +2905,86 @@ class KeyedCatalog:
             .collect()
         ]
 
+    def _key_equality_buckets(
+        self, predicate: "str | Column", m: TableMeta
+    ) -> "list[int] | None":
+        """Buckets a STRING predicate provably confines its matches
+        to, decided WITHOUT reading any table data: a conjunction
+        whose equality terms ``<col> = <literal>`` cover every key
+        column pins the single bucket the key tuple hashes into, so
+        the DML probe scan reads 1/num_buckets of the table instead
+        of all of it ("compute the bucket arithmetically" — at 100 TB
+        this is the difference between a point delete probing one
+        bucket and probing the table). Conservative by construction —
+        anything the tiny parser doesn't recognize falls back to
+        ``None`` (full probe): Column predicates, any OR/||, partial
+        key cover, non-literal right-hand sides, literal/key type
+        mismatches (an unquoted number against a string key compares
+        under casts the hash wouldn't see). Extra unrecognized AND
+        conjuncts are fine: they only narrow the match set, never
+        widen it past the pinned bucket. The bucket comes from
+        evaluating THE SAME _bucket_expr the layout writes with, on a
+        one-row literal frame (driver-local job, zero IO) — the
+        arithmetic can never diverge from the writer's."""
+        import re
+
+        if not isinstance(predicate, str) or not m.keys:
+            return None
+        if re.search(r"(?i)(?<![a-z0-9_])or(?![a-z0-9_])|\|\|", predicate):
+            return None  # a top-level OR would break confinement
+        key_types = {k.lower(): m.schema[k].dataType for k in m.keys}
+        eq_re = re.compile(
+            r"`?([A-Za-z_][A-Za-z0-9_]*)`?\s*==?\s*"
+            r"('[^']*'|\"[^\"]*\"|-?\d+|true|false)",
+            re.IGNORECASE,
+        )
+        vals: dict[str, str] = {}
+        for part in re.split(r"(?i)\s+and\s+", predicate.strip()):
+            p = part.strip()
+            while p.startswith("(") and p.endswith(")"):
+                p = p[1:-1].strip()
+            mt = eq_re.fullmatch(p)
+            if not mt:
+                continue  # a narrowing conjunct — ignore
+            col, lit = mt.group(1).lower(), mt.group(2)
+            if col not in key_types or col in vals:
+                continue
+            dt = key_types[col]
+            quoted = lit[0] in "'\""
+            boolean = lit.lower() in ("true", "false")
+            ok = (
+                (quoted and isinstance(dt, T.StringType))
+                or (boolean and isinstance(dt, T.BooleanType))
+                or (
+                    not quoted
+                    and not boolean
+                    and isinstance(
+                        dt,
+                        (T.IntegerType, T.LongType, T.ShortType,
+                         T.ByteType),
+                    )
+                )
+            )
+            if not ok:
+                return None  # comparison-under-cast could widen
+            vals[col] = lit
+        if set(vals) != {k.lower() for k in m.keys}:
+            return None
+        row = (
+            self.spark.range(1)
+            .select(
+                *[
+                    F.expr(vals[k.lower()])
+                    .cast(m.schema[k].dataType)
+                    .alias(k)
+                    for k in m.keys
+                ]
+            )
+            .select(_bucket_expr(m.keys, m.num_buckets).alias("b"))
+            .first()
+        )
+        return [int(row["b"])]
+
     def _append(
         self,
         sdf: DataFrame,
@@ -3602,36 +3682,47 @@ class KeyedCatalog:
         # ConcurrentWriteError instead of having its rows dropped
         man = self._manifest(table_name)
         m = self._resolve_nb(m, man)
-        full = self._read_raw(table_name, manifest=man)
-        hits = full.where(pred)
-        touched = [
-            r[0]
-            for r in hits.select(
-                _bucket_expr(m.keys, m.num_buckets).alias("b")
+        # a full-key equality predicate pins its bucket arithmetically
+        # — the probe then reads 1/num_buckets of the table, no scan
+        # needed to learn where the key lives
+        kb = self._key_equality_buckets(predicate, m)
+        full = self._read_raw(table_name, buckets=kb, manifest=man)
+        # ONE probe pass answers everything the old path paid three
+        # scans for: the match count (the DV-auto decision AND the
+        # returned n_deleted) and the touched buckets (collect_set is
+        # bounded by num_buckets — driver-safe at any hit count)
+        prow = (
+            full.where(pred)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(
+                    _bucket_expr(m.keys, m.num_buckets)
+                ).alias("bs"),
             )
-            .distinct()
-            .collect()
-        ]
-        if not touched:
+            .first()
+        )
+        n_hits = int(prow["n"] or 0)
+        if not n_hits:
             return 0
-        use_dv = strategy == "dv"
-        if strategy == "auto" and not m.sketch_columns:
-            # the hits frame was just computed for the bucket probe;
-            # counting it is a second pruned pass, still far cheaper
-            # than a speculative rewrite
-            use_dv = (
-                hits.limit(DV_AUTO_MAX_ROWS + 1).count()
-                <= DV_AUTO_MAX_ROWS
-            )
+        touched = sorted(int(b) for b in prow["bs"])
+        use_dv = strategy == "dv" or (
+            strategy == "auto"
+            and not m.sketch_columns
+            and n_hits <= DV_AUTO_MAX_ROWS
+        )
         if use_dv:
+            # the sidecar write re-reads ONLY the touched buckets
+            hits = self._read_raw(
+                table_name, buckets=touched, manifest=man
+            ).where(pred)
             return self._delete_dv(
                 table_name, m, man, hits, touched, txn=txn,
+                n_hint=n_hits,
                 op_params={
                     "predicate": _op_str(predicate), "strategy": "dv",
                 },
             )
         existing = self._read_raw(table_name, buckets=touched, manifest=man)
-        n_deleted = existing.where(pred).count()
         # SQL DELETE semantics: remove only rows where the predicate is
         # TRUE — a NULL predicate keeps the row (~pred alone would drop
         # NULL-predicate rows from both sides and silently lose data)
@@ -3642,16 +3733,21 @@ class KeyedCatalog:
             keep = [b for b in bs if b not in touched_set]
             if keep:
                 segments[old_seg] = keep
-        if survivors.head(1):
-            seg, buckets = self._write_segment(survivors, table_name, m)
+        # write unconditionally (all-rows-deleted yields no bucket
+        # dirs; the empty segment dir is vacuumable) — the old
+        # head(1) emptiness probe was a third predicate scan
+        seg, buckets = self._write_segment(survivors, table_name, m)
+        if buckets:
             segments[seg] = buckets
+        else:
+            self.fs.delete(f"{self._path(table_name)}/{seg}")
         self._commit(
             table_name, segments, v=man["v"], op="delete", txn=txn,
             op_params={
                 "predicate": _op_str(predicate), "strategy": "rewrite",
             },
         )
-        return n_deleted
+        return n_hits
 
     def _delete_dv(
         self,
@@ -3664,6 +3760,7 @@ class KeyedCatalog:
         op: str = "delete_dv",
         txn: "tuple[str, int] | None" = None,
         op_params: "dict | None" = None,
+        n_hint: "int | None" = None,
     ) -> int:
         """Commit a deletion vector for ``hits`` (already DV-filtered
         rows of the pinned ``man`` snapshot): write the matching keys
@@ -3680,7 +3777,15 @@ class KeyedCatalog:
         # a point delete's key set is tiny — one output file keeps the
         # sidecar a single open at read time
         keys_df.coalesce(1).write.mode("errorifexists").parquet(dv_path)
-        n_deleted = self.spark.read.parquet(dv_path).count()
+        # ``n_hint``: callers that already counted the hits against the
+        # SAME pinned manifest + predicate (the one-pass DML probe)
+        # pass the count — re-reading the sidecar to learn it is a
+        # wasted job
+        n_deleted = (
+            int(n_hint)
+            if n_hint is not None
+            else self.spark.read.parquet(dv_path).count()
+        )
         if n_deleted == 0:
             self.fs.delete(dv_path)
             return 0
@@ -3839,32 +3944,51 @@ class KeyedCatalog:
         # against ONE captured manifest version
         man = self._manifest(table_name)
         m = self._resolve_nb(m, man)
-        full = self._read_raw(table_name, manifest=man)
-        touched = [
-            r[0]
-            for r in full.where(pred)
-            .select(_bucket_expr(m.keys, m.num_buckets).alias("b"))
-            .distinct()
-            .collect()
-        ]
-        if not touched:
+        # same one-pass probe as delete_rows: arithmetic bucket pin
+        # for full-key equality, then count + touched buckets in ONE
+        # aggregate (the count is both the DV-auto decision and the
+        # returned n_updated — no second predicate scan)
+        kb = self._key_equality_buckets(predicate, m)
+        full = self._read_raw(table_name, buckets=kb, manifest=man)
+        prow = (
+            full.where(pred)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(
+                    _bucket_expr(m.keys, m.num_buckets)
+                ).alias("bs"),
+            )
+            .first()
+        )
+        n_hits = int(prow["n"] or 0)
+        if not n_hits:
             return 0
+        touched = sorted(int(b) for b in prow["bs"])
         exprs = {
             c: (F.expr(e) if isinstance(e, str) else e)
             for c, e in assignments.items()
         }
         schema_t = self._table_schema(table_name)
-        use_dv = strategy == "dv"
-        if strategy == "auto" and not m.sketch_columns:
-            use_dv = (
-                full.where(pred).limit(DV_AUTO_MAX_ROWS + 1).count()
-                <= DV_AUTO_MAX_ROWS
-            )
+        use_dv = strategy == "dv" or (
+            strategy == "auto"
+            and not m.sketch_columns
+            and n_hits <= DV_AUTO_MAX_ROWS
+        )
         if use_dv:
             # merge-on-read UPDATE: new segment = the updated rows
             # only; a DV tombstones their old versions in the covered
             # leaves. Write IO is O(updated rows).
-            hits = full.where(pred)
+            hits = self._read_raw(
+                table_name, buckets=touched, manifest=man
+            ).where(pred)
+            if n_hits <= DV_AUTO_MAX_ROWS:
+                # bounded hit set: materialize ONCE so the key sidecar
+                # and the updated-rows segment don't each rescan the
+                # touched buckets (explicit strategy='dv' with an
+                # unbounded hit set keeps the two pruned passes —
+                # checkpointing billions of rows to executor disk
+                # would be worse)
+                hits = hits.localCheckpoint(eager=True)
             upd_rows = hits.select(
                 *[
                     (
@@ -3882,7 +4006,7 @@ class KeyedCatalog:
             self._check_constraints(upd_rows, m)
             n_updated = self._delete_dv(
                 table_name, m, man, hits, touched, new_rows=upd_rows,
-                op="update_dv", txn=txn,
+                op="update_dv", txn=txn, n_hint=n_hits,
                 op_params={
                     "predicate": _op_str(predicate),
                     "assignments": {
@@ -3893,7 +4017,7 @@ class KeyedCatalog:
             )
             return n_updated
         existing = self._read_raw(table_name, buckets=touched, manifest=man)
-        n_updated = existing.where(pred).count()
+        n_updated = n_hits  # counted by the probe against the same snapshot
         updated = existing.select(
             *[
                 (

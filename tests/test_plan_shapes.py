@@ -510,6 +510,69 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.set(k, v)
 
 
+def test_dml_job_budgets(spark, tmp_path):
+    """Noise-immune DML cost contract: each maintenance/DML verb runs
+    at most its budgeted number of Spark JOBS (deterministic for a
+    fixed code path, unlike shared-host wall time — the r8 bench
+    regression relitigations end here). Budgets pin the round-9
+    one-pass probe: a point delete is probe + sidecar write + commit,
+    not the old probe/count/head/write cascade; a full-key-equality
+    predicate additionally pins its bucket arithmetically (the
+    range(1) hash job + a 1-bucket probe)."""
+    from pandabase_spark.io import KeyedCatalog
+
+    cat = KeyedCatalog(spark, str(tmp_path / "wh"), default_buckets=8)
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    sc = spark.sparkContext
+
+    def jobs_on_fresh_table(name: str, fn) -> int:
+        # each verb runs against a freshly-created table: live DVs
+        # from a previous verb add broadcast-read jobs to every
+        # subsequent scan, which would make budgets order-dependent
+        cat.to_table(df, name, keys=["k"])
+        group = f"jb-{name}"
+        sc.setJobGroup(group, name)
+        fn(name)
+        sc.setJobGroup(None, None)
+        cat.drop_table(name)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    # DV point delete, full-key equality: arithmetic bucket pin
+    # (range(1) job) + 1-bucket probe agg + sidecar write = 3, +1 slack
+    n = jobs_on_fresh_table(
+        "jb_dp", lambda t: cat.delete_rows(t, "k = 42"))
+    assert n <= 4, f"point delete ran {n} jobs (budget 4)"
+    # DV point update: probe + checkpoint + sidecar + new-segment
+    n = jobs_on_fresh_table("jb_up", lambda t: cat.update_rows(
+        t, "k = 43", {"v": "v + 1.0"}))
+    assert n <= 8, f"point update ran {n} jobs (budget 8)"
+    # rewrite delete (non-key predicate, forced strategy): full probe
+    # agg + survivor write (count folded into the probe; no head(1)),
+    # each up to 2 jobs under AQE
+    n = jobs_on_fresh_table("jb_dr", lambda t: cat.delete_rows(
+        t, "v < 100.0", strategy="rewrite"))
+    assert n <= 5, f"rewrite delete ran {n} jobs (budget 5)"
+    # rewrite update: probe agg + rewrite write
+    n = jobs_on_fresh_table("jb_ur", lambda t: cat.update_rows(
+        t, "v < 100.0", {"v": "v + 0.5"}, strategy="rewrite"))
+    assert n <= 5, f"rewrite update ran {n} jobs (budget 5)"
+
+    # compact: chosen-segment read+write + commit bookkeeping
+    cat.to_table(df, "jb_c", keys=["k"])
+    cat.to_table(
+        df.withColumn("k", F.col("k") + 10_000), "jb_c", keys=["k"],
+        how="append",
+    )
+    sc.setJobGroup("jb-compact", "compact")
+    cat.compact("jb_c")
+    sc.setJobGroup(None, None)
+    n = len(sc.statusTracker().getJobIdsForGroup("jb-compact"))
+    assert n <= 4, f"compact ran {n} jobs (budget 4)"
+    cat.drop_table("jb_c")
+
+
 def test_indexed_ann_probe_prunes_partitions(spark, tmp_path):
     """The persisted IVF index serves probes via PLANNING-time
     partition pruning: the data scan carries a PartitionFilters entry
