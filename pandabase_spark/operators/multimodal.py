@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 FAKE = "fake"
 REAL = "real"
+PPM = "ppm"
 
 _STUB_MSG = (
     "real media decode requires a codec library (PIL/torchaudio/ffmpeg) "
@@ -54,6 +55,129 @@ def _require_pil():
         return Image
     except ImportError as ex:
         raise NotImplementedError(_STUB_MSG) from ex
+
+
+def _parse_ppm(payload: bytes):
+    """Parse a binary PPM (P6) image with NO dependencies: magic,
+    whitespace/comment-separated width/height/maxval, one whitespace,
+    then ``w*h*3`` raw bytes. Returns ``(w, h, maxval, pixel_bytes)``
+    or ``None`` for anything malformed/truncated (callers surface
+    nulls, never crash a batch) — the dependency-free codec that makes
+    the decode seam REAL in this container (PIL/ffmpeg stay behind
+    the documented lazy-import seam for every other format)."""
+    if not payload or not payload.startswith(b"P6"):
+        return None
+    i, n, vals = 2, len(payload), []
+    while len(vals) < 3 and i < n:
+        c = payload[i:i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            j = payload.find(b"\n", i)
+            if j < 0:
+                return None
+            i = j + 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j:j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < 3 or i >= n or not payload[i:i + 1].isspace():
+        return None
+    i += 1  # exactly ONE whitespace byte separates maxval from data
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not 0 < maxval < 256:
+        return None
+    need = w * h * 3
+    data = payload[i:i + need]
+    if len(data) < need:
+        return None
+    return w, h, maxval, data
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL image bytes: a solid-color binary PPM (P6)
+    whose dimensions and color derive arithmetically from the id —
+    width = 8 + id % 8, height = 8 + id % 4, RGB = (id, 2·id, 3·id)
+    mod 256. Unlike :func:`attach_fake_payload` (arbitrary bytes) the
+    payload is a genuine image an external tool can open, the decode
+    path does real header/pixel parsing, and a SQL oracle can
+    recompute every decoded stat from the id alone. Returns
+    (id_col, payload, media_type) — Arrow-batched mapInPandas, same
+    bounded-memory contract as the decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 8 + i % 8, 8 + i % 4
+                rgb = bytes([i % 256, (2 * i) % 256, (3 * i) % 256])
+                payloads.append(
+                    b"P6\n# synthetic\n%d %d\n255\n" % (w, h)
+                    + rgb * (w * h)
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": payloads,
+                    "media_type": "image/x-portable-pixmap",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, f"{id_col} long, payload binary, media_type string"
+    )
+
+
+PPM_STATS_SCHEMA = (
+    "id long, width int, height int, channels int, sum_bytes long, "
+    "n_pixels long"
+)
+
+
+def decode_ppm_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Integer-exact decode stats over real PPM bytes: width, height,
+    channels, the SUM of all pixel bytes and the pixel count — chosen
+    integer so a SQL oracle can compare value-exactly with no
+    float-rounding hazard. Malformed/truncated payloads yield null
+    stats (never a crashed batch). Same Arrow-batched mapInPandas
+    seam as :func:`decode_images`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, chs, sums, npx = [], [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(i))
+                parsed = _parse_ppm(p if p is not None else b"")
+                if parsed is None:
+                    ws.append(None); hs.append(None); chs.append(None)
+                    sums.append(None); npx.append(None)
+                    continue
+                w, h, _maxval, data = parsed
+                ws.append(w); hs.append(h); chs.append(3)
+                sums.append(sum(data)); npx.append(w * h)
+            yield pd.DataFrame(
+                {
+                    "id": ids, "width": ws, "height": hs,
+                    "channels": chs, "sum_bytes": sums,
+                    "n_pixels": npx,
+                },
+                dtype="object",
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, PPM_STATS_SCHEMA
+    )
 
 
 def attach_fake_payload(df: DataFrame, src_col: str, *, media_type: str = "image/png") -> DataFrame:
@@ -106,13 +230,19 @@ def decode_images(
     (id, payload) before the Python boundary.
 
     ``decoder="real"`` decodes via PIL when installed (lazy optional
-    import — raises NotImplementedError at this seam when absent); the
-    plumbing is byte-identical to the fake path.
+    import — raises NotImplementedError at this seam when absent);
+    ``decoder="ppm"`` does a dependency-free REAL decode of binary
+    PPM (P6) bytes (:func:`_parse_ppm` — mean_intensity is the true
+    pixel-byte mean over maxval; malformed payloads yield nulls); the
+    plumbing is byte-identical across all three.
     """
     if decoder == REAL:
         _require_pil()  # fail fast on the driver if the codec is absent
-    elif decoder != FAKE:
-        raise ValueError(f"decoder must be '{FAKE}' or '{REAL}', got {decoder!r}")
+    elif decoder not in (FAKE, PPM):
+        raise ValueError(
+            f"decoder must be '{FAKE}', '{REAL}' or '{PPM}', got "
+            f"{decoder!r}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == REAL:
@@ -127,6 +257,14 @@ def decode_images(
 
                     mean = round(float(np.asarray(gray).mean()) / 255.0, 6)
                     return img.width, img.height, len(img.getbands()), mean
+        elif decoder == PPM:
+
+            def feat(payload: bytes):
+                parsed = _parse_ppm(payload)
+                if parsed is None:
+                    return None, None, None, None
+                w, h, maxval, data = parsed
+                return w, h, 3, round(sum(data) / (len(data) * maxval), 6)
         else:
             feat = _fake_image_features
 
@@ -134,14 +272,17 @@ def decode_images(
             feats = [
                 feat(p if p is not None else b"") for p in pdf[payload_col]
             ]
+            cols = {
+                "id": pdf[id_col].astype("int64"),
+                "width": [f[0] for f in feats],
+                "height": [f[1] for f in feats],
+                "channels": [f[2] for f in feats],
+                "mean_intensity": [f[3] for f in feats],
+            }
+            # PPM may emit None for malformed payloads — object dtype
+            # keeps the nulls null through the Arrow conversion
             yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].astype("int64"),
-                    "width": [f[0] for f in feats],
-                    "height": [f[1] for f in feats],
-                    "channels": [f[2] for f in feats],
-                    "mean_intensity": [f[3] for f in feats],
-                }
+                cols, dtype="object" if decoder == PPM else None
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)

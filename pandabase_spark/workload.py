@@ -4482,6 +4482,29 @@ def ann_topk_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
+@_q("ann_topk_ivf_full_probe", _TOPK_ORACLE)
+def ann_topk_ivf_full_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN family's EXACT-ORACLE member: the full IVF machinery
+    (hash-seeded k-means training, cell assignment, per-query cell
+    scoring and probing) run with ``nprobe == n_cells`` — the probe
+    set is provably the whole corpus, so recall is 100% by
+    construction and the result must equal brute-force cosine top-k
+    row for row. The DuckDB oracle is the same brute-force SQL as
+    ``cosine_topk_bruteforce``: any quantizer bug that drops, doubles,
+    or mis-assigns a vector breaks the hash match. This graduates the
+    IVF path from rows-only checking to a value-exact driver gate;
+    the production nprobe<n_cells configurations share every line of
+    code with this query and keep their pytest recall floors."""
+    from pandabase_spark.operators.similarity import ann_topk_ivf
+
+    e = load(spark, sf_dir, "embeddings")
+    out = ann_topk_ivf(
+        e, e.where(F.col("vec_id") < 5), k=10, n_cells=8, nprobe=8,
+        iters=2, sample_mod=2,
+    )
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
 @_q("ann_topk_pq")  # approximate: rows-only check (no oracle)
 def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via product quantization (Jégou et al.
@@ -5820,6 +5843,37 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return decode_images(attach_fake_payload(docs, "text"))
+
+
+@_q(
+    "multimodal_decode_ppm",
+    "SELECT doc_id AS id, "
+    "CAST(8 + doc_id % 8 AS INTEGER) AS width, "
+    "CAST(8 + doc_id % 4 AS INTEGER) AS height, "
+    "CAST(3 AS INTEGER) AS channels, "
+    "CAST((doc_id % 256 + (2 * doc_id) % 256 + (3 * doc_id) % 256) "
+    "     * (8 + doc_id % 8) * (8 + doc_id % 4) AS BIGINT) AS sum_bytes, "
+    "CAST((8 + doc_id % 8) * (8 + doc_id % 4) AS BIGINT) AS n_pixels "
+    "FROM documents",
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the mapInPandas seam, value-exact
+    against a SQL oracle: each document gets a genuine binary PPM
+    (P6) payload — a solid-color image whose dimensions and RGB
+    derive arithmetically from doc_id (attach_ppm_payload) — and
+    decode_ppm_stats parses the actual header + pixel bytes
+    (dependency-free pure-Python codec, multimodal._parse_ppm) into
+    integer-exact stats the oracle recomputes from doc_id alone. Any
+    header-parse or pixel-walk bug breaks the hash match. This closes
+    the 'codec seam only exercised with fake decoders' gap without
+    new packages; PIL/ffmpeg formats keep the documented lazy-import
+    seam."""
+    from pandabase_spark.operators.multimodal import (
+        attach_ppm_payload, decode_ppm_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_ppm_stats(attach_ppm_payload(docs, "doc_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -7384,79 +7438,72 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate ordering
 # ---------------------------------------------------------------------------
 # The driver walks QUERIES in dict order and checks exactly 50 per
-# round. After r5 the driver union covers 180/184; this round-6 head
-# leads with the final 4 never-driver-checked entries (slots 51-54
-# last round; streaming_sketch_ingest trimmed to 2 micro-batches so
-# it can't eat the round budget), then the new round-6 queries, then
-# back-fills with the OLDEST driver greens (r2-only, then the oldest
-# r2+r3 keyed-table rows) for re-confirmation against current code.
+# round. The round-8 gate delivered its head exactly as planned
+# (CORRECTNESS_r08: 49 triple + 1 declared rows-only, zero failures),
+# so after r8 the stalest block is the 49 r5-last-checked entries.
+# This round-9 head = the 5 never-driver-checked round-8 additions +
+# 45 of those 49 (the 4 rows-only sketch entries roll to r10 — the
+# weakest check form yields its slot to oracled re-confirmations).
+# kt_delete_rows / kt_update_rows double as round-9 code-touched
+# re-confirms (the one-pass DML probe rewrite).
 _GATE_FIRST = [
-    # round-8 additions: never driver-checked (MERGE BY SOURCE,
-    # merge-time schema evolution, CDC replication through the
-    # commit-log stream)
-    "kt_merge_by_source",
-    "kt_merge_schema_evolution",
-    "streaming_kt_cdc_replica",
-    # round-8 code-touched: copy_into grew canonical ledger keys +
-    # early validation; catalog.sql grew view hygiene (shadow guard +
-    # drop-after); merge_table grew the BY SOURCE/merge_schema
-    # clauses (shared clause plumbing); table_changes grew the
-    # v_from=0 empty baseline — re-confirm all against current code
-    "kt_copy_into",
-    "kt_catalog_sql",
-    "kt_merge_clauses",
-    "kt_table_changes",
-    # back-fill: the ENTIRE r4-last-checked block (oldest greens) —
-    # after this head no query's last driver check is older than r5.
-    # TPC-H shapes first (they also answer the r7 join-suite wall-time
-    # question with fresh driver timings):
-    "q4_order_priority",
-    "q7_nation_trade_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q17_small_qty_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_dormant_rich_customers",
-    # the r4 streaming block
-    "streaming_static_enrich",
-    "streaming_dedup_end_state",
-    "streaming_late_data_drop",
-    "streaming_interval_join",
-    # joins / aggs / windows / quality last checked r4
-    "customer_order_left_join",
-    "full_outer_activity_join",
-    "fact_fact_reconciliation",
-    "union_schema_drift",
-    "conditional_agg_flags",
-    "window_rank_stats",
-    "latest_event_per_user",
-    "hopping_window_counts",
-    "funnel_click_to_purchase",
-    "nation_revenue_share",
-    "nation_segment_rollcall",
-    "weekday_revenue_seasonality",
-    "value_histogram",
-    "key_skew_report",
-    "data_quality_checks",
-    "sql_api_revenue_by_status",
-    # events/timeseries r4 block
-    "events_variant_extract",
-    "events_mad_outliers",
-    "events_forward_fill",
-    "events_windowed_dedup",
-    # text/dedup/sampling/similarity r4 block
-    "bigram_lm_score",
-    "char_entropy_docs",
-    "normalize_text_docs",
-    "extract_numbers_from_text",
-    "doc_length_percentiles_by_lang",
-    "dedup_savings_report",
-    "fuzzy_match_pairs",
-    "embedding_norm_stats",
-    "multimodal_embed_topk",
-    "sample_fixed_per_stratum",
-    "weighted_sample_by_length",
+    # round-8 additions: never driver-checked
+    "streaming_kt_ivm_view",
+    "kt_generated_columns",
+    "kt_cluster_alter",
+    "embedding_neardup_ivf",
+    "neardup_canonical_keep",
+    # r5-stale keyed-table rows (kt_delete_rows / kt_update_rows also
+    # re-confirm the round-9 one-pass probe + arithmetic bucket pin)
+    "kt_delete_rows",
+    "kt_update_rows",
+    "kt_stats_skipping_read",
+    "kt_bloom_skipping_read",
+    "kt_restore",
+    "kt_rebucket",
+    "kt_rename_column",
+    "kt_colocated_join",
+    "kt_colocated_agg",
+    "kt_clone_divergence",
+    "kt_manifest_sketch_stats",
+    "csv_roundtrip_part",
+    # r5-stale TPC-H shapes
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipping_priority_classes",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    # r5-stale events / windows / layout
+    "events_ewma_smooth",
+    "events_rolling_median",
+    "events_linear_interpolate",
+    "scd2_user_state_history",
+    "zorder_bucket_spans",
+    "concurrent_sessions_peak",
+    "fk_violation_report",
+    # r5-stale streaming
+    "streaming_running_agg",
+    "streaming_outer_interval_join",
+    # r5-stale dedup / sampling / profiling / composed pipelines
+    "incremental_dedup_classify",
+    "span_dedup_reconstruct",
+    "training_shard_manifest",
+    "training_corpus_manifest_v2",
+    "corpus_quality_funnel",
+    "train_val_test_split",
+    "pack_sequences_bins",
+    "mixture_report_by_lang",
+    "temperature_mixture_sample",
+    "ks_drift_click_vs_purchase",
+    "equi_depth_histogram_values",
+    "parts_bought_together",
+    "skyline_cheap_small_parts",
 ]
 
 
@@ -7469,6 +7516,10 @@ def _gate_order(d: dict) -> dict:
 _unknown = [k for k in _GATE_FIRST if k not in QUERIES]
 assert not _unknown, f"_GATE_FIRST names not in QUERIES: {_unknown}"
 assert len(_GATE_FIRST) == len(set(_GATE_FIRST)), "_GATE_FIRST duplicates"
+assert len(_GATE_FIRST) == 50, (
+    f"gate head must be exactly the driver's 50-slot check window, "
+    f"got {len(_GATE_FIRST)}"
+)
 
 
 QUERIES = _gate_order(QUERIES)

@@ -96,6 +96,64 @@ def test_decode_real_with_pil(spark):
     assert out[1]["resized_sha"] != out[2]["resized_sha"]
 
 
+def test_ppm_parse_unit():
+    """The dependency-free P6 parser on hand-crafted bytes: comments,
+    multi-digit dims, and every malformation class → None."""
+    from pandabase_spark.operators.multimodal import _parse_ppm
+
+    body = bytes([10, 20, 30]) * 12  # 4x3 image
+    good = b"P6\n# a comment\n4 3\n255\n" + body
+    w, h, maxval, data = _parse_ppm(good)
+    assert (w, h, maxval) == (4, 3, 255)
+    assert data == body
+    # compact whitespace, no comment
+    assert _parse_ppm(b"P6 4 3 255 " + body)[:3] == (4, 3, 255)
+    # malformations: wrong magic, truncated pixels, missing maxval,
+    # zero dims, maxval out of byte range, empty
+    assert _parse_ppm(b"P5 4 3 255 " + body) is None
+    assert _parse_ppm(b"P6 4 3 255 " + body[:-1]) is None
+    assert _parse_ppm(b"P6 4 3") is None
+    assert _parse_ppm(b"P6 0 3 255 " + body) is None
+    assert _parse_ppm(b"P6 4 3 999 " + body) is None
+    assert _parse_ppm(b"") is None
+
+
+def test_decode_ppm_real_bytes(spark):
+    """decoder='ppm' decodes REAL image bytes (header + pixel walk) in
+    this container with zero optional deps; malformed payloads yield
+    null stats instead of crashing the batch."""
+    from pandabase_spark.operators.multimodal import (
+        attach_ppm_payload, decode_images, decode_ppm_stats,
+    )
+
+    docs = spark.range(50).select(F.col("id").alias("doc_id"))
+    media = attach_ppm_payload(docs, "doc_id")
+    rows = {r["id"]: r for r in decode_ppm_stats(media).collect()}
+    assert len(rows) == 50
+    for i in (0, 7, 13, 49):
+        w, h = 8 + i % 8, 8 + i % 4
+        s = (i % 256 + (2 * i) % 256 + (3 * i) % 256) * w * h
+        r = rows[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert (r["sum_bytes"], r["n_pixels"]) == (s, w * h)
+    # float decode path agrees with the integer stats
+    feats = {r["id"]: r for r in decode_images(
+        media, decoder="ppm").collect()}
+    for i in (0, 13):
+        w, h = 8 + i % 8, 8 + i % 4
+        expect = round(
+            (i % 256 + (2 * i) % 256 + (3 * i) % 256) * w * h
+            / (w * h * 3 * 255), 6,
+        )
+        assert feats[i]["mean_intensity"] == expect
+    # malformed payload → null row, batch survives
+    bad = spark.createDataFrame(
+        [(999, b"P6 not an image")], "doc_id long, payload binary"
+    )
+    r = decode_ppm_stats(bad).collect()[0]
+    assert r["id"] == 999 and r["width"] is None and r["sum_bytes"] is None
+
+
 def test_sample_frames_one_to_many(media):
     frames = sample_frames(media, every_n=5)
     per_doc = frames.groupBy("id").count()
