@@ -32,6 +32,11 @@ class HadoopFS:
         self._spark = spark
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
+        # decided once: whether scheme-less paths resolve locally (the
+        # _local_os_path fast paths consult this per call)
+        self._default_local = str(
+            self._conf.get("fs.defaultFS") or "file:///"
+        ).startswith("file:")
 
     def _jpath(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
@@ -40,6 +45,11 @@ class HadoopFS:
         return self._jpath(p).getFileSystem(self._conf)
 
     def exists(self, p: str) -> bool:
+        local = self._local_os_path(p)
+        if local is not None:
+            import os as _os
+
+            return _os.path.exists(local)
         return self._fs(p).exists(self._jpath(p))
 
     def mkdirs(self, p: str) -> None:
@@ -107,6 +117,16 @@ class HadoopFS:
         return fs.getContentSummary(self._jpath(p)).getLength()
 
     def read_text(self, p: str) -> str:
+        local = self._local_os_path(p)
+        if local is not None:
+            # direct POSIX read: pairs with the os.replace/link(2)
+            # write paths below — local text IO never goes through
+            # Hadoop's ChecksumFileSystem, whose overwrite-rename is
+            # delete-then-rename (a reader racing it sees the file
+            # briefly MISSING; the two-driver race test caught exactly
+            # that on the CURRENT pointer)
+            with open(local, "r", encoding="utf-8") as fh:
+                return fh.read()
         # a py4j byte[] argument is passed by value, so readFully into a
         # Python buffer can't work — let the JVM produce the String
         fs = self._fs(p)
@@ -119,8 +139,33 @@ class HadoopFS:
             stream.close()
 
     def write_text_atomic(self, p: str, text: str) -> None:
-        """Write ``text`` to ``p`` atomically (stage + overwrite-rename)."""
+        """Write ``text`` to ``p`` atomically (stage + rename). LOCAL
+        paths stage with os.replace — POSIX rename(2), atomic both in
+        content and in EXISTENCE (Hadoop's local overwrite-rename
+        deletes the destination first, so concurrent readers see a
+        missing-file window). Remote schemes keep the FileContext
+        OVERWRITE rename (atomic on HDFS)."""
         import uuid
+
+        local = self._local_os_path(p)
+        if local is not None:
+            import os as _os
+
+            _os.makedirs(_os.path.dirname(local) or "/", exist_ok=True)
+            ltmp = f"{local}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(ltmp, "w", encoding="utf-8") as fh:
+                fh.write(text)
+            _os.replace(ltmp, local)
+            # drop any stale Hadoop checksum sidecar from a pre-POSIX
+            # write of the same path — a later JVM read would fail
+            # verification against the replaced contents
+            crc = f"{_os.path.dirname(local)}/.{_os.path.basename(local)}.crc"
+            if _os.path.exists(crc):
+                try:
+                    _os.unlink(crc)
+                except OSError:
+                    pass
+            return
 
         tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
         fs = self._fs(tmp)
@@ -151,21 +196,61 @@ class HadoopFS:
             if not fs.rename(jtmp, jp):
                 raise IOError(f"rename {tmp} -> {p} failed") from ex
 
+    def _local_os_path(self, p: str) -> "str | None":
+        """The os-level path when ``p`` resolves to the LOCAL
+        filesystem (explicit ``file:`` URI, or a scheme-less path
+        while ``fs.defaultFS`` is file/unset), else None. Lets
+        primitives that need true POSIX atomicity (put-if-absent via
+        link(2)) bypass the Hadoop local shim, which implements
+        no-overwrite rename as check-then-act."""
+        if p.startswith("file://"):
+            return p[len("file://"):] or "/"
+        if p.startswith("file:"):
+            return p[len("file:"):]
+        if "://" in p or p.startswith(("hdfs:", "s3a:", "s3:", "abfs")):
+            return None
+        return p if self._default_local else None
+
     def write_text_if_absent(self, p: str, text: str) -> bool:
         """Create ``p`` with ``text`` iff absent; False if ``p``
         already exists — put-if-absent, the primitive an optimistic
-        commit protocol needs (Delta's log store contract). Uses
-        FileContext rename WITHOUT the OVERWRITE option. Truly atomic
-        only on HDFS, where the namenode rejects the rename when the
-        destination exists; Hadoop's LOCAL AbstractFileSystem
-        implements the no-overwrite check as exists-then-rename
-        (check-then-act), and schemes without a FileContext binding
-        fall back to an explicit exists-check + rename. Outside HDFS
-        the primitive is therefore best-effort — the residual
-        same-instant window is covered by the single-writer contract
-        (and _commit re-verifies CURRENT after every claim), same as
-        any object store without conditional puts."""
+        commit protocol needs (Delta's log store contract).
+
+        LOCAL paths use link(2): stage a temp file, hard-link it to
+        the destination — the kernel rejects the link with EEXIST
+        atomically, so two same-instant claimants get exactly one
+        winner with complete contents (Hadoop's local no-overwrite
+        rename is exists-then-rename, a check-then-act window the
+        two-driver race test caught as a silently overwritten claim).
+        HDFS uses FileContext rename WITHOUT the OVERWRITE option
+        (namenode-atomic). Schemes with neither (object stores
+        without conditional puts) fall back to exists-check + rename,
+        best-effort, covered by the single-writer contract — same
+        tradeoff as Delta on S3 without a coordinating log store."""
         import uuid
+
+        local = self._local_os_path(p)
+        if local is not None:
+            import os as _os
+
+            if _os.path.exists(local):
+                return False
+            _os.makedirs(_os.path.dirname(local) or "/", exist_ok=True)
+            ltmp = f"{local}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(ltmp, "w", encoding="utf-8") as fh:
+                fh.write(text)
+            try:
+                _os.link(ltmp, local)  # atomic; EEXIST when present
+                return True
+            except FileExistsError:
+                return False
+            except OSError:
+                pass  # fs without hard links: fall through to JVM path
+            finally:
+                try:
+                    _os.unlink(ltmp)
+                except OSError:
+                    pass
 
         if self.exists(p):
             return False

@@ -387,7 +387,23 @@ class KeyedCatalog:
         p = f"{self._path(table_name)}/{LOG_FILE}"
         if not self.fs.exists(p):
             return {"v": 0, "segments": {}}
-        return json.loads(self.fs.read_text(p))
+        man = json.loads(self.fs.read_text(p))
+        # Head resolution: the put-if-absent CLAIM is the commit's
+        # linearization point, so a version file can exist ABOVE the
+        # CURRENT pointer (a writer between its two steps, a crashed
+        # writer, or the bounded roll-forward-regression anomaly —
+        # see _commit). One exists() probe per read follows the chain
+        # so every reader sees the true head; the miss (no newer
+        # claim) is the overwhelmingly common case. Read-only: the
+        # pointer itself is republished by the next commit, not here.
+        while True:
+            nxt = (
+                f"{self._path(table_name)}/{LOG_DIR}/"
+                f"{man['v'] + 1:010d}.json"
+            )
+            if not self.fs.exists(nxt):
+                return man
+            man = json.loads(self.fs.read_text(nxt))
 
     def _skipping(self, table_name: str, man: dict) -> dict:
         """The data-skipping dict ({stats, blooms, sketches}) of a
@@ -930,15 +946,23 @@ class KeyedCatalog:
 
         The versioned history file is claimed with PUT-IF-ABSENT
         (Delta's log-store contract): the first writer to create
-        ``{v+1}.json`` owns version v+1. If the claim fails and the
-        CURRENT pointer has already advanced past ``v``, another
-        writer completed a commit we never saw — raising
+        ``{v+1}.json`` owns version v+1 — THE CLAIM IS THE
+        LINEARIZATION POINT. If the claim fails and the CURRENT
+        pointer has already advanced past ``v``, another writer
+        completed a commit we never saw — raising
         :class:`ConcurrentWriteError` instead of silently overwriting
         turns a lost update into a retryable error (re-read the
-        snapshot, re-plan, re-commit). If the pointer still reads
-        ``v``, the existing file is an orphan from a writer that
-        crashed between the two steps — reclaimed verbatim, preserving
-        the documented crash-retry behavior.
+        snapshot, re-plan, re-commit). If the claim fails while the
+        pointer still reads ``v``, the existing file belongs to a
+        rival between its two steps or to a writer that crashed
+        there; either way it is a COMPLETE committed document, so the
+        loser ROLLS IT FORWARD (publishes its bytes as CURRENT) and
+        raises — never overwrites it. The rolled-forward owner, if
+        alive, observes CURRENT carrying its own bytes and reports
+        success; a crashed writer's commit thus becomes durable at
+        its claim, and replayed retries stay idempotent through the
+        ``txn=`` watermark (the same contract as every replayed
+        write).
 
         The CURRENT pointer is re-read after EVERY claim outcome, not
         only after a failed one: vacuum prunes non-current version
@@ -946,10 +970,14 @@ class KeyedCatalog:
         SUCCEED even though v+1..v+k committed long ago — publishing
         CURRENT then would silently roll the table back past every
         newer commit. Winning the file claim is therefore necessary
-        but not sufficient; CURRENT must still read ``v`` before it is
-        advanced. In-flight ties inside the remaining
-        claim-to-publish window are governed by the single-writer
-        contract; completed commits are always detected."""
+        but not sufficient; CURRENT must still read ``v`` (or already
+        carry our bytes via a rival's roll-forward) before the commit
+        counts. Known bounded anomaly: a loser's roll-forward publish
+        delayed past a subsequent commit can briefly regress CURRENT
+        to the (valid, committed) prior snapshot; the next commit
+        attempt rolls the head forward again — monotonicity heals,
+        no data is lost. Vacuum remains outside this protocol
+        (stop-the-world maintenance, as documented on vacuum())."""
         import time as _time
 
         # Data-skipping stats ride in the manifest, keyed by SEGMENT
@@ -1073,6 +1101,12 @@ class KeyedCatalog:
             "v": v + 1,
             "segments": segments,
             "ts": int(_time.time() * 1_000_000),
+            # commit identity + parent link: what lets a slow winner
+            # whose claim was rolled forward AND built upon recognize
+            # its own commit inside the published chain (see the claim
+            # outcome analysis below)
+            "cid": uuid.uuid4().hex,
+            "parent": prior_man.get("cid"),
             "op": op,
             "nb": nb or prior_man.get("nb") or m.num_buckets,
             "segcols": segcols,
@@ -1138,22 +1172,82 @@ class KeyedCatalog:
                 doc_d.update(skipping)
         doc = json.dumps(doc_d)
         vpath = f"{self._path(table_name)}/{LOG_DIR}/{v + 1:010d}.json"
+        cur_path = f"{self._path(table_name)}/{LOG_FILE}"
         claimed = self.fs.write_text_if_absent(vpath, doc)
-        cur = self._manifest(table_name)["v"]
-        if cur != v:
-            if claimed:
-                # our stale claim must not shadow a vacuumed snapshot
-                self.fs.delete(vpath, recursive=False)
-            if skip_path is not None:
-                # ours alone (writer-unique name) — safe to reclaim now
-                self.fs.delete(skip_path, recursive=False)
-            raise ConcurrentWriteError(
-                f"commit of {table_name} v{v + 1} lost: table is at "
-                f"v{cur} (another writer committed). Re-read and retry."
-            )
-        if not claimed:
-            self.fs.write_text_atomic(vpath, doc)  # crashed-writer orphan
-        self.fs.write_text_atomic(f"{self._path(table_name)}/{LOG_FILE}", doc)
+        cur_txt = (
+            self.fs.read_text(cur_path)
+            if self.fs.exists(cur_path)
+            else '{"v": 0}'
+        )
+        cur = json.loads(cur_txt)["v"]
+        if claimed and cur <= v:
+            # cur < v covers the bounded regression anomaly: a delayed
+            # roll-forward publish moved CURRENT below our (head-
+            # resolved) base; our claim still extends the true chain,
+            # and publishing heals the pointer
+            self.fs.write_text_atomic(cur_path, doc)
+            return
+        if claimed and cur > v:
+            # CURRENT moved while we held the claim. Two worlds:
+            # (a) a losing rival ROLLED our claim forward (and may
+            #     have already retried and committed on top) — our
+            #     commit is durable inside the published chain;
+            # (b) vacuum pruned the version file our stale snapshot
+            #     was pinned to, our put-if-absent resurrected a dead
+            #     slot, and the chain never contained us.
+            # Distinguish by ancestry: walk the chain from CURRENT
+            # down to v+1 (those files exist above the old head;
+            # vacuum is stop-the-world by contract) and check the
+            # commit id.
+            # The walk follows PARENT LINKS, not bare version numbers:
+            # our own resurrected claim sits at v+1 in world (b) too,
+            # so a number-walk would wrongly "find" us — only a chain
+            # whose every child names its predecessor's cid proves
+            # adoption.
+            node = json.loads(cur_txt)
+            try:
+                while node.get("v", 0) > v + 1:
+                    prev = json.loads(
+                        self.fs.read_text(
+                            f"{self._path(table_name)}/{LOG_DIR}/"
+                            f"{node['v'] - 1:010d}.json"
+                        )
+                    )
+                    if not prev.get("cid") or prev["cid"] != node.get(
+                        "parent"
+                    ):
+                        break  # chain does not pass through v+1's file
+                    node = prev
+            except Exception:
+                node = {}
+            if node.get("v") == v + 1 and node.get("cid") == doc_d["cid"]:
+                return  # world (a): adopted — committed and published
+            # world (b): the claim must not shadow vacuumed history
+            self.fs.delete(vpath, recursive=False)
+        elif cur <= v:
+            # v+1 is owned by a rival still in flight (or a writer
+            # that crashed between claim and publish). Its claim file
+            # IS the complete committed document — the claim is the
+            # linearization point — so ROLL IT FORWARD rather than
+            # reclaiming it: overwriting here was a lost-update hole
+            # (a rival caught between its two steps had its committed
+            # rows silently replaced; the two-driver race test caught
+            # exactly that as vanished rows). The publish is
+            # idempotent with the owner's own — same bytes — and the
+            # owner detects the carried-forward pointer above and
+            # reports success. A crashed writer's commit likewise
+            # becomes durable at its claim; replay-safe retries use
+            # the txn= watermark, the same contract as every replayed
+            # write.
+            self.fs.write_text_atomic(cur_path, self.fs.read_text(vpath))
+        if skip_path is not None:
+            # ours alone (writer-unique name) — safe to reclaim now
+            self.fs.delete(skip_path, recursive=False)
+        raise ConcurrentWriteError(
+            f"commit of {table_name} v{v + 1} lost: table is at "
+            f"v{max(cur, v + 1)} (another writer committed). "
+            "Re-read and retry."
+        )
 
     def version_as_of(
         self,
@@ -2266,8 +2360,13 @@ class KeyedCatalog:
         """Delete segments no longer referenced by the CURRENT manifest
         (tombstoned by upserts or orphaned by a writer crash), then
         prune history snapshots that referenced them — vacuum truncates
-        time travel, exactly the Delta/Iceberg VACUUM tradeoff. Safe
-        for the single-writer contract; returns deleted segment names.
+        time travel, exactly the Delta/Iceberg VACUUM tradeoff.
+        STOP-THE-WORLD maintenance: vacuum assumes no concurrent
+        writer (an in-flight commit's staged segment looks orphaned
+        until its claim lands) — the commit protocol itself is
+        multi-writer-safe (see _commit), vacuum is the one documented
+        exception, same as Delta's retention-window requirement.
+        Returns deleted segment names.
 
         ``retain_last=N`` protects a RETENTION WINDOW (Delta's
         ``RETAIN``): segments and DV sidecars referenced by any of the
@@ -2571,7 +2670,37 @@ class KeyedCatalog:
                 "resurrect it"
             )
         sdf = coerce_to_table_schema(sdf, existing_schema, keys)
-        sdf = self._apply_generated(sdf, m.generated, m.schema)
+        gen_provided: "list[str] | None" = None
+        if m.generated:
+            gen_provided = [c for c in m.generated if c in sdf.columns]
+            if how == "upsert":
+                # defer enforcement to the post-carry EFFECTIVE frame
+                # in _upsert: a partial batch's missing referenced
+                # columns carry target values there, so a generated
+                # column is recomputed from what the row will actually
+                # contain (the MERGE discipline), never from a
+                # batch-local null
+                pass
+            else:
+                missing_refs = [
+                    c
+                    for c in m.schema.names
+                    if c not in sdf.columns
+                    and c not in m.generated
+                    and any(
+                        self._constraint_references(m, c, e)
+                        for e in m.generated.values()
+                    )
+                ]
+                # partial append: the effective appended row reads
+                # NULL for absent referenced columns — make that
+                # explicit so the expressions resolve (the generated
+                # value is then computed from the row as stored)
+                for c in missing_refs:
+                    sdf = sdf.withColumn(
+                        c, F.lit(None).cast(m.schema[c].dataType)
+                    )
+                sdf = self._apply_generated(sdf, m.generated, m.schema)
         if new_cols:
             # schema evolution (reference:pandabase/sql.py:509-517): meta
             # grows first; old segments simply null-fill the new columns
@@ -2587,7 +2716,10 @@ class KeyedCatalog:
         if how == "append":
             self._append(sdf, table_name, m, txn=txn, ingest=ingest)
         else:
-            self._upsert(sdf, table_name, m, txn=txn, ingest=ingest)
+            self._upsert(
+                sdf, table_name, m, txn=txn, ingest=ingest,
+                gen_provided=gen_provided,
+            )
 
     def _normalize_input(
         self,
@@ -3045,6 +3177,7 @@ class KeyedCatalog:
         m: TableMeta,
         txn: "tuple[str, int] | None" = None,
         ingest: "dict[str, int] | None" = None,
+        gen_provided: "list[str] | None" = None,
     ) -> None:
         """MERGE: batch rows win on matched keys (all incoming columns,
         NULLs included — reference:pandabase/sql.py:300); table columns
@@ -3075,6 +3208,15 @@ class KeyedCatalog:
             batch_full = sdf.join(carried, on=list(m.keys), how="left")
         else:
             batch_full = sdf
+        if m.generated:
+            # enforcement over the EFFECTIVE row (post-carry): validate
+            # what the caller provided, recompute the rest — a carried
+            # generated value is stale whenever the batch changed a
+            # referenced column, and a batch-local computation would
+            # see null where the carry supplies the target value
+            batch_full = self._enforce_generated_effective(
+                batch_full, m, gen_provided or []
+            )
         self._check_constraints(batch_full, m)
         survivors = existing.join(
             sdf.select(*m.keys), on=list(m.keys), how="left_anti"
@@ -3559,6 +3701,51 @@ class KeyedCatalog:
                     c, F.expr(gexpr).cast(m.schema[c].dataType)
                 )
         return sdf
+
+    def _enforce_generated_effective(
+        self, eff: DataFrame, m: TableMeta, provided: "list[str]"
+    ) -> DataFrame:
+        """Generated-column enforcement over an EFFECTIVE frame (every
+        table column present, e.g. the post-carry upsert batch):
+        columns the caller did NOT provide are recomputed in
+        declaration order; columns the caller DID provide are
+        validated against the recomputed frame in one aggregation pass
+        (mismatch raises IntegrityError before anything is written —
+        the same validate-on-provide contract as _apply_generated,
+        but judged against the row as it will actually be stored)."""
+        if not m.generated:
+            return eff
+        for c, gexpr in m.generated.items():
+            if c not in provided:
+                eff = eff.withColumn(
+                    c, F.expr(gexpr).cast(m.schema[c].dataType)
+                )
+        if provided:
+            row = eff.agg(
+                *[
+                    F.sum(
+                        (
+                            ~F.col(c).eqNullSafe(
+                                F.expr(m.generated[c]).cast(
+                                    m.schema[c].dataType
+                                )
+                            )
+                        ).cast("long")
+                    ).alias(c)
+                    for c in provided
+                ]
+            ).first()
+            bad = {c: int(row[c] or 0) for c in provided if row[c]}
+            if bad:
+                raise IntegrityError(
+                    "generated-column violation(s): "
+                    + ", ".join(
+                        f"{c} (GENERATED ALWAYS AS "
+                        f"{m.generated[c]!r}): {n} row(s)"
+                        for c, n in bad.items()
+                    )
+                )
+        return eff
 
     def _check_constraints(self, sdf: DataFrame, m: TableMeta) -> None:
         """One aggregation pass counting violations of every declared

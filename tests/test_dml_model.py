@@ -121,16 +121,21 @@ def test_random_dml_walk_matches_model(spark, catalog, seed):
         assert got == snap, f"seed={seed} version={ver}"
 
 
-@pytest.mark.parametrize("seed", [11, 37])
-def test_random_ddl_dml_walk_matches_model(spark, catalog, seed):
-    """The round-8 extension of the walk: MERGE clauses (incl. WHEN
+@pytest.mark.parametrize("seed", [11, 37, 59])
+def test_random_ddl_dml_walk_matches_model(spark, catalog, tmp_path, seed):
+    """The round-8/9 extension of the walk: MERGE clauses (incl. WHEN
     NOT MATCHED BY SOURCE), rename_column, add/drop column (schema
-    evolution both ways), and restore_table interleaved with the core
-    DML — 30+ steps, model-checked after every one. The round-6
-    cross-DV bug was an interleaving no example test covered; schema
-    changes x restore x merge is the next such space. Rows are
-    modeled as {col: value} dicts so renames/drops/restores can
-    reshape the schema mid-walk."""
+    evolution both ways), restore_table, cluster_table (ALTER CLUSTER
+    BY mid-walk), COPY INTO (file-ledger idempotence under every
+    interleaving), and a table-wide GENERATED column (g = v * 2,
+    derived in the model from v after every verb — any verb that
+    changes v without recomputing g breaks the very next check)
+    interleaved with the core DML — 44 steps x 3 seeds, model-checked
+    after every one. The round-6 cross-DV bug was an interleaving no
+    example test covered; schema changes x restore x merge x
+    generated is the next such space. Rows are modeled as
+    {col: value} dicts so renames/drops/restores can reshape the
+    schema mid-walk."""
     rng = random.Random(seed)
     t = f"ddlwalk_{seed}"
     vcol, scol = "v", "s"
@@ -138,7 +143,7 @@ def test_random_ddl_dml_walk_matches_model(spark, catalog, seed):
     model = {k: {vcol: k * 0.25, scol: f"s{k}"} for k in range(0, 30)}
     catalog.to_table(
         _mk_df(spark, [(k, r[vcol], r[scol]) for k, r in model.items()]),
-        t, keys=["k"], num_buckets=4,
+        t, keys=["k"], num_buckets=4, generated={"g": "v * 2"},
     )
     deleted: set[int] = set()
     next_fresh = 1000
@@ -165,16 +170,25 @@ def test_random_ddl_dml_walk_matches_model(spark, catalog, seed):
             k = d.pop("k")
             got[k] = d
         want = {
-            k: {c: r.get(c) for c in cols()} for k, r in model.items()
+            k: {
+                **{c: r.get(c) for c in cols()},
+                # the generated column is DERIVED, never stored in the
+                # model: every verb must have kept it = v * 2
+                "g": (
+                    r.get(vcol) * 2 if r.get(vcol) is not None else None
+                ),
+            }
+            for k, r in model.items()
         }
         assert got == want, f"seed={seed} step={step} op={op}"
 
+    copy_seq = 0
     ops = (
         ["append"] * 2 + ["upsert"] * 3 + ["delete"] * 3 + ["update"] * 3
         + ["merge"] * 4 + ["rename"] * 2 + ["addcol"] * 2 + ["dropcol"] * 2
-        + ["restore"] * 2 + ["compact"]
+        + ["restore"] * 2 + ["compact"] + ["cluster"] + ["copy"] * 2
     )
-    for step in range(32):
+    for step in range(44):
         op = rng.choice(ops)
         if op == "append":
             n = rng.randint(1, 6)
@@ -330,6 +344,35 @@ def test_random_ddl_dml_walk_matches_model(spark, catalog, seed):
             vcol, scol, extras = sv, ss, list(sx)
         elif op == "compact":
             catalog.compact(t, vacuum=False)
+        elif op == "cluster":
+            # ALTER CLUSTER BY mid-walk: a layout change must never
+            # change answers; rewrite=True relays every live segment
+            catalog.cluster_table(
+                t, ["k"], rewrite=rng.random() < 0.5
+            )
+        elif op == "copy":
+            # COPY INTO a staged directory of fresh keys, then copy
+            # the SAME directory again — the file ledger must make the
+            # second call a no-op under every interleaving (incl.
+            # post-restore: the ledger carries through every commit)
+            copy_seq += 1
+            n = rng.randint(1, 5)
+            keys = range(next_fresh, next_fresh + n)
+            next_fresh += n
+            rows = {
+                k: {
+                    **{c: None for c in extras},
+                    vcol: k * 0.25, scol: f"c{k}",
+                }
+                for k in keys
+            }
+            stage = str(tmp_path / f"copy_{seed}_{copy_seq}")
+            df_for(rows).coalesce(1).write.parquet(stage)
+            out = catalog.copy_into(t, stage, how="append")
+            assert out["rows_loaded"] == n and out["files_skipped"] == 0
+            model.update(rows)
+            again = catalog.copy_into(t, stage, how="append")
+            assert again["files_loaded"] == 0 and again["rows_loaded"] == 0
 
         check(step, op)
         if rng.random() < 0.3:

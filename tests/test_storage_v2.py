@@ -28,17 +28,24 @@ def test_upsert_is_snapshot_atomic(spark, catalog):
     """Simulated mid-upsert crash: new segment written but manifest not
     committed → readers still see the old state; vacuum removes the
     orphan; a re-run upsert then succeeds."""
+    from pandabase_spark.io import LOG_DIR
+
     catalog.to_table(_mk(spark), "t", keys=["k"])
     before = catalog.read_table("t").agg(F.sum("v")).collect()[0][0]
     man_path = f"{catalog._path('t')}/{LOG_FILE}"
     saved_manifest = catalog.fs.read_text(man_path)
 
-    # do a real upsert, then roll the manifest back to simulate a crash
-    # after the segment write but before the commit rename
+    # do a real upsert, then roll BOTH commit artifacts back (the
+    # version-file claim is the linearization point, so a pre-commit
+    # crash means segment written, NO claim file, old CURRENT)
     patch = spark.range(50).select(
         F.col("id").alias("k"), F.lit(999.0).alias("v")
     )
     catalog.to_table(patch, "t", keys=["k"], how="upsert")
+    catalog.fs.delete(
+        f"{catalog._path('t')}/{LOG_DIR}/0000000002.json",
+        recursive=False,
+    )
     catalog.fs.write_text_atomic(man_path, saved_manifest)
 
     # old snapshot fully intact
@@ -392,28 +399,51 @@ def test_commit_detects_completed_concurrent_writer(spark, catalog):
     assert catalog.read_table("occ_t").count() == 20
 
 
-def test_commit_reclaims_crashed_writer_orphan(spark, catalog):
-    """A history file whose version never became current (writer
-    crashed between the two commit steps) is reclaimed verbatim by
-    the next committer instead of raising."""
-    import json
-
-    from pandabase_spark.io import LOG_DIR
+def test_crashed_writer_claim_rolls_forward(spark, catalog):
+    """A version file whose writer crashed between the claim and the
+    CURRENT publish is a COMPLETE commit (the claim is the
+    linearization point): readers resolve it as the head immediately,
+    and a rival committer rolls the pointer forward + raises
+    ConcurrentWriteError instead of overwriting it (the overwrite was
+    a lost-update hole under two racing drivers). The rival's retry
+    then lands on top of the recovered commit."""
+    from pandabase_spark.io import ConcurrentWriteError, LOG_FILE, LOG_DIR
 
     df = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
     catalog.to_table(df, "occ_o", keys=["k"])                    # v1
-    # simulate the crash: v2 history exists, current pointer still v1
-    orphan = f"{catalog._path('occ_o')}/{LOG_DIR}/0000000002.json"
-    catalog.fs.write_text_atomic(
-        orphan, json.dumps({"v": 2, "segments": {"seg-ghost": [0]}})
-    )
+    # simulate the crash: commit v2 for real, then roll ONLY the
+    # CURRENT pointer back (claim file stays — the crashed state)
+    cur_path = f"{catalog._path('occ_o')}/{LOG_FILE}"
+    saved = catalog.fs.read_text(cur_path)
     catalog.to_table(
         df.withColumn("k", F.col("k") + 100), "occ_o",
         keys=["k"], how="append",
-    )
-    man = catalog._manifest("occ_o")
-    assert man["v"] == 2 and "seg-ghost" not in man["segments"]
+    )                                                            # v2
+    catalog.fs.write_text_atomic(cur_path, saved)
+
+    # readers resolve the head past the stale pointer
+    assert catalog._manifest("occ_o")["v"] == 2
     assert catalog.read_table("occ_o").count() == 20
+
+    # a rival committing against the resolved head simply wins (its
+    # snapshot was planned at v2); a rival pinned to the STALE pointer
+    # must conflict, not overwrite. Build the stale race by hand:
+    import pytest as _pytest
+
+    man_v1 = catalog._manifest("occ_o", version=1)
+    with _pytest.raises(ConcurrentWriteError):
+        catalog._commit("occ_o", dict(man_v1["segments"]), v=1)
+    # the crashed commit survived the loser and is now published
+    assert catalog.fs.exists(
+        f"{catalog._path('occ_o')}/{LOG_DIR}/0000000002.json"
+    )
+    assert catalog.read_table("occ_o").count() == 20
+    # the loser's retry from the fresh head lands cleanly
+    catalog.to_table(
+        df.withColumn("k", F.col("k") + 200), "occ_o",
+        keys=["k"], how="append",
+    )
+    assert catalog.read_table("occ_o").count() == 30
 
 
 def test_write_text_if_absent_put_semantics(spark, catalog):
@@ -1976,3 +2006,70 @@ def test_compact_passes_retention_to_vacuum(spark, catalog):
     # both pre-compact snapshots survive inside the window
     assert catalog.read_table("cr_t", version=1).count() == 80
     assert catalog.read_table("cr_t", version=2).count() == 160
+
+
+def test_occ_two_driver_race(spark, catalog, tmp_path):
+    """THE 100 TB contention mode, for real: two INDEPENDENT Spark
+    drivers (separate JVMs via subprocess, separate KeyedCatalog
+    objects, real filesystem visibility — nothing shared but the
+    warehouse directory) race appends/upserts/deletes/compactions on
+    one table. The in-process hook tests above exercise the OCC logic;
+    this exercises the actual races. Asserts: every op eventually
+    applies (retry-on-ConcurrentWriteError converges), at least one
+    genuine conflict was detected across the run, zero rows lost or
+    duplicated — the final table equals the order-independent model of
+    both workers' op sequences."""
+    import subprocess
+    import sys as _sys
+    import os as _os
+
+    wh = str(tmp_path / "occ_wh")
+    boot = KeyedCatalog(spark, wh, default_buckets=4)
+    seed = spark.range(1).select(
+        F.lit(0).cast("long").alias("k"), F.lit(0.0).alias("v")
+    )
+    boot.to_table(seed, "occ_t", keys=["k"])
+
+    env = dict(_os.environ)
+    env["PYTHONPATH"] = _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))
+    script = _os.path.join(env["PYTHONPATH"], "scripts", "occ_worker.py")
+    n_ops = 8
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, script, wh, "occ_t", str(wid), str(n_ops)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env,
+        )
+        for wid in (1, 2)
+    ]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    reports = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+    assert all(len(r["applied"]) == n_ops for r in reports), reports
+    total_conflicts = sum(r["conflicts"] for r in reports)
+    assert total_conflicts >= 1, (
+        f"two drivers interleaved {2 * n_ops} commits with zero "
+        f"detected conflicts — OCC not exercised: {reports}"
+    )
+
+    # order-independent model: per worker w the sequence
+    # append[+0,+50) / upsert[+100,+150) / delete[+0,+10) / compact /
+    # append[+400,+450) / upsert[+500,+550) / delete(no-op) / compact
+    # leaves keys {10..49, 100..149, 400..449, 500..549} + 100000*w,
+    # each v = k + w; plus the boot row (k=0, v=0).
+    expected = {0: 0.0}
+    for w in (1, 2):
+        for d in (
+            list(range(10, 50)) + list(range(100, 150))
+            + list(range(400, 450)) + list(range(500, 550))
+        ):
+            k = 100_000 * w + d
+            expected[k] = float(k + w)
+    got = {
+        r["k"]: r["v"] for r in boot.read_table("occ_t").collect()
+    }
+    assert got == expected, (
+        f"lost/extra rows: {len(got)} vs {len(expected)} expected; "
+        f"conflicts={total_conflicts}"
+    )
+    boot.drop_table("occ_t")
