@@ -2962,36 +2962,39 @@ class KeyedCatalog:
             cluster_by=list(cluster_by or []),
             generated=dict(generated or {}),
         )
-        # fail fast on NULL keys before any shuffle
+        # ONE shuffle serves the whole create: bucket + repartition up
+        # front and PERSIST the shuffled frame (each Spark action
+        # re-plans, so without the persist the validation probe and
+        # the write would each run the exchange). Key validation
+        # (nulls + duplicates) is ONE aggregate over the cache — it
+        # both validates and warms the cache the constraint pass and
+        # the segment write then stream from; only the failure path
+        # pays a second probe, to name the offending key.
         from functools import reduce
         import operator
 
         any_null = reduce(operator.or_, [F.col(k).isNull() for k in keys])
-        if sdf.where(any_null).limit(1).collect():
-            raise ValueError("key columns may not contain NULL")
-        # ONE shuffle serves the whole create: bucket + repartition up
-        # front and PERSIST the shuffled frame (each Spark action
-        # re-plans, so without the persist the validation probe and
-        # the write would each run the exchange). The duplicate-key
-        # probe then runs as a (bucket, keys) aggregate —
-        # HashPartitioning(bucket) satisfies its clustered
-        # distribution because bucket is a function of the keys, so no
-        # second exchange — the constraint pass scans the cache, and
-        # the segment write streams it straight to parquet.
         staged = (
             sdf.withColumn(PART_DIR, _bucket_expr(m.keys, m.num_buckets))
             .repartition(PART_DIR)
             .persist()
         )
         try:
-            dup = (
-                staged.groupBy(PART_DIR, *keys)
-                .count()
-                .where(F.col("count") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
+            row = staged.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
+                F.sum(any_null.cast("long")).alias("nn"),
+            ).first()
+            if int(row["nn"] or 0):
+                raise ValueError("key columns may not contain NULL")
+            if int(row["n"] or 0) != int(row["nd"] or 0):
+                dup = (
+                    staged.groupBy(PART_DIR, *keys)
+                    .count()
+                    .where(F.col("count") > 1)
+                    .limit(1)
+                    .collect()
+                )
                 raise ValueError(
                     f"duplicate key in batch: "
                     f"{ {k: dup[0][k] for k in keys} }"
@@ -3008,22 +3011,45 @@ class KeyedCatalog:
             ingest=ingest,
         )
 
-    def _check_unique(self, sdf: DataFrame, keys: Sequence[str]) -> None:
-        """In-batch duplicate-key check (reference requires a unique
-        index, reference:pandabase/sql.py:96-97). One partial-aggregated
-        groupBy; short-circuits with LIMIT 1."""
-        dup = (
-            sdf.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
-        )
-        if dup:
-            raise ValueError(f"duplicate key in batch: {dup[0].asDict()}")
+    def _batch_probe(self, sdf: DataFrame, m: TableMeta) -> list[int]:
+        """In-batch PK validation + touched buckets in ONE aggregate
+        pass (previously three batch scans per write: the duplicate
+        groupBy, the null-key limit, and the distinct-bucket collect —
+        at 100 TB every extra pass over a large batch is a real cost):
+        count vs distinct-key count detects duplicates, a null-key
+        counter detects nulls, and collect_set over the bucket
+        expression (bounded by num_buckets) yields the touched
+        buckets. Only the FAILURE path pays a second scan, to name the
+        offending key in the error."""
         from functools import reduce
         import operator
 
-        any_null = reduce(operator.or_, [F.col(k).isNull() for k in keys])
-        nulls = sdf.where(any_null).limit(1).collect()
-        if nulls:
+        any_null = reduce(
+            operator.or_, [F.col(k).isNull() for k in m.keys]
+        )
+        row = sdf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(
+                *[F.col(k) for k in m.keys]
+            ).alias("nd"),
+            F.sum(any_null.cast("long")).alias("nn"),
+            F.collect_set(
+                _bucket_expr(m.keys, m.num_buckets)
+            ).alias("bs"),
+        ).first()
+        if int(row["nn"] or 0):
             raise ValueError("key columns may not contain NULL")
+        # count_distinct skips nothing here: null-key rows raised above
+        if int(row["n"] or 0) != int(row["nd"] or 0):
+            dup = (
+                sdf.groupBy(*m.keys)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            raise ValueError(f"duplicate key in batch: {dup[0].asDict()}")
+        return sorted(int(b) for b in row["bs"])
 
     def _batch_buckets(self, sdf: DataFrame, m: TableMeta) -> list[int]:
         """Distinct buckets the batch hashes into (≤ num_buckets ints —
@@ -3145,18 +3171,24 @@ class KeyedCatalog:
             sdf = sdf.drop(AUTO_INDEX_NAME)
             sdf = self._assign_auto_index(sdf, base=(base_row or -1) + 1)
         else:
-            self._check_unique(sdf, m.keys)
             existing = self._read_raw(
-                table_name, buckets=self._batch_buckets(sdf, m), manifest=man
+                table_name, buckets=self._batch_probe(sdf, m),
+                manifest=man,
             )
-            clash = (
-                existing.join(
-                    sdf.select(*m.keys).hint("broadcast"), on=list(m.keys), how="inner"
-                )
-                .limit(1)
-                .collect()
+            # ONE parallel aggregate over the pruned buckets (a
+            # limit(1).collect() here executed in sequential
+            # CollectLimit waves that scan everything anyway on the
+            # clash-free common path); the failure path re-probes to
+            # name the offending key
+            clash_df = existing.join(
+                sdf.select(*m.keys).hint("broadcast"),
+                on=list(m.keys), how="inner",
             )
-            if clash:
+            n_clash = clash_df.agg(
+                F.count(F.lit(1)).alias("n")
+            ).first()["n"]
+            if n_clash:
+                clash = clash_df.limit(1).collect()
                 raise IntegrityError(
                     f"append would violate primary key on {table_name}: "
                     f"key {dict((k, clash[0][k]) for k in m.keys)} already exists"
@@ -3189,13 +3221,12 @@ class KeyedCatalog:
         before the commit ⇒ previous state intact (old segments are
         immutable); orphan segment cleaned by vacuum().
         """
-        self._check_unique(sdf, m.keys)
         # one manifest snapshot for the data read AND the commit —
         # and ITS bucketing, so touched-bucket replacement always
         # matches the live layout even right after a rebucket
         man = self._manifest(table_name)
         m = self._resolve_nb(m, man)
-        touched = self._batch_buckets(sdf, m)
+        touched = self._batch_probe(sdf, m)
         existing = self._read_raw(table_name, buckets=touched, manifest=man)
         table_cols = list(existing.columns)
         preserved = [c for c in table_cols if c not in sdf.columns]
@@ -3371,7 +3402,11 @@ class KeyedCatalog:
                 f"{gen_assigned}; generated columns are always "
                 "recomputed from their expressions"
             )
-        self._check_unique(source, m.keys)
+        # source PK validation folds into the one-pass _batch_probe
+        # below (count/distinct/null/buckets in a single aggregate);
+        # consequence: a merge_schema=True evolution can land before a
+        # dup-key source raises — a harmless superset schema, the same
+        # crash contract as the meta-first evolution order itself.
 
         new_fields = [
             f for f in source.schema.fields
@@ -3408,7 +3443,7 @@ class KeyedCatalog:
 
         man = self._manifest(table_name)
         m = self._resolve_nb(m, man)
-        touched = self._batch_buckets(source, m)
+        touched = self._batch_probe(source, m)
         bs_del_pred = (
             F.lit(True)
             if when_not_matched_by_source_delete is True
@@ -3473,12 +3508,18 @@ class KeyedCatalog:
             if when_not_matched_by_source_update is not None
             else F.lit(False)
         )
-        # the metrics aggregate executes the WHOLE joined plan a
-        # second time (the result write is the first); hot-loop
-        # callers that ignore the counts (per-micro-batch CDC applies)
-        # pass metrics=False and save that execution
-        counts = (
-            joined.agg(
+        # operation metrics ride the WRITE execution as a CollectMetrics
+        # (Observation) node on the pre-filter joined frame — no second
+        # execution of the merge plan (pre-r9 this was a full extra
+        # pass; metrics=False remains for callers that want the node
+        # gone entirely, e.g. per-micro-batch CDC applies)
+        obs = None
+        if metrics:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            joined = joined.observe(
+                obs,
                 F.sum(
                     (upd_happens | bs_upd_happens).cast("long")
                 ).alias("updated"),
@@ -3489,10 +3530,7 @@ class KeyedCatalog:
                         & F.lit(when_not_matched_insert)
                     ).cast("long")
                 ).alias("inserted"),
-            ).collect()[0]
-            if metrics
-            else {"updated": 0, "deleted": 0, "inserted": 0}
-        )
+            )
 
         value_cols = [c for c in existing.columns if c not in m.keys]
         src_cols = set(source.columns)
@@ -3624,6 +3662,9 @@ class KeyedCatalog:
             },
         )
         self._maybe_auto_compact(table_name)
+        if obs is None:
+            return {"updated": 0, "deleted": 0, "inserted": 0}
+        counts = obs.get  # harvested from the write's own execution
         return {
             "updated": int(counts["updated"] or 0),
             "deleted": int(counts["deleted"] or 0),

@@ -539,6 +539,32 @@ def test_dml_job_budgets(spark, tmp_path):
         cat.drop_table(name)
         return len(sc.statusTracker().getJobIdsForGroup(group))
 
+    # write path: create = one cached shuffle + one validation agg +
+    # write; append = batch probe agg + clash agg + write; upsert =
+    # batch probe + carry/anti/union write
+    sc.setJobGroup("jb-create", "create")
+    cat.to_table(df, "jb_w", keys=["k"])
+    sc.setJobGroup(None, None)
+    n = len(sc.statusTracker().getJobIdsForGroup("jb-create"))
+    assert n <= 9, f"create ran {n} jobs (budget 9)"
+    sc.setJobGroup("jb-append", "append")
+    cat.to_table(
+        df.withColumn("k", F.col("k") + 10_000), "jb_w", keys=["k"],
+        how="append",
+    )
+    sc.setJobGroup(None, None)
+    n = len(sc.statusTracker().getJobIdsForGroup("jb-append"))
+    assert n <= 12, f"append ran {n} jobs (budget 12)"
+    sc.setJobGroup("jb-upsert", "upsert")
+    cat.to_table(
+        df.withColumn("v", F.col("v") + 1.0), "jb_w", keys=["k"],
+        how="upsert",
+    )
+    sc.setJobGroup(None, None)
+    n = len(sc.statusTracker().getJobIdsForGroup("jb-upsert"))
+    assert n <= 11, f"upsert ran {n} jobs (budget 11)"
+    cat.drop_table("jb_w")
+
     # DV point delete, full-key equality: arithmetic bucket pin
     # (range(1) job) + 1-bucket probe agg + sidecar write = 3, +1 slack
     n = jobs_on_fresh_table(
