@@ -2073,3 +2073,81 @@ def test_occ_two_driver_race(spark, catalog, tmp_path):
         f"conflicts={total_conflicts}"
     )
     boot.drop_table("occ_t")
+
+
+def test_key_equality_bucket_parser(spark, catalog):
+    """_key_equality_buckets pins a bucket ONLY when confinement is
+    provable: full-key equality conjunctions pin (extra narrowing
+    conjuncts welcome); any OR, partial key cover, non-key column,
+    literal/key type mismatch, or non-string predicate falls back to
+    None (full probe). The pinned bucket must agree with the layout's
+    own hash."""
+    from pandabase_spark.io import _bucket_expr
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    catalog.to_table(df, "keq_t", keys=["k"], num_buckets=8)
+    m = catalog.meta("keq_t")
+
+    def true_bucket(kval: int) -> list[int]:
+        r = (
+            spark.range(1)
+            .select(F.lit(kval).cast("long").alias("k"))
+            .select(_bucket_expr(["k"], 8).alias("b"))
+            .first()
+        )
+        return [int(r["b"])]
+
+    kb = catalog._key_equality_buckets
+    assert kb("k = 42", m) == true_bucket(42)
+    assert kb("k == 42", m) == true_bucket(42)
+    assert kb("(k = 42) AND v > 1.0", m) == true_bucket(42)
+    assert kb("`k` = 7 and s like 'x%'", m) == true_bucket(7)
+    # not provable -> None
+    assert kb("k = 42 OR k = 43", m) is None
+    assert kb("v = 42", m) is None                 # not a key
+    assert kb("k > 42", m) is None                 # not equality
+    assert kb("k = '42'", m) is None               # string vs long key
+    assert kb("k = v", m) is None                  # non-literal rhs
+    assert kb(F.col("k") == 42, m) is None         # Column predicate
+    assert kb("k = 1 AND x = 2 OR k = 3", m) is None  # OR anywhere
+
+    # composite keys: every key column must be pinned
+    catalog.to_table(
+        df.withColumn("k2", F.col("k") % 10), "keq_c",
+        keys=["k", "k2"], num_buckets=8,
+    )
+    mc = catalog.meta("keq_c")
+    got = catalog._key_equality_buckets("k = 42 AND k2 = 2", mc)
+    want = (
+        spark.range(1)
+        .select(
+            F.lit(42).cast("long").alias("k"),
+            F.lit(2).cast("long").alias("k2"),
+        )
+        .select(_bucket_expr(["k", "k2"], 8).alias("b"))
+        .first()
+    )
+    assert got == [int(want["b"])]
+    assert catalog._key_equality_buckets("k = 42", mc) is None
+
+    # string key: quoted literal pins, unquoted number does not
+    catalog.to_table(
+        df.select(F.col("s").alias("sk"), "v"), "keq_s",
+        keys=["sk"], num_buckets=8,
+    )
+    ms = catalog.meta("keq_s")
+    assert catalog._key_equality_buckets("sk = 's7'", ms) is not None
+    assert catalog._key_equality_buckets("sk = 7", ms) is None
+
+    # end to end: the pinned path returns the same answers
+    assert catalog.delete_rows("keq_t", "k = 42 AND v < 0.0") == 0
+    assert catalog.delete_rows("keq_t", "k = 42") == 1
+    assert catalog.read_table("keq_t").count() == 99
+    assert catalog.update_rows("keq_t", "k = 43", {"v": "v + 0.5"}) == 1
+    row = catalog.read_table("keq_t").where("k = 43").first()
+    assert row["v"] == 86.5
+    for t in ("keq_t", "keq_c", "keq_s"):
+        catalog.drop_table(t)
