@@ -3215,11 +3215,16 @@ class KeyedCatalog:
         NULLs included — reference:pandabase/sql.py:300); table columns
         absent from the batch are preserved; unmatched keys insert.
 
-        Plan: read ONLY the touched buckets' live paths, LEFT ANTI out
-        replaced rows, union the completed batch, write ONE new segment,
-        then commit a manifest that moves those buckets to it. Crash
-        before the commit ⇒ previous state intact (old segments are
-        immutable); orphan segment cleaned by vacuum().
+        Plan: read ONLY the touched buckets' live paths, full-outer
+        join them to the batch ONCE, pick per column (batch wins where
+        it has the column and the row; target otherwise), write ONE
+        new segment, then commit a manifest that moves those buckets
+        to it. One pass over each side — the pre-r9 shape read the
+        touched buckets TWICE (a carry join for preserved columns plus
+        an anti-join for survivors) and the batch twice, 2× the
+        touched-data IO at any scale. Crash before the commit ⇒
+        previous state intact (old segments are immutable); orphan
+        segment cleaned by vacuum().
         """
         # one manifest snapshot for the data read AND the commit —
         # and ITS bucketing, so touched-bucket replacement always
@@ -3228,34 +3233,43 @@ class KeyedCatalog:
         m = self._resolve_nb(m, man)
         touched = self._batch_probe(sdf, m)
         existing = self._read_raw(table_name, buckets=touched, manifest=man)
-        table_cols = list(existing.columns)
-        preserved = [c for c in table_cols if c not in sdf.columns]
+        src_cols = set(sdf.columns)
+        # presence flag survives the join where value columns go NULL
+        # (same trick as merge_table/table_changes)
+        t_tag = existing.alias("t")
+        s_tag = sdf.alias("s").withColumn("_in_s", F.lit(True))
+        joined = t_tag.join(s_tag, on=list(m.keys), how="full_outer")
 
-        if preserved:
-            # columns absent from the batch keep their table values
-            # (reference:tests/test_sql.py:533-560): join batch to
-            # existing to pull them through; NULL for brand-new keys.
-            carried = existing.select(*m.keys, *preserved)
-            batch_full = sdf.join(carried, on=list(m.keys), how="left")
-        else:
-            batch_full = sdf
+        def pick(c: str) -> Column:
+            tcol = F.col(f"t.{c}")
+            if c not in src_cols:
+                # column absent from the batch keeps its table value
+                # (reference:tests/test_sql.py:533-560); NULL for
+                # brand-new keys
+                return tcol.alias(c)
+            # batch wins on its rows — NULLs included, so presence
+            # (not coalesce) decides
+            return (
+                F.when(F.col("_in_s").isNotNull(), F.col(f"s.{c}"))
+                .otherwise(tcol)
+                .cast(existing.schema[c].dataType)
+                .alias(c)
+            )
+
+        merged = joined.select(
+            *m.keys,
+            *[pick(c) for c in existing.columns if c not in m.keys],
+        )
         if m.generated:
-            # enforcement over the EFFECTIVE row (post-carry): validate
-            # what the caller provided, recompute the rest — a carried
+            # enforcement over the EFFECTIVE row: validate what the
+            # caller provided, recompute the rest — a preserved
             # generated value is stale whenever the batch changed a
             # referenced column, and a batch-local computation would
-            # see null where the carry supplies the target value
-            batch_full = self._enforce_generated_effective(
-                batch_full, m, gen_provided or []
+            # see null where the join supplies the target value
+            merged = self._enforce_generated_effective(
+                merged, m, gen_provided or []
             )
-        self._check_constraints(batch_full, m)
-        survivors = existing.join(
-            sdf.select(*m.keys), on=list(m.keys), how="left_anti"
-        )
-        # allowMissingColumns covers schema evolution both ways: a new
-        # batch column is NULL for survivors; a batch missing table
-        # columns was already completed via the `preserved` join above.
-        merged = survivors.unionByName(batch_full, allowMissingColumns=True)
+        self._check_constraints(merged, m)
         seg, buckets = self._write_segment(merged, table_name, m)
         touched_set = set(touched)
         segments: dict[str, list[int]] = {}
