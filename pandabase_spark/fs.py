@@ -116,6 +116,23 @@ class HadoopFS:
         fs = self._fs(p)
         return fs.getContentSummary(self._jpath(p)).getLength()
 
+    def mtime(self, p: str) -> float:
+        """Last-modification time of ``p`` in epoch seconds (0.0 if
+        absent) — one stat call; vacuum's sidecar retention horizon
+        uses it the way Delta's retention window uses file age."""
+        local = self._local_os_path(p)
+        if local is not None:
+            import os as _os
+
+            try:
+                return _os.path.getmtime(local)
+            except OSError:
+                return 0.0
+        if not self.exists(p):
+            return 0.0
+        fs = self._fs(p)
+        return fs.getFileStatus(self._jpath(p)).getModificationTime() / 1000.0
+
     def read_text(self, p: str) -> str:
         local = self._local_os_path(p)
         if local is not None:

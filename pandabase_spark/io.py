@@ -112,6 +112,13 @@ WRITE_MODES = ("create_only", "append", "upsert")
 # the manifest itself at O(segments), not O(leaves).
 SKIP_INLINE_MAX = 256 * 1024
 
+# vacuum keeps an above-current .skip.json (a possibly in-flight
+# commit's sidecar, written before its claim) unless it is older than
+# this — a writer that crashed between sidecar and claim must not leak
+# its sidecar forever on a cold table. One hour dwarfs any real gap
+# between a commit's two steps, and vacuum is stop-the-world anyway.
+SKIP_ORPHAN_RETENTION_S = 3600.0
+
 
 def _op_str(v) -> "str | None":
     """Loggable form of a predicate/expression argument for the
@@ -404,6 +411,37 @@ class KeyedCatalog:
             if not self.fs.exists(nxt):
                 return man
             man = json.loads(self.fs.read_text(nxt))
+
+    def _repair_regressed_pointer(
+        self, table_name: str, cur_path: str
+    ) -> None:
+        """Republish CURRENT at the head-resolved chain if a delayed
+        publish regressed it (the bounded anomaly documented in
+        :meth:`_commit`). In-repo readers already heal through
+        :meth:`_manifest`'s head resolution, but an external tool (or
+        an older-format reader) consuming the pointer file directly
+        would otherwise see a stale — though committed — snapshot
+        until the next commit happens to land. Best-effort and
+        idempotent: the republished bytes are exactly the head claim
+        file's own, so racing repairs/publishes converge; any IO race
+        is left for the next reader/commit to heal."""
+        try:
+            head_txt = self.fs.read_text(cur_path)
+            head = json.loads(head_txt)
+            published_v = head["v"]
+            while True:
+                nxt = (
+                    f"{self._path(table_name)}/{LOG_DIR}/"
+                    f"{head['v'] + 1:010d}.json"
+                )
+                if not self.fs.exists(nxt):
+                    break
+                head_txt = self.fs.read_text(nxt)
+                head = json.loads(head_txt)
+            if head["v"] > published_v:
+                self.fs.write_text_atomic(cur_path, head_txt)
+        except Exception:
+            pass  # repair is opportunistic; _manifest still heals
 
     def _skipping(self, table_name: str, man: dict) -> dict:
         """The data-skipping dict ({stats, blooms, sketches}) of a
@@ -1186,6 +1224,12 @@ class KeyedCatalog:
             # resolved) base; our claim still extends the true chain,
             # and publishing heals the pointer
             self.fs.write_text_atomic(cur_path, doc)
+            # our own publish can ALSO be the delayed write in that
+            # anomaly (a rival rolled us forward and committed on top
+            # between our claim and this line) — close the window now
+            # instead of leaving the pointer regressed for external
+            # pointer-file readers until the next commit
+            self._repair_regressed_pointer(table_name, cur_path)
             return
         if claimed and cur > v:
             # CURRENT moved while we held the claim. Two worlds:
@@ -1239,7 +1283,25 @@ class KeyedCatalog:
             # becomes durable at its claim; replay-safe retries use
             # the txn= watermark, the same contract as every replayed
             # write.
-            self.fs.write_text_atomic(cur_path, self.fs.read_text(vpath))
+            try:
+                rival_doc = self.fs.read_text(vpath)
+            except Exception:
+                # the rival reclaimed its own claim between our failed
+                # put-if-absent and this read (its world-(b) path) —
+                # nothing to roll forward; fall through to the
+                # ConcurrentWriteError below so callers' retry-on-
+                # conflict loops keep their contract instead of
+                # surfacing a raw FileNotFoundError
+                rival_doc = None
+            if rival_doc is not None:
+                self.fs.write_text_atomic(cur_path, rival_doc)
+                # a delayed publish here is the regression anomaly's
+                # origin: commits may have landed above v+1 while we
+                # were between read and write. Repair immediately so
+                # a crash right after this line cannot leave the
+                # pointer regressed indefinitely for external readers
+                # (in-repo readers heal via _manifest head resolution).
+                self._repair_regressed_pointer(table_name, cur_path)
         if skip_path is not None:
             # ours alone (writer-unique name) — safe to reclaim now
             self.fs.delete(skip_path, recursive=False)
@@ -2450,7 +2512,16 @@ class KeyedCatalog:
         # than the CURRENT version until the claim lands. Only
         # sidecars at or below the current version (orphans by
         # construction: their version already committed without them,
-        # or was vacuumed) are reclaimed.
+        # or was vacuumed) are reclaimed — EXCEPT that an above-current
+        # sidecar whose writer crashed between sidecar and claim would
+        # otherwise leak forever on a cold table, so above-current
+        # sidecars older than a retention age (mirroring Delta's
+        # retention-window handling of staged files) are reclaimed
+        # too: no live commit attempt spans hours between its two
+        # steps, and vacuum is stop-the-world by contract anyway.
+        import time as _time
+
+        horizon = _time.time() - SKIP_ORPHAN_RETENTION_S
         for f in self.fs.list_files(log_dir):
             if not f.endswith(".skip.json") or f in kept_skips:
                 continue
@@ -2458,7 +2529,11 @@ class KeyedCatalog:
                 sv = int(f.split("-", 1)[0])
             except ValueError:
                 sv = None
-            if sv is not None and sv > cur_man["v"]:
+            if (
+                sv is not None
+                and sv > cur_man["v"]
+                and self.fs.mtime(f"{log_dir}/{f}") > horizon
+            ):
                 continue  # possibly an in-flight commit's sidecar
             self.fs.delete(f"{log_dir}/{f}", recursive=False)
         return gone

@@ -930,20 +930,47 @@ def ann_topk_indexed(
     existing = _existing_cells(spark, f"{path}/data")
     cells = [c for c in cells if c in existing]
     if not cells:
-        # no probed cell holds data (empty query set, or every probed
-        # cell empty): empty result with the contract schema, zero scan
-        # (planning-time FALSE filter — no partition is read)
-        data = (
-            spark.read.option("basePath", f"{path}/data")
-            .parquet(f"{path}/data")
-            .where(F.lit(False))
+        # No probed cell holds data (empty query set, every probed
+        # cell empty, or an index built from an EMPTY corpus — whose
+        # data dir has no cell partitions and would make a full read
+        # raise 'unable to infer schema'). Construct the empty
+        # contract result directly: zero listing, zero scan, zero
+        # jobs. The id column's type comes from one footer of one
+        # existing cell when any exists, else the documented long
+        # contract.
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
         )
-    else:
-        data = (
-            spark.read.option("basePath", f"{path}/data")
-            .parquet(*[f"{path}/data/cell={c}" for c in cells])
-            .where(F.col("cell").isin(cells))
+
+        if existing:
+            one = sorted(existing)[0]
+            peek = spark.read.option(
+                "basePath", f"{path}/data"
+            ).parquet(f"{path}/data/cell={one}")
+            id_type = peek.schema[id_col].dataType
+        else:
+            id_type = LongType()
+        qid_type = q.schema["query_id"].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", qid_type),
+                    StructField(id_col, id_type),
+                    StructField("cosine", DoubleType()),
+                    StructField("rank", IntegerType()),
+                ]
+            ),
         )
+    data = (
+        spark.read.option("basePath", f"{path}/data")
+        .parquet(*[f"{path}/data/cell={c}" for c in cells])
+        .where(F.col("cell").isin(cells))
+    )
     scored = data.join(F.broadcast(probes), on="cell").select(
         "query_id",
         F.col(id_col),

@@ -22,6 +22,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _rendezvous(warehouse: str, wid: int, tag: str, timeout: float = 60.0) -> None:
+    """Two-worker barrier on the shared warehouse directory: write my
+    sentinel, then wait for the peer's. Without this the test's
+    "conflicts >= 1" assertion is FLAKY — skewed JVM startup (or a
+    slow op) can serialize the two commit windows so they never
+    overlap and OCC is never exercised. A timed-out wait proceeds
+    rather than deadlocking on a crashed peer; the test's conflict
+    assertion will then fail loudly with the reports attached."""
+    barrier_dir = os.path.join(warehouse, ".occ_barrier")
+    os.makedirs(barrier_dir, exist_ok=True)
+    with open(os.path.join(barrier_dir, f"{tag}.{wid}"), "w") as fh:
+        fh.write("ready")
+    peer = os.path.join(barrier_dir, f"{tag}.{3 - wid}")
+    deadline = time.time() + timeout
+    while not os.path.exists(peer) and time.time() < deadline:
+        time.sleep(0.01)
+
+
 def main() -> None:
     warehouse, table, wid, n_ops = (
         sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
@@ -42,7 +60,15 @@ def main() -> None:
     applied: list[str] = []
     conflicts = 0
 
+    # both JVMs fully up before the first commit, and a rendezvous
+    # before EVERY op: each round's two commits start near-
+    # simultaneously, so commit windows genuinely overlap and the
+    # test's conflicts>=1 assertion measures the protocol, not
+    # subprocess startup skew
+    _rendezvous(warehouse, wid, "start", timeout=300.0)
+
     for i in range(n_ops):
+        _rendezvous(warehouse, wid, f"round-{i}")
         # disjoint key ranges per worker: model-checkable afterwards
         base = 100_000 * wid + 100 * i
         batch = spark.range(base, base + 50).select(

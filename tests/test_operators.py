@@ -811,6 +811,15 @@ def test_persisted_ivf_index_empty_and_missing_cells(spark, tmp_path):
     )
     assert empty.collect() == []
     assert empty.columns == ["query_id", "vec_id", "cosine", "rank"]
+    # index whose data dir holds NO cell partition at all (the empty-
+    # corpus shape): the old lit(False) fallback read the data dir and
+    # died on 'unable to infer schema' (ADVICE r9) — now an empty
+    # contract result with zero reads
+    for d in dirs[2:]:
+        shutil.rmtree(f"{path}/data/{d}")
+    bare = ann_topk_indexed(spark, path, q, k=5, nprobe=8)
+    assert bare.collect() == []
+    assert bare.columns == ["query_id", "vec_id", "cosine", "rank"]
 
 
 def test_persisted_ivf_index_df_branch_parity(spark, tmp_path, monkeypatch):

@@ -2151,3 +2151,66 @@ def test_key_equality_bucket_parser(spark, catalog):
     assert row["v"] == 86.5
     for t in ("keq_t", "keq_c", "keq_s"):
         catalog.drop_table(t)
+
+
+def test_repair_regressed_pointer(spark, catalog):
+    """The bounded roll-forward anomaly, repaired at the source: when
+    CURRENT is regressed below the claim chain's head (a delayed
+    publish), _repair_regressed_pointer republishes the resolved head
+    so an EXTERNAL pointer-file reader (no _manifest head resolution)
+    never sees a stale snapshot past the repairing commit — the
+    ADVICE r9 crash-persistence hole."""
+    from pandabase_spark.io import LOG_DIR
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    catalog.to_table(df, "rp_t", keys=["k"], num_buckets=2)            # v1
+    catalog.to_table(df.withColumn("v", F.col("v") + 1), "rp_t",
+                     keys=["k"], how="upsert")                         # v2
+    catalog.to_table(df.withColumn("v", F.col("v") + 2), "rp_t",
+                     keys=["k"], how="upsert")                         # v3
+    tpath = catalog._path("rp_t")
+    cur_path = f"{tpath}/{LOG_FILE}"
+    v1_doc = catalog.fs.read_text(f"{tpath}/{LOG_DIR}/{1:010d}.json")
+    # simulate the delayed publish: pointer regressed to v1
+    catalog.fs.write_text_atomic(cur_path, v1_doc)
+    assert json.loads(catalog.fs.read_text(cur_path))["v"] == 1
+    # in-repo readers still heal through head resolution
+    assert catalog._manifest("rp_t")["v"] == 3
+    # the repair republishes the resolved head in place
+    catalog._repair_regressed_pointer("rp_t", cur_path)
+    assert json.loads(catalog.fs.read_text(cur_path))["v"] == 3
+    # idempotent when already at head
+    catalog._repair_regressed_pointer("rp_t", cur_path)
+    assert json.loads(catalog.fs.read_text(cur_path))["v"] == 3
+    catalog.drop_table("rp_t")
+
+
+def test_vacuum_reclaims_aged_orphan_sidecar(spark, catalog):
+    """An above-current .skip.json is normally protected (possibly an
+    in-flight commit's sidecar, written before its claim) — but one
+    whose writer crashed between sidecar and claim must not leak
+    forever on a cold table: past SKIP_ORPHAN_RETENTION_S it is
+    reclaimed (ADVICE r9), while a FRESH above-current sidecar
+    survives."""
+    import os
+    import time
+
+    from pandabase_spark.io import LOG_DIR, SKIP_ORPHAN_RETENTION_S
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    catalog.to_table(df, "sv_t", keys=["k"], num_buckets=2)           # v1
+    log_dir = f"{catalog._path('sv_t')}/{LOG_DIR}"
+    aged = f"{log_dir}/{7:010d}-deadbeef.skip.json"
+    fresh = f"{log_dir}/{8:010d}-cafebabe.skip.json"
+    catalog.fs.write_text_atomic(aged, "{}")
+    catalog.fs.write_text_atomic(fresh, "{}")
+    old = time.time() - SKIP_ORPHAN_RETENTION_S - 60
+    os.utime(aged, (old, old))
+    catalog.vacuum("sv_t")
+    assert not catalog.fs.exists(aged)    # crashed writer's leak: gone
+    assert catalog.fs.exists(fresh)       # possibly in-flight: kept
+    catalog.drop_table("sv_t")
