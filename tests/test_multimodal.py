@@ -198,3 +198,87 @@ def test_resize_real_is_explicit_stub(media):
 
     with pytest.raises(NotImplementedError):
         resize_images(media, decoder="real").collect()
+
+
+def test_resize_ppm_gradient_pin(spark):
+    """The real nearest-neighbor resample pinned against a hand-built
+    NON-solid image: a 4x2 gradient resized to 2x2 must pick exactly
+    the pixels the floor mapping src = floor(dst*src/dst) names —
+    a wrong stride, axis swap, or off-by-one changes the bytes."""
+    from pandabase_spark.operators.multimodal import _parse_ppm, resize_ppm
+
+    # pixel (x, y) = (10x+y, 100+x, 200+y): every pixel distinct
+    px = bytes(
+        b for y in range(2) for x in range(4)
+        for b in (10 * x + y, 100 + x, 200 + y)
+    )
+    payload = b"P6\n4 2\n255\n" + px
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    out = resize_ppm(df, target=(2, 2)).collect()[0]
+    assert (out["out_width"], out["out_height"]) == (2, 2)
+    w, h, maxval, data = _parse_ppm(bytes(out["resized_payload"]))
+    assert (w, h, maxval) == (2, 2, 255)
+    # dst x∈{0,1} → src x = floor(x*4/2) ∈ {0,2}; dst y∈{0,1} → src y
+    # = floor(y*2/2) ∈ {0,1}: expect pixels (0,0),(2,0),(0,1),(2,1)
+    expect = bytes(
+        b for (x, y) in ((0, 0), (2, 0), (0, 1), (2, 1))
+        for b in (10 * x + y, 100 + x, 200 + y)
+    )
+    assert data == expect
+    # malformed payload → NULL resized_payload, never a crash
+    bad = spark.createDataFrame(
+        [(2, b"not a ppm")], "doc_id long, payload binary"
+    )
+    row = resize_ppm(bad, target=(2, 2)).collect()[0]
+    assert row["resized_payload"] is None and row["out_bytes"] is None
+
+
+def test_resize_ppm_chains_into_decode(spark):
+    """decode(resize(encode(id))) — the chained-codec loop behind the
+    multimodal_resize_ppm driver query: re-decoded stats of the 6x6
+    resample equal the analytic solid-color expectation."""
+    from pandabase_spark.operators.multimodal import (
+        attach_ppm_payload, decode_ppm_stats, resize_ppm,
+    )
+
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    resized = resize_ppm(
+        attach_ppm_payload(docs, "doc_id"), target=(6, 6)
+    )
+    stats = decode_ppm_stats(
+        resized, id_col="id", payload_col="resized_payload"
+    ).collect()
+    assert len(stats) == 40
+    for r in stats:
+        i = r["id"]
+        assert (r["width"], r["height"], r["channels"]) == (6, 6, 3)
+        assert r["n_pixels"] == 36
+        assert r["sum_bytes"] == (
+            (i % 256) + (2 * i) % 256 + (3 * i) % 256
+        ) * 36
+
+
+def test_payload_embedding_ppm_real_pixels(spark):
+    """decoder='ppm' features derive from the ACTUAL decoded pixels:
+    [mean_r, mean_g, mean_b, w, h] exact for the arithmetic images;
+    undecodable payloads yield a NULL embedding."""
+    from pandabase_spark.operators.multimodal import (
+        attach_ppm_payload, payload_embedding,
+    )
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    emb = payload_embedding(
+        attach_ppm_payload(docs, "doc_id"), decoder="ppm"
+    ).collect()
+    for r in emb:
+        i = r["id"]
+        assert r["embedding"] == [
+            float(i % 256), float((2 * i) % 256), float((3 * i) % 256),
+            float(8 + i % 8), float(8 + i % 4),
+        ]
+    bad = spark.createDataFrame(
+        [(9, b"junk")], "doc_id long, payload binary"
+    )
+    assert payload_embedding(bad, decoder="ppm").collect()[0][
+        "embedding"
+    ] is None
