@@ -266,7 +266,9 @@ def ivf_centroids(
     vec_col: str = "embedding",
     n_cells: int = 16,
     iters: int = 2,
+    tol: "float | None" = None,
     sample_mod: int | None = None,
+    info: "dict | None" = None,
 ) -> list[list[float]]:
     """Train a spherical-k-means coarse quantizer; returns unit-norm
     centroids as plain Python lists (n_cells × dim floats — an index
@@ -277,6 +279,14 @@ def ivf_centroids(
     and Lloyd updates use exact per-cell means via posexplode →
     groupBy(cell, pos) → avg — one narrow scan plus one
     (cell × dim)-key aggregate per iteration, partial-combined map-side.
+
+    ``tol`` turns ``iters`` from a fixed count into a CAP: the loop
+    stops once the largest per-centroid L2 movement of an update falls
+    to ``tol`` or below — k-means converges at data-dependent speed,
+    and every iteration past convergence is a full scan+aggregate of
+    the training sample bought for nothing. ``info`` (optional dict)
+    receives ``iters_run`` and ``final_move`` so callers can record
+    the convergence fact next to the build time.
 
     100 TB shape: pass ``sample_mod=m`` to train on the deterministic
     1/m hash-sample of the corpus (standard IVF practice — centroid
@@ -314,6 +324,7 @@ def ivf_centroids(
             return [x / n for x in vec] if n > 0 else list(vec)
 
         centroids = [_unit([float(x) for x in r["_v"]]) for r in seeds]
+        iters_run, move = 0, None
         for _ in range(iters):
             assigned = _with_cell(
                 train, "_v", centroids, out="_cell"
@@ -326,12 +337,24 @@ def ivf_centroids(
             by_cell: dict[int, dict[int, float]] = {}
             for r in means:
                 by_cell.setdefault(r["_cell"], {})[r["_pos"]] = r["_m"]
-            centroids = [
+            updated = [
                 _unit([by_cell[c][p] for p in sorted(by_cell[c])])
                 if c in by_cell
                 else centroids[c]  # empty cell keeps its previous centroid
                 for c in range(n_cells)
             ]
+            iters_run += 1
+            if tol is not None:
+                move = max(
+                    sum((a - b) ** 2 for a, b in zip(o, n)) ** 0.5
+                    for o, n in zip(centroids, updated)
+                )
+            centroids = updated
+            if tol is not None and move <= tol:
+                break
+        if info is not None:
+            info["iters_run"] = iters_run
+            info["final_move"] = move
         return centroids
     finally:
         train.unpersist()
@@ -412,13 +435,18 @@ def ivf_centroids_df(
     vec_col: str = "embedding",
     n_cells: int = 16,
     iters: int = 2,
+    tol: "float | None" = None,
     sample_mod: int | None = None,
+    info: "dict | None" = None,
 ) -> DataFrame:
     """:func:`ivf_centroids` with the quantizer kept CLUSTER-RESIDENT:
     returns a ``(cell int, cvec array<double>)`` DataFrame and never
     collects a centroid to the driver. Same algorithm — identical
     seeding (n_cells smallest ``xxhash64(id)``), identical exact-mean
-    Lloyd updates, empty cells keep their previous centroid — so the
+    Lloyd updates, empty cells keep their previous centroid, identical
+    ``tol`` convergence stop (the movement check is a 1-scalar agg
+    over the two n_cells-row centroid frames — the only driver-side
+    value this trainer ever materializes, and it is O(1)) — so the
     two trainers produce the same quantizer (pinned by the parity
     test). Each Lloyd step reassembles means distributedly
     (groupBy(cell) + sorted collect_list over dim elements) and
@@ -461,6 +489,7 @@ def ivf_centroids_df(
             (F.row_number().over(w) - 1).cast("int").alias("cell"),
             _unit_expr(F.col("_v")).alias("cvec"),
         ).localCheckpoint(eager=True)
+        iters_run, move = 0, None
         for _ in range(iters):
             assigned = _with_cell_from_df(
                 train, "_v", cents, out="_cell"
@@ -487,9 +516,45 @@ def ivf_centroids_df(
                 )
             )
             empty = cents.join(new.select("cell"), on="cell", how="left_anti")
+            prev = cents
             cents = new.unionByName(empty).localCheckpoint(eager=True)
+            iters_run += 1
+            if tol is not None:
+                # max per-centroid L2 movement, same break rule as the
+                # driver-side trainer; both frames are checkpointed
+                # n_cells-row artifacts so this agg is O(n_cells × dim)
+                move = (
+                    prev.select(
+                        "cell", F.col("cvec").alias("_ov")
+                    )
+                    .join(
+                        cents.select(
+                            "cell", F.col("cvec").alias("_nv")
+                        ),
+                        on="cell",
+                    )
+                    .select(
+                        F.sqrt(
+                            F.aggregate(
+                                F.zip_with(
+                                    "_ov", "_nv",
+                                    lambda a, b: (a - b) * (a - b),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            )
+                        ).alias("_mv")
+                    )
+                    .agg(F.max("_mv"))
+                    .first()[0]
+                )
+                if move <= tol:
+                    break
     finally:
         train.unpersist()
+    if info is not None:
+        info["iters_run"] = iters_run
+        info["final_move"] = move
     return cents
 
 
@@ -644,6 +709,8 @@ def _auto_centroids(
     n_cells: int,
     iters: int,
     sample_mod: "int | None",
+    tol: "float | None" = None,
+    info: "dict | None" = None,
 ):
     """Train the coarse quantizer on the side of the literal-path
     crossover the index size calls for: driver-resident literal list
@@ -656,7 +723,7 @@ def _auto_centroids(
     dim = row["d"] if row else 0
     kw = dict(
         id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-        iters=iters, sample_mod=sample_mod,
+        iters=iters, tol=tol, sample_mod=sample_mod, info=info,
     )
     if n_cells * dim > IVF_LITERAL_MAX_TERMS:
         return ivf_centroids_df(corpus, **kw)
@@ -769,7 +836,9 @@ def write_ivf_index(
     vec_col: str = "embedding",
     n_cells: int = 16,
     iters: int = 2,
+    tol: "float | None" = None,
     sample_mod: "int | None" = None,
+    info: "dict | None" = None,
 ) -> None:
     """Build the IVF index ONCE at ingest and persist it
     cell-partitioned — the 100 TB serving shape the in-memory
@@ -788,7 +857,7 @@ def write_ivf_index(
     # quantizers stay cluster-resident end to end (never collected)
     centroids = _auto_centroids(
         corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-        iters=iters, sample_mod=sample_mod,
+        iters=iters, tol=tol, sample_mod=sample_mod, info=info,
     )
     if isinstance(centroids, DataFrame):
         cdf = centroids

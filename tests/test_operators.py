@@ -287,6 +287,50 @@ def test_ivf_dataframe_centroids_parity(spark):
     assert lit_res == df_res
 
 
+def test_ivf_convergence_tol_stops_both_trainers(spark):
+    """``tol`` turns iters into a cap: Lloyd stops once max centroid
+    movement falls to tol — and BOTH trainers make the identical stop
+    decision (the early exit must never break the parity pin). Pinned
+    without guessing the data's convergence rate: probe the actual
+    movement of iteration 2, then rerun with tol just above it and
+    assert the loop stops exactly there with the iters=2 quantizer."""
+    from pandabase_spark.operators.similarity import (
+        ivf_centroids, ivf_centroids_df,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # a tol no update can exceed (unit-norm centroids move <= 2)
+    # stops after exactly one iteration, both trainers
+    i1, i1df = {}, {}
+    one = ivf_centroids(emb, n_cells=8, iters=5, tol=10.0, info=i1)
+    one_df = ivf_centroids_df(emb, n_cells=8, iters=5, tol=10.0, info=i1df)
+    assert i1["iters_run"] == 1 and i1df["iters_run"] == 1
+    fixed1 = ivf_centroids(emb, n_cells=8, iters=1)
+    for a, b in zip(one, fixed1):
+        assert a == pytest.approx(b, abs=1e-12)
+    got = {r["cell"]: list(r["cvec"]) for r in one_df.collect()}
+    for cell, vec in enumerate(one):
+        assert got[cell] == pytest.approx(vec, abs=1e-9)
+
+    # probe iteration 2's movement, then stop ON it mid-loop
+    probe: dict = {}
+    fixed2 = ivf_centroids(emb, n_cells=8, iters=2, tol=0.0, info=probe)
+    assert probe["iters_run"] == 2 and probe["final_move"] > 0.0
+    tol = probe["final_move"] * (1 + 1e-9)
+    mid, middf = {}, {}
+    stopped = ivf_centroids(emb, n_cells=8, iters=8, tol=tol, info=mid)
+    stopped_df = ivf_centroids_df(
+        emb, n_cells=8, iters=8, tol=tol, info=middf
+    )
+    assert mid["iters_run"] == 2 and middf["iters_run"] == 2
+    for a, b in zip(stopped, fixed2):
+        assert a == pytest.approx(b, abs=1e-12)
+    got2 = {r["cell"]: list(r["cvec"]) for r in stopped_df.collect()}
+    for cell, vec in enumerate(stopped):
+        assert got2[cell] == pytest.approx(vec, abs=1e-9)
+
+
 def test_winnow_guarantee_shared_substring(spark):
     """Winnowing guarantee (Schleimer et al. '03): two documents
     sharing a substring of length ≥ window + n - 1 (= 11 at n=8, w=4)

@@ -620,3 +620,37 @@ def test_indexed_ann_probe_prunes_partitions(spark, tmp_path):
         a.partition_filters
     )
     assert a.join_safe
+
+
+def test_analytic_job_budgets(spark):
+    """Noise-immune cost contract for the headline ANALYTIC queries —
+    the read-path counterpart of test_dml_job_budgets (the round-9
+    verdict's last unfinished measurement-discipline item): each
+    query's Spark JOB count is deterministic for a fixed plan + data
+    layout, unlike shared-host wall time, so a bench wall swing on an
+    unchanged count is a noisy neighbor and a changed count is a real
+    plan regression. Budgets are warm-run counts (+2 headroom for AQE
+    boundary wobble); a broadcast-join cascade or an extra scan adds
+    jobs well past the headroom. bench.py records the same fact per
+    query in BENCH_DETAIL.json query_facts."""
+    sc = spark.sparkContext
+    budgets = {
+        "q1_pricing_summary": 5,       # scan + partial/final agg
+        "q6_forecast_revenue": 5,      # pure scan-aggregate
+        "window_top3_lineitems": 5,    # one shuffle, one window
+        "top_words": 5,                # partial top-k, no global sort
+        "q9_product_profit": 13,       # 11 = broadcast dims + one agg
+        "q2_min_cost_supplier": 15,    # 13 = decorrelated min + joins
+        "q5_nation_revenue": 15,       # 13 = five broadcast dims
+    }
+    for q, budget in budgets.items():
+        group = None
+        for i in range(2):  # warm run is the recorded fact
+            group = f"ajb-{q}-{i}"
+            sc.setJobGroup(group, q)
+            workload.QUERIES[q](spark, SF_DIR).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            sc.setJobGroup(None, None)
+        n = len(sc.statusTracker().getJobIdsForGroup(group))
+        assert n <= budget, f"{q} ran {n} jobs (budget {budget})"
