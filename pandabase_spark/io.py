@@ -3086,16 +3086,20 @@ class KeyedCatalog:
             ingest=ingest,
         )
 
-    def _batch_probe(self, sdf: DataFrame, m: TableMeta) -> list[int]:
-        """In-batch PK validation + touched buckets in ONE aggregate
-        pass (previously three batch scans per write: the duplicate
-        groupBy, the null-key limit, and the distinct-bucket collect —
-        at 100 TB every extra pass over a large batch is a real cost):
-        count vs distinct-key count detects duplicates, a null-key
-        counter detects nulls, and collect_set over the bucket
-        expression (bounded by num_buckets) yields the touched
-        buckets. Only the FAILURE path pays a second scan, to name the
-        offending key in the error."""
+    def _batch_probe(
+        self, sdf: DataFrame, m: TableMeta
+    ) -> "tuple[list[int], int]":
+        """In-batch PK validation + touched buckets + batch row count
+        in ONE aggregate pass (previously three batch scans per write:
+        the duplicate groupBy, the null-key limit, and the
+        distinct-bucket collect — at 100 TB every extra pass over a
+        large batch is a real cost): count vs distinct-key count
+        detects duplicates, a null-key counter detects nulls, and
+        collect_set over the bucket expression (bounded by
+        num_buckets) yields the touched buckets. The row count rides
+        along for free and feeds the upsert's broadcast-vs-shuffle
+        merge-shape decision. Only the FAILURE path pays a second
+        scan, to name the offending key in the error."""
         from functools import reduce
         import operator
 
@@ -3124,7 +3128,48 @@ class KeyedCatalog:
                 .collect()
             )
             raise ValueError(f"duplicate key in batch: {dup[0].asDict()}")
-        return sorted(int(b) for b in row["bs"])
+        return sorted(int(b) for b in row["bs"]), int(row["n"] or 0)
+
+    def _keys_broadcastable(self, n_rows: int, m: TableMeta) -> bool:
+        """Whether a ``n_rows``-row key frame fits under the session's
+        ``spark.sql.autoBroadcastJoinThreshold`` by a conservative
+        per-type width estimate — the decision input for the upsert
+        merge shape (an explicit broadcast hint bypasses Spark's own
+        stats, so the caller must only hint what provably fits)."""
+        try:
+            raw = str(
+                self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            ).strip().lower()
+            mult = 1
+            for suffix, f in (
+                ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                ("b", 1),
+            ):
+                if raw.endswith(suffix):
+                    raw, mult = raw[: -len(suffix)], f
+                    break
+            threshold = int(raw) * mult
+        except (ValueError, TypeError):
+            threshold = 10 << 20
+        if threshold <= 0:
+            return False  # auto-broadcast disabled: respect it
+        from pyspark.sql import types as T
+
+        width = 0
+        for k in m.keys:
+            dt = m.schema[k].dataType
+            if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType)):
+                width += 8
+            elif isinstance(dt, (T.IntegerType, T.DateType, T.FloatType)):
+                width += 4
+            elif isinstance(dt, (T.ShortType, T.BooleanType, T.ByteType)):
+                width += 2
+            elif isinstance(dt, T.StringType):
+                width += 24  # heuristic mean; keys are short in practice
+            else:
+                width += 32
+        return n_rows * max(width, 1) <= threshold
 
     def _batch_buckets(self, sdf: DataFrame, m: TableMeta) -> list[int]:
         """Distinct buckets the batch hashes into (≤ num_buckets ints —
@@ -3247,7 +3292,7 @@ class KeyedCatalog:
             sdf = self._assign_auto_index(sdf, base=(base_row or -1) + 1)
         else:
             existing = self._read_raw(
-                table_name, buckets=self._batch_probe(sdf, m),
+                table_name, buckets=self._batch_probe(sdf, m)[0],
                 manifest=man,
             )
             # ONE parallel aggregate over the pruned buckets (a
@@ -3290,61 +3335,105 @@ class KeyedCatalog:
         NULLs included — reference:pandabase/sql.py:300); table columns
         absent from the batch are preserved; unmatched keys insert.
 
-        Plan: read ONLY the touched buckets' live paths, full-outer
-        join them to the batch ONCE, pick per column (batch wins where
-        it has the column and the row; target otherwise), write ONE
-        new segment, then commit a manifest that moves those buckets
-        to it. One pass over each side — the pre-r9 shape read the
-        touched buckets TWICE (a carry join for preserved columns plus
-        an anti-join for survivors) and the batch twice, 2× the
-        touched-data IO at any scale. Crash before the commit ⇒
-        previous state intact (old segments are immutable); orphan
-        segment cleaned by vacuum().
+        Plan — ADAPTIVE between the two merge shapes, decided by facts
+        the probe already computed (quiet-box A/B:
+        scripts/upsert_quietbox_r10.json):
+
+        - Batch carries EVERY table column and its key frame fits the
+          broadcast threshold → anti + union: survivors = touched
+          buckets LEFT ANTI a broadcast of the batch keys, union the
+          batch. Zero shuffles — a full-outer join can never hash-
+          broadcast (no BuildSide covers both null sides), so at
+          broadcastable batch sizes this shape is strictly cheaper
+          (measured 1.25s vs 1.57s min-of-4 at sf0.1).
+        - Otherwise (partial-column batch, or a batch too big to
+          broadcast) → ONE full-outer join picks per column: batch
+          wins where it has the column and the row (presence flag, so
+          batch NULLs still win — the documented contract), the
+          target value stands otherwise. One pass over each side —
+          the carry+anti shape would read the touched buckets twice
+          and the batch twice here, 2× the touched-data IO once
+          nothing broadcasts.
+
+        Either way: read ONLY the touched buckets' live paths, write
+        ONE new segment, commit a manifest that moves those buckets to
+        it. Crash before the commit ⇒ previous state intact (old
+        segments are immutable); orphan segment cleaned by vacuum().
         """
         # one manifest snapshot for the data read AND the commit —
         # and ITS bucketing, so touched-bucket replacement always
         # matches the live layout even right after a rebucket
         man = self._manifest(table_name)
         m = self._resolve_nb(m, man)
-        touched = self._batch_probe(sdf, m)
+        touched, n_batch = self._batch_probe(sdf, m)
         existing = self._read_raw(table_name, buckets=touched, manifest=man)
         src_cols = set(sdf.columns)
-        # presence flag survives the join where value columns go NULL
-        # (same trick as merge_table/table_changes)
-        t_tag = existing.alias("t")
-        s_tag = sdf.alias("s").withColumn("_in_s", F.lit(True))
-        joined = t_tag.join(s_tag, on=list(m.keys), how="full_outer")
-
-        def pick(c: str) -> Column:
-            tcol = F.col(f"t.{c}")
-            if c not in src_cols:
-                # column absent from the batch keeps its table value
-                # (reference:tests/test_sql.py:533-560); NULL for
-                # brand-new keys
-                return tcol.alias(c)
-            # batch wins on its rows — NULLs included, so presence
-            # (not coalesce) decides
-            return (
-                F.when(F.col("_in_s").isNotNull(), F.col(f"s.{c}"))
-                .otherwise(tcol)
-                .cast(existing.schema[c].dataType)
-                .alias(c)
+        full_column = all(c in src_cols for c in existing.columns)
+        # _upsert_shape: test/measurement escape hatch ("antiunion" |
+        # "fullouter" | None=adaptive); antiunion is only SOUND for
+        # full-column batches (it has no carry for preserved columns)
+        forced = getattr(self, "_upsert_shape", None)
+        use_anti = (
+            full_column
+            and (
+                forced == "antiunion"
+                if forced is not None
+                else self._keys_broadcastable(n_batch, m)
             )
-
-        merged = joined.select(
-            *m.keys,
-            *[pick(c) for c in existing.columns if c not in m.keys],
         )
-        if m.generated:
-            # enforcement over the EFFECTIVE row: validate what the
-            # caller provided, recompute the rest — a preserved
-            # generated value is stale whenever the batch changed a
-            # referenced column, and a batch-local computation would
-            # see null where the join supplies the target value
-            merged = self._enforce_generated_effective(
-                merged, m, gen_provided or []
+
+        if use_anti:
+            batch_full = sdf
+            if m.generated:
+                batch_full = self._enforce_generated_effective(
+                    batch_full, m, gen_provided or []
+                )
+            self._check_constraints(batch_full, m)
+            survivors = existing.join(
+                F.broadcast(sdf.select(*m.keys)),
+                on=list(m.keys), how="left_anti",
             )
-        self._check_constraints(merged, m)
+            merged = survivors.unionByName(
+                batch_full, allowMissingColumns=True
+            )
+        else:
+            # presence flag survives the join where value columns go
+            # NULL (same trick as merge_table/table_changes)
+            t_tag = existing.alias("t")
+            s_tag = sdf.alias("s").withColumn("_in_s", F.lit(True))
+            joined = t_tag.join(s_tag, on=list(m.keys), how="full_outer")
+
+            def pick(c: str) -> Column:
+                tcol = F.col(f"t.{c}")
+                if c not in src_cols:
+                    # column absent from the batch keeps its table
+                    # value (reference:tests/test_sql.py:533-560);
+                    # NULL for brand-new keys
+                    return tcol.alias(c)
+                # batch wins on its rows — NULLs included, so presence
+                # (not coalesce) decides
+                return (
+                    F.when(F.col("_in_s").isNotNull(), F.col(f"s.{c}"))
+                    .otherwise(tcol)
+                    .cast(existing.schema[c].dataType)
+                    .alias(c)
+                )
+
+            merged = joined.select(
+                *m.keys,
+                *[pick(c) for c in existing.columns if c not in m.keys],
+            )
+            if m.generated:
+                # enforcement over the EFFECTIVE row: validate what
+                # the caller provided, recompute the rest — a
+                # preserved generated value is stale whenever the
+                # batch changed a referenced column, and a batch-local
+                # computation would see null where the join supplies
+                # the target value
+                merged = self._enforce_generated_effective(
+                    merged, m, gen_provided or []
+                )
+            self._check_constraints(merged, m)
         seg, buckets = self._write_segment(merged, table_name, m)
         touched_set = set(touched)
         segments: dict[str, list[int]] = {}
@@ -3532,7 +3621,7 @@ class KeyedCatalog:
 
         man = self._manifest(table_name)
         m = self._resolve_nb(m, man)
-        touched = self._batch_probe(source, m)
+        touched = self._batch_probe(source, m)[0]
         bs_del_pred = (
             F.lit(True)
             if when_not_matched_by_source_delete is True

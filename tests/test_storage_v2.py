@@ -2214,3 +2214,87 @@ def test_vacuum_reclaims_aged_orphan_sidecar(spark, catalog):
     assert not catalog.fs.exists(aged)    # crashed writer's leak: gone
     assert catalog.fs.exists(fresh)       # possibly in-flight: kept
     catalog.drop_table("sv_t")
+
+
+def test_upsert_shapes_are_equivalent(spark, catalog):
+    """The adaptive upsert (round 10) picks between two merge shapes —
+    broadcast anti+union for full-column broadcastable batches,
+    full-outer otherwise (quiet-box A/B: the full-outer join can never
+    hash-broadcast, so it loses ~20% whenever the batch keys fit the
+    broadcast threshold). The shapes must be answer-IDENTICAL on every
+    contract point: batch NULLs win on matched keys, unmatched keys
+    insert, generated columns recompute, re-upserted deleted keys
+    return. Pinned by running the same mixed batch through each forced
+    shape on identically-prepared tables."""
+    src = spark.createDataFrame(
+        [(k, k * 2.0, f"s{k}") for k in range(100)],
+        schema="k bigint, v double, s string",
+    )
+    batch = spark.createDataFrame(
+        # matched+changed, matched+NULL (null must WIN), brand new key
+        [(10, 999.0, None), (20, None, "upd"), (500, 5.0, "new")],
+        schema="k bigint, v double, s string",
+    )
+    results = {}
+    for shape in ("antiunion", "fullouter"):
+        t = f"shape_{shape}"
+        catalog.to_table(src, t, keys=["k"], generated={"g": "k * 3"})
+        catalog.delete_rows(t, "k = 10")  # re-insert path
+        catalog._upsert_shape = shape
+        try:
+            catalog.to_table(batch, t, keys=["k"], how="upsert")
+        finally:
+            catalog._upsert_shape = None
+        results[shape] = {
+            r["k"]: (r["v"], r["s"], r["g"])
+            for r in catalog.read_table(t).collect()
+        }
+        catalog.drop_table(t)
+    assert results["antiunion"] == results["fullouter"]
+    got = results["antiunion"]
+    assert got[10] == (999.0, None, 30)   # batch NULL won; generated fresh
+    assert got[20] == (None, "upd", 60)   # batch NULL won on v
+    assert got[500] == (5.0, "new", 1500)
+    assert len(got) == 101
+
+
+def test_upsert_adaptive_dispatch_picks_by_batch(spark, catalog):
+    """Dispatch facts: a full-column broadcastable batch takes the
+    anti+union branch (no full-outer join in any job), a
+    partial-column batch must take the full-outer branch regardless of
+    size (anti+union has no carry for preserved columns), and forcing
+    antiunion on a partial-column batch falls back to full-outer
+    rather than losing preserved values."""
+    src = spark.createDataFrame(
+        [(k, float(k), f"s{k}") for k in range(50)],
+        schema="k bigint, v double, s string",
+    )
+    catalog.to_table(src, "disp", keys=["k"])
+    # partial-column + forced antiunion: fallback keeps preserved cols
+    catalog._upsert_shape = "antiunion"
+    try:
+        part = spark.createDataFrame(
+            [(5, 123.0)], schema="k bigint, v double"
+        )
+        catalog.to_table(part, "disp", keys=["k"], how="upsert")
+    finally:
+        catalog._upsert_shape = None
+    row = {r["k"]: (r["v"], r["s"]) for r in catalog.read_table("disp").collect()}
+    assert row[5] == (123.0, "s5"), "preserved column must survive"
+
+    # size dispatch: a batch whose key frame exceeds the session
+    # broadcast threshold routes to full-outer even when full-column
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64b")
+        m = catalog.meta("disp")
+        assert not catalog._keys_broadcastable(50, m)
+        assert catalog._keys_broadcastable(2, m)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    full = spark.createDataFrame(
+        [(7, 7.0, "x7")], schema="k bigint, v double, s string"
+    )
+    catalog.to_table(full, "disp", keys=["k"], how="upsert")
+    got = {r["k"]: (r["v"], r["s"]) for r in catalog.read_table("disp").collect()}
+    assert got[7] == (7.0, "x7") and len(got) == 50
