@@ -130,12 +130,16 @@ def test_random_ddl_dml_walk_matches_model(spark, catalog, tmp_path, seed):
     interleaving), and a table-wide GENERATED column (g = v * 2,
     derived in the model from v after every verb — any verb that
     changes v without recomputing g breaks the very next check)
-    interleaved with the core DML — 44 steps x 3 seeds, model-checked
-    after every one. The round-6 cross-DV bug was an interleaving no
-    example test covered; schema changes x restore x merge x
-    generated is the next such space. Rows are modeled as
-    {col: value} dicts so renames/drops/restores can reshape the
-    schema mid-walk."""
+    interleaved with the core DML — plus, from r10, the streaming
+    foreachBatch sink (micro-batch MERGE + a fresh-checkpoint replay
+    that the txn ledger must no-op) and the namespace surface (clone
+    into a schema, list, read-back vs model, drop) — 52 steps x 3
+    seeds, model-checked after every one. The round-6 cross-DV bug
+    and the round-9 two-driver lost update were both interleaving
+    bugs no example test covered; schema changes x restore x merge x
+    generated x streaming-txn is the next such space. Rows are
+    modeled as {col: value} dicts so renames/drops/restores can
+    reshape the schema mid-walk."""
     rng = random.Random(seed)
     t = f"ddlwalk_{seed}"
     vcol, scol = "v", "s"
@@ -183,12 +187,14 @@ def test_random_ddl_dml_walk_matches_model(spark, catalog, tmp_path, seed):
         assert got == want, f"seed={seed} step={step} op={op}"
 
     copy_seq = 0
+    stream_seq = 0
     ops = (
         ["append"] * 2 + ["upsert"] * 3 + ["delete"] * 3 + ["update"] * 3
         + ["merge"] * 4 + ["rename"] * 2 + ["addcol"] * 2 + ["dropcol"] * 2
         + ["restore"] * 2 + ["compact"] + ["cluster"] + ["copy"] * 2
+        + ["streamsink"] * 2 + ["namespace"]
     )
-    for step in range(44):
+    for step in range(52):
         op = rng.choice(ops)
         if op == "append":
             n = rng.randint(1, 6)
@@ -373,6 +379,81 @@ def test_random_ddl_dml_walk_matches_model(spark, catalog, tmp_path, seed):
             model.update(rows)
             again = catalog.copy_into(t, stage, how="append")
             assert again["files_loaded"] == 0 and again["rows_loaded"] == 0
+        elif op == "streamsink":
+            # r10 extension: the foreachBatch keyed-table sink runs
+            # mid-walk — a micro-batch MERGE must compose with every
+            # schema/DV/restore state the walk can reach — and then
+            # REPLAYS the same source through a FRESH checkpoint with
+            # the same txn app id: the table-level txn ledger must
+            # no-op the replay (no new commit) under every
+            # interleaving, not just in the dedicated streaming tests
+            from pandabase_spark.streaming import stream_upsert
+
+            stream_seq += 1
+            pool = (
+                rng.sample(sorted(model), min(len(model), 3))
+                + [next_fresh]
+            )
+            next_fresh += 1
+            rows = {
+                k: {
+                    **{c: f"st{k}" for c in extras},
+                    vcol: k * 0.25 + 5.0, scol: f"st{k}",
+                }
+                for k in pool
+            }
+            stage = str(tmp_path / f"stream_{seed}_{stream_seq}")
+            src_df = df_for(rows)
+            src_df.coalesce(1).write.parquet(stage)
+            app = f"walk{seed}_{stream_seq}"
+            q = stream_upsert(
+                catalog,
+                spark.readStream.schema(src_df.schema).parquet(stage),
+                t, keys=["k"],
+                checkpoint=str(tmp_path / f"ck_{seed}_{stream_seq}"),
+                txn_app_id=app,
+            )
+            q.awaitTermination()
+            model.update(rows)
+            deleted.difference_update(pool)
+            v_before = catalog._manifest(t)["v"]
+            q2 = stream_upsert(
+                catalog,
+                spark.readStream.schema(src_df.schema).parquet(stage),
+                t, keys=["k"],
+                checkpoint=str(tmp_path / f"ck2_{seed}_{stream_seq}"),
+                txn_app_id=app,
+            )
+            q2.awaitTermination()
+            assert catalog._manifest(t)["v"] == v_before, (
+                "txn ledger must skip a replayed micro-batch"
+            )
+        elif op == "namespace":
+            # r10 extension: namespace surface mid-walk — a zero-copy
+            # clone into a schema must list under that namespace and
+            # read back exactly the model at whatever schema shape the
+            # walk has reached; dropping it must not disturb the walk
+            ns = f"ns{seed}"
+            catalog.clone_table(t, "snap", dst_schema=ns)
+            assert "snap" in catalog.table_names(schema=ns)
+            assert ns in catalog.namespaces()
+            got_ns = {}
+            for r in catalog.read_table("snap", schema=ns).collect():
+                d = r.asDict()
+                got_ns[d.pop("k")] = d
+            want_ns = {
+                k: {
+                    **{c: r.get(c) for c in cols()},
+                    "g": (
+                        r.get(vcol) * 2
+                        if r.get(vcol) is not None
+                        else None
+                    ),
+                }
+                for k, r in model.items()
+            }
+            assert got_ns == want_ns, f"seed={seed} namespaced clone"
+            catalog.drop_table("snap", schema=ns)
 
         check(step, op)
         if rng.random() < 0.3:
