@@ -3291,18 +3291,25 @@ class KeyedCatalog:
             sdf = sdf.drop(AUTO_INDEX_NAME)
             sdf = self._assign_auto_index(sdf, base=(base_row or -1) + 1)
         else:
+            touched, n_batch = self._batch_probe(sdf, m)
             existing = self._read_raw(
-                table_name, buckets=self._batch_probe(sdf, m)[0],
-                manifest=man,
+                table_name, buckets=touched, manifest=man,
             )
             # ONE parallel aggregate over the pruned buckets (a
             # limit(1).collect() here executed in sequential
             # CollectLimit waves that scan everything anyway on the
             # clash-free common path); the failure path re-probes to
-            # name the offending key
+            # name the offending key. The broadcast hint is GATED on
+            # the probe's row count: hinting an arbitrarily large
+            # batch's key frame would force-materialize it on every
+            # executor (the hint bypasses Spark's own stats), which at
+            # 100 TB ingest sizes is an OOM, not an optimization —
+            # oversized batches let the planner pick the join.
+            batch_keys = sdf.select(*m.keys)
+            if self._keys_broadcastable(n_batch, m):
+                batch_keys = batch_keys.hint("broadcast")
             clash_df = existing.join(
-                sdf.select(*m.keys).hint("broadcast"),
-                on=list(m.keys), how="inner",
+                batch_keys, on=list(m.keys), how="inner",
             )
             n_clash = clash_df.agg(
                 F.count(F.lit(1)).alias("n")
