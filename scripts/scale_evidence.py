@@ -20,8 +20,12 @@ heavy document/embedding operators at BOTH scales and records:
 ~5% of synthetic docs share a text seed with a neighbor (near-dup
 pairs for dedup/LSH to find); embeddings derive from hash bits.
 
+r10 adds the keyed-table WRITE path (create + adaptive upsert): the
+round changed the upsert merge shape, so the scale claim needs the
+same 1x-vs-Nx wall + heap evidence as the read-side operators.
+
 Usage: python scripts/scale_evidence.py [scale] [sf_dir]
-Writes scripts/scale_evidence_r9.json and prints it.
+Writes scripts/scale_evidence_r10.json and prints it.
 """
 
 from __future__ import annotations
@@ -155,6 +159,38 @@ def main() -> None:
             spark, idx, e.where("vec_id < 8"), k=10, nprobe=4).count())
         return out
 
+    def writes_for(n_rows: int, tag: str) -> "dict[str, dict]":
+        """Keyed-table write path at scale: create n_rows, then the
+        adaptive upsert over a deterministic 10% key slice (full
+        column — at 1x the batch key frame broadcasts; at Nx the
+        dispatch re-decides from the probe count, which is the point:
+        the shape must follow the data, not the test size)."""
+        from pandabase_spark.io import KeyedCatalog
+
+        out: dict[str, dict] = {}
+        cat = KeyedCatalog(spark, f"{scratch}/wh_{tag}")
+        base = spark.range(n_rows).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 0.5).alias("v"),
+            F.concat(F.lit("s-"), F.col("id")).alias("s"),
+        )
+
+        def run(name, fn):
+            t0 = time.time()
+            fn()
+            out[name] = {
+                "sec": round(time.time() - t0, 2),
+                "rows": n_rows,
+                "jvm_heap_mb": jvm_heap_mb(),
+            }
+
+        run("kt_create", lambda: cat.to_table(base, "t", keys=["k"]))
+        batch = base.where(F.pmod(F.xxhash64("k"), F.lit(10)) == 0)
+        batch = batch.withColumn("v", F.col("v") + 1.0)
+        run("kt_upsert_10pct", lambda: cat.to_table(
+            batch, "t", keys=["k"], how="upsert"))
+        return out
+
     report = {
         "scale": N_SCALE,
         "docs_rows": {"1x": n_docs // N_SCALE, "Nx": n_docs},
@@ -162,12 +198,14 @@ def main() -> None:
         "at_1x": ops_for(SF_DIR, "1x"),
         "at_Nx": ops_for(scratch, "nx"),
     }
+    report["at_1x"].update(writes_for(500_000, "1x"))
+    report["at_Nx"].update(writes_for(500_000 * N_SCALE, "nx"))
     for name, rec in report["at_Nx"].items():
         base = report["at_1x"][name]["sec"]
         rec["ratio_vs_1x"] = round(rec["sec"] / max(base, 0.01), 1)
 
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "scale_evidence_r9.json"), "w") as fh:
+    with open(os.path.join(here, "scale_evidence_r10.json"), "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report, indent=1))
 
