@@ -828,6 +828,32 @@ def ann_topk_ivf(
 # Persisted IVF index: the cell-partitioned, partition-pruned serving shape
 # ---------------------------------------------------------------------------
 
+def _centroids_literal_df(spark, centroids: "list[list[float]]") -> DataFrame:
+    """Driver-side centroid list as a JVM-literal DataFrame.
+
+    ``spark.createDataFrame`` would also work, but a Python-built
+    LocalRelation pays a measured ~5s Python-runner round trip on
+    EVERY write job that consumes it (a count of the same frame is
+    0.15s; a JVM-built equivalent writes in 0.25s) — and this frame
+    exists precisely to be written as the index's centroid sidecar.
+    ``repr(float)`` literals round-trip IEEE doubles exactly, so the
+    persisted quantizer is bit-identical to the trained one."""
+    rows = ", ".join(
+        "struct(cast({} as int) as cell, array({}) as cvec)".format(
+            i,
+            ", ".join(
+                f"cast('{float(x)!r}' as double)" for x in c
+            ),
+        )
+        for i, c in enumerate(centroids)
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(F.expr(f"array({rows})")).alias("_s"))
+        .select(F.col("_s.cell").alias("cell"), F.col("_s.cvec").alias("cvec"))
+    )
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -862,10 +888,7 @@ def write_ivf_index(
     if isinstance(centroids, DataFrame):
         cdf = centroids
     else:
-        cdf = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "cell int, cvec array<double>",
-        )
+        cdf = _centroids_literal_df(spark, centroids)
     cdf.coalesce(1).write.mode("errorifexists").parquet(
         f"{path}/centroids"
     )
