@@ -2691,8 +2691,24 @@ class KeyedCatalog:
             raise NameError(
                 "generated columns are declared at create time"
             )
-        target_schema = self.meta(table_name).schema if exists else None
-        sdf, keys = self._normalize_input(df, keys, auto_index, target_schema)
+        tm = self.meta(table_name) if exists else None
+        target_schema = tm.schema if exists else None
+        # the narrowing aggregate is a full batch scan; for an
+        # existing-table Spark write whose columns are all known, its
+        # two live effects (all-null drop, type narrowing) are
+        # reproduced by the hoisted batch probe + coercion below, so
+        # the scan is skipped and the write pays ONE batch aggregate
+        # total (probe) before the write itself
+        fold_probe = (
+            exists
+            and not isinstance(df, pd.DataFrame)
+            and not auto_index
+            and not tm.auto_index
+            and set(df.columns) <= set(target_schema.names)
+        )
+        sdf, keys = self._normalize_input(
+            df, keys, auto_index, target_schema, narrow=not fold_probe
+        )
         for k in keys:
             if spark_to_logical(sdf.schema[k].dataType) not in (
                 "boolean", "integer", "float", "datetime", "string"
@@ -2745,6 +2761,25 @@ class KeyedCatalog:
                 "resurrect it"
             )
         sdf = coerce_to_table_schema(sdf, existing_schema, keys)
+        probe = None
+        if fold_probe:
+            # ONE batch aggregate serves the whole write: manifest
+            # snapshot + PK validation + touched buckets + row count +
+            # the narrowing pass's all-null-column drop (reference
+            # make_clean_columns_dict semantics: an all-null column is
+            # treated as absent, so an upsert preserves the target's
+            # values). The probe runs on the COERCED frame so bucket
+            # hashing always sees the table's key types. The snapshot
+            # taken here also serves the commit — a rival commit in
+            # the window trips the version claim, same as before.
+            man = self._manifest(table_name)
+            mrs = self._resolve_nb(m, man)
+            touched, n_batch, null_cols = self._batch_probe(sdf, mrs)
+            if null_cols:
+                sdf = sdf.drop(*null_cols)
+            probe = {
+                "man": man, "m": mrs, "touched": touched, "n": n_batch,
+            }
         gen_provided: "list[str] | None" = None
         if m.generated:
             gen_provided = [c for c in m.generated if c in sdf.columns]
@@ -2789,11 +2824,13 @@ class KeyedCatalog:
             self._write_meta(table_name, m)
 
         if how == "append":
-            self._append(sdf, table_name, m, txn=txn, ingest=ingest)
+            self._append(
+                sdf, table_name, m, txn=txn, ingest=ingest, probe=probe,
+            )
         else:
             self._upsert(
                 sdf, table_name, m, txn=txn, ingest=ingest,
-                gen_provided=gen_provided,
+                gen_provided=gen_provided, probe=probe,
             )
 
     def _normalize_input(
@@ -2802,8 +2839,16 @@ class KeyedCatalog:
         keys: Sequence[str] | None,
         auto_index: bool,
         target_schema: T.StructType | None = None,
+        narrow: bool = True,
     ) -> tuple[DataFrame, list[str]]:
-        """Validate + convert input; returns (spark_df, key list)."""
+        """Validate + convert input; returns (spark_df, key list).
+
+        ``narrow=False`` skips the narrowing aggregate for Spark
+        inputs — a full batch scan whose only effects for an
+        existing-table write with no new columns (type narrowing is
+        overridden by coerce_to_table_schema; all-null-column drop)
+        are reproduced for free by the write's own batch probe, so
+        the caller that owns that probe skips the scan here."""
         if isinstance(df, pd.DataFrame):
             pdf = df.copy()
             if keys is not None:
@@ -2860,7 +2905,7 @@ class KeyedCatalog:
         missing = [k for k in keys if k not in df.columns]
         if missing:
             raise NameError(f"key columns {missing} not in DataFrame")
-        return narrow_spark_schema(df, keys), keys
+        return (narrow_spark_schema(df, keys) if narrow else df), keys
 
     def _assign_auto_index(self, sdf: DataFrame, base: int) -> DataFrame:
         """Contiguous auto-increment key without a global sort.
@@ -3088,24 +3133,30 @@ class KeyedCatalog:
 
     def _batch_probe(
         self, sdf: DataFrame, m: TableMeta
-    ) -> "tuple[list[int], int]":
+    ) -> "tuple[list[int], int, list[str]]":
         """In-batch PK validation + touched buckets + batch row count
-        in ONE aggregate pass (previously three batch scans per write:
-        the duplicate groupBy, the null-key limit, and the
-        distinct-bucket collect — at 100 TB every extra pass over a
-        large batch is a real cost): count vs distinct-key count
-        detects duplicates, a null-key counter detects nulls, and
-        collect_set over the bucket expression (bounded by
-        num_buckets) yields the touched buckets. The row count rides
-        along for free and feeds the upsert's broadcast-vs-shuffle
-        merge-shape decision. Only the FAILURE path pays a second
-        scan, to name the offending key in the error."""
+        + all-null value columns in ONE aggregate pass (previously
+        FOUR batch scans per write: the narrowing aggregate, the
+        duplicate groupBy, the null-key limit, and the distinct-bucket
+        collect — at 100 TB every extra pass over a large batch is a
+        real cost): count vs distinct-key count detects duplicates, a
+        null-key counter detects nulls, collect_set over the bucket
+        expression (bounded by num_buckets) yields the touched
+        buckets, and per-value-column non-null counts identify
+        all-null columns (the reference drops those —
+        make_clean_columns_dict semantics — which for an upsert means
+        "preserve the target values", so the caller must drop them
+        before merging). The row count rides along for free and feeds
+        the broadcast-vs-shuffle merge-shape decision. Only the
+        FAILURE path pays a second scan, to name the offending key in
+        the error."""
         from functools import reduce
         import operator
 
         any_null = reduce(
             operator.or_, [F.col(k).isNull() for k in m.keys]
         )
+        value_cols = [c for c in sdf.columns if c not in m.keys]
         row = sdf.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(
@@ -3115,6 +3166,10 @@ class KeyedCatalog:
             F.collect_set(
                 _bucket_expr(m.keys, m.num_buckets)
             ).alias("bs"),
+            *[
+                F.count(F.col(c)).alias(f"_nn_{i}")
+                for i, c in enumerate(value_cols)
+            ],
         ).first()
         if int(row["nn"] or 0):
             raise ValueError("key columns may not contain NULL")
@@ -3128,7 +3183,16 @@ class KeyedCatalog:
                 .collect()
             )
             raise ValueError(f"duplicate key in batch: {dup[0].asDict()}")
-        return sorted(int(b) for b in row["bs"]), int(row["n"] or 0)
+        null_cols = [
+            c
+            for i, c in enumerate(value_cols)
+            if int(row[f"_nn_{i}"] or 0) == 0
+        ]
+        return (
+            sorted(int(b) for b in row["bs"]),
+            int(row["n"] or 0),
+            null_cols,
+        )
 
     def _keys_broadcastable(self, n_rows: int, m: TableMeta) -> bool:
         """Whether a ``n_rows``-row key frame fits under the session's
@@ -3270,18 +3334,24 @@ class KeyedCatalog:
         m: TableMeta,
         txn: "tuple[str, int] | None" = None,
         ingest: "dict[str, int] | None" = None,
+        probe: "dict | None" = None,
     ) -> None:
         """Strict append: any incoming key already present → IntegrityError
         (reference:pandabase/sql.py:264-266). The overlap probe joins the
         batch against ONLY the buckets it hashes into (manifest path
         pruning), then commits a new segment — no rewrite of existing
-        data."""
+        data. ``probe`` carries the caller's already-run batch probe +
+        manifest snapshot (the common to_table path) so the batch is
+        scanned once, not twice."""
         self._check_constraints(sdf, m)
         # one manifest snapshot for the PK probe and the commit (same
         # discipline as the DML rewrites): a rival commit in the window
         # trips the claim instead of being silently absorbed
-        man = self._manifest(table_name)
-        m = self._resolve_nb(m, man)
+        if probe is not None:
+            man, m = probe["man"], probe["m"]
+        else:
+            man = self._manifest(table_name)
+            m = self._resolve_nb(m, man)
         if m.auto_index:
             base_row = (
                 self._read_raw(table_name, manifest=man)
@@ -3291,7 +3361,10 @@ class KeyedCatalog:
             sdf = sdf.drop(AUTO_INDEX_NAME)
             sdf = self._assign_auto_index(sdf, base=(base_row or -1) + 1)
         else:
-            touched, n_batch = self._batch_probe(sdf, m)
+            if probe is not None:
+                touched, n_batch = probe["touched"], probe["n"]
+            else:
+                touched, n_batch, _ = self._batch_probe(sdf, m)
             existing = self._read_raw(
                 table_name, buckets=touched, manifest=man,
             )
@@ -3337,6 +3410,7 @@ class KeyedCatalog:
         txn: "tuple[str, int] | None" = None,
         ingest: "dict[str, int] | None" = None,
         gen_provided: "list[str] | None" = None,
+        probe: "dict | None" = None,
     ) -> None:
         """MERGE: batch rows win on matched keys (all incoming columns,
         NULLs included — reference:pandabase/sql.py:300); table columns
@@ -3369,10 +3443,23 @@ class KeyedCatalog:
         """
         # one manifest snapshot for the data read AND the commit —
         # and ITS bucketing, so touched-bucket replacement always
-        # matches the live layout even right after a rebucket
-        man = self._manifest(table_name)
-        m = self._resolve_nb(m, man)
-        touched, n_batch = self._batch_probe(sdf, m)
+        # matches the live layout even right after a rebucket;
+        # ``probe`` carries the caller's already-run snapshot + batch
+        # aggregate (the common to_table path), so the batch is
+        # scanned once, not twice
+        if probe is not None:
+            man, m = probe["man"], probe["m"]
+            touched, n_batch = probe["touched"], probe["n"]
+        else:
+            # probe=None ⇒ input normalization already ran its own
+            # inference (Spark narrowing, or the pandas path where an
+            # all-NaN float column must NOT be dropped — NaN is a
+            # value, and incoming NaN overwrites to null per
+            # reference:tests/test_sql.py:503-530), so no column drop
+            # happens here
+            man = self._manifest(table_name)
+            m = self._resolve_nb(m, man)
+            touched, n_batch, _ = self._batch_probe(sdf, m)
         existing = self._read_raw(table_name, buckets=touched, manifest=man)
         src_cols = set(sdf.columns)
         full_column = all(c in src_cols for c in existing.columns)

@@ -52,10 +52,14 @@ class CarryAntiCatalog(KeyedCatalog):
         txn=None,
         ingest=None,
         gen_provided=None,
+        probe=None,
     ) -> None:
-        man = self._manifest(table_name)
-        m = self._resolve_nb(m, man)
-        touched = self._batch_probe(sdf, m)[0]
+        if probe is not None:
+            man, m, touched = probe["man"], probe["m"], probe["touched"]
+        else:
+            man = self._manifest(table_name)
+            m = self._resolve_nb(m, man)
+            touched = self._batch_probe(sdf, m)[0]
         existing = self._read_raw(table_name, buckets=touched, manifest=man)
         table_cols = list(existing.columns)
         preserved = [c for c in table_cols if c not in sdf.columns]

@@ -539,9 +539,12 @@ def test_dml_job_budgets(spark, tmp_path):
         cat.drop_table(name)
         return len(sc.statusTracker().getJobIdsForGroup(group))
 
-    # write path: create = one cached shuffle + one validation agg +
-    # write; append = batch probe agg + clash agg + write; upsert =
-    # batch probe + carry/anti/union write
+    # write path (r10 fold: the narrowing aggregate is skipped for
+    # existing-table writes with no new columns — its effects ride the
+    # hoisted batch probe, so append/upsert scan the batch ONCE):
+    # create = one cached shuffle + one validation agg + write;
+    # append = hoisted probe agg + clash agg + write; upsert =
+    # hoisted probe + adaptive merge write (measured 8/8/5)
     sc.setJobGroup("jb-create", "create")
     cat.to_table(df, "jb_w", keys=["k"])
     sc.setJobGroup(None, None)
@@ -554,7 +557,7 @@ def test_dml_job_budgets(spark, tmp_path):
     )
     sc.setJobGroup(None, None)
     n = len(sc.statusTracker().getJobIdsForGroup("jb-append"))
-    assert n <= 12, f"append ran {n} jobs (budget 12)"
+    assert n <= 9, f"append ran {n} jobs (budget 9)"
     sc.setJobGroup("jb-upsert", "upsert")
     cat.to_table(
         df.withColumn("v", F.col("v") + 1.0), "jb_w", keys=["k"],
@@ -562,7 +565,7 @@ def test_dml_job_budgets(spark, tmp_path):
     )
     sc.setJobGroup(None, None)
     n = len(sc.statusTracker().getJobIdsForGroup("jb-upsert"))
-    assert n <= 11, f"upsert ran {n} jobs (budget 11)"
+    assert n <= 7, f"upsert ran {n} jobs (budget 7)"
     cat.drop_table("jb_w")
 
     # DV point delete, full-key equality: arithmetic bucket pin

@@ -2298,3 +2298,47 @@ def test_upsert_adaptive_dispatch_picks_by_batch(spark, catalog):
     catalog.to_table(full, "disp", keys=["k"], how="upsert")
     got = {r["k"]: (r["v"], r["s"]) for r in catalog.read_table("disp").collect()}
     assert got[7] == (7.0, "x7") and len(got) == 50
+
+
+def test_folded_probe_keeps_narrowing_semantics(spark, catalog):
+    """The r10 write-path fold skips the narrowing aggregate for
+    existing-table Spark writes with no new columns (the batch is
+    scanned ONCE, by the hoisted probe). The narrowing pass's two
+    live effects must survive the fold: an all-null batch column is
+    treated as ABSENT (upsert preserves target values — reference
+    make_clean_columns_dict drops all-None columns), and a genuinely
+    NEW column under add_new_columns still gets type-narrowed (0/1
+    ints evolve the schema as boolean), because that path keeps the
+    narrowing aggregate."""
+    src = spark.createDataFrame(
+        [(k, float(k), f"s{k}") for k in range(40)],
+        schema="k bigint, v double, s string",
+    )
+    catalog.to_table(src, "fold", keys=["k"])
+
+    # all-null column on the folded path: preserve, don't null out
+    batch = spark.createDataFrame(
+        [(5, None, "upd5"), (6, None, "upd6")],
+        schema="k bigint, v double, s string",
+    )
+    catalog.to_table(batch, "fold", keys=["k"], how="upsert")
+    got = {r["k"]: (r["v"], r["s"]) for r in catalog.read_table("fold").collect()}
+    assert got[5] == (5.0, "upd5") and got[6] == (6.0, "upd6")
+
+    # a PARTIALLY-null column still overwrites with its nulls
+    batch2 = spark.createDataFrame(
+        [(7, None, "u7"), (8, 88.0, "u8")],
+        schema="k bigint, v double, s string",
+    )
+    catalog.to_table(batch2, "fold", keys=["k"], how="upsert")
+    got = {r["k"]: (r["v"], r["s"]) for r in catalog.read_table("fold").collect()}
+    assert got[7] == (None, "u7") and got[8] == (88.0, "u8")
+
+    # new column of 0/1 ints: the non-folded path narrows it to boolean
+    batch3 = spark.createDataFrame(
+        [(1, 1), (2, 0)], schema="k bigint, flag int"
+    )
+    catalog.to_table(
+        batch3, "fold", keys=["k"], how="upsert", add_new_columns=True
+    )
+    assert dict(catalog.read_table("fold").dtypes)["flag"] == "boolean"
