@@ -161,6 +161,9 @@ def main() -> None:
     timed_dml("kt_upsert_10pct", lambda: cat.to_table(
         up, "b_lineitem", keys=workload.LI_KEYS, how="upsert"),
         table_path=bl_path)
+    dml_facts["kt_upsert_10pct"]["shape"] = getattr(
+        cat, "_last_upsert_shape", None
+    )
 
     timed("kt_range_read", lambda: force(
         cat.read_table("b_lineitem", lowest=(1000, None, None, None),

@@ -3475,6 +3475,9 @@ class KeyedCatalog:
                 else self._keys_broadcastable(n_batch, m)
             )
         )
+        # observability: which shape actually ran (bench records it in
+        # dml_facts; tests assert dispatch without plan introspection)
+        self._last_upsert_shape = "antiunion" if use_anti else "fullouter"
 
         if use_anti:
             batch_full = sdf

@@ -2281,6 +2281,7 @@ def test_upsert_adaptive_dispatch_picks_by_batch(spark, catalog):
         catalog._upsert_shape = None
     row = {r["k"]: (r["v"], r["s"]) for r in catalog.read_table("disp").collect()}
     assert row[5] == (123.0, "s5"), "preserved column must survive"
+    assert catalog._last_upsert_shape == "fullouter"
 
     # size dispatch: a batch whose key frame exceeds the session
     # broadcast threshold routes to full-outer even when full-column
@@ -2298,6 +2299,7 @@ def test_upsert_adaptive_dispatch_picks_by_batch(spark, catalog):
     catalog.to_table(full, "disp", keys=["k"], how="upsert")
     got = {r["k"]: (r["v"], r["s"]) for r in catalog.read_table("disp").collect()}
     assert got[7] == (7.0, "x7") and len(got) == 50
+    assert catalog._last_upsert_shape == "antiunion"
 
 
 def test_folded_probe_keeps_narrowing_semantics(spark, catalog):
