@@ -98,6 +98,260 @@ def _parse_ppm(payload: bytes):
     return w, h, maxval, data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color_type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
+    """Undo PNG per-row filtering (spec §6: None/Sub/Up/Average/Paeth).
+    ``raw`` is ``h`` rows of ``1 + w*ch`` bytes (filter byte + filtered
+    samples); returns the reconstructed ``w*h*ch`` pixel bytes or None
+    on a bad filter code / short input."""
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    prev_off = -stride
+    pos = 0
+    for _y in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = raw[pos:pos + stride]
+        pos += stride
+        o = prev_off + stride  # this row's offset in out
+        if ft == 0:  # None
+            out[o:o + stride] = row
+        elif ft == 1:  # Sub
+            for x in range(stride):
+                a = out[o + x - ch] if x >= ch else 0
+                out[o + x] = (row[x] + a) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                b = out[prev_off + x] if prev_off >= 0 else 0
+                out[o + x] = (row[x] + b) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = out[o + x - ch] if x >= ch else 0
+                b = out[prev_off + x] if prev_off >= 0 else 0
+                out[o + x] = (row[x] + ((a + b) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = out[o + x - ch] if x >= ch else 0
+                b = out[prev_off + x] if prev_off >= 0 else 0
+                c = (
+                    out[prev_off + x - ch]
+                    if (prev_off >= 0 and x >= ch)
+                    else 0
+                )
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[o + x] = (row[x] + pr) & 0xFF
+        else:
+            return None
+        prev_off = o
+    return bytes(out)
+
+
+def _parse_png(payload: bytes):
+    """Parse an 8-bit non-interlaced PNG (grayscale / RGB / RGBA) with
+    NO dependencies beyond the stdlib: signature, chunk walk (IHDR →
+    IDAT* → IEND), zlib inflate, per-row unfilter (all five spec
+    filters — :func:`_png_unfilter`). Returns
+    ``(w, h, channels, pixel_bytes)`` or ``None`` for anything
+    malformed, truncated, or outside the supported subset (palette,
+    16-bit, Adam7 interlace) — callers surface nulls, never crash a
+    batch. Together with :func:`_parse_ppm` this makes the decode
+    seam real for a COMPRESSED container format: a decode bug in the
+    inflate/unfilter pipeline breaks the oracle hash, not just a
+    header field."""
+    import struct
+    import zlib
+
+    try:
+        if not payload or not payload.startswith(_PNG_SIG):
+            return None
+        i, n = len(_PNG_SIG), len(payload)
+        ihdr = None
+        idat = bytearray()
+        while i + 8 <= n:
+            (length,) = struct.unpack(">I", payload[i:i + 4])
+            ctype = payload[i + 4:i + 8]
+            data = payload[i + 8:i + 8 + length]
+            if len(data) < length:
+                return None
+            if ctype == b"IHDR":
+                ihdr = data
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            i += 12 + length  # length + type + data + crc
+        if ihdr is None or len(ihdr) != 13 or not idat:
+            return None
+        w, h, depth, color, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", ihdr
+        )
+        if (
+            w <= 0 or h <= 0 or depth != 8 or comp != 0 or filt != 0
+            or interlace != 0 or color not in _PNG_CHANNELS
+        ):
+            return None
+        ch = _PNG_CHANNELS[color]
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (w * ch + 1):
+            return None
+        pixels = _png_unfilter(raw, w, h, ch)
+        if pixels is None:
+            return None
+        return w, h, ch, pixels
+    except Exception:
+        return None
+
+
+def _png_filter_row(ft: int, row: bytes, prev: bytes, ch: int) -> bytes:
+    """Apply PNG filter ``ft`` to ``row`` (encoder side — the exact
+    inverse of :func:`_png_unfilter`, used to synthesize payloads that
+    exercise every filter on decode)."""
+    stride = len(row)
+    out = bytearray(stride)
+    for x in range(stride):
+        a = row[x - ch] if x >= ch else 0
+        b = prev[x] if prev else 0
+        c = prev[x - ch] if (prev and x >= ch) else 0
+        if ft == 0:
+            v = row[x]
+        elif ft == 1:
+            v = row[x] - a
+        elif ft == 2:
+            v = row[x] - b
+        elif ft == 3:
+            v = row[x] - ((a + b) >> 1)
+        elif ft == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = row[x] - pr
+        else:
+            raise ValueError(f"bad filter {ft}")
+        out[x] = v & 0xFF
+    return bytes(out)
+
+
+def encode_png(
+    w: int, h: int, ch: int, pixels: bytes, *,
+    row_filter=None,
+) -> bytes:
+    """Minimal spec-correct PNG encoder (stdlib only): 8-bit
+    grayscale/RGB/RGBA, one IDAT, correct CRCs. ``row_filter(y)``
+    picks the filter type per row (default 0/None) — encoding with
+    Sub/Up/Average/Paeth makes the DECODER's unfilter path do real
+    work, which is exactly what the oracle-checked query wants."""
+    import struct
+    import zlib
+
+    color = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = w * ch
+    body = bytearray()
+    prev = b""
+    for y in range(h):
+        row = pixels[y * stride:(y + 1) * stride]
+        ft = row_filter(y) if row_filter is not None else 0
+        body.append(ft)
+        body += _png_filter_row(ft, row, prev, ch)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL compressed image bytes: a solid-color 8-bit
+    RGB PNG whose dimensions and color derive arithmetically from the
+    id — width = 4 + id % 6, height = 4 + id % 5,
+    RGB = (id, 5·id, 7·id) mod 256 — encoded with the row's filter
+    type cycling 0..4, so decoding exercises inflate AND all five
+    unfilter paths while a SQL oracle still recomputes every decoded
+    stat from the id alone. Arrow-batched mapInPandas, same
+    bounded-memory contract as the decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 4 + i % 6, 4 + i % 5
+                px = bytes([i % 256, (5 * i) % 256, (7 * i) % 256]) * (w * h)
+                payloads.append(
+                    encode_png(w, h, 3, px, row_filter=lambda y: y % 5)
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": payloads,
+                    "media_type": "image/png",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, f"{id_col} long, payload binary, media_type string"
+    )
+
+
+def decode_png_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Integer-exact decode stats over real PNG bytes (signature →
+    chunk walk → inflate → unfilter → pixel sum); malformed payloads
+    yield null stats. Same schema and seam as
+    :func:`decode_ppm_stats`, so the two codecs share their oracle
+    shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, chs, sums, npx = [], [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(i))
+                parsed = _parse_png(p if p is not None else b"")
+                if parsed is None:
+                    ws.append(None); hs.append(None); chs.append(None)
+                    sums.append(None); npx.append(None)
+                    continue
+                w, h, ch, data = parsed
+                ws.append(w); hs.append(h); chs.append(ch)
+                sums.append(sum(data)); npx.append(w * h)
+            yield pd.DataFrame(
+                {
+                    "id": ids, "width": ws, "height": hs,
+                    "channels": chs, "sum_bytes": sums,
+                    "n_pixels": npx,
+                },
+                dtype="object",
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, PPM_STATS_SCHEMA
+    )
+
+
 def attach_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL image bytes: a solid-color binary PPM (P6)
     whose dimensions and color derive arithmetically from the id —
