@@ -434,6 +434,166 @@ def decode_ppm_stats(
     )
 
 
+def _parse_wav(payload: bytes):
+    """Parse a RIFF/WAVE container holding PCM (format 1) audio with
+    NO dependencies: RIFF header, chunk walk to ``fmt `` and ``data``,
+    8/16-bit integer samples. Returns
+    ``(channels, sample_rate, bits, frames, samples)`` where
+    ``samples`` is a flat list of integer sample values (interleaved
+    channels), or ``None`` for anything malformed/truncated/non-PCM —
+    callers surface nulls, never crash a batch. The audio counterpart
+    of :func:`_parse_ppm`/:func:`_parse_png`: the third REAL modality
+    through the same seam (torchaudio/ffmpeg formats stay behind the
+    lazy-import seam)."""
+    import struct
+
+    try:
+        if (
+            not payload
+            or len(payload) < 12
+            or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"
+        ):
+            return None
+        i, n = 12, len(payload)
+        fmt = None
+        data = None
+        while i + 8 <= n:
+            ctype = payload[i:i + 4]
+            (length,) = struct.unpack("<I", payload[i + 4:i + 8])
+            body = payload[i + 8:i + 8 + length]
+            if len(body) < length:
+                return None
+            if ctype == b"fmt ":
+                fmt = body
+            elif ctype == b"data":
+                data = body
+            i += 8 + length + (length & 1)  # chunks are word-aligned
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        audio_fmt, ch, rate, _brate, block, bits = struct.unpack(
+            "<HHIIHH", fmt[:16]
+        )
+        if audio_fmt != 1 or ch <= 0 or rate <= 0 or bits not in (8, 16):
+            return None
+        bytes_per = bits // 8
+        if block != ch * bytes_per:
+            return None
+        frames = len(data) // block
+        if frames * block != len(data):
+            return None
+        if bits == 16:
+            samples = list(
+                struct.unpack(f"<{frames * ch}h", data)
+            )
+        else:
+            samples = [b - 128 for b in data]  # 8-bit WAV is unsigned
+        return ch, rate, bits, frames, samples
+    except Exception:
+        return None
+
+
+def encode_wav(
+    ch: int, rate: int, bits: int, samples: "list[int]"
+) -> bytes:
+    """Minimal spec-correct PCM WAV encoder (stdlib only) — the
+    synthesis half of the audio seam's oracle loop."""
+    import struct
+
+    bytes_per = bits // 8
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, rate, rate * ch * bytes_per,
+        ch * bytes_per, bits,
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+WAV_STATS_SCHEMA = (
+    "id long, channels int, sample_rate int, bits int, n_frames long, "
+    "sum_abs long"
+)
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL audio bytes: a 16-bit mono PCM WAV whose
+    sample count and waveform derive arithmetically from the id —
+    n_frames = 32 + id % 32, rate = 8000 + (id % 4) * 4000,
+    sample[t] = ((id + t) % 200) - 100 (an integer sawtooth, so every
+    decoded stat is integer-exact and a SQL oracle recomputes it from
+    the id alone). Arrow-batched mapInPandas, same bounded-memory
+    contract as the decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                frames = 32 + i % 32
+                rate = 8000 + (i % 4) * 4000
+                samples = [((i + t) % 200) - 100 for t in range(frames)]
+                payloads.append(encode_wav(1, rate, 16, samples))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, f"{id_col} long, payload binary, media_type string"
+    )
+
+
+def decode_wav_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Integer-exact decode stats over real WAV bytes: channels,
+    sample rate, bit depth, frame count, and the sum of absolute
+    sample values — all integers, so the SQL oracle comparison is
+    exact. Malformed payloads yield null stats. Same Arrow-batched
+    mapInPandas seam as the image decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chs, rates, bits_, nfr, sab = [], [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(i))
+                parsed = _parse_wav(p if p is not None else b"")
+                if parsed is None:
+                    chs.append(None); rates.append(None)
+                    bits_.append(None); nfr.append(None); sab.append(None)
+                    continue
+                ch, rate, bits, frames, samples = parsed
+                chs.append(ch); rates.append(rate); bits_.append(bits)
+                nfr.append(frames)
+                sab.append(sum(abs(s) for s in samples))
+            yield pd.DataFrame(
+                {
+                    "id": ids, "channels": chs, "sample_rate": rates,
+                    "bits": bits_, "n_frames": nfr, "sum_abs": sab,
+                },
+                dtype="object",
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, WAV_STATS_SCHEMA
+    )
+
+
 def attach_fake_payload(df: DataFrame, src_col: str, *, media_type: str = "image/png") -> DataFrame:
     """Testing helper: derive an opaque binary payload (+ media_type)
     from an existing column — stands in for real image/audio bytes."""

@@ -6011,6 +6011,38 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_stats(attach_png_payload(docs, "doc_id"))
 
 
+@_q(
+    "multimodal_decode_wav",
+    "SELECT doc_id AS id, "
+    "CAST(1 AS INTEGER) AS channels, "
+    "CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate, "
+    "CAST(16 AS INTEGER) AS bits, "
+    "CAST(32 + doc_id % 32 AS BIGINT) AS n_frames, "
+    "CAST(list_sum(list_transform(generate_series(0, 31 + doc_id % 32), "
+    "t -> ABS((doc_id + t) % 200 - 100))) AS BIGINT) AS sum_abs "
+    "FROM documents",
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AUDIO decode through the mapInPandas seam — the third
+    modality with a genuine stdlib-only codec (after PPM and PNG
+    images): each document gets a real 16-bit mono PCM WAV whose
+    frame count, sample rate, and integer-sawtooth waveform derive
+    arithmetically from doc_id (attach_wav_payload / encode_wav), and
+    decode_wav_stats runs the full RIFF pipeline (header → chunk walk
+    with word alignment → PCM sample unpack → |sample| sum) via
+    multimodal._parse_wav. Every stat is an integer the oracle
+    recomputes from doc_id alone (the waveform sum as a DuckDB
+    list_transform over generate_series), so a parse or unpack bug
+    breaks the hash. torchaudio/ffmpeg formats keep the lazy-import
+    seam."""
+    from pandabase_spark.operators.multimodal import (
+        attach_wav_payload, decode_wav_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_wav_stats(attach_wav_payload(docs, "doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # TPC-H breadth: correlated EXISTS, scalar subqueries, disjunctive
 # pushdown, HAVING-limited fact rollups (shapes q4/q10/q14/q17/q18/
@@ -7701,17 +7733,18 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 4 sketch entries (last checked r5 — GRADUATED to oracled this
 # round: their outputs now carry exact cross-engine values + published-
 # bound booleans), and the 49 entries last checked r6. This round-10
-# head = those 2 + the 3 round-10 multimodal graduations/additions
+# head = those 2 + the 4 round-10 multimodal graduations/additions
 # (multimodal_embed_topk now embeds REAL decoded PPM pixels;
 # multimodal_resize_ppm is the new chained decode→resize→re-encode→
-# decode loop; multimodal_decode_png is the new stdlib-only
-# compressed-container codec) + the 4 graduated sketches + 41 of the
-# 49 r6 rows. The 8 deferred to r11: ann_topk_ivfpq / ann_topk_pq
-# (rows-only — the weakest check form yields its slots, same
-# rationale as r9), the five grouping/pivot-family shapes (cube/
-# rollup/grouping_sets/pivot/unpivot — each already green r2/r3+r6),
-# and streaming_windowed_counts (green r6; the streaming family keeps
-# four other heads slots) — all lead the r11 rotation.
+# decode loop; multimodal_decode_png and multimodal_decode_wav are
+# the new stdlib-only compressed-image and PCM-audio codecs) + the 4
+# graduated sketches + 40 of the 49 r6 rows. The 9 deferred to r11:
+# ann_topk_ivfpq / ann_topk_pq (rows-only — the weakest check form
+# yields its slots, same rationale as r9), the five grouping/pivot-
+# family shapes (cube/rollup/grouping_sets/pivot/unpivot — each
+# already green r2/r3+r6), and streaming_windowed_counts +
+# events_json_extract (both green r6; their families keep other head
+# slots) — all lead the r11 rotation.
 _GATE_FIRST = [
     # never driver-checked (added r9)
     "ann_topk_ivf_full_probe",
@@ -7720,6 +7753,7 @@ _GATE_FIRST = [
     # decode_png is the round's new COMPRESSED-container codec —
     # stdlib zlib inflate + all-five-filters unfilter, oracle-exact)
     "multimodal_decode_png",
+    "multimodal_decode_wav",
     "multimodal_resize_ppm",
     "multimodal_embed_topk",
     # the sketch family, graduated from rows-only to oracled
@@ -7764,7 +7798,6 @@ _GATE_FIRST = [
     "label_centroids",
     # r6-stale events / windows / set ops
     "events_hourly",
-    "events_json_extract",
     "events_moving_avg",
     "events_resample_fill",
     "events_user_deltas",

@@ -381,3 +381,62 @@ def test_decode_png_real_bytes(spark):
     )
     r = decode_png_stats(bad).collect()[0]
     assert r["id"] == 999 and r["width"] is None and r["sum_bytes"] is None
+
+
+def test_wav_codec_round_trip_unit():
+    """The stdlib-only PCM WAV codec: 8/16-bit x mono/stereo
+    round-trips sample-exactly; every malformation class → None
+    (wrong magic, truncated data chunk, non-PCM format, odd block
+    alignment, junk)."""
+    import random
+    import struct
+
+    from pandabase_spark.operators.multimodal import _parse_wav, encode_wav
+
+    rng = random.Random(7)
+    for bits in (8, 16):
+        lo, hi = (-128, 127) if bits == 8 else (-32768, 32767)
+        for ch in (1, 2):
+            frames = rng.randint(1, 40)
+            samples = [rng.randint(lo, hi) for _ in range(frames * ch)]
+            enc = encode_wav(ch, 16000, bits, samples)
+            got = _parse_wav(enc)
+            assert got == (ch, 16000, bits, frames, samples), (bits, ch)
+    enc = encode_wav(1, 8000, 16, [1, -2, 3])
+    assert _parse_wav(b"") is None
+    assert _parse_wav(b"RIFX" + enc[4:]) is None
+    assert _parse_wav(enc[:-2]) is None  # truncated data chunk
+    nonpcm = bytearray(enc)
+    nonpcm[20] = 3  # fmt code 1 -> 3 (IEEE float, unsupported)
+    assert _parse_wav(bytes(nonpcm)) is None
+    badblock = bytearray(enc)
+    badblock[32] = 99  # block align contradicts ch * bytes/sample
+    assert _parse_wav(bytes(badblock)) is None
+
+
+def test_decode_wav_real_bytes(spark):
+    """Real audio decode through the seam: deterministic sawtooth WAVs
+    decode to stats the id formula predicts; malformed payloads yield
+    null stats, not a crashed batch."""
+    from pandabase_spark.operators.multimodal import (
+        attach_wav_payload, decode_wav_stats,
+    )
+
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    rows = {
+        r["id"]: r
+        for r in decode_wav_stats(attach_wav_payload(docs, "doc_id")).collect()
+    }
+    assert len(rows) == 40
+    for i in (0, 9, 31, 39):
+        frames = 32 + i % 32
+        sab = sum(abs(((i + t) % 200) - 100) for t in range(frames))
+        r = rows[i]
+        assert (r["channels"], r["bits"]) == (1, 16)
+        assert r["sample_rate"] == 8000 + (i % 4) * 4000
+        assert (r["n_frames"], r["sum_abs"]) == (frames, sab)
+    bad = spark.createDataFrame(
+        [(999, b"RIFFnope")], "doc_id long, payload binary"
+    )
+    r = decode_wav_stats(bad).collect()[0]
+    assert r["id"] == 999 and r["n_frames"] is None
