@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 FAKE = "fake"
 REAL = "real"
 PPM = "ppm"
+AUTO = "auto"
 
 _STUB_MSG = (
     "real media decode requires a codec library (PIL/torchaudio/ffmpeg) "
@@ -594,6 +595,67 @@ def decode_wav_stats(
     )
 
 
+MEDIA_STATS_SCHEMA = (
+    "id long, format string, width int, height int, channels int, "
+    "sum_bytes long, n_pixels long"
+)
+
+
+def decode_image_stats_auto(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Integer-exact decode stats over a MIXED media column: magic-byte
+    sniffing routes each payload to its dependency-free codec (PPM or
+    PNG) in one pass — the production shape for a heterogeneous 100 TB
+    media corpus, where per-format table splits would multiply scans.
+    Emits the detected ``format`` plus the same integer stats as the
+    per-format decoders; unrecognized/malformed payloads yield a null
+    format and null stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "format", "width", "height", "channels",
+                "sum_bytes", "n_pixels",
+            )}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = p if p is not None else b""
+                out["id"].append(int(i))
+                fmt = parsed = None
+                if payload.startswith(b"P6"):
+                    got = _parse_ppm(payload)
+                    if got is not None:
+                        w, h, _maxval, data = got
+                        fmt, parsed = "ppm", (w, h, 3, data)
+                elif payload.startswith(_PNG_SIG):
+                    got = _parse_png(payload)
+                    if got is not None:
+                        fmt, parsed = "png", got
+                if parsed is None:
+                    out["format"].append(None)
+                    for k in (
+                        "width", "height", "channels", "sum_bytes",
+                        "n_pixels",
+                    ):
+                        out[k].append(None)
+                    continue
+                w, h, ch, data = parsed
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["sum_bytes"].append(sum(data))
+                out["n_pixels"].append(w * h)
+            yield pd.DataFrame(out, dtype="object")
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, MEDIA_STATS_SCHEMA
+    )
+
+
 def attach_fake_payload(df: DataFrame, src_col: str, *, media_type: str = "image/png") -> DataFrame:
     """Testing helper: derive an opaque binary payload (+ media_type)
     from an existing column — stands in for real image/audio bytes."""
@@ -647,15 +709,19 @@ def decode_images(
     import — raises NotImplementedError at this seam when absent);
     ``decoder="ppm"`` does a dependency-free REAL decode of binary
     PPM (P6) bytes (:func:`_parse_ppm` — mean_intensity is the true
-    pixel-byte mean over maxval; malformed payloads yield nulls); the
-    plumbing is byte-identical across all three.
+    pixel-byte mean over maxval; malformed payloads yield nulls);
+    ``decoder="auto"`` sniffs each payload's magic bytes and routes to
+    the matching dependency-free codec (PPM or PNG — the mixed-corpus
+    production shape: one pass over a heterogeneous media column,
+    unrecognized formats null their row); the plumbing is
+    byte-identical across all of them.
     """
     if decoder == REAL:
         _require_pil()  # fail fast on the driver if the codec is absent
-    elif decoder not in (FAKE, PPM):
+    elif decoder not in (FAKE, PPM, AUTO):
         raise ValueError(
-            f"decoder must be '{FAKE}', '{REAL}' or '{PPM}', got "
-            f"{decoder!r}"
+            f"decoder must be '{FAKE}', '{REAL}', '{PPM}' or '{AUTO}', "
+            f"got {decoder!r}"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -679,6 +745,24 @@ def decode_images(
                     return None, None, None, None
                 w, h, maxval, data = parsed
                 return w, h, 3, round(sum(data) / (len(data) * maxval), 6)
+        elif decoder == AUTO:
+
+            def feat(payload: bytes):
+                if payload.startswith(b"P6"):
+                    parsed = _parse_ppm(payload)
+                    if parsed is None:
+                        return None, None, None, None
+                    w, h, maxval, data = parsed
+                    return (
+                        w, h, 3, round(sum(data) / (len(data) * maxval), 6)
+                    )
+                if payload.startswith(_PNG_SIG):
+                    parsed = _parse_png(payload)
+                    if parsed is None:
+                        return None, None, None, None
+                    w, h, ch, data = parsed
+                    return w, h, ch, round(sum(data) / (len(data) * 255), 6)
+                return None, None, None, None
         else:
             feat = _fake_image_features
 
@@ -693,10 +777,10 @@ def decode_images(
                 "channels": [f[2] for f in feats],
                 "mean_intensity": [f[3] for f in feats],
             }
-            # PPM may emit None for malformed payloads — object dtype
-            # keeps the nulls null through the Arrow conversion
+            # PPM/AUTO may emit None for malformed payloads — object
+            # dtype keeps the nulls null through the Arrow conversion
             yield pd.DataFrame(
-                cols, dtype="object" if decoder == PPM else None
+                cols, dtype="object" if decoder in (PPM, AUTO) else None
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)

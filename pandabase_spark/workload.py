@@ -6043,6 +6043,46 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav_stats(attach_wav_payload(docs, "doc_id"))
 
 
+@_q(
+    "multimodal_decode_mixed",
+    "SELECT doc_id AS id, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'png' END AS format, "
+    "CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 8 "
+    "          ELSE 4 + doc_id % 6 END AS INTEGER) AS width, "
+    "CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 4 "
+    "          ELSE 4 + doc_id % 5 END AS INTEGER) AS height, "
+    "CAST(3 AS INTEGER) AS channels, "
+    "CAST(CASE WHEN doc_id % 2 = 0 THEN "
+    "  (doc_id % 256 + (2 * doc_id) % 256 + (3 * doc_id) % 256) "
+    "  * (8 + doc_id % 8) * (8 + doc_id % 4) "
+    "ELSE "
+    "  (doc_id % 256 + (5 * doc_id) % 256 + (7 * doc_id) % 256) "
+    "  * (4 + doc_id % 6) * (4 + doc_id % 5) "
+    "END AS BIGINT) AS sum_bytes, "
+    "CAST(CASE WHEN doc_id % 2 = 0 THEN (8 + doc_id % 8) * (8 + doc_id % 4) "
+    "          ELSE (4 + doc_id % 6) * (4 + doc_id % 5) "
+    "END AS BIGINT) AS n_pixels "
+    "FROM documents",
+)
+def multimodal_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-corpus decode in ONE pass: even doc_ids carry raw
+    PPM payloads, odd carry compressed PNGs (every row's filter type
+    cycling), and decode_image_stats_auto sniffs each payload's magic
+    bytes and routes it to the matching dependency-free codec — the
+    production shape for a mixed 100 TB media column, where per-format
+    splits would multiply scans. The oracle recomputes format AND all
+    integer stats from doc_id parity alone, so both the dispatch and
+    both codecs are value-exact in one check."""
+    from pandabase_spark.operators.multimodal import (
+        attach_png_payload, attach_ppm_payload, decode_image_stats_auto,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    even = attach_ppm_payload(docs.where(F.col("doc_id") % 2 == 0), "doc_id")
+    odd = attach_png_payload(docs.where(F.col("doc_id") % 2 == 1), "doc_id")
+    return decode_image_stats_auto(even.unionByName(odd))
+
+
 # ---------------------------------------------------------------------------
 # TPC-H breadth: correlated EXISTS, scalar subqueries, disjunctive
 # pushdown, HAVING-limited fact rollups (shapes q4/q10/q14/q17/q18/

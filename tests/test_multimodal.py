@@ -440,3 +440,37 @@ def test_decode_wav_real_bytes(spark):
     )
     r = decode_wav_stats(bad).collect()[0]
     assert r["id"] == 999 and r["n_frames"] is None
+
+
+def test_decode_auto_sniffs_mixed_formats(spark):
+    """decoder='auto' / decode_image_stats_auto route each payload by
+    magic bytes in one pass: PPM and PNG rows in the same column both
+    decode (format tagged), junk yields a null row."""
+    from pandabase_spark.operators.multimodal import (
+        attach_png_payload, attach_ppm_payload, decode_image_stats_auto,
+        decode_images,
+    )
+
+    docs = spark.range(20).select(F.col("id").alias("doc_id"))
+    even = attach_ppm_payload(docs.where("doc_id % 2 = 0"), "doc_id")
+    odd = attach_png_payload(docs.where("doc_id % 2 = 1"), "doc_id")
+    mixed = even.unionByName(odd)
+    rows = {r["id"]: r for r in decode_image_stats_auto(mixed).collect()}
+    assert len(rows) == 20
+    for i in range(20):
+        r = rows[i]
+        if i % 2 == 0:
+            assert r["format"] == "ppm"
+            assert (r["width"], r["height"]) == (8 + i % 8, 8 + i % 4)
+        else:
+            assert r["format"] == "png"
+            assert (r["width"], r["height"]) == (4 + i % 6, 4 + i % 5)
+    # the float feature path agrees on dimensions through auto
+    feats = {r["id"]: r for r in decode_images(mixed, decoder="auto").collect()}
+    assert (feats[2]["width"], feats[3]["width"]) == (8 + 2 % 8, 4 + 3 % 6)
+    # junk payload: null format, null stats, batch survives
+    junk = spark.createDataFrame(
+        [(99, b"GIF89a not supported")], "doc_id long, payload binary"
+    )
+    r = decode_image_stats_auto(junk).collect()[0]
+    assert r["format"] is None and r["width"] is None
