@@ -86,6 +86,7 @@ from pandabase_spark.fs import HadoopFS
 from pandabase_spark.names import clean_name, is_clean
 from pandabase_spark.types import (
     coerce_to_table_schema,
+    coercion_class,
     infer_schema_pandas,
     narrow_spark_schema,
     pandas_to_spark,
@@ -413,7 +414,7 @@ class KeyedCatalog:
             man = json.loads(self.fs.read_text(nxt))
 
     def _repair_regressed_pointer(
-        self, table_name: str, cur_path: str
+        self, table_name: str, cur_path: str, doc: "str | None" = None,
     ) -> None:
         """Republish CURRENT at the head-resolved chain if a delayed
         publish regressed it (the bounded anomaly documented in
@@ -424,9 +425,13 @@ class KeyedCatalog:
         until the next commit happens to land. Best-effort and
         idempotent: the republished bytes are exactly the head claim
         file's own, so racing repairs/publishes converge; any IO race
-        is left for the next reader/commit to heal."""
+        is left for the next reader/commit to heal. ``doc`` is the
+        pointer content the caller just wrote — passing it skips
+        re-reading the file the caller authored one line earlier (an
+        extra RPC per successful commit on object stores); the chain
+        walk from its version reaches the same head either way."""
         try:
-            head_txt = self.fs.read_text(cur_path)
+            head_txt = doc if doc is not None else self.fs.read_text(cur_path)
             head = json.loads(head_txt)
             published_v = head["v"]
             while True:
@@ -1229,7 +1234,7 @@ class KeyedCatalog:
             # between our claim and this line) — close the window now
             # instead of leaving the pointer regressed for external
             # pointer-file readers until the next commit
-            self._repair_regressed_pointer(table_name, cur_path)
+            self._repair_regressed_pointer(table_name, cur_path, doc=doc)
             return
         if claimed and cur > v:
             # CURRENT moved while we held the claim. Two worlds:
@@ -1301,7 +1306,9 @@ class KeyedCatalog:
                 # a crash right after this line cannot leave the
                 # pointer regressed indefinitely for external readers
                 # (in-repo readers heal via _manifest head resolution).
-                self._repair_regressed_pointer(table_name, cur_path)
+                self._repair_regressed_pointer(
+                    table_name, cur_path, doc=rival_doc
+                )
         if skip_path is not None:
             # ours alone (writer-unique name) — safe to reclaim now
             self.fs.delete(skip_path, recursive=False)
@@ -2705,6 +2712,20 @@ class KeyedCatalog:
             and not auto_index
             and not tm.auto_index
             and set(df.columns) <= set(target_schema.names)
+            # every column must be coercible from its DECLARED type:
+            # the old narrowing pass dropped an all-null column BEFORE
+            # coercion ever saw it, so a batch carrying e.g. an
+            # all-NULL NullType (F.lit(None)) or all-null string
+            # column against a numeric table column used to succeed.
+            # The fold runs coercion first, so any column coercion
+            # would reject must take the narrowing path instead —
+            # same semantics, just without the saved scan.
+            and all(
+                coercion_class(
+                    df.schema[c].dataType, target_schema[c].dataType
+                ) != "reject"
+                for c in df.columns
+            )
         )
         sdf, keys = self._normalize_input(
             df, keys, auto_index, target_schema, narrow=not fold_probe
@@ -2774,11 +2795,12 @@ class KeyedCatalog:
             # the window trips the version claim, same as before.
             man = self._manifest(table_name)
             mrs = self._resolve_nb(m, man)
-            touched, n_batch, null_cols = self._batch_probe(sdf, mrs)
+            touched, n_batch, null_cols, kb = self._batch_probe(sdf, mrs)
             if null_cols:
                 sdf = sdf.drop(*null_cols)
             probe = {
                 "man": man, "m": mrs, "touched": touched, "n": n_batch,
+                "key_bytes": kb,
             }
         gen_provided: "list[str] | None" = None
         if m.generated:
@@ -3133,7 +3155,7 @@ class KeyedCatalog:
 
     def _batch_probe(
         self, sdf: DataFrame, m: TableMeta
-    ) -> "tuple[list[int], int, list[str]]":
+    ) -> "tuple[list[int], int, list[str], int]":
         """In-batch PK validation + touched buckets + batch row count
         + all-null value columns in ONE aggregate pass (previously
         FOUR batch scans per write: the narrowing aggregate, the
@@ -3157,6 +3179,13 @@ class KeyedCatalog:
             operator.or_, [F.col(k).isNull() for k in m.keys]
         )
         value_cols = [c for c in sdf.columns if c not in m.keys]
+        # string keys get their TOTAL bytes measured (rides the same
+        # aggregate for free) — the broadcast gate must not trust a
+        # per-key width guess that long URL/path keys would blow past
+        str_keys = [
+            k for k in m.keys
+            if isinstance(m.schema[k].dataType, T.StringType)
+        ]
         row = sdf.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(
@@ -3169,6 +3198,10 @@ class KeyedCatalog:
             *[
                 F.count(F.col(c)).alias(f"_nn_{i}")
                 for i, c in enumerate(value_cols)
+            ],
+            *[
+                F.sum(F.length(F.col(k)).cast("long")).alias(f"_kb_{i}")
+                for i, k in enumerate(str_keys)
             ],
         ).first()
         if int(row["nn"] or 0):
@@ -3188,18 +3221,27 @@ class KeyedCatalog:
             for i, c in enumerate(value_cols)
             if int(row[f"_nn_{i}"] or 0) == 0
         ]
+        str_key_bytes = sum(
+            int(row[f"_kb_{i}"] or 0) for i in range(len(str_keys))
+        )
         return (
             sorted(int(b) for b in row["bs"]),
             int(row["n"] or 0),
             null_cols,
+            str_key_bytes,
         )
 
-    def _keys_broadcastable(self, n_rows: int, m: TableMeta) -> bool:
+    def _keys_broadcastable(
+        self, n_rows: int, m: TableMeta, str_bytes: "int | None" = None,
+    ) -> bool:
         """Whether a ``n_rows``-row key frame fits under the session's
-        ``spark.sql.autoBroadcastJoinThreshold`` by a conservative
-        per-type width estimate — the decision input for the upsert
-        merge shape (an explicit broadcast hint bypasses Spark's own
-        stats, so the caller must only hint what provably fits)."""
+        ``spark.sql.autoBroadcastJoinThreshold`` — the decision input
+        for the upsert merge shape (an explicit broadcast hint
+        bypasses Spark's own stats, so the caller must only hint what
+        provably fits). ``str_bytes`` is the MEASURED total byte count
+        of the string key columns (the batch probe records it in the
+        same aggregate); without it, string keys fall back to a width
+        heuristic that long URL/path keys would defeat."""
         try:
             raw = str(
                 self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -3221,6 +3263,7 @@ class KeyedCatalog:
         from pyspark.sql import types as T
 
         width = 0
+        measured = 0
         for k in m.keys:
             dt = m.schema[k].dataType
             if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType)):
@@ -3230,10 +3273,16 @@ class KeyedCatalog:
             elif isinstance(dt, (T.ShortType, T.BooleanType, T.ByteType)):
                 width += 2
             elif isinstance(dt, T.StringType):
-                width += 24  # heuristic mean; keys are short in practice
+                if str_bytes is not None:
+                    measured += 1  # counted via str_bytes below
+                else:
+                    width += 24  # heuristic fallback (no probe info)
             else:
                 width += 32
-        return n_rows * max(width, 1) <= threshold
+        total = n_rows * width + (str_bytes if measured else 0)
+        if total <= 0:
+            total = n_rows  # degenerate: no sized key columns
+        return total <= threshold
 
     def _batch_buckets(self, sdf: DataFrame, m: TableMeta) -> list[int]:
         """Distinct buckets the batch hashes into (≤ num_buckets ints —
@@ -3363,8 +3412,9 @@ class KeyedCatalog:
         else:
             if probe is not None:
                 touched, n_batch = probe["touched"], probe["n"]
+                key_bytes = probe.get("key_bytes")
             else:
-                touched, n_batch, _ = self._batch_probe(sdf, m)
+                touched, n_batch, _, key_bytes = self._batch_probe(sdf, m)
             existing = self._read_raw(
                 table_name, buckets=touched, manifest=man,
             )
@@ -3379,7 +3429,7 @@ class KeyedCatalog:
             # 100 TB ingest sizes is an OOM, not an optimization —
             # oversized batches let the planner pick the join.
             batch_keys = sdf.select(*m.keys)
-            if self._keys_broadcastable(n_batch, m):
+            if self._keys_broadcastable(n_batch, m, key_bytes):
                 batch_keys = batch_keys.hint("broadcast")
             clash_df = existing.join(
                 batch_keys, on=list(m.keys), how="inner",
@@ -3450,6 +3500,7 @@ class KeyedCatalog:
         if probe is not None:
             man, m = probe["man"], probe["m"]
             touched, n_batch = probe["touched"], probe["n"]
+            key_bytes = probe.get("key_bytes")
         else:
             # probe=None ⇒ input normalization already ran its own
             # inference (Spark narrowing, or the pandas path where an
@@ -3459,7 +3510,7 @@ class KeyedCatalog:
             # happens here
             man = self._manifest(table_name)
             m = self._resolve_nb(m, man)
-            touched, n_batch, _ = self._batch_probe(sdf, m)
+            touched, n_batch, _, key_bytes = self._batch_probe(sdf, m)
         existing = self._read_raw(table_name, buckets=touched, manifest=man)
         src_cols = set(sdf.columns)
         full_column = all(c in src_cols for c in existing.columns)
@@ -3472,7 +3523,7 @@ class KeyedCatalog:
             and (
                 forced == "antiunion"
                 if forced is not None
-                else self._keys_broadcastable(n_batch, m)
+                else self._keys_broadcastable(n_batch, m, key_bytes)
             )
         )
         # observability: which shape actually ran (bench records it in

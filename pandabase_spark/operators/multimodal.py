@@ -102,6 +102,10 @@ def _parse_ppm(payload: bytes):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color_type -> samples per pixel (8-bit depth only)
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+# per-image decoded-size ceiling (bytes): large enough for any real
+# 8-bit image a row would carry, small enough that a forged header
+# cannot direct the inflater to allocate executor-killing buffers
+_PNG_MAX_DECODED = 1 << 28  # 256 MB
 
 
 def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
@@ -200,9 +204,20 @@ def _parse_png(payload: bytes):
         ):
             return None
         ch = _PNG_CHANNELS[color]
-        raw = zlib.decompress(bytes(idat))
-        if len(raw) != h * (w * ch + 1):
+        expected = h * (w * ch + 1)
+        # Decompression-bomb guard: the expected decoded size is fully
+        # determined by the validated IHDR, so (a) reject absurd
+        # claimed dimensions before allocating anything, and (b) cap
+        # the inflater at exactly that size — a forged tiny IDAT
+        # claiming a multi-GB image must null its row, never OOM the
+        # executor (the batch-survives contract holds for hostile
+        # payloads, not just truncated ones).
+        if expected > _PNG_MAX_DECODED:
             return None
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected)
+        if len(raw) != expected or dec.decompress(b"", 1):
+            return None  # short stream, or more output than claimed
         pixels = _png_unfilter(raw, w, h, ch)
         if pixels is None:
             return None
@@ -510,10 +525,15 @@ def encode_wav(
         "<HHIIHH", 1, ch, rate, rate * ch * bytes_per,
         ch * bytes_per, bits,
     )
+    # RIFF chunks are word-aligned: an odd-length data chunk (8-bit
+    # audio, odd sample count) carries a pad byte that is NOT part of
+    # the declared chunk length but IS part of the RIFF size — the
+    # same rule the parser's chunk walk applies
+    pad = b"\x00" if len(data) & 1 else b""
     chunks = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
+        + b"data" + struct.pack("<I", len(data)) + data + pad
     )
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
@@ -933,7 +953,6 @@ def resize_ppm(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        header = b"P6\n%d %d\n255\n" % (tw, th)
         for pdf in batches:
             ids, outs, nbytes = [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
@@ -943,12 +962,19 @@ def resize_ppm(
                     outs.append(None)
                     nbytes.append(None)
                     continue
-                w, h, _maxval, data = parsed
+                w, h, maxval, data = parsed
                 px = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
                 sx = (np.arange(tw) * w) // tw
                 sy = (np.arange(th) * h) // th
                 resized = px[sy][:, sx]  # (th, tw, 3) NN resample
-                payload = header + resized.tobytes()
+                # carry the SOURCE maxval into the output header: a
+                # hardcoded 255 would silently rescale intensity
+                # semantics for maxval<255 inputs (bytes unchanged but
+                # their denominator grows) — review finding r10
+                payload = (
+                    b"P6\n%d %d\n%d\n" % (tw, th, maxval)
+                    + resized.tobytes()
+                )
                 outs.append(payload)
                 nbytes.append(len(payload))
             yield pd.DataFrame(

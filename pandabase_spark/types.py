@@ -255,6 +255,34 @@ def narrow_spark_schema(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     return out
 
 
+def coercion_class(have: T.DataType, want: T.DataType) -> str:
+    """Classify a (incoming, table) type pair under the coercion rules:
+    ``"same"`` (no cast), ``"cast"`` (silent cast), ``"datetime"``
+    (deliberate-deviation cast, see coerce_to_table_schema), or
+    ``"reject"`` (coerce raises TypeError — including types
+    spark_to_logical doesn't map, e.g. NullType). Shared by
+    :func:`coerce_to_table_schema` and the write path's probe-fold
+    gate, so 'would coercion succeed' can be decided from schemas
+    alone without duplicating the rules."""
+    if have == want:
+        return "same"
+    try:
+        have_l, want_l = spark_to_logical(have), spark_to_logical(want)
+    except TypeError:
+        return "reject"
+    ok = (
+        (have_l, want_l) in {("integer", "float"), ("float", "integer")}
+        or (have_l == "boolean" and want_l in ("integer", "float"))
+        or (want_l == "boolean" and have_l in ("integer", "float"))
+        or (have_l == want_l)  # e.g. int32 → int64
+    )
+    if ok:
+        return "cast"
+    if "datetime" in (have_l, want_l):
+        return "datetime"
+    return "reject"
+
+
 def coerce_to_table_schema(
     incoming: DataFrame, table_schema: T.StructType, keys: Sequence[str]
 ) -> DataFrame:
@@ -274,19 +302,13 @@ def coerce_to_table_schema(
             continue
         want = table_types[f.name]
         have = f.dataType
-        if have == want:
+        klass = coercion_class(have, want)
+        if klass == "same":
             exprs.append(F.col(f.name))
             continue
-        have_l, want_l = spark_to_logical(have), spark_to_logical(want)
-        ok = (
-            (have_l, want_l) in {("integer", "float"), ("float", "integer")}
-            or (have_l == "boolean" and want_l in ("integer", "float"))
-            or (want_l == "boolean" and have_l in ("integer", "float"))
-            or (have_l == want_l)  # e.g. int32 → int64
-        )
-        if ok:
+        if klass == "cast":
             exprs.append(F.col(f.name).cast(want).alias(f.name))
-        elif "datetime" in (have_l, want_l):
+        elif klass == "datetime":
             # deliberate deviation: the reference silently passes a
             # datetime-vs-other mismatch through (its own TODO,
             # reference:pandabase/sql.py:223-229) and lets the database

@@ -474,3 +474,52 @@ def test_decode_auto_sniffs_mixed_formats(spark):
     )
     r = decode_image_stats_auto(junk).collect()[0]
     assert r["format"] is None and r["width"] is None
+
+
+def test_png_decompression_bomb_yields_null():
+    """A forged IHDR claiming a multi-GB image with a tiny highly-
+    compressible IDAT must return None (the batch-survives contract
+    covers hostile payloads, not just truncated ones) — the inflater
+    is capped at the IHDR-implied size and absurd dimensions are
+    rejected before any allocation."""
+    import struct
+    import zlib
+
+    from pandabase_spark.operators.multimodal import _PNG_SIG, _parse_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # claims 65536 x 65536 RGBA (~17 GB decoded), ships ~17 KB of zeros
+    ihdr = struct.pack(">IIBBBBB", 65536, 65536, 8, 6, 0, 0, 0)
+    bomb = (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+        + chunk(b"IEND", b"")
+    )
+    assert _parse_png(bomb) is None
+
+    # a stream producing MORE output than the header claims is also
+    # malformed, not silently truncated
+    from pandabase_spark.operators.multimodal import encode_png
+
+    good = encode_png(2, 2, 3, bytes(range(12)))
+    # shrink the claimed dims but keep the original IDAT
+    small_ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    forged = (
+        _PNG_SIG + chunk(b"IHDR", small_ihdr) + good[len(_PNG_SIG) + 25:]
+    )
+    assert _parse_png(forged) is None
+
+
+def test_wav_odd_data_chunk_is_word_aligned():
+    """8-bit audio with an odd sample count must emit the RIFF pad
+    byte (total container even) and still round-trip."""
+    from pandabase_spark.operators.multimodal import _parse_wav, encode_wav
+
+    enc = encode_wav(1, 8000, 8, [1, -2, 3])
+    assert len(enc) % 2 == 0, "odd data chunk must carry a pad byte"
+    assert _parse_wav(enc) == (1, 8000, 8, 3, [1, -2, 3])

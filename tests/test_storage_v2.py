@@ -2230,10 +2230,16 @@ def test_upsert_shapes_are_equivalent(spark, catalog):
         [(k, k * 2.0, f"s{k}") for k in range(100)],
         schema="k bigint, v double, s string",
     )
+    # the batch must carry EVERY table column (including the generated
+    # one, with correct values — provided generated values are
+    # validated) or full_column is False and the antiunion force is a
+    # no-op, making the equivalence vacuous (first draft's mistake,
+    # caught in review); _last_upsert_shape asserts the force landed
     batch = spark.createDataFrame(
         # matched+changed, matched+NULL (null must WIN), brand new key
-        [(10, 999.0, None), (20, None, "upd"), (500, 5.0, "new")],
-        schema="k bigint, v double, s string",
+        [(10, 999.0, None, 30), (20, None, "upd", 60),
+         (500, 5.0, "new", 1500)],
+        schema="k bigint, v double, s string, g bigint",
     )
     results = {}
     for shape in ("antiunion", "fullouter"):
@@ -2245,6 +2251,7 @@ def test_upsert_shapes_are_equivalent(spark, catalog):
             catalog.to_table(batch, t, keys=["k"], how="upsert")
         finally:
             catalog._upsert_shape = None
+        assert catalog._last_upsert_shape == shape
         results[shape] = {
             r["k"]: (r["v"], r["s"], r["g"])
             for r in catalog.read_table(t).collect()
@@ -2344,3 +2351,19 @@ def test_folded_probe_keeps_narrowing_semantics(spark, catalog):
         batch3, "fold", keys=["k"], how="upsert", add_new_columns=True
     )
     assert dict(catalog.read_table("fold").dtypes)["flag"] == "boolean"
+
+    # an all-null column whose DECLARED type coercion would reject —
+    # NullType from F.lit(None), and an all-null string against the
+    # double column — must still take the narrowing path and be
+    # DROPPED (preserve), not explode in coerce_to_table_schema
+    # (the code-review regression on the first fold draft)
+    nulltype = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(None).alias("v")
+    )
+    catalog.to_table(nulltype, "fold", keys=["k"], how="upsert")
+    strnull = spark.createDataFrame(
+        [(1, None), (2, None)], schema="k bigint, v string"
+    )
+    catalog.to_table(strnull, "fold", keys=["k"], how="upsert")
+    got = {r["k"]: r["v"] for r in catalog.read_table("fold").collect()}
+    assert got[1] == 1.0 and got[2] == 2.0, "all-null mismatch must preserve"
