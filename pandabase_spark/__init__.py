@@ -23,8 +23,10 @@ large-scale training-data pipeline needs:
 - text analysis (tokens, quality, language-ID, fingerprints)
   — :mod:`.operators.text_analysis`, :mod:`.functions.text`;
 - JSON column ops — :mod:`.operators.json_ops`;
-- multimodal binary-payload plumbing (decode stubbed at the codec
-  seam) — :mod:`.operators.multimodal`;
+- multimodal binary-payload plumbing with REAL dependency-free codecs
+  through the decode seam (PPM, PNG incl. inflate+unfilter, PCM WAV,
+  magic-byte auto-dispatch for mixed corpora; PIL/ffmpeg formats stay
+  behind a lazy-import seam) — :mod:`.operators.multimodal`;
 - Structured Streaming: foreachBatch upsert, watermarked windows,
   stream dedup, stateful sessionization — :mod:`.streaming`;
 - CSV ingestion — :mod:`.sources`.
