@@ -254,6 +254,13 @@ def main() -> None:
               "doc_length_percentiles_by_lang"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
 
+    # --- round-10 additions: the real-codec decode seam (PPM raw,
+    # PNG inflate+unfilter, mixed auto-dispatch) — the Python-boundary
+    # throughput trend for the Arrow-batched mapInPandas path ---
+    for q in ("multimodal_decode_ppm", "multimodal_decode_png",
+              "multimodal_decode_mixed"):
+        timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
+
     # --- round-5 additions: sub-document dedup, drift/profile stats,
     # temperature mixture, the composed funnel ---
     for q in ("span_dedup_reconstruct", "temperature_mixture_sample",
