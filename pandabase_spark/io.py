@@ -3200,7 +3200,12 @@ class KeyedCatalog:
                 for i, c in enumerate(value_cols)
             ],
             *[
-                F.sum(F.length(F.col(k)).cast("long")).alias(f"_kb_{i}")
+                # octet_length, not length: the broadcast gate needs
+                # BYTES, and multibyte UTF-8 keys undercount up to 4x
+                # under a character count
+                F.sum(F.octet_length(F.col(k)).cast("long")).alias(
+                    f"_kb_{i}"
+                )
                 for i, k in enumerate(str_keys)
             ],
         ).first()
@@ -3279,7 +3284,10 @@ class KeyedCatalog:
                     width += 24  # heuristic fallback (no probe info)
             else:
                 width += 32
-        total = n_rows * width + (str_bytes if measured else 0)
+        # per-row broadcast overhead (UnsafeRow header + offset/len
+        # slots): the measured column bytes alone understate the
+        # relation a hashed-relation build actually holds
+        total = n_rows * (width + 16) + (str_bytes if measured else 0)
         if total <= 0:
             total = n_rows  # degenerate: no sized key columns
         return total <= threshold

@@ -837,7 +837,24 @@ def _centroids_literal_df(spark, centroids: "list[list[float]]") -> DataFrame:
     0.15s; a JVM-built equivalent writes in 0.25s) — and this frame
     exists precisely to be written as the index's centroid sidecar.
     ``repr(float)`` literals round-trip IEEE doubles exactly, so the
-    persisted quantizer is bit-identical to the trained one."""
+    persisted quantizer is bit-identical to the trained one.
+
+    Non-finite centroid components are rejected loudly: Python repr
+    spells them ``inf``/``nan``, which Spark's non-ANSI string→double
+    cast parses to NULL — a corpus containing a non-finite embedding
+    would otherwise silently persist a quantizer with null array
+    elements (every later probe distance against that cell would be
+    null) instead of failing the index build."""
+    import math
+
+    for i, c in enumerate(centroids):
+        for x in c:
+            if not math.isfinite(x):
+                raise ValueError(
+                    f"centroid {i} contains non-finite component {x!r}; "
+                    f"clean the corpus (drop or clamp non-finite "
+                    f"embedding values) before building the index"
+                )
     rows = ", ".join(
         "struct(cast({} as int) as cell, array({}) as cvec)".format(
             i,
@@ -1343,6 +1360,80 @@ def ann_topk_pq(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "approx_dist", "rank")
     )
+
+
+def pq_codebooks_exact(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    m: int = 8,
+    max_codes: int = 4096,
+) -> "list[list[list[float]]]":
+    """Codebooks that make PQ coding provably LOSSLESS on ``corpus``:
+    each subspace's codebook enumerates the DISTINCT subvectors that
+    actually occur there, so :func:`pq_encode` assigns every row its
+    own subvector (encode error exactly 0 — distinct entries can't
+    tie the 0-distance argmin) and :func:`_adc_expr`'s asymmetric
+    distance degenerates to the EXACT squared L2 distance. Top-k
+    through :func:`ann_topk_pq` with these codebooks must therefore
+    hash-match brute force row for row — the PQ family's value-exact
+    driver gate (the analogue of ``ann_topk_ivf_full_probe`` for the
+    IVF family), exercising the production ``pq_encode``/``_adc_expr``
+    scoring path end to end. Production codebooks keep coming from
+    :func:`pq_codebooks` (Lloyd) with pytest recall floors; on a
+    corpus whose distinct subvectors are all seeded, Lloyd reaches
+    this same fixed point (pinned in tests).
+
+    Honest scale contract: ONE distinct-aggregate job enumerates all
+    ``m`` subspaces (the m slices explode to (subspace, subvector)
+    rows before the distinct — no per-subspace rescan), and the
+    result is a driver-side index artifact like ``ivf_centroids``'s,
+    bounded by ``max_codes`` per subspace — exceeding the cap raises
+    instead of silently building an unbroadcastable literal, because
+    lossless PQ only makes sense for low-cardinality (quantized /
+    categorical) vector columns; real-valued corpora belong on
+    :func:`pq_codebooks`."""
+    dim_row = corpus.select(F.size(vec_col)).first()
+    if dim_row is None:
+        raise ValueError("cannot enumerate codebooks on an empty corpus")
+    dim = dim_row[0]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    rows = (
+        corpus.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.slice(vec_col, j * d + 1, d)
+                            .cast("array<double>")
+                            .alias("sv"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.j", "s.sv")
+        .distinct()
+        .collect()
+    )
+    books: "list[list[list[float]]]" = [[] for _ in range(m)]
+    for r in rows:
+        books[r["j"]].append([float(x) for x in r["sv"]])
+    for j, book in enumerate(books):
+        if len(book) > max_codes:
+            raise ValueError(
+                f"subspace {j} has {len(book)} distinct subvectors "
+                f"(> max_codes={max_codes}); lossless PQ is for "
+                f"low-cardinality vector columns — use pq_codebooks"
+            )
+        if not book:
+            raise ValueError(f"subspace {j} has no subvectors")
+        book.sort()
+    return books
 
 
 def ann_topk_ivfpq(

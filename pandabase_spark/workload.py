@@ -4540,6 +4540,64 @@ def ann_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_FULL_ORACLE = """
+WITH qv AS (
+  SELECT vec_id,
+    [CASE WHEN embedding[(i-1)*4+1]::DOUBLE > 0.2 THEN 1.0::DOUBLE
+          WHEN embedding[(i-1)*4+1]::DOUBLE < -0.2 THEN -1.0::DOUBLE
+          ELSE 0.0::DOUBLE END FOR i IN range(1, 17)] AS q
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         ROUND(list_sum([(a.q[i] - b.q[i]) * (a.q[i] - b.q[i])
+                         FOR i IN range(1, 17)]), 6) AS approx_dist
+  FROM qv a JOIN qv b ON a.vec_id < 5
+), ranked AS (
+  SELECT query_id, vec_id, approx_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_dist, vec_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, vec_id, approx_dist, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@_q("ann_topk_pq_full", _PQ_FULL_ORACLE)
+def ann_topk_pq_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ family's EXACT-ORACLE member (r10 verdict ask #4, the
+    analogue of ``ann_topk_ivf_full_probe``): the corpus is a
+    ternary-quantized 16-dim projection of the embeddings (component
+    sign at ±0.2, stride-4 positions — both engines compute it from
+    the raw floats identically), so each of the m=4 subspaces has at
+    most 3^4 = 81 distinct subvectors REGARDLESS of corpus size.
+    ``pq_codebooks_exact`` enumerates those distinct subvectors in
+    one Spark distinct-aggregate; with the codebook covering every
+    subvector, ``pq_encode`` is provably lossless (the 0-distance
+    argmin is unique) and the production ADC scorer's asymmetric
+    distance IS the exact squared L2 distance — so ``ann_topk_pq``
+    must hash-match DuckDB's brute-force L2 top-10 row for row. Any
+    encode-argmin, codebook-indexing, or ADC-fold bug breaks the
+    match. The lossy production configurations (``ann_topk_pq``,
+    ``ann_topk_ivfpq``) share every scoring line with this gate and
+    keep their pytest recall floors."""
+    from pandabase_spark.operators.similarity import (
+        ann_topk_pq, pq_codebooks_exact,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    tri = F.expr(
+        "transform(sequence(1, 16), i -> case "
+        "when element_at(embedding, (i-1)*4+1) > 0.2D then 1.0D "
+        "when element_at(embedding, (i-1)*4+1) < -0.2D then -1.0D "
+        "else 0.0D end)"
+    )
+    q16 = e.select("vec_id", tri.alias("qvec"))
+    books = pq_codebooks_exact(q16, vec_col="qvec", m=4)
+    return ann_topk_pq(
+        q16, q16.where(F.col("vec_id") < 5),
+        vec_col="qvec", k=10, codebooks=books,
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: text analysis
 # ---------------------------------------------------------------------------
@@ -5897,6 +5955,98 @@ def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = attach_ppm_payload(docs, "doc_id")
     emb = payload_embedding(media, id_col="doc_id", decoder="ppm")
+    queries = emb.where(F.col("id") % 100 == 0)
+    out = cosine_topk(emb, queries, id_col="id", vec_col="embedding", k=5)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+_EMBED_TOPK_MIXED_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+    CAST(doc_id % 3 AS INTEGER) AS md,
+    32 + doc_id % 32 AS nfr,
+    list_sum(list_transform(generate_series(0, 31 + doc_id % 32),
+             t -> ABS((doc_id + t) % 200 - 100))) AS sabs,
+    list_max(list_transform(generate_series(0, 31 + doc_id % 32),
+             t -> ABS((doc_id + t) % 200 - 100))) AS mabs
+  FROM documents
+), e AS (
+  SELECT doc_id,
+    CASE md WHEN 0 THEN CAST(doc_id % 256 AS DOUBLE)
+            WHEN 1 THEN CAST(doc_id % 256 AS DOUBLE)
+            ELSE CAST(sabs AS DOUBLE) / nfr END AS e1,
+    CASE md WHEN 0 THEN CAST((2 * doc_id) % 256 AS DOUBLE)
+            WHEN 1 THEN CAST((5 * doc_id) % 256 AS DOUBLE)
+            ELSE CAST(mabs AS DOUBLE) END AS e2,
+    CASE md WHEN 0 THEN CAST((3 * doc_id) % 256 AS DOUBLE)
+            WHEN 1 THEN CAST((7 * doc_id) % 256 AS DOUBLE)
+            ELSE (8000 + (doc_id % 4) * 4000) / 1000.0 END AS e3,
+    CASE md WHEN 0 THEN CAST(8 + doc_id % 8 AS DOUBLE)
+            WHEN 1 THEN CAST(4 + doc_id % 6 AS DOUBLE)
+            ELSE CAST(nfr AS DOUBLE) END AS e4,
+    CASE md WHEN 0 THEN CAST(8 + doc_id % 4 AS DOUBLE)
+            WHEN 1 THEN CAST(4 + doc_id % 5 AS DOUBLE)
+            ELSE CAST(1 AS DOUBLE) END AS e5
+  FROM f
+), s AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS id,
+    ((((q.e1 * c.e1) + q.e2 * c.e2) + q.e3 * c.e3) + q.e4 * c.e4)
+      + q.e5 * c.e5 AS dt,
+    sqrt(((((q.e1 * q.e1) + q.e2 * q.e2) + q.e3 * q.e3) + q.e4 * q.e4)
+      + q.e5 * q.e5) AS nq,
+    sqrt(((((c.e1 * c.e1) + c.e2 * c.e2) + c.e3 * c.e3) + c.e4 * c.e4)
+      + c.e5 * c.e5) AS nc
+  FROM e q, e c WHERE q.doc_id % 100 = 0
+), rk AS (
+  SELECT query_id, id, dt / (nq * nc) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dt / (nq * nc) DESC, id ASC) AS rank
+  FROM s)
+SELECT query_id, id, ROUND(cosine, 4) AS cosine,
+       CAST(rank AS INTEGER) AS rank FROM rk WHERE rank <= 5
+"""
+
+
+@_q("multimodal_embed_topk_mixed", _EMBED_TOPK_MIXED_ORACLE)
+def multimodal_embed_topk_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-MODALITY retrieval, value-exact (r10 verdict ask #7):
+    the corpus carries three REAL formats in one binary column —
+    doc_id % 3 routes each document to a genuine PPM image, a
+    compressed PNG (per-row filter cycling), or a 16-bit PCM WAV —
+    and ``payload_embedding(decoder="auto")`` sniffs magic bytes and
+    embeds each payload from its ACTUAL decoded bytes into one 5-dim
+    feature space (images: per-channel pixel means + dims; audio:
+    amplitude stats + rate/frames/channels). Exact cosine top-5 for
+    queries spanning all three modalities (doc_id % 100 = 0 hits each
+    residue class mod 3). Because every attach is arithmetic in
+    doc_id, DuckDB replays decode features, cosine fold (same
+    left-to-right element order) and ranking analytically — dispatch,
+    all three codecs, and the shared feature path are hash-checked in
+    one gate. Single scan, no per-format table splits: the 100 TB
+    mixed-media-corpus shape."""
+    from pandabase_spark.operators.multimodal import (
+        attach_png_payload,
+        attach_ppm_payload,
+        attach_wav_payload,
+        payload_embedding,
+    )
+    from pandabase_spark.operators.similarity import cosine_topk
+
+    docs = load(spark, sf_dir, "documents")
+    media = (
+        attach_ppm_payload(docs.where(F.col("doc_id") % 3 == 0), "doc_id")
+        .unionByName(
+            attach_png_payload(
+                docs.where(F.col("doc_id") % 3 == 1), "doc_id"
+            )
+        )
+        .unionByName(
+            attach_wav_payload(
+                docs.where(F.col("doc_id") % 3 == 2), "doc_id"
+            )
+        )
+    )
+    emb = payload_embedding(media, id_col="doc_id", decoder="auto")
     queries = emb.where(F.col("id") % 100 == 0)
     out = cosine_topk(emb, queries, id_col="id", vec_col="embedding", k=5)
     return out.withColumn("cosine", F.round("cosine", 4))
@@ -7767,88 +7917,84 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate ordering
 # ---------------------------------------------------------------------------
 # The driver walks QUERIES in dict order and checks exactly 50 per
-# round. CORRECTNESS_r09 delivered the r9 head exactly as planned
-# (48 triple + 2 declared rows-only, zero failures), so the stalest
-# blocks entering r10 are: the 2 never-driver-checked round-9 queries,
-# the 4 sketch entries (last checked r5 — GRADUATED to oracled this
-# round: their outputs now carry exact cross-engine values + published-
-# bound booleans), and the 49 entries last checked r6. This round-10
-# head = those 2 + the 4 round-10 multimodal graduations/additions
-# (multimodal_embed_topk now embeds REAL decoded PPM pixels;
-# multimodal_resize_ppm is the new chained decode→resize→re-encode→
-# decode loop; multimodal_decode_png and multimodal_decode_wav are
-# the new stdlib-only compressed-image and PCM-audio codecs) + the 4
-# graduated sketches + 40 of the 49 r6 rows. The 9 deferred to r11:
-# ann_topk_ivfpq / ann_topk_pq (rows-only — the weakest check form
-# yields its slots, same rationale as r9), the five grouping/pivot-
-# family shapes (cube/rollup/grouping_sets/pivot/unpivot — each
-# already green r2/r3+r6), and streaming_windowed_counts +
-# events_json_extract (both green r6; their families keep other head
-# slots) — all lead the r11 rotation.
+# round. CORRECTNESS_r10 delivered the r10 head 50/50 triple-green, so
+# the r11 head (r10 verdict ask #1) = the ONE never-driver-checked
+# entry (multimodal_decode_mixed — closing the 206-query union) + the
+# round's 2 new value-exact gates (ann_topk_pq_full, the PQ family's
+# lossless-configuration analogue of ann_topk_ivf_full_probe;
+# multimodal_embed_topk_mixed, three-modality retrieval from real
+# decoded bytes) + the 9 entries the r10 note deferred here
+# (ann_topk_ivfpq / ann_topk_pq rows-only, the five grouping/pivot
+# shapes, streaming_windowed_counts, events_json_extract) + 38 of the
+# 47 r7-stale rows (the r3/r7 text/dedup/sampling/kt block). The 9
+# deferred to r12: the six remaining rows-only entries (ann_topk_ivf,
+# ann_topk_ivf_indexed, ann_topk_lsh, minhash_lsh_neardup,
+# multimodal_decode_fake, simhash_neardup — the weakest check form
+# yields slots, and each family's value-exact member IS in this head)
+# plus three oracled entries whose family has a stronger same-code
+# representative here (cosine_topk_bruteforce → ann_topk_pq_full's
+# identical brute-force shape, multimodal_payload_stats → the three
+# decode gates, winnow_match_pairs → doc_winnow_fingerprints) — all
+# lead the r12 rotation.
 _GATE_FIRST = [
-    # never driver-checked (added r9)
-    "ann_topk_ivf_full_probe",
-    "multimodal_decode_ppm",
-    # round-10 additions / graduations (real-pixel multimodal path;
-    # decode_png is the round's new COMPRESSED-container codec —
-    # stdlib zlib inflate + all-five-filters unfilter, oracle-exact)
-    "multimodal_decode_png",
-    "multimodal_decode_wav",
-    "multimodal_resize_ppm",
-    "multimodal_embed_topk",
-    # the sketch family, graduated from rows-only to oracled
-    # (DuckDB-replayable bound checks — r9 verdict ask #5)
-    "sketch_user_frequencies",
-    "sketch_distinct_users",
-    "sketch_value_quantiles",
-    "sketch_population_overlap",
-    # r6-stale keyed-table rows (every kt write also re-confirms the
-    # round-10 commit-protocol fixes: pointer-regression repair +
-    # claim-miss ConcurrentWriteError contract)
-    "kt_roundtrip_create",
-    "kt_append",
-    "kt_upsert",
-    "kt_upsert_partial_cols",
-    "kt_projection",
-    "kt_range_read_single",
-    "kt_range_read_composite",
-    "kt_range_read_open",
-    "kt_describe",
-    "kt_schema_evolution",
-    "kt_coercion",
-    "kt_boolean_narrowing",
-    "kt_autoindex_append",
-    "kt_companda_report",
-    # r6-stale TPC-H / aggregation shapes
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "q6_revenue_change",
-    "lineitem_stats",
-    "orders_priority_rollup",
-    "quantiles_order_price",
-    "having_fat_orders",
-    "distinct_users_by_type",
-    "top_words",
-    # r6-stale joins
-    "anti_join_idle_customers",
-    "semi_join_ordered_parts",
-    "asof_join_events",
-    "range_join_events",
-    "salted_skew_join",
-    "label_centroids",
-    # r6-stale events / windows / set ops
-    "events_hourly",
-    "events_moving_avg",
-    "events_resample_fill",
-    "events_user_deltas",
-    "session_windows_events",
-    "window_top3_lineitems",
-    "set_ops_segments",
-    # r6-stale sources / streaming
-    "python_datasource_synth",
-    "streaming_sessionize",
-    "streaming_sketch_ingest",
-    "streaming_upsert_events",
+    # never driver-checked (the last of 206)
+    "multimodal_decode_mixed",
+    # round-11 additions (both value-exact)
+    "ann_topk_pq_full",
+    "multimodal_embed_topk_mixed",
+    # deferred from r10 by its rotation note
+    "ann_topk_ivfpq",
+    "ann_topk_pq",
+    "cube_orders",
+    "rollup_orders",
+    "grouping_sets_orders",
+    "pivot_orders",
+    "unpivot_lineitem_metrics",
+    "streaming_windowed_counts",
+    "events_json_extract",
+    # r7-stale keyed-table / storage rows
+    "kt_cluster_by_zorder",
+    "kt_delete_dv",
+    "kt_embeddings_roundtrip",
+    "kt_events_roundtrip",
+    "kt_incremental_agg",
+    "kt_sql_over_view",
+    "kt_time_travel",
+    "kt_txn_exactly_once",
+    "jsonl_roundtrip_customer",
+    "orc_roundtrip_supplier",
+    "partitioned_sink_prune",
+    "streaming_kt_source",
+    # r7-stale text-analysis block
+    "bpe_token_stats",
+    "chunk_documents_windowed",
+    "corpus_language_summary",
+    "doc_profile",
+    "quality_filter_summary",
+    "repetition_signals",
+    "tfidf_top_terms",
+    "token_histogram",
+    # r7-stale dedup / fingerprint block
+    "contamination_report",
+    "dedup_content_hash",
+    "dedup_exact_groups",
+    "doc_winnow_fingerprints",
+    "embedding_neardup_exact",
+    "neardup_components",
+    "ngram_jaccard_pairs",
+    # r7-stale sampling / pipeline block
+    "interleave_shards_mix",
+    "stratified_sample_frac",
+    "stratified_token_sample",
+    "pii_scan_redact",
+    # r7-stale analytics
+    "q1_pricing_summary",
+    "monthly_revenue_growth",
+    "cohort_retention",
+    "rfm_segments",
+    "event_transition_matrix",
+    "events_time_weighted_avg",
+    "nearest_centroid_confusion",
 ]
 
 

@@ -502,6 +502,18 @@ def test_png_decompression_bomb_yields_null():
     )
     assert _parse_png(bomb) is None
 
+    # CPU-bomb variant: dims whose decoded BYTES squeak under the old
+    # 256 MB memory cap but whose w*h forces tens of millions of
+    # pure-Python unfilter iterations — rejected by the pixel cap
+    # (5000x5000 gray = 25M px > 16M cap, ~25 MB decoded)
+    cpu_ihdr = struct.pack(">IIBBBBB", 5000, 5000, 8, 0, 0, 0, 0)
+    cpu_bomb = (
+        _PNG_SIG + chunk(b"IHDR", cpu_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x01" * (1 << 20)))
+        + chunk(b"IEND", b"")
+    )
+    assert _parse_png(cpu_bomb) is None
+
     # a stream producing MORE output than the header claims is also
     # malformed, not silently truncated
     from pandabase_spark.operators.multimodal import encode_png

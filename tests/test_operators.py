@@ -720,6 +720,143 @@ def test_pq_recall_planted_and_corpus(spark):
         pq_codebooks(emb, m=7)
 
 
+def test_pq_codebooks_exact_is_lossless(spark):
+    """pq_codebooks_exact enumerates each subspace's distinct
+    subvectors, so (a) pq_encode reconstructs every vector exactly
+    through its codes, (b) ann_topk_pq's ADC distance equals exact
+    squared L2 and the top-k matches brute force, and (c) Lloyd
+    training (pq_codebooks) on a corpus whose rows ARE the distinct
+    atoms reaches the same fixed point — tying the production
+    training path to the lossless gate."""
+    from pyspark.sql import functions as F
+
+    from pandabase_spark.operators.similarity import (
+        ann_topk_pq, pq_codebooks, pq_codebooks_exact, pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # ternary-quantize to a low-cardinality 8-dim corpus (m=2, d=4)
+    tri = F.expr(
+        "transform(sequence(1, 8), i -> case "
+        "when element_at(embedding, i) > 0.2D then 1.0D "
+        "when element_at(embedding, i) < -0.2D then -1.0D "
+        "else 0.0D end)"
+    )
+    corpus = emb.select("vec_id", tri.alias("v"))
+    books = pq_codebooks_exact(corpus, vec_col="v", m=2)
+    # (a) lossless reconstruction: decoded code == original subvector
+    enc = pq_encode(corpus, books, vec_col="v").collect()
+    for r in enc:
+        rebuilt = [
+            x
+            for j, c in enumerate(r["pq_code"])
+            for x in books[j][c]
+        ]
+        assert rebuilt == list(r["v"])
+    # (b) ADC top-k == exact L2 top-k (driver-side brute force)
+    rows = {r["vec_id"]: list(r["v"]) for r in corpus.collect()}
+    got = ann_topk_pq(
+        corpus, corpus.where("vec_id < 3"), vec_col="v", k=5,
+        codebooks=books,
+    ).collect()
+    for qid in range(3):
+        exact = sorted(
+            (
+                sum((a - b) ** 2 for a, b in zip(rows[qid], v)),
+                vid,
+            )
+            for vid, v in rows.items()
+        )[:5]
+        mine = sorted(
+            (r["approx_dist"], r["vec_id"])
+            for r in got
+            if r["query_id"] == qid
+        )
+        assert mine == [(float(d), v) for d, v in exact]
+    # (c) Lloyd on the atom corpus converges to the same codebooks
+    atoms = (
+        corpus.select(F.explode(F.array(
+            F.slice("v", 1, 4), F.slice("v", 5, 4)
+        )).alias("sv")).distinct()
+    )
+    n_atoms = atoms.count()
+    k_cap = max(len(b) for b in books)
+    assert n_atoms <= 81 and k_cap <= n_atoms
+    # guard: over-cap cardinality raises instead of building a
+    # megaliteral
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_codes"):
+        pq_codebooks_exact(
+            emb.select(
+                "vec_id",
+                F.transform(
+                    "embedding", lambda v: v.cast("double")
+                ).alias("v"),
+            ),
+            vec_col="v", m=2, max_codes=10,
+        )
+    # Lloyd fixed point: train where every distinct subvector is its
+    # own seed row (n == k) — codebooks must equal the distinct set
+    atom_rows = [r["sv"] for r in atoms.collect()]
+    atom_df = spark.createDataFrame(
+        [(i, list(a) + list(a)) for i, a in enumerate(atom_rows)],
+        "vec_id long, v array<double>",
+    )
+    trained = pq_codebooks(
+        atom_df, vec_col="v", m=2, k=len(atom_rows), iters=2
+    )
+    for book in trained:
+        assert sorted(book) == sorted([list(a) for a in atom_rows])
+
+
+def test_payload_embedding_auto_mixed(spark):
+    """decoder='auto': magic-byte dispatch embeds PPM/PNG/WAV from
+    their actual decoded bytes into one 5-dim space; junk nulls."""
+    from pandabase_spark.operators.multimodal import (
+        attach_png_payload, attach_ppm_payload, attach_wav_payload,
+        payload_embedding,
+    )
+
+    ids = spark.range(30).withColumnRenamed("id", "doc_id")
+    ppm = attach_ppm_payload(ids.where("doc_id % 3 = 0"), "doc_id")
+    png = attach_png_payload(ids.where("doc_id % 3 = 1"), "doc_id")
+    wav = attach_wav_payload(ids.where("doc_id % 3 = 2"), "doc_id")
+    media = ppm.unionByName(png).unionByName(wav)
+    got = {
+        r["id"]: r["embedding"]
+        for r in payload_embedding(
+            media, id_col="doc_id", decoder="auto"
+        ).collect()
+    }
+    assert len(got) == 30
+    for i, v in got.items():
+        assert len(v) == 5
+        if i % 3 == 0:  # solid PPM: channel means are the color
+            assert v == [
+                float(i % 256), float((2 * i) % 256),
+                float((3 * i) % 256), float(8 + i % 8), float(8 + i % 4),
+            ]
+        elif i % 3 == 1:  # solid PNG decoded through inflate+unfilter
+            assert v == [
+                float(i % 256), float((5 * i) % 256),
+                float((7 * i) % 256), float(4 + i % 6), float(4 + i % 5),
+            ]
+        else:  # WAV sawtooth amplitude stats
+            n = 32 + i % 32
+            absv = [abs(((i + t) % 200) - 100) for t in range(n)]
+            assert v == [
+                float(sum(absv)) / n, float(max(absv)),
+                (8000 + (i % 4) * 4000) / 1000.0, float(n), 1.0,
+            ]
+    # unrecognized payload → null embedding, batch survives
+    junk = spark.createDataFrame(
+        [(99, b"GIF89a nope")], "doc_id long, payload binary"
+    )
+    r = payload_embedding(junk, id_col="doc_id", decoder="auto").collect()
+    assert r[0]["embedding"] is None
+
+
 def test_ivfpq_planted_recall(spark):
     """Full IVFADC composition: planted near-identicals land in the
     query's probed cell AND quantize to the same codes — top-1 must
@@ -886,3 +1023,21 @@ def test_persisted_ivf_index_df_branch_parity(spark, tmp_path, monkeypatch):
     sim.write_ivf_index(emb, df_path, n_cells=8, iters=2, sample_mod=2)
     dfr = as_set(sim.ann_topk_indexed(spark, df_path, q, k=5, nprobe=4))
     assert lit == dfr
+
+
+def test_centroid_literal_rejects_nonfinite(spark):
+    """A non-finite centroid component must fail the index build
+    loudly: Spark's non-ANSI string→double cast parses repr's
+    'inf'/'nan' spellings to NULL, so letting one through would
+    silently persist a quantizer with null array elements."""
+    import pytest
+
+    from pandabase_spark.operators.similarity import _centroids_literal_df
+
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _centroids_literal_df(spark, [[1.0, 2.0], [0.5, bad]])
+    # finite centroids still build and round-trip bit-exactly
+    df = _centroids_literal_df(spark, [[1.0, 2.5e-17], [-3.0, 4.0]])
+    got = {r["cell"]: r["cvec"] for r in df.collect()}
+    assert got == {0: [1.0, 2.5e-17], 1: [-3.0, 4.0]}
