@@ -445,6 +445,12 @@ class KeyedCatalog:
                 head = json.loads(head_txt)
             if head["v"] > published_v:
                 self.fs.write_text_atomic(cur_path, head_txt)
+                # observable fact for the multi-writer soak: how many
+                # times THIS driver actually republished a regressed
+                # pointer (not mere no-op repair calls)
+                self.pointer_repairs = (
+                    getattr(self, "pointer_repairs", 0) + 1
+                )
         except Exception:
             pass  # repair is opportunistic; _manifest still heals
 
@@ -2425,17 +2431,31 @@ class KeyedCatalog:
         schema: str | None = None,
         retain_last: int = 0,
         dry_run: bool = False,
+        orphan_age_s: float = SKIP_ORPHAN_RETENTION_S,
     ) -> list[str]:
         """Delete segments no longer referenced by the CURRENT manifest
         (tombstoned by upserts or orphaned by a writer crash), then
         prune history snapshots that referenced them — vacuum truncates
         time travel, exactly the Delta/Iceberg VACUUM tradeoff.
-        STOP-THE-WORLD maintenance: vacuum assumes no concurrent
-        writer (an in-flight commit's staged segment looks orphaned
-        until its claim lands) — the commit protocol itself is
-        multi-writer-safe (see _commit), vacuum is the one documented
-        exception, same as Delta's retention-window requirement.
         Returns deleted segment names.
+
+        Concurrent-writer safety (r10 verdict ask #8, Delta's
+        retention-window rule): a segment directory NO version file
+        has ever referenced is indistinguishable from an in-flight
+        commit's staged segment — _commit deliberately writes data
+        before claiming the manifest — so such directories are only
+        reclaimed once older than ``orphan_age_s`` (default mirrors
+        the skip-sidecar retention: no live commit spans an hour
+        between its two steps). Segments some version file DID
+        reference are committed-and-superseded garbage; no writer can
+        re-stage them, so they reclaim immediately regardless of age.
+        With the age gate at its default a vacuum can run while
+        writers commit (the soak test races three drivers against it);
+        ``orphan_age_s=0`` restores stop-the-world semantics for
+        offline crash cleanup, where a fresh claimless segment is
+        known dead. History pruning still requires writers' ancestry
+        walks to stay inside ``retain_last`` — keep a window of a few
+        versions when vacuuming hot tables.
 
         ``retain_last=N`` protects a RETENTION WINDOW (Delta's
         ``RETAIN``): segments and DV sidecars referenced by any of the
@@ -2472,11 +2492,38 @@ class KeyedCatalog:
         }                             # source table's to reclaim
         protected_vs = {man["v"] for man in protected}
         gone = []
+        import time as _time
+
+        seg_horizon = _time.time() - orphan_age_s
+        ever_referenced: "set[str] | None" = None  # lazy: young orphans only
+        log_dir0 = f"{self._path(table_name)}/{LOG_DIR}"
         for d in self.fs.list_dirs(self._path(table_name)):
-            if d.startswith("seg-") and d not in live:
-                if not dry_run:
-                    self.fs.delete(f"{self._path(table_name)}/{d}")
-                gone.append(d)
+            if not (d.startswith("seg-") and d not in live):
+                continue
+            p = f"{self._path(table_name)}/{d}"
+            if orphan_age_s > 0 and self.fs.mtime(p) > seg_horizon:
+                if ever_referenced is None:
+                    ever_referenced = set()
+                    if self.fs.exists(log_dir0):
+                        for f in self.fs.list_files(log_dir0):
+                            if (
+                                not f.endswith(".json")
+                                or f.endswith(".skip.json")
+                            ):
+                                continue
+                            try:
+                                ever_referenced |= set(
+                                    json.loads(
+                                        self.fs.read_text(f"{log_dir0}/{f}")
+                                    ).get("segments", {})
+                                )
+                            except Exception:
+                                continue
+                if d not in ever_referenced:
+                    continue  # possibly an in-flight writer's staged seg
+            if not dry_run:
+                self.fs.delete(p)
+            gone.append(d)
         dv_root = f"{self._path(table_name)}/{DV_DIR}"
         if self.fs.exists(dv_root):
             for d in self.fs.list_dirs(dv_root):

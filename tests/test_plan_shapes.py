@@ -588,6 +588,39 @@ def test_dml_job_budgets(spark, tmp_path):
         t, "v < 100.0", {"v": "v + 0.5"}, strategy="rewrite"))
     assert n <= 5, f"rewrite update ran {n} jobs (budget 5)"
 
+    # full-clause MERGE (matched update + matched delete + insert):
+    # hoisted source probe + merge join write + metrics aggregate
+    # (measured 7, +2 AQE slack)
+    src = (
+        df.where("k < 200")
+        .select(
+            "k", (F.col("v") + 1.0).alias("v"),
+            (F.col("k") % 10 == 0).alias("drop_it"),
+        )
+        .unionByName(
+            df.where("k < 100")
+            .select((F.col("k") + 10_000).alias("k"), "v")
+            .withColumn("drop_it", F.lit(False))
+        )
+    )
+    n = jobs_on_fresh_table("jb_mc", lambda t: cat.merge_table(
+        src, t,
+        when_matched_update={"v": "s.v"},
+        when_matched_delete="s.drop_it",
+        when_not_matched_insert=True,
+    ))
+    assert n <= 9, f"merge (clauses) ran {n} jobs (budget 9)"
+    # MERGE ... NOT MATCHED BY SOURCE DELETE: adds the doomed-bucket
+    # probe pass before the pruned rewrite (measured 9, +2 slack)
+    src2 = df.where("k < 500").select("k", (F.col("v") + 1.0).alias("v"))
+    n = jobs_on_fresh_table("jb_mb", lambda t: cat.merge_table(
+        src2, t,
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete="t.k >= 1900",
+    ))
+    assert n <= 11, f"merge (by source) ran {n} jobs (budget 11)"
+
     # compact: chosen-segment read+write + commit bookkeeping
     cat.to_table(df, "jb_c", keys=["k"])
     cat.to_table(

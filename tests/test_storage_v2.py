@@ -53,8 +53,12 @@ def test_upsert_is_snapshot_atomic(spark, catalog):
     assert after_crash == before
     assert catalog.read_table("t").count() == 200
 
-    # the orphan segment is vacuumable garbage
-    orphans = catalog.vacuum("t")
+    # the orphan segment is vacuumable garbage — but only an OFFLINE
+    # vacuum (orphan_age_s=0) may take it: with no claim file it is
+    # indistinguishable from an in-flight writer's staged segment, so
+    # the default concurrent-safe age gate protects it first
+    assert catalog.vacuum("t") == []
+    orphans = catalog.vacuum("t", orphan_age_s=0.0)
     assert len(orphans) == 1
     assert catalog.read_table("t").agg(F.sum("v")).collect()[0][0] == before
 
