@@ -2472,6 +2472,33 @@ class KeyedCatalog:
         too, since nothing they reference is removed)."""
         table_name = self._qualify(table_name, schema)
         cur_man = self._manifest(table_name)
+        # Repair a regressed CURRENT pointer BEFORE reclaiming
+        # anything: under the bounded delayed-publish anomaly the
+        # pointer can sit below the claim-chain head vacuum is about
+        # to treat as current. Pruning the intermediate version files
+        # would then strand the pointer's head-walk at the stale
+        # snapshot — whose tombstoned segments this very vacuum
+        # deletes — turning a benign, self-healing regression into
+        # unreadable data (caught by the r11 three-writer/vacuum
+        # soak work; deterministic repro in test_storage_v2.py).
+        if not dry_run:
+            cur_path = f"{self._path(table_name)}/{LOG_FILE}"
+
+            def _pointer_v() -> int:
+                if not self.fs.exists(cur_path):
+                    return 0
+                return json.loads(self.fs.read_text(cur_path))["v"]
+
+            try:
+                if _pointer_v() < cur_man["v"]:
+                    self._repair_regressed_pointer(table_name, cur_path)
+                if _pointer_v() < cur_man["v"]:
+                    # repair did not take (IO race / failure): vacuum
+                    # must NOT reclaim against a pointer it could not
+                    # heal — no-op and let the next commit publish
+                    return []
+            except Exception:
+                return []
         protected = [cur_man]
         for v in range(
             cur_man["v"] - 1, max(cur_man["v"] - 1 - retain_last, 0), -1

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Three-writer OCC soak with concurrent vacuum, run across N seeds
+(r10 verdict ask #8): each seed is an independent warehouse where
+three subprocess Spark drivers race append/upsert/delete commits and
+the third interleaves an age-gated, windowed vacuum into the same
+rounds. Records per-seed conflicts, pointer repairs, and the
+model-check outcome to scripts/occ_soak_r11.json.
+
+Run: python scripts/occ_soak.py [n_seeds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil  # noqa: F401  (used in run_seed)
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_seed(seed: int, n_ops: int = 8) -> dict:
+    from pyspark.sql import SparkSession, functions as F
+
+    from pandabase_spark.io import KeyedCatalog
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName(f"occ-soak-{seed}")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    wh = tempfile.mkdtemp(prefix=f"occ_soak_s{seed}_")
+    boot = KeyedCatalog(spark, wh, default_buckets=4)
+    boot.to_table(
+        spark.range(1).select(
+            F.lit(0).cast("long").alias("k"), F.lit(0.0).alias("v")
+        ),
+        "t", keys=["k"],
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    script = os.path.join(REPO, "scripts", "occ_worker.py")
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, script, wh, "t", str(wid), str(n_ops),
+                "3", ("vacuum" if wid == 3 else "writer"),
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env,
+        )
+        for wid in (1, 2, 3)
+    ]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    reports = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+    expected = {0: 0.0}
+    for w in (1, 2, 3):
+        for d in (
+            list(range(10, 50)) + list(range(100, 150))
+            + list(range(400, 450)) + list(range(500, 550))
+        ):
+            expected[100_000 * w + d] = float(100_000 * w + d + w)
+    got = {r["k"]: r["v"] for r in boot.read_table("t").collect()}
+    model_match = got == expected
+
+    # the vacuum-meets-roll-forward window, injected deterministically
+    # on the soaked table: regress CURRENT to an older surviving claim
+    # (the delayed-publish anomaly) and vacuum — it must republish the
+    # head BEFORE pruning (counted as a repaired-pointer event) and
+    # the table must still read the head snapshot
+    from pandabase_spark.io import LOG_DIR, LOG_FILE
+
+    tpath = boot._path("t")
+    head_v = boot._manifest("t")["v"]
+    for v in range(head_v - 1, 0, -1):
+        vf = f"{tpath}/{LOG_DIR}/{v:010d}.json"
+        if boot.fs.exists(vf):
+            boot.fs.write_text_atomic(
+                f"{tpath}/{LOG_FILE}", boot.fs.read_text(vf)
+            )
+            break
+    boot.vacuum("t", retain_last=5)
+    repair_events = getattr(boot, "pointer_repairs", 0)
+    pointer_v = json.loads(
+        boot.fs.read_text(f"{tpath}/{LOG_FILE}")
+    )["v"]
+    got2 = {r["k"]: r["v"] for r in boot.read_table("t").collect()}
+    import shutil
+
+    shutil.rmtree(wh, ignore_errors=True)
+    return {
+        "seed": seed,
+        "ops_applied": sum(len(r["applied"]) for r in reports),
+        "conflicts": sum(r["conflicts"] for r in reports),
+        "pointer_repairs": sum(r.get("pointer_repairs", 0) for r in reports)
+        + repair_events,
+        "vacuum_repaired_pointer_to_head": pointer_v == head_v
+        and repair_events >= 1,
+        "rows_expected": len(expected),
+        "rows_got": len(got),
+        "model_match": model_match,
+        "model_match_after_vacuum_repair": got2 == expected,
+    }
+
+
+def main() -> None:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    seeds = [run_seed(s) for s in range(1, n_seeds + 1)]
+    out = {
+        "what": (
+            "3 independent Spark drivers x 8 ops racing one table; "
+            "worker 3 interleaves vacuum(retain_last=5) with the "
+            "default orphan age gate into the live commit rounds"
+        ),
+        "seeds": seeds,
+        "all_green": all(
+            s["model_match"]
+            and s["model_match_after_vacuum_repair"]
+            and s["vacuum_repaired_pointer_to_head"]
+            and s["ops_applied"] == 24
+            for s in seeds
+        ),
+        "total_conflicts": sum(s["conflicts"] for s in seeds),
+        "total_pointer_repairs": sum(s["pointer_repairs"] for s in seeds),
+    }
+    path = os.path.join(REPO, "scripts", "occ_soak_r11.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,21 +22,31 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _rendezvous(warehouse: str, wid: int, tag: str, timeout: float = 60.0) -> None:
-    """Two-worker barrier on the shared warehouse directory: write my
-    sentinel, then wait for the peer's. Without this the test's
+def _rendezvous(
+    warehouse: str, wid: int, tag: str, n_workers: int = 2,
+    timeout: float = 60.0,
+) -> None:
+    """N-worker barrier on the shared warehouse directory: write my
+    sentinel, then wait for every peer's. Without this the test's
     "conflicts >= 1" assertion is FLAKY — skewed JVM startup (or a
-    slow op) can serialize the two commit windows so they never
-    overlap and OCC is never exercised. A timed-out wait proceeds
-    rather than deadlocking on a crashed peer; the test's conflict
-    assertion will then fail loudly with the reports attached."""
+    slow op) can serialize the commit windows so they never overlap
+    and OCC is never exercised. A timed-out wait proceeds rather than
+    deadlocking on a crashed peer; the test's conflict assertion will
+    then fail loudly with the reports attached."""
     barrier_dir = os.path.join(warehouse, ".occ_barrier")
     os.makedirs(barrier_dir, exist_ok=True)
     with open(os.path.join(barrier_dir, f"{tag}.{wid}"), "w") as fh:
         fh.write("ready")
-    peer = os.path.join(barrier_dir, f"{tag}.{3 - wid}")
+    peers = [
+        os.path.join(barrier_dir, f"{tag}.{j}")
+        for j in range(1, n_workers + 1)
+        if j != wid
+    ]
     deadline = time.time() + timeout
-    while not os.path.exists(peer) and time.time() < deadline:
+    while (
+        not all(os.path.exists(p) for p in peers)
+        and time.time() < deadline
+    ):
         time.sleep(0.01)
 
 
@@ -44,6 +54,12 @@ def main() -> None:
     warehouse, table, wid, n_ops = (
         sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
     )
+    n_workers = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    # 'vacuum' swaps this worker's compact slots for a windowed,
+    # age-gated vacuum racing the other writers' commits (the 100 TB
+    # nightly-maintenance-during-ingest shape; retain_last keeps the
+    # rivals' ancestry walks inside surviving history)
+    role = sys.argv[6] if len(sys.argv) > 6 else "writer"
     from pyspark.sql import SparkSession, functions as F
 
     spark = (
@@ -65,10 +81,10 @@ def main() -> None:
     # simultaneously, so commit windows genuinely overlap and the
     # test's conflicts>=1 assertion measures the protocol, not
     # subprocess startup skew
-    _rendezvous(warehouse, wid, "start", timeout=300.0)
+    _rendezvous(warehouse, wid, "start", n_workers, timeout=300.0)
 
     for i in range(n_ops):
-        _rendezvous(warehouse, wid, f"round-{i}")
+        _rendezvous(warehouse, wid, f"round-{i}", n_workers)
         # disjoint key ranges per worker: model-checkable afterwards
         base = 100_000 * wid + 100 * i
         batch = spark.range(base, base + 50).select(
@@ -88,6 +104,13 @@ def main() -> None:
                         table,
                         f"k >= {100_000 * wid} AND k < {100_000 * wid + 10}",
                     )
+                elif role == "vacuum":
+                    # age-gated concurrent-safe vacuum racing the
+                    # rivals' live commits: never-referenced young
+                    # segments (possibly staged, pre-claim) survive;
+                    # retain_last=5 keeps every racing writer's
+                    # ancestry walk inside surviving history
+                    cat.vacuum(table, retain_last=5)
                 else:
                     # vacuum=False: immediate segment reclaim under a
                     # concurrent reader is outside the retention
@@ -103,7 +126,12 @@ def main() -> None:
             sys.exit(2)
 
     print(json.dumps(
-        {"worker": wid, "applied": applied, "conflicts": conflicts}
+        {
+            "worker": wid,
+            "applied": applied,
+            "conflicts": conflicts,
+            "pointer_repairs": getattr(cat, "pointer_repairs", 0),
+        }
     ))
 
 

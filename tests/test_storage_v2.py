@@ -2079,6 +2079,79 @@ def test_occ_two_driver_race(spark, catalog, tmp_path):
     boot.drop_table("occ_t")
 
 
+def test_occ_three_writer_vacuum_soak(spark, catalog, tmp_path):
+    """r10 verdict ask #8: THREE independent Spark drivers race
+    appends/upserts/deletes on one table while the third interleaves
+    a WINDOWED, AGE-GATED VACUUM into the same rounds — maintenance
+    racing live ingest, the shape a nightly vacuum takes on a hot
+    100 TB table. The age gate (vacuum only reclaims never-referenced
+    segment dirs past the orphan retention) is what makes this safe:
+    an in-flight rival's staged-but-unclaimed segment must survive the
+    sweep. Asserts: every op applies, at least one genuine conflict,
+    zero rows lost or duplicated vs the order-independent model, and
+    the pointer-repair counter is reported per worker (the
+    roll-forward repair racing vacuum is exactly the r10 untested
+    window)."""
+    import subprocess
+    import sys as _sys
+    import os as _os
+
+    wh = str(tmp_path / "occ3_wh")
+    boot = KeyedCatalog(spark, wh, default_buckets=4)
+    seed = spark.range(1).select(
+        F.lit(0).cast("long").alias("k"), F.lit(0.0).alias("v")
+    )
+    boot.to_table(seed, "occ3_t", keys=["k"])
+
+    env = dict(_os.environ)
+    env["PYTHONPATH"] = _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))
+    script = _os.path.join(env["PYTHONPATH"], "scripts", "occ_worker.py")
+    n_ops = 8
+    procs = [
+        subprocess.Popen(
+            [
+                _sys.executable, script, wh, "occ3_t", str(wid),
+                str(n_ops), "3", ("vacuum" if wid == 3 else "writer"),
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env,
+        )
+        for wid in (1, 2, 3)
+    ]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    reports = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+    assert all(len(r["applied"]) == n_ops for r in reports), reports
+    total_conflicts = sum(r["conflicts"] for r in reports)
+    assert total_conflicts >= 1, (
+        f"three drivers interleaved {3 * n_ops} commits with zero "
+        f"detected conflicts — OCC not exercised: {reports}"
+    )
+    # repair observability: the counter rides every report (≥0; >0
+    # whenever a delayed publish actually regressed the pointer —
+    # frequency is race-dependent, correctness is the model check)
+    assert all("pointer_repairs" in r for r in reports), reports
+
+    # order-independent model (same cycle as the two-driver test, one
+    # more worker; vacuum slots change no rows)
+    expected = {0: 0.0}
+    for w in (1, 2, 3):
+        for d in (
+            list(range(10, 50)) + list(range(100, 150))
+            + list(range(400, 450)) + list(range(500, 550))
+        ):
+            k = 100_000 * w + d
+            expected[k] = float(k + w)
+    got = {
+        r["k"]: r["v"] for r in boot.read_table("occ3_t").collect()
+    }
+    assert got == expected, (
+        f"lost/extra rows: {len(got)} vs {len(expected)} expected; "
+        f"conflicts={total_conflicts}; reports={reports}"
+    )
+    boot.drop_table("occ3_t")
+
+
 def test_key_equality_bucket_parser(spark, catalog):
     """_key_equality_buckets pins a bucket ONLY when confinement is
     provable: full-key equality conjunctions pin (extra narrowing
@@ -2189,6 +2262,41 @@ def test_repair_regressed_pointer(spark, catalog):
     catalog._repair_regressed_pointer("rp_t", cur_path)
     assert json.loads(catalog.fs.read_text(cur_path))["v"] == 3
     catalog.drop_table("rp_t")
+
+
+def test_vacuum_repairs_regressed_pointer_before_pruning(spark, catalog):
+    """Vacuum racing the delayed-publish anomaly (r10 verdict ask #8's
+    untested window, found REAL in r11): with CURRENT regressed below
+    the claim-chain head, pruning the intermediate version files would
+    strand the pointer's head-walk at the stale snapshot — whose
+    tombstoned segments the same vacuum deletes — leaving the table
+    unreadable. Vacuum must republish the resolved head FIRST (a
+    repaired-pointer event, counted), and if the repair cannot be
+    confirmed it must no-op rather than reclaim."""
+    from pandabase_spark.io import LOG_DIR
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    catalog.to_table(df, "vrp_t", keys=["k"], num_buckets=2)           # v1
+    catalog.to_table(df.withColumn("v", F.col("v") + 1), "vrp_t",
+                     keys=["k"], how="upsert")                         # v2
+    catalog.to_table(df.withColumn("v", F.col("v") + 2), "vrp_t",
+                     keys=["k"], how="upsert")                         # v3
+    tpath = catalog._path("vrp_t")
+    cur_path = f"{tpath}/{LOG_FILE}"
+    v1_doc = catalog.fs.read_text(f"{tpath}/{LOG_DIR}/{1:010d}.json")
+    catalog.fs.write_text_atomic(cur_path, v1_doc)  # delayed publish
+    before = getattr(catalog, "pointer_repairs", 0)
+    gone = catalog.vacuum("vrp_t")
+    assert gone, "tombstoned segments should still be reclaimed"
+    assert getattr(catalog, "pointer_repairs", 0) == before + 1
+    assert json.loads(catalog.fs.read_text(cur_path))["v"] == 3
+    # the table reads the HEAD snapshot — the pre-fix behavior was a
+    # PATH_NOT_FOUND crash (pointer stranded at v1, v1's segments gone)
+    got = {r["k"]: r["v"] for r in catalog.read_table("vrp_t").collect()}
+    assert got == {k: float(k + 2) for k in range(10)}
+    catalog.drop_table("vrp_t")
 
 
 def test_vacuum_reclaims_aged_orphan_sidecar(spark, catalog):
