@@ -628,6 +628,580 @@ MEDIA_STATS_SCHEMA = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (stdlib only): the fourth REAL codec through the seam —
+# the first LOSSY, entropy-coded container (huffman + DCT + quantization)
+# ---------------------------------------------------------------------------
+
+# zigzag index -> raster index (JPEG spec figure A.6)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# uniform quantization tables (all 16s): valid per spec, and chosen so
+# a solid block with an EVEN level-shifted value quantizes and
+# reconstructs with NO rounding midpoints anywhere — the property that
+# lets a SQL oracle replay the decode bit-exactly (see
+# attach_jpeg_payload). Real-world tables drop in transparently: both
+# sides read them from the file's own DQT segments.
+_JPEG_QTAB = [16] * 64
+# standard huffman table specs (JPEG Annex K shapes): (bits[16], symbols).
+# Correctness does not depend on spec-exactness — the decoder builds
+# its codes from the file's own DHT — but these cover every (run,size)
+# symbol the encoder can emit.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = (
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA]
+)
+
+
+def _huff_codes(bits: "list[int]", vals: "list[int]"):
+    """Canonical huffman code assignment (spec C.2): returns
+    ``{symbol: (code, length)}``."""
+    assert sum(bits) == len(vals), "malformed huffman spec"
+    out = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+_JPEG_COS = None  # (basis[u][x] = alpha(u)·cos((2x+1)uπ/16), lazy)
+
+
+def _jpeg_basis():
+    global _JPEG_COS
+    if _JPEG_COS is None:
+        import math
+
+        _JPEG_COS = [
+            [
+                (math.sqrt(0.125) if u == 0 else 0.5)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    return _JPEG_COS
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                b = self.acc & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise EOFError
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise EOFError
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    raise EOFError  # a marker inside the scan
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _fdct_quant(block: "list[int]", qtab: "list[int]") -> "list[int]":
+    """Forward 8x8 DCT (naive separable basis) + quantization
+    (round-half-away-from-zero via floor(x+0.5)); input is the
+    level-shifted spatial block in raster order, output the 64
+    quantized coefficients in raster order."""
+    import math
+
+    B = _jpeg_basis()
+    out = [0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                bx = B[u][x]
+                for y in range(8):
+                    s += block[x * 8 + y] * bx * B[v][y]
+            out[u * 8 + v] = int(
+                math.floor(s / qtab[u * 8 + v] + 0.5)
+            )
+    return out
+
+
+def _dequant_idct(coef: "list[int]", qtab: "list[int]") -> "list[int]":
+    """Dequantize + inverse 8x8 DCT; returns clamped 0..255 spatial
+    samples (raster order, level shift undone). Skipping zero
+    coefficients makes DC-only blocks (the common flat-region case)
+    O(64) instead of O(4096)."""
+    import math
+
+    B = _jpeg_basis()
+    acc = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            c = coef[u * 8 + v]
+            if c == 0:
+                continue
+            cv = c * qtab[u * 8 + v]
+            bu = B[u]
+            bv = B[v]
+            for x in range(8):
+                f = cv * bu[x]
+                for y in range(8):
+                    acc[x * 8 + y] += f * bv[y]
+    return [
+        min(255, max(0, int(math.floor(a + 128 + 0.5)))) for a in acc
+    ]
+
+
+def encode_jpeg(
+    w: int, h: int, ncomp: int, pixels: bytes
+) -> bytes:
+    """Minimal spec-correct baseline JFIF encoder (stdlib only):
+    grayscale (ncomp=1) or 4:4:4 YCbCr (ncomp=3, RGB input), uniform
+    quant tables, standard huffman tables, full forward DCT + entropy
+    coding. The synthesis half of the JPEG seam's oracle loop — every
+    byte it emits is consumed back through :func:`_parse_jpeg`'s real
+    huffman/dequant/IDCT pipeline."""
+    import math
+    import struct
+
+    if ncomp not in (1, 3) or len(pixels) != w * h * ncomp:
+        raise ValueError("encode_jpeg: bad shape")
+    # component planes, level-shifted
+    if ncomp == 1:
+        planes = [[p - 128 for p in pixels]]
+    else:
+        ys, cbs, crs = [], [], []
+        for i in range(0, len(pixels), 3):
+            r, g, b = pixels[i], pixels[i + 1], pixels[i + 2]
+            ys.append(
+                int(math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))
+                - 128
+            )
+            cbs.append(
+                int(
+                    math.floor(
+                        128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5
+                    )
+                )
+                - 128
+            )
+            crs.append(
+                int(
+                    math.floor(
+                        128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5
+                    )
+                )
+                - 128
+            )
+        planes = [ys, cbs, crs]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    writer = _BitWriter()
+    prev_dc = [0] * ncomp
+
+    def emit_block(coefs: "list[int]") -> None:
+        zz = [coefs[_JPEG_ZIGZAG[i]] for i in range(64)]
+        diff = zz[0] - prev_dc[ci]
+        prev_dc[ci] = zz[0]
+        t = abs(diff).bit_length()
+        code, ln = dc_codes[t]
+        writer.put(code, ln)
+        if t:
+            writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if zz[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, l_ = ac_codes[0xF0]  # ZRL
+                writer.put(c, l_)
+                run -= 16
+            t = abs(zz[k]).bit_length()
+            c, l_ = ac_codes[(run << 4) | t]
+            writer.put(c, l_)
+            writer.put(
+                zz[k] if zz[k] >= 0 else zz[k] + (1 << t) - 1, t
+            )
+            run = 0
+        if last_nz < 63:
+            c, l_ = ac_codes[0x00]  # EOB
+            writer.put(c, l_)
+
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(ncomp):
+                plane = planes[ci]
+                block = []
+                for y in range(8):
+                    sy = min(by * 8 + y, h - 1)
+                    for x in range(8):
+                        sx = min(bx * 8 + x, w - 1)
+                        block.append(plane[sy * w + sx])
+                emit_block(_fdct_quant(block, _JPEG_QTAB))
+    scan = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    qt = bytes([_JPEG_QTAB[_JPEG_ZIGZAG[i]] for i in range(64)])
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + qt)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
+    )
+    out += seg(
+        0xC4,
+        b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _parse_jpeg(payload: bytes):
+    """REAL baseline JPEG decoder with NO dependencies: marker walk
+    (DQT/SOF0/DHT/SOS), canonical huffman entropy decode with byte
+    unstuffing, dequantization, dezigzag, full inverse DCT, and (for
+    3 components) YCbCr→RGB conversion. Supports baseline grayscale
+    and 4:4:4 color, which is what the synthesis side emits; anything
+    else — progressive (SOF2), subsampled chroma, restart intervals,
+    arithmetic coding, truncated streams — returns None (callers
+    surface nulls, never crash a batch). Returns
+    ``(w, h, channels, pixel_bytes)`` like :func:`_parse_png`. The
+    fourth modality codec, and the first LOSSY one: a bug anywhere in
+    the huffman tables, coefficient decode, dequant, or IDCT changes
+    the reconstructed pixels and breaks the oracle hash."""
+    import struct
+
+    try:
+        if not payload or payload[:2] != b"\xff\xd8":
+            return None
+        i, n = 2, len(payload)
+        qtabs: "dict[int, list[int]]" = {}
+        huff: "dict[tuple[int, int], dict]" = {}
+        w = h = 0
+        comps: "list[tuple[int, int, int]]" = []  # (id, sampling, qid)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            (length,) = struct.unpack(">H", payload[i + 2:i + 4])
+            body = payload[i + 4:i + 2 + length]
+            if len(body) < length - 2:
+                return None
+            if marker == 0xDB:
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 15
+                    if pq != 0:
+                        return None  # 16-bit tables unsupported
+                    zz = list(body[j + 1:j + 65])
+                    if len(zz) < 64:
+                        return None
+                    tab = [0] * 64
+                    for k in range(64):
+                        tab[_JPEG_ZIGZAG[k]] = zz[k]
+                    qtabs[tq] = tab
+                    j += 65
+            elif marker == 0xC0:
+                prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or w <= 0 or h <= 0:
+                    return None
+                if w * h > _PNG_MAX_PIXELS:
+                    return None  # same CPU/memory bomb cap as PNG
+                comps = [
+                    (body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c])
+                    for c in range(nc)
+                ]
+                if any(s != 0x11 for _, s, _q in comps):
+                    return None  # only 4:4:4 / grayscale
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline SOF
+            elif marker == 0xC4:
+                j = 0
+                while j + 17 <= len(body):
+                    tc, th = body[j] >> 4, body[j] & 15
+                    bits = list(body[j + 1:j + 17])
+                    nsym = sum(bits)
+                    vals = list(body[j + 17:j + 17 + nsym])
+                    if len(vals) < nsym:
+                        return None
+                    huff[(tc, th)] = _huff_codes(bits, vals)
+                    j += 17 + nsym
+            elif marker == 0xDD:
+                return None  # restart intervals unsupported
+            elif marker == 0xDA:
+                ns = body[0]
+                if ns != len(comps) or not comps:
+                    return None
+                sel = [
+                    (body[1 + 2 * c + 1] >> 4, body[1 + 2 * c + 1] & 15)
+                    for c in range(ns)
+                ]
+                scan = payload[i + 2 + length:]
+                return _jpeg_decode_scan(
+                    w, h, comps, sel, qtabs, huff, scan
+                )
+            i += 2 + length
+        return None
+    except Exception:
+        return None
+
+
+def _jpeg_decode_scan(w, h, comps, sel, qtabs, huff, scan):
+    import math
+
+    # invert {sym: (code,len)} into {(len,code): sym} per table
+    dec = {
+        key: {(ln, code): sym for sym, (code, ln) in tab.items()}
+        for key, tab in huff.items()
+    }
+
+    def read_sym(r: _BitReader, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 17:
+            code = (code << 1) | r.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise EOFError
+
+    ncomp = len(comps)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [bytearray(bw * 8 * bh * 8) for _ in range(ncomp)]
+    r = _BitReader(scan)
+    prev_dc = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(ncomp):
+                dc_t = dec.get((0, sel[ci][0]))
+                ac_t = dec.get((1, sel[ci][1]))
+                q = qtabs.get(comps[ci][2])
+                if dc_t is None or ac_t is None or q is None:
+                    return None
+                coefs = [0] * 64
+                t = read_sym(r, dc_t)
+                prev_dc[ci] += _jpeg_extend(r.bits(t), t)
+                coefs[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = read_sym(r, ac_t)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    size = sym & 15
+                    if k > 63 or size == 0:
+                        return None
+                    coefs[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                        r.bits(size), size
+                    )
+                    k += 1
+                spat = _dequant_idct(coefs, q)
+                plane = planes[ci]
+                stride = bw * 8
+                for y in range(8):
+                    row_off = (by * 8 + y) * stride + bx * 8
+                    plane[row_off:row_off + 8] = bytes(
+                        spat[y * 8:y * 8 + 8]
+                    )
+    if ncomp == 1:
+        stride = bw * 8
+        out = bytearray(w * h)
+        for y in range(h):
+            out[y * w:(y + 1) * w] = planes[0][
+                y * stride:y * stride + w
+            ]
+        return w, h, 1, bytes(out)
+    stride = bw * 8
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        for x in range(w):
+            o = y * stride + x
+            Y, cb, cr = planes[0][o], planes[1][o] - 128, planes[2][o] - 128
+            p = (y * w + x) * 3
+            out[p] = min(255, max(0, int(
+                math.floor(Y + 1.402 * cr + 0.5))))
+            out[p + 1] = min(255, max(0, int(
+                math.floor(Y - 0.344136 * cb - 0.714136 * cr + 0.5))))
+            out[p + 2] = min(255, max(0, int(
+                math.floor(Y + 1.772 * cb + 0.5))))
+    return w, h, 3, bytes(out)
+
+
+def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL baseline-JPEG bytes: a solid GRAYSCALE image
+    whose dimensions and gray level derive arithmetically from the id
+    — width = 8 + id % 9, height = 8 + id % 5, gray = 2·(id % 128).
+    The even gray level + the uniform 16s quant table make the lossy
+    pipeline exactly invertible for these payloads: the level-shifted
+    value is even, so DC quantization (÷16 after the ×8 DCT gain) and
+    reconstruction both land on integers with NO rounding midpoints —
+    float DCT noise (~1e-13) can never cross a boundary, and a SQL
+    oracle replays the decoded stats from the id alone while the
+    bytes still round-trip the full huffman/DCT machinery.
+    Arrow-batched mapInPandas, same bounded-memory contract as the
+    other attaches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 8 + i % 9, 8 + i % 5
+                g = 2 * (i % 128)
+                payloads.append(
+                    encode_jpeg(w, h, 1, bytes([g]) * (w * h))
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": payloads,
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, f"{id_col} long, payload binary, media_type string"
+    )
+
+
+def decode_jpeg_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Integer-exact decode stats for JPEG payloads through the full
+    entropy-decode + IDCT pipeline (:func:`_parse_jpeg`); same schema
+    and null-on-malformed contract as the other decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "width", "height", "channels", "sum_bytes",
+                "n_pixels",
+            )}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = p if p is not None else b""
+                out["id"].append(int(i))
+                got = _parse_jpeg(payload)
+                if got is None:
+                    for k in ("width", "height", "channels",
+                              "sum_bytes", "n_pixels"):
+                        out[k].append(None)
+                    continue
+                w, h, ch, data = got
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["sum_bytes"].append(sum(data))
+                out["n_pixels"].append(w * h)
+            yield pd.DataFrame(out, dtype="object")
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, PPM_STATS_SCHEMA
+    )
+
+
 def decode_image_stats_auto(
     df: DataFrame,
     *,
@@ -635,12 +1209,12 @@ def decode_image_stats_auto(
     payload_col: str = "payload",
 ) -> DataFrame:
     """Integer-exact decode stats over a MIXED media column: magic-byte
-    sniffing routes each payload to its dependency-free codec (PPM or
-    PNG) in one pass — the production shape for a heterogeneous 100 TB
-    media corpus, where per-format table splits would multiply scans.
-    Emits the detected ``format`` plus the same integer stats as the
-    per-format decoders; unrecognized/malformed payloads yield a null
-    format and null stats."""
+    sniffing routes each payload to its dependency-free codec (PPM,
+    PNG, or baseline JPEG) in one pass — the production shape for a
+    heterogeneous 100 TB media corpus, where per-format table splits
+    would multiply scans. Emits the detected ``format`` plus the same
+    integer stats as the per-format decoders; unrecognized/malformed
+    payloads yield a null format and null stats."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -661,6 +1235,10 @@ def decode_image_stats_auto(
                     got = _parse_png(payload)
                     if got is not None:
                         fmt, parsed = "png", got
+                elif payload.startswith(b"\xff\xd8"):
+                    got = _parse_jpeg(payload)
+                    if got is not None:
+                        fmt, parsed = "jpeg", got
                 if parsed is None:
                     out["format"].append(None)
                     for k in (
@@ -878,8 +1456,8 @@ def payload_embedding(
     dependency-free codec and all three real modalities land in ONE
     5-dim feature space —
 
-    - PPM / PNG images: ``[mean_c0, mean_c1, mean_c2, w, h]``
-      (per-channel means over the actual decoded pixel bytes;
+    - PPM / PNG / baseline-JPEG images: ``[mean_c0, mean_c1, mean_c2,
+      w, h]`` (per-channel means over the actual decoded pixel bytes;
       grayscale repeats its single channel, RGBA uses the color
       channels);
     - PCM WAV audio: ``[mean_abs, max_abs, sample_rate/1000,
@@ -932,6 +1510,13 @@ def payload_embedding(
                         vecs.append(_image_feats(w, h, 3, data))
                     elif payload.startswith(_PNG_SIG):
                         got = _parse_png(payload)
+                        if got is None:
+                            vecs.append(None)
+                            continue
+                        w, h, ch, data = got
+                        vecs.append(_image_feats(w, h, ch, data))
+                    elif payload.startswith(b"\xff\xd8"):
+                        got = _parse_jpeg(payload)
                         if got is None:
                             vecs.append(None)
                             continue

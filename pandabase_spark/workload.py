@@ -6194,6 +6194,42 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_decode_jpeg",
+    "SELECT doc_id AS id, "
+    "CAST(8 + doc_id % 9 AS INTEGER) AS width, "
+    "CAST(8 + doc_id % 5 AS INTEGER) AS height, "
+    "CAST(1 AS INTEGER) AS channels, "
+    "CAST(2 * (doc_id % 128) * (8 + doc_id % 9) * (8 + doc_id % 5) "
+    "AS BIGINT) AS sum_bytes, "
+    "CAST((8 + doc_id % 9) * (8 + doc_id % 5) AS BIGINT) AS n_pixels "
+    "FROM documents",
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode through the mapInPandas seam — the
+    fourth stdlib-only codec and the first LOSSY, entropy-coded one:
+    each document gets a genuine JFIF grayscale JPEG (solid gray
+    2·(id%128), dims from the id; encode_jpeg runs a full forward DCT
+    + quantization + canonical-huffman entropy coding), and
+    decode_jpeg_stats runs the complete decode pipeline — marker
+    walk, DHT/DQT parse, huffman entropy decode with byte unstuffing,
+    dequantize, dezigzag, inverse DCT (multimodal._parse_jpeg). The
+    even gray level + uniform 16s quant table make the lossy path
+    exactly invertible for these payloads (no rounding midpoints
+    anywhere in DC quantize/reconstruct), so the oracle recomputes
+    every stat from doc_id alone while the bytes still exercise the
+    real huffman/DCT machinery — a bug in ANY decode stage breaks the
+    hash. Progressive/subsampled/restart-interval JPEGs stay outside
+    the supported subset and null their rows; PIL remains the
+    documented lazy-import seam for those."""
+    from pandabase_spark.operators.multimodal import (
+        attach_jpeg_payload, decode_jpeg_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_jpeg_stats(attach_jpeg_payload(docs, "doc_id"))
+
+
+@_q(
     "multimodal_decode_mixed",
     "SELECT doc_id AS id, "
     "CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'png' END AS format, "
@@ -7925,23 +7961,25 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal_embed_topk_mixed, three-modality retrieval from real
 # decoded bytes) + the 9 entries the r10 note deferred here
 # (ann_topk_ivfpq / ann_topk_pq rows-only, the five grouping/pivot
-# shapes, streaming_windowed_counts, events_json_extract) + 38 of the
-# 47 r7-stale rows (the r3/r7 text/dedup/sampling/kt block). The 9
+# shapes, streaming_windowed_counts, events_json_extract) + 37 of the
+# 47 r7-stale rows (the r3/r7 text/dedup/sampling/kt block). The 10
 # deferred to r12: the six remaining rows-only entries (ann_topk_ivf,
 # ann_topk_ivf_indexed, ann_topk_lsh, minhash_lsh_neardup,
 # multimodal_decode_fake, simhash_neardup — the weakest check form
 # yields slots, and each family's value-exact member IS in this head)
-# plus three oracled entries whose family has a stronger same-code
+# plus four oracled entries whose family has a stronger same-code
 # representative here (cosine_topk_bruteforce → ann_topk_pq_full's
-# identical brute-force shape, multimodal_payload_stats → the three
-# decode gates, winnow_match_pairs → doc_winnow_fingerprints) — all
+# identical brute-force shape, multimodal_payload_stats → the four
+# decode gates, winnow_match_pairs → doc_winnow_fingerprints,
+# nearest_centroid_confusion → label_centroids green r10) — all
 # lead the r12 rotation.
 _GATE_FIRST = [
     # never driver-checked (the last of 206)
     "multimodal_decode_mixed",
-    # round-11 additions (both value-exact)
+    # round-11 additions (all value-exact)
     "ann_topk_pq_full",
     "multimodal_embed_topk_mixed",
+    "multimodal_decode_jpeg",
     # deferred from r10 by its rotation note
     "ann_topk_ivfpq",
     "ann_topk_pq",
@@ -7994,7 +8032,6 @@ _GATE_FIRST = [
     "rfm_segments",
     "event_transition_matrix",
     "events_time_weighted_avg",
-    "nearest_centroid_confusion",
 ]
 
 

@@ -24,8 +24,14 @@ r10 adds the keyed-table WRITE path (create + adaptive upsert): the
 round changed the upsert merge shape, so the scale claim needs the
 same 1x-vs-Nx wall + heap evidence as the read-side operators.
 
+r11 adds the TPC-H analytic headliners (q1/q5/q9/q21) at Nx LINEITEM
++ ORDERS (facts replicated with shifted orderkeys, multi-row-group
+layout; dimension tables stay 1x — facts scale, dims don't, which is
+exactly the regime where the broadcast-dim plans must hold): the join
+plans' scale story measured, not argued from plan shape.
+
 Usage: python scripts/scale_evidence.py [scale] [sf_dir]
-Writes scripts/scale_evidence_r10.json and prints it.
+Writes scripts/scale_evidence_r11.json and prints it.
 """
 
 from __future__ import annotations
@@ -107,6 +113,45 @@ def main() -> None:
     emb.repartition(16).write.mode("overwrite").parquet(
         f"{scratch}/embeddings.parquet"
     )
+
+    # Nx FACT tables for the TPC-H headliners: lineitem and orders
+    # replicated with disjoint shifted orderkeys (every replica keeps
+    # the join keys consistent between the two facts), written
+    # repartition(32) => multi-row-group multi-file layout at Nx.
+    # Dimensions are NOT scaled: at 100 TB facts grow, dims don't.
+    rep = F.explode(F.expr(f"sequence(0, {N_SCALE - 1})")).alias("rep")
+    base_li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    base_ord = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    shift = (F.col("rep").cast("long") * 100_000_000)
+    (
+        base_li.select("*", rep)
+        .withColumn("l_orderkey", F.col("l_orderkey") + shift)
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{scratch}/lineitem_nx.parquet")
+    )
+    (
+        base_ord.select("*", rep)
+        .withColumn("o_orderkey", F.col("o_orderkey") + shift)
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{scratch}/orders_nx.parquet")
+    )
+    # analytic runs read from a second scratch whose facts are the Nx
+    # versions and whose dims symlink to sf0.1
+    scratch_tpch = f"{scratch}/tpch_nx"
+    os.makedirs(scratch_tpch, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events"):
+        dst = f"{scratch_tpch}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF_DIR}/{t}.parquet", dst)
+    for t, src in (("lineitem", "lineitem_nx"), ("orders", "orders_nx")):
+        dst = f"{scratch_tpch}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{scratch}/{src}.parquet", dst)
 
     def jvm_heap_mb() -> int:
         rt = spark._jvm.java.lang.Runtime.getRuntime()
@@ -191,6 +236,29 @@ def main() -> None:
             batch, "t", keys=["k"], how="upsert"))
         return out
 
+    def analytics_for(sf_dir: str) -> "dict[str, dict]":
+        """The TPC-H headline shapes over the given table dir: q1
+        (scan+agg), q5 (6-table broadcast-dim star join), q9
+        (part-filtered profit join), q21 (semi/anti self-joins on the
+        fact). Min-of-2 wall (same rationale as bench.py) + heap."""
+        out: dict[str, dict] = {}
+        for name in ("q1_pricing_summary", "q5_nation_revenue",
+                     "q9_product_profit", "q21_waiting_suppliers"):
+            best, rows = None, 0
+            for _ in range(2):
+                t0 = time.time()
+                df = workload.QUERIES[name](spark, sf_dir)
+                force(df)
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            rows = workload.QUERIES[name](spark, sf_dir).count()
+            out[name] = {
+                "sec": round(best, 2),
+                "rows": rows,
+                "jvm_heap_mb": jvm_heap_mb(),
+            }
+        return out
+
     report = {
         "scale": N_SCALE,
         "docs_rows": {"1x": n_docs // N_SCALE, "Nx": n_docs},
@@ -200,12 +268,14 @@ def main() -> None:
     }
     report["at_1x"].update(writes_for(500_000, "1x"))
     report["at_Nx"].update(writes_for(500_000 * N_SCALE, "nx"))
+    report["at_1x"].update(analytics_for(SF_DIR))
+    report["at_Nx"].update(analytics_for(scratch_tpch))
     for name, rec in report["at_Nx"].items():
         base = report["at_1x"][name]["sec"]
         rec["ratio_vs_1x"] = round(rec["sec"] / max(base, 0.01), 1)
 
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "scale_evidence_r10.json"), "w") as fh:
+    with open(os.path.join(here, "scale_evidence_r11.json"), "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report, indent=1))
 

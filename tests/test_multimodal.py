@@ -476,6 +476,98 @@ def test_decode_auto_sniffs_mixed_formats(spark):
     assert r["format"] is None and r["width"] is None
 
 
+def test_jpeg_codec_round_trip_unit():
+    """The baseline JPEG codec (encode_jpeg → _parse_jpeg), stdlib
+    only: exact on even-gray solids under the uniform-16 quant table
+    (the midpoint-free configuration the oracle relies on), bounded
+    lossy on gradients and 4:4:4 color, None on malformed/unsupported
+    streams."""
+    from pandabase_spark.operators.multimodal import (
+        _parse_jpeg, encode_jpeg,
+    )
+
+    # grayscale solid with even level: decode is EXACT (DC quantizes
+    # and reconstructs with no rounding midpoints)
+    for i in (0, 1, 7, 42, 127, 200, 255):
+        w, h = 8 + i % 9, 8 + i % 5
+        g = 2 * (i % 128)
+        got = _parse_jpeg(encode_jpeg(w, h, 1, bytes([g]) * (w * h)))
+        assert got is not None
+        W, H, ch, data = got
+        assert (W, H, ch, set(data)) == (w, h, 1, {g})
+
+    # gradient: the full huffman/AC path runs; quant-16 bounds error
+    w, h = 16, 8
+    src = bytes(((x * 16 + y * 3) % 256) for y in range(h) for x in range(w))
+    W, H, ch, data = _parse_jpeg(encode_jpeg(w, h, 1, src))
+    assert (W, H, ch) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(src, data)) <= 40
+
+    # color 4:4:4 solid: YCbCr round trip within quantization error
+    src = bytes([200, 30, 90]) * 64
+    W, H, ch, data = _parse_jpeg(encode_jpeg(8, 8, 3, src))
+    assert (W, H, ch) == (8, 8, 3)
+    assert max(abs(a - b) for a, b in zip(src, data)) <= 12
+
+    # hostile / unsupported: None, never an exception
+    good = encode_jpeg(8, 8, 1, bytes([100]) * 64)
+    assert _parse_jpeg(b"") is None
+    assert _parse_jpeg(b"not a jpeg") is None
+    assert _parse_jpeg(b"\xff\xd8garbage") is None
+    assert _parse_jpeg(good[:40]) is None          # truncated headers
+    assert _parse_jpeg(good[:-10]) is None         # truncated scan
+    # progressive SOF marker → unsupported subset
+    assert _parse_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+    # forged dims past the pixel cap → rejected pre-alloc
+    import struct
+
+    sof_at = good.index(b"\xff\xc0")
+    bomb = bytearray(good)
+    bomb[sof_at + 5:sof_at + 9] = struct.pack(">HH", 60000, 60000)
+    assert _parse_jpeg(bytes(bomb)) is None
+
+
+def test_decode_jpeg_real_bytes(spark):
+    """attach_jpeg_payload → decode_jpeg_stats through the seam:
+    stats integer-exact from doc_id (the driver-gate contract)."""
+    from pandabase_spark.operators.multimodal import (
+        attach_jpeg_payload, decode_jpeg_stats,
+    )
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    rows = {
+        r["id"]: r
+        for r in decode_jpeg_stats(attach_jpeg_payload(docs)).collect()
+    }
+    assert len(rows) == 30
+    for i in range(30):
+        r = rows[i]
+        w, h, g = 8 + i % 9, 8 + i % 5, 2 * (i % 128)
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
+        assert r["sum_bytes"] == g * w * h
+        assert r["n_pixels"] == w * h
+    # auto-dispatch recognizes the SOI magic and tags the format
+    from pandabase_spark.operators.multimodal import (
+        decode_image_stats_auto, payload_embedding,
+    )
+
+    auto = decode_image_stats_auto(
+        attach_jpeg_payload(docs.where("doc_id < 5"))
+    ).collect()
+    assert all(r["format"] == "jpeg" for r in auto)
+    # and the shared feature path embeds from the decoded gray plane
+    emb = {
+        r["id"]: r["embedding"]
+        for r in payload_embedding(
+            attach_jpeg_payload(docs.where("doc_id < 5")),
+            id_col="doc_id", decoder="auto",
+        ).collect()
+    }
+    for i in range(5):
+        g = float(2 * (i % 128))
+        assert emb[i] == [g, g, g, float(8 + i % 9), float(8 + i % 5)]
+
+
 def test_png_decompression_bomb_yields_null():
     """A forged IHDR claiming a multi-GB image with a tiny highly-
     compressible IDAT must return None (the batch-survives contract
