@@ -25,8 +25,11 @@ large-scale training-data pipeline needs:
 - JSON column ops — :mod:`.operators.json_ops`;
 - multimodal binary-payload plumbing with REAL dependency-free codecs
   through the decode seam (PPM, PNG incl. inflate+unfilter, PCM WAV,
-  magic-byte auto-dispatch for mixed corpora; PIL/ffmpeg formats stay
-  behind a lazy-import seam) — :mod:`.operators.multimodal`;
+  baseline JPEG incl. huffman entropy decode + IDCT, AVI container
+  demux with real frame sampling, magic-byte
+  auto-dispatch and mixed-modality embedding for heterogeneous
+  corpora; PIL/ffmpeg formats stay behind a lazy-import seam)
+  — :mod:`.operators.multimodal`;
 - Structured Streaming: foreachBatch upsert, watermarked windows,
   stream dedup, stateful sessionization — :mod:`.streaming`;
 - CSV ingestion — :mod:`.sources`.

@@ -6230,6 +6230,40 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_sample_avi_frames",
+    "WITH d AS (SELECT doc_id, 4 + doc_id % 6 AS n, "
+    "4 + doc_id % 4 AS w, 2 + doc_id % 3 AS h FROM documents) "
+    "SELECT doc_id AS id, CAST(fi AS INTEGER) AS frame_idx, "
+    "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, "
+    "CAST(((doc_id + 17 * fi) % 256 + (2 * doc_id + fi) % 256 "
+    "+ (3 * doc_id + 5 * fi) % 256) * w * h AS BIGINT) AS sum_bytes "
+    "FROM d CROSS JOIN unnest(range(0, n)) AS r(fi) WHERE fi % 2 = 0",
+)
+def multimodal_sample_avi_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL video frame sampling, value-exact: each document gets a
+    genuine uncompressed-DIB AVI (RIFF container, per-frame solid
+    colors arithmetic in (doc_id, frame_idx) — encode_avi performs the
+    DIB bottom-up/BGR/row-padding storage), and sample_avi_frames
+    demuxes it through multimodal._parse_avi (RIFF walk → strf dims →
+    movi '00db' chunks → padding/flip/BGR undo) emitting one row per
+    SECOND frame with stats over the actual decoded RGB bytes — the
+    UDTF-shaped frame-extraction stage of a video-training pipeline.
+    The oracle replays frame indices and pixel sums from doc_id alone,
+    so the container walk, the frame demux, AND the sampling stride
+    are all hash-checked. Codec-compressed video stays behind the
+    documented ffmpeg lazy-import seam; the container level is real
+    now, closing the last seam-only modality."""
+    from pandabase_spark.operators.multimodal import (
+        attach_avi_payload, sample_avi_frames,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_avi_frames(attach_avi_payload(docs, "doc_id"), every_n=2)
+
+
+@_q(
     "multimodal_decode_mixed",
     "SELECT doc_id AS id, "
     "CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'png' END AS format, "
@@ -7961,18 +7995,19 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal_embed_topk_mixed, three-modality retrieval from real
 # decoded bytes) + the 9 entries the r10 note deferred here
 # (ann_topk_ivfpq / ann_topk_pq rows-only, the five grouping/pivot
-# shapes, streaming_windowed_counts, events_json_extract) + 37 of the
-# 47 r7-stale rows (the r3/r7 text/dedup/sampling/kt block). The 10
+# shapes, streaming_windowed_counts, events_json_extract) + 36 of the
+# 47 r7-stale rows (the r3/r7 text/dedup/sampling/kt block). The 11
 # deferred to r12: the six remaining rows-only entries (ann_topk_ivf,
 # ann_topk_ivf_indexed, ann_topk_lsh, minhash_lsh_neardup,
 # multimodal_decode_fake, simhash_neardup — the weakest check form
 # yields slots, and each family's value-exact member IS in this head)
-# plus four oracled entries whose family has a stronger same-code
+# plus five oracled entries whose family has a stronger same-code
 # representative here (cosine_topk_bruteforce → ann_topk_pq_full's
-# identical brute-force shape, multimodal_payload_stats → the four
+# identical brute-force shape, multimodal_payload_stats → the five
 # decode gates, winnow_match_pairs → doc_winnow_fingerprints,
-# nearest_centroid_confusion → label_centroids green r10) — all
-# lead the r12 rotation.
+# nearest_centroid_confusion → label_centroids green r10,
+# events_time_weighted_avg → the events family's other head slots) —
+# all lead the r12 rotation.
 _GATE_FIRST = [
     # never driver-checked (the last of 206)
     "multimodal_decode_mixed",
@@ -7980,6 +8015,7 @@ _GATE_FIRST = [
     "ann_topk_pq_full",
     "multimodal_embed_topk_mixed",
     "multimodal_decode_jpeg",
+    "multimodal_sample_avi_frames",
     # deferred from r10 by its rotation note
     "ann_topk_ivfpq",
     "ann_topk_pq",
@@ -8031,7 +8067,6 @@ _GATE_FIRST = [
     "cohort_retention",
     "rfm_segments",
     "event_transition_matrix",
-    "events_time_weighted_avg",
 ]
 
 

@@ -568,6 +568,93 @@ def test_decode_jpeg_real_bytes(spark):
         assert emb[i] == [g, g, g, float(8 + i % 9), float(8 + i % 5)]
 
 
+def test_avi_codec_round_trip_unit():
+    """The AVI container codec (encode_avi → _parse_avi), stdlib only:
+    exact roundtrip of uncompressed RGB24 frames through the DIB
+    bottom-up/BGR/row-padding storage, None on malformed/compressed/
+    bomb streams."""
+    import struct
+
+    from pandabase_spark.operators.multimodal import (
+        _parse_avi, encode_avi,
+    )
+
+    # gradient frame with a non-multiple-of-4 stride (5*3=15 → pad 16):
+    # any padding/flip/BGR bug changes the bytes
+    w, h = 5, 3
+    f0 = bytes(
+        ((x * 7 + y * 31 + c * 13) % 256)
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    f1 = bytes(reversed(f0))
+    payload = encode_avi(w, h, 10, [f0, f1])
+    got = _parse_avi(payload)
+    assert got is not None
+    W, H, frames = got
+    assert (W, H) == (w, h) and frames == [f0, f1]
+
+    # hostile / unsupported
+    assert _parse_avi(b"") is None
+    assert _parse_avi(b"RIFFxxxxAVI garbage") is None
+    assert _parse_avi(payload[:40]) is None
+    bomb = bytearray(payload)
+    at = payload.index(b"strf") + 8
+    bomb[at + 4:at + 12] = struct.pack("<ii", 60000, 60000)
+    assert _parse_avi(bytes(bomb)) is None  # pixel-bomb header
+    comp = bytearray(payload)
+    comp[at + 16:at + 20] = struct.pack("<I", 1)  # biCompression=RLE
+    assert _parse_avi(bytes(comp)) is None
+
+
+def test_sample_avi_frames_real_bytes(spark):
+    """attach_avi_payload → sample_avi_frames through the UDTF-shaped
+    seam: every 2nd frame, stats exact from (doc_id, frame_idx); junk
+    rows vanish rather than crash; the auto embed path thumbnails the
+    first frame."""
+    from pandabase_spark.operators.multimodal import (
+        attach_avi_payload, payload_embedding, sample_avi_frames,
+    )
+
+    docs = spark.range(20).select(F.col("id").alias("doc_id"))
+    rows = sample_avi_frames(
+        attach_avi_payload(docs), every_n=2
+    ).collect()
+    seen = {}
+    for r in rows:
+        seen.setdefault(r["id"], []).append(r)
+    assert set(seen) == set(range(20))
+    for i in range(20):
+        n, w, h = 4 + i % 6, 4 + i % 4, 2 + i % 3
+        assert [r["frame_idx"] for r in sorted(
+            seen[i], key=lambda r: r["frame_idx"])] == list(range(0, n, 2))
+        for r in seen[i]:
+            fi = r["frame_idx"]
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["sum_bytes"] == (
+                (i + 17 * fi) % 256 + (2 * i + fi) % 256
+                + (3 * i + 5 * fi) % 256
+            ) * w * h
+    # malformed payload: zero rows for that id, batch survives
+    junk = spark.createDataFrame(
+        [(99, b"RIFF not a real avi")], "doc_id long, payload binary"
+    )
+    assert sample_avi_frames(junk).count() == 0
+    # auto-embed: first-frame thumbnail features
+    emb = {
+        r["id"]: r["embedding"]
+        for r in payload_embedding(
+            attach_avi_payload(docs.where("doc_id < 4")),
+            id_col="doc_id", decoder="auto",
+        ).collect()
+    }
+    for i in range(4):
+        w, h = 4 + i % 4, 2 + i % 3
+        assert emb[i] == [
+            float(i % 256), float((2 * i) % 256), float((3 * i) % 256),
+            float(w), float(h),
+        ]
+
+
 def test_png_decompression_bomb_yields_null():
     """A forged IHDR claiming a multi-GB image with a tiny highly-
     compressible IDAT must return None (the batch-survives contract
