@@ -292,11 +292,15 @@ def main() -> None:
               "doc_length_percentiles_by_lang"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
 
-    # --- round-10 additions: the real-codec decode seam (PPM raw,
-    # PNG inflate+unfilter, mixed auto-dispatch) — the Python-boundary
-    # throughput trend for the Arrow-batched mapInPandas path ---
+    # --- round-10/11 additions: the real-codec decode seam (PPM raw,
+    # PNG inflate+unfilter, mixed auto-dispatch; r11: baseline-JPEG
+    # huffman+IDCT, AVI frame demux, three-modality retrieval) — the
+    # Python-boundary throughput trend for the Arrow-batched
+    # mapInPandas path ---
     for q in ("multimodal_decode_ppm", "multimodal_decode_png",
-              "multimodal_decode_mixed"):
+              "multimodal_decode_mixed", "multimodal_decode_jpeg",
+              "multimodal_sample_avi_frames",
+              "multimodal_embed_topk_mixed"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
 
     # --- round-5 additions: sub-document dedup, drift/profile stats,
@@ -338,6 +342,12 @@ def main() -> None:
             emb, emb.where(F.col("vec_id") < 5), k=10, n_cells=16,
             nprobe=6, centroids=built["c"],
         ).withColumn("cosine", F.round("cosine", 4))))
+
+    # PQ value-exact gate (r11): lossless-codebook enumeration + the
+    # production encode/ADC scoring path — tracks the compressed-
+    # scoring throughput trend alongside the IVF family
+    timed("ann_topk_pq_full", lambda: force(
+        Q["ann_topk_pq_full"](spark, sf_dir)))
 
     # persisted serving shape: index written once (ingest cost, timed
     # separately), probes partition-pruned to ~nprobe/n_cells of the

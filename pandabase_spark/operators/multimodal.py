@@ -778,51 +778,43 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def _fdct_quant(block: "list[int]", qtab: "list[int]") -> "list[int]":
-    """Forward 8x8 DCT (naive separable basis) + quantization
-    (round-half-away-from-zero via floor(x+0.5)); input is the
-    level-shifted spatial block in raster order, output the 64
-    quantized coefficients in raster order."""
+    """Forward 8x8 DCT (separable basis as two numpy matmuls:
+    ``B @ f @ Bᵀ``) + quantization (round-half-away-from-zero via
+    floor(x+0.5)); input is the level-shifted spatial block in raster
+    order, output the 64 quantized coefficients in raster order.
+    Vectorized: the nested-loop form cost ~4096 Python mults per
+    block and dominated the decode-seam bench (9.5s → ~1s at sf0.1).
+    Matmul reorders the float additions vs a scalar loop, but the
+    codec's exactness contract never depends on which side of a
+    rounding midpoint a ~1e-13 error lands — the oracle-exact
+    payloads are midpoint-free by construction."""
     import math
 
-    B = _jpeg_basis()
-    out = [0] * 64
-    for u in range(8):
-        for v in range(8):
-            s = 0.0
-            for x in range(8):
-                bx = B[u][x]
-                for y in range(8):
-                    s += block[x * 8 + y] * bx * B[v][y]
-            out[u * 8 + v] = int(
-                math.floor(s / qtab[u * 8 + v] + 0.5)
-            )
-    return out
+    import numpy as np
+
+    B = np.asarray(_jpeg_basis())
+    f = np.asarray(block, dtype="float64").reshape(8, 8)
+    F_ = B @ f @ B.T
+    q = np.asarray(qtab, dtype="float64").reshape(8, 8)
+    return [
+        int(v) for v in np.floor(F_ / q + 0.5).astype("int64").ravel()
+    ]
 
 
 def _dequant_idct(coef: "list[int]", qtab: "list[int]") -> "list[int]":
-    """Dequantize + inverse 8x8 DCT; returns clamped 0..255 spatial
-    samples (raster order, level shift undone). Skipping zero
-    coefficients makes DC-only blocks (the common flat-region case)
-    O(64) instead of O(4096)."""
-    import math
+    """Dequantize + inverse 8x8 DCT (``Bᵀ @ F @ B``); returns clamped
+    0..255 spatial samples (raster order, level shift undone). Same
+    vectorization rationale as :func:`_fdct_quant`."""
+    import numpy as np
 
-    B = _jpeg_basis()
-    acc = [0.0] * 64
-    for u in range(8):
-        for v in range(8):
-            c = coef[u * 8 + v]
-            if c == 0:
-                continue
-            cv = c * qtab[u * 8 + v]
-            bu = B[u]
-            bv = B[v]
-            for x in range(8):
-                f = cv * bu[x]
-                for y in range(8):
-                    acc[x * 8 + y] += f * bv[y]
-    return [
-        min(255, max(0, int(math.floor(a + 128 + 0.5)))) for a in acc
-    ]
+    B = np.asarray(_jpeg_basis())
+    F_ = (
+        np.asarray(coef, dtype="float64")
+        * np.asarray(qtab, dtype="float64")
+    ).reshape(8, 8)
+    f = B.T @ F_ @ B
+    out = np.floor(f + 128 + 0.5)
+    return [int(v) for v in np.clip(out, 0, 255).astype("int64").ravel()]
 
 
 def encode_jpeg(

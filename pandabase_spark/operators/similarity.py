@@ -918,6 +918,47 @@ def write_ivf_index(
     )
 
 
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to an EXISTING :func:`write_ivf_index` index
+    without rebuilding it — the FAISS add-after-train contract and the
+    100 TB maintenance story: at scale the corpus arrives continuously
+    and a full retrain+rewrite per batch would be O(corpus) when the
+    new data is O(batch). The persisted quantizer is loaded (tiny
+    sidecar read), the batch is cell-assigned against those FROZEN
+    centroids (one projection, no shuffle beyond the partition write),
+    and the rows land as additional parquet files inside their cells'
+    existing ``cell=<c>`` directories (``mode("append")`` +
+    ``partitionBy`` — untouched cells gain no files, probes keep
+    pruning to the probed directories). Serving code needs no changes:
+    :func:`ann_topk_indexed` reads the union transparently, and with
+    ``nprobe = n_cells`` the appended index must still hash-match
+    brute force over the FULL corpus (the driver-gated
+    ``ann_topk_ivf_appended_full`` contract — any assignment or write
+    bug surfaces as a missing/duplicated/mis-ranked row).
+
+    Quantizer drift is the deliberate trade (same as FAISS ``add``):
+    appended vectors get the nearest EXISTING cell, so recall degrades
+    only as the data distribution drifts from the training sample —
+    re-train+rewrite (a fresh ``write_ivf_index``) is the periodic
+    compaction, not the per-batch cost. Id uniqueness across appends
+    is the caller's contract, same as the base writer's."""
+    spark = new_vectors.sparkSession
+    cdf = spark.read.parquet(f"{path}/centroids")
+    (
+        ivf_assign(new_vectors, cdf, vec_col=vec_col)
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/data")
+    )
+
+
 def _existing_cells(spark, data_path: str) -> "set[int]":
     """Cell ids that actually have a ``cell=<c>`` partition directory
     under ``data_path`` — one non-recursive Hadoop ``listStatus`` (names

@@ -4505,6 +4505,43 @@ def ann_topk_ivf_full_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
+@_q("ann_topk_ivf_appended_full", _TOPK_ORACLE)
+def ann_topk_ivf_appended_full_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental index maintenance, VALUE-EXACT: the IVF index is
+    built on HALF the corpus (write_ivf_index trains the quantizer and
+    partitions the data by cell), the other half is APPENDED against
+    the frozen quantizer (append_ivf_index — new parquet files inside
+    existing cell directories, no retrain, no rewrite: the 100 TB
+    continuous-ingest shape where per-batch cost must be O(batch), not
+    O(corpus)), and the probe runs with nprobe = n_cells so the result
+    must hash-match brute-force cosine top-k over the FULL corpus —
+    the same oracle as cosine_topk_bruteforce. A mis-assigned,
+    dropped, or double-written appended row breaks the match. The
+    production nprobe<n_cells serving path shares every line with
+    this gate."""
+    from pandabase_spark.operators.similarity import (
+        ann_topk_indexed, append_ivf_index, write_ivf_index,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    half = e.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    path = f"{cat.warehouse}/_ann_ivf_appended"
+    if cat.fs.exists(path):
+        cat.fs.delete(path)
+    write_ivf_index(
+        e.where(F.col("vec_id") <= half), path, n_cells=8, iters=2,
+        sample_mod=2,
+    )
+    append_ivf_index(e.where(F.col("vec_id") > half), path)
+    out = ann_topk_indexed(
+        spark, path, e.where(F.col("vec_id") < 5), k=10, nprobe=8
+    )
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
 @_q("ann_topk_pq")  # approximate: rows-only check (no oracle)
 def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via product quantization (Jégou et al.
@@ -8007,7 +8044,9 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decode gates, winnow_match_pairs → doc_winnow_fingerprints,
 # nearest_centroid_confusion → label_centroids green r10,
 # events_time_weighted_avg → the events family's other head slots) —
-# all lead the r12 rotation.
+# all lead the r12 rotation, together with the late-r11 addition
+# `ann_topk_ivf_appended_full` (value-exact incremental-index gate,
+# added after the head froze; locally oracle-exact at sf0.01).
 _GATE_FIRST = [
     # never driver-checked (the last of 206)
     "multimodal_decode_mixed",

