@@ -4783,6 +4783,84 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE tokenizer learning + application (Sennrich et al. 2016 trainer,
+# Spark-first: word-frequency compaction then one aggregation per
+# merge). The fixed merge list below is shared literally between the
+# Spark query and the DuckDB oracle; application is a chain of plain
+# substring replaces over a padded space-delimited symbol string, so
+# left-to-right non-overlapping semantics agree engine to engine.
+_BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def _bpe_apply_sql() -> str:
+    s = "' ' || regexp_replace(w, '(.)', ' \\1', 'g') || ' '"
+    for left, right in _BPE_FIXED_MERGES:
+        s = f"replace({s}, ' {left} {right} ', ' {left}{right} ')"
+    return (
+        "WITH wds AS ("
+        "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w "
+        "FROM documents"
+        "), t AS ("
+        "SELECT doc_id, length(w) AS n_chars_w, "
+        f"len(string_split(trim({s}), ' ')) AS n_tokens_w "
+        "FROM wds WHERE length(w) > 0) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(SUM(n_chars_w) AS BIGINT) AS n_chars, "
+        "CAST(SUM(n_tokens_w) AS BIGINT) AS n_tokens "
+        "FROM t GROUP BY doc_id"
+    )
+
+
+@_q("bpe_apply_fixed", _bpe_apply_sql())
+def bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLICATION, value-exact: a fixed 8-merge vocabulary
+    (common English pairs, shared literally with the oracle) tokenizes
+    every document — per word the character sequence folds through the
+    merges as plain left-to-right substring replaces, all Catalyst
+    expressions (explode + regexp + nested replace + agg), zero
+    Python. Output is the per-document compression the vocabulary
+    buys (n_chars pre-merge symbols → n_tokens post-merge). Any
+    deviation in merge order, boundary padding, or replace semantics
+    breaks the hash. The TRAINER that learns such vocabularies from
+    the corpus is `bpe_train_merges` (iterative — declared
+    rows-only, exact-pinned in pytest)."""
+    from pandabase_spark.operators.bpe import apply_bpe_merges
+
+    docs = load(spark, sf_dir, "documents")
+    return apply_bpe_merges(docs, _BPE_FIXED_MERGES)
+
+
+@_q("bpe_train_merges")  # iterative trainer: rows-only check (no oracle)
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING over the corpus (Sennrich et al. 2016),
+    Spark-first: the corpus compacts once into the distinct-word
+    frequency frame, then each of the 8 merge rounds is ONE
+    adjacent-pair aggregation over that |vocab|-row frame with the
+    winning pair folded into the symbol sequences by a JVM-side
+    higher-order aggregate — no Python UDF, driver state bounded at
+    one row per round (the ivf_centroids contract). Deterministic tie
+    breaks (count desc, pair asc) make training reproducible, pinned
+    exactly against a hand-computed reference in pytest; the
+    iterative loop is the documented reason this entry carries the
+    rows-only contract (same as the other iterative algorithms)."""
+    from pandabase_spark.operators.bpe import bpe_learn_merges
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_learn_merges(docs, n_merges=8, min_count=2)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"],
+             m["pair_count"])
+            for m in merges
+        ],
+        "rank int, left string, right string, merged string, "
+        "pair_count long",
+    )
+
+
 # Winnowed-fingerprint oracle: identical md5-hex hashes and window-min
 # construction as operators.dedup.winnow_fingerprints (n=8, window=4).
 _WINNOW_FPS_SQL = f"""
@@ -8044,9 +8122,11 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decode gates, winnow_match_pairs → doc_winnow_fingerprints,
 # nearest_centroid_confusion → label_centroids green r10,
 # events_time_weighted_avg → the events family's other head slots) —
-# all lead the r12 rotation, together with the late-r11 addition
-# `ann_topk_ivf_appended_full` (value-exact incremental-index gate,
-# added after the head froze; locally oracle-exact at sf0.01).
+# all lead the r12 rotation, together with the late-r11 additions
+# `ann_topk_ivf_appended_full` (value-exact incremental-index gate),
+# `bpe_apply_fixed` (value-exact tokenizer application), and
+# `bpe_train_merges` (iterative trainer, rows-only) — all added after
+# the head froze and locally verified through the harness at sf0.01.
 _GATE_FIRST = [
     # never driver-checked (the last of 206)
     "multimodal_decode_mixed",

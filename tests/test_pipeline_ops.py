@@ -727,3 +727,108 @@ def test_equi_depth_histogram_balanced_under_skew(spark):
     import pytest as _p
     with _p.raises(ValueError, match="n_buckets"):
         equi_depth_histogram(df, "v", n_buckets=0)
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    """The distributed trainer reproduces the classic Sennrich BPE
+    trainer exactly: merges, ranks, and counts pinned against a
+    pure-Python reference on the same corpus (deterministic ties:
+    count desc, pair asc), and training is reproducible run to run."""
+    from pandabase_spark.operators.bpe import bpe_learn_merges
+
+    corpus = [
+        "low low lower lowest",
+        "new newer newest low",
+        "wider wide new",
+    ]
+
+    def reference(texts, n_merges, min_count):
+        from collections import Counter
+
+        words = Counter(
+            w for t in texts for w in t.lower().split() if w
+        )
+        seqs = {w: list(w) for w in words}
+        merges = []
+        for rank in range(n_merges):
+            pairs = Counter()
+            for w, n in words.items():
+                s = seqs[w]
+                for a, b in zip(s, s[1:]):
+                    pairs[(a, b)] += n
+            if not pairs:
+                break
+            best = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            (left, right), cnt = best
+            if cnt < min_count:
+                break
+            merges.append((rank, left, right, left + right, cnt))
+            for w, s in seqs.items():
+                out = []
+                for x in s:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(x)
+                seqs[w] = out
+        return merges
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = bpe_learn_merges(docs, n_merges=6, min_count=2)
+    exp = reference(corpus, 6, 2)
+    assert [
+        (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+        for m in got
+    ] == exp
+    assert got == bpe_learn_merges(docs, n_merges=6, min_count=2)
+
+
+def test_bpe_apply_matches_reference_tokenization(spark):
+    """apply_bpe_merges token counts equal a pure-Python greedy
+    left-to-right application of the same fixed merges, word by word
+    (the value-exact contract the driver oracle re-checks in SQL)."""
+    from pandabase_spark.operators.bpe import apply_bpe_merges
+
+    merges = [("t", "h"), ("th", "e"), ("e", "r"), ("h", "e")]
+    texts = [
+        "the thermal other theory",
+        "he she there whether",
+        "ttthhheee the tthe",
+    ]
+
+    def py_tokens(word):
+        s = list(word)
+        for left, right in merges:
+            out = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            s = out
+        return s
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+        for r in apply_bpe_merges(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in t.lower().split() if w]
+        exp = (
+            len(words),
+            sum(len(w) for w in words),
+            sum(len(py_tokens(w)) for w in words),
+        )
+        assert got[i] == exp, (i, got[i], exp)
+    # symbols with spaces are rejected before any plan is built
+    import pytest as _p
+
+    with _p.raises(ValueError, match="spaces"):
+        apply_bpe_merges(docs, [("a b", "c")])

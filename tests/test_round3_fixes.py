@@ -204,4 +204,10 @@ def test_driver_contract_shape():
         # sketch-stats surface stays rows-only (its payload is the
         # stored sketch registers themselves)
         "kt_manifest_sketch_stats",
+        # BPE tokenizer TRAINING (r11): a genuinely iterative
+        # algorithm (one aggregation per merge round) — the documented
+        # rows-only class; exact-pinned in pytest against a
+        # hand-computed reference, and its APPLICATION half
+        # (bpe_apply_fixed) is fully oracled
+        "bpe_train_merges",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
