@@ -303,6 +303,12 @@ def main() -> None:
               "multimodal_embed_topk_mixed"):
         timed(q, lambda q=q: force(Q[q](spark, sf_dir)))
 
+    # r11: BPE tokenizer application — the Catalyst-only (zero-Python)
+    # tokenize throughput trend; plan-asserted python_free in
+    # tests/test_plan_shapes.py
+    timed("bpe_apply_fixed", lambda: force(
+        Q["bpe_apply_fixed"](spark, sf_dir)))
+
     # --- round-5 additions: sub-document dedup, drift/profile stats,
     # temperature mixture, the composed funnel ---
     for q in ("span_dedup_reconstruct", "temperature_mixture_sample",

@@ -4542,6 +4542,67 @@ def ann_topk_ivf_appended_full_q(
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
+@_q("streaming_ann_index_ingest", _TOPK_ORACLE)
+def streaming_ann_index_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING index maintenance, VALUE-EXACT: the IVF index
+    bootstraps on half the corpus (write_ivf_index trains the
+    quantizer), the other half arrives as a STREAM in micro-batches
+    (maxFilesPerTrigger=1), and every micro-batch appends into the
+    index via ``append_ivf_index`` inside ``foreachBatch`` — the
+    continuous-ingest composition a 100 TB vector corpus actually
+    runs: per-batch cost O(batch), quantizer frozen, serving reads
+    never blocked. After the availableNow cycle drains, a full-probe
+    search (nprobe = n_cells) must hash-match brute-force cosine
+    top-k over the ENTIRE corpus — a dropped, duplicated, or
+    mis-assigned batch row breaks the driver hash. Delivery contract:
+    the plain parquet append inside foreachBatch is at-least-once
+    under mid-batch crash replays (unlike the keyed-table streaming
+    sinks, which ride the manifest txn watermark); production
+    pipelines needing exactly-once should stage per-batch-id
+    subdirectories or route through a keyed table — documented
+    deliberately, same trade FAISS streaming adds make."""
+    import tempfile
+
+    from pandabase_spark.operators.similarity import (
+        ann_topk_indexed, append_ivf_index, write_ivf_index,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    half = e.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    path = f"{cat.warehouse}/_ann_stream_index"
+    if cat.fs.exists(path):
+        cat.fs.delete(path)
+    write_ivf_index(
+        e.where(F.col("vec_id") <= half), path, n_cells=8, iters=2,
+        sample_mod=2,
+    )
+    scratch = tempfile.mkdtemp(prefix="pb_annstream_")
+    rest = e.where(F.col("vec_id") > half)
+    rest.repartition(2).write.mode("overwrite").parquet(f"{scratch}/src")
+    with _stream_cycle(spark):
+        stream = (
+            spark.readStream.schema(rest.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/src")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, _bid: append_ivf_index(batch, path)
+            )
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    out = ann_topk_indexed(
+        spark, path, e.where(F.col("vec_id") < 5), k=10, nprobe=8
+    )
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
 @_q("ann_topk_pq")  # approximate: rows-only check (no oracle)
 def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via product quantization (Jégou et al.
@@ -8124,6 +8185,8 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_time_weighted_avg → the events family's other head slots) —
 # all lead the r12 rotation, together with the late-r11 additions
 # `ann_topk_ivf_appended_full` (value-exact incremental-index gate),
+# `streaming_ann_index_ingest` (value-exact streaming index
+# maintenance: foreachBatch appends, full-probe == brute force),
 # `bpe_apply_fixed` (value-exact tokenizer application), and
 # `bpe_train_merges` (iterative trainer, rows-only) — all added after
 # the head froze and locally verified through the harness at sf0.01.

@@ -45,7 +45,8 @@ def test_range_join_is_hash_join(spark):
 
 
 def test_text_pipeline_python_free(spark):
-    for q in ("doc_profile", "dedup_content_hash", "token_histogram"):
+    for q in ("doc_profile", "dedup_content_hash", "token_histogram",
+              "bpe_apply_fixed"):
         a = plan_audit(workload.QUERIES[q](spark, SF_DIR))
         assert a.python_free, q
 
