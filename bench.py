@@ -308,6 +308,10 @@ def main() -> None:
     # tests/test_plan_shapes.py
     timed("bpe_apply_fixed", lambda: force(
         Q["bpe_apply_fixed"](spark, sf_dir)))
+    # BPE training: ingest-time cost (8 merge rounds over the
+    # word-frequency frame), timed once like the other index builds
+    timed("bpe_train_merges", lambda: force(
+        Q["bpe_train_merges"](spark, sf_dir)), repeat=1)
 
     # --- round-5 additions: sub-document dedup, drift/profile stats,
     # temperature mixture, the composed funnel ---

@@ -6479,6 +6479,70 @@ def multimodal_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stats_auto(even.unionByName(odd))
 
 
+@_q(
+    "multimodal_decode_mixed_all",
+    "SELECT doc_id AS id, "
+    "CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' "
+    "ELSE 'jpeg' END AS format, "
+    "CAST(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 8 "
+    "WHEN 1 THEN 4 + doc_id % 6 ELSE 8 + doc_id % 9 "
+    "END AS INTEGER) AS width, "
+    "CAST(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 4 "
+    "WHEN 1 THEN 4 + doc_id % 5 ELSE 8 + doc_id % 5 "
+    "END AS INTEGER) AS height, "
+    "CAST(CASE doc_id % 3 WHEN 2 THEN 1 ELSE 3 END AS INTEGER) "
+    "AS channels, "
+    "CAST(CASE doc_id % 3 WHEN 0 THEN "
+    "(doc_id % 256 + (2 * doc_id) % 256 + (3 * doc_id) % 256) "
+    "* (8 + doc_id % 8) * (8 + doc_id % 4) "
+    "WHEN 1 THEN "
+    "(doc_id % 256 + (5 * doc_id) % 256 + (7 * doc_id) % 256) "
+    "* (4 + doc_id % 6) * (4 + doc_id % 5) "
+    "ELSE 2 * (doc_id % 128) * (8 + doc_id % 9) * (8 + doc_id % 5) "
+    "END AS BIGINT) AS sum_bytes, "
+    "CAST(CASE doc_id % 3 WHEN 0 THEN (8 + doc_id % 8) * (8 + doc_id % 4) "
+    "WHEN 1 THEN (4 + doc_id % 6) * (4 + doc_id % 5) "
+    "ELSE (8 + doc_id % 9) * (8 + doc_id % 5) "
+    "END AS BIGINT) AS n_pixels "
+    "FROM documents",
+)
+def multimodal_decode_mixed_all(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Three-codec heterogeneous decode in ONE pass (extends
+    multimodal_decode_mixed with the r11 JPEG codec): doc_id % 3
+    routes each document to a raw PPM, a compressed PNG, or an
+    entropy-coded baseline JPEG, and decode_image_stats_auto sniffs
+    magic bytes and decodes each through its dependency-free pipeline
+    — inflate+unfilter for PNG, huffman+IDCT for JPEG. The oracle
+    recomputes format AND every integer stat from the doc_id residue,
+    so the dispatch and all three codecs are value-exact in one gate;
+    at 100 TB this is the one-scan shape for a media column mixing
+    container formats."""
+    from pandabase_spark.operators.multimodal import (
+        attach_jpeg_payload,
+        attach_png_payload,
+        attach_ppm_payload,
+        decode_image_stats_auto,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    mixed = (
+        attach_ppm_payload(docs.where(F.col("doc_id") % 3 == 0), "doc_id")
+        .unionByName(
+            attach_png_payload(
+                docs.where(F.col("doc_id") % 3 == 1), "doc_id"
+            )
+        )
+        .unionByName(
+            attach_jpeg_payload(
+                docs.where(F.col("doc_id") % 3 == 2), "doc_id"
+            )
+        )
+    )
+    return decode_image_stats_auto(mixed)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H breadth: correlated EXISTS, scalar subqueries, disjunctive
 # pushdown, HAVING-limited fact rollups (shapes q4/q10/q14/q17/q18/
@@ -8187,6 +8251,8 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `ann_topk_ivf_appended_full` (value-exact incremental-index gate),
 # `streaming_ann_index_ingest` (value-exact streaming index
 # maintenance: foreachBatch appends, full-probe == brute force),
+# `multimodal_decode_mixed_all` (three-codec auto-dispatch incl.
+# the JPEG entropy decoder, value-exact),
 # `bpe_apply_fixed` (value-exact tokenizer application), and
 # `bpe_train_merges` (iterative trainer, rows-only) — all added after
 # the head froze and locally verified through the harness at sf0.01.

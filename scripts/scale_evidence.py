@@ -162,7 +162,7 @@ def main() -> None:
         dedup_by_content_hash, minhash_lsh_pairs,
     )
     from pandabase_spark.operators.similarity import (
-        ann_topk_indexed, write_ivf_index,
+        ann_topk_indexed, append_ivf_index, write_ivf_index,
     )
 
     def force(df):
@@ -202,6 +202,18 @@ def main() -> None:
         )[1])
         run("ann_topk_indexed", lambda: ann_topk_indexed(
             spark, idx, e.where("vec_id < 8"), k=10, nprobe=4).count())
+        # r11: incremental index append — per-batch cost must track
+        # the BATCH (a fixed 10% slice here), not the corpus
+        batch = e.where("vec_id % 10 = 0").withColumn(
+            "vec_id", F.col("vec_id") + 10_000_000
+        )
+        run("ann_index_append_10pct", lambda: (
+            append_ivf_index(batch, idx), 0,
+        )[1])
+        # r11: BPE application (Catalyst-only tokenize over the corpus)
+        run("bpe_apply_fixed", lambda: (
+            force(workload.QUERIES["bpe_apply_fixed"](spark, sf_dir)), 0,
+        )[1])
         return out
 
     def writes_for(n_rows: int, tag: str) -> "dict[str, dict]":
