@@ -101,7 +101,7 @@ def _parse_ppm(payload: bytes):
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color_type -> samples per pixel (8-bit depth only)
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # type 3: 1 index byte/px
 # per-image decoded-size ceiling (bytes): large enough for any real
 # 8-bit image a row would carry, small enough that a forged header
 # cannot direct the inflater to allocate executor-killing buffers.
@@ -167,14 +167,17 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
 
 
 def _parse_png(payload: bytes):
-    """Parse an 8-bit non-interlaced PNG (grayscale / RGB / RGBA) with
-    NO dependencies beyond the stdlib: signature, chunk walk (IHDR →
-    IDAT* → IEND), zlib inflate, per-row unfilter (all five spec
-    filters — :func:`_png_unfilter`). Returns
+    """Parse an 8-bit non-interlaced PNG (grayscale / RGB / RGBA /
+    PALETTE) with NO dependencies beyond the stdlib: signature, chunk
+    walk (IHDR → [PLTE] → IDAT* → IEND), zlib inflate, per-row
+    unfilter (all five spec filters — :func:`_png_unfilter`), and for
+    color type 3 the palette lookup expanding index bytes to RGB (so
+    palette images return ``channels=3`` like RGB ones — r11, the
+    subset web screenshots and sprite corpora actually use). Returns
     ``(w, h, channels, pixel_bytes)`` or ``None`` for anything
-    malformed, truncated, or outside the supported subset (palette,
-    16-bit, Adam7 interlace) — callers surface nulls, never crash a
-    batch. Together with :func:`_parse_ppm` this makes the decode
+    malformed, truncated, or outside the supported subset (16-bit,
+    Adam7 interlace, an out-of-range palette index) — callers surface
+    nulls, never crash a batch. Together with :func:`_parse_ppm` this makes the decode
     seam real for a COMPRESSED container format: a decode bug in the
     inflate/unfilter pipeline breaks the oracle hash, not just a
     header field."""
@@ -186,6 +189,7 @@ def _parse_png(payload: bytes):
             return None
         i, n = len(_PNG_SIG), len(payload)
         ihdr = None
+        plte = None
         idat = bytearray()
         while i + 8 <= n:
             (length,) = struct.unpack(">I", payload[i:i + 4])
@@ -195,6 +199,8 @@ def _parse_png(payload: bytes):
                 return None
             if ctype == b"IHDR":
                 ihdr = data
+            elif ctype == b"PLTE":
+                plte = data
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
@@ -228,6 +234,17 @@ def _parse_png(payload: bytes):
         pixels = _png_unfilter(raw, w, h, ch)
         if pixels is None:
             return None
+        if color == 3:
+            # palette expansion: index plane → RGB through PLTE
+            if plte is None or len(plte) % 3 or not plte:
+                return None
+            n_entries = len(plte) // 3
+            if max(pixels) >= n_entries:
+                return None  # out-of-range index: malformed
+            rgb = bytearray(len(pixels) * 3)
+            for j, idx in enumerate(pixels):
+                rgb[j * 3:j * 3 + 3] = plte[idx * 3:idx * 3 + 3]
+            return w, h, 3, bytes(rgb)
         return w, h, ch, pixels
     except Exception:
         return None
@@ -265,16 +282,25 @@ def _png_filter_row(ft: int, row: bytes, prev: bytes, ch: int) -> bytes:
 def encode_png(
     w: int, h: int, ch: int, pixels: bytes, *,
     row_filter=None,
+    palette: "bytes | None" = None,
 ) -> bytes:
     """Minimal spec-correct PNG encoder (stdlib only): 8-bit
     grayscale/RGB/RGBA, one IDAT, correct CRCs. ``row_filter(y)``
     picks the filter type per row (default 0/None) — encoding with
     Sub/Up/Average/Paeth makes the DECODER's unfilter path do real
-    work, which is exactly what the oracle-checked query wants."""
+    work, which is exactly what the oracle-checked query wants.
+    ``palette`` (RGB triples) switches to color type 3: ``pixels``
+    are then palette INDEX bytes (ch must be 1) and a PLTE chunk is
+    emitted — the synthesis half of the r11 palette decode path."""
     import struct
     import zlib
 
-    color = {1: 0, 3: 2, 4: 6}[ch]
+    if palette is not None:
+        if ch != 1 or len(palette) % 3 or not palette:
+            raise ValueError("palette PNGs take index bytes (ch=1)")
+        color = 3
+    else:
+        color = {1: 0, 3: 2, 4: 6}[ch]
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -294,9 +320,11 @@ def encode_png(
         body += _png_filter_row(ft, row, prev, ch)
         prev = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
     return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
+        out
         + chunk(b"IDAT", zlib.compress(bytes(body)))
         + chunk(b"IEND", b"")
     )

@@ -568,6 +568,61 @@ def test_decode_jpeg_real_bytes(spark):
         assert emb[i] == [g, g, g, float(8 + i % 9), float(8 + i % 5)]
 
 
+def test_png_palette_round_trip_unit():
+    """Color-type-3 (palette) PNGs decode through the same
+    inflate/unfilter pipeline with PLTE expansion to RGB — exact on
+    arbitrary index images; malformed palettes and out-of-range
+    indices null, never crash."""
+    from pandabase_spark.operators.multimodal import (
+        _parse_png, encode_png,
+    )
+
+    pal = bytes(
+        [10, 20, 30, 200, 100, 50, 0, 255, 0, 7, 7, 7]
+    )  # 4 entries
+    w, h = 5, 4
+    idx = bytes(((x + y) % 4) for y in range(h) for x in range(w))
+    payload = encode_png(
+        w, h, 1, idx, palette=pal, row_filter=lambda y: y % 5
+    )
+    got = _parse_png(payload)
+    assert got is not None
+    W, H, ch, data = got
+    assert (W, H, ch) == (w, h, 3)
+    exp = bytearray()
+    for i in idx:
+        exp += pal[i * 3:i * 3 + 3]
+    assert data == bytes(exp)
+
+    # out-of-range index (palette shorter than indices claim) → None
+    short_pal = pal[:6]  # 2 entries, indices go to 3
+    bad = encode_png(w, h, 1, idx, palette=short_pal)
+    assert _parse_png(bad) is None
+    # palette with a non-multiple-of-3 PLTE → None
+    import struct
+    import zlib as _z
+
+    def chunk(ct, d):
+        return (
+            struct.pack(">I", len(d)) + ct + d
+            + struct.pack(">I", _z.crc32(ct + d) & 0xFFFFFFFF)
+        )
+
+    broken = payload.replace(
+        chunk(b"PLTE", pal), chunk(b"PLTE", pal[:-1]), 1
+    )
+    assert _parse_png(broken) is None
+    # encoder guards: palette images take index bytes
+    import pytest as _p
+
+    with _p.raises(ValueError, match="index bytes"):
+        encode_png(w, h, 3, idx * 3, palette=pal)
+    # auto-dispatch stats see a 3-channel image through the same path
+    from pandabase_spark.operators.multimodal import _PNG_SIG
+
+    assert payload.startswith(_PNG_SIG)
+
+
 def test_avi_codec_round_trip_unit():
     """The AVI container codec (encode_avi → _parse_avi), stdlib only:
     exact roundtrip of uncompressed RGB24 frames through the DIB
