@@ -710,6 +710,54 @@ def test_sample_avi_frames_real_bytes(spark):
         ]
 
 
+def test_jpeg_byte_stuffing_round_trips():
+    """r11 self-review probe: solid oracle payloads never produce a
+    0xFF byte in the entropy stream, so the decoder's UNSTUFFING
+    branch (0xFF00 → 0xFF) would go untested without this pin — a
+    deterministic random image whose scan section contains a stuffed
+    byte must still decode within the quantization bound."""
+    from pandabase_spark.operators.multimodal import (
+        _parse_jpeg, encode_jpeg,
+    )
+
+    rng, px = 1, bytearray()  # seed 1: verified to contain 0xFF00
+    for _ in range(16 * 16):
+        rng = (1103515245 * rng + 12345) % (1 << 31)
+        px.append(rng & 0xFF)
+    payload = encode_jpeg(16, 16, 1, bytes(px))
+    scan = payload[payload.index(b"\xff\xda") + 2:]
+    assert b"\xff\x00" in scan, "plant lost its stuffed byte"
+    got = _parse_jpeg(payload)
+    assert got is not None
+    W, H, ch, data = got
+    assert (W, H, ch) == (16, 16, 1)
+    assert max(abs(a - b) for a, b in zip(px, data)) <= 96
+
+
+def test_avi_odd_chunk_word_alignment():
+    """r11 self-review probe: RIFF chunks are word-aligned, and the
+    encoder's own chunks are always even-length — so the parser's
+    pad-byte skip (`length & 1`) would go untested. An AVI carrying
+    an odd-length JUNK chunk before movi must still demux."""
+    import struct
+
+    from pandabase_spark.operators.multimodal import (
+        _parse_avi, encode_avi,
+    )
+
+    w, h = 4, 2
+    f0 = bytes(range(w * h * 3))
+    payload = encode_avi(w, h, 10, [f0])
+    movi_at = payload.index(b"LIST", 12)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"odd" + b"\x00"  # pad byte
+    patched = bytearray(payload)
+    patched[movi_at:movi_at] = junk
+    patched[4:8] = struct.pack("<I", len(patched) - 8)
+    got = _parse_avi(bytes(patched))
+    assert got is not None
+    assert got == (w, h, [f0])
+
+
 def test_png_decompression_bomb_yields_null():
     """A forged IHDR claiming a multi-GB image with a tiny highly-
     compressible IDAT must return None (the batch-survives contract

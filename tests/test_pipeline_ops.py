@@ -787,6 +787,45 @@ def test_bpe_learn_merges_matches_reference(spark):
     assert got == bpe_learn_merges(docs, n_merges=6, min_count=2)
 
 
+def test_bpe_apply_unicode_multibyte(spark):
+    """r11 self-review probe: the char-splitting regexp and length
+    accounting must be CHARACTER-based, not byte-based — CJK/emoji
+    words tokenize with per-character symbols and the same greedy
+    merge semantics as ASCII."""
+    from pandabase_spark.operators.bpe import apply_bpe_merges
+
+    texts = ["héllo héllo naïve", "日本語 テスト 日本語", "a👍b 👍👍"]
+    merges = [("h", "é"), ("hé", "l"), ("日", "本"), ("👍", "👍")]
+
+    def py_tokens(word):
+        s = list(word)
+        for left, right in merges:
+            out = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            s = out
+        return s
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+        for r in apply_bpe_merges(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in t.lower().split() if w]
+        exp = (
+            len(words),
+            sum(len(w) for w in words),
+            sum(len(py_tokens(w)) for w in words),
+        )
+        assert got[i] == exp, (i, got[i], exp)
+
+
 def test_bpe_apply_matches_reference_tokenization(spark):
     """apply_bpe_merges token counts equal a pure-Python greedy
     left-to-right application of the same fixed merges, word by word

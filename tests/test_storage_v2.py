@@ -2299,6 +2299,34 @@ def test_vacuum_repairs_regressed_pointer_before_pruning(spark, catalog):
     catalog.drop_table("vrp_t")
 
 
+def test_vacuum_dry_run_stays_readonly_under_regression(spark, catalog):
+    """r11 self-review probe: dry_run is the safety PREVIEW — even
+    with a regressed pointer it must neither repair the pointer nor
+    delete anything (an operator previews on a possibly-live table;
+    writes from a preview would defeat its purpose)."""
+    from pandabase_spark.io import LOG_DIR
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    catalog.to_table(df, "vdr_t", keys=["k"], num_buckets=2)           # v1
+    catalog.to_table(df.withColumn("v", F.col("v") + 1), "vdr_t",
+                     keys=["k"], how="upsert")                         # v2
+    tpath = catalog._path("vdr_t")
+    cur_path = f"{tpath}/{LOG_FILE}"
+    v1_doc = catalog.fs.read_text(f"{tpath}/{LOG_DIR}/{1:010d}.json")
+    catalog.fs.write_text_atomic(cur_path, v1_doc)
+    preview = catalog.vacuum("vdr_t", dry_run=True)
+    assert preview, "tombstoned segment should appear in the preview"
+    # pointer untouched, nothing deleted
+    assert json.loads(catalog.fs.read_text(cur_path))["v"] == 1
+    segs = [d for d in catalog.fs.list_dirs(tpath) if d.startswith("seg-")]
+    assert set(preview) <= set(segs), "dry run must not delete"
+    # in-repo readers still heal to the head through the chain walk
+    assert catalog._manifest("vdr_t")["v"] == 2
+    catalog.drop_table("vdr_t")
+
+
 def test_vacuum_reclaims_aged_orphan_sidecar(spark, catalog):
     """An above-current .skip.json is normally protected (possibly an
     in-flight commit's sidecar, written before its claim) — but one
