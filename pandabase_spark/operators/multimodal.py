@@ -724,6 +724,8 @@ def _huff_codes(bits: "list[int]", vals: "list[int]"):
 
 
 _JPEG_COS = None  # (basis[u][x] = alpha(u)·cos((2x+1)uπ/16), lazy)
+_JPEG_COS_NP = None  # the same basis as a cached numpy matrix
+_JPEG_Q_NP: dict = {}  # qtab tuple -> cached 8x8 numpy array
 
 
 def _jpeg_basis():
@@ -740,6 +742,32 @@ def _jpeg_basis():
             for u in range(8)
         ]
     return _JPEG_COS
+
+
+def _jpeg_basis_np():
+    """Basis as a numpy matrix, converted ONCE — the per-block matmul
+    path must not pay a list→array conversion per call (measured: the
+    conversions dominated small-image decode throughput)."""
+    global _JPEG_COS_NP
+    if _JPEG_COS_NP is None:
+        import numpy as np
+
+        _JPEG_COS_NP = np.asarray(_jpeg_basis())
+    return _JPEG_COS_NP
+
+
+def _jpeg_q_np(qtab: "list[int]"):
+    import numpy as np
+
+    key = tuple(qtab)
+    got = _JPEG_Q_NP.get(key)
+    if got is None:
+        if len(_JPEG_Q_NP) > 64:
+            _JPEG_Q_NP.clear()  # hostile many-table streams: bounded
+        got = _JPEG_Q_NP[key] = np.asarray(
+            qtab, dtype="float64"
+        ).reshape(8, 8)
+    return got
 
 
 class _BitWriter:
@@ -816,14 +844,12 @@ def _fdct_quant(block: "list[int]", qtab: "list[int]") -> "list[int]":
     codec's exactness contract never depends on which side of a
     rounding midpoint a ~1e-13 error lands — the oracle-exact
     payloads are midpoint-free by construction."""
-    import math
-
     import numpy as np
 
-    B = np.asarray(_jpeg_basis())
+    B = _jpeg_basis_np()
     f = np.asarray(block, dtype="float64").reshape(8, 8)
     F_ = B @ f @ B.T
-    q = np.asarray(qtab, dtype="float64").reshape(8, 8)
+    q = _jpeg_q_np(qtab)
     return [
         int(v) for v in np.floor(F_ / q + 0.5).astype("int64").ravel()
     ]
@@ -835,11 +861,10 @@ def _dequant_idct(coef: "list[int]", qtab: "list[int]") -> "list[int]":
     vectorization rationale as :func:`_fdct_quant`."""
     import numpy as np
 
-    B = np.asarray(_jpeg_basis())
-    F_ = (
-        np.asarray(coef, dtype="float64")
-        * np.asarray(qtab, dtype="float64")
-    ).reshape(8, 8)
+    B = _jpeg_basis_np()
+    F_ = np.asarray(coef, dtype="float64").reshape(8, 8) * _jpeg_q_np(
+        qtab
+    )
     f = B.T @ F_ @ B
     out = np.floor(f + 128 + 0.5)
     return [int(v) for v in np.clip(out, 0, 255).astype("int64").ravel()]
@@ -1432,20 +1457,19 @@ def encode_avi(
     seam's oracle loop."""
     import struct
 
+    import numpy as np
+
     stride = (w * 3 + 3) & ~3
     dibs = []
     for f in frames:
         if len(f) != w * h * 3:
             raise ValueError("encode_avi: bad frame shape")
-        rows = []
-        for y in range(h - 1, -1, -1):  # bottom-up
-            row = bytearray()
-            for x in range(w):
-                p = (y * w + x) * 3
-                row += bytes((f[p + 2], f[p + 1], f[p]))  # BGR
-            row += b"\x00" * (stride - w * 3)
-            rows.append(bytes(row))
-        dibs.append(b"".join(rows))
+        # vectorized RGB→BGR + top-down→bottom-up + row padding
+        arr = np.frombuffer(f, dtype=np.uint8).reshape(h, w, 3)
+        bgr = arr[::-1, :, ::-1].reshape(h, w * 3)
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, : w * 3] = bgr
+        dibs.append(padded.tobytes())
 
     def chunk(cc: bytes, data: bytes) -> bytes:
         pad = b"\x00" if len(data) & 1 else b""
@@ -1542,21 +1566,21 @@ def _parse_avi(payload: bytes):
             or w * h * len(frames) > _PNG_MAX_PIXELS
         ):
             return None
+        import numpy as np
+
         stride = (w * 3 + 3) & ~3
         out = []
         for d in frames:
             if len(d) < stride * h:
                 return None
-            rgb = bytearray(w * h * 3)
-            for y in range(h):
-                src = (h - 1 - y) * stride  # bottom-up → top-down
-                for x in range(w):
-                    s = src + x * 3
-                    p = (y * w + x) * 3
-                    rgb[p] = d[s + 2]      # BGR → RGB
-                    rgb[p + 1] = d[s + 1]
-                    rgb[p + 2] = d[s]
-            out.append(bytes(rgb))
+            # pure byte moves (exact): strip row padding, flip the
+            # bottom-up row order, swap BGR→RGB — vectorized; the
+            # per-pixel Python loop was the frame-demux hot spot
+            arr = np.frombuffer(
+                d, dtype=np.uint8, count=stride * h
+            ).reshape(h, stride)[:, : w * 3]
+            rgb = arr[::-1].reshape(h, w, 3)[:, :, ::-1]
+            out.append(rgb.tobytes())
         return w, h, out
     except Exception:
         return None
