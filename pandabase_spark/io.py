@@ -2530,6 +2530,14 @@ class KeyedCatalog:
             p = f"{self._path(table_name)}/{d}"
             if orphan_age_s > 0 and self.fs.mtime(p) > seg_horizon:
                 if ever_referenced is None:
+                    # ONLY versions at or below the vacuum snapshot
+                    # count as "committed and superseded": a claim
+                    # that landed ABOVE our snapshot while we ran
+                    # references segments that are LIVE at the new
+                    # head, not garbage — counting it would delete a
+                    # racing writer's just-committed data (r11 review
+                    # finding; the window between the _manifest read
+                    # and this scan is narrow but real)
                     ever_referenced = set()
                     if self.fs.exists(log_dir0):
                         for f in self.fs.list_files(log_dir0):
@@ -2537,6 +2545,11 @@ class KeyedCatalog:
                                 not f.endswith(".json")
                                 or f.endswith(".skip.json")
                             ):
+                                continue
+                            try:
+                                if int(f.split(".")[0]) > cur_man["v"]:
+                                    continue
+                            except ValueError:
                                 continue
                             try:
                                 ever_referenced |= set(
@@ -2573,6 +2586,12 @@ class KeyedCatalog:
             }
             if (
                 gone
+                # versions ABOVE the vacuum snapshot are the FUTURE,
+                # not history: a rival's claim that landed while this
+                # vacuum ran is an acknowledged commit whose deletion
+                # would erase it from the chain (r11 review finding) —
+                # never prune upward, only truncate below the window
+                and man["v"] <= cur_man["v"]
                 and man["v"] not in protected_vs
                 and (
                     not set(man["segments"]) <= live

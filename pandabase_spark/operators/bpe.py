@@ -151,16 +151,23 @@ def apply_bpe_merges(
     doc_col: str = "doc_id",
 ) -> DataFrame:
     """Tokenize the corpus with a FIXED merge list: each word becomes
-    a space-delimited character string (padded, so symbol boundaries
-    are unambiguous) and the merges apply in rank order as plain
-    ``replace(s, ' l r ', ' lr ')`` calls — left-to-right and
-    non-overlapping in Spark and ANSI SQL alike, which is what makes
-    the result value-exact oracle-checkable. Returns
-    ``(doc_col, n_words, n_chars, n_tokens)`` per document:
-    ``n_chars`` is the pre-merge symbol count and ``n_tokens`` the
-    post-merge count — the compression the vocabulary buys. The whole
-    pipeline is Catalyst expressions (explode + regexp + nested
-    replace + aggregation); nothing crosses into Python."""
+    a symbol string with DOUBLE-space separators, and the merges apply
+    in rank order as plain ``replace(s, ' l  r ', ' lr ')`` calls —
+    the pattern consumes only the INNER half of each two-space
+    boundary, so adjacent merge sites never fight over a shared
+    separator character and the replace pass is exactly the standard
+    greedy left-to-right BPE merge (identical to the trainer's
+    :func:`_merge_fold`; pinned against it in pytest, including the
+    'banana'-with-(a,n) adjacency case a single-space representation
+    gets wrong because ``replace`` cannot re-use a consumed boundary).
+    Left-to-right non-overlapping semantics agree between Spark and
+    ANSI SQL, which is what makes the result value-exact
+    oracle-checkable. Returns ``(doc_col, n_words, n_chars,
+    n_tokens)`` per document: ``n_chars`` is the pre-merge symbol
+    count and ``n_tokens`` the post-merge count — the compression the
+    vocabulary buys. The whole pipeline is Catalyst expressions
+    (explode + regexp + nested replace + aggregation); nothing
+    crosses into Python."""
     pairs = [
         (m["left"], m["right"]) if isinstance(m, dict) else (m[0], m[1])
         for m in merges
@@ -168,15 +175,19 @@ def apply_bpe_merges(
     for left, right in pairs:
         if " " in left or " " in right:
             raise ValueError("BPE symbols may not contain spaces")
+    # '  a  b  c  ': every symbol carries one space on each side, so
+    # boundaries between symbols are two spaces wide
     s: Column = F.concat(
         F.lit(" "),
-        F.regexp_replace(F.col("w"), "(.)", " $1"),
+        F.regexp_replace(F.col("w"), "(.)", " $1 "),
         F.lit(" "),
     )
     padded = s
     for left, right in pairs:
         padded = F.replace(
-            padded, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+            padded,
+            F.lit(f" {left}  {right} "),
+            F.lit(f" {left}{right} "),
         )
     exploded = (
         docs.select(
@@ -190,7 +201,7 @@ def apply_bpe_merges(
             doc_col,
             F.length("w").alias("n_chars_w"),
             (
-                F.size(F.split(F.trim(padded), " "))
+                F.size(F.split(F.trim(padded), " +"))
             ).alias("n_tokens_w"),
         )
     )

@@ -236,15 +236,17 @@ def _parse_png(payload: bytes):
             return None
         if color == 3:
             # palette expansion: index plane → RGB through PLTE
+            # (vectorized — a legitimate multi-megapixel type-3 PNG
+            # must not pay a per-pixel Python loop)
             if plte is None or len(plte) % 3 or not plte:
                 return None
-            n_entries = len(plte) // 3
-            if max(pixels) >= n_entries:
+            import numpy as np
+
+            idx = np.frombuffer(pixels, dtype=np.uint8)
+            if int(idx.max(initial=0)) >= len(plte) // 3:
                 return None  # out-of-range index: malformed
-            rgb = bytearray(len(pixels) * 3)
-            for j, idx in enumerate(pixels):
-                rgb[j * 3:j * 3 + 3] = plte[idx * 3:idx * 3 + 3]
-            return w, h, 3, bytes(rgb)
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            return w, h, 3, pal[idx].tobytes()
         return w, h, ch, pixels
     except Exception:
         return None
@@ -885,32 +887,30 @@ def encode_jpeg(
     if ncomp not in (1, 3) or len(pixels) != w * h * ncomp:
         raise ValueError("encode_jpeg: bad shape")
     # component planes, level-shifted
+    import numpy as np
+
     if ncomp == 1:
-        planes = [[p - 128 for p in pixels]]
+        planes = [
+            np.frombuffer(pixels, dtype=np.uint8).astype("int64") - 128
+        ]
     else:
-        ys, cbs, crs = [], [], []
-        for i in range(0, len(pixels), 3):
-            r, g, b = pixels[i], pixels[i + 1], pixels[i + 2]
-            ys.append(
-                int(math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))
-                - 128
-            )
-            cbs.append(
-                int(
-                    math.floor(
-                        128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5
-                    )
-                )
-                - 128
-            )
-            crs.append(
-                int(
-                    math.floor(
-                        128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5
-                    )
-                )
-                - 128
-            )
+        # vectorized JFIF RGB→YCbCr (same elementwise floor(x+0.5)
+        # the scalar loop computed)
+        arr = (
+            np.frombuffer(pixels, dtype=np.uint8)
+            .reshape(-1, 3)
+            .astype("float64")
+        )
+        r, g, b = arr[:, 0], arr[:, 1], arr[:, 2]
+        ys = np.floor(
+            0.299 * r + 0.587 * g + 0.114 * b + 0.5
+        ).astype("int64") - 128
+        cbs = np.floor(
+            128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5
+        ).astype("int64") - 128
+        crs = np.floor(
+            128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5
+        ).astype("int64") - 128
         planes = [ys, cbs, crs]
     bw, bh = (w + 7) // 8, (h + 7) // 8
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
@@ -1073,13 +1073,28 @@ def _parse_jpeg(payload: bytes):
                 ns = body[0]
                 if ns != len(comps) or not comps:
                     return None
-                sel = [
-                    (body[1 + 2 * c + 1] >> 4, body[1 + 2 * c + 1] & 15)
-                    for c in range(ns)
-                ]
+                # the scan's interleave follows SOS order, and each
+                # SOS entry names its SOF component by ID — map
+                # instead of assuming the orders coincide (a
+                # spec-valid reordered SOS would otherwise decode
+                # with swapped planes/quant tables, silently wrong
+                # rather than None — r11 review finding)
+                sof_ids = [c[0] for c in comps]
+                scan_order = []
+                sel = []
+                for c in range(ns):
+                    cid = body[1 + 2 * c]
+                    tb = body[2 + 2 * c]
+                    if cid not in sof_ids:
+                        return None
+                    scan_order.append(sof_ids.index(cid))
+                    sel.append((tb >> 4, tb & 15))
+                if len(set(scan_order)) != ns:
+                    return None  # duplicate component in scan
                 scan = payload[i + 2 + length:]
                 return _jpeg_decode_scan(
-                    w, h, comps, sel, qtabs, huff, scan
+                    w, h, comps, sel, qtabs, huff, scan,
+                    scan_order=scan_order,
                 )
             i += 2 + length
         return None
@@ -1087,9 +1102,8 @@ def _parse_jpeg(payload: bytes):
         return None
 
 
-def _jpeg_decode_scan(w, h, comps, sel, qtabs, huff, scan):
-    import math
-
+def _jpeg_decode_scan(w, h, comps, sel, qtabs, huff, scan, *,
+                      scan_order=None):
     # invert {sym: (code,len)} into {(len,code): sym} per table
     dec = {
         key: {(ln, code): sym for sym, (code, ln) in tab.items()}
@@ -1107,15 +1121,20 @@ def _jpeg_decode_scan(w, h, comps, sel, qtabs, huff, scan):
         raise EOFError
 
     ncomp = len(comps)
+    if scan_order is None:
+        scan_order = list(range(ncomp))
     bw, bh = (w + 7) // 8, (h + 7) // 8
     planes = [bytearray(bw * 8 * bh * 8) for _ in range(ncomp)]
     r = _BitReader(scan)
     prev_dc = [0] * ncomp
     for by in range(bh):
         for bx in range(bw):
-            for ci in range(ncomp):
-                dc_t = dec.get((0, sel[ci][0]))
-                ac_t = dec.get((1, sel[ci][1]))
+            # interleave follows SOS order; each entry decodes into
+            # its SOF component's plane with that component's tables
+            for si in range(ncomp):
+                ci = scan_order[si]
+                dc_t = dec.get((0, sel[si][0]))
+                ac_t = dec.get((1, sel[si][1]))
                 q = qtabs.get(comps[ci][2])
                 if dc_t is None or ac_t is None or q is None:
                     return None
@@ -1147,28 +1166,30 @@ def _jpeg_decode_scan(w, h, comps, sel, qtabs, huff, scan):
                     plane[row_off:row_off + 8] = bytes(
                         spat[y * 8:y * 8 + 8]
                     )
-    if ncomp == 1:
-        stride = bw * 8
-        out = bytearray(w * h)
-        for y in range(h):
-            out[y * w:(y + 1) * w] = planes[0][
-                y * stride:y * stride + w
-            ]
-        return w, h, 1, bytes(out)
+    import numpy as np
+
     stride = bw * 8
-    out = bytearray(w * h * 3)
-    for y in range(h):
-        for x in range(w):
-            o = y * stride + x
-            Y, cb, cr = planes[0][o], planes[1][o] - 128, planes[2][o] - 128
-            p = (y * w + x) * 3
-            out[p] = min(255, max(0, int(
-                math.floor(Y + 1.402 * cr + 0.5))))
-            out[p + 1] = min(255, max(0, int(
-                math.floor(Y - 0.344136 * cb - 0.714136 * cr + 0.5))))
-            out[p + 2] = min(255, max(0, int(
-                math.floor(Y + 1.772 * cb + 0.5))))
-    return w, h, 3, bytes(out)
+
+    def crop(plane) -> "np.ndarray":
+        return (
+            np.frombuffer(bytes(plane), dtype=np.uint8)
+            .reshape(bh * 8, stride)[:h, :w]
+        )
+
+    if ncomp == 1:
+        return w, h, 1, crop(planes[0]).tobytes()
+    # vectorized YCbCr→RGB (same elementwise floor(x+0.5) + clamp the
+    # scalar loop computed — identical IEEE ops, no Python per pixel)
+    Y = crop(planes[0]).astype("float64")
+    cb = crop(planes[1]).astype("float64") - 128.0
+    cr = crop(planes[2]).astype("float64") - 128.0
+    r_ = np.clip(np.floor(Y + 1.402 * cr + 0.5), 0, 255)
+    g_ = np.clip(
+        np.floor(Y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255
+    )
+    b_ = np.clip(np.floor(Y + 1.772 * cb + 0.5), 0, 255)
+    out = np.stack([r_, g_, b_], axis=-1).astype(np.uint8)
+    return w, h, 3, out.tobytes()
 
 
 def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1649,6 +1670,8 @@ def sample_avi_frames(
     rows for their id rather than crashing the batch; at 100 TB the
     per-row work is bounded by the frame-count/pixel caps in the
     parser."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

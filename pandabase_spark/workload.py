@@ -4857,16 +4857,19 @@ _BPE_FIXED_MERGES = [
 
 
 def _bpe_apply_sql() -> str:
-    s = "' ' || regexp_replace(w, '(.)', ' \\1', 'g') || ' '"
+    # double-space separators, single-space-padded patterns: adjacent
+    # merge sites never share a boundary char, so nested replace IS
+    # standard greedy left-to-right BPE (see operators/bpe.py)
+    s = "' ' || regexp_replace(w, '(.)', ' \\1 ', 'g') || ' '"
     for left, right in _BPE_FIXED_MERGES:
-        s = f"replace({s}, ' {left} {right} ', ' {left}{right} ')"
+        s = f"replace({s}, ' {left}  {right} ', ' {left}{right} ')"
     return (
         "WITH wds AS ("
         "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w "
         "FROM documents"
         "), t AS ("
         "SELECT doc_id, length(w) AS n_chars_w, "
-        f"len(string_split(trim({s}), ' ')) AS n_tokens_w "
+        f"len(string_split_regex(trim({s}), ' +')) AS n_tokens_w "
         "FROM wds WHERE length(w) > 0) "
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
         "CAST(SUM(n_chars_w) AS BIGINT) AS n_chars, "

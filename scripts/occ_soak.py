@@ -57,6 +57,12 @@ def run_seed(seed: int, n_ops: int = 8) -> dict:
         for wid in (1, 2, 3)
     ]
     outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"seed {seed}: worker exited {p.returncode}; "
+                f"stdout tail: {o[-500:]!r}"
+            )
     reports = [json.loads(o.strip().splitlines()[-1]) for o in outs]
     expected = {0: 0.0}
     for w in (1, 2, 3):

@@ -623,6 +623,95 @@ def test_png_palette_round_trip_unit():
     assert payload.startswith(_PNG_SIG)
 
 
+def test_jpeg_reordered_sos_components_decode_correctly():
+    """r11 review finding #4: the scan interleave follows SOS order
+    and each SOS entry names its SOF component by ID — a spec-valid
+    JPEG whose SOS lists components in a different order than SOF0
+    must decode with the planes correctly mapped (not silently
+    swapped)."""
+    import struct
+
+    from pandabase_spark.operators.multimodal import (
+        _parse_jpeg, encode_jpeg,
+    )
+
+    src = bytes([200, 30, 90]) * 64  # solid color, 8x8, 4:4:4
+    payload = encode_jpeg(8, 8, 3, src)
+    W, H, ch, base = _parse_jpeg(payload)
+    assert (W, H, ch) == (8, 8, 3)
+
+    # hand-build the SAME image with the scan interleaved in SOS
+    # order (Cb, Y, Cr) — ids (2, 1, 3) — from the encoder's own
+    # primitives; a compliant decoder must map by id and reproduce
+    # the identical pixels
+    from pandabase_spark.operators.multimodal import (
+        _BitWriter, _fdct_quant, _huff_codes, _JPEG_AC_BITS,
+        _JPEG_AC_VALS, _JPEG_DC_BITS, _JPEG_DC_VALS, _JPEG_QTAB,
+        _JPEG_ZIGZAG,
+    )
+    import numpy as np
+
+    r, g, b = 200.0, 30.0, 90.0
+    yv = int(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)) - 128
+    cbv = int(np.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+                       + 0.5)) - 128
+    crv = int(np.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+                       + 0.5)) - 128
+    blocks = {
+        cid: _fdct_quant([v] * 64, _JPEG_QTAB)
+        for cid, v in ((1, yv), (2, cbv), (3, crv))
+    }
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wtr = _BitWriter()
+    for cid in (2, 1, 3):  # SOS order != SOF order
+        zz = [blocks[cid][_JPEG_ZIGZAG[i]] for i in range(64)]
+        diff = zz[0]  # first (only) MCU: prediction starts at 0
+        t = abs(diff).bit_length()
+        code, ln = dc_codes[t]
+        wtr.put(code, ln)
+        if t:
+            wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        code, ln = ac_codes[0x00]  # solid → EOB
+        wtr.put(code, ln)
+    scan = wtr.flush()
+
+    def seg(marker, data):
+        return struct.pack(">BBH", 0xFF, marker, len(data) + 2) + data
+
+    qt = bytes([_JPEG_QTAB[_JPEG_ZIGZAG[i]] for i in range(64)])
+    sof = struct.pack(">BHHB", 8, 8, 8, 3)
+    for cid in (1, 2, 3):  # SOF order unchanged
+        sof += bytes([cid, 0x11, 0])
+    sos = bytes([3])
+    for cid in (2, 1, 3):
+        sos += bytes([cid, 0x00])
+    sos += b"\x00\x3f\x00"
+    reordered = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + qt)
+        + seg(0xC0, sof)
+        + seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+    got = _parse_jpeg(reordered)
+    assert got is not None, "reordered SOS must decode"
+    assert got[:3] == (8, 8, 3)
+    assert got[3] == base, "planes mis-mapped under reordered SOS"
+
+    # malformed scan headers reject cleanly
+    sos_at = payload.index(b"\xff\xda")
+    dup = bytearray(payload)
+    dup[sos_at + 4 + 3] = dup[sos_at + 4 + 1]  # comp2 id := comp1 id
+    assert _parse_jpeg(bytes(dup)) is None
+    unk = bytearray(payload)
+    unk[sos_at + 4 + 1] = 9  # unknown component id
+    assert _parse_jpeg(bytes(unk)) is None
+
+
 def test_avi_codec_round_trip_unit():
     """The AVI container codec (encode_avi → _parse_avi), stdlib only:
     exact roundtrip of uncompressed RGB24 frames through the DIB

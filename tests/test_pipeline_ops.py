@@ -832,11 +832,18 @@ def test_bpe_apply_matches_reference_tokenization(spark):
     (the value-exact contract the driver oracle re-checks in SQL)."""
     from pandabase_spark.operators.bpe import apply_bpe_merges
 
-    merges = [("t", "h"), ("th", "e"), ("e", "r"), ("h", "e")]
+    merges = [("t", "h"), ("th", "e"), ("e", "r"), ("h", "e"),
+              ("a", "n")]
     texts = [
         "the thermal other theory",
         "he she there whether",
         "ttthhheee the tthe",
+        # adjacent merge sites: greedy BPE gives [b,an,an,a] — the
+        # r11 review caught the single-space replace representation
+        # producing [b,an,a,n,a] because adjacent matches shared a
+        # boundary space; the double-space representation must agree
+        # with the fold here
+        "banana anand nananana thethe",
     ]
 
     def py_tokens(word):

@@ -2299,6 +2299,49 @@ def test_vacuum_repairs_regressed_pointer_before_pruning(spark, catalog):
     catalog.drop_table("vrp_t")
 
 
+def test_vacuum_stale_snapshot_never_eats_newer_commits(spark, catalog):
+    """r11 review findings #1/#2: a commit that lands while vacuum is
+    running (i.e. ABOVE vacuum's manifest snapshot) must be fully
+    protected — its young segment must not be classified as
+    committed-and-superseded garbage, and its claim file must not be
+    pruned as 'history'. Deterministic repro: pin vacuum to a STALE
+    snapshot while a newer commit exists on disk."""
+    from pandabase_spark.io import LOG_DIR
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    catalog.to_table(df, "vst_t", keys=["k"], num_buckets=2)           # v1
+    catalog.to_table(df.withColumn("v", F.col("v") + 1), "vst_t",
+                     keys=["k"], how="upsert")                         # v2
+    stale = catalog._manifest("vst_t")  # snapshot BEFORE the rival
+    catalog.to_table(df.withColumn("v", F.col("v") + 2), "vst_t",
+                     keys=["k"], how="upsert")                         # v3
+    tpath = catalog._path("vst_t")
+    v3_file = f"{tpath}/{LOG_DIR}/{3:010d}.json"
+    v3_segs = set(json.loads(catalog.fs.read_text(v3_file))["segments"])
+    assert catalog.fs.exists(v3_file)
+    # vacuum runs against the stale v2 snapshot (the mid-run race)
+    real = catalog._manifest
+    catalog._manifest = lambda tn, version=None, **kw: stale
+    try:
+        gone = catalog.vacuum("vst_t")
+    finally:
+        del catalog._manifest  # restore the bound method
+        assert catalog._manifest is not None
+    assert gone, "v1's tombstoned segments should still be reclaimed"
+    # the racing commit survives intact: claim file + segments + data
+    assert catalog.fs.exists(v3_file), "v3's claim was pruned"
+    on_disk = {
+        d for d in catalog.fs.list_dirs(tpath) if d.startswith("seg-")
+    }
+    assert v3_segs <= on_disk, "v3's young segment was deleted"
+    got = {r["k"]: r["v"] for r in catalog.read_table("vst_t").collect()}
+    assert got == {k: float(k + 2) for k in range(20)}
+    assert real is not None
+    catalog.drop_table("vst_t")
+
+
 def test_vacuum_dry_run_stays_readonly_under_regression(spark, catalog):
     """r11 self-review probe: dry_run is the safety PREVIEW — even
     with a regressed pointer it must neither repair the pointer nor
