@@ -2522,55 +2522,88 @@ class KeyedCatalog:
         import time as _time
 
         seg_horizon = _time.time() - orphan_age_s
-        ever_referenced: "set[str] | None" = None  # lazy: young orphans only
+        # Lazy log-history scan, shared by the segment and DV loops.
+        # ONLY versions at or below the vacuum snapshot count as
+        # "committed and superseded": a claim that landed ABOVE our
+        # snapshot while we ran references segments/DVs that are LIVE
+        # at the new head, not garbage — counting it would delete a
+        # racing writer's just-committed data (r11 review finding; the
+        # window between the _manifest read and this scan is narrow
+        # but real). The scan therefore returns three sets: segments
+        # ever referenced ≤ snapshot, DV files ever referenced ≤
+        # snapshot, and DV files referenced ABOVE the snapshot (a
+        # rival's committed data — never reclaimable by this vacuum).
         log_dir0 = f"{self._path(table_name)}/{LOG_DIR}"
+        _hist: "tuple[set[str], set[str], set[str]] | None" = None
+
+        def _history() -> "tuple[set[str], set[str], set[str]]":
+            nonlocal _hist
+            if _hist is not None:
+                return _hist
+            past_segs: set[str] = set()
+            past_dvs: set[str] = set()
+            future_dvs: set[str] = set()
+            if self.fs.exists(log_dir0):
+                for f in self.fs.list_files(log_dir0):
+                    if not f.endswith(".json") or f.endswith(".skip.json"):
+                        continue
+                    try:
+                        above = int(f.split(".")[0]) > cur_man["v"]
+                    except ValueError:
+                        continue
+                    try:
+                        man = json.loads(
+                            self.fs.read_text(f"{log_dir0}/{f}")
+                        )
+                    except Exception:
+                        continue
+                    man_dv_files = {
+                        dv["file"]
+                        for dv in man.get("dvs", {}).values()
+                        if "/" not in dv["file"]
+                    }
+                    if above:
+                        future_dvs |= man_dv_files
+                    else:
+                        past_segs |= set(man.get("segments", {}))
+                        past_dvs |= man_dv_files
+            _hist = (past_segs, past_dvs, future_dvs)
+            return _hist
+
         for d in self.fs.list_dirs(self._path(table_name)):
             if not (d.startswith("seg-") and d not in live):
                 continue
             p = f"{self._path(table_name)}/{d}"
             if orphan_age_s > 0 and self.fs.mtime(p) > seg_horizon:
-                if ever_referenced is None:
-                    # ONLY versions at or below the vacuum snapshot
-                    # count as "committed and superseded": a claim
-                    # that landed ABOVE our snapshot while we ran
-                    # references segments that are LIVE at the new
-                    # head, not garbage — counting it would delete a
-                    # racing writer's just-committed data (r11 review
-                    # finding; the window between the _manifest read
-                    # and this scan is narrow but real)
-                    ever_referenced = set()
-                    if self.fs.exists(log_dir0):
-                        for f in self.fs.list_files(log_dir0):
-                            if (
-                                not f.endswith(".json")
-                                or f.endswith(".skip.json")
-                            ):
-                                continue
-                            try:
-                                if int(f.split(".")[0]) > cur_man["v"]:
-                                    continue
-                            except ValueError:
-                                continue
-                            try:
-                                ever_referenced |= set(
-                                    json.loads(
-                                        self.fs.read_text(f"{log_dir0}/{f}")
-                                    ).get("segments", {})
-                                )
-                            except Exception:
-                                continue
-                if d not in ever_referenced:
+                if d not in _history()[0]:
                     continue  # possibly an in-flight writer's staged seg
             if not dry_run:
                 self.fs.delete(p)
             gone.append(d)
+        # DV sidecars get the SAME concurrent-writer protections as
+        # segments (r11 advice, high): a racing DV-path delete/update/
+        # merge stages its dv-* parquet BEFORE claiming the manifest,
+        # and a rival's DV committed above the vacuum snapshot is
+        # absent from live_dvs — both were previously reclaimed
+        # unconditionally, leaving the committed version unreadable.
+        # Now: never reclaim a DV some version ABOVE the snapshot
+        # references, and age-gate young DVs no version ≤ snapshot has
+        # ever referenced (indistinguishable from an in-flight stage).
         dv_root = f"{self._path(table_name)}/{DV_DIR}"
         if self.fs.exists(dv_root):
             for d in self.fs.list_dirs(dv_root):
-                if d not in live_dvs:
-                    if not dry_run:
-                        self.fs.delete(f"{dv_root}/{d}")
-                    gone.append(f"{DV_DIR}/{d}")
+                if d in live_dvs:
+                    continue
+                p = f"{dv_root}/{d}"
+                if orphan_age_s > 0:
+                    _, past_dvs, future_dvs = _history()
+                    if d in future_dvs:
+                        continue  # a rival committed it above our snapshot
+                    if d not in past_dvs and self.fs.mtime(p) > seg_horizon:
+                        continue  # possibly an in-flight writer's staged DV
+                if not dry_run:
+                    self.fs.delete(p)
+                gone.append(f"{DV_DIR}/{d}")
         if dry_run:
             return gone
         log_dir = f"{self._path(table_name)}/{LOG_DIR}"

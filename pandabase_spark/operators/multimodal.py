@@ -113,6 +113,11 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # type 3: 1 index byte/px
 # absurd dimensions independent of byte math.
 _PNG_MAX_DECODED = 1 << 25  # 32 MB
 _PNG_MAX_PIXELS = 1 << 24  # 16M pixels (w*h)
+# JPEG gets a TIGHTER cap than PNG (r11 advice): decode cost per pixel
+# (pure-Python huffman bit loop + per-block numpy dequant/IDCT) is far
+# higher than PNG's vectorized unfilter, so the 16Mpx bound that was
+# fine there is a CPU bomb here. 4M pixels ≈ 2048×2048.
+_JPEG_MAX_PIXELS = 1 << 22
 
 
 def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
@@ -837,8 +842,10 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 def _fdct_quant(block: "list[int]", qtab: "list[int]") -> "list[int]":
     """Forward 8x8 DCT (separable basis as two numpy matmuls:
-    ``B @ f @ Bᵀ``) + quantization (round-half-away-from-zero via
-    floor(x+0.5)); input is the level-shifted spatial block in raster
+    ``B @ f @ Bᵀ``) + quantization (round-half-UP — toward +inf for
+    negative coefficients too — via floor(x+0.5); NOT the spec-style
+    half-away-from-zero, which only differs on exact midpoints the
+    oracle payloads never produce); input is the level-shifted spatial block in raster
     order, output the 64 quantized coefficients in raster order.
     Vectorized: the nested-loop form cost ~4096 Python mults per
     block and dominated the decode-seam bench (9.5s → ~1s at sf0.1).
@@ -1045,8 +1052,8 @@ def _parse_jpeg(payload: bytes):
                 prec, h, w, nc = struct.unpack(">BHHB", body[:6])
                 if prec != 8 or w <= 0 or h <= 0:
                     return None
-                if w * h > _PNG_MAX_PIXELS:
-                    return None  # same CPU/memory bomb cap as PNG
+                if w * h > _JPEG_MAX_PIXELS:
+                    return None  # tighter CPU-bomb cap than PNG's
                 comps = [
                     (body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c])
                     for c in range(nc)
@@ -1124,6 +1131,15 @@ def _jpeg_decode_scan(w, h, comps, sel, qtabs, huff, scan, *,
     if scan_order is None:
         scan_order = list(range(ncomp))
     bw, bh = (w + 7) // 8, (h + 7) // 8
+    # Scan-length bound (r11 advice): every real block consumes ≥2
+    # bits (a ≥1-bit DC symbol + a ≥1-bit EOB), so a valid scan of
+    # ``len(scan)`` bytes can encode at most 4×that many blocks.
+    # A crafted payload pairing maximal SOF dims with a tiny scan
+    # would otherwise burn per-block IDCT work far beyond what its
+    # bytes can legitimately describe (the EOFError lands only after
+    # the work). +64 slack covers padding/EOI slop at the tail.
+    if ncomp * bw * bh > 4 * len(scan) + 64:
+        return None
     planes = [bytearray(bw * 8 * bh * 8) for _ in range(ncomp)]
     r = _BitReader(scan)
     prev_dc = [0] * ncomp

@@ -1441,7 +1441,7 @@ def pq_codebooks_exact(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
-    rows = (
+    dd = (
         corpus.select(
             F.explode(
                 F.array(
@@ -1459,20 +1459,36 @@ def pq_codebooks_exact(
         )
         .select("s.j", "s.sv")
         .distinct()
-        .collect()
+        .persist()
     )
+    try:
+        # Bounded-driver contract (r11 advice, medium): enforce the
+        # cardinality cap DISTRIBUTEDLY before any subvector reaches
+        # the driver — on a real-valued column the distinct frame is
+        # ~m×n rows, and collecting it just to raise would be exactly
+        # the unbounded pull the cap exists to prevent. One m-row
+        # aggregate over the persisted distinct, then the collect.
+        counts = {
+            r["j"]: r["n"]
+            for r in dd.groupBy("j").agg(F.count("*").alias("n")).collect()
+        }
+        for j in range(m):
+            n = counts.get(j, 0)
+            if n > max_codes:
+                raise ValueError(
+                    f"subspace {j} has {n} distinct subvectors "
+                    f"(> max_codes={max_codes}); lossless PQ is for "
+                    f"low-cardinality vector columns — use pq_codebooks"
+                )
+            if not n:
+                raise ValueError(f"subspace {j} has no subvectors")
+        rows = dd.collect()
+    finally:
+        dd.unpersist()
     books: "list[list[list[float]]]" = [[] for _ in range(m)]
     for r in rows:
         books[r["j"]].append([float(x) for x in r["sv"]])
-    for j, book in enumerate(books):
-        if len(book) > max_codes:
-            raise ValueError(
-                f"subspace {j} has {len(book)} distinct subvectors "
-                f"(> max_codes={max_codes}); lossless PQ is for "
-                f"low-cardinality vector columns — use pq_codebooks"
-            )
-        if not book:
-            raise ValueError(f"subspace {j} has no subvectors")
+    for book in books:
         book.sort()
     return books
 

@@ -526,6 +526,27 @@ def test_jpeg_codec_round_trip_unit():
     bomb[sof_at + 5:sof_at + 9] = struct.pack(">HH", 60000, 60000)
     assert _parse_jpeg(bytes(bomb)) is None
 
+    # the JPEG cap is TIGHTER than PNG's (r11 advice: per-pixel decode
+    # cost is far higher here) — dims legal under the PNG cap but over
+    # the JPEG one are rejected before any scan work
+    from pandabase_spark.operators.multimodal import (
+        _JPEG_MAX_PIXELS, _PNG_MAX_PIXELS,
+    )
+
+    assert _JPEG_MAX_PIXELS < _PNG_MAX_PIXELS
+    mid = bytearray(good)
+    mid[sof_at + 5:sof_at + 9] = struct.pack(">HH", 4096, 2048)  # 8Mpx
+    assert 4096 * 2048 <= _PNG_MAX_PIXELS
+    assert _parse_jpeg(bytes(mid)) is None
+
+    # a scan too short to legitimately describe its block grid (every
+    # real block costs ≥2 bits) is rejected before the per-block IDCT
+    # loop burns CPU proportional to the FORGED dims, not the bytes
+    small = bytearray(good)
+    small[sof_at + 5:sof_at + 9] = struct.pack(">HH", 2048, 2048)  # 4Mpx
+    assert 2048 * 2048 <= _JPEG_MAX_PIXELS
+    assert _parse_jpeg(bytes(small)) is None  # 64k blocks, ~tens of bytes
+
 
 def test_decode_jpeg_real_bytes(spark):
     """attach_jpeg_payload → decode_jpeg_stats through the seam:

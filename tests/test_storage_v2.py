@@ -2550,3 +2550,86 @@ def test_folded_probe_keeps_narrowing_semantics(spark, catalog):
     catalog.to_table(strnull, "fold", keys=["k"], how="upsert")
     got = {r["k"]: r["v"] for r in catalog.read_table("fold").collect()}
     assert got[1] == 1.0 and got[2] == 2.0, "all-null mismatch must preserve"
+
+
+def test_vacuum_spares_inflight_staged_dv(spark, catalog):
+    """ADVICE r11 (high): a DV-path delete/update/merge stages its
+    dv-* parquet BEFORE claiming the manifest (io.py _delete_dv), so a
+    dv dir no version references is indistinguishable from an
+    in-flight commit's staged sidecar. The age-gated (default) vacuum
+    must keep a FRESH unreferenced dv dir and reclaim an AGED one (a
+    crashed writer's leak); the offline vacuum (orphan_age_s=0)
+    reclaims the fresh one too — exactly the segment dirs' contract."""
+    import os
+    import time
+
+    from pandabase_spark.io import DV_DIR
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    catalog.to_table(df, "dvr_t", keys=["k"], num_buckets=2)
+    tpath = catalog._path("dvr_t")
+    fresh = f"{tpath}/{DV_DIR}/dv-inflight00000001"
+    aged = f"{tpath}/{DV_DIR}/dv-crashed00000002"
+    for d in (fresh, aged):
+        os.makedirs(d)
+        with open(f"{d}/part-0.parquet", "wb") as fh:
+            fh.write(b"x")
+    old = time.time() - 7200
+    os.utime(aged, (old, old))
+    gone = catalog.vacuum("dvr_t")
+    assert f"{DV_DIR}/dv-crashed00000002" in gone
+    assert catalog.fs.exists(fresh), "in-flight staged DV was reclaimed"
+    assert not catalog.fs.exists(aged)
+    gone2 = catalog.vacuum("dvr_t", orphan_age_s=0.0)
+    assert f"{DV_DIR}/dv-inflight00000001" in gone2
+    catalog.drop_table("dvr_t")
+
+
+def test_vacuum_spares_dv_committed_above_snapshot(
+    spark, catalog, monkeypatch
+):
+    """ADVICE r11 (high): a rival's DV claimed ABOVE the vacuum's
+    manifest snapshot is absent from live_dvs; reclaiming it leaves
+    the rival's committed version unreadable (missing sidecar) under
+    the advertised concurrent mode. Simulate the race window — rival
+    claims between vacuum's _manifest read and its DV scan — by
+    pinning the vacuum's head resolution at v1 while disk holds the
+    DV-delete's v2. The dv dir is AGED past the orphan retention so
+    only the above-snapshot protection (not the age gate) can save
+    it."""
+    import os
+    import time
+
+    from pandabase_spark.io import DV_DIR, KeyedCatalog
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    catalog.to_table(df, "dvf_t", keys=["k"], num_buckets=2)        # v1
+    catalog.delete_rows("dvf_t", "k < 5", strategy="dv")            # v2
+    tpath = catalog._path("dvf_t")
+    dv_dirs = catalog.fs.list_dirs(f"{tpath}/{DV_DIR}")
+    assert len(dv_dirs) == 1
+    dv_path = f"{tpath}/{DV_DIR}/{dv_dirs[0]}"
+    old = time.time() - 7200
+    os.utime(dv_path, (old, old))
+
+    orig = KeyedCatalog._manifest
+
+    def pinned(self, table_name, version=None):
+        if version is None and table_name.endswith("dvf_t"):
+            return orig(self, table_name, version=1)
+        return orig(self, table_name, version)
+
+    monkeypatch.setattr(KeyedCatalog, "_manifest", pinned)
+    catalog.vacuum("dvf_t")
+    monkeypatch.undo()
+    assert catalog.fs.exists(dv_path), (
+        "DV committed above the vacuum snapshot was reclaimed"
+    )
+    # the rival's commit stays fully readable: v2's DV still applies
+    got = {r["k"] for r in catalog.read_table("dvf_t").collect()}
+    assert got == set(range(5, 20))
+    catalog.drop_table("dvf_t")
