@@ -78,6 +78,7 @@ def bpe_learn_merges(
     *,
     n_merges: int = 8,
     min_count: int = 2,
+    checkpoint_every: int = 16,
 ) -> "list[dict]":
     """Learn ``n_merges`` BPE merges from the corpus. Returns the
     ordered merge table as dicts with keys ``rank, left, right,
@@ -85,12 +86,20 @@ def bpe_learn_merges(
     ``ivf_centroids``'s list), bounded by ``n_merges``.
 
     Cost shape: one corpus shuffle (word-frequency compaction), then
-    per merge ONE aggregation over the |vocab|-row frame. The frame is
-    persisted and re-derived functionally per iteration (each
-    iteration's sequences are the previous iteration's folded through
-    :func:`_merge_fold`, so the lineage stays a narrow column
-    expression); stopping early when the best pair's corpus count
-    drops below ``min_count``."""
+    per merge ONE aggregation over the |vocab|-row frame. Within a
+    window the frame is re-derived functionally (each iteration's
+    sequences are the previous iteration's folded through
+    :func:`_merge_fold` — a narrow column expression), and every
+    ``checkpoint_every`` merges the re-segmented frame is
+    MATERIALIZED (``localCheckpoint``, the GraphX/ALS iterative
+    pattern) so the fold nesting — and with it both Catalyst
+    analysis depth and per-iteration re-evaluation work — stays
+    bounded by the window instead of growing O(merges²) toward a
+    production 32k-merge vocabulary (r11 verdict watch-item #1).
+    Stops early when the best pair's corpus count drops below
+    ``min_count``."""
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     words = _words_with_counts(docs, text_col).select(
         "n",
         F.expr(
@@ -139,6 +148,17 @@ def bpe_learn_merges(
                 }
             )
             seq_col = _merge_fold(seq_col, left, right)
+            if (rank + 1) % checkpoint_every == 0:
+                # truncate lineage: fold the window's merges into the
+                # stored sequences once, so the NEXT window's pair
+                # aggregation evaluates a flat scan + one bounded fold
+                # chain instead of every merge learned so far
+                folded = words.select(
+                    "n", seq_col.alias("seq")
+                ).localCheckpoint(eager=True)
+                words.unpersist()
+                words = folded
+                seq_col = F.col("seq")
     finally:
         words.unpersist()
     return merges

@@ -4696,6 +4696,43 @@ def ann_topk_pq_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ann_topk_ivfpq_full", _PQ_FULL_ORACLE)
+def ann_topk_ivfpq_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFADC COMPOSITION's exact-oracle member (r11 verdict ask
+    #3, closing the last closable rows-only ANN family member):
+    lossless PQ (``pq_codebooks_exact`` over the same ternary-quantized
+    16-dim corpus as ``ann_topk_pq_full``, so ADC distance IS exact
+    squared L2) composed with a FULL-PROBE IVF coarse quantizer
+    (``nprobe == n_cells``, so the candidate set is provably the whole
+    corpus, as in ``ann_topk_ivf_full_probe``). Together the two
+    exactness arguments make the production ``ann_topk_ivfpq`` path —
+    cell training/assignment, probe expansion, encoded-corpus join,
+    ADC scoring, rank windowing — hash-matchable against DuckDB's
+    brute-force L2 top-10: any mis-assigned cell, dropped/doubled
+    candidate, codebook-indexing slip, or ADC-fold bug breaks the
+    match. The lossy production configuration (``ann_topk_ivfpq``)
+    shares every line with this gate and keeps its pytest recall
+    floor."""
+    from pandabase_spark.operators.similarity import (
+        ann_topk_ivfpq, pq_codebooks_exact,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    tri = F.expr(
+        "transform(sequence(1, 16), i -> case "
+        "when element_at(embedding, (i-1)*4+1) > 0.2D then 1.0D "
+        "when element_at(embedding, (i-1)*4+1) < -0.2D then -1.0D "
+        "else 0.0D end)"
+    )
+    q16 = e.select("vec_id", tri.alias("qvec"))
+    books = pq_codebooks_exact(q16, vec_col="qvec", m=4)
+    return ann_topk_ivfpq(
+        q16, q16.where(F.col("vec_id") < 5),
+        vec_col="qvec", k=10, n_cells=8, nprobe=8,
+        iters=2, sample_mod=2, codebooks=books,
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: text analysis
 # ---------------------------------------------------------------------------

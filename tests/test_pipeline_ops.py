@@ -785,6 +785,12 @@ def test_bpe_learn_merges_matches_reference(spark):
         for m in got
     ] == exp
     assert got == bpe_learn_merges(docs, n_merges=6, min_count=2)
+    # the fold-depth cap (localCheckpoint every K merges) must be
+    # invisible to results: force several materialization windows
+    # inside one training run and re-pin against the same reference
+    assert got == bpe_learn_merges(
+        docs, n_merges=6, min_count=2, checkpoint_every=2
+    )
 
 
 def test_bpe_apply_unicode_multibyte(spark):
