@@ -8267,94 +8267,74 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate ordering
 # ---------------------------------------------------------------------------
 # The driver walks QUERIES in dict order and checks exactly 50 per
-# round. CORRECTNESS_r10 delivered the r10 head 50/50 triple-green, so
-# the r11 head (r10 verdict ask #1) = the ONE never-driver-checked
-# entry (multimodal_decode_mixed — closing the 206-query union) + the
-# round's 2 new value-exact gates (ann_topk_pq_full, the PQ family's
-# lossless-configuration analogue of ann_topk_ivf_full_probe;
-# multimodal_embed_topk_mixed, three-modality retrieval from real
-# decoded bytes) + the 9 entries the r10 note deferred here
-# (ann_topk_ivfpq / ann_topk_pq rows-only, the five grouping/pivot
-# shapes, streaming_windowed_counts, events_json_extract) + 36 of the
-# 47 r7-stale rows (the r3/r7 text/dedup/sampling/kt block). The 11
-# deferred to r12: the six remaining rows-only entries (ann_topk_ivf,
-# ann_topk_ivf_indexed, ann_topk_lsh, minhash_lsh_neardup,
-# multimodal_decode_fake, simhash_neardup — the weakest check form
-# yields slots, and each family's value-exact member IS in this head)
-# plus five oracled entries whose family has a stronger same-code
-# representative here (cosine_topk_bruteforce → ann_topk_pq_full's
-# identical brute-force shape, multimodal_payload_stats → the five
-# decode gates, winnow_match_pairs → doc_winnow_fingerprints,
-# nearest_centroid_confusion → label_centroids green r10,
-# events_time_weighted_avg → the events family's other head slots) —
-# all lead the r12 rotation, together with the late-r11 additions
-# `ann_topk_ivf_appended_full` (value-exact incremental-index gate),
-# `streaming_ann_index_ingest` (value-exact streaming index
-# maintenance: foreachBatch appends, full-probe == brute force),
-# `multimodal_decode_mixed_all` (three-codec auto-dispatch incl.
-# the JPEG entropy decoder, value-exact),
-# `bpe_apply_fixed` (value-exact tokenizer application), and
-# `bpe_train_merges` (iterative trainer, rows-only) — all added after
-# the head froze and locally verified through the harness at sf0.01.
+# round. CORRECTNESS_r11 delivered the r11 head 50/50 clean (48
+# value-exact + 2 declared rows-only), so the r12 head (r11 verdict
+# ask #1) = strict staleness order over the cross-round union:
+#   - the 6 never-driver-checked entries (the 5 late-r11 additions —
+#     ann_topk_ivf_appended_full, streaming_ann_index_ingest,
+#     multimodal_decode_mixed_all, bpe_apply_fixed, bpe_train_merges —
+#     all judge-run clean in r11, plus r12's new value-exact IVFADC
+#     composition gate ann_topk_ivfpq_full); with these checked the
+#     driver union reaches every entry that existed before this round;
+#   - the 11 rows last checked in r7 (the rows-only ANN/neardup
+#     members whose value-exact family gates are also in this head,
+#     the winnow/centroid/event stragglers, and the multimodal fake
+#     decode pair);
+#   - 33 of the 49 rows last checked in r8 (alphabetical; the
+#     remaining 16 r8 rows — q19/q22/q4/q7, the streaming block,
+#     sampling/histogram/window tails — lead the r13 rotation, then
+#     the r9 block).
 _GATE_FIRST = [
-    # never driver-checked (the last of 206)
-    "multimodal_decode_mixed",
-    # round-11 additions (all value-exact)
-    "ann_topk_pq_full",
-    "multimodal_embed_topk_mixed",
-    "multimodal_decode_jpeg",
-    "multimodal_sample_avi_frames",
-    # deferred from r10 by its rotation note
-    "ann_topk_ivfpq",
-    "ann_topk_pq",
-    "cube_orders",
-    "rollup_orders",
-    "grouping_sets_orders",
-    "pivot_orders",
-    "unpivot_lineitem_metrics",
-    "streaming_windowed_counts",
-    "events_json_extract",
-    # r7-stale keyed-table / storage rows
-    "kt_cluster_by_zorder",
-    "kt_delete_dv",
-    "kt_embeddings_roundtrip",
-    "kt_events_roundtrip",
-    "kt_incremental_agg",
-    "kt_sql_over_view",
-    "kt_time_travel",
-    "kt_txn_exactly_once",
-    "jsonl_roundtrip_customer",
-    "orc_roundtrip_supplier",
-    "partitioned_sink_prune",
-    "streaming_kt_source",
-    # r7-stale text-analysis block
-    "bpe_token_stats",
-    "chunk_documents_windowed",
-    "corpus_language_summary",
-    "doc_profile",
-    "quality_filter_summary",
-    "repetition_signals",
-    "tfidf_top_terms",
-    "token_histogram",
-    # r7-stale dedup / fingerprint block
-    "contamination_report",
-    "dedup_content_hash",
-    "dedup_exact_groups",
-    "doc_winnow_fingerprints",
-    "embedding_neardup_exact",
-    "neardup_components",
-    "ngram_jaccard_pairs",
-    # r7-stale sampling / pipeline block
-    "interleave_shards_mix",
-    "stratified_sample_frac",
-    "stratified_token_sample",
-    "pii_scan_redact",
-    # r7-stale analytics
-    "q1_pricing_summary",
-    "monthly_revenue_growth",
-    "cohort_retention",
-    "rfm_segments",
-    "event_transition_matrix",
+    "ann_topk_ivf_appended_full",
+    "ann_topk_ivfpq_full",
+    "bpe_apply_fixed",
+    "bpe_train_merges",
+    "multimodal_decode_mixed_all",
+    "streaming_ann_index_ingest",
+    "ann_topk_ivf",
+    "ann_topk_ivf_indexed",
+    "ann_topk_lsh",
+    "cosine_topk_bruteforce",
+    "events_time_weighted_avg",
+    "minhash_lsh_neardup",
+    "multimodal_decode_fake",
+    "multimodal_payload_stats",
+    "nearest_centroid_confusion",
+    "simhash_neardup",
+    "winnow_match_pairs",
+    "bigram_lm_score",
+    "char_entropy_docs",
+    "conditional_agg_flags",
+    "customer_order_left_join",
+    "data_quality_checks",
+    "dedup_savings_report",
+    "doc_length_percentiles_by_lang",
+    "embedding_norm_stats",
+    "events_forward_fill",
+    "events_mad_outliers",
+    "events_variant_extract",
+    "events_windowed_dedup",
+    "extract_numbers_from_text",
+    "fact_fact_reconciliation",
+    "full_outer_activity_join",
+    "funnel_click_to_purchase",
+    "fuzzy_match_pairs",
+    "hopping_window_counts",
+    "key_skew_report",
+    "kt_catalog_sql",
+    "kt_copy_into",
+    "kt_merge_by_source",
+    "kt_merge_clauses",
+    "kt_merge_schema_evolution",
+    "kt_table_changes",
+    "latest_event_per_user",
+    "nation_revenue_share",
+    "nation_segment_rollcall",
+    "normalize_text_docs",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q18_large_volume_orders",
 ]
 
 
