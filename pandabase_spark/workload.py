@@ -4556,13 +4556,15 @@ def streaming_ann_index_ingest(
     never blocked. After the availableNow cycle drains, a full-probe
     search (nprobe = n_cells) must hash-match brute-force cosine
     top-k over the ENTIRE corpus — a dropped, duplicated, or
-    mis-assigned batch row breaks the driver hash. Delivery contract:
-    the plain parquet append inside foreachBatch is at-least-once
-    under mid-batch crash replays (unlike the keyed-table streaming
-    sinks, which ride the manifest txn watermark); production
-    pipelines needing exactly-once should stage per-batch-id
-    subdirectories or route through a keyed table — documented
-    deliberately, same trade FAISS streaming adds make."""
+    mis-assigned batch row breaks the driver hash. Delivery contract
+    (r12): every append passes ``txn=(app_id, batch_id)`` — the same
+    Delta txnAppId/txnVersion shape the keyed-table streaming sinks
+    ride — so the batch lands as a dynamic partition overwrite of its
+    own ``txn=`` sub-partitions and a REPLAYED micro-batch (lost
+    checkpoint, retry after a committed-but-unacknowledged epoch)
+    replaces its previous attempt instead of double-inserting:
+    effectively exactly-once at the index level (replay pytest in
+    test_operators.py)."""
     import tempfile
 
     from pandabase_spark.operators.similarity import (
@@ -4588,11 +4590,14 @@ def streaming_ann_index_ingest(
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{scratch}/src")
         )
+        ckpt = f"{scratch}/ckpt"
         q = (
             stream.writeStream.foreachBatch(
-                lambda batch, _bid: append_ivf_index(batch, path)
+                lambda batch, bid: append_ivf_index(
+                    batch, path, txn=(f"stream:{ckpt}", bid)
+                )
             )
-            .option("checkpointLocation", f"{scratch}/ckpt")
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )

@@ -1083,6 +1083,61 @@ def test_append_ivf_index_matches_rebuild_and_bruteforce(spark, tmp_path):
     assert untouched is not None  # documented observation, not a gate
 
 
+def test_append_ivf_index_txn_replay_idempotent(spark, tmp_path):
+    """r11 verdict ask #6 — the lost-checkpoint replay contract, the
+    stream_upsert-style probe for the IVF index: a micro-batch
+    re-delivered with the SAME ``txn=(app, batch_id)`` must REPLACE
+    its previous attempt (dynamic partition overwrite of its own
+    ``txn=`` sub-partitions), never double-insert. Asserts: (a) after
+    a replay the corpus row count is unchanged and has no duplicate
+    ids, (b) full-probe search still equals brute force, (c) a
+    DIFFERENT batch id under the same app does append, (d) untagged
+    appends keep plain at-least-once semantics (the documented
+    non-streaming contract)."""
+    from pandabase_spark.operators.similarity import (
+        ann_topk_indexed, append_ivf_index, cosine_topk,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    write_ivf_index(
+        emb.where("vec_id % 3 = 0"), path, n_cells=8, iters=2,
+        sample_mod=2,
+    )
+    app = "stream:/ckpt/annr"
+    batch1 = emb.where("vec_id % 3 = 1")
+    append_ivf_index(batch1, path, txn=(app, 0))
+    data = lambda: spark.read.parquet(f"{path}/data")
+    n_after_first = data().count()
+    # lost checkpoint: batch 0 re-delivered verbatim → converges
+    append_ivf_index(batch1, path, txn=(app, 0))
+    assert data().count() == n_after_first
+    assert (
+        data().groupBy("vec_id").count().where("count > 1").count() == 0
+    )
+    # a new batch id under the same app APPENDS
+    batch2 = emb.where("vec_id % 3 = 2")
+    append_ivf_index(batch2, path, txn=(app, 1))
+    assert data().count() == emb.count()
+    # the replayed + appended index still matches brute force exactly
+    as_set = lambda df: {
+        (r["query_id"], r["vec_id"], round(r["cosine"], 6), r["rank"])
+        for r in df.collect()
+    }
+    got = as_set(ann_topk_indexed(
+        spark, path, emb.where("vec_id < 3"), k=8, nprobe=8,
+    ))
+    assert got == as_set(cosine_topk(emb, emb.where("vec_id < 3"), k=8))
+    # untagged appends stay at-least-once by contract: repeating one
+    # DOES duplicate (each lands under a fresh adhoc txn label)
+    n0 = data().count()
+    extra = emb.where("vec_id < 2")
+    append_ivf_index(extra, path)
+    append_ivf_index(extra, path)
+    assert data().count() == n0 + 2 * extra.count()
+
+
 def test_centroid_literal_rejects_nonfinite(spark):
     """A non-finite centroid component must fail the index build
     loudly: Spark's non-ANSI string→double cast parses repr's
