@@ -39,6 +39,14 @@ def main() -> None:
     spark = get_spark("pandabase_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # ambient host load at capture start/end (r11 verdict ask #7):
+    # this box is shared and identical-code wall totals have swung
+    # 2-5x between captures since r8 — recording the 1/5/15-min
+    # loadavg beside the timings lets a cross-round comparison
+    # dismiss (or indict) host noise from one field instead of
+    # re-deriving it from job/stage budgets each round
+    ambient_load = {"start": list(os.getloadavg())}
+
     timings: dict[str, float] = {}
     n_runs: dict[str, int] = {}
     sc = spark.sparkContext
@@ -548,6 +556,9 @@ def main() -> None:
         "plan_checks": plan_checks,
         "dml_facts": dml_facts,
         "query_facts": query_facts,
+        "ambient_load": {
+            **ambient_load, "end": list(os.getloadavg()),
+        },
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:

@@ -880,19 +880,30 @@ def _dequant_idct(coef: "list[int]", qtab: "list[int]") -> "list[int]":
 
 
 def encode_jpeg(
-    w: int, h: int, ncomp: int, pixels: bytes
+    w: int, h: int, ncomp: int, pixels: bytes,
+    subsampling: str = "444",
 ) -> bytes:
     """Minimal spec-correct baseline JFIF encoder (stdlib only):
-    grayscale (ncomp=1) or 4:4:4 YCbCr (ncomp=3, RGB input), uniform
-    quant tables, standard huffman tables, full forward DCT + entropy
+    grayscale (ncomp=1) or YCbCr color (ncomp=3, RGB input) at
+    ``subsampling`` "444" (1×1 everywhere) or "420" (Y at 2×2, chroma
+    box-filter-averaged 2× on both axes and MCU-interleaved 4Y+Cb+Cr
+    — r12, the decoder-side ask #4's synthesis half), uniform quant
+    tables, standard huffman tables, full forward DCT + entropy
     coding. The synthesis half of the JPEG seam's oracle loop — every
     byte it emits is consumed back through :func:`_parse_jpeg`'s real
-    huffman/dequant/IDCT pipeline."""
+    huffman/dequant/IDCT pipeline. For payloads whose pixels are
+    constant over each 2×2 cell the 420 round trip is exactly as
+    invertible as 444 (the box filter and the nearest-neighbor
+    upsample cancel)."""
     import math
     import struct
 
     if ncomp not in (1, 3) or len(pixels) != w * h * ncomp:
         raise ValueError("encode_jpeg: bad shape")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling: {subsampling!r}")
+    if subsampling == "420" and ncomp == 1:
+        subsampling = "444"  # grayscale has no chroma to subsample
     # component planes, level-shifted
     import numpy as np
 
@@ -919,7 +930,33 @@ def encode_jpeg(
             128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5
         ).astype("int64") - 128
         planes = [ys, cbs, crs]
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    # per-component sampling geometry (mirrors the decoder's): planes
+    # become 2D at each component's natural resolution; 420 box-
+    # filter-averages chroma 2× per axis with floor(mean + 0.5)
+    samp = (
+        [(2, 2), (1, 1), (1, 1)] if subsampling == "420"
+        else [(1, 1)] * ncomp
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    planes2d = []
+    for ci in range(ncomp):
+        a = planes[ci].reshape(h, w)
+        hi, vi = samp[ci]
+        if hi != hmax or vi != vmax:
+            fy, fx = vmax // vi, hmax // hi
+            # pad to factor multiples by edge replication, then mean
+            hp = (h + fy - 1) // fy * fy
+            wp = (w + fx - 1) // fx * fx
+            a = np.pad(a, ((0, hp - h), (0, wp - w)), mode="edge")
+            s4 = (
+                a.reshape(hp // fy, fy, wp // fx, fx)
+                .sum(axis=(1, 3))
+            )
+            a = (s4 + (fy * fx) // 2) // (fy * fx)
+        planes2d.append(a)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     writer = _BitWriter()
@@ -959,17 +996,23 @@ def encode_jpeg(
             c, l_ = ac_codes[0x00]  # EOB
             writer.put(c, l_)
 
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(ncomp):
-                plane = planes[ci]
-                block = []
-                for y in range(8):
-                    sy = min(by * 8 + y, h - 1)
-                    for x in range(8):
-                        sx = min(bx * 8 + x, w - 1)
-                        block.append(plane[sy * w + sx])
-                emit_block(_fdct_quant(block, _JPEG_QTAB))
+                hi, vi = samp[ci]
+                a = planes2d[ci]
+                hc, wc = a.shape
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        block = []
+                        for y in range(8):
+                            sy = min((my * vi + byy) * 8 + y, hc - 1)
+                            for x in range(8):
+                                sx = min(
+                                    (mx * hi + bxx) * 8 + x, wc - 1
+                                )
+                                block.append(int(a[sy, sx]))
+                        emit_block(_fdct_quant(block, _JPEG_QTAB))
     scan = writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -981,7 +1024,9 @@ def encode_jpeg(
     out += seg(0xDB, b"\x00" + qt)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])
+        sof += bytes(
+            [ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0]
+        )
     out += seg(0xC0, sof)
     out += seg(
         0xC4,
@@ -1004,12 +1049,13 @@ def encode_jpeg(
 def _parse_jpeg(payload: bytes):
     """REAL baseline JPEG decoder with NO dependencies: marker walk
     (DQT/SOF0/DHT/SOS), canonical huffman entropy decode with byte
-    unstuffing, dequantization, dezigzag, full inverse DCT, and (for
-    3 components) YCbCr→RGB conversion. Supports baseline grayscale
-    and 4:4:4 color, which is what the synthesis side emits; anything
-    else — progressive (SOF2), subsampled chroma, restart intervals,
-    arithmetic coding, truncated streams — returns None (callers
-    surface nulls, never crash a batch). Returns
+    unstuffing, dequantization, dezigzag, full inverse DCT, MCU
+    de-interleave for sampling factors up to 2×2 (4:4:4, 4:2:2,
+    4:4:0 and the near-universal 4:2:0, with nearest-neighbor chroma
+    upsampling — r12), and (for 3 components) YCbCr→RGB conversion.
+    Anything else — progressive (SOF2), sampling factors above 2,
+    restart intervals, arithmetic coding, truncated streams —
+    returns None (callers surface nulls, never crash a batch). Returns
     ``(w, h, channels, pixel_bytes)`` like :func:`_parse_png`. The
     fourth modality codec, and the first LOSSY one: a bug anywhere in
     the huffman tables, coefficient decode, dequant, or IDCT changes
@@ -1058,8 +1104,15 @@ def _parse_jpeg(payload: bytes):
                     (body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c])
                     for c in range(nc)
                 ]
-                if any(s != 0x11 for _, s, _q in comps):
-                    return None  # only 4:4:4 / grayscale
+                # sampling factors 1 or 2 per axis: 4:4:4, 4:2:2,
+                # 4:4:0 and 4:2:0 all decode (r11 verdict ask #4 —
+                # real-world JPEGs are overwhelmingly 4:2:0); larger
+                # factors stay out of the supported subset
+                if any(
+                    (s >> 4) not in (1, 2) or (s & 15) not in (1, 2)
+                    for _, s, _q in comps
+                ):
+                    return None
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline SOF
@@ -1130,7 +1183,21 @@ def _jpeg_decode_scan(w, h, comps, sel, qtabs, huff, scan, *,
     ncomp = len(comps)
     if scan_order is None:
         scan_order = list(range(ncomp))
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    # MCU geometry (r11 verdict ask #4 — 4:2:0/4:2:2 support): each
+    # component carries sampling factors (hi, vi) ∈ {1, 2}²; an MCU
+    # covers 8·hmax × 8·vmax pixels and interleaves hi×vi blocks per
+    # component in raster order. All-1×1 degenerates to the old
+    # per-block raster. A SINGLE-component scan is non-interleaved by
+    # spec (its MCU is one block), so its factors are geometric no-ops.
+    samp = [((c[1] >> 4) & 15, c[1] & 15) for c in comps]
+    if ncomp == 1:
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    strides = [mcux * 8 * s[0] for s in samp]
+    plane_hs = [mcuy * 8 * s[1] for s in samp]
     # Scan-length bound (r11 advice): every real block consumes ≥2
     # bits (a ≥1-bit DC symbol + a ≥1-bit EOB), so a valid scan of
     # ``len(scan)`` bytes can encode at most 4×that many blocks.
@@ -1138,67 +1205,86 @@ def _jpeg_decode_scan(w, h, comps, sel, qtabs, huff, scan, *,
     # would otherwise burn per-block IDCT work far beyond what its
     # bytes can legitimately describe (the EOFError lands only after
     # the work). +64 slack covers padding/EOI slop at the tail.
-    if ncomp * bw * bh > 4 * len(scan) + 64:
+    n_blocks = sum(mcux * s[0] * mcuy * s[1] for s in samp)
+    if n_blocks > 4 * len(scan) + 64:
         return None
-    planes = [bytearray(bw * 8 * bh * 8) for _ in range(ncomp)]
+    planes = [
+        bytearray(strides[ci] * plane_hs[ci]) for ci in range(ncomp)
+    ]
     r = _BitReader(scan)
     prev_dc = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             # interleave follows SOS order; each entry decodes into
             # its SOF component's plane with that component's tables
             for si in range(ncomp):
                 ci = scan_order[si]
+                hi, vi = samp[ci]
                 dc_t = dec.get((0, sel[si][0]))
                 ac_t = dec.get((1, sel[si][1]))
                 q = qtabs.get(comps[ci][2])
                 if dc_t is None or ac_t is None or q is None:
                     return None
-                coefs = [0] * 64
-                t = read_sym(r, dc_t)
-                prev_dc[ci] += _jpeg_extend(r.bits(t), t)
-                coefs[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = read_sym(r, ac_t)
-                    if sym == 0x00:
-                        break
-                    if sym == 0xF0:
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    size = sym & 15
-                    if k > 63 or size == 0:
-                        return None
-                    coefs[_JPEG_ZIGZAG[k]] = _jpeg_extend(
-                        r.bits(size), size
-                    )
-                    k += 1
-                spat = _dequant_idct(coefs, q)
-                plane = planes[ci]
-                stride = bw * 8
-                for y in range(8):
-                    row_off = (by * 8 + y) * stride + bx * 8
-                    plane[row_off:row_off + 8] = bytes(
-                        spat[y * 8:y * 8 + 8]
-                    )
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        coefs = [0] * 64
+                        t = read_sym(r, dc_t)
+                        prev_dc[ci] += _jpeg_extend(r.bits(t), t)
+                        coefs[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            sym = read_sym(r, ac_t)
+                            if sym == 0x00:
+                                break
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            size = sym & 15
+                            if k > 63 or size == 0:
+                                return None
+                            coefs[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                r.bits(size), size
+                            )
+                            k += 1
+                        spat = _dequant_idct(coefs, q)
+                        plane = planes[ci]
+                        stride = strides[ci]
+                        py0 = (my * vi + byy) * 8
+                        px0 = (mx * hi + bxx) * 8
+                        for y in range(8):
+                            row_off = (py0 + y) * stride + px0
+                            plane[row_off:row_off + 8] = bytes(
+                                spat[y * 8:y * 8 + 8]
+                            )
     import numpy as np
 
-    stride = bw * 8
-
-    def crop(plane) -> "np.ndarray":
-        return (
-            np.frombuffer(bytes(plane), dtype=np.uint8)
-            .reshape(bh * 8, stride)[:h, :w]
+    def crop(ci: int) -> "np.ndarray":
+        """Component ci at FULL image resolution: slice its natural
+        ceil(w·hi/hmax) × ceil(h·vi/vmax) region, then nearest-
+        neighbor (pixel-replication) upsample any subsampled axis —
+        the deterministic JFIF box-filter inverse, exact for payloads
+        whose chroma is constant over each subsampling cell."""
+        hi, vi = samp[ci]
+        wi = (w * hi + hmax - 1) // hmax
+        hgt = (h * vi + vmax - 1) // vmax
+        a = (
+            np.frombuffer(bytes(planes[ci]), dtype=np.uint8)
+            .reshape(plane_hs[ci], strides[ci])[:hgt, :wi]
         )
+        if hi != hmax or vi != vmax:
+            a = np.repeat(
+                np.repeat(a, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        return a[:h, :w]
 
     if ncomp == 1:
-        return w, h, 1, crop(planes[0]).tobytes()
+        return w, h, 1, crop(0).tobytes()
     # vectorized YCbCr→RGB (same elementwise floor(x+0.5) + clamp the
     # scalar loop computed — identical IEEE ops, no Python per pixel)
-    Y = crop(planes[0]).astype("float64")
-    cb = crop(planes[1]).astype("float64") - 128.0
-    cr = crop(planes[2]).astype("float64") - 128.0
+    Y = crop(0).astype("float64")
+    cb = crop(1).astype("float64") - 128.0
+    cr = crop(2).astype("float64") - 128.0
     r_ = np.clip(np.floor(Y + 1.402 * cr + 0.5), 0, 255)
     g_ = np.clip(
         np.floor(Y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255
@@ -1232,6 +1318,55 @@ def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 g = 2 * (i % 128)
                 payloads.append(
                     encode_jpeg(w, h, 1, bytes([g]) * (w * h))
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": payloads,
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, f"{id_col} long, payload binary, media_type string"
+    )
+
+
+def attach_jpeg420_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic COLOR 4:2:0 baseline-JPEG bytes (r11 verdict ask
+    #4's gate half): a solid NEUTRAL-GRAY color image — r = g = b =
+    2·(id%128) — at dims 9 + id%16 × 9 + id%9 (odd dims and multi-MCU
+    grids both occur across ids, exercising the chroma ceil and the
+    edge-clamped partial MCUs). Neutral gray makes the color 420
+    pipeline midpoint-free end to end: RGB→YCbCr lands exactly on
+    (2k, 128, 128) (the JFIF weights sum to 1 / cancel), the EVEN luma
+    survives DC quantization exactly (the attach_jpeg_payload
+    argument), constant chroma is invariant under the box-filter
+    downsample and nearest-neighbor upsample, and YCbCr→RGB
+    reconstructs r = g = b = 2k — so a SQL oracle replays the decoded
+    stats from the id alone while the bytes exercise the REAL 4:2:0
+    machinery: 4Y+Cb+Cr MCU interleave, per-component sampling
+    geometry, chroma plane reassembly. Any mis-indexed plane, wrong
+    upsample, or interleave slip shifts the reconstructed bytes and
+    breaks the hash. (Non-neutral chroma is covered with a tolerance
+    round-trip in pytest — quantization error there is real, as in
+    any JPEG.)"""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 9 + i % 16, 9 + i % 9
+                g = 2 * (i % 128)
+                payloads.append(
+                    encode_jpeg(
+                        w, h, 3, bytes([g]) * (w * h * 3),
+                        subsampling="420",
+                    )
                 )
             yield pd.DataFrame(
                 {

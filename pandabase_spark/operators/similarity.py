@@ -189,14 +189,17 @@ def ann_topk_lsh(
         planes=planes,
         dim=dim,
     )
-    # expand each query to its probe buckets: flips of ≤ probe_hamming bits
-    probe_masks = [0]
-    if probe_hamming >= 1:
-        probe_masks += [1 << i for i in range(planes)]
-    if probe_hamming >= 2:
-        probe_masks += [
-            (1 << i) | (1 << j) for i in range(planes) for j in range(i + 1, planes)
-        ]
+    # expand each query to its probe buckets: flips of ≤ probe_hamming
+    # bits (any radius, r12 — probe_hamming == planes enumerates every
+    # bucket, making the search provably exhaustive: the value-exact
+    # gate configuration, same family pattern as nprobe == n_cells)
+    from itertools import combinations
+
+    probe_masks = [
+        sum(1 << b for b in bits)
+        for r in range(min(probe_hamming, planes) + 1)
+        for bits in combinations(range(planes), r)
+    ]
     probes = q_bucketed.select(
         "query_id",
         "_qvec",

@@ -1,12 +1,22 @@
 #!/usr/bin/env python
-"""Three-writer OCC soak with concurrent vacuum, run across N seeds
-(r10 verdict ask #8): each seed is an independent warehouse where
-three subprocess Spark drivers race append/upsert/delete commits and
-the third interleaves an age-gated, windowed vacuum into the same
-rounds. Records per-seed conflicts, pointer repairs, and the
-model-check outcome to scripts/occ_soak_r11.json.
+"""Three-writer OCC soak with concurrent maintenance, run across N
+seeds (r10 verdict ask #8; extended per r11 verdict ask #5): each
+seed is an independent warehouse where three subprocess Spark drivers
+race append/upsert/delete commits and the third rotates an age-gated
+windowed vacuum, an ONLINE REBUCKET (8<->4 — the verb that changes
+how every later reader hashes the layout), and a RESTORE pinned to
+the commit window's own head (state-neutral under OCC by
+construction, so the fixed model stays checkable, while exercising
+the restore verb's segment/meta/nb re-reference against rival
+claims) into the same rounds, 24 ops per worker. After the race a
+DETERMINISTIC restore round-trip runs on the soaked table: restore
+to an older surviving version must reproduce that snapshot exactly
+(time-travel read as the oracle), and restoring forward to the
+pre-exercise head must reproduce the model state. Records per-seed
+conflicts, pointer repairs, and all check outcomes to
+scripts/occ_soak_r12.json.
 
-Run: python scripts/occ_soak.py [n_seeds]
+Run: python scripts/occ_soak.py [n_seeds] [n_ops]
 """
 
 from __future__ import annotations
@@ -22,7 +32,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_seed(seed: int, n_ops: int = 8) -> dict:
+def run_seed(seed: int, n_ops: int = 24) -> dict:
     from pyspark.sql import SparkSession, functions as F
 
     from pandabase_spark.io import KeyedCatalog
@@ -50,13 +60,13 @@ def run_seed(seed: int, n_ops: int = 8) -> dict:
         subprocess.Popen(
             [
                 sys.executable, script, wh, "t", str(wid), str(n_ops),
-                "3", ("vacuum" if wid == 3 else "writer"),
+                "3", ("maint" if wid == 3 else "writer"),
             ],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env,
         )
         for wid in (1, 2, 3)
     ]
-    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    outs = [p.communicate(timeout=2400)[0].decode() for p in procs]
     for p, o in zip(procs, outs):
         if p.returncode != 0:
             raise RuntimeError(
@@ -64,13 +74,19 @@ def run_seed(seed: int, n_ops: int = 8) -> dict:
                 f"stdout tail: {o[-500:]!r}"
             )
     reports = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+    # order-independent model over the worker op cycle: rounds i with
+    # i % 4 in (0, 1) are append/upsert of range(100i, 100i+50) per
+    # worker; round 2 deletes that worker's keys [0, 10); compact/
+    # vacuum/rebucket/restore(head) are state-neutral
     expected = {0: 0.0}
     for w in (1, 2, 3):
-        for d in (
-            list(range(10, 50)) + list(range(100, 150))
-            + list(range(400, 450)) + list(range(500, 550))
-        ):
-            expected[100_000 * w + d] = float(100_000 * w + d + w)
+        for i in range(n_ops):
+            if i % 4 not in (0, 1):
+                continue
+            for d in range(100 * i, 100 * i + 50):
+                if d < 10:
+                    continue  # the delete rounds remove [0, 10)
+                expected[100_000 * w + d] = float(100_000 * w + d + w)
     got = {r["k"]: r["v"] for r in boot.read_table("t").collect()}
     model_match = got == expected
 
@@ -96,6 +112,26 @@ def run_seed(seed: int, n_ops: int = 8) -> dict:
         boot.fs.read_text(f"{tpath}/{LOG_FILE}")
     )["v"]
     got2 = {r["k"]: r["v"] for r in boot.read_table("t").collect()}
+
+    # deterministic restore round-trip on the soaked table (r11 ask
+    # #5): back to an older surviving snapshot — time-travel read is
+    # the oracle — then forward to the pre-exercise head
+    head2 = boot._manifest("t")["v"]
+    older = [
+        h["version"] for h in boot.history("t") if h["version"] < head2
+    ]
+    restore_roundtrip = None
+    if older:
+        v0 = max(older)
+        want0 = {
+            r["k"]: r["v"]
+            for r in boot.read_table("t", version=v0).collect()
+        }
+        boot.restore_table("t", v0)
+        got_back = {r["k"]: r["v"] for r in boot.read_table("t").collect()}
+        boot.restore_table("t", head2)
+        got_fwd = {r["k"]: r["v"] for r in boot.read_table("t").collect()}
+        restore_roundtrip = got_back == want0 and got_fwd == got2
     import shutil
 
     shutil.rmtree(wh, ignore_errors=True)
@@ -111,30 +147,34 @@ def run_seed(seed: int, n_ops: int = 8) -> dict:
         "rows_got": len(got),
         "model_match": model_match,
         "model_match_after_vacuum_repair": got2 == expected,
+        "restore_roundtrip": restore_roundtrip,
     }
 
 
 def main() -> None:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    seeds = [run_seed(s) for s in range(1, n_seeds + 1)]
+    n_ops = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    seeds = [run_seed(s, n_ops) for s in range(1, n_seeds + 1)]
     out = {
         "what": (
-            "3 independent Spark drivers x 8 ops racing one table; "
-            "worker 3 interleaves vacuum(retain_last=5) with the "
-            "default orphan age gate into the live commit rounds"
+            "3 independent Spark drivers x 24 ops racing one table; "
+            "worker 3 rotates vacuum(retain_last=5) / rebucket(8<->4) "
+            "/ restore(pinned head) into the live commit rounds; "
+            "deterministic restore round-trip after each race"
         ),
         "seeds": seeds,
         "all_green": all(
             s["model_match"]
             and s["model_match_after_vacuum_repair"]
             and s["vacuum_repaired_pointer_to_head"]
-            and s["ops_applied"] == 24
+            and s["restore_roundtrip"] in (True, None)
+            and s["ops_applied"] == 3 * n_ops
             for s in seeds
         ),
         "total_conflicts": sum(s["conflicts"] for s in seeds),
         "total_pointer_repairs": sum(s["pointer_repairs"] for s in seeds),
     }
-    path = os.path.join(REPO, "scripts", "occ_soak_r11.json")
+    path = os.path.join(REPO, "scripts", "occ_soak_r12.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

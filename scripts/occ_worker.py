@@ -58,7 +58,15 @@ def main() -> None:
     # 'vacuum' swaps this worker's compact slots for a windowed,
     # age-gated vacuum racing the other writers' commits (the 100 TB
     # nightly-maintenance-during-ingest shape; retain_last keeps the
-    # rivals' ancestry walks inside surviving history)
+    # rivals' ancestry walks inside surviving history). 'maint' (r11
+    # verdict ask #5) rotates the slot through vacuum → rebucket →
+    # restore — the two added verbs are the ones that change how
+    # every LATER reader interprets the manifest (bucket layout; the
+    # restored segment set/meta). The restore targets the head the
+    # SAME commit window pins, so it is state-neutral by OCC
+    # construction (a rival landing in between surfaces as
+    # ConcurrentWriteError and the retry re-pins) and the soak's
+    # fixed order-independent model stays checkable.
     role = sys.argv[6] if len(sys.argv) > 6 else "writer"
     from pyspark.sql import SparkSession, functions as F
 
@@ -104,13 +112,33 @@ def main() -> None:
                         table,
                         f"k >= {100_000 * wid} AND k < {100_000 * wid + 10}",
                     )
-                elif role == "vacuum":
+                elif role == "vacuum" or (
+                    role == "maint" and (i // 4) % 3 == 0
+                ):
                     # age-gated concurrent-safe vacuum racing the
                     # rivals' live commits: never-referenced young
                     # segments (possibly staged, pre-claim) survive;
                     # retain_last=5 keeps every racing writer's
                     # ancestry walk inside surviving history
                     cat.vacuum(table, retain_last=5)
+                elif role == "maint" and (i // 4) % 3 == 1:
+                    # ONLINE layout evolution racing live commits:
+                    # alternate 8 <-> 4 so every rebucket is a real
+                    # cutover; rivals pinned to the pre-rebucket
+                    # snapshot must hash under the layout their
+                    # snapshot records (_resolve_nb), and their OCC
+                    # retry re-reads the new one
+                    cat.rebucket_table(
+                        table, 8 if (i // 12) % 2 == 0 else 4
+                    )
+                elif role == "maint":
+                    # RESTORE racing live commits: target the head
+                    # this same commit window pins — state-neutral
+                    # under OCC (see role comment) but exercises the
+                    # restore verb's full commit machinery (segment
+                    # set re-reference, dvs_base, nb, meta snapshot)
+                    # against rival claims; the retry loop re-pins
+                    cat.restore_table(table, cat._manifest(table)["v"])
                 else:
                     # vacuum=False: immediate segment reclaim under a
                     # concurrent reader is outside the retention
