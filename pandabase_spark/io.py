@@ -262,6 +262,18 @@ def _bucket_expr(keys: Sequence[str], num_buckets: int):
     ).cast("int")
 
 
+def _man_dv_files(man: dict) -> "set[str]":
+    """The DV sidecar files a manifest references and OWNS — external
+    (clone) refs carry a '/' and are the source table's to reclaim.
+    One definition for every vacuum loop that asks the question (the
+    r12 review found three hand-copied variants drifting apart)."""
+    return {
+        dv["file"]
+        for dv in man.get("dvs", {}).values()
+        if "/" not in dv["file"]
+    }
+
+
 class KeyedCatalog:
     """A manifest-logged catalog of keyed Parquet tables.
 
@@ -2512,11 +2524,8 @@ class KeyedCatalog:
                 continue
         live = {seg for man in protected for seg in man["segments"]}
         live_dvs = {
-            dv["file"]
-            for man in protected
-            for dv in man.get("dvs", {}).values()
-            if "/" not in dv["file"]  # external (clone) refs are the
-        }                             # source table's to reclaim
+            f for man in protected for f in _man_dv_files(man)
+        }
         protected_vs = {man["v"] for man in protected}
         gone = []
         import time as _time
@@ -2529,19 +2538,25 @@ class KeyedCatalog:
         # at the new head, not garbage — counting it would delete a
         # racing writer's just-committed data (r11 review finding; the
         # window between the _manifest read and this scan is narrow
-        # but real). The scan therefore returns three sets: segments
-        # ever referenced ≤ snapshot, DV files ever referenced ≤
-        # snapshot, and DV files referenced ABOVE the snapshot (a
-        # rival's committed data — never reclaimable by this vacuum).
+        # but real). The scan returns four sets: segments / DV files
+        # ever referenced ≤ snapshot, and segments / DV files
+        # referenced ABOVE the snapshot (a rival's committed data —
+        # never reclaimable by this vacuum). The future-SEGMENT set
+        # matters for exactly one op (r12 review finding): a racing
+        # restore_table is metadata-only and re-references OLD
+        # segments, so a segment that is both past-superseded and
+        # future-restored must survive or the restored head becomes
+        # unreadable.
         log_dir0 = f"{self._path(table_name)}/{LOG_DIR}"
-        _hist: "tuple[set[str], set[str], set[str]] | None" = None
+        _hist: "tuple[set, set, set, set] | None" = None
 
-        def _history() -> "tuple[set[str], set[str], set[str]]":
+        def _history() -> "tuple[set, set, set, set]":
             nonlocal _hist
             if _hist is not None:
                 return _hist
             past_segs: set[str] = set()
             past_dvs: set[str] = set()
+            future_segs: set[str] = set()
             future_dvs: set[str] = set()
             if self.fs.exists(log_dir0):
                 for f in self.fs.list_files(log_dir0):
@@ -2557,25 +2572,24 @@ class KeyedCatalog:
                         )
                     except Exception:
                         continue
-                    man_dv_files = {
-                        dv["file"]
-                        for dv in man.get("dvs", {}).values()
-                        if "/" not in dv["file"]
-                    }
                     if above:
-                        future_dvs |= man_dv_files
+                        future_segs |= set(man.get("segments", {}))
+                        future_dvs |= _man_dv_files(man)
                     else:
                         past_segs |= set(man.get("segments", {}))
-                        past_dvs |= man_dv_files
-            _hist = (past_segs, past_dvs, future_dvs)
+                        past_dvs |= _man_dv_files(man)
+            _hist = (past_segs, past_dvs, future_segs, future_dvs)
             return _hist
 
         for d in self.fs.list_dirs(self._path(table_name)):
             if not (d.startswith("seg-") and d not in live):
                 continue
             p = f"{self._path(table_name)}/{d}"
-            if orphan_age_s > 0 and self.fs.mtime(p) > seg_horizon:
-                if d not in _history()[0]:
+            if orphan_age_s > 0:
+                past_segs, _, future_segs, _ = _history()
+                if d in future_segs:
+                    continue  # re-referenced above our snapshot (restore)
+                if d not in past_segs and self.fs.mtime(p) > seg_horizon:
                     continue  # possibly an in-flight writer's staged seg
             if not dry_run:
                 self.fs.delete(p)
@@ -2596,7 +2610,7 @@ class KeyedCatalog:
                     continue
                 p = f"{dv_root}/{d}"
                 if orphan_age_s > 0:
-                    _, past_dvs, future_dvs = _history()
+                    _, past_dvs, _, future_dvs = _history()
                     if d in future_dvs:
                         continue  # a rival committed it above our snapshot
                     if d not in past_dvs and self.fs.mtime(p) > seg_horizon:
@@ -2612,11 +2626,7 @@ class KeyedCatalog:
             if not f.endswith(".json") or f.endswith(".skip.json"):
                 continue
             man = json.loads(self.fs.read_text(f"{log_dir}/{f}"))
-            man_dvs = {
-                dv["file"]
-                for dv in man.get("dvs", {}).values()
-                if "/" not in dv["file"]
-            }
+            man_dvs = _man_dv_files(man)
             if (
                 gone
                 # versions ABOVE the vacuum snapshot are the FUTURE,

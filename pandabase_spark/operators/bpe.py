@@ -148,7 +148,10 @@ def bpe_learn_merges(
                 }
             )
             seq_col = _merge_fold(seq_col, left, right)
-            if (rank + 1) % checkpoint_every == 0:
+            if (rank + 1) % checkpoint_every == 0 and rank + 1 < n_merges:
+                # (the second clause skips a boundary-aligned FINAL
+                # iteration: materializing a frame no later iteration
+                # reads is a full wasted job — r12 review)
                 # truncate lineage: fold the window's merges into the
                 # stored sequences once, so the NEXT window's pair
                 # aggregation evaluates a flat scan + one bounded fold

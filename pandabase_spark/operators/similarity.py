@@ -974,13 +974,35 @@ def append_ivf_index(
 
     spark = new_vectors.sparkSession
     cdf = spark.read.parquet(f"{path}/centroids")
+    # Layout sniff (r12 review): an index persisted by a pre-txn
+    # write_ivf_index has bare parquet files at data/cell=N/; writing
+    # txn= SUBDIRS into the same tree would give Spark's partition
+    # discovery mixed depths and fail EVERY later read with
+    # 'conflicting directory structures'. Appends to a legacy index
+    # therefore stay single-level (plain at-least-once append, as
+    # before), and txn= idempotence requires the current layout.
+    legacy = _legacy_cell_layout(spark, f"{path}/data")
+    if legacy and txn is not None:
+        raise ValueError(
+            "append_ivf_index(txn=...) needs the txn-partitioned index "
+            "layout; this index was written by an older write_ivf_index "
+            "(bare cell=N leaves) — rebuild it to use idempotent appends"
+        )
+    assigned = ivf_assign(new_vectors, cdf, vec_col=vec_col)
+    if legacy:
+        (
+            assigned.repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{path}/data")
+        )
+        return
     label = (
         f"{txn[0]}:{txn[1]}" if txn is not None
         else f"adhoc-{uuid.uuid4().hex[:16]}"
     )
     writer = (
-        ivf_assign(new_vectors, cdf, vec_col=vec_col)
-        .withColumn("txn", F.lit(label))
+        assigned.withColumn("txn", F.lit(label))
         .repartition("cell")
         .write.partitionBy("cell", "txn")
     )
@@ -993,6 +1015,31 @@ def append_ivf_index(
     else:
         writer = writer.mode("append")
     writer.parquet(f"{path}/data")
+
+
+def _legacy_cell_layout(spark, data_path: str) -> bool:
+    """True when the index's data tree is the pre-r12 single-level
+    ``cell=N/part-*.parquet`` shape (no ``txn=`` sub-partitions).
+    One extra non-recursive listing of the first cell directory —
+    names only, same mechanism as :func:`_existing_cells`. An empty
+    index (no cell dirs yet) reports the CURRENT layout."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(data_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.startswith("cell="):
+            continue
+        for sub in fs.listStatus(st.getPath()):
+            sub_name = sub.getPath().getName()
+            if sub_name.startswith("txn="):
+                return False
+            if sub_name.endswith(".parquet"):
+                return True
+        return False  # first cell dir empty/ambiguous: assume current
+    return False
 
 
 def _existing_cells(spark, data_path: str) -> "set[int]":

@@ -595,11 +595,17 @@ def test_jpeg_420_subsampling_roundtrip():
     out = _parse_jpeg(encode_jpeg(w, h, 3, bytes(px), subsampling="420"))
     assert out is not None and out[:3] == (w, h, 3)
 
-    # (d) factor 3 rejected cleanly
+    # (d) factor 3 rejected cleanly AT THE SOF GUARD. SOF0 layout is
+    # [FF C0 len2 prec h2 w2 nc | (id samp qid)*]: comp-1's SAMPLING
+    # byte sits at sof_at + 11 (the r12 review caught the first draft
+    # forging +12 — the qtab id — which nulled for the wrong reason)
     good = encode_jpeg(8, 8, 3, bytes([10, 20, 30]) * 64)
     sof_at = good.index(b"\xff\xc0")
+    assert good[sof_at + 11] == 0x11  # precondition: comp-1 sampling
     forged = bytearray(good)
-    forged[sof_at + 2 + 5 + 4 + 1] = 0x31  # comp 1 sampling -> 3x1
+    forged[sof_at + 11] = 0x31  # comp 1 sampling -> 3x1
+    assert _parse_jpeg(bytes(forged)) is None
+    forged[sof_at + 11] = 0x13  # 1x3
     assert _parse_jpeg(bytes(forged)) is None
 
     # encoder guards

@@ -2633,3 +2633,44 @@ def test_vacuum_spares_dv_committed_above_snapshot(
     got = {r["k"] for r in catalog.read_table("dvf_t").collect()}
     assert got == set(range(5, 20))
     catalog.drop_table("dvf_t")
+
+
+def test_vacuum_spares_segments_restored_above_snapshot(
+    spark, catalog, monkeypatch
+):
+    """r12 review finding (the segment twin of the DV race): a racing
+    restore_table is METADATA-ONLY — it re-references OLD segments in
+    a commit above the vacuum's snapshot. Those segments are
+    past-superseded at the snapshot (so the young-orphan age gate
+    never protects them) and absent from live; without the
+    future-segments protection the vacuum deletes them and the
+    restored head becomes unreadable. Simulate the race window by
+    pinning the vacuum's head resolution at v2 while disk holds the
+    restore's v3."""
+    from pandabase_spark.io import KeyedCatalog
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    catalog.to_table(df, "vrs_t", keys=["k"], num_buckets=2)          # v1
+    df2 = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+    catalog.to_table(df2, "vrs_t", keys=["k"], how="upsert")          # v2
+    catalog.restore_table("vrs_t", 1)                                 # v3
+    want = {r["k"]: r["v"] for r in catalog.read_table("vrs_t").collect()}
+    assert want == {i: float(i) for i in range(20)}  # v1 content back
+
+    orig = KeyedCatalog._manifest
+
+    def pinned(self, table_name, version=None):
+        if version is None and table_name.endswith("vrs_t"):
+            return orig(self, table_name, version=2)
+        return orig(self, table_name, version)
+
+    monkeypatch.setattr(KeyedCatalog, "_manifest", pinned)
+    catalog.vacuum("vrs_t")
+    monkeypatch.undo()
+    got = {r["k"]: r["v"] for r in catalog.read_table("vrs_t").collect()}
+    assert got == want, "restored head lost its re-referenced segments"
+    catalog.drop_table("vrs_t")
