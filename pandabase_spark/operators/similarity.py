@@ -970,28 +970,35 @@ def append_ivf_index(
     a plain at-least-once append under a fresh unique label. Cell
     pruning is untouched: ``cell`` stays the leading partition level
     and probes never filter on ``txn``."""
-    import uuid
-
     spark = new_vectors.sparkSession
     cdf = spark.read.parquet(f"{path}/centroids")
-    # Layout sniff (r12 review): an index persisted by a pre-txn
-    # write_ivf_index has bare parquet files at data/cell=N/; writing
-    # txn= SUBDIRS into the same tree would give Spark's partition
-    # discovery mixed depths and fail EVERY later read with
-    # 'conflicting directory structures'. Appends to a legacy index
-    # therefore stay single-level (plain at-least-once append, as
-    # before), and txn= idempotence requires the current layout.
+    assigned = ivf_assign(new_vectors, cdf, vec_col=vec_col)
+    _append_index_batch(spark, assigned, path, txn)
+
+
+def _append_index_batch(
+    spark, batch: DataFrame, path: str, txn: "tuple[str, int] | None"
+) -> None:
+    """Shared cell-partitioned batch landing for the persisted-index
+    append paths (raw IVF and IVFPQ — one definition of the txn
+    idempotence semantics). ``txn=(app, batch_id)`` → dynamic
+    partition overwrite of the batch's own ``txn=`` sub-partitions
+    (replay replaces, never double-inserts); no txn → plain append
+    under a fresh adhoc label. Legacy single-level trees (pre-r12
+    write_ivf_index) keep the old single-level at-least-once append;
+    txn= on them raises instead of corrupting partition discovery."""
+    import uuid
+
     legacy = _legacy_cell_layout(spark, f"{path}/data")
     if legacy and txn is not None:
         raise ValueError(
-            "append_ivf_index(txn=...) needs the txn-partitioned index "
+            "append with txn= needs the txn-partitioned index "
             "layout; this index was written by an older write_ivf_index "
             "(bare cell=N leaves) — rebuild it to use idempotent appends"
         )
-    assigned = ivf_assign(new_vectors, cdf, vec_col=vec_col)
     if legacy:
         (
-            assigned.repartition("cell")
+            batch.repartition("cell")
             .write.mode("append")
             .partitionBy("cell")
             .parquet(f"{path}/data")
@@ -1002,7 +1009,7 @@ def append_ivf_index(
         else f"adhoc-{uuid.uuid4().hex[:16]}"
     )
     writer = (
-        assigned.withColumn("txn", F.lit(label))
+        batch.withColumn("txn", F.lit(label))
         .repartition("cell")
         .write.partitionBy("cell", "txn")
     )
@@ -1015,6 +1022,194 @@ def append_ivf_index(
     else:
         writer = writer.mode("append")
     writer.parquet(f"{path}/data")
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    sample_mod: "int | None" = None,
+    centroids: "list[list[float]] | None" = None,
+    codebooks: "list[list[list[float]]] | None" = None,
+) -> None:
+    """Persist the FULL FAISS-style IVFADC index — the billion-scale
+    serving artifact :func:`ann_topk_ivfpq`'s docstring promises:
+    ``<path>/centroids`` holds the coarse quantizer,
+    ``<path>/codebooks`` the PQ codebooks ((j, code, cvec) rows — an
+    m×k sidecar, tiny by construction), and ``<path>/data`` the
+    corpus as (id, pq_code) rows cell-partitioned under the same
+    ``cell=<c>/txn=<label>`` layout as :func:`write_ivf_index` — NO
+    raw vectors on the serving path: each row is m small ints
+    (~16-32× less index IO than the raw-vector index), and a probe
+    reads ~nprobe/n_cells of THAT. Both artifacts are deterministic
+    and prebuildable via ``centroids=`` / ``codebooks=`` (the
+    ingest-time pattern, and how the lossless-PQ exactness gate
+    injects enumerated codebooks)."""
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+            iters=iters, sample_mod=sample_mod,
+        )
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            corpus, id_col=id_col, vec_col=vec_col, m=m, k=n_codes,
+            iters=iters, sample_mod=sample_mod,
+        )
+    _centroids_literal_df(spark, centroids).coalesce(1).write.mode(
+        "errorifexists"
+    ).parquet(f"{path}/centroids")
+    book_rows = [
+        (j, c, [float(x) for x in vec])
+        for j, book in enumerate(codebooks)
+        for c, vec in enumerate(book)
+    ]
+    spark.createDataFrame(
+        book_rows, "j int, code int, cvec array<double>"
+    ).coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/codebooks"
+    )
+    encoded = pq_encode(
+        ivf_assign(corpus, centroids, vec_col=vec_col),
+        codebooks,
+        vec_col=vec_col,
+    ).select(F.col(id_col), "cell", "pq_code")
+    (
+        encoded.withColumn("txn", F.lit("base"))
+        .repartition("cell")
+        .write.mode("errorifexists")
+        .partitionBy("cell", "txn")
+        .parquet(f"{path}/data")
+    )
+
+
+def _load_codebooks(spark, path: str) -> "list[list[list[float]]]":
+    """The persisted codebook sidecar back as the in-memory
+    list-of-books shape every PQ entry point shares. Bounded driver
+    state by construction: m×k rows."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    if not rows:
+        raise ValueError(f"empty codebook sidecar at {path}/codebooks")
+    m = 1 + max(r["j"] for r in rows)
+    books: "list[list[list[float]]]" = [[] for _ in range(m)]
+    for r in sorted(rows, key=lambda r: (r["j"], r["code"])):
+        books[r["j"]].append([float(x) for x in r["cvec"]])
+    return books
+
+
+def append_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    txn: "tuple[str, int] | None" = None,
+) -> None:
+    """Incremental adds against the FROZEN IVFPQ index (FAISS
+    add-after-train for the composed artifact): the batch is
+    cell-assigned against the persisted quantizer AND encoded against
+    the persisted codebooks — O(batch), no retrain, no rewrite — and
+    lands through the same :func:`_append_index_batch` txn semantics
+    as the raw index: ``txn=(app, batch_id)`` appends are
+    replay-idempotent (dynamic partition overwrite of the batch's own
+    ``txn=`` sub-partitions), untagged appends are at-least-once."""
+    spark = new_vectors.sparkSession
+    cdf = spark.read.parquet(f"{path}/centroids")
+    books = _load_codebooks(spark, path)
+    encoded = pq_encode(
+        ivf_assign(new_vectors, cdf, vec_col=vec_col),
+        books,
+        vec_col=vec_col,
+    ).select(F.col(id_col), "cell", "pq_code")
+    _append_index_batch(spark, encoded, path, txn)
+
+
+def ann_topk_ivfpq_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: "str | None" = None,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serve IVFADC top-k from a :func:`write_ivfpq_index` index: load
+    the two tiny sidecars, expand each query's ``nprobe`` nearest
+    cells through the SHARED :func:`_expand_probes` (same quantizer
+    scoring as the raw-vector serve path, planning-time ``cell IN``
+    pruning), and score ONLY the probed cells' (id, pq_code) rows with
+    the production :func:`_adc_expr` — per candidate m code lookups
+    over ~16-32×-compressed state, never a raw vector. This is the
+    100 TB query shape: index IO ≈ (nprobe/n_cells) × (compressed
+    corpus). With lossless codebooks and ``nprobe == n_cells`` the
+    result provably equals brute-force L2 top-k (the
+    ``ann_topk_ivfpq_indexed_full`` driver gate); the lossy
+    configurations share every line and carry the pytest
+    persisted==in-memory pin plus the family recall floors. Returns
+    (query_id, vec_id, approx_dist, rank)."""
+    from pyspark.sql.window import Window
+
+    qid = query_id_col or id_col
+    cdf = spark.read.parquet(f"{path}/centroids")
+    books = _load_codebooks(spark, path)
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    probes, cells = _expand_probes(spark, cdf, q, nprobe)
+    existing = _existing_cells(spark, f"{path}/data")
+    cells = [c for c in cells if c in existing]
+    if not cells:
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        if existing:
+            one = sorted(existing)[0]
+            peek = spark.read.option(
+                "basePath", f"{path}/data"
+            ).parquet(f"{path}/data/cell={one}")
+            id_type = peek.schema[id_col].dataType
+        else:
+            id_type = LongType()
+        qid_type = q.schema["query_id"].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", qid_type),
+                    StructField(id_col, id_type),
+                    StructField("approx_dist", DoubleType()),
+                    StructField("rank", IntegerType()),
+                ]
+            ),
+        )
+    data = (
+        spark.read.option("basePath", f"{path}/data")
+        .parquet(*[f"{path}/data/cell={c}" for c in cells])
+        .where(F.col("cell").isin(cells))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col(id_col)
+    )
+    return (
+        data.join(F.broadcast(probes), on="cell")
+        .withColumn("approx_dist", F.round(_adc_expr(books), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "approx_dist", "rank")
+    )
 
 
 def _legacy_cell_layout(spark, data_path: str) -> bool:
@@ -1062,31 +1257,18 @@ def _existing_cells(spark, data_path: str) -> "set[int]":
     return out
 
 
-def ann_topk_indexed(
-    spark,
-    path: str,
-    queries: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: "str | None" = None,
-    k: int = 10,
-    nprobe: int = 3,
-) -> DataFrame:
-    """Serve approximate top-k from a :func:`write_ivf_index` index:
-    load the quantizer sidecar (tiny), pick each query's ``nprobe``
-    nearest cells, and scan ONLY those cells' partitions — the probed
-    cell set is collected to a literal ``cell IN (...)`` predicate
-    (<= n_queries x nprobe ints), so pruning happens at PLANNING time
-    and unprobed directories are never opened. Scoring inside the
-    probed cells is :func:`ann_topk_ivf`'s exact cosine; with the
-    same quantizer the two return IDENTICAL rows (pinned in pytest) —
-    persistence changes where the inverted lists live, never the
-    answer. Returns (query_id, vec_id, cosine, rank)."""
-    from pyspark.sql.window import Window
-
-    qid = query_id_col or id_col
-    cdf = spark.read.parquet(f"{path}/centroids")
+def _expand_probes(spark, cdf: DataFrame, q: DataFrame, nprobe: int):
+    """Shared probe expansion for the persisted-index serve paths
+    (:func:`ann_topk_indexed` and :func:`ann_topk_ivfpq_indexed` —
+    one definition so the quantizer scoring can never diverge): pick
+    each query's ``nprobe`` nearest cells against the persisted
+    quantizer and return ``(probes, cells)`` — the per-query
+    (query_id, _qvec, cell) probe frame (localCheckpointed: it is
+    consumed twice) and the sorted distinct probed cell list for the
+    planning-time ``cell IN`` predicate. Applies the same
+    literal-vs-DataFrame crossover as the in-memory path: a large
+    quantizer scores as broadcast DATA (one-row cross join +
+    higher-order functions), never as a multi-MB codegen literal."""
     # quantizer facts in ONE job (the sidecar is one tiny file; every
     # extra action here is a fixed per-probe cost)
     meta = cdf.agg(
@@ -1094,12 +1276,6 @@ def ann_topk_indexed(
     ).first()
     n_cells = int(meta["n"] or 0)
     dim = int(meta["d"] or 0)
-    q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    # same literal-vs-DataFrame crossover as the in-memory path: a
-    # large quantizer scores as broadcast DATA (one-row cross join +
-    # higher-order functions), never as a multi-MB codegen literal
     if n_cells * dim > IVF_LITERAL_MAX_TERMS:
         q = q.crossJoin(F.broadcast(_pack_centroids(cdf)))
         cell_structs = F.transform(
@@ -1141,13 +1317,42 @@ def ann_topk_indexed(
             )
         ).alias("cell"),
     )
-    # materialize the (tiny: n_queries x nprobe rows) probe set ONCE —
-    # it is consumed twice (cell-list collect + broadcast join) and
-    # recomputing it re-runs the quantizer scoring each time
     probes = probes.localCheckpoint(eager=True)
     cells = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
+    return probes, cells
+
+
+def ann_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: "str | None" = None,
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Serve approximate top-k from a :func:`write_ivf_index` index:
+    load the quantizer sidecar (tiny), pick each query's ``nprobe``
+    nearest cells, and scan ONLY those cells' partitions — the probed
+    cell set is collected to a literal ``cell IN (...)`` predicate
+    (<= n_queries x nprobe ints), so pruning happens at PLANNING time
+    and unprobed directories are never opened. Scoring inside the
+    probed cells is :func:`ann_topk_ivf`'s exact cosine; with the
+    same quantizer the two return IDENTICAL rows (pinned in pytest) —
+    persistence changes where the inverted lists live, never the
+    answer. Returns (query_id, vec_id, cosine, rank)."""
+    from pyspark.sql.window import Window
+
+    qid = query_id_col or id_col
+    cdf = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    probes, cells = _expand_probes(spark, cdf, q, nprobe)
     # open ONLY the probed cells' directories (basePath keeps `cell` a
     # partition column): at 10^5+ cells a full partition FILE discovery
     # of <path>/data is itself a fixed listing cost — the probe should

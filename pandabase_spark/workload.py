@@ -4761,6 +4761,78 @@ def ann_topk_ivfpq_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ann_topk_ivfpq_indexed")  # approximate: rows-only check (no oracle)
+def ann_topk_ivfpq_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVFADC serving shape (r12) — the on-disk
+    composition of write_ivf_index's layout with PQ compression:
+    ``write_ivfpq_index`` stores the corpus as cell-partitioned
+    (id, pq_code) rows (m small ints per row, ~16-32× less index IO
+    than raw vectors) plus two tiny sidecars (quantizer, codebooks),
+    and ``ann_topk_ivfpq_indexed`` serves with planning-time ``cell
+    IN`` partition pruning + ADC scoring over the codes — index IO ≈
+    (nprobe/n_cells) × (compressed corpus), the billion-vector query
+    shape. Pinned persisted==in-memory in pytest; recall floors ride
+    the in-memory family's."""
+    from pandabase_spark.operators.similarity import (
+        ann_topk_ivfpq_indexed, write_ivfpq_index,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    path = f"{cat.warehouse}/_ann_ivfpq_index"
+    if cat.fs.exists(path):
+        cat.fs.delete(path)
+    write_ivfpq_index(
+        e, path, n_cells=16, m=8, n_codes=16, iters=2, sample_mod=2,
+    )
+    return ann_topk_ivfpq_indexed(
+        spark, path, e.where(F.col("vec_id") < 5), k=10, nprobe=6
+    )
+
+
+@_q("ann_topk_ivfpq_indexed_full", _PQ_FULL_ORACLE)
+def ann_topk_ivfpq_indexed_full_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The persisted IVFADC path's EXACT-ORACLE member (r12): the
+    ternary-quantized corpus is ENCODED AT INGEST with lossless
+    codebooks (``pq_codebooks_exact``) and persisted cell-partitioned
+    as codes only; the serve path then runs with ``nprobe ==
+    n_cells``, so the probe set is provably the whole corpus and ADC
+    distance IS exact squared L2 — the result must hash-match
+    DuckDB's brute-force L2 top-10. This gates the full production
+    chain end to end: ingest-time encode, the (cell, txn) index
+    layout, sidecar round-trips, probe expansion against the
+    PERSISTED quantizer, partition-pruned reads, and ADC scoring over
+    stored codes. The lossy persisted configuration
+    (``ann_topk_ivfpq_indexed``) shares every line."""
+    from pandabase_spark.operators.similarity import (
+        ann_topk_ivfpq_indexed, pq_codebooks_exact, write_ivfpq_index,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    tri = F.expr(
+        "transform(sequence(1, 16), i -> case "
+        "when element_at(embedding, (i-1)*4+1) > 0.2D then 1.0D "
+        "when element_at(embedding, (i-1)*4+1) < -0.2D then -1.0D "
+        "else 0.0D end)"
+    )
+    q16 = e.select("vec_id", tri.alias("qvec"))
+    books = pq_codebooks_exact(q16, vec_col="qvec", m=4)
+    path = f"{cat.warehouse}/_ann_ivfpq_exact_index"
+    if cat.fs.exists(path):
+        cat.fs.delete(path)
+    write_ivfpq_index(
+        q16, path, vec_col="qvec", n_cells=8, iters=2, sample_mod=2,
+        codebooks=books,
+    )
+    return ann_topk_ivfpq_indexed(
+        spark, path, q16.where(F.col("vec_id") < 5),
+        vec_col="qvec", k=10, nprobe=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: text analysis
 # ---------------------------------------------------------------------------
@@ -8311,24 +8383,27 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round. CORRECTNESS_r11 delivered the r11 head 50/50 clean (48
 # value-exact + 2 declared rows-only), so the r12 head (r11 verdict
 # ask #1) = strict staleness order over the cross-round union:
-#   - the 7 never-driver-checked entries (the 5 late-r11 additions —
+#   - the 9 never-driver-checked entries (the 5 late-r11 additions —
 #     ann_topk_ivf_appended_full, streaming_ann_index_ingest,
 #     multimodal_decode_mixed_all, bpe_apply_fixed, bpe_train_merges —
-#     all judge-run clean in r11, plus r12's two new value-exact
-#     family gates ann_topk_ivfpq_full and ann_topk_lsh_full); with
-#     these checked the driver union reaches every entry that existed
-#     before this round;
+#     all judge-run clean in r11, plus r12's value-exact family gates
+#     ann_topk_ivfpq_full and ann_topk_lsh_full and the persisted
+#     IVFADC pair ann_topk_ivfpq_indexed/_full); with these checked
+#     the driver union reaches every entry that existed before this
+#     round;
 #   - the 11 rows last checked in r7 (the rows-only ANN/neardup
 #     members whose value-exact family gates are also in this head,
 #     the winnow/centroid/event stragglers, and the multimodal fake
 #     decode pair);
-#   - 32 of the 49 rows last checked in r8 (alphabetical; the
-#     remaining 17 r8 rows — q18/q19/q22/q4/q7, the streaming block,
-#     sampling/histogram/window tails — lead the r13 rotation, then
-#     the r9 block).
+#   - 30 of the 49 rows last checked in r8 (alphabetical; the
+#     remaining 19 r8 rows — q14/q17/q18/q19/q22/q4/q7, the streaming
+#     block, sampling/histogram/window tails — lead the r13 rotation,
+#     then the r9 block).
 _GATE_FIRST = [
     "ann_topk_ivf_appended_full",
     "ann_topk_ivfpq_full",
+    "ann_topk_ivfpq_indexed",
+    "ann_topk_ivfpq_indexed_full",
     "ann_topk_lsh_full",
     "bpe_apply_fixed",
     "bpe_train_merges",
@@ -8375,8 +8450,6 @@ _GATE_FIRST = [
     "nation_segment_rollcall",
     "normalize_text_docs",
     "q10_returned_items",
-    "q14_promo_revenue",
-    "q17_small_qty_revenue",
 ]
 
 

@@ -1188,6 +1188,93 @@ def test_append_ivf_index_legacy_layout_guard(spark, tmp_path):
     assert got == as_set(cosine_topk(emb, emb.where("vec_id < 3"), k=8))
 
 
+def test_ivfpq_persisted_index_serves_and_appends(spark, tmp_path):
+    """The on-disk IVFADC artifact (r12): (a) with the same trained
+    artifacts the persisted serve path returns rows IDENTICAL to the
+    in-memory ann_topk_ivfpq — persistence moves the codes to disk,
+    never changes the answer; (b) lossless codebooks + full probe
+    over the PERSISTED index equal brute-force L2 (the driver gate's
+    contract, pinned here against cosine brute force via the shared
+    ternary corpus); (c) append_ivfpq_index encodes against the
+    FROZEN artifacts and txn replays converge (no duplicate ids,
+    unchanged count)."""
+    from pyspark.sql import functions as F
+
+    from pandabase_spark.operators.similarity import (
+        ann_topk_ivfpq, ann_topk_ivfpq_indexed, append_ivfpq_index,
+        ivf_centroids, pq_codebooks, pq_codebooks_exact,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    cents = ivf_centroids(emb, n_cells=8, iters=2, sample_mod=2)
+    books = pq_codebooks(emb, m=16, k=16, iters=2, sample_mod=2)
+    write_ivfpq_index(emb, path, centroids=cents, codebooks=books)
+    q = emb.where("vec_id < 3")
+    as_set = lambda df: {
+        (r["query_id"], r["vec_id"], r["approx_dist"], r["rank"])
+        for r in df.collect()
+    }
+    got = as_set(ann_topk_ivfpq_indexed(spark, path, q, k=8, nprobe=4))
+    mem = as_set(ann_topk_ivfpq(
+        emb, q, k=8, n_cells=8, nprobe=4, centroids=cents,
+        codebooks=books,
+    ))
+    assert got == mem and len({x[0] for x in got}) == 3
+
+    # (b) lossless persisted full-probe == exact L2 over the ternary
+    # projection (each row of the oracle recomputed in python)
+    tri = F.expr(
+        "transform(sequence(1, 16), i -> case "
+        "when element_at(embedding, (i-1)*4+1) > 0.2D then 1.0D "
+        "when element_at(embedding, (i-1)*4+1) < -0.2D then -1.0D "
+        "else 0.0D end)"
+    )
+    q16 = emb.select("vec_id", tri.alias("qvec"))
+    books_x = pq_codebooks_exact(q16, vec_col="qvec", m=4)
+    path2 = str(tmp_path / "ivfpq_exact")
+    write_ivfpq_index(
+        q16, path2, vec_col="qvec", n_cells=4, iters=2, sample_mod=2,
+        codebooks=books_x,
+    )
+    rows = ann_topk_ivfpq_indexed(
+        spark, path2, q16.where("vec_id < 3"), vec_col="qvec",
+        k=8, nprobe=4,
+    ).collect()
+    corpus = {r["vec_id"]: list(r["qvec"]) for r in q16.collect()}
+    for qid in (0, 1, 2):
+        qv = corpus[qid]
+        want = sorted(
+            (round(sum((a - b) ** 2 for a, b in zip(qv, v)), 6), vid)
+            for vid, v in corpus.items()
+        )[:8]
+        got_q = sorted(
+            (r["approx_dist"], r["vec_id"])
+            for r in rows
+            if r["query_id"] == qid
+        )
+        assert got_q == want, qid
+
+    # (c) frozen-artifact append + replay convergence
+    data = lambda: spark.read.parquet(f"{path}/data")
+    n0 = data().count()
+    half = emb.where("vec_id >= 1000")
+    rest = emb.where("vec_id < 1000")
+    # rebuild on half, append the rest, replay the append
+    import shutil
+
+    shutil.rmtree(path)
+    write_ivfpq_index(half, path, centroids=cents, codebooks=books)
+    append_ivfpq_index(rest, path, txn=("app", 0))
+    n1 = data().count()
+    append_ivfpq_index(rest, path, txn=("app", 0))
+    assert data().count() == n1 == n0
+    assert (
+        data().groupBy("vec_id").count().where("count > 1").count() == 0
+    )
+
+
 def test_centroid_literal_rejects_nonfinite(spark):
     """A non-finite centroid component must fail the index build
     loudly: Spark's non-ANSI string→double cast parses repr's
