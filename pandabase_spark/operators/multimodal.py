@@ -800,6 +800,14 @@ class _BitWriter:
             self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
         return bytes(self.out)
 
+    def restart(self, idx: int) -> None:
+        """Byte-align (1-padding, same as flush) and emit the RSTn
+        marker — raw, never stuffed: markers live OUTSIDE the entropy
+        byte stream."""
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+        self.out += bytes([0xFF, 0xD0 + (idx % 8)])
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -832,6 +840,21 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> int:
+        """Consume an RSTn marker at a restart boundary: discard any
+        remaining pad bits of the current byte (the encoder 1-pads to
+        alignment before the marker), then require FF D0-D7 verbatim.
+        Returns the marker's 0-7 sequence index; anything else is a
+        corrupt stream (EOFError → the row nulls)."""
+        self.n = 0
+        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
+            raise EOFError
+        m = self.data[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise EOFError
+        self.pos += 2
+        return m - 0xD0
 
 
 def _jpeg_extend(v: int, t: int) -> int:
@@ -882,14 +905,17 @@ def _dequant_idct(coef: "list[int]", qtab: "list[int]") -> "list[int]":
 def encode_jpeg(
     w: int, h: int, ncomp: int, pixels: bytes,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal spec-correct baseline JFIF encoder (stdlib only):
     grayscale (ncomp=1) or YCbCr color (ncomp=3, RGB input) at
     ``subsampling`` "444" (1×1 everywhere) or "420" (Y at 2×2, chroma
     box-filter-averaged 2× on both axes and MCU-interleaved 4Y+Cb+Cr
-    — r12, the decoder-side ask #4's synthesis half), uniform quant
-    tables, standard huffman tables, full forward DCT + entropy
-    coding. The synthesis half of the JPEG seam's oracle loop — every
+    — r12, the decoder-side ask #4's synthesis half), optional DRI
+    restart intervals (``restart_interval`` MCUs per segment: RSTn
+    emission with byte alignment and DC predictor resets — r12),
+    uniform quant tables, standard huffman tables, full forward DCT +
+    entropy coding. The synthesis half of the JPEG seam's oracle loop — every
     byte it emits is consumed back through :func:`_parse_jpeg`'s real
     huffman/dequant/IDCT pipeline. For payloads whose pixels are
     constant over each 2×2 cell the 420 round trip is exactly as
@@ -904,6 +930,8 @@ def encode_jpeg(
         raise ValueError(f"unsupported subsampling: {subsampling!r}")
     if subsampling == "420" and ncomp == 1:
         subsampling = "444"  # grayscale has no chroma to subsample
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError(f"bad restart_interval: {restart_interval}")
     # component planes, level-shifted
     import numpy as np
 
@@ -998,6 +1026,11 @@ def encode_jpeg(
 
     for my in range(mcuy):
         for mx in range(mcux):
+            mcu_i = my * mcux + mx
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # byte-align + RST(n cycling 0-7) + DC predictor reset
+                writer.restart((mcu_i // restart_interval - 1) % 8)
+                prev_dc[:] = [0] * ncomp
             for ci in range(ncomp):
                 hi, vi = samp[ci]
                 a = planes2d[ci]
@@ -1022,6 +1055,8 @@ def encode_jpeg(
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, b"\x00" + qt)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += bytes(
@@ -1052,9 +1087,10 @@ def _parse_jpeg(payload: bytes):
     unstuffing, dequantization, dezigzag, full inverse DCT, MCU
     de-interleave for sampling factors up to 2×2 (4:4:4, 4:2:2,
     4:4:0 and the near-universal 4:2:0, with nearest-neighbor chroma
-    upsampling — r12), and (for 3 components) YCbCr→RGB conversion.
-    Anything else — progressive (SOF2), sampling factors above 2,
-    restart intervals, arithmetic coding, truncated streams —
+    upsampling — r12), DRI restart intervals (RSTn consume + sequence
+    check + DC predictor reset — r12), and (for 3 components)
+    YCbCr→RGB conversion. Anything else — progressive (SOF2),
+    sampling factors above 2, arithmetic coding, truncated streams —
     returns None (callers surface nulls, never crash a batch). Returns
     ``(w, h, channels, pixel_bytes)`` like :func:`_parse_png`. The
     fourth modality codec, and the first LOSSY one: a bug anywhere in
@@ -1068,6 +1104,7 @@ def _parse_jpeg(payload: bytes):
         i, n = 2, len(payload)
         qtabs: "dict[int, list[int]]" = {}
         huff: "dict[tuple[int, int], dict]" = {}
+        ri = 0
         w = h = 0
         comps: "list[tuple[int, int, int]]" = []  # (id, sampling, qid)
         while i + 4 <= n:
@@ -1128,7 +1165,9 @@ def _parse_jpeg(payload: bytes):
                     huff[(tc, th)] = _huff_codes(bits, vals)
                     j += 17 + nsym
             elif marker == 0xDD:
-                return None  # restart intervals unsupported
+                if len(body) < 2:
+                    return None
+                ri = struct.unpack(">H", body[:2])[0]  # DRI (r12)
             elif marker == 0xDA:
                 ns = body[0]
                 if ns != len(comps) or not comps:
@@ -1154,7 +1193,7 @@ def _parse_jpeg(payload: bytes):
                 scan = payload[i + 2 + length:]
                 return _jpeg_decode_scan(
                     w, h, comps, sel, qtabs, huff, scan,
-                    scan_order=scan_order,
+                    scan_order=scan_order, restart_interval=ri,
                 )
             i += 2 + length
         return None
@@ -1163,7 +1202,7 @@ def _parse_jpeg(payload: bytes):
 
 
 def _jpeg_decode_scan(w, h, comps, sel, qtabs, huff, scan, *,
-                      scan_order=None):
+                      scan_order=None, restart_interval=0):
     # invert {sym: (code,len)} into {(len,code): sym} per table
     dec = {
         key: {(ln, code): sym for sym, (code, ln) in tab.items()}
@@ -1215,6 +1254,18 @@ def _jpeg_decode_scan(w, h, comps, sel, qtabs, huff, scan, *,
     prev_dc = [0] * ncomp
     for my in range(mcuy):
         for mx in range(mcux):
+            # restart intervals (r12): every `restart_interval` MCUs
+            # the encoder byte-aligns and emits RST(n%8); the decoder
+            # must consume it, verify the 0-7 sequence cycles, and
+            # reset every component's DC predictor — the whole point
+            # of DRI is bounded error propagation, which only works
+            # if prediction never crosses a marker
+            mcu_i = my * mcux + mx
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                seq = r.restart()
+                if seq != (mcu_i // restart_interval - 1) % 8:
+                    return None
+                prev_dc = [0] * ncomp
             # interleave follows SOS order; each entry decodes into
             # its SOF component's plane with that component's tables
             for si in range(ncomp):
@@ -1366,6 +1417,13 @@ def attach_jpeg420_payload(
                     encode_jpeg(
                         w, h, 3, bytes([g]) * (w * h * 3),
                         subsampling="420",
+                        # a deterministic third of the corpus also
+                        # carries DRI restart intervals (r12): the
+                        # RSTn consume/sequence-check/DC-reset path
+                        # rides the same value-exact gate — restarts
+                        # change the entropy framing, never the
+                        # reconstructed bytes
+                        restart_interval=(i % 3) if i % 3 < 2 else 0,
                     )
                 )
             yield pd.DataFrame(

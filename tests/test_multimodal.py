@@ -615,6 +615,57 @@ def test_jpeg_420_subsampling_roundtrip():
         encode_jpeg(8, 8, 3, bytes(192), subsampling="422")
 
 
+def test_jpeg_restart_intervals_roundtrip():
+    """r12: DRI/RSTn support — the restart framing real-world JPEGs
+    carry. (a) Round-trips across gray/color, 444/420, single- and
+    multi-MCU grids at intervals 1/2/5; (b) even-gray solids stay
+    BYTE-EXACT with restarts (the framing changes entropy coding,
+    never reconstruction); (c) a wrong RSTn sequence number nulls the
+    row (corrupt stream), as does a missing marker."""
+    import itertools
+
+    from pandabase_spark.operators.multimodal import (
+        _parse_jpeg, encode_jpeg,
+    )
+
+    for (w, h), nc, ss, ri in itertools.product(
+        [(24, 17), (7, 5)], [1, 3], ["444", "420"], [1, 2, 5]
+    ):
+        if nc == 1 and ss == "420":
+            continue
+        src = bytes(
+            (37 * (i % 7) + 11 * (i % 13)) % 256
+            for i in range(w * h * nc)
+        )
+        out = _parse_jpeg(
+            encode_jpeg(w, h, nc, src, subsampling=ss,
+                        restart_interval=ri)
+        )
+        assert out is not None and out[:3] == (w, h, nc)
+
+    g = 84
+    out = _parse_jpeg(
+        encode_jpeg(20, 12, 1, bytes([g]) * 240, restart_interval=1)
+    )
+    assert out is not None and set(out[3]) == {g}
+    out = _parse_jpeg(
+        encode_jpeg(19, 11, 3, bytes([g]) * (19 * 11 * 3),
+                    subsampling="420", restart_interval=2)
+    )
+    assert out is not None and set(out[3]) == {g}
+
+    enc = encode_jpeg(
+        24, 17, 1, bytes([g]) * (24 * 17), restart_interval=1
+    )
+    bad = bytearray(enc)
+    at = bad.find(b"\xff\xd0")
+    assert at > 0
+    bad[at + 1] = 0xD5  # out-of-sequence RST
+    assert _parse_jpeg(bytes(bad)) is None
+    gone = enc[:at] + enc[at + 2:]  # marker stripped entirely
+    assert _parse_jpeg(gone) is None
+
+
 def test_decode_jpeg_real_bytes(spark):
     """attach_jpeg_payload → decode_jpeg_stats through the seam:
     stats integer-exact from doc_id (the driver-gate contract)."""
