@@ -31,7 +31,7 @@ exactly the regime where the broadcast-dim plans must hold): the join
 plans' scale story measured, not argued from plan shape.
 
 Usage: python scripts/scale_evidence.py [scale] [sf_dir]
-Writes scripts/scale_evidence_r11.json and prints it.
+Writes scripts/scale_evidence_r12.json and prints it.
 """
 
 from __future__ import annotations
@@ -162,7 +162,8 @@ def main() -> None:
         dedup_by_content_hash, minhash_lsh_pairs,
     )
     from pandabase_spark.operators.similarity import (
-        ann_topk_indexed, append_ivf_index, write_ivf_index,
+        ann_topk_indexed, ann_topk_ivfpq_indexed, append_ivf_index,
+        append_ivfpq_index, write_ivf_index, write_ivfpq_index,
     )
 
     def force(df):
@@ -213,6 +214,27 @@ def main() -> None:
         # r11: BPE application (Catalyst-only tokenize over the corpus)
         run("bpe_apply_fixed", lambda: (
             force(workload.QUERIES["bpe_apply_fixed"](spark, sf_dir)), 0,
+        )[1])
+        # r12: the persisted IVFADC artifact — build (ingest-time
+        # encode + cell-partitioned codes), probe (pruned cells, ADC
+        # over stored codes: the 100 TB query shape whose index IO is
+        # ~nprobe/n_cells of the COMPRESSED corpus), and O(batch)
+        # frozen-artifact append
+        pq_idx = f"{scratch}/_ivfpq_{tag}"
+        run("ivfpq_index_build", lambda: (
+            write_ivfpq_index(
+                e, pq_idx, n_cells=16, m=8, n_codes=16, iters=2,
+                sample_mod=2,
+            ),
+            0,
+        )[1])
+        run("ann_topk_ivfpq_indexed", lambda: ann_topk_ivfpq_indexed(
+            spark, pq_idx, e.where("vec_id < 8"), k=10, nprobe=4).count())
+        pq_batch = e.where("vec_id % 10 = 1").withColumn(
+            "vec_id", F.col("vec_id") + 20_000_000
+        )
+        run("ivfpq_index_append_10pct", lambda: (
+            append_ivfpq_index(pq_batch, pq_idx, txn=("se", 0)), 0,
         )[1])
         return out
 
@@ -287,7 +309,7 @@ def main() -> None:
         rec["ratio_vs_1x"] = round(rec["sec"] / max(base, 0.01), 1)
 
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "scale_evidence_r11.json"), "w") as fh:
+    with open(os.path.join(here, "scale_evidence_r12.json"), "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report, indent=1))
 
