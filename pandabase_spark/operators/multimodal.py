@@ -909,9 +909,11 @@ def encode_jpeg(
 ) -> bytes:
     """Minimal spec-correct baseline JFIF encoder (stdlib only):
     grayscale (ncomp=1) or YCbCr color (ncomp=3, RGB input) at
-    ``subsampling`` "444" (1×1 everywhere) or "420" (Y at 2×2, chroma
+    ``subsampling`` "444" (1×1 everywhere), "420" (Y at 2×2, chroma
     box-filter-averaged 2× on both axes and MCU-interleaved 4Y+Cb+Cr
-    — r12, the decoder-side ask #4's synthesis half), optional DRI
+    — r12, the decoder-side ask #4's synthesis half), or "422" (Y at
+    2×1, chroma halved horizontally — the broadcast-video convention),
+    optional DRI
     restart intervals (``restart_interval`` MCUs per segment: RSTn
     emission with byte alignment and DC predictor resets — r12),
     uniform quant tables, standard huffman tables, full forward DCT +
@@ -926,9 +928,9 @@ def encode_jpeg(
 
     if ncomp not in (1, 3) or len(pixels) != w * h * ncomp:
         raise ValueError("encode_jpeg: bad shape")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unsupported subsampling: {subsampling!r}")
-    if subsampling == "420" and ncomp == 1:
+    if subsampling != "444" and ncomp == 1:
         subsampling = "444"  # grayscale has no chroma to subsample
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError(f"bad restart_interval: {restart_interval}")
@@ -961,10 +963,10 @@ def encode_jpeg(
     # per-component sampling geometry (mirrors the decoder's): planes
     # become 2D at each component's natural resolution; 420 box-
     # filter-averages chroma 2× per axis with floor(mean + 0.5)
-    samp = (
-        [(2, 2), (1, 1), (1, 1)] if subsampling == "420"
-        else [(1, 1)] * ncomp
-    )
+    samp = {
+        "420": [(2, 2), (1, 1), (1, 1)],
+        "422": [(2, 1), (1, 1), (1, 1)],
+    }.get(subsampling, [(1, 1)] * ncomp)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     planes2d = []
@@ -1416,7 +1418,12 @@ def attach_jpeg420_payload(
                 payloads.append(
                     encode_jpeg(
                         w, h, 3, bytes([g]) * (w * h * 3),
-                        subsampling="420",
+                        # alternate the two real-world subsampled
+                        # layouts (r12): 4:2:0 (2x2 chroma cells) and
+                        # 4:2:2 (horizontal halving, the broadcast
+                        # convention) — both midpoint-free on neutral
+                        # gray, both value-exact through this gate
+                        subsampling="420" if i % 2 == 0 else "422",
                         # a deterministic third of the corpus also
                         # carries DRI restart intervals (r12): the
                         # RSTn consume/sequence-check/DC-reset path

@@ -4833,6 +4833,80 @@ def ann_topk_ivfpq_indexed_full_q(
     )
 
 
+@_q("streaming_ivfpq_index_ingest", _PQ_FULL_ORACLE)
+def streaming_ivfpq_index_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING maintenance of the COMPRESSED index, VALUE-EXACT
+    (r12, composing streaming_ann_index_ingest with the persisted
+    IVFADC artifact): the IVFPQ index bootstraps on half the ternary
+    corpus with LOSSLESS enumerated codebooks, the other half arrives
+    as a stream (maxFilesPerTrigger=1) and every micro-batch is
+    cell-assigned AND PQ-encoded against the frozen artifacts inside
+    ``foreachBatch`` via ``append_ivfpq_index(txn=(app, batch_id))`` —
+    replay-idempotent dynamic partition overwrites, the exactly-once
+    continuous-ingest shape for a 100 TB compressed vector corpus.
+    After the availableNow cycle drains, a full-probe ADC search over
+    the persisted codes must hash-match DuckDB's brute-force L2
+    top-10 over the ENTIRE corpus: a dropped, duplicated,
+    mis-assigned, or mis-encoded batch row breaks the driver hash."""
+    import tempfile
+
+    from pandabase_spark.operators.similarity import (
+        ann_topk_ivfpq_indexed, append_ivfpq_index, pq_codebooks_exact,
+        write_ivfpq_index,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    tri = F.expr(
+        "transform(sequence(1, 16), i -> case "
+        "when element_at(embedding, (i-1)*4+1) > 0.2D then 1.0D "
+        "when element_at(embedding, (i-1)*4+1) < -0.2D then -1.0D "
+        "else 0.0D end)"
+    )
+    q16 = e.select("vec_id", tri.alias("qvec"))
+    # m=8 → 2-dim subvectors → ≤ 3² = 9 distinct codes per subspace:
+    # the SAME lossless-enumeration argument as m=4, with ~20× smaller
+    # encode/ADC literals (the per-micro-batch codegen cost dominates
+    # this streaming gate's wall otherwise)
+    books = pq_codebooks_exact(q16, vec_col="qvec", m=8)
+    half = q16.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    path = f"{cat.warehouse}/_ann_ivfpq_stream_index"
+    if cat.fs.exists(path):
+        cat.fs.delete(path)
+    write_ivfpq_index(
+        q16.where(F.col("vec_id") <= half), path, vec_col="qvec",
+        n_cells=8, iters=2, sample_mod=2, codebooks=books,
+    )
+    scratch = tempfile.mkdtemp(prefix="pb_ivfpqstream_")
+    rest = q16.where(F.col("vec_id") > half)
+    rest.repartition(2).write.mode("overwrite").parquet(f"{scratch}/src")
+    with _stream_cycle(spark):
+        stream = (
+            spark.readStream.schema(rest.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/src")
+        )
+        ckpt = f"{scratch}/ckpt"
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, bid: append_ivfpq_index(
+                    batch, path, vec_col="qvec",
+                    txn=(f"stream:{ckpt}", bid),
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    return ann_topk_ivfpq_indexed(
+        spark, path, q16.where(F.col("vec_id") < 5),
+        vec_col="qvec", k=10, nprobe=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: text analysis
 # ---------------------------------------------------------------------------
@@ -8383,22 +8457,23 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round. CORRECTNESS_r11 delivered the r11 head 50/50 clean (48
 # value-exact + 2 declared rows-only), so the r12 head (r11 verdict
 # ask #1) = strict staleness order over the cross-round union:
-#   - the 9 never-driver-checked entries (the 5 late-r11 additions —
+#   - the 10 never-driver-checked entries (the 5 late-r11 additions —
 #     ann_topk_ivf_appended_full, streaming_ann_index_ingest,
 #     multimodal_decode_mixed_all, bpe_apply_fixed, bpe_train_merges —
 #     all judge-run clean in r11, plus r12's value-exact family gates
-#     ann_topk_ivfpq_full and ann_topk_lsh_full and the persisted
-#     IVFADC pair ann_topk_ivfpq_indexed/_full); with these checked
-#     the driver union reaches every entry that existed before this
+#     ann_topk_ivfpq_full and ann_topk_lsh_full, the persisted IVFADC
+#     trio ann_topk_ivfpq_indexed/_full, and the streaming compressed
+#     ingest streaming_ivfpq_index_ingest); with these checked the
+#     driver union reaches every entry that existed before this
 #     round;
 #   - the 11 rows last checked in r7 (the rows-only ANN/neardup
 #     members whose value-exact family gates are also in this head,
 #     the winnow/centroid/event stragglers, and the multimodal fake
 #     decode pair);
-#   - 30 of the 49 rows last checked in r8 (alphabetical; the
-#     remaining 19 r8 rows — q14/q17/q18/q19/q22/q4/q7, the streaming
-#     block, sampling/histogram/window tails — lead the r13 rotation,
-#     then the r9 block).
+#   - 29 of the 49 rows last checked in r8 (alphabetical; the
+#     remaining 20 r8 rows — q10/q14/q17/q18/q19/q22/q4/q7, the
+#     streaming block, sampling/histogram/window tails — lead the r13
+#     rotation, then the r9 block).
 _GATE_FIRST = [
     "ann_topk_ivf_appended_full",
     "ann_topk_ivfpq_full",
@@ -8409,6 +8484,7 @@ _GATE_FIRST = [
     "bpe_train_merges",
     "multimodal_decode_mixed_all",
     "streaming_ann_index_ingest",
+    "streaming_ivfpq_index_ingest",
     "ann_topk_ivf",
     "ann_topk_ivf_indexed",
     "ann_topk_lsh",
@@ -8449,7 +8525,6 @@ _GATE_FIRST = [
     "nation_revenue_share",
     "nation_segment_rollcall",
     "normalize_text_docs",
-    "q10_returned_items",
 ]
 
 

@@ -564,24 +564,28 @@ def test_jpeg_420_subsampling_roundtrip():
         _parse_jpeg, encode_jpeg,
     )
 
-    # (a) solid color, assorted dims incl. odd and multi-MCU
-    for w, h in [(16, 16), (8, 8), (20, 12), (17, 9), (7, 5)]:
-        src = bytes([200, 30, 90]) * (w * h)
-        out = _parse_jpeg(encode_jpeg(w, h, 3, src, subsampling="420"))
-        assert out is not None
-        W, H, ch, data = out
-        assert (W, H, ch) == (w, h, 3)
-        assert max(abs(a - b) for a, b in zip(src, data)) <= 12
+    # (a) solid color, assorted dims incl. odd and multi-MCU — both
+    # real-world subsampled layouts (4:2:0 and r12's 4:2:2)
+    for ss in ("420", "422"):
+        for w, h in [(16, 16), (8, 8), (20, 12), (17, 9), (7, 5)]:
+            src = bytes([200, 30, 90]) * (w * h)
+            out = _parse_jpeg(encode_jpeg(w, h, 3, src, subsampling=ss))
+            assert out is not None
+            W, H, ch, data = out
+            assert (W, H, ch) == (w, h, 3)
+            assert max(abs(a - b) for a, b in zip(src, data)) <= 12
 
-    # (b) neutral gray through the COLOR 420 pipeline: byte-exact
+    # (b) neutral gray through the COLOR subsampled pipelines:
+    # byte-exact for both layouts (the mixed-gate payload families)
     for i in (0, 3, 31, 77, 128, 255):
         w, h = 9 + i % 16, 9 + i % 9
         g = 2 * (i % 128)
-        out = _parse_jpeg(
-            encode_jpeg(w, h, 3, bytes([g]) * (w * h * 3),
-                        subsampling="420")
-        )
-        assert out is not None and set(out[3]) == {g}
+        for ss in ("420", "422"):
+            out = _parse_jpeg(
+                encode_jpeg(w, h, 3, bytes([g]) * (w * h * 3),
+                            subsampling=ss)
+            )
+            assert out is not None and set(out[3]) == {g}
 
     # (c) 2x2-cell-constant chroma: the down/upsample cycle is
     # lossless at the chroma level (remaining error is luma DCT
@@ -608,11 +612,11 @@ def test_jpeg_420_subsampling_roundtrip():
     forged[sof_at + 11] = 0x13  # 1x3
     assert _parse_jpeg(bytes(forged)) is None
 
-    # encoder guards
+    # encoder guards: 4:1:1 stays unsupported (sampling factor 4)
     import pytest
 
     with pytest.raises(ValueError):
-        encode_jpeg(8, 8, 3, bytes(192), subsampling="422")
+        encode_jpeg(8, 8, 3, bytes(192), subsampling="411")
 
 
 def test_jpeg_restart_intervals_roundtrip():
