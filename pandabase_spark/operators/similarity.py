@@ -1037,6 +1037,9 @@ def write_ivfpq_index(
     sample_mod: "int | None" = None,
     centroids: "list[list[float]] | None" = None,
     codebooks: "list[list[list[float]]] | None" = None,
+    residual: bool = False,
+    exact_codebooks: bool = False,
+    anchors: "list[list[float]] | None" = None,
 ) -> None:
     """Persist the FULL FAISS-style IVFADC index — the billion-scale
     serving artifact :func:`ann_topk_ivfpq`'s docstring promises:
@@ -1050,21 +1053,64 @@ def write_ivfpq_index(
     reads ~nprobe/n_cells of THAT. Both artifacts are deterministic
     and prebuildable via ``centroids=`` / ``codebooks=`` (the
     ingest-time pattern, and how the lossless-PQ exactness gate
-    injects enumerated codebooks)."""
+    injects enumerated codebooks).
+
+    ``residual=True`` stores Jégou et al.'s ACTUAL IVFADC encoding:
+    each vector's PQ code quantizes its RESIDUAL against its cell's
+    ANCHOR rather than ``x`` itself. The coarse quantizer absorbs the
+    between-cell variance, so the codebooks spend their codes on the
+    much tighter within-cell distribution — the composition that
+    makes m·log₂(k) bits per vector work at billion scale. The anchor
+    defaults to the PER-CELL MEAN (the spherical quantizer's
+    unit-norm directions are right for assignment but useless as
+    shifts — measured r12); ``anchors=`` overrides it with an
+    explicit per-cell list (how the exactness gate keeps residual
+    arithmetic integer-exact). Codebooks (when trained here) train on
+    the residual frame; the flag persists in a ``meta`` sidecar and
+    the anchors in an ``anchors`` sidecar, so serve/append
+    transparently apply the same shift (``q − a[cell]`` per probed
+    cell at query time — ADC distances are L2-identical under any
+    common per-cell shift)."""
     spark = corpus.sparkSession
     if centroids is None:
         centroids = ivf_centroids(
             corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
             iters=iters, sample_mod=sample_mod,
         )
+    cdf = (
+        centroids if isinstance(centroids, DataFrame)
+        else _centroids_literal_df(spark, centroids)
+    )
+    staged = ivf_assign(corpus, centroids, vec_col=vec_col)
+    anchors_df = None
+    if residual:
+        if anchors is not None:
+            anchors_df = spark.createDataFrame(
+                [(i, [float(x) for x in a]) for i, a in enumerate(anchors)],
+                "cell int, avec array<double>",
+            )
+        else:
+            anchors_df = _cell_mean_anchors(staged, vec_col).persist()
+        staged = _subtract_cell_anchor(staged, anchors_df, vec_col)
     if codebooks is None:
-        codebooks = pq_codebooks(
-            corpus, id_col=id_col, vec_col=vec_col, m=m, k=n_codes,
-            iters=iters, sample_mod=sample_mod,
-        )
-    _centroids_literal_df(spark, centroids).coalesce(1).write.mode(
-        "errorifexists"
-    ).parquet(f"{path}/centroids")
+        if exact_codebooks:
+            # enumerate the distinct (residual) subvectors that
+            # actually occur AFTER assignment/shift — the lossless
+            # configuration for low-cardinality corpora, computed on
+            # exactly the frame pq_encode will see (a vector assigned
+            # to a non-nearest cell still encodes losslessly because
+            # ITS residual is in the enumeration)
+            codebooks = pq_codebooks_exact(
+                staged, vec_col=vec_col, m=m,
+            )
+        else:
+            codebooks = pq_codebooks(
+                staged, id_col=id_col, vec_col=vec_col, m=m, k=n_codes,
+                iters=iters, sample_mod=sample_mod,
+            )
+    cdf.coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/centroids"
+    )
     book_rows = [
         (j, c, [float(x) for x in vec])
         for j, book in enumerate(codebooks)
@@ -1075,10 +1121,16 @@ def write_ivfpq_index(
     ).coalesce(1).write.mode("errorifexists").parquet(
         f"{path}/codebooks"
     )
+    spark.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).coalesce(1).write.mode("errorifexists").parquet(f"{path}/meta")
+    if anchors_df is not None:
+        anchors_df.coalesce(1).write.mode("errorifexists").parquet(
+            f"{path}/anchors"
+        )
+        anchors_df.unpersist()
     encoded = pq_encode(
-        ivf_assign(corpus, centroids, vec_col=vec_col),
-        codebooks,
-        vec_col=vec_col,
+        staged, codebooks, vec_col=vec_col
     ).select(F.col(id_col), "cell", "pq_code")
     (
         encoded.withColumn("txn", F.lit("base"))
@@ -1087,6 +1139,67 @@ def write_ivfpq_index(
         .partitionBy("cell", "txn")
         .parquet(f"{path}/data")
     )
+
+
+def _subtract_cell_anchor(
+    assigned: DataFrame, anchors: DataFrame, vec_col: str
+) -> DataFrame:
+    """Replace ``vec_col`` with the residual against each row's cell
+    ANCHOR — a broadcast LEFT join on ``cell`` (works at any quantizer
+    size, no literal) + one ``zip_with``. A cell with no anchor (a
+    cell that was empty when the index was built; appends can land
+    there later) shifts by zero — the rule only has to be the SAME at
+    encode and query time for ADC distances to stay valid."""
+    shifted = F.zip_with(
+        F.col(vec_col),
+        F.col("_avec"),
+        lambda x, y: x.cast("double") - y,
+    )
+    unshifted = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        assigned.join(
+            F.broadcast(anchors.select("cell", F.col("avec").alias("_avec"))),
+            on="cell",
+            how="left",
+        )
+        .withColumn(
+            vec_col,
+            F.when(F.col("_avec").isNull(), unshifted).otherwise(shifted),
+        )
+        .drop("_avec")
+    )
+
+
+def _cell_mean_anchors(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """Per-cell component means of the assigned vectors — the residual
+    anchors the TRUE IVFADC subtracts. The spherical coarse quantizer's
+    centroids are unit-norm DIRECTIONS (right for assignment, useless
+    as shifts: subtracting a unit vector from the raw corpus removes
+    almost none of the between-cell variance — measured r12); the
+    anchor that minimizes residual energy per cell is its mean. One
+    posexplode aggregation, O(n_cells × dim) result."""
+    return (
+        assigned.select("cell", F.posexplode(F.col(vec_col)))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("col").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("s")
+        )
+        .select("cell", F.expr("transform(s, x -> x.m)").alias("avec"))
+    )
+
+
+def _index_is_residual(spark, path: str) -> bool:
+    """The persisted ``residual`` flag; indexes written before the
+    meta sidecar existed are raw-encoding by construction."""
+    try:
+        row = spark.read.parquet(f"{path}/meta").first()
+        return bool(row["residual"]) if row is not None else False
+    except Exception:
+        return False
 
 
 def _load_codebooks(spark, path: str) -> "list[list[list[float]]]":
@@ -1122,10 +1235,13 @@ def append_ivfpq_index(
     spark = new_vectors.sparkSession
     cdf = spark.read.parquet(f"{path}/centroids")
     books = _load_codebooks(spark, path)
+    staged = ivf_assign(new_vectors, cdf, vec_col=vec_col)
+    if _index_is_residual(spark, path):
+        staged = _subtract_cell_anchor(
+            staged, spark.read.parquet(f"{path}/anchors"), vec_col
+        )
     encoded = pq_encode(
-        ivf_assign(new_vectors, cdf, vec_col=vec_col),
-        books,
-        vec_col=vec_col,
+        staged, books, vec_col=vec_col
     ).select(F.col(id_col), "cell", "pq_code")
     _append_index_batch(spark, encoded, path, txn)
 
@@ -1200,11 +1316,22 @@ def ann_topk_ivfpq_indexed(
         .parquet(*[f"{path}/data/cell={c}" for c in cells])
         .where(F.col("cell").isin(cells))
     )
+    scored = data.join(F.broadcast(probes), on="cell")
+    if _index_is_residual(spark, path):
+        # residual encoding (the true IVFADC): the stored codes
+        # quantize x − a[cell], and ||q − x|| == ||(q − a) − (x − a)||
+        # under any common per-cell shift, so the query shifts by the
+        # SAME persisted anchor before ADC — one broadcast left join
+        # on the probed cells (no-anchor cells shift by zero, the
+        # encode-side rule)
+        scored = _subtract_cell_anchor(
+            scored, spark.read.parquet(f"{path}/anchors"), "_qvec"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col(id_col)
     )
     return (
-        data.join(F.broadcast(probes), on="cell")
+        scored
         .withColumn("approx_dist", F.round(_adc_expr(books), 6))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -4819,7 +4819,9 @@ def ann_topk_ivfpq_indexed_full_q(
         "else 0.0D end)"
     )
     q16 = e.select("vec_id", tri.alias("qvec"))
-    books = pq_codebooks_exact(q16, vec_col="qvec", m=4)
+    # m=8 → 2-dim subvectors → ≤ 3² = 9 codes/subspace: same lossless
+    # enumeration, ~20× smaller encode/ADC literals (gate wall)
+    books = pq_codebooks_exact(q16, vec_col="qvec", m=8)
     path = f"{cat.warehouse}/_ann_ivfpq_exact_index"
     if cat.fs.exists(path):
         cat.fs.delete(path)
@@ -4830,6 +4832,94 @@ def ann_topk_ivfpq_indexed_full_q(
     return ann_topk_ivfpq_indexed(
         spark, path, q16.where(F.col("vec_id") < 5),
         vec_col="qvec", k=10, nprobe=8,
+    )
+
+
+_RESIDUAL_FULL_ORACLE = """
+WITH qv AS (
+  SELECT vec_id,
+    [CASE WHEN (i-1) % 4 = vec_id % 4
+          THEN 8.0 * (vec_id % 4 + 1) ELSE 0.0 END
+     + CASE WHEN embedding[(i-1)*4+1]::DOUBLE > 0.2 THEN 1.0::DOUBLE
+            WHEN embedding[(i-1)*4+1]::DOUBLE < -0.2 THEN -1.0::DOUBLE
+            ELSE 0.0::DOUBLE END
+     FOR i IN range(1, 17)] AS q
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         ROUND(list_sum([(a.q[i] - b.q[i]) * (a.q[i] - b.q[i])
+                         FOR i IN range(1, 17)]), 6) AS approx_dist
+  FROM qv a JOIN qv b ON a.vec_id < 5
+), ranked AS (
+  SELECT query_id, vec_id, approx_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_dist, vec_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, vec_id, approx_dist, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@_q("ann_topk_ivfpq_residual_full", _RESIDUAL_FULL_ORACLE)
+def ann_topk_ivfpq_residual_full_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESIDUAL IVFADC, VALUE-EXACT (r12): the index stores Jégou et
+    al.'s actual encoding — PQ codes quantize ``x − c[cell]``, not
+    ``x`` — and at query time each probed cell shifts the query by
+    the SAME centroid before ADC (``||q − x|| == ||(q−c) − (x−c)||``
+    identically). The corpus is PLANTED CLUSTERED data both engines
+    construct from the embeddings table arithmetically: 4
+    well-separated integer centers (component ``8·(j+1)`` on the dims
+    ≡ j mod 4) plus the ternary projection as within-cluster offsets
+    — all arithmetic exact in doubles, so with the planted centers as
+    the PREBUILT quantizer, enumerated codebooks over the actual
+    residual frame (``exact_codebooks=True`` — lossless even for
+    rows assigned to a non-nearest cell), and ``nprobe == n_cells``,
+    the served result must hash-match DuckDB's brute-force L2 top-10.
+    This gates the residual shift on BOTH sides (ingest encode and
+    query-time probe shift): shifting by the wrong cell's anchor,
+    skipping either shift, or mixing raw and residual codes breaks
+    the hash. The planted centers serve as BOTH the prebuilt
+    quantizer and the explicit ``anchors=`` (integer-exact
+    arithmetic; production defaults to per-cell MEAN anchors — the
+    spherical quantizer's unit directions are useless as shifts —
+    measured 0.66 vs 0.37 recall against raw encoding on clustered
+    data in pytest)."""
+    from pandabase_spark.operators.similarity import (
+        ann_topk_ivfpq_indexed, write_ivfpq_index,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    tri = F.expr(
+        "transform(sequence(1, 16), i -> case "
+        "when element_at(embedding, (i-1)*4+1) > 0.2D then 1.0D "
+        "when element_at(embedding, (i-1)*4+1) < -0.2D then -1.0D "
+        "else 0.0D end)"
+    )
+    center = F.expr(
+        "transform(sequence(1, 16), i -> cast(case "
+        "when (i - 1) % 4 = vec_id % 4 then 8 * (vec_id % 4 + 1) "
+        "else 0 end as double))"
+    )
+    corpus = e.select(
+        "vec_id",
+        F.zip_with(center, tri, lambda a, b: a + b).alias("qvec"),
+    )
+    centers = [
+        [float(8 * (j + 1)) if i % 4 == j else 0.0 for i in range(16)]
+        for j in range(4)
+    ]
+    path = f"{cat.warehouse}/_ann_ivfpq_residual_index"
+    if cat.fs.exists(path):
+        cat.fs.delete(path)
+    write_ivfpq_index(
+        corpus, path, vec_col="qvec", centroids=centers, m=8,
+        residual=True, exact_codebooks=True, anchors=centers,
+    )
+    return ann_topk_ivfpq_indexed(
+        spark, path, corpus.where(F.col("vec_id") < 5),
+        vec_col="qvec", k=10, nprobe=4,
     )
 
 
@@ -8457,12 +8547,13 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round. CORRECTNESS_r11 delivered the r11 head 50/50 clean (48
 # value-exact + 2 declared rows-only), so the r12 head (r11 verdict
 # ask #1) = strict staleness order over the cross-round union:
-#   - the 10 never-driver-checked entries (the 5 late-r11 additions —
+#   - the 11 never-driver-checked entries (the 5 late-r11 additions —
 #     ann_topk_ivf_appended_full, streaming_ann_index_ingest,
 #     multimodal_decode_mixed_all, bpe_apply_fixed, bpe_train_merges —
 #     all judge-run clean in r11, plus r12's value-exact family gates
 #     ann_topk_ivfpq_full and ann_topk_lsh_full, the persisted IVFADC
-#     trio ann_topk_ivfpq_indexed/_full, and the streaming compressed
+#     trio ann_topk_ivfpq_indexed/_full, the residual-encoding gate
+#     ann_topk_ivfpq_residual_full, and the streaming compressed
 #     ingest streaming_ivfpq_index_ingest); with these checked the
 #     driver union reaches every entry that existed before this
 #     round;
@@ -8470,15 +8561,16 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     members whose value-exact family gates are also in this head,
 #     the winnow/centroid/event stragglers, and the multimodal fake
 #     decode pair);
-#   - 29 of the 49 rows last checked in r8 (alphabetical; the
-#     remaining 20 r8 rows — q10/q14/q17/q18/q19/q22/q4/q7, the
-#     streaming block, sampling/histogram/window tails — lead the r13
-#     rotation, then the r9 block).
+#   - 28 of the 49 rows last checked in r8 (alphabetical; the
+#     remaining 21 r8 rows — normalize_text_docs, q10/q14/q17/q18/
+#     q19/q22/q4/q7, the streaming block, sampling/histogram/window
+#     tails — lead the r13 rotation, then the r9 block).
 _GATE_FIRST = [
     "ann_topk_ivf_appended_full",
     "ann_topk_ivfpq_full",
     "ann_topk_ivfpq_indexed",
     "ann_topk_ivfpq_indexed_full",
+    "ann_topk_ivfpq_residual_full",
     "ann_topk_lsh_full",
     "bpe_apply_fixed",
     "bpe_train_merges",
@@ -8524,7 +8616,6 @@ _GATE_FIRST = [
     "latest_event_per_user",
     "nation_revenue_share",
     "nation_segment_rollcall",
-    "normalize_text_docs",
 ]
 
 

@@ -1275,6 +1275,113 @@ def test_ivfpq_persisted_index_serves_and_appends(spark, tmp_path):
     )
 
 
+def test_ivfpq_residual_encoding(spark, tmp_path):
+    """r12 residual IVFADC (the true Jégou composition): (a) on a
+    PLANTED CLUSTERED corpus (4 separated integer centers + bounded
+    hash noise) residual encoding beats raw encoding at identical
+    budget — the coarse quantizer absorbs between-cell variance so
+    the codes only carry the tight within-cell residuals; (b) with
+    the planted centers prebuilt and enumerated codebooks over the
+    actual residual frame, full-probe serving is EXACTLY brute-force
+    L2 (python-recomputed); (c) residual appends encode against the
+    frozen artifacts and replay idempotently."""
+    from pyspark.sql import functions as F
+
+    from pandabase_spark.operators.similarity import (
+        ann_topk_ivfpq_indexed, append_ivfpq_index, cosine_topk,
+        write_ivfpq_index,
+    )
+
+    base = spark.range(400).select(F.col("id").alias("vec_id"))
+    # DENSE integer centers (every subspace carries between-cluster
+    # variance — the regime residual encoding exists for)
+    center = F.expr(
+        "transform(sequence(1,16), i -> cast(4 * (pmod("
+        "(vec_id % 4 + 1) * (i + 1), 5) - 2) as double))"
+    )
+    noise = F.expr(
+        "transform(sequence(1,16), i -> "
+        "cast(pmod(hash(vec_id, i), 5) - 2 as double) / 2.0)"
+    )
+    corpus = base.select(
+        "vec_id", F.zip_with(center, noise, lambda a, b: a + b)
+        .alias("embedding"),
+    )
+    probes = corpus.where("vec_id < 5")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(corpus, probes, k=10).collect()
+    }
+    recall = {}
+    for tag, res in (("raw", False), ("residual", True)):
+        path = str(tmp_path / tag)
+        write_ivfpq_index(
+            corpus, path, n_cells=4, m=8, n_codes=8, iters=3,
+            residual=res,
+        )
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ann_topk_ivfpq_indexed(
+                spark, path, probes, k=10, nprobe=4
+            ).collect()
+        }
+        recall[tag] = len(exact & got) / max(len(exact), 1)
+    # deterministic corpus + deterministic training: a pinned fact
+    # deterministic corpus + deterministic training: a pinned fact
+    # (measured 0.66 vs 0.37 — between-cell variance the mean anchors
+    # absorb is most of what raw codes waste their bits on)
+    assert recall["residual"] >= recall["raw"] + 0.15, recall
+
+    # (b) exact configuration: planted centers + enumerated residual
+    # codebooks + full probe == brute-force L2, row for row
+    centers = [
+        [float(4 * (((j + 1) * (i + 2)) % 5 - 2)) for i in range(16)]
+        for j in range(4)
+    ]
+    xpath = str(tmp_path / "exactr")
+    write_ivfpq_index(
+        corpus, xpath, centroids=centers, m=8, residual=True,
+        exact_codebooks=True, anchors=centers,
+    )
+    rows = ann_topk_ivfpq_indexed(
+        spark, xpath, probes, k=8, nprobe=4
+    ).collect()
+    pts = {r["vec_id"]: list(r["embedding"]) for r in corpus.collect()}
+    for qid in range(5):
+        qv = pts[qid]
+        want = sorted(
+            (round(sum((a - b) ** 2 for a, b in zip(qv, v)), 6), vid)
+            for vid, v in pts.items()
+        )[:8]
+        got_q = sorted(
+            (r["approx_dist"], r["vec_id"])
+            for r in rows
+            if r["query_id"] == qid
+        )
+        assert got_q == want, qid
+
+    # (c) residual append + replay convergence on the exact index
+    data = lambda: spark.read.parquet(f"{xpath}/data")
+    n0 = data().count()
+    extra = corpus.withColumn("vec_id", F.col("vec_id") + 10_000)
+    append_ivfpq_index(extra, xpath, txn=("r", 0))
+    n1 = data().count()
+    append_ivfpq_index(extra, xpath, txn=("r", 0))
+    assert data().count() == n1 == 2 * n0
+    got2 = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_topk_ivfpq_indexed(
+            spark, xpath, probes, k=2, nprobe=4
+        ).collect()
+    }
+    # each query's duplicate twin (exact same vector) must now appear
+    # in its top-2 alongside the original — appended rows score
+    # through the SAME residual path
+    for qid in range(5):
+        ids = {v for q, v in got2 if q == qid}
+        assert ids == {qid, qid + 10_000}, (qid, ids)
+
+
 def test_centroid_literal_rejects_nonfinite(spark):
     """A non-finite centroid component must fail the index build
     loudly: Spark's non-ANSI string→double cast parses repr's
