@@ -906,6 +906,7 @@ def encode_jpeg(
     w: int, h: int, ncomp: int, pixels: bytes,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Minimal spec-correct baseline JFIF encoder (stdlib only):
     grayscale (ncomp=1) or YCbCr color (ncomp=3, RGB input) at
@@ -934,6 +935,10 @@ def encode_jpeg(
         subsampling = "444"  # grayscale has no chroma to subsample
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError(f"bad restart_interval: {restart_interval}")
+    if progressive and restart_interval:
+        raise ValueError(
+            "progressive encoding does not emit restart markers"
+        )
     # component planes, level-shifted
     import numpy as np
 
@@ -1026,6 +1031,33 @@ def encode_jpeg(
             c, l_ = ac_codes[0x00]  # EOB
             writer.put(c, l_)
 
+    def extract_block(ci: int, bx: int, by: int) -> "list[int]":
+        hi, vi = samp[ci]
+        a = planes2d[ci]
+        hc, wc = a.shape
+        block = []
+        for y in range(8):
+            sy = min(by * 8 + y, hc - 1)
+            for x in range(8):
+                sx = min(bx * 8 + x, wc - 1)
+                block.append(int(a[sy, sx]))
+        return _fdct_quant(block, _JPEG_QTAB)
+
+    if progressive:
+        full = [(mcux * hi, mcuy * vi) for hi, vi in samp]
+        store = [
+            [
+                extract_block(ci, bx, by)
+                for by in range(full[ci][1])
+                for bx in range(full[ci][0])
+            ]
+            for ci in range(ncomp)
+        ]
+        return _encode_jpeg_progressive(
+            w, h, ncomp, samp, mcux, mcuy, full, store,
+            dc_codes, ac_codes,
+        )
+
     for my in range(mcuy):
         for mx in range(mcux):
             mcu_i = my * mcux + mx
@@ -1083,6 +1115,261 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _encode_jpeg_progressive(
+    w, h, ncomp, samp, mcux, mcuy, full, store, dc_codes, ac_codes
+) -> bytes:
+    """Emit a SOF2 progressive JFIF stream from the quantized
+    coefficient store — the synthesis half of the r12 progressive
+    decoder, covering BOTH progression axes so round-trips exercise
+    every decode branch: spectral selection (DC scan, then the 1-63
+    AC band per component) and successive approximation (first scans
+    at Al=1, then Ah=1→Al=0 refinement scans — DC raw bits; AC via
+    the libjpeg correction-bit protocol: newly-significant ±1 runs,
+    EOBRUN accumulation, and correction bits for already-significant
+    coefficients buffered in block order and flushed after the next
+    emitted symbol)."""
+    import struct
+
+    # the STANDARD baseline AC table has no EOBn (n>0) symbols —
+    # progressive needs them for EOB runs, so the progressive scans
+    # carry their own flat canonical table (all 176 run/size symbols
+    # at 8 bits: 176·2⁸ ≤ 2¹⁶, canonically valid; bulkier than an
+    # optimized table, but the decoder must handle arbitrary DHTs
+    # anyway — which this also exercises)
+    prog_ac_bits = [0] * 7 + [176] + [0] * 8
+    prog_ac_vals = [(r << 4) | s for r in range(16) for s in range(11)]
+    ac_codes = _huff_codes(prog_ac_bits, prog_ac_vals)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(
+            ">BBH", 0xFF, marker, len(payload) + 2
+        ) + payload
+
+    def put_val(wr, v: int, t: int) -> None:
+        if t:
+            wr.put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    # --- scan emitters ------------------------------------------------
+    def dc_first(al: int) -> bytes:
+        wr = _BitWriter()
+        pred = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hi, vi = samp[ci]
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            idx = (
+                                (my * vi + byy) * full[ci][0]
+                                + mx * hi + bxx
+                            )
+                            v = store[ci][idx][0] >> al  # arithmetic
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            t = abs(diff).bit_length()
+                            code, ln = dc_codes[t]
+                            wr.put(code, ln)
+                            put_val(wr, diff, t)
+        return wr.flush()
+
+    def dc_refine(al: int) -> bytes:
+        wr = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hi, vi = samp[ci]
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            idx = (
+                                (my * vi + byy) * full[ci][0]
+                                + mx * hi + bxx
+                            )
+                            wr.put((store[ci][idx][0] >> al) & 1, 1)
+        return wr.flush()
+
+    def ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        wr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                rb = eobrun.bit_length() - 1
+                code, ln = ac_codes[rb << 4]
+                wr.put(code, ln)
+                if rb:
+                    wr.put(eobrun - (1 << rb), rb)
+                eobrun = 0
+
+        cbw, cbh = _comp_grid(w, h, samp, ci)
+        bwfull = full[ci][0]
+        for by in range(cbh):
+            for bx in range(cbw):
+                block = store[ci][by * bwfull + bx]
+                tv = [0] * 64
+                last_nz = 0
+                for k in range(ss, se + 1):
+                    c = block[_JPEG_ZIGZAG[k]]
+                    t = (abs(c) >> al) * (1 if c >= 0 else -1)
+                    tv[k] = t
+                    if t:
+                        last_nz = k
+                if last_nz == 0:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(ss, last_nz + 1):
+                    if tv[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        wr.put(code, ln)
+                        run -= 16
+                    t = abs(tv[k]).bit_length()
+                    code, ln = ac_codes[(run << 4) | t]
+                    wr.put(code, ln)
+                    put_val(wr, tv[k], t)
+                    run = 0
+                if last_nz < se:
+                    eobrun += 1
+        flush_eob()
+        return wr.flush()
+
+    def ac_refine(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        wr = _BitWriter()
+        eobrun = 0
+        buf: "list[int]" = []  # correction bits awaiting the next EOBn
+
+        def flush_eob():
+            nonlocal eobrun, buf
+            if eobrun:
+                rb = eobrun.bit_length() - 1
+                code, ln = ac_codes[rb << 4]
+                wr.put(code, ln)
+                if rb:
+                    wr.put(eobrun - (1 << rb), rb)
+                for b in buf:
+                    wr.put(b, 1)
+                buf = []
+                eobrun = 0
+
+        cbw, cbh = _comp_grid(w, h, samp, ci)
+        bwfull = full[ci][0]
+        for by in range(cbh):
+            for bx in range(cbw):
+                block = store[ci][by * bwfull + bx]
+                # last NEWLY-significant position: zero history
+                # (abs>>ah == 0) becoming 1 at this precision
+                last_sig = 0
+                for k in range(ss, se + 1):
+                    a_ = abs(block[_JPEG_ZIGZAG[k]])
+                    if (a_ >> ah) == 0 and (a_ >> al) != 0:
+                        last_sig = k
+                if last_sig == 0:
+                    # pure EOB block: corrections ride the run buffer
+                    eobrun += 1
+                    for k in range(ss, se + 1):
+                        a_ = abs(block[_JPEG_ZIGZAG[k]])
+                        if a_ >> ah:
+                            buf.append((a_ >> al) & 1)
+                    if eobrun == 32767:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                pend: "list[int]" = []
+                for k in range(ss, last_sig + 1):
+                    c = block[_JPEG_ZIGZAG[k]]
+                    a_ = abs(c)
+                    if (a_ >> al) == 0:
+                        run += 1
+                        continue
+                    # nonzero at this precision (newly-significant OR
+                    # a correction): pending ZRLs flush FIRST — the
+                    # decoder's ZRL walk crosses only the corrections
+                    # positioned among its 16 zeros, so a correction
+                    # reached with run > 15 must come after the ZRL,
+                    # not ride in its bit buffer (jcphuff ordering;
+                    # the first draft flushed only at newly-significant
+                    # coefs and corner blocks decoded wrong)
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        wr.put(code, ln)
+                        for b in pend:
+                            wr.put(b, 1)
+                        pend = []
+                        run -= 16
+                    if a_ >> ah:
+                        pend.append((a_ >> al) & 1)
+                        continue
+                    code, ln = ac_codes[(run << 4) | 1]
+                    wr.put(code, ln)
+                    wr.put(1 if c > 0 else 0, 1)
+                    for b in pend:
+                        wr.put(b, 1)
+                    pend = []
+                    run = 0
+                # tail (after the last newly-significant coef): joins
+                # the EOB run; its corrections buffer in block order
+                if last_sig < se:
+                    eobrun += 1
+                    buf.extend(pend)
+                    for k in range(last_sig + 1, se + 1):
+                        a_ = abs(block[_JPEG_ZIGZAG[k]])
+                        if a_ >> ah:
+                            buf.append((a_ >> al) & 1)
+                else:
+                    # band fully coded through se: nothing may remain
+                    buf.extend(pend)
+        flush_eob()
+        return wr.flush()
+
+    # --- stream assembly ----------------------------------------------
+    qt = bytes([_JPEG_QTAB[_JPEG_ZIGZAG[i]] for i in range(64)])
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + qt)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(
+        0xC4, b"\x11" + bytes(prog_ac_bits) + bytes(prog_ac_vals)
+    )
+
+    def sos(comp_ids, ss, se, ah, al, data):
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid + 1, 0x01])  # dc table 0, ac table 1
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, hdr) + data
+
+    out += sos(list(range(ncomp)), 0, 0, 0, 1, dc_first(1))
+    out += sos(list(range(ncomp)), 0, 0, 1, 0, dc_refine(0))
+    for ci in range(ncomp):
+        out += sos([ci], 1, 63, 0, 1, ac_first(ci, 1, 63, 1))
+    for ci in range(ncomp):
+        out += sos([ci], 1, 63, 1, 0, ac_refine(ci, 1, 63, 1, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _comp_grid(w, h, samp, ci):
+    """Component-resolution block grid (non-interleaved scan
+    coverage) — mirrors :func:`_jpeg_geometry`'s compgrid."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    hi, vi = samp[ci]
+    cw = (w * hi + hmax - 1) // hmax
+    ch = (h * vi + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
 def _parse_jpeg(payload: bytes):
     """REAL baseline JPEG decoder with NO dependencies: marker walk
     (DQT/SOF0/DHT/SOS), canonical huffman entropy decode with byte
@@ -1090,10 +1377,15 @@ def _parse_jpeg(payload: bytes):
     de-interleave for sampling factors up to 2×2 (4:4:4, 4:2:2,
     4:4:0 and the near-universal 4:2:0, with nearest-neighbor chroma
     upsampling — r12), DRI restart intervals (RSTn consume + sequence
-    check + DC predictor reset — r12), and (for 3 components)
-    YCbCr→RGB conversion. Anything else — progressive (SOF2),
-    sampling factors above 2, arithmetic coding, truncated streams —
-    returns None (callers surface nulls, never crash a batch). Returns
+    check + DC predictor reset — r12), PROGRESSIVE (SOF2) streams —
+    multi-scan spectral selection AND successive approximation:
+    DC first/refinement, AC first with EOBRUN block skips, AC
+    refinement with correction bits (ITU T.81 G.2 / the libjpeg
+    decode_mcu_* protocol), accumulated per-coefficient and
+    reconstructed at EOI (r12) — and (for 3 components) YCbCr→RGB
+    conversion. Anything else — sampling factors above 2, arithmetic
+    coding, hierarchical/lossless SOFs, truncated streams — returns
+    None (callers surface nulls, never crash a batch). Returns
     ``(w, h, channels, pixel_bytes)`` like :func:`_parse_png`. The
     fourth modality codec, and the first LOSSY one: a bug anywhere in
     the huffman tables, coefficient decode, dequant, or IDCT changes
@@ -1109,12 +1401,19 @@ def _parse_jpeg(payload: bytes):
         ri = 0
         w = h = 0
         comps: "list[tuple[int, int, int]]" = []  # (id, sampling, qid)
+        progressive = False
+        prog_state = None
+        n_scans = 0
         while i + 4 <= n:
             if payload[i] != 0xFF:
                 return None
             marker = payload[i + 1]
-            if marker == 0xD9:  # EOI before SOS
-                return None
+            if marker == 0xD9:
+                if prog_state is not None and n_scans:
+                    return _jpeg_prog_finish(
+                        prog_state, comps, qtabs, w, h
+                    )
+                return None  # EOI before any decodable scan
             (length,) = struct.unpack(">H", payload[i + 2:i + 4])
             body = payload[i + 4:i + 2 + length]
             if len(body) < length - 2:
@@ -1133,7 +1432,8 @@ def _parse_jpeg(payload: bytes):
                         tab[_JPEG_ZIGZAG[k]] = zz[k]
                     qtabs[tq] = tab
                     j += 65
-            elif marker == 0xC0:
+            elif marker in (0xC0, 0xC2):
+                progressive = marker == 0xC2
                 prec, h, w, nc = struct.unpack(">BHHB", body[:6])
                 if prec != 8 or w <= 0 or h <= 0:
                     return None
@@ -1152,9 +1452,9 @@ def _parse_jpeg(payload: bytes):
                     for _, s, _q in comps
                 ):
                     return None
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline SOF
+                return None  # unsupported SOF class
             elif marker == 0xC4:
                 j = 0
                 while j + 17 <= len(body):
@@ -1172,7 +1472,7 @@ def _parse_jpeg(payload: bytes):
                 ri = struct.unpack(">H", body[:2])[0]  # DRI (r12)
             elif marker == 0xDA:
                 ns = body[0]
-                if ns != len(comps) or not comps:
+                if not comps or (not progressive and ns != len(comps)):
                     return None
                 # the scan's interleave follows SOS order, and each
                 # SOS entry names its SOF component by ID — map
@@ -1192,15 +1492,337 @@ def _parse_jpeg(payload: bytes):
                     sel.append((tb >> 4, tb & 15))
                 if len(set(scan_order)) != ns:
                     return None  # duplicate component in scan
-                scan = payload[i + 2 + length:]
-                return _jpeg_decode_scan(
-                    w, h, comps, sel, qtabs, huff, scan,
-                    scan_order=scan_order, restart_interval=ri,
+                if not progressive:
+                    scan = payload[i + 2 + length:]
+                    return _jpeg_decode_scan(
+                        w, h, comps, sel, qtabs, huff, scan,
+                        scan_order=scan_order, restart_interval=ri,
+                    )
+                # progressive (SOF2, r12): accumulate this scan into
+                # the coefficient store and keep walking markers —
+                # reconstruction happens at EOI
+                n_scans += 1
+                if n_scans > 64:
+                    return None  # scan-count bomb guard
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 15
+                if prog_state is None:
+                    (samp, hmax, vmax, mcux, mcuy, full,
+                     compgrid) = _jpeg_geometry(w, h, comps)
+                    prog_state = {
+                        "samp": samp, "mcux": mcux, "mcuy": mcuy,
+                        "full": full, "compgrid": compgrid,
+                        "coefs": [
+                            [[0] * 64 for _ in range(bw * bh)]
+                            for bw, bh in full
+                        ],
+                    }
+                scan_start = i + 2 + length
+                scan_end = _find_scan_end(payload, scan_start)
+                ok = _jpeg_prog_scan(
+                    prog_state, payload[scan_start:scan_end],
+                    scan_order, sel, ss, se, ah, al, ri, huff,
                 )
+                if not ok:
+                    return None
+                i = scan_end
+                continue
             i += 2 + length
+        if prog_state is not None and n_scans:
+            # tolerate a truncated tail after the last scan (EOI
+            # missing): every accumulated scan decoded cleanly
+            return _jpeg_prog_finish(prog_state, comps, qtabs, w, h)
         return None
     except Exception:
         return None
+
+
+def _jpeg_geometry(w, h, comps):
+    """Shared sampling geometry: per-component factors, MCU grid, and
+    both block grids — the FULL interleaved grid (mcux·hi × mcuy·vi,
+    incl. right/bottom dummy blocks) and the component-resolution grid
+    (ceil(comp_w/8) × ceil(comp_h/8)) that NON-interleaved progressive
+    scans cover (ITU T.81 A.2.2)."""
+    samp = [((c[1] >> 4) & 15, c[1] & 15) for c in comps]
+    if len(comps) == 1:
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    full = [(mcux * hi, mcuy * vi) for hi, vi in samp]
+    compgrid = []
+    for hi, vi in samp:
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        compgrid.append(((cw + 7) // 8, (ch + 7) // 8))
+    return samp, hmax, vmax, mcux, mcuy, full, compgrid
+
+
+def _find_scan_end(payload: bytes, start: int) -> int:
+    """First marker position after ``start`` that is not byte
+    stuffing (FF 00) or a restart marker (FF D0-D7) — the end of a
+    progressive scan's entropy segment."""
+    j, n = start, len(payload)
+    while j + 1 < n:
+        if payload[j] == 0xFF:
+            nxt = payload[j + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                j += 2
+                continue
+            return j
+        j += 1
+    return n
+
+
+def _jpeg_prog_scan(
+    state, scan, scan_idx, sel, ss, se, ah, al, ri, huff
+) -> bool:
+    """Decode ONE progressive scan into the coefficient store —
+    ITU T.81 G.2 / the libjpeg decode_mcu_* family: DC first
+    (huffman diffs, point-transformed <<Al) and DC refinement (one
+    raw bit per block); AC first (band run-length with EOBRUN block
+    skips) and AC refinement (correction bits for every
+    already-significant coefficient crossed, newly-significant ±1<<Al
+    insertions, EOBRUN blocks still consuming correction bits).
+    Returns False on any malformed stream (callers null the row)."""
+    coefs = state["coefs"]
+    samp, mcux, mcuy = state["samp"], state["mcux"], state["mcuy"]
+    full, compgrid = state["full"], state["compgrid"]
+
+    dec = {
+        key: {(ln, code): sym for sym, (code, ln) in tab.items()}
+        for key, tab in huff.items()
+    }
+
+    def read_sym(r, table):
+        code, ln = 0, 0
+        while ln < 17:
+            code = (code << 1) | r.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise EOFError
+
+    r = _BitReader(scan)
+    prev_dc = {ci: 0 for ci in scan_idx}
+    eobrun = 0
+    unit_i = 0
+
+    def maybe_restart():
+        nonlocal eobrun, unit_i
+        if ri and unit_i and unit_i % ri == 0:
+            seq = r.restart()
+            if seq != (unit_i // ri - 1) % 8:
+                raise EOFError
+            for ci in prev_dc:
+                prev_dc[ci] = 0
+            eobrun = 0
+
+    if ss == 0:
+        # DC scan (se must be 0): interleaved over the MCU grid when
+        # multi-component, component block raster when single
+        if se != 0:
+            return False
+        units = []
+        if len(scan_idx) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    blocks = []
+                    for ci in scan_idx:
+                        hi, vi = samp[ci]
+                        for byy in range(vi):
+                            for bxx in range(hi):
+                                blocks.append(
+                                    (ci,
+                                     (my * vi + byy) * full[ci][0]
+                                     + mx * hi + bxx)
+                                )
+                    units.append(blocks)
+        else:
+            ci = scan_idx[0]
+            cbw, cbh = compgrid[ci]
+            for by in range(cbh):
+                for bx in range(cbw):
+                    units.append([(ci, by * full[ci][0] + bx)])
+        si_of = {ci: i for i, ci in enumerate(scan_idx)}
+        try:
+            for blocks in units:
+                maybe_restart()
+                unit_i += 1
+                for ci, idx in blocks:
+                    block = coefs[ci][idx]
+                    if ah == 0:
+                        dc_t = dec.get((0, sel[si_of[ci]][0]))
+                        if dc_t is None:
+                            return False
+                        t = read_sym(r, dc_t)
+                        prev_dc[ci] += _jpeg_extend(r.bits(t), t)
+                        block[0] = prev_dc[ci] << al
+                    else:
+                        block[0] |= r.bit() << al
+        except EOFError:
+            return False
+        return True
+
+    # AC scan: single component, component-resolution block raster
+    if len(scan_idx) != 1 or not (1 <= ss <= se <= 63):
+        return False
+    ci = scan_idx[0]
+    ac_t = dec.get((1, sel[0][1]))
+    if ac_t is None:
+        return False
+    cbw, cbh = compgrid[ci]
+    bwfull = full[ci][0]
+    p1 = 1 << al
+    try:
+        for by in range(cbh):
+            for bx in range(cbw):
+                maybe_restart()
+                unit_i += 1
+                block = coefs[ci][by * bwfull + bx]
+                if ah == 0:
+                    # first scan for this band
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = read_sym(r, ac_t)
+                        rr, s = sym >> 4, sym & 15
+                        if s == 0:
+                            if rr == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.bits(rr)
+                            break
+                        k += rr
+                        if k > se:
+                            return False
+                        block[_JPEG_ZIGZAG[k]] = (
+                            _jpeg_extend(r.bits(s), s) << al
+                        )
+                        k += 1
+                    continue
+                # refinement scan
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = read_sym(r, ac_t)
+                        rr, s = sym >> 4, sym & 15
+                        if s == 0:
+                            if rr != 15:
+                                eobrun = 1 << rr
+                                if rr:
+                                    eobrun += r.bits(rr)
+                                break
+                            val = 0
+                        else:
+                            if s != 1:
+                                return False
+                            val = p1 if r.bit() else -p1
+                        while k <= se:
+                            z = _JPEG_ZIGZAG[k]
+                            c = block[z]
+                            if c != 0:
+                                if r.bit() and (abs(c) & p1) == 0:
+                                    block[z] = c + (p1 if c > 0 else -p1)
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if val and k <= se:
+                            block[_JPEG_ZIGZAG[k]] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        z = _JPEG_ZIGZAG[k]
+                        c = block[z]
+                        if c != 0:
+                            if r.bit() and (abs(c) & p1) == 0:
+                                block[z] = c + (p1 if c > 0 else -p1)
+                        k += 1
+                    eobrun -= 1
+    except EOFError:
+        return False
+    return True
+
+
+def _jpeg_prog_finish(state, comps, qtabs, w, h):
+    """Dequantize + IDCT every accumulated coefficient block and
+    assemble exactly like the baseline path (same planes, same
+    upsample, same color conversion)."""
+    samp, mcux, mcuy = state["samp"], state["mcux"], state["mcuy"]
+    full = state["full"]
+    ncomp = len(comps)
+    strides = [full[ci][0] * 8 for ci in range(ncomp)]
+    plane_hs = [full[ci][1] * 8 for ci in range(ncomp)]
+    planes = [
+        bytearray(strides[ci] * plane_hs[ci]) for ci in range(ncomp)
+    ]
+    for ci in range(ncomp):
+        q = qtabs.get(comps[ci][2])
+        if q is None:
+            return None
+        bwfull, bhfull = full[ci]
+        stride = strides[ci]
+        for by in range(bhfull):
+            for bx in range(bwfull):
+                spat = _dequant_idct(
+                    state["coefs"][ci][by * bwfull + bx], q
+                )
+                plane = planes[ci]
+                for y in range(8):
+                    row_off = (by * 8 + y) * stride + bx * 8
+                    plane[row_off:row_off + 8] = bytes(
+                        spat[y * 8:y * 8 + 8]
+                    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    return _jpeg_assemble(
+        w, h, ncomp, samp, hmax, vmax, planes, strides, plane_hs
+    )
+
+
+def _jpeg_assemble(w, h, ncomp, samp, hmax, vmax, planes, strides,
+                   plane_hs):
+    """Planes → (w, h, channels, bytes): crop each component to its
+    natural resolution, nearest-neighbor upsample subsampled axes,
+    convert YCbCr→RGB for 3 components — shared by the baseline and
+    progressive paths."""
+    import numpy as np
+
+    def crop(ci: int) -> "np.ndarray":
+        hi, vi = samp[ci]
+        wi = (w * hi + hmax - 1) // hmax
+        hgt = (h * vi + vmax - 1) // vmax
+        a = (
+            np.frombuffer(bytes(planes[ci]), dtype=np.uint8)
+            .reshape(plane_hs[ci], strides[ci])[:hgt, :wi]
+        )
+        if hi != hmax or vi != vmax:
+            a = np.repeat(
+                np.repeat(a, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        return a[:h, :w]
+
+    if ncomp == 1:
+        return w, h, 1, crop(0).tobytes()
+    Y = crop(0).astype("float64")
+    cb = crop(1).astype("float64") - 128.0
+    cr = crop(2).astype("float64") - 128.0
+    r_ = np.clip(np.floor(Y + 1.402 * cr + 0.5), 0, 255)
+    g_ = np.clip(
+        np.floor(Y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255
+    )
+    b_ = np.clip(np.floor(Y + 1.772 * cb + 0.5), 0, 255)
+    out = np.stack([r_, g_, b_], axis=-1).astype(np.uint8)
+    return w, h, 3, out.tobytes()
 
 
 def _jpeg_decode_scan(w, h, comps, sel, qtabs, huff, scan, *,
@@ -1310,41 +1932,9 @@ def _jpeg_decode_scan(w, h, comps, sel, qtabs, huff, scan, *,
                             plane[row_off:row_off + 8] = bytes(
                                 spat[y * 8:y * 8 + 8]
                             )
-    import numpy as np
-
-    def crop(ci: int) -> "np.ndarray":
-        """Component ci at FULL image resolution: slice its natural
-        ceil(w·hi/hmax) × ceil(h·vi/vmax) region, then nearest-
-        neighbor (pixel-replication) upsample any subsampled axis —
-        the deterministic JFIF box-filter inverse, exact for payloads
-        whose chroma is constant over each subsampling cell."""
-        hi, vi = samp[ci]
-        wi = (w * hi + hmax - 1) // hmax
-        hgt = (h * vi + vmax - 1) // vmax
-        a = (
-            np.frombuffer(bytes(planes[ci]), dtype=np.uint8)
-            .reshape(plane_hs[ci], strides[ci])[:hgt, :wi]
-        )
-        if hi != hmax or vi != vmax:
-            a = np.repeat(
-                np.repeat(a, vmax // vi, axis=0), hmax // hi, axis=1
-            )
-        return a[:h, :w]
-
-    if ncomp == 1:
-        return w, h, 1, crop(0).tobytes()
-    # vectorized YCbCr→RGB (same elementwise floor(x+0.5) + clamp the
-    # scalar loop computed — identical IEEE ops, no Python per pixel)
-    Y = crop(0).astype("float64")
-    cb = crop(1).astype("float64") - 128.0
-    cr = crop(2).astype("float64") - 128.0
-    r_ = np.clip(np.floor(Y + 1.402 * cr + 0.5), 0, 255)
-    g_ = np.clip(
-        np.floor(Y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255
+    return _jpeg_assemble(
+        w, h, ncomp, samp, hmax, vmax, planes, strides, plane_hs
     )
-    b_ = np.clip(np.floor(Y + 1.772 * cb + 0.5), 0, 255)
-    out = np.stack([r_, g_, b_], axis=-1).astype(np.uint8)
-    return w, h, 3, out.tobytes()
 
 
 def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1370,7 +1960,16 @@ def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h = 8 + i % 9, 8 + i % 5
                 g = 2 * (i % 128)
                 payloads.append(
-                    encode_jpeg(w, h, 1, bytes([g]) * (w * h))
+                    encode_jpeg(
+                        w, h, 1, bytes([g]) * (w * h),
+                        # a deterministic fifth of the corpus ships
+                        # PROGRESSIVE (SOF2) framing (r12): identical
+                        # quantized coefficients re-framed as
+                        # spectral-selection + successive-approximation
+                        # scans, so the SAME id-arithmetic oracle
+                        # value-exact-gates the multi-scan decoder
+                        progressive=(i % 5 == 0),
+                    )
                 )
             yield pd.DataFrame(
                 {

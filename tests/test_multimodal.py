@@ -619,6 +619,64 @@ def test_jpeg_420_subsampling_roundtrip():
         encode_jpeg(8, 8, 3, bytes(192), subsampling="411")
 
 
+def test_jpeg_progressive_roundtrip():
+    """r12: PROGRESSIVE (SOF2) encode/decode — spectral selection
+    (DC scan + per-component 1-63 AC band) and successive
+    approximation (Al=1 first scans, Ah=1→Al=0 refinements: DC raw
+    bits, AC correction-bit protocol with EOBRUN accumulation and
+    buffered bits). The coefficients are IDENTICAL to baseline's, so
+    progressive must decode byte-for-byte equal to the baseline
+    encoding of the same input — across gray/color, all subsampling
+    layouts, single- and multi-MCU grids, partial edge blocks.
+    Hostile variants null, never crash."""
+    import itertools
+
+    from pandabase_spark.operators.multimodal import (
+        _parse_jpeg, encode_jpeg,
+    )
+
+    for (w, h), nc, ss in itertools.product(
+        [(8, 8), (17, 9), (33, 31), (25, 25)], [1, 3],
+        ["444", "420", "422"],
+    ):
+        if nc == 1 and ss != "444":
+            continue
+        rng = (w * 131 + h * 17 + nc) % (1 << 31)
+        px = bytearray()
+        for _ in range(w * h * nc):
+            rng = (1103515245 * rng + 12345) % (1 << 31)
+            px.append(rng & 0xFF)
+        base = _parse_jpeg(encode_jpeg(w, h, nc, bytes(px),
+                                       subsampling=ss))
+        prog = _parse_jpeg(
+            encode_jpeg(w, h, nc, bytes(px), subsampling=ss,
+                        progressive=True)
+        )
+        assert prog is not None and prog[:3] == (w, h, nc)
+        assert prog[3] == base[3], (w, h, nc, ss)
+
+    # neutral-gray solids stay byte-exact through the multi-scan path
+    for i in (0, 31, 77, 200):
+        w, h, g = 8 + i % 9, 8 + i % 5, 2 * (i % 128)
+        out = _parse_jpeg(
+            encode_jpeg(w, h, 1, bytes([g]) * (w * h), progressive=True)
+        )
+        assert out is not None and set(out[3]) == {g}
+
+    # hostile: truncation at every region, scan-count bomb, missing
+    # tables — None, never an exception
+    good = encode_jpeg(24, 17, 3, bytes([10, 20, 30]) * (24 * 17),
+                       progressive=True)
+    assert _parse_jpeg(good[:60]) is None
+    assert _parse_jpeg(good[:len(good) // 2]) is None
+    assert _parse_jpeg(good[:-2]) is not None  # just EOI gone: tolerated
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_jpeg(8, 8, 1, bytes(64), progressive=True,
+                    restart_interval=2)
+
+
 def test_jpeg_restart_intervals_roundtrip():
     """r12: DRI/RSTn support — the restart framing real-world JPEGs
     carry. (a) Round-trips across gray/color, 444/420, single- and

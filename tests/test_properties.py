@@ -193,6 +193,38 @@ def test_jpeg_420_dri_roundtrip_bounded_any_image(w, h, seed, ri):
 
 
 @given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_progressive_equals_baseline_any_image(w, h, seed, color):
+    """Progressive framing is answer-NEUTRAL for any input: SOF2
+    re-frames the same quantized coefficients as multi-scan spectral
+    selection + successive approximation, so the decode must be
+    byte-identical to the baseline encoding of the same pixels — the
+    strongest possible pin on both halves of the multi-scan
+    machinery (a single misplaced EOBRUN, correction bit, or
+    refinement walk breaks equality)."""
+    from pandabase_spark.operators.multimodal import (
+        _parse_jpeg, encode_jpeg,
+    )
+
+    nc = 3 if color else 1
+    rng = seed
+    px = bytearray()
+    for _ in range(w * h * nc):
+        rng = (1103515245 * rng + 12345) % (1 << 31)
+        px.append(rng & 0xFF)
+    base = _parse_jpeg(encode_jpeg(w, h, nc, bytes(px)))
+    prog = _parse_jpeg(encode_jpeg(w, h, nc, bytes(px),
+                                   progressive=True))
+    assert prog is not None
+    assert prog[3] == base[3]
+
+
+@given(
     st.integers(min_value=1, max_value=8),
     st.integers(min_value=1, max_value=8),
     st.integers(min_value=1, max_value=4),
