@@ -1032,7 +1032,6 @@ def encode_jpeg(
             writer.put(c, l_)
 
     def extract_block(ci: int, bx: int, by: int) -> "list[int]":
-        hi, vi = samp[ci]
         a = planes2d[ci]
         hc, wc = a.shape
         block = []
@@ -1054,8 +1053,7 @@ def encode_jpeg(
             for ci in range(ncomp)
         ]
         return _encode_jpeg_progressive(
-            w, h, ncomp, samp, mcux, mcuy, full, store,
-            dc_codes, ac_codes,
+            w, h, ncomp, samp, mcux, mcuy, full, store, dc_codes,
         )
 
     for my in range(mcuy):
@@ -1067,19 +1065,11 @@ def encode_jpeg(
                 prev_dc[:] = [0] * ncomp
             for ci in range(ncomp):
                 hi, vi = samp[ci]
-                a = planes2d[ci]
-                hc, wc = a.shape
                 for byy in range(vi):
                     for bxx in range(hi):
-                        block = []
-                        for y in range(8):
-                            sy = min((my * vi + byy) * 8 + y, hc - 1)
-                            for x in range(8):
-                                sx = min(
-                                    (mx * hi + bxx) * 8 + x, wc - 1
-                                )
-                                block.append(int(a[sy, sx]))
-                        emit_block(_fdct_quant(block, _JPEG_QTAB))
+                        emit_block(extract_block(
+                            ci, mx * hi + bxx, my * vi + byy
+                        ))
     scan = writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1116,7 +1106,7 @@ def encode_jpeg(
 
 
 def _encode_jpeg_progressive(
-    w, h, ncomp, samp, mcux, mcuy, full, store, dc_codes, ac_codes
+    w, h, ncomp, samp, mcux, mcuy, full, store, dc_codes
 ) -> bytes:
     """Emit a SOF2 progressive JFIF stream from the quantized
     coefficient store — the synthesis half of the r12 progressive
@@ -1315,16 +1305,15 @@ def _encode_jpeg_progressive(
                     run = 0
                 # tail (after the last newly-significant coef): joins
                 # the EOB run; its corrections buffer in block order
+                # pend is empty here by construction: the loop ends
+                # at last_sig, a newly-significant position whose
+                # emission flushed it (r12 review)
                 if last_sig < se:
                     eobrun += 1
-                    buf.extend(pend)
                     for k in range(last_sig + 1, se + 1):
                         a_ = abs(block[_JPEG_ZIGZAG[k]])
                         if a_ >> ah:
                             buf.append((a_ >> al) & 1)
-                else:
-                    # band fully coded through se: nothing may remain
-                    buf.extend(pend)
         flush_eob()
         return wr.flush()
 
@@ -2030,6 +2019,11 @@ def attach_jpeg420_payload(
                         # change the entropy framing, never the
                         # reconstructed bytes
                         restart_interval=(i % 3) if i % 3 < 2 else 0,
+                        # and the ids with NO restart framing ship
+                        # PROGRESSIVE (SOF2) instead, composing
+                        # multi-scan decode with color subsampling
+                        # in the same value-exact gate
+                        progressive=i % 3 == 2,
                     )
                 )
             yield pd.DataFrame(

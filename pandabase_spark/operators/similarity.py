@@ -1128,7 +1128,6 @@ def write_ivfpq_index(
         anchors_df.coalesce(1).write.mode("errorifexists").parquet(
             f"{path}/anchors"
         )
-        anchors_df.unpersist()
     encoded = pq_encode(
         staged, codebooks, vec_col=vec_col
     ).select(F.col(id_col), "cell", "pq_code")
@@ -1139,6 +1138,13 @@ def write_ivfpq_index(
         .partitionBy("cell", "txn")
         .parquet(f"{path}/data")
     )
+    if anchors_df is not None:
+        # unpersist only AFTER the encoded write: its lineage shifts
+        # by these anchors, and recomputing the mean aggregation is
+        # both a full extra corpus pass and (float avg being
+        # partition-order dependent) an ulp-drift risk vs the
+        # persisted sidecar the query side reads (r12 review)
+        anchors_df.unpersist()
 
 
 def _subtract_cell_anchor(
@@ -1194,12 +1200,18 @@ def _cell_mean_anchors(assigned: DataFrame, vec_col: str) -> DataFrame:
 
 def _index_is_residual(spark, path: str) -> bool:
     """The persisted ``residual`` flag; indexes written before the
-    meta sidecar existed are raw-encoding by construction."""
-    try:
-        row = spark.read.parquet(f"{path}/meta").first()
-        return bool(row["residual"]) if row is not None else False
-    except Exception:
+    meta sidecar existed are raw-encoding by construction. ONLY the
+    sidecar's absence maps to False — a transient read failure must
+    RAISE, not silently treat a residual index as raw (encoding a
+    batch without the anchor shift would corrupt it permanently —
+    r12 review)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/meta")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return False
+    row = spark.read.parquet(f"{path}/meta").first()
+    return bool(row["residual"]) if row is not None else False
 
 
 def _load_codebooks(spark, path: str) -> "list[list[list[float]]]":
@@ -1283,39 +1295,10 @@ def ann_topk_ivfpq_indexed(
     existing = _existing_cells(spark, f"{path}/data")
     cells = [c for c in cells if c in existing]
     if not cells:
-        from pyspark.sql.types import (
-            DoubleType,
-            IntegerType,
-            LongType,
-            StructField,
-            StructType,
+        return _empty_topk(
+            spark, q, existing, path, id_col, "approx_dist"
         )
-
-        if existing:
-            one = sorted(existing)[0]
-            peek = spark.read.option(
-                "basePath", f"{path}/data"
-            ).parquet(f"{path}/data/cell={one}")
-            id_type = peek.schema[id_col].dataType
-        else:
-            id_type = LongType()
-        qid_type = q.schema["query_id"].dataType
-        return spark.createDataFrame(
-            [],
-            StructType(
-                [
-                    StructField("query_id", qid_type),
-                    StructField(id_col, id_type),
-                    StructField("approx_dist", DoubleType()),
-                    StructField("rank", IntegerType()),
-                ]
-            ),
-        )
-    data = (
-        spark.read.option("basePath", f"{path}/data")
-        .parquet(*[f"{path}/data/cell={c}" for c in cells])
-        .where(F.col("cell").isin(cells))
-    )
+    data = _pruned_cells_read(spark, path, cells)
     scored = data.join(F.broadcast(probes), on="cell")
     if _index_is_residual(spark, path):
         # residual encoding (the true IVFADC): the stored codes
@@ -1451,6 +1434,57 @@ def _expand_probes(spark, cdf: DataFrame, q: DataFrame, nprobe: int):
     return probes, cells
 
 
+def _empty_topk(spark, q, existing, path, id_col, score_col):
+    """The zero-probed-cells contract result, shared by both persisted
+    serve paths (r12 review dedup): no probed cell holds data (empty
+    query set, every probed cell empty, or an index built from an
+    EMPTY corpus — whose data dir has no cell partitions and would
+    make a full read raise 'unable to infer schema'). Construct the
+    empty frame directly: zero listing, zero scan, zero jobs. The id
+    column's type comes from one footer of one existing cell when any
+    exists, else the documented long contract."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if existing:
+        one = sorted(existing)[0]
+        peek = spark.read.option(
+            "basePath", f"{path}/data"
+        ).parquet(f"{path}/data/cell={one}")
+        id_type = peek.schema[id_col].dataType
+    else:
+        id_type = LongType()
+    qid_type = q.schema["query_id"].dataType
+    return spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("query_id", qid_type),
+                StructField(id_col, id_type),
+                StructField(score_col, DoubleType()),
+                StructField("rank", IntegerType()),
+            ]
+        ),
+    )
+
+
+def _pruned_cells_read(spark, path, cells):
+    """Open ONLY the probed cells' directories (basePath keeps
+    ``cell`` a partition column); the residual isin filter keeps
+    semantics explicit and the PartitionFilters plan fact asserted in
+    test_plan_shapes.py."""
+    return (
+        spark.read.option("basePath", f"{path}/data")
+        .parquet(*[f"{path}/data/cell={c}" for c in cells])
+        .where(F.col("cell").isin(cells))
+    )
+
+
 def ann_topk_indexed(
     spark,
     path: str,
@@ -1495,47 +1529,8 @@ def ann_topk_indexed(
     existing = _existing_cells(spark, f"{path}/data")
     cells = [c for c in cells if c in existing]
     if not cells:
-        # No probed cell holds data (empty query set, every probed
-        # cell empty, or an index built from an EMPTY corpus — whose
-        # data dir has no cell partitions and would make a full read
-        # raise 'unable to infer schema'). Construct the empty
-        # contract result directly: zero listing, zero scan, zero
-        # jobs. The id column's type comes from one footer of one
-        # existing cell when any exists, else the documented long
-        # contract.
-        from pyspark.sql.types import (
-            DoubleType,
-            IntegerType,
-            LongType,
-            StructField,
-            StructType,
-        )
-
-        if existing:
-            one = sorted(existing)[0]
-            peek = spark.read.option(
-                "basePath", f"{path}/data"
-            ).parquet(f"{path}/data/cell={one}")
-            id_type = peek.schema[id_col].dataType
-        else:
-            id_type = LongType()
-        qid_type = q.schema["query_id"].dataType
-        return spark.createDataFrame(
-            [],
-            StructType(
-                [
-                    StructField("query_id", qid_type),
-                    StructField(id_col, id_type),
-                    StructField("cosine", DoubleType()),
-                    StructField("rank", IntegerType()),
-                ]
-            ),
-        )
-    data = (
-        spark.read.option("basePath", f"{path}/data")
-        .parquet(*[f"{path}/data/cell={c}" for c in cells])
-        .where(F.col("cell").isin(cells))
-    )
+        return _empty_topk(spark, q, existing, path, id_col, "cosine")
+    data = _pruned_cells_read(spark, path, cells)
     scored = data.join(F.broadcast(probes), on="cell").select(
         "query_id",
         F.col(id_col),
