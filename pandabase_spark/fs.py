@@ -97,6 +97,16 @@ class HadoopFS:
             return "file:" + os.path.realpath(uri.getPath())
         return q.toString()
 
+    def rename_dir(self, src: str, dst: str) -> None:
+        """Rename directory ``src`` onto ``dst`` (``FileSystem.rename``
+        — atomic per directory on POSIX/HDFS; copy+delete on object
+        stores). ``dst`` must not already exist; callers that want
+        replace semantics delete it first. Raises on failure rather
+        than returning Hadoop's silent ``false``."""
+        fs = self._fs(src)
+        if not fs.rename(self._jpath(src), self._jpath(dst)):
+            raise IOError(f"rename {src} -> {dst} failed")
+
     def copy(self, src: str, dst: str) -> None:
         """Recursive copy ``src`` -> ``dst`` (FileUtil.copy, source
         kept). ``dst`` must not already exist — it becomes the copy."""

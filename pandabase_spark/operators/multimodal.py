@@ -848,6 +848,14 @@ class _BitReader:
         Returns the marker's 0-7 sequence index; anything else is a
         corrupt stream (EOFError → the row nulls)."""
         self.n = 0
+        # T.81 B.1.1.2: fill bytes (repeated 0xFF) may pad before the
+        # marker — skip them so FF FF D0 reads as RST0
+        while (
+            self.pos + 2 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1
         if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
             raise EOFError
         m = self.data[self.pos + 1]
@@ -1396,6 +1404,15 @@ def _parse_jpeg(payload: bytes):
         while i + 4 <= n:
             if payload[i] != 0xFF:
                 return None
+            # T.81 B.1.1.2: a marker may be preceded by any number of
+            # 0xFF fill bytes — skip padding so the first non-FF byte
+            # is read as the marker code (an FF FF pair here is NOT a
+            # marker whose code is FF; treating it as one reads a
+            # garbage length and nulls valid third-party files)
+            while i + 4 <= n and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > n:
+                break
             marker = payload[i + 1]
             if marker == 0xD9:
                 if prog_state is not None and n_scans:
@@ -1497,18 +1514,29 @@ def _parse_jpeg(payload: bytes):
                 ahal = body[3 + 2 * ns]
                 ah, al = ahal >> 4, ahal & 15
                 if prog_state is None:
+                    import array as _array
+
                     (samp, hmax, vmax, mcux, mcuy, full,
                      compgrid) = _jpeg_geometry(w, h, comps)
+                    # flat int32 arrays, one per component (r12
+                    # advice): 256 B/block instead of ~2.4 KB for a
+                    # per-block Python list — a forged max-dims
+                    # header costs ~50 MB transient, not ~500 MB
                     prog_state = {
                         "samp": samp, "mcux": mcux, "mcuy": mcuy,
                         "full": full, "compgrid": compgrid,
                         "coefs": [
-                            [[0] * 64 for _ in range(bw * bh)]
+                            _array.array("i", bytes(4 * 64 * bw * bh))
                             for bw, bh in full
                         ],
+                        "entropy": 0,
+                        "min_coded": sum(
+                            bw * bh for bw, bh in compgrid
+                        ),
                     }
                 scan_start = i + 2 + length
                 scan_end = _find_scan_end(payload, scan_start)
+                prog_state["entropy"] += scan_end - scan_start
                 ok = _jpeg_prog_scan(
                     prog_state, payload[scan_start:scan_end],
                     scan_order, sel, ss, se, ah, al, ri, huff,
@@ -1576,7 +1604,8 @@ def _jpeg_prog_scan(
     already-significant coefficient crossed, newly-significant ±1<<Al
     insertions, EOBRUN blocks still consuming correction bits).
     Returns False on any malformed stream (callers null the row)."""
-    coefs = state["coefs"]
+    # zero-copy 64-coef windows over the flat per-component arrays
+    coefs = [memoryview(a) for a in state["coefs"]]
     samp, mcux, mcuy = state["samp"], state["mcux"], state["mcuy"]
     full, compgrid = state["full"], state["compgrid"]
 
@@ -1642,7 +1671,7 @@ def _jpeg_prog_scan(
                 maybe_restart()
                 unit_i += 1
                 for ci, idx in blocks:
-                    block = coefs[ci][idx]
+                    block = coefs[ci][idx * 64:idx * 64 + 64]
                     if ah == 0:
                         dc_t = dec.get((0, sel[si_of[ci]][0]))
                         if dc_t is None:
@@ -1671,7 +1700,8 @@ def _jpeg_prog_scan(
             for bx in range(cbw):
                 maybe_restart()
                 unit_i += 1
-                block = coefs[ci][by * bwfull + bx]
+                _bi = by * bwfull + bx
+                block = coefs[ci][_bi * 64:_bi * 64 + 64]
                 if ah == 0:
                     # first scan for this band
                     if eobrun:
@@ -1748,6 +1778,15 @@ def _jpeg_prog_finish(state, comps, qtabs, w, h):
     upsample, same color conversion)."""
     samp, mcux, mcuy = state["samp"], state["mcux"], state["mcuy"]
     full = state["full"]
+    # progressive analogue of the baseline blocks-vs-scan-length
+    # guard (r12 advice): the mandatory DC scans code >= 1 bit per
+    # component-resolution block, so any spec-legal file carries at
+    # least min_coded/8 entropy bytes across its scans. A crafted
+    # ~100-byte SOF2 payload at the pixel cap whose single tiny
+    # EOBRUN scan "covers" every block would otherwise buy ~200k
+    # IDCTs for a handful of bytes.
+    if state["min_coded"] > 8 * state["entropy"] + 64:
+        return None
     ncomp = len(comps)
     strides = [full[ci][0] * 8 for ci in range(ncomp)]
     plane_hs = [full[ci][1] * 8 for ci in range(ncomp)]
@@ -1762,8 +1801,9 @@ def _jpeg_prog_finish(state, comps, qtabs, w, h):
         stride = strides[ci]
         for by in range(bhfull):
             for bx in range(bwfull):
+                _bi = (by * bwfull + bx) * 64
                 spat = _dequant_idct(
-                    state["coefs"][ci][by * bwfull + bx], q
+                    state["coefs"][ci][_bi:_bi + 64], q
                 )
                 plane = planes[ci]
                 for y in range(8):

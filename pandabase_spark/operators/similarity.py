@@ -1004,6 +1004,27 @@ def _append_index_batch(
             .parquet(f"{path}/data")
         )
         return
+    if txn is not None:
+        app = str(txn[0])
+        if app == "base" or app.startswith(("compact-", "adhoc-")):
+            # these label shapes are structural: "base" is the initial
+            # build, "adhoc-*" the untagged appends, "compact-<gen>"
+            # the compaction folds — an app id aliasing them would let
+            # user batches be folded/filtered as index machinery
+            raise ValueError(
+                f"txn app id {app!r} collides with a reserved index "
+                "label prefix (base / adhoc- / compact-)"
+            )
+        # a batch at-or-below the committed compaction watermark was
+        # folded into a compact-<gen> leaf; replaying it must be a
+        # NO-OP (its own txn= sub-partitions no longer exist, so the
+        # dynamic overwrite would INSERT a duplicate copy). One tiny
+        # sidecar read, only on tagged appends.
+        state = _load_compaction_state(spark, path)
+        if state is not None and int(txn[1]) <= state[
+            "watermarks"
+        ].get(str(txn[0]), float("-inf")):
+            return
     label = (
         f"{txn[0]}:{txn[1]}" if txn is not None
         else f"adhoc-{uuid.uuid4().hex[:16]}"
@@ -1325,9 +1346,17 @@ def ann_topk_ivfpq_indexed(
 def _legacy_cell_layout(spark, data_path: str) -> bool:
     """True when the index's data tree is the pre-r12 single-level
     ``cell=N/part-*.parquet`` shape (no ``txn=`` sub-partitions).
-    One extra non-recursive listing of the first cell directory —
-    names only, same mechanism as :func:`_existing_cells`. An empty
-    index (no cell dirs yet) reports the CURRENT layout."""
+    Non-recursive listings of cell directories — names only, same
+    mechanism as :func:`_existing_cells` — scanning until one yields
+    EVIDENCE either way: an early cell directory can legitimately be
+    empty (a dynamic-partition-overwrite replay that replaced a
+    batch's leaves, a manually cleaned cell), and deciding "current
+    layout" from an empty first dir would let a later untagged append
+    write bare ``cell=N/part-*.parquet`` files next to legacy leaves
+    in OTHER cells — a mixed-depth tree Spark partition discovery
+    rejects outright ("Conflicting directory structures"). Only when
+    NO cell directory yields evidence (empty index) do we assume the
+    current layout."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(data_path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -1343,7 +1372,8 @@ def _legacy_cell_layout(spark, data_path: str) -> bool:
                 return False
             if sub_name.endswith(".parquet"):
                 return True
-        return False  # first cell dir empty/ambiguous: assume current
+        # this cell dir was empty/ambiguous: keep scanning — a later
+        # cell may still hold bare parquet leaves (legacy evidence)
     return False
 
 
@@ -1477,12 +1507,264 @@ def _pruned_cells_read(spark, path, cells):
     """Open ONLY the probed cells' directories (basePath keeps
     ``cell`` a partition column); the residual isin filter keeps
     semantics explicit and the PartitionFilters plan fact asserted in
-    test_plan_shapes.py."""
-    return (
+    test_plan_shapes.py. When the index has a compaction state
+    sidecar (:func:`compact_index`), the read additionally ignores
+    (a) ``compact-<g>`` leaves from generations ABOVE the committed
+    one — a crashed compaction's partial rewrite must never be
+    served — and (b) superseded leaves still pending physical delete
+    (the tiny ``exclude`` window between a compaction's commit and
+    its cleanup). Both predicates hit only partition columns of the
+    already-pruned probe set; the common steady state (no sidecar, or
+    empty exclude) adds one cheap gen comparison."""
+    df = (
         spark.read.option("basePath", f"{path}/data")
         .parquet(*[f"{path}/data/cell={c}" for c in cells])
         .where(F.col("cell").isin(cells))
     )
+    state = _load_compaction_state(spark, path)
+    if state is not None:
+        gen_ok = F.when(
+            F.col("txn").startswith("compact-"),
+            F.split(F.col("txn"), "-").getItem(1).cast("long")
+            <= F.lit(int(state["gen"])),
+        ).otherwise(F.lit(True))
+        df = df.where(gen_ok)
+        if state["exclude"]:
+            df = df.where(~F.col("txn").isin(list(state["exclude"])))
+    return df
+
+
+_COMPACTION_STATE = "compaction/state.json"
+
+
+def _unescape_partition(name: str) -> str:
+    """Decode Hive-style partition-value escaping (``%XX``) in a
+    directory name — Spark writes ``txn=app:0`` as ``txn=app%3A0``,
+    and compaction's label inventory/deletes work on listed NAMES
+    while its read filters work on DECODED values."""
+    import re
+
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})",
+        lambda m: chr(int(m.group(1), 16)),
+        name,
+    )
+
+
+def _load_compaction_state(spark, path: str) -> "dict | None":
+    """Committed compaction state for a persisted index at ``path``
+    (None when the index has never been compacted): ``{"gen": int,
+    "watermarks": {app: max_compacted_batch}, "exclude": [labels
+    pending physical delete]}``. One tiny sidecar read — same cost
+    class as the quantizer sidecar the serve paths already load."""
+    import json
+
+    from pandabase_spark.fs import HadoopFS
+
+    fs = HadoopFS(spark)
+    sp = f"{path}/{_COMPACTION_STATE}"
+    if not fs.exists(sp):
+        return None
+    state = json.loads(fs.read_text(sp))
+    state.setdefault("gen", 0)
+    state.setdefault("watermarks", {})
+    state.setdefault("exclude", [])
+    return state
+
+
+def _commit_compaction_state(spark, path: str, state: dict) -> None:
+    import json
+
+    from pandabase_spark.fs import HadoopFS
+
+    HadoopFS(spark).write_text_atomic(
+        f"{path}/{_COMPACTION_STATE}", json.dumps(state, sort_keys=True)
+    )
+
+
+def compact_index(
+    spark,
+    path: str,
+    *,
+    keep_last: int = 2,
+    watermarks: "dict[str, int] | None" = None,
+) -> dict:
+    """Coalesce a persisted index's accumulated ``txn=`` leaves — the
+    long-horizon maintenance the streaming ingest story needs (r12
+    verdict ask #2): :func:`_append_index_batch` lands one
+    ``cell=<c>/txn=<label>`` sub-partition per cell per micro-batch,
+    so a month of 1-minute triggers leaves ~43k sub-directories per
+    cell, degrading listing and scan planning on the serve path. The
+    documented mitigation used to be a full retrain+rewrite —
+    O(corpus) for an O(accumulated leaves) problem. This is the
+    O(live leaves) fix: fold every leaf BELOW a replay watermark into
+    ONE ``txn=compact-<gen>`` leaf per cell, leaving the layout (and
+    therefore cell pruning, serve code, and append code) untouched.
+
+    Works on both persisted index kinds — raw IVF
+    (:func:`write_ivf_index`) and IVFPQ (:func:`write_ivfpq_index`)
+    share the ``<path>/data`` layout, and compaction never looks at
+    the row payload.
+
+    What gets folded: all untagged ``adhoc-*`` leaves (at-least-once
+    by contract, never replayed), every ``app:batch`` leaf with
+    ``batch <= watermark[app]`` (derived: all but the newest
+    ``keep_last`` batch ids per app, monotonic across runs; an
+    explicit ``watermarks=`` entry raises it further), the original
+    ``base`` leaf, and prior ``compact-<g>`` generations. Batches
+    ABOVE the watermark keep their own leaves, so their
+    dynamic-partition-overwrite replay idempotence is untouched. A
+    replayed batch at-or-below the watermark is a NO-OP (pinned in
+    pytest): its rows already live in a compact leaf, and
+    :func:`_append_index_batch` consults the committed watermark
+    before writing.
+
+    Crash safety (resumable, never served wrong): the fold is written
+    as ``compact-<gen+1>`` via dynamic partition overwrite (a crashed
+    attempt of the same generation is replaced, and the serve path
+    ignores generations above the committed one), then the state
+    sidecar commits ``gen+1`` with the folded labels as ``exclude``
+    (serve ignores them from that instant), then the folded leaves
+    are physically deleted, then ``exclude`` clears. Re-running
+    :func:`compact_index` after a crash at ANY point converges: step
+    one finishes a pending delete before starting a new fold.
+
+    Returns a stats dict: ``{"gen", "folded_labels", "leaves_before",
+    "leaves_after"}`` (``folded_labels == 0`` → nothing to do; no
+    write happened)."""
+    from pandabase_spark.fs import HadoopFS
+
+    fs = HadoopFS(spark)
+    data = f"{path}/data"
+    if _legacy_cell_layout(spark, data):
+        raise ValueError(
+            "compact_index needs the txn-partitioned index layout; "
+            "this index was written by an older write_ivf_index (bare "
+            "cell=N leaves) — rebuild it to enable compaction"
+        )
+    state = _load_compaction_state(spark, path) or {
+        "gen": 0, "watermarks": {}, "exclude": [],
+    }
+    cell_dirs = [
+        d for d in fs.list_dirs(data) if d.startswith("cell=")
+    ]
+    # resume a crashed prior run first: its fold is committed (gen and
+    # exclude say so) but some superseded leaves may still exist
+    if state["exclude"]:
+        pending = set(state["exclude"])
+        for cd in cell_dirs:
+            for td in fs.list_dirs(f"{data}/{cd}"):
+                if td.startswith("txn=") and _unescape_partition(
+                    td[4:]
+                ) in pending:
+                    fs.delete(f"{data}/{cd}/{td}")
+        state = {**state, "exclude": []}
+        _commit_compaction_state(spark, path, state)
+
+    # inventory the live leaves (names only, one listing per cell dir
+    # — the same O(dirs) scan any maintenance of this tree implies)
+    labels: "set[str]" = set()
+    leaves_before = 0
+    for cd in cell_dirs:
+        for td in fs.list_dirs(f"{data}/{cd}"):
+            if td.startswith("txn="):
+                labels.add(_unescape_partition(td[4:]))
+                leaves_before += 1
+
+    by_app: "dict[str, list[int]]" = {}
+    adhoc: "set[str]" = set()
+    folds: "set[str]" = set()  # base + old compact gens, folded too
+    for lb in labels:
+        if lb == "base" or (
+            lb.startswith("compact-")
+            and lb[8:].isdigit()
+            and int(lb[8:]) <= state["gen"]
+        ):
+            folds.add(lb)
+        elif lb.startswith("adhoc-"):
+            adhoc.add(lb)
+        elif ":" in lb:
+            app, _, b = lb.rpartition(":")
+            if b.lstrip("-").isdigit():
+                by_app.setdefault(app, []).append(int(b))
+
+    new_marks = dict(state["watermarks"])
+    folded_batches: "set[str]" = set()
+    for app, ids in by_app.items():
+        ids.sort()
+        derived = ids[-keep_last - 1] if len(ids) > keep_last else None
+        mark = max(
+            x for x in (
+                derived,
+                (watermarks or {}).get(app),
+                state["watermarks"].get(app),
+            ) if x is not None
+        ) if any(
+            x is not None for x in (
+                derived, (watermarks or {}).get(app),
+                state["watermarks"].get(app),
+            )
+        ) else None
+        if mark is None:
+            continue
+        new_marks[app] = max(new_marks.get(app, mark), mark)
+        folded_batches |= {
+            f"{app}:{b}" for b in ids if b <= new_marks[app]
+        }
+
+    movable = adhoc | folded_batches
+    if not movable:
+        return {
+            "gen": state["gen"], "folded_labels": 0,
+            "leaves_before": leaves_before,
+            "leaves_after": leaves_before,
+        }
+    fold_set = sorted(movable | folds)
+    newgen = state["gen"] + 1
+    # fold through a sibling staging dir, then rename each cell's
+    # output into place as its txn=compact-<gen> leaf: Spark refuses
+    # to overwrite a path it is also reading from, and staging keeps
+    # the fold O(folded rows) with no executor-memory checkpoint. A
+    # crash mid-rename leaves some cells holding an UNCOMMITTED
+    # compact-<newgen> leaf — the serve filter ignores generations
+    # above the committed one, and the re-run below deletes and
+    # re-renames them.
+    tmp = f"{path}/_compact_tmp"
+    fs.delete(tmp)
+    (
+        spark.read.option("basePath", data).parquet(data)
+        .where(F.col("txn").isin(fold_set))
+        .drop("txn")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    for cd in (d for d in fs.list_dirs(tmp) if d.startswith("cell=")):
+        dest = f"{data}/{cd}/txn=compact-{newgen}"
+        fs.delete(dest)
+        fs.rename_dir(f"{tmp}/{cd}", dest)
+    fs.delete(tmp)
+    state = {"gen": newgen, "watermarks": new_marks, "exclude": fold_set}
+    _commit_compaction_state(spark, path, state)
+    for cd in cell_dirs:
+        for td in fs.list_dirs(f"{data}/{cd}"):
+            if td.startswith("txn=") and _unescape_partition(
+                td[4:]
+            ) in movable | folds:
+                fs.delete(f"{data}/{cd}/{td}")
+    state = {**state, "exclude": []}
+    _commit_compaction_state(spark, path, state)
+    leaves_after = sum(
+        1
+        for cd in cell_dirs
+        for td in fs.list_dirs(f"{data}/{cd}")
+        if td.startswith("txn=")
+    )
+    return {
+        "gen": newgen, "folded_labels": len(fold_set),
+        "leaves_before": leaves_before, "leaves_after": leaves_after,
+    }
 
 
 def ann_topk_indexed(

@@ -8544,78 +8544,72 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate ordering
 # ---------------------------------------------------------------------------
 # The driver walks QUERIES in dict order and checks exactly 50 per
-# round. CORRECTNESS_r11 delivered the r11 head 50/50 clean (48
-# value-exact + 2 declared rows-only), so the r12 head (r11 verdict
-# ask #1) = strict staleness order over the cross-round union:
-#   - the 11 never-driver-checked entries (the 5 late-r11 additions —
-#     ann_topk_ivf_appended_full, streaming_ann_index_ingest,
-#     multimodal_decode_mixed_all, bpe_apply_fixed, bpe_train_merges —
-#     all judge-run clean in r11, plus r12's value-exact family gates
-#     ann_topk_ivfpq_full and ann_topk_lsh_full, the persisted IVFADC
-#     trio ann_topk_ivfpq_indexed/_full, the residual-encoding gate
-#     ann_topk_ivfpq_residual_full, and the streaming compressed
-#     ingest streaming_ivfpq_index_ingest); with these checked the
-#     driver union reaches every entry that existed before this
-#     round;
-#   - the 11 rows last checked in r7 (the rows-only ANN/neardup
-#     members whose value-exact family gates are also in this head,
-#     the winnow/centroid/event stragglers, and the multimodal fake
-#     decode pair);
-#   - 28 of the 49 rows last checked in r8 (alphabetical; the
-#     remaining 21 r8 rows — normalize_text_docs, q10/q14/q17/q18/
-#     q19/q22/q4/q7, the streaming block, sampling/histogram/window
-#     tails — lead the r13 rotation, then the r9 block).
+# round. CORRECTNESS_r12 delivered the r12 head 50/50 clean, closing
+# the cross-round union (all 221 entries driver-checked at least
+# once). The r13 head (r12 verdict ask #1) = strict staleness order:
+#   - all 21 rows last driver-checked in r8 (the normalize/TPC-H
+#     q4/q7/q10/q14/q17/q18/q19/q22 block, the five streaming entries
+#     that predate the r9 OCC rebuild and r12 txn append layout, and
+#     the sampling/histogram/window tails);
+#   - the first 29 (alphabetical) of the 50 rows last checked in r9
+#     (concurrent_sessions_peak .. q11_important_stock). The
+#     remaining 21 r9 rows (q12/q13/q15/q16/q20/q21/q2/q6/q8/q9,
+#     scd2/skyline/span_dedup, streaming_kt_ivm_view,
+#     streaming_outer_interval_join, streaming_running_agg,
+#     temperature_mixture_sample, train/val/test + shard manifests,
+#     zorder_bucket_spans) lead the r14 rotation; after that no
+#     driver evidence predates r10.
 _GATE_FIRST = [
-    "ann_topk_ivf_appended_full",
-    "ann_topk_ivfpq_full",
-    "ann_topk_ivfpq_indexed",
-    "ann_topk_ivfpq_indexed_full",
-    "ann_topk_ivfpq_residual_full",
-    "ann_topk_lsh_full",
-    "bpe_apply_fixed",
-    "bpe_train_merges",
-    "multimodal_decode_mixed_all",
-    "streaming_ann_index_ingest",
-    "streaming_ivfpq_index_ingest",
-    "ann_topk_ivf",
-    "ann_topk_ivf_indexed",
-    "ann_topk_lsh",
-    "cosine_topk_bruteforce",
-    "events_time_weighted_avg",
-    "minhash_lsh_neardup",
-    "multimodal_decode_fake",
-    "multimodal_payload_stats",
-    "nearest_centroid_confusion",
-    "simhash_neardup",
-    "winnow_match_pairs",
-    "bigram_lm_score",
-    "char_entropy_docs",
-    "conditional_agg_flags",
-    "customer_order_left_join",
-    "data_quality_checks",
-    "dedup_savings_report",
-    "doc_length_percentiles_by_lang",
-    "embedding_norm_stats",
-    "events_forward_fill",
-    "events_mad_outliers",
-    "events_variant_extract",
-    "events_windowed_dedup",
-    "extract_numbers_from_text",
-    "fact_fact_reconciliation",
-    "full_outer_activity_join",
-    "funnel_click_to_purchase",
-    "fuzzy_match_pairs",
-    "hopping_window_counts",
-    "key_skew_report",
-    "kt_catalog_sql",
-    "kt_copy_into",
-    "kt_merge_by_source",
-    "kt_merge_clauses",
-    "kt_merge_schema_evolution",
-    "kt_table_changes",
-    "latest_event_per_user",
-    "nation_revenue_share",
-    "nation_segment_rollcall",
+    "normalize_text_docs",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_rich_customers",
+    "q4_order_priority",
+    "q7_nation_trade_volume",
+    "sample_fixed_per_stratum",
+    "sql_api_revenue_by_status",
+    "streaming_dedup_end_state",
+    "streaming_interval_join",
+    "streaming_kt_cdc_replica",
+    "streaming_late_data_drop",
+    "streaming_static_enrich",
+    "union_schema_drift",
+    "value_histogram",
+    "weekday_revenue_seasonality",
+    "weighted_sample_by_length",
+    "window_rank_stats",
+    "concurrent_sessions_peak",
+    "corpus_quality_funnel",
+    "csv_roundtrip_part",
+    "embedding_neardup_ivf",
+    "equi_depth_histogram_values",
+    "events_ewma_smooth",
+    "events_linear_interpolate",
+    "events_rolling_median",
+    "fk_violation_report",
+    "incremental_dedup_classify",
+    "ks_drift_click_vs_purchase",
+    "kt_bloom_skipping_read",
+    "kt_clone_divergence",
+    "kt_cluster_alter",
+    "kt_colocated_agg",
+    "kt_colocated_join",
+    "kt_delete_rows",
+    "kt_generated_columns",
+    "kt_manifest_sketch_stats",
+    "kt_rebucket",
+    "kt_rename_column",
+    "kt_restore",
+    "kt_stats_skipping_read",
+    "kt_update_rows",
+    "mixture_report_by_lang",
+    "neardup_canonical_keep",
+    "pack_sequences_bins",
+    "parts_bought_together",
+    "q11_important_stock",
 ]
 
 

@@ -1107,3 +1107,114 @@ def test_wav_odd_data_chunk_is_word_aligned():
     enc = encode_wav(1, 8000, 8, [1, -2, 3])
     assert len(enc) % 2 == 0, "odd data chunk must carry a pad byte"
     assert _parse_wav(enc) == (1, 8000, 8, 3, [1, -2, 3])
+
+
+def test_jpeg_fill_bytes_before_markers_tolerated():
+    """r12 advice: T.81 B.1.1.2 lets an encoder pad any marker with
+    leading 0xFF fill bytes. Decoders must skip the padding instead
+    of reading the 0xFF as a marker code (whose garbage 'length'
+    nulls the whole file). Pins: fill bytes injected before every
+    structural marker of baseline, DRI-restart and progressive
+    streams decode IDENTICALLY to the unpadded bytes — including
+    fills before RSTn markers inside the entropy stream."""
+    from pandabase_spark.operators.multimodal import (
+        _parse_jpeg, encode_jpeg,
+    )
+
+    def pad_markers(buf: bytes, skip_entropy: bool) -> bytes:
+        # insert one fill byte before each marker segment (never
+        # inside entropy data unless it precedes an RSTn)
+        out = bytearray()
+        i, n = 0, len(buf)
+        out += buf[:2]  # SOI
+        i = 2
+        while i + 4 <= n:
+            assert buf[i] == 0xFF
+            marker = buf[i + 1]
+            out += b"\xff"  # fill
+            if marker == 0xD9:
+                out += buf[i:]
+                return bytes(out)
+            ln = int.from_bytes(buf[i + 2:i + 4], "big")
+            out += buf[i:i + 2 + ln]
+            i += 2 + ln
+            if marker == 0xDA:
+                # entropy segment: copy through, padding RSTn markers
+                j = i
+                while j + 1 < n:
+                    if buf[j] == 0xFF and buf[j + 1] != 0x00:
+                        if 0xD0 <= buf[j + 1] <= 0xD7:
+                            out += buf[i:j] + b"\xff" + buf[j:j + 2]
+                            i = j + 2
+                            j = i
+                            continue
+                        break
+                    j += 1
+                out += buf[i:j]
+                i = j
+        out += buf[i:]
+        return bytes(out)
+
+    px = bytes(
+        (x * 7 + y * 13 + c * 29) % 256
+        for y in range(17) for x in range(24) for c in range(3)
+    )
+    for kwargs in (
+        {},
+        {"restart_interval": 2},
+        {"progressive": True},
+        {"subsampling": "420"},
+    ):
+        clean = encode_jpeg(24, 17, 3, px, **kwargs)
+        padded = pad_markers(clean, skip_entropy=False)
+        assert len(padded) > len(clean)
+        want = _parse_jpeg(clean)
+        got = _parse_jpeg(padded)
+        assert got is not None, kwargs
+        assert got == want, kwargs
+
+
+def test_jpeg_progressive_forged_header_bounded():
+    """r12 advice (medium): a crafted ~100-byte SOF2 payload at the
+    pixel cap whose single tiny-EOBRUN scan 'covers' every block must
+    be REJECTED (None) instead of buying ~200k IDCTs and a
+    hundred-MB coefficient store for a handful of bytes — the
+    progressive analogue of the baseline blocks-vs-scan-length
+    guard. A legitimate progressive file (whose mandatory DC scans
+    code >= 1 bit per block) still decodes."""
+    import struct
+    import time
+
+    from pandabase_spark.operators.multimodal import (
+        _parse_jpeg, encode_jpeg,
+    )
+
+    w = h = 2048  # 4M pixels: exactly at the cap
+    # DQT: table 0, all ones
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    # SOF2: 1 component, 1x1 sampling
+    sof = (
+        b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0])
+    )
+    # DHT: AC table 0 with two 2-bit symbols: 0xE0 (EOBRUN magnitude
+    # 14) and 0x00 (EOB) — enough to "cover" everything in a few bits
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 21) + b"\x11"
+        + bytes([0, 2] + [0] * 14) + bytes([0xE0, 0x00])
+    )
+    # one AC scan (ss=1, se=63, ah=0, al=0), entropy: EOBRUN(14)+bits
+    sos = (
+        b"\xff\xda" + struct.pack(">H", 8)
+        + b"\x01" + bytes([1, 0x00]) + bytes([1, 63, 0x00])
+    )
+    scan = bytes([0b00111111, 0xFF, 0x00, 0b11111100] * 3)
+    bomb = b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    assert len(bomb) < 160
+    t0 = time.monotonic()
+    assert _parse_jpeg(bomb) is None
+    assert time.monotonic() - t0 < 2.0, "guard must reject cheaply"
+
+    # control: a real progressive encoding of a small image decodes
+    good = encode_jpeg(16, 16, 1, bytes(range(256)), progressive=True)
+    assert _parse_jpeg(good) is not None
