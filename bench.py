@@ -465,6 +465,94 @@ def main() -> None:
         f"structureless synthetic corpus)"
     )
 
+    # r13 (r12 verdict ask #3): bench the RESIDUAL configuration —
+    # the one the r12 measurement says to use on real data — on a
+    # CLUSTERED corpus (the planted-centers construction from
+    # tests/test_operators.py::test_ivfpq_residual_encoding, verbatim:
+    # 4 separated integer centers + bounded hash noise). The
+    # embeddings corpus above is hash NOISE (PQ's worst case, kept as
+    # the regression floor); this entry records what the production
+    # recommendation actually buys at identical code budget.
+    from pandabase_spark.operators.similarity import write_ivfpq_index as _wpq
+
+    cl = spark.range(400).select(F.col("id").alias("vec_id"))
+    center = F.expr(
+        "transform(sequence(1,16), i -> cast(4 * (pmod("
+        "(vec_id % 4 + 1) * (i + 1), 5) - 2) as double))"
+    )
+    noise = F.expr(
+        "transform(sequence(1,16), i -> "
+        "cast(pmod(hash(vec_id, i), 5) - 2 as double) / 2.0)"
+    )
+    clustered = cl.select(
+        "vec_id",
+        F.zip_with(center, noise, lambda a, b: a + b).alias("embedding"),
+    ).localCheckpoint()
+    cl_probes = clustered.where("vec_id < 5")
+    cl_exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(clustered, cl_probes, k=10).collect()
+    }
+    cl_recall = {}
+    for tag, res in (("raw", False), ("residual", True)):
+        rpath = f"{cat2.warehouse}/_bench_ivfpq_{tag}_clustered"
+        if cat2.fs.exists(rpath):
+            cat2.fs.delete(rpath)
+        _wpq(clustered, rpath, n_cells=4, m=8, n_codes=8, iters=3,
+             residual=res)
+        if res:
+            res_path = rpath
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ann_topk_ivfpq_indexed(
+                spark, rpath, cl_probes, k=10, nprobe=4
+            ).collect()
+        }
+        cl_recall[tag] = round(len(cl_exact & got) / max(len(cl_exact), 1), 3)
+    timed("ann_topk_ivfpq_residual", lambda: force(
+        ann_topk_ivfpq_indexed(
+            spark, res_path, cl_probes, k=10, nprobe=4,
+        )))
+    query_facts["ann_topk_ivfpq_residual"]["recall_at10"] = cl_recall[
+        "residual"
+    ]
+    query_facts["ann_topk_ivfpq_residual"]["recall_at10_raw_codes"] = (
+        cl_recall["raw"]
+    )
+    # the pinned pytest gap (0.66 vs 0.37) must hold here too — the
+    # bench now exercises the configuration the docs recommend
+    assert cl_recall["residual"] >= cl_recall["raw"] + 0.15, cl_recall
+
+    # r13 (r12 verdict ask #2): persisted-index COMPACTION — fold a
+    # streaming horizon's accumulated txn= leaves into one compact
+    # leaf per cell and record the leaf counts (the scale-killer fact:
+    # a month of 1-minute triggers is ~43k leaves/cell without this).
+    from pandabase_spark.operators.similarity import (
+        append_ivfpq_index, compact_index,
+    )
+
+    for b in range(6):
+        append_ivfpq_index(
+            emb.where(F.col("vec_id") % 97 == b), pq_path,
+            txn=("bench", b),
+        )
+    import glob as _glob
+    _leaves_pre = len(_glob.glob(f"{pq_path}/data/cell=*/txn=*"))
+    timed("ivfpq_index_compact",
+          lambda: compact_index(spark, pq_path, keep_last=2), repeat=1)
+    # run stats via a second no-op call (first call did the work)
+    _cstats = compact_index(spark, pq_path, keep_last=2)
+    _leaves_now = len(_glob.glob(f"{pq_path}/data/cell=*/txn=*"))
+    query_facts["ivfpq_index_compact"].update(
+        leaves_before=_leaves_pre, leaves_after=_leaves_now,
+        noop_folds=_cstats["folded_labels"],
+    )
+    # post-compaction serve still answers (count only; exactness is
+    # pinned in tests/test_index_compaction.py)
+    assert ann_topk_ivfpq_indexed(
+        spark, pq_path, probes, k=10, nprobe=6
+    ).count() > 0
+
     total = round(sum(timings.values()), 2)
     append_rps = round((li_rows // 10) / timings["kt_append_10pct"], 1)
     upsert_rps = round((li_rows // 10) / timings["kt_upsert_10pct"], 1)

@@ -60,6 +60,18 @@ class HadoopFS:
 
     def list_dirs(self, p: str) -> list[str]:
         """Names (not full paths) of child directories of ``p``."""
+        local = self._local_os_path(p)
+        if local is not None:
+            # direct POSIX listing: the py4j path costs TWO JVM round
+            # trips per entry (getPath + getName), which turns a
+            # 5,000-version log listing into seconds of driver stall
+            # (measured in the r13 vacuum-scale run)
+            import os as _os
+
+            if not _os.path.isdir(local):
+                return []
+            with _os.scandir(local) as it:
+                return sorted(e.name for e in it if e.is_dir())
         fs = self._fs(p)
         jp = self._jpath(p)
         if not fs.exists(jp):
@@ -72,6 +84,14 @@ class HadoopFS:
 
     def list_files(self, p: str) -> list[str]:
         """Names (not full paths) of child FILES of ``p``."""
+        local = self._local_os_path(p)
+        if local is not None:
+            import os as _os
+
+            if not _os.path.isdir(local):
+                return []
+            with _os.scandir(local) as it:
+                return sorted(e.name for e in it if e.is_file())
         fs = self._fs(p)
         jp = self._jpath(p)
         if not fs.exists(jp):

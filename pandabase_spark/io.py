@@ -262,6 +262,15 @@ def _bucket_expr(keys: Sequence[str], num_buckets: int):
     ).cast("int")
 
 
+def _is_version_file(name: str) -> bool:
+    """True for committed version manifests (``{v:010d}.json``) —
+    excludes ``.skip.json`` sidecars and the vacuum history summary
+    cache, both of which share the log directory."""
+    if not name.endswith(".json") or name.endswith(".skip.json"):
+        return False
+    return name.split(".")[0].isdigit()
+
+
 def _man_dv_files(man: dict) -> "set[str]":
     """The DV sidecar files a manifest references and OWNS — external
     (clone) refs carry a '/' and are the source table's to reclaim.
@@ -1359,7 +1368,7 @@ class KeyedCatalog:
         log_dir = f"{self._path(table_name)}/{LOG_DIR}"
         best = None
         for f in self.fs.list_files(log_dir):
-            if not f.endswith(".json") or f.endswith(".skip.json"):
+            if not _is_version_file(f):
                 continue
             man = json.loads(self.fs.read_text(f"{log_dir}/{f}"))
             if man.get("ts", 0) <= ts_us:
@@ -1382,7 +1391,7 @@ class KeyedCatalog:
         cur = self._manifest(table_name)["v"]
         out = []
         for f in self.fs.list_files(f"{self._path(table_name)}/{LOG_DIR}"):
-            if not f.endswith(".json") or f.endswith(".skip.json"):
+            if not _is_version_file(f):
                 continue
             man = json.loads(
                 self.fs.read_text(f"{self._path(table_name)}/{LOG_DIR}/{f}")
@@ -2550,6 +2559,18 @@ class KeyedCatalog:
         log_dir0 = f"{self._path(table_name)}/{LOG_DIR}"
         _hist: "tuple[set, set, set, set] | None" = None
 
+        # Bounded walk (r12 verdict ask #4): at a 10^4-commit table
+        # the naive scan is 10^4 driver-side JSON reads per vacuum.
+        # Version files are IMMUTABLE once written (OCC claims never
+        # rewrite a version), so the union of segments/DVs referenced
+        # by versions <= some floor is immutable history — vacuum
+        # caches it in one summary sidecar and later vacuums read
+        # only manifests ABOVE the cached floor. The summary is a
+        # pure cache: unreadable/missing/ahead-of-snapshot (a
+        # regressed pointer must not let "future" data be classified
+        # "past") all fall back to the full scan.
+        summary_path = f"{log_dir0}/_vacuum_history.summary.json"
+
         def _history() -> "tuple[set, set, set, set]":
             nonlocal _hist
             if _hist is not None:
@@ -2558,27 +2579,46 @@ class KeyedCatalog:
             past_dvs: set[str] = set()
             future_segs: set[str] = set()
             future_dvs: set[str] = set()
+            floor = -1
+            try:
+                if self.fs.exists(summary_path):
+                    summ = json.loads(self.fs.read_text(summary_path))
+                    if int(summ["upto"]) <= cur_man["v"]:
+                        floor = int(summ["upto"])
+                        past_segs = set(summ["past_segs"])
+                        past_dvs = set(summ["past_dvs"])
+            except Exception:
+                floor = -1
+                past_segs, past_dvs = set(), set()
             if self.fs.exists(log_dir0):
                 for f in self.fs.list_files(log_dir0):
-                    if not f.endswith(".json") or f.endswith(".skip.json"):
+                    if not _is_version_file(f):
                         continue
-                    try:
-                        above = int(f.split(".")[0]) > cur_man["v"]
-                    except ValueError:
-                        continue
+                    fv = int(f.split(".")[0])
+                    if fv <= floor:
+                        continue  # covered by the cached union
                     try:
                         man = json.loads(
                             self.fs.read_text(f"{log_dir0}/{f}")
                         )
                     except Exception:
                         continue
-                    if above:
+                    if fv > cur_man["v"]:
                         future_segs |= set(man.get("segments", {}))
                         future_dvs |= _man_dv_files(man)
                     else:
                         past_segs |= set(man.get("segments", {}))
                         past_dvs |= _man_dv_files(man)
             _hist = (past_segs, past_dvs, future_segs, future_dvs)
+            if not dry_run:
+                try:
+                    self.fs.write_text_atomic(summary_path, json.dumps({
+                        "upto": cur_man["v"],
+                        "past_segs": sorted(past_segs),
+                        "past_dvs": sorted(past_dvs),
+                    }))
+                except Exception:
+                    pass  # cache refresh is best-effort
             return _hist
 
         for d in self.fs.list_dirs(self._path(table_name)):
@@ -2621,9 +2661,19 @@ class KeyedCatalog:
         if dry_run:
             return gone
         log_dir = f"{self._path(table_name)}/{LOG_DIR}"
+        log_files = self.fs.list_files(log_dir)
+        if not gone and not any(
+            f.endswith(".skip.json") for f in log_files
+        ):
+            # nothing reclaimed and no skip sidecars to cross-check:
+            # the prune/retention loops below would read every
+            # manifest only to keep everything — skip the O(versions)
+            # driver-side JSON walk (append-heavy tables hit this on
+            # every routine vacuum)
+            return gone
         kept_skips: set[str] = set()
-        for f in self.fs.list_files(log_dir):
-            if not f.endswith(".json") or f.endswith(".skip.json"):
+        for f in log_files:
+            if not _is_version_file(f):
                 continue
             man = json.loads(self.fs.read_text(f"{log_dir}/{f}"))
             man_dvs = _man_dv_files(man)

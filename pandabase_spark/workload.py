@@ -4997,6 +4997,75 @@ def streaming_ivfpq_index_ingest(
     )
 
 
+@_q("ann_ivfpq_compacted_full", _PQ_FULL_ORACLE)
+def ann_ivfpq_compacted_full_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index COMPACTION, VALUE-EXACT (r13 — the r12 verdict's named
+    scale-killer, closed): a streaming-maintained persisted index
+    accrues one ``txn=`` leaf per cell per micro-batch without bound;
+    :func:`compact_index` folds everything below a replay watermark
+    into ONE ``compact-<gen>`` leaf per cell, O(live leaves) instead
+    of the O(corpus) retrain the docs used to prescribe. This gate
+    drives the WHOLE maintenance lifecycle and demands brute-force
+    exactness at the end: bootstrap build (lossless enumerated
+    codebooks) → two txn'd appends + one untagged (adhoc) append →
+    a replayed txn batch (dynamic-overwrite idempotence) → compact
+    (folds base + adhoc + below-watermark batches) → a replay of a
+    FOLDED batch (must be a watermark NO-OP — its leaves are gone and
+    a dynamic overwrite would re-insert its rows as duplicates) → one
+    more append on the compacted tree → full-probe ADC serve. With
+    ``nprobe == n_cells`` and lossless codebooks the served top-10
+    must hash-match DuckDB's brute-force L2 over the ENTIRE corpus:
+    any row the fold dropped, duplicated, or re-inserted breaks the
+    driver hash. Companion pytest (test_index_compaction.py) pins the
+    crash windows; scripts/stream_soak_r13.json carries the
+    210-micro-batch horizon with ~200 leaves/cell."""
+    from pandabase_spark.operators.similarity import (
+        ann_topk_ivfpq_indexed, append_ivfpq_index, compact_index,
+        pq_codebooks_exact, write_ivfpq_index,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    tri = F.expr(
+        "transform(sequence(1, 16), i -> case "
+        "when element_at(embedding, (i-1)*4+1) > 0.2D then 1.0D "
+        "when element_at(embedding, (i-1)*4+1) < -0.2D then -1.0D "
+        "else 0.0D end)"
+    )
+    q16 = e.select("vec_id", tri.alias("qvec"))
+    books = pq_codebooks_exact(q16, vec_col="qvec", m=8)
+    path = f"{cat.warehouse}/_ann_ivfpq_compacted_index"
+    if cat.fs.exists(path):
+        cat.fs.delete(path)
+    write_ivfpq_index(
+        q16.where(F.col("vec_id") % 4 == 0), path, vec_col="qvec",
+        n_cells=8, iters=2, sample_mod=2, codebooks=books,
+    )
+    b0 = q16.where(F.col("vec_id") % 4 == 1)
+    b1 = q16.where(F.col("vec_id") % 4 == 2)
+    append_ivfpq_index(b0, path, vec_col="qvec", txn=("gate", 0))
+    append_ivfpq_index(b1, path, vec_col="qvec", txn=("gate", 1))
+    append_ivfpq_index(
+        q16.where(F.col("vec_id") % 8 == 3), path, vec_col="qvec",
+    )
+    # WAL-recovery replay BEFORE compaction: replaces, never dupes
+    append_ivfpq_index(b0, path, vec_col="qvec", txn=("gate", 0))
+    compact_index(spark, path, keep_last=1)  # folds base+adhoc+batch 0
+    # replay of the FOLDED batch: the compaction-watermark no-op
+    append_ivfpq_index(b0, path, vec_col="qvec", txn=("gate", 0))
+    # the stream continues on the compacted tree
+    append_ivfpq_index(
+        q16.where(F.col("vec_id") % 8 == 7), path, vec_col="qvec",
+        txn=("gate", 2),
+    )
+    return ann_topk_ivfpq_indexed(
+        spark, path, q16.where(F.col("vec_id") < 5),
+        vec_col="qvec", k=10, nprobe=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline family: text analysis
 # ---------------------------------------------------------------------------
@@ -8552,13 +8621,17 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     that predate the r9 OCC rebuild and r12 txn append layout, and
 #     the sampling/histogram/window tails);
 #   - the first 29 (alphabetical) of the 50 rows last checked in r9
-#     (concurrent_sessions_peak .. q11_important_stock). The
+#     (concurrent_sessions_peak .. parts_bought_together) plus the
+#     round's ONE new entry, ann_ivfpq_compacted_full (the r12
+#     verdict's named scale-killer, driver-gated the round it
+#     lands). The
 #     remaining 21 r9 rows (q12/q13/q15/q16/q20/q21/q2/q6/q8/q9,
 #     scd2/skyline/span_dedup, streaming_kt_ivm_view,
 #     streaming_outer_interval_join, streaming_running_agg,
 #     temperature_mixture_sample, train/val/test + shard manifests,
-#     zorder_bucket_spans) lead the r14 rotation; after that no
-#     driver evidence predates r10.
+#     zorder_bucket_spans, and q11_important_stock — displaced by
+#     the new gate) lead the r14 rotation; after that no driver
+#     evidence predates r10.
 _GATE_FIRST = [
     "normalize_text_docs",
     "q10_returned_items",
@@ -8609,7 +8682,7 @@ _GATE_FIRST = [
     "neardup_canonical_keep",
     "pack_sequences_bins",
     "parts_bought_together",
-    "q11_important_stock",
+    "ann_ivfpq_compacted_full",
 ]
 
 

@@ -49,7 +49,12 @@ def run_seed(seed: int, n_ops: int = 24) -> dict:
     boot = KeyedCatalog(spark, wh, default_buckets=4)
     boot.to_table(
         spark.range(1).select(
-            F.lit(0).cast("long").alias("k"), F.lit(0.0).alias("v")
+            F.lit(0).cast("long").alias("k"), F.lit(0.0).alias("v"),
+            # rename/drop fodder (r12 verdict ask #5): `tag` data is
+            # written ONCE here under its original physical name and
+            # must survive two racing renames (tag -> tag2 -> tag3);
+            # `scratch` exists to be dropped mid-race
+            F.lit("era0").alias("tag"), F.lit(1).alias("scratch"),
         ),
         "t", keys=["k"],
     )
@@ -89,6 +94,30 @@ def run_seed(seed: int, n_ops: int = 24) -> dict:
                 expected[100_000 * w + d] = float(100_000 * w + d + w)
     got = {r["k"]: r["v"] for r in boot.read_table("t").collect()}
     model_match = got == expected
+
+    # schema-evolution model (r12 verdict ask #5): after the racing
+    # rename/rename/drop the logical schema must be (k, v, tag3) —
+    # and the k=0 row's tag value, physically written under the
+    # ORIGINAL name before any rename, must read back under the
+    # final name (column mapping across rename eras). Then a
+    # deterministic drop retires tag3 and the numeric model must be
+    # untouched.
+    cols_after = set(boot.read_table("t").columns)
+    tag3_row = (
+        boot.read_table("t").where("k = 0").select("tag3").collect()
+        if "tag3" in cols_after else []
+    )
+    schema_eras_ok = (
+        cols_after == {"k", "v", "tag3"}
+        and len(tag3_row) == 1
+        and tag3_row[0]["tag3"] == "era0"
+    )
+    boot.drop_column("t", "tag3")
+    model_after_drop = (
+        {r["k"]: r["v"] for r in boot.read_table("t").collect()}
+        == expected
+        and set(boot.read_table("t").columns) == {"k", "v"}
+    )
 
     # the vacuum-meets-roll-forward window, injected deterministically
     # on the soaked table: regress CURRENT to an older surviving claim
@@ -148,6 +177,8 @@ def run_seed(seed: int, n_ops: int = 24) -> dict:
         "model_match": model_match,
         "model_match_after_vacuum_repair": got2 == expected,
         "restore_roundtrip": restore_roundtrip,
+        "schema_eras_ok": schema_eras_ok,
+        "model_match_after_drop": model_after_drop,
     }
 
 
@@ -159,8 +190,10 @@ def main() -> None:
         "what": (
             "3 independent Spark drivers x 24 ops racing one table; "
             "worker 3 rotates vacuum(retain_last=5) / rebucket(8<->4) "
-            "/ restore(pinned head) into the live commit rounds; "
-            "deterministic restore round-trip after each race"
+            "/ rename_column(tag->tag2->tag3) / restore(pinned head) "
+            "/ drop_column(scratch) into the live commit rounds; "
+            "deterministic restore round-trip + cross-rename-era "
+            "column-mapping check + drop after each race"
         ),
         "seeds": seeds,
         "all_green": all(
@@ -168,13 +201,15 @@ def main() -> None:
             and s["model_match_after_vacuum_repair"]
             and s["vacuum_repaired_pointer_to_head"]
             and s["restore_roundtrip"] in (True, None)
+            and s["schema_eras_ok"]
+            and s["model_match_after_drop"]
             and s["ops_applied"] == 3 * n_ops
             for s in seeds
         ),
         "total_conflicts": sum(s["conflicts"] for s in seeds),
         "total_pointer_repairs": sum(s["pointer_repairs"] for s in seeds),
     }
-    path = os.path.join(REPO, "scripts", "occ_soak_r12.json")
+    path = os.path.join(REPO, "scripts", "occ_soak_r13.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

@@ -113,7 +113,7 @@ def main() -> None:
                         f"k >= {100_000 * wid} AND k < {100_000 * wid + 10}",
                     )
                 elif role == "vacuum" or (
-                    role == "maint" and (i // 4) % 3 == 0
+                    role == "maint" and (i // 4) % 6 == 0
                 ):
                     # age-gated concurrent-safe vacuum racing the
                     # rivals' live commits: never-referenced young
@@ -121,7 +121,7 @@ def main() -> None:
                     # retain_last=5 keeps every racing writer's
                     # ancestry walk inside surviving history
                     cat.vacuum(table, retain_last=5)
-                elif role == "maint" and (i // 4) % 3 == 1:
+                elif role == "maint" and (i // 4) % 6 == 1:
                     # ONLINE layout evolution racing live commits:
                     # alternate 8 <-> 4 so every rebucket is a real
                     # cutover; rivals pinned to the pre-rebucket
@@ -131,7 +131,7 @@ def main() -> None:
                     cat.rebucket_table(
                         table, 8 if (i // 12) % 2 == 0 else 4
                     )
-                elif role == "maint":
+                elif role == "maint" and (i // 4) % 6 == 3:
                     # RESTORE racing live commits: target the head
                     # this same commit window pins — state-neutral
                     # under OCC (see role comment) but exercises the
@@ -139,6 +139,33 @@ def main() -> None:
                     # set re-reference, dvs_base, nb, meta snapshot)
                     # against rival claims; the retry loop re-pins
                     cat.restore_table(table, cat._manifest(table)["v"])
+                elif role == "maint" and (i // 4) % 6 in (2, 4):
+                    # SCHEMA EVOLUTION racing live commits (r12
+                    # verdict ask #5): rename is the metadata-only
+                    # verb that changes how every LATER reader
+                    # interprets EVERY segment written before it
+                    # (column mapping translates old physical names).
+                    # Names are never recycled, so the soak renames
+                    # forward through fresh names: tag -> tag2 ->
+                    # tag3; the k=0 boot row's value must still read
+                    # back under the final name after the race.
+                    new_name = "tag2" if (i // 4) % 6 == 2 else "tag3"
+                    old_name = "tag" if new_name == "tag2" else "tag2"
+                    try:
+                        cat.rename_column(table, old_name, new_name)
+                    except NameError:
+                        # a rival maint replay/retry already moved it
+                        # (idempotent outcome) — acceptable
+                        pass
+                elif role == "maint":
+                    # DROP racing live commits: retire a disposable
+                    # column while rivals append/upsert subsets —
+                    # every later reader must prune it from every
+                    # era's segments
+                    try:
+                        cat.drop_column(table, "scratch")
+                    except NameError:
+                        pass  # already dropped by a retried attempt
                 else:
                     # vacuum=False: immediate segment reclaim under a
                     # concurrent reader is outside the retention

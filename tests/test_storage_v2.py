@@ -2674,3 +2674,79 @@ def test_vacuum_spares_segments_restored_above_snapshot(
     got = {r["k"]: r["v"] for r in catalog.read_table("vrs_t").collect()}
     assert got == want, "restored head lost its re-referenced segments"
     catalog.drop_table("vrs_t")
+
+
+def test_vacuum_history_summary_cache_bounds_and_survives(spark, catalog):
+    """r12 verdict ask #4: vacuum's past-history union is cached in a
+    summary sidecar so a later vacuum reads only manifests ABOVE the
+    cached floor instead of every version ever committed. Pins:
+    (a) the cache file appears after a reclaiming vacuum and is
+    excluded from history()/time-travel/version walks; (b) a second
+    vacuum with the cache present reclaims correctly (same result as
+    a cold scan); (c) a CORRUPT cache falls back to the full scan;
+    (d) a cache whose floor is AHEAD of the current snapshot (pointer
+    regression) is ignored — future data must never be classified
+    past."""
+    import json as _json
+
+    catalog.to_table(_mk(spark), "tvc", keys=["k"])
+    for i in range(3):
+        patch = spark.range(200).select(
+            F.col("id").alias("k"), F.lit(float(i)).alias("v")
+        )
+        catalog.to_table(patch, "tvc", keys=["k"], how="upsert")
+    assert catalog.vacuum("tvc", retain_last=1)
+    from pandabase_spark.io import LOG_DIR
+
+    summ_path = f"{catalog._path('tvc')}/{LOG_DIR}/_vacuum_history.summary.json"
+    # (a) written, excluded from the version surface
+    assert catalog.fs.exists(summ_path)
+    assert all(
+        isinstance(h["version"], int) for h in catalog.history("tvc")
+    )
+    v_now = catalog._manifest("tvc")["v"]
+    summ = _json.loads(catalog.fs.read_text(summ_path))
+    assert summ["upto"] <= v_now
+    # (b) warm-cache vacuum after more churn reclaims like a cold one
+    patch = spark.range(200).select(
+        F.col("id").alias("k"), F.lit(9.0).alias("v")
+    )
+    catalog.to_table(patch, "tvc", keys=["k"], how="upsert")
+    gone_warm = set(catalog.vacuum("tvc", dry_run=True))
+    catalog.fs.delete(summ_path, recursive=False)
+    gone_cold = set(catalog.vacuum("tvc", dry_run=True))
+    assert gone_warm == gone_cold
+    # (c) corrupt cache: full scan fallback, vacuum still correct
+    catalog.fs.write_text_atomic(summ_path, "{not json")
+    assert set(catalog.vacuum("tvc")) == gone_cold
+    assert catalog.read_table("tvc").where("v = 9.0").count() == 200
+    # (d) floor ahead of snapshot is ignored (poisoned cache must not
+    # reclassify above-snapshot segments as past garbage)
+    catalog.fs.write_text_atomic(summ_path, _json.dumps({
+        "upto": 10_000, "past_segs": ["seg-00000099"], "past_dvs": [],
+    }))
+    catalog.to_table(
+        spark.range(5).select(F.col("id").alias("k"),
+                              F.lit(1.5).alias("v")),
+        "tvc", keys=["k"], how="upsert",
+    )
+    catalog.vacuum("tvc")
+    assert catalog.read_table("tvc").count() == 200
+
+
+def test_vacuum_noop_skips_manifest_walk(spark, catalog):
+    """Append-heavy fast path: when nothing is reclaimed and no skip
+    sidecars exist, vacuum must not prune (or even re-read) history —
+    every version stays restorable afterwards."""
+    catalog.to_table(_mk(spark), "tnw", keys=["k"])
+    for i in range(4):
+        batch = spark.range(1000 + 100 * i, 1100 + 100 * i).select(
+            F.col("id").alias("k"), F.lit(float(i)).alias("v")
+        )
+        catalog.to_table(batch, "tnw", keys=["k"], how="append")
+    versions_before = [h["version"] for h in catalog.history("tnw")]
+    assert catalog.vacuum("tnw") == []
+    assert [h["version"] for h in catalog.history("tnw")] == versions_before
+    # every historical snapshot still time-travels
+    for v in versions_before:
+        assert catalog.read_table("tnw", version=v).count() >= 200
