@@ -291,3 +291,48 @@ def test_compact_legacy_layout_raises(spark, tmp_path):
             os.rmdir(txn_dir)
     with pytest.raises(ValueError, match="legacy|older|rebuild"):
         compact_index(spark, path)
+
+
+def test_compact_residual_ivfpq_serves_identical(spark, tmp_path):
+    """Compaction is payload-agnostic, but the RESIDUAL index adds an
+    anchors sidecar and a residual flag the fold must not disturb —
+    pin serve identity across compaction on the residual
+    configuration too (the production-recommended encoding)."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    # clustered corpus: separated integer centers + ternary offsets
+    center = F.expr(
+        "transform(sequence(1, 16), i -> cast(case "
+        "when (i - 1) % 4 = vec_id % 4 then 8 * (vec_id % 4 + 1) "
+        "else 0 end as double))"
+    )
+    tern = F.expr(
+        "transform(sequence(1, 16), i -> "
+        "cast(pmod(hash(vec_id, i), 3) - 1 as double))"
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.zip_with(center, tern, lambda a, b: a + b).alias("embedding"),
+    )
+    path = str(tmp_path / "res")
+    write_ivfpq_index(
+        corpus.where("vec_id % 3 = 0"), path, n_cells=4, m=4,
+        n_codes=8, iters=2, residual=True,
+    )
+    for b in range(3):
+        append_ivfpq_index(
+            corpus.where(f"vec_id % 3 = 1 and vec_id % 5 = {b}"),
+            path, txn=("r", b),
+        )
+    append_ivfpq_index(corpus.where("vec_id % 3 = 2"), path)
+    q = corpus.where("vec_id < 3")
+    before = _topk_set(
+        ann_topk_ivfpq_indexed(spark, path, q, k=8, nprobe=4)
+    )
+    stats = compact_index(spark, path, keep_last=1)
+    assert stats["folded_labels"] > 0
+    after = _topk_set(
+        ann_topk_ivfpq_indexed(spark, path, q, k=8, nprobe=4)
+    )
+    assert after == before

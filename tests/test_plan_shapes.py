@@ -691,3 +691,37 @@ def test_analytic_job_budgets(spark):
             sc.setJobGroup(None, None)
         n = len(sc.statusTracker().getJobIdsForGroup(group))
         assert n <= budget, f"{q} ran {n} jobs (budget {budget})"
+
+
+def test_compacted_index_probe_still_prunes_partitions(spark, tmp_path):
+    """r13: compaction must not cost the serve path its planning-time
+    pruning — after folding txn leaves into compact-<gen>, the data
+    scan still carries a PartitionFilters entry on `cell` (the
+    compaction-state filter adds only partition-column predicates),
+    and unprobed cell directories stay unopened."""
+    from pandabase_spark.operators.similarity import (
+        ann_topk_indexed, append_ivf_index, compact_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf_idx_c")
+    write_ivf_index(
+        emb.where("vec_id % 2 = 0"), path, n_cells=8, iters=1,
+        sample_mod=2,
+    )
+    for b in range(3):
+        append_ivf_index(
+            emb.where(f"vec_id % 2 = 1 and vec_id % 3 = {b}"), path,
+            txn=("app", b),
+        )
+    stats = compact_index(spark, path, keep_last=1)
+    assert stats["folded_labels"] > 0
+    out = ann_topk_indexed(
+        spark, path, emb.where("vec_id < 2"), k=5, nprobe=2
+    )
+    a = plan_audit(out)
+    assert any("cell" in pf for pf in a.partition_filters), (
+        a.partition_filters
+    )
+    assert a.join_safe
