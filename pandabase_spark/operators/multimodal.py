@@ -1579,7 +1579,10 @@ def _jpeg_geometry(w, h, comps):
 
 def _find_scan_end(payload: bytes, start: int) -> int:
     """First marker position after ``start`` that is not byte
-    stuffing (FF 00) or a restart marker (FF D0-D7) — the end of a
+    stuffing (FF 00), a restart marker (FF D0-D7), or a 0xFF fill
+    byte (T.81 B.1.1.2 — fills may pad restart markers INSIDE the
+    entropy stream too, so ``FF FF D0`` must scan through as
+    fill+RST0, not terminate the scan at the fill) — the end of a
     progressive scan's entropy segment."""
     j, n = start, len(payload)
     while j + 1 < n:
@@ -1587,6 +1590,9 @@ def _find_scan_end(payload: bytes, start: int) -> int:
             nxt = payload[j + 1]
             if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
                 j += 2
+                continue
+            if nxt == 0xFF:
+                j += 1  # fill byte: the marker code is further right
                 continue
             return j
         j += 1

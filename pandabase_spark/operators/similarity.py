@@ -1516,12 +1516,19 @@ def _pruned_cells_read(spark, path, cells):
     its cleanup). Both predicates hit only partition columns of the
     already-pruned probe set; the common steady state (no sidecar, or
     empty exclude) adds one cheap gen comparison."""
+    # state FIRST, listing second (r13 review finding): a compaction
+    # committing between the two steps must leave this reader on a
+    # consistent snapshot. With state-first the stale reader keeps the
+    # OLD generation filter and serves the OLD leaves — which is why
+    # online compaction defers physical deletes behind retention_s
+    # (see compact_index); the immediate-delete default is the
+    # documented stop-the-world mode.
+    state = _load_compaction_state(spark, path)
     df = (
         spark.read.option("basePath", f"{path}/data")
         .parquet(*[f"{path}/data/cell={c}" for c in cells])
         .where(F.col("cell").isin(cells))
     )
-    state = _load_compaction_state(spark, path)
     if state is not None:
         gen_ok = F.when(
             F.col("txn").startswith("compact-"),
@@ -1588,6 +1595,7 @@ def compact_index(
     *,
     keep_last: int = 2,
     watermarks: "dict[str, int] | None" = None,
+    retention_s: float = 0.0,
 ) -> dict:
     """Coalesce a persisted index's accumulated ``txn=`` leaves — the
     long-horizon maintenance the streaming ingest story needs (r12
@@ -1619,19 +1627,34 @@ def compact_index(
     :func:`_append_index_batch` consults the committed watermark
     before writing.
 
-    Crash safety (resumable, never served wrong): the fold is written
-    as ``compact-<gen+1>`` via dynamic partition overwrite (a crashed
-    attempt of the same generation is replaced, and the serve path
+    Crash safety (resumable, never served wrong): uncommitted
+    ``compact-<g>`` leaves from a crashed fold (g above the committed
+    generation) are deleted up front — a later run with a DIFFERENT
+    watermark must never let a stale partial fold ride its commit
+    (r13 review finding) — then the fold is staged to a sibling dir
+    and renamed per cell as the new generation (the serve filter
     ignores generations above the committed one), then the state
     sidecar commits ``gen+1`` with the folded labels as ``exclude``
     (serve ignores them from that instant), then the folded leaves
     are physically deleted, then ``exclude`` clears. Re-running
     :func:`compact_index` after a crash at ANY point converges: step
-    one finishes a pending delete before starting a new fold.
+    one finishes pending deletes before starting a new fold.
+
+    ``retention_s`` governs ONLINE use. The default (0) deletes
+    superseded leaves immediately — correct when no query runs
+    concurrently (the paused-stream maintenance window; vacuum's
+    ``orphan_age_s=0`` analogue). With ``retention_s > 0`` the
+    physical deletes are DEFERRED: superseded leaves stay on disk
+    (new readers exclude them via the committed state; a reader that
+    loaded the pre-commit state keeps serving the old leaves — its
+    consistent snapshot) until a later :func:`compact_index` run
+    finds them older than the retention window. Size it above the
+    longest query, exactly like Delta's tombstone retention.
 
     Returns a stats dict: ``{"gen", "folded_labels", "leaves_before",
-    "leaves_after"}`` (``folded_labels == 0`` → nothing to do; no
-    write happened)."""
+    "leaves_after"}`` (``folded_labels == 0`` → nothing to fold; no
+    write happened, though pending retention deletes may still have
+    run)."""
     from pandabase_spark.fs import HadoopFS
 
     fs = HadoopFS(spark)
@@ -1642,34 +1665,80 @@ def compact_index(
             "this index was written by an older write_ivf_index (bare "
             "cell=N leaves) — rebuild it to enable compaction"
         )
+    import time as _time
+
     state = _load_compaction_state(spark, path) or {
         "gen": 0, "watermarks": {}, "exclude": [],
     }
+    state.setdefault("exclude_ts", {})
     cell_dirs = [
         d for d in fs.list_dirs(data) if d.startswith("cell=")
     ]
-    # resume a crashed prior run first: its fold is committed (gen and
-    # exclude say so) but some superseded leaves may still exist
-    if state["exclude"]:
+
+    def _sweep_excluded() -> None:
+        """Physically delete superseded (excluded) leaves whose
+        exclusion is older than the retention window, then shrink the
+        committed exclude set to the labels that still have leaves.
+        Runs at entry (resume of a crashed/deferred prior run) and
+        after this run's own commit."""
+        nonlocal state
+        if not state["exclude"]:
+            return
+        horizon = _time.time() - retention_s
         pending = set(state["exclude"])
+        aged = {
+            lb for lb in pending
+            # pre-retention state files carry no timestamp: treat as 0
+            if float(state["exclude_ts"].get(lb, 0)) <= horizon
+        }
+        remaining: "set[str]" = set()
         for cd in cell_dirs:
             for td in fs.list_dirs(f"{data}/{cd}"):
-                if td.startswith("txn=") and _unescape_partition(
-                    td[4:]
-                ) in pending:
+                if not td.startswith("txn="):
+                    continue
+                lb = _unescape_partition(td[4:])
+                if lb in aged:
                     fs.delete(f"{data}/{cd}/{td}")
-        state = {**state, "exclude": []}
+                elif lb in pending:
+                    remaining.add(lb)
+        state = {
+            **state,
+            "exclude": sorted(remaining),
+            "exclude_ts": {
+                lb: ts for lb, ts in state["exclude_ts"].items()
+                if lb in remaining
+            },
+        }
         _commit_compaction_state(spark, path, state)
 
+    _sweep_excluded()
+
     # inventory the live leaves (names only, one listing per cell dir
-    # — the same O(dirs) scan any maintenance of this tree implies)
+    # — the same O(dirs) scan any maintenance of this tree implies).
+    # Leaves still pending retention delete are DEAD copies (their
+    # rows live in a committed compact leaf) — never re-foldable.
+    # Uncommitted compact-<g> leaves (g above the committed gen, a
+    # crashed fold) are deleted on sight: a re-run under a DIFFERENT
+    # watermark might not rewrite that cell, and committing would
+    # then serve the stale partial fold as live (duplicates).
+    dead = set(state["exclude"])
     labels: "set[str]" = set()
     leaves_before = 0
     for cd in cell_dirs:
         for td in fs.list_dirs(f"{data}/{cd}"):
-            if td.startswith("txn="):
-                labels.add(_unescape_partition(td[4:]))
-                leaves_before += 1
+            if not td.startswith("txn="):
+                continue
+            lb = _unescape_partition(td[4:])
+            if (
+                lb.startswith("compact-")
+                and lb[8:].isdigit()
+                and int(lb[8:]) > state["gen"]
+            ):
+                fs.delete(f"{data}/{cd}/{td}")
+                continue
+            leaves_before += 1
+            if lb not in dead:
+                labels.add(lb)
 
     by_app: "dict[str, list[int]]" = {}
     adhoc: "set[str]" = set()
@@ -1693,20 +1762,16 @@ def compact_index(
     for app, ids in by_app.items():
         ids.sort()
         derived = ids[-keep_last - 1] if len(ids) > keep_last else None
-        mark = max(
+        cands = [
             x for x in (
                 derived,
                 (watermarks or {}).get(app),
                 state["watermarks"].get(app),
             ) if x is not None
-        ) if any(
-            x is not None for x in (
-                derived, (watermarks or {}).get(app),
-                state["watermarks"].get(app),
-            )
-        ) else None
-        if mark is None:
+        ]
+        if not cands:
             continue
+        mark = max(cands)
         new_marks[app] = max(new_marks.get(app, mark), mark)
         folded_batches |= {
             f"{app}:{b}" for b in ids if b <= new_marks[app]
@@ -1745,16 +1810,19 @@ def compact_index(
         fs.delete(dest)
         fs.rename_dir(f"{tmp}/{cd}", dest)
     fs.delete(tmp)
-    state = {"gen": newgen, "watermarks": new_marks, "exclude": fold_set}
+    now = _time.time()
+    state = {
+        "gen": newgen,
+        "watermarks": new_marks,
+        # carry forward any labels still inside their retention window
+        "exclude": sorted(set(state["exclude"]) | set(fold_set)),
+        "exclude_ts": {
+            **state["exclude_ts"],
+            **{lb: now for lb in fold_set},
+        },
+    }
     _commit_compaction_state(spark, path, state)
-    for cd in cell_dirs:
-        for td in fs.list_dirs(f"{data}/{cd}"):
-            if td.startswith("txn=") and _unescape_partition(
-                td[4:]
-            ) in movable | folds:
-                fs.delete(f"{data}/{cd}/{td}")
-    state = {**state, "exclude": []}
-    _commit_compaction_state(spark, path, state)
+    _sweep_excluded()
     leaves_after = sum(
         1
         for cd in cell_dirs

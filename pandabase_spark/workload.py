@@ -8620,12 +8620,12 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     q4/q7/q10/q14/q17/q18/q19/q22 block, the five streaming entries
 #     that predate the r9 OCC rebuild and r12 txn append layout, and
 #     the sampling/histogram/window tails);
-#   - the first 29 (alphabetical) of the 50 rows last checked in r9
+#   - the first 28 (alphabetical) of the 50 rows last checked in r9
 #     (concurrent_sessions_peak .. parts_bought_together) plus the
 #     round's ONE new entry, ann_ivfpq_compacted_full (the r12
 #     verdict's named scale-killer, driver-gated the round it
 #     lands). The
-#     remaining 21 r9 rows (q12/q13/q15/q16/q20/q21/q2/q6/q8/q9,
+#     remaining 22 r9 rows (q12/q13/q15/q16/q20/q21/q2/q6/q8/q9,
 #     scd2/skyline/span_dedup, streaming_kt_ivm_view,
 #     streaming_outer_interval_join, streaming_running_agg,
 #     temperature_mixture_sample, train/val/test + shard manifests,

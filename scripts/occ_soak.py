@@ -112,12 +112,17 @@ def run_seed(seed: int, n_ops: int = 24) -> dict:
         and len(tag3_row) == 1
         and tag3_row[0]["tag3"] == "era0"
     )
-    boot.drop_column("t", "tag3")
-    model_after_drop = (
-        {r["k"]: r["v"] for r in boot.read_table("t").collect()}
-        == expected
-        and set(boot.read_table("t").columns) == {"k", "v"}
-    )
+    try:
+        boot.drop_column("t", "tag3")
+        model_after_drop = (
+            {r["k"]: r["v"] for r in boot.read_table("t").collect()}
+            == expected
+            and set(boot.read_table("t").columns) == {"k", "v"}
+        )
+    except NameError:
+        # tag3 absent means the racing renames themselves failed —
+        # record the red signal instead of crashing the seed
+        model_after_drop = False
 
     # the vacuum-meets-roll-forward window, injected deterministically
     # on the soaked table: regress CURRENT to an older surviving claim
@@ -189,7 +194,7 @@ def main() -> None:
     out = {
         "what": (
             "3 independent Spark drivers x 24 ops racing one table; "
-            "worker 3 rotates vacuum(retain_last=5) / rebucket(8<->4) "
+            "worker 3 rotates vacuum(retain_last=5) / rebucket(4->8) "
             "/ rename_column(tag->tag2->tag3) / restore(pinned head) "
             "/ drop_column(scratch) into the live commit rounds; "
             "deterministic restore round-trip + cross-rename-era "

@@ -122,15 +122,16 @@ def main() -> None:
                     # ancestry walk inside surviving history
                     cat.vacuum(table, retain_last=5)
                 elif role == "maint" and (i // 4) % 6 == 1:
-                    # ONLINE layout evolution racing live commits:
-                    # alternate 8 <-> 4 so every rebucket is a real
-                    # cutover; rivals pinned to the pre-rebucket
-                    # snapshot must hash under the layout their
-                    # snapshot records (_resolve_nb), and their OCC
-                    # retry re-reads the new one
-                    cat.rebucket_table(
-                        table, 8 if (i // 12) % 2 == 0 else 4
-                    )
+                    # ONLINE layout evolution racing live commits: one
+                    # real 4 -> 8 cutover per seed (the 6-verb r13
+                    # rotation gives each maintenance verb one slot in
+                    # 24 ops; the boot catalog buckets at 4, so this
+                    # is always a genuine layout change). Rivals
+                    # pinned to the pre-rebucket snapshot must hash
+                    # under the layout their snapshot records
+                    # (_resolve_nb), and their OCC retry re-reads the
+                    # new one.
+                    cat.rebucket_table(table, 8)
                 elif role == "maint" and (i // 4) % 6 == 3:
                     # RESTORE racing live commits: target the head
                     # this same commit window pins — state-neutral

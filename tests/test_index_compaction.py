@@ -336,3 +336,118 @@ def test_compact_residual_ivfpq_serves_identical(spark, tmp_path):
         ann_topk_ivfpq_indexed(spark, path, q, k=8, nprobe=4)
     )
     assert after == before
+
+
+def test_stale_uncommitted_fold_leaf_deleted_under_new_watermark(
+    spark, tmp_path
+):
+    """r13 review finding: a crashed fold leaves UNCOMMITTED
+    compact-<g+1> leaves; a re-run under a DIFFERENT watermark whose
+    fold set misses that cell must DELETE the stale leaf rather than
+    let its own commit flip it live (which would serve the stale
+    partial fold's rows as duplicates)."""
+    import shutil
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    write_ivf_index(
+        emb.where("vec_id % 2 = 0"), path, n_cells=4, iters=1,
+        sample_mod=2,
+    )
+    for b in range(3):
+        append_ivf_index(
+            emb.where(f"vec_id % 2 = 1 and vec_id % 3 = {b}"), path,
+            txn=("a", b),
+        )
+    q = emb.where("vec_id < 3")
+    truth = _topk_set(ann_topk_indexed(spark, path, q, k=8, nprobe=4))
+    # simulate run A's crash mid-rename: an uncommitted compact-1
+    # leaf holding a COPY of batch a:2's rows in one cell
+    data = f"{path}/data"
+    victim = next(
+        cd for cd, tds in _leaves(path).items()
+        if any(td.startswith("txn=a") for td in tds)
+    )
+    src_leaf = next(
+        td for td in _leaves(path)[victim] if td.startswith("txn=a")
+    )
+    shutil.copytree(
+        f"{data}/{victim}/{src_leaf}", f"{data}/{victim}/txn=compact-1"
+    )
+    # run B folds NOTHING from that app (keep_last high) but still
+    # folds base+adhoc? nothing movable -> no commit; the stale leaf
+    # must STILL be deleted by the entry cleanup
+    stats = compact_index(spark, path, keep_last=10)
+    assert stats["folded_labels"] == 0
+    assert not os.path.exists(f"{data}/{victim}/txn=compact-1")
+    assert _topk_set(
+        ann_topk_indexed(spark, path, q, k=8, nprobe=4)
+    ) == truth
+    # and a run that DOES commit a new generation can never resurrect
+    # it: replant the stale leaf, fold with keep_last=0
+    shutil.copytree(
+        f"{data}/{victim}/{src_leaf}", f"{data}/{victim}/txn=compact-1"
+    )
+    stats2 = compact_index(spark, path, keep_last=0)
+    assert stats2["gen"] == 1 and stats2["folded_labels"] > 0
+    assert _topk_set(
+        ann_topk_indexed(spark, path, q, k=8, nprobe=4)
+    ) == truth
+
+
+def test_retention_defers_physical_deletes(spark, tmp_path):
+    """r13 review finding (online serve-vs-compaction race): with
+    retention_s > 0 the superseded leaves survive the commit — a
+    reader holding the PRE-commit state keeps a consistent snapshot —
+    and are reclaimed only by a later run once aged past the window.
+    New readers exclude them immediately; the dead copies are never
+    re-folded."""
+    import time
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    write_ivf_index(
+        emb.where("vec_id % 2 = 0"), path, n_cells=4, iters=1,
+        sample_mod=2,
+    )
+    for b in range(3):
+        append_ivf_index(
+            emb.where(f"vec_id % 2 = 1 and vec_id % 3 = {b}"), path,
+            txn=("a", b),
+        )
+    q = emb.where("vec_id < 3")
+    truth = _topk_set(ann_topk_indexed(spark, path, q, k=8, nprobe=4))
+    leaves0 = sum(len(v) for v in _leaves(path).values())
+    stats = compact_index(spark, path, keep_last=0, retention_s=3600)
+    assert stats["folded_labels"] > 0
+    # superseded leaves still on disk (deferred), plus the new fold
+    assert sum(len(v) for v in _leaves(path).values()) > leaves0
+    state = _load_compaction_state(spark, path)
+    assert state["exclude"], "retention must keep the exclude set live"
+    # new readers exclude the dead copies: result identical, no dupes
+    assert _topk_set(
+        ann_topk_indexed(spark, path, q, k=8, nprobe=4)
+    ) == truth
+    # a second run inside the window folds nothing new and keeps them
+    stats2 = compact_index(spark, path, keep_last=0, retention_s=3600)
+    assert stats2["folded_labels"] == 0
+    assert _load_compaction_state(spark, path)["exclude"]
+    # age the exclusions out (rewrite timestamps), then reclaim
+    from pandabase_spark.operators.similarity import (
+        _commit_compaction_state,
+    )
+
+    aged = {
+        **state,
+        "exclude_ts": {lb: 1.0 for lb in state["exclude"]},
+    }
+    _commit_compaction_state(spark, path, aged)
+    compact_index(spark, path, keep_last=0, retention_s=3600)
+    state3 = _load_compaction_state(spark, path)
+    assert state3["exclude"] == []
+    assert _topk_set(
+        ann_topk_indexed(spark, path, q, k=8, nprobe=4)
+    ) == truth
+    # only the compact leaf (+ nothing else foldable) remains per cell
+    for tds in _leaves(path).values():
+        assert all(td.startswith("txn=compact-") for td in tds), tds

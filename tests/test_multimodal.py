@@ -1121,7 +1121,7 @@ def test_jpeg_fill_bytes_before_markers_tolerated():
         _parse_jpeg, encode_jpeg,
     )
 
-    def pad_markers(buf: bytes, skip_entropy: bool) -> bytes:
+    def pad_markers(buf: bytes) -> bytes:
         # insert one fill byte before each marker segment (never
         # inside entropy data unless it precedes an RSTn)
         out = bytearray()
@@ -1166,7 +1166,7 @@ def test_jpeg_fill_bytes_before_markers_tolerated():
         {"subsampling": "420"},
     ):
         clean = encode_jpeg(24, 17, 3, px, **kwargs)
-        padded = pad_markers(clean, skip_entropy=False)
+        padded = pad_markers(clean)
         assert len(padded) > len(clean)
         want = _parse_jpeg(clean)
         got = _parse_jpeg(padded)
@@ -1218,3 +1218,28 @@ def test_jpeg_progressive_forged_header_bounded():
     # control: a real progressive encoding of a small image decodes
     good = encode_jpeg(16, 16, 1, bytes(range(256)), progressive=True)
     assert _parse_jpeg(good) is not None
+
+
+def test_find_scan_end_tolerates_fill_padded_restarts():
+    """r13 review finding: fills may pad RSTn markers INSIDE a
+    progressive scan's entropy stream (T.81 B.1.1.2). _find_scan_end
+    must scan THROUGH 'FF FF D0' (fill + RST0) rather than ending the
+    scan at the fill, and must still end at a fill-padded REAL marker
+    (returning the fill position, which the marker walk skips)."""
+    from pandabase_spark.operators.multimodal import _find_scan_end
+
+    # entropy | stuffed FF | fill+RST0 | entropy | fills + EOI
+    buf = (
+        b"\x12\x34" + b"\xff\x00" + b"\xff\xff\xd0" + b"\x56"
+        + b"\xff\xff\xff\xd9"
+    )
+    end = _find_scan_end(buf, 0)
+    # the scan must include the fill+restart and the post-restart
+    # byte (old code ended AT the fill, truncating the scan), and
+    # stop at the real EOI marker (trailing fills may remain inside
+    # the slice — the bit reader never consumes them)
+    assert b"\xff\xff\xd0\x56" in buf[:end], (end, buf[:end])
+    assert buf[end] == 0xFF and buf[end + 1] == 0xD9
+    # plain case unchanged: ends exactly at a non-RST marker
+    buf2 = b"\xaa\xbb\xff\xd9"
+    assert _find_scan_end(buf2, 0) == 2
