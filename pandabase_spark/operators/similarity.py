@@ -1576,6 +1576,7 @@ def _load_compaction_state(spark, path: str) -> "dict | None":
     state.setdefault("gen", 0)
     state.setdefault("watermarks", {})
     state.setdefault("exclude", [])
+    state.setdefault("exclude_until", {})
     return state
 
 
@@ -1667,30 +1668,43 @@ def compact_index(
         )
     import time as _time
 
-    state = _load_compaction_state(spark, path) or {
-        "gen": 0, "watermarks": {}, "exclude": [],
-    }
-    state.setdefault("exclude_ts", {})
+    state = _load_compaction_state(spark, path)
+    if state is None:
+        # establish the sidecar BEFORE any fold is staged (r13 second
+        # review pass): without it, a crash during the FIRST-ever
+        # compaction leaves uncommitted compact-1 leaves that the
+        # serve path — which applies no generation filter when no
+        # state exists — would read as live duplicates
+        state = {"gen": 0, "watermarks": {}, "exclude": []}
+        _commit_compaction_state(spark, path, state)
+    state.setdefault("exclude_until", {})
     cell_dirs = [
         d for d in fs.list_dirs(data) if d.startswith("cell=")
     ]
 
     def _sweep_excluded() -> None:
         """Physically delete superseded (excluded) leaves whose
-        exclusion is older than the retention window, then shrink the
-        committed exclude set to the labels that still have leaves.
-        Runs at entry (resume of a crashed/deferred prior run) and
-        after this run's own commit."""
+        retention DEADLINE has passed, then shrink the committed
+        exclude set to the labels that still have leaves. Each
+        label's deadline was fixed at EXCLUSION time (now +
+        retention_s of the run that excluded it) — a later run with a
+        shorter window cannot break the promise an earlier run made
+        to its in-flight readers (r13 second review pass; Delta
+        persists retention for the same reason). Runs at entry
+        (resume of a crashed/deferred prior run) and after this run's
+        own commit; a sweep that deletes nothing recommits nothing."""
         nonlocal state
         if not state["exclude"]:
             return
-        horizon = _time.time() - retention_s
+        now = _time.time()
         pending = set(state["exclude"])
         aged = {
             lb for lb in pending
-            # pre-retention state files carry no timestamp: treat as 0
-            if float(state["exclude_ts"].get(lb, 0)) <= horizon
+            # legacy/crash-window state without a deadline: due now
+            if float(state["exclude_until"].get(lb, 0)) <= now
         }
+        if not aged:
+            return
         remaining: "set[str]" = set()
         for cd in cell_dirs:
             for td in fs.list_dirs(f"{data}/{cd}"):
@@ -1704,8 +1718,8 @@ def compact_index(
         state = {
             **state,
             "exclude": sorted(remaining),
-            "exclude_ts": {
-                lb: ts for lb, ts in state["exclude_ts"].items()
+            "exclude_until": {
+                lb: ts for lb, ts in state["exclude_until"].items()
                 if lb in remaining
             },
         }
@@ -1810,15 +1824,15 @@ def compact_index(
         fs.delete(dest)
         fs.rename_dir(f"{tmp}/{cd}", dest)
     fs.delete(tmp)
-    now = _time.time()
+    deadline = _time.time() + retention_s
     state = {
         "gen": newgen,
         "watermarks": new_marks,
         # carry forward any labels still inside their retention window
         "exclude": sorted(set(state["exclude"]) | set(fold_set)),
-        "exclude_ts": {
-            **state["exclude_ts"],
-            **{lb: now for lb in fold_set},
+        "exclude_until": {
+            **state["exclude_until"],
+            **{lb: deadline for lb in fold_set},
         },
     }
     _commit_compaction_state(spark, path, state)

@@ -439,7 +439,7 @@ def test_retention_defers_physical_deletes(spark, tmp_path):
 
     aged = {
         **state,
-        "exclude_ts": {lb: 1.0 for lb in state["exclude"]},
+        "exclude_until": {lb: 1.0 for lb in state["exclude"]},
     }
     _commit_compaction_state(spark, path, aged)
     compact_index(spark, path, keep_last=0, retention_s=3600)
@@ -451,3 +451,57 @@ def test_retention_defers_physical_deletes(spark, tmp_path):
     # only the compact leaf (+ nothing else foldable) remains per cell
     for tds in _leaves(path).values():
         assert all(td.startswith("txn=compact-") for td in tds), tds
+
+
+def test_first_compaction_crash_mid_rename_never_served_wrong(
+    spark, tmp_path, monkeypatch
+):
+    """r13 second review pass: on a NEVER-compacted index the serve
+    path applies no generation filter (no state sidecar), so a crash
+    during the first fold's rename phase used to expose the partial
+    compact-1 leaves as live duplicates. compact_index now commits
+    the default state BEFORE staging anything — pinned here by
+    crashing the very first rename and asserting the serve result is
+    still exact and a re-run converges."""
+    import pandabase_spark.fs as fsmod
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    write_ivf_index(
+        emb.where("vec_id % 2 = 0"), path, n_cells=4, iters=1,
+        sample_mod=2,
+    )
+    append_ivf_index(emb.where("vec_id % 2 = 1"), path, txn=("a", 0))
+    append_ivf_index(emb.limit(0), path, txn=("a", 1))
+    q = emb.where("vec_id < 3")
+    truth = _topk_set(ann_topk_indexed(spark, path, q, k=8, nprobe=4))
+
+    real_rename = fsmod.HadoopFS.rename_dir
+    calls = {"n": 0}
+
+    def crash_after_first(self, src, dst):
+        real_rename(self, src, dst)
+        calls["n"] += 1
+        raise RuntimeError("injected crash mid-rename")
+
+    monkeypatch.setattr(fsmod.HadoopFS, "rename_dir", crash_after_first)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_index(spark, path, keep_last=0)
+    monkeypatch.setattr(fsmod.HadoopFS, "rename_dir", real_rename)
+    assert calls["n"] == 1
+    # the partial compact-1 leaf exists, but the sidecar was committed
+    # at entry (gen=0) so the serve filter ignores the uncommitted gen
+    assert any(
+        "txn=compact-1" in tds for tds in _leaves(path).values()
+    )
+    state = _load_compaction_state(spark, path)
+    assert state is not None and state["gen"] == 0
+    assert _topk_set(
+        ann_topk_indexed(spark, path, q, k=8, nprobe=4)
+    ) == truth
+    # re-run converges: fold commits, serve still exact
+    stats = compact_index(spark, path, keep_last=0)
+    assert stats["gen"] == 1 and stats["folded_labels"] > 0
+    assert _topk_set(
+        ann_topk_indexed(spark, path, q, k=8, nprobe=4)
+    ) == truth
