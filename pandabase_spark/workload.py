@@ -1553,6 +1553,73 @@ def python_datasource_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_LATEST_ORACLE = (
+    "SELECT id, v, p FROM ("
+    "SELECT r AS id, r * 1.0 AS v, 0 AS p FROM range(0, 100) t(r) "
+    "UNION ALL SELECT r, r * 2.0, 1 FROM range(100, 150) t(r) "
+    "UNION ALL SELECT r, r * 5.0, 2 FROM range(200, 220) t(r))"
+)
+
+
+@_q("delta_scan_log_replay", _DELTA_LATEST_ORACLE)
+def delta_scan_log_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake INTEROP (r13): read a Delta table WITHOUT
+    delta-spark by replaying its transaction log — checkpoint parquet
+    + JSON commit tail, add/remove action replay to the live file
+    set, schema from metaData.schemaString, partition values attached
+    from the log's per-file partitionValues (Delta data files do NOT
+    contain partition columns), protocol feature gating (deletion
+    vectors / column mapping / unknown reader features refuse rather
+    than misread). The fixture is written BY HAND per the public
+    protocol (pandabase_spark/sources/delta_fixture.py) with a FLAT
+    data layout and commits 0-2 DELETED after checkpointing (Delta's
+    log cleanup) — a reader that lists directories instead of
+    replaying checkpoint+tail cannot produce this answer: the live
+    set is adds minus removes across an overwrite (v1) and a replace
+    (v3). The DuckDB oracle recomputes the surviving 170 rows
+    arithmetically. 100 TB story: the log IS the index — one
+    checkpoint read + the tail, no directory listing, planning-time
+    file pruning via partition_filter."""
+    from pandabase_spark.sources.delta_fixture import make_delta_fixture
+    from pandabase_spark.sources.delta_reader import delta_scan
+
+    cat = _catalog(spark, sf_dir)
+    table = f"{cat.warehouse}/_delta_fixture"
+    if cat.fs.exists(table):
+        cat.fs.delete(table)
+    make_delta_fixture(spark, table)
+    # Delta's metadata cleanup: drop the commits the checkpoint covers
+    for v in (0, 1, 2):
+        cat.fs.delete(
+            f"{table}/_delta_log/{v:020d}.json", recursive=False
+        )
+    return delta_scan(spark, table)
+
+
+@_q(
+    "delta_scan_time_travel",
+    "SELECT id, v, p FROM ("
+    "SELECT r AS id, r * 1.0 AS v, 0 AS p FROM range(0, 100) t(r) "
+    "UNION ALL SELECT r, r * 2.0, 1 FROM range(100, 150) t(r))",
+)
+def delta_scan_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta interop time travel: ``delta_scan(version=1)`` replays
+    only commits <= 1, reconstructing the post-overwrite snapshot
+    (file b removed, file c live) with the checkpoint at v2 correctly
+    IGNORED (it is above the pinned version). Same hand-written
+    protocol fixture; oracle recomputes the v1 snapshot
+    arithmetically."""
+    from pandabase_spark.sources.delta_fixture import make_delta_fixture
+    from pandabase_spark.sources.delta_reader import delta_scan
+
+    cat = _catalog(spark, sf_dir)
+    table = f"{cat.warehouse}/_delta_fixture_tt"
+    if cat.fs.exists(table):
+        cat.fs.delete(table)
+    make_delta_fixture(spark, table)
+    return delta_scan(spark, table, version=1)
+
+
 @_q("csv_roundtrip_part", "SELECT * FROM part")
 def csv_roundtrip_part_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part through a CSV write→read cycle (sources.write_csv /

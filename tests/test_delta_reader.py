@@ -1,0 +1,152 @@
+"""Delta Lake log-replay reader (r13 interop surface).
+
+The fixture below writes a synthetic Delta table BY HAND per the
+public protocol (JSON commits, partitionValues in the log, a real
+checkpoint parquet + _last_checkpoint) with a deliberately FLAT data
+layout — no hive-style directories — so a reader that cheats by
+listing directories instead of replaying the log cannot pass.
+Content is arithmetic in the row id, so every expectation is exact.
+
+Table history:
+  v0  metaData/protocol; add A (p=0, ids 0..99, v=id*1)
+                         add B (p=1, ids 100..199, v=id*1)
+  v1  remove B; add C (p=1, ids 100..149, v=id*2)   [overwrite]
+  v2  add D (p=2, ids 200..249, v=id*3)  + CHECKPOINT at 2
+  v3  remove D; add E (p=2, ids 200..219, v=id*5)
+
+Live at latest: A + C + E (170 rows).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pandabase_spark.fs import HadoopFS
+from pandabase_spark.sources.delta_fixture import make_delta_fixture
+from pandabase_spark.sources.delta_reader import (
+    DeltaProtocolError,
+    delta_history,
+    delta_scan,
+    delta_table_version,
+)
+
+def _expected_latest():
+    return (
+        {(i, float(i), 0) for i in range(100)}
+        | {(i, 2.0 * i, 1) for i in range(100, 150)}
+        | {(i, 5.0 * i, 2) for i in range(200, 220)}
+    )
+
+
+@pytest.fixture()
+def delta_table(spark, tmp_path):
+    table = str(tmp_path / "dtab")
+    make_delta_fixture(spark, table)
+    return table
+
+
+def _rows(df):
+    return {(r["id"], r["v"], r["p"]) for r in df.collect()}
+
+
+def test_delta_scan_latest_replays_checkpoint_plus_tail(
+    spark, delta_table
+):
+    df = delta_scan(spark, delta_table)
+    assert df.columns == ["id", "v", "p"]
+    assert _rows(df) == _expected_latest()
+    assert delta_table_version(spark, delta_table) == 3
+    ops = [h["operation"] for h in delta_history(spark, delta_table)]
+    assert ops == ["REPLACE"]  # tail above the checkpoint
+
+
+def test_delta_scan_time_travel(spark, delta_table):
+    v1 = delta_scan(spark, delta_table, version=1)
+    assert _rows(v1) == (
+        {(i, float(i), 0) for i in range(100)}
+        | {(i, 2.0 * i, 1) for i in range(100, 150)}
+    )
+    v0 = delta_scan(spark, delta_table, version=0)
+    assert _rows(v0) == {
+        (i, float(i), 0 if i < 100 else 1) for i in range(200)
+    }
+    with pytest.raises(NameError, match="not in Delta log"):
+        delta_scan(spark, delta_table, version=9)
+
+
+def test_delta_scan_partition_filter_prunes_files(spark, delta_table):
+    got = delta_scan(
+        spark, delta_table,
+        partition_filter=lambda pv: pv.get("p") == "1",
+    )
+    assert _rows(got) == {(i, 2.0 * i, 1) for i in range(100, 150)}
+    # empty selection: typed empty frame, no scan
+    none = delta_scan(
+        spark, delta_table, partition_filter=lambda pv: False
+    )
+    assert none.count() == 0 and none.columns == ["id", "v", "p"]
+
+
+def test_delta_scan_survives_log_cleanup_via_checkpoint(
+    spark, delta_table
+):
+    """Delete the commits the checkpoint covers (Delta's log cleanup):
+    latest reads must still work from checkpoint + tail; pinned
+    versions below the checkpoint raise the truncation error."""
+    fs = HadoopFS(spark)
+    log = f"{delta_table}/_delta_log"
+    for v in (0, 1, 2):
+        fs.delete(f"{log}/{v:020d}.json", recursive=False)
+    assert _rows(delta_scan(spark, delta_table)) == _expected_latest()
+    with pytest.raises(NameError, match="outside the retained log"):
+        delta_scan(spark, delta_table, version=1)
+
+
+def test_delta_scan_refuses_unsupported_features(spark, tmp_path):
+    table = str(tmp_path / "dv")
+    make_delta_fixture(spark, table)
+    fs = HadoopFS(spark)
+    log = f"{table}/_delta_log"
+    fs.write_text_atomic(f"{log}/{4:020d}.json", json.dumps({
+        "protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    }))
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        delta_scan(spark, table)
+    # a file-level DV also refuses, even under a permissive protocol
+    table2 = str(tmp_path / "dv2")
+    make_delta_fixture(spark, table2)
+    log2 = f"{table2}/_delta_log"
+    fs.write_text_atomic(f"{log2}/{4:020d}.json", json.dumps({
+        "add": {
+            "path": "e.parquet", "partitionValues": {"p": "2"},
+            "size": 1, "modificationTime": 0, "dataChange": True,
+            "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                               "sizeInBytes": 1, "cardinality": 1},
+        }
+    }))
+    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+        delta_scan(spark, table2)
+    # unknown reader feature: refuse rather than misread
+    table3 = str(tmp_path / "dv3")
+    make_delta_fixture(spark, table3)
+    fs.write_text_atomic(
+        f"{table3}/_delta_log/{4:020d}.json", json.dumps({
+            "protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["someFutureFeature"],
+            }
+        })
+    )
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
+        delta_scan(spark, table3)
+
+
+def test_delta_scan_not_a_table(spark, tmp_path):
+    with pytest.raises(NameError, match="not a Delta table"):
+        delta_scan(spark, str(tmp_path / "nope"))
