@@ -1620,6 +1620,58 @@ def delta_scan_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_scan(spark, table, version=1)
 
 
+@_q(
+    "delta_export_roundtrip",
+    "SELECT id, v, p FROM ("
+    "SELECT r AS id, r * 3.0 AS v, CAST(r % 3 AS INTEGER) AS p "
+    "FROM range(0, 30) t(r) "
+    "UNION ALL SELECT r, r * 1.0, CAST(r % 3 AS INTEGER) "
+    "FROM range(60, 90) t(r))",
+)
+def delta_export_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake EXPORT (r13, the writer half of the interop pair):
+    publish a partitioned Delta table with pure protocol writes —
+    create (v0: protocol+metaData+adds), append, OVERWRITE (removes
+    everything live, adds the replacement), a second append, then a
+    classic CHECKPOINT + log cleanup of the covered commits — and
+    read the result back through the log-replay reader. Commits are
+    claimed PUT-IF-ABSENT (the Delta LogStore contract; the racing
+    retry loop is pinned in tests/test_delta_writer.py, and the raw
+    log JSON's protocol shape — action keys, string partitionValues,
+    partition-column-free data files — is structurally asserted
+    there, so a writer/reader bug pair cannot cancel out here). The
+    DuckDB oracle recomputes the surviving rows arithmetically:
+    overwrite replaced rows 0..59 with 0..29 at 3x, the post-
+    checkpoint append added 60..89 at 1x."""
+    from pandabase_spark.sources.delta_reader import delta_scan
+    from pandabase_spark.sources.delta_writer import (
+        delta_append, delta_checkpoint, delta_create, delta_overwrite,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    table = f"{cat.warehouse}/_delta_export"
+    if cat.fs.exists(table):
+        cat.fs.delete(table)
+
+    def mk(lo, hi, mult):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            (F.col("id") * float(mult)).alias("v"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        )
+
+    delta_create(mk(0, 40, 1.0), table, partition_by=["p"])
+    delta_append(mk(40, 60, 1.0), table)
+    delta_overwrite(mk(0, 30, 3.0), table)
+    delta_checkpoint(spark, table)
+    delta_append(mk(60, 90, 1.0), table)
+    for old in (0, 1, 2):
+        cat.fs.delete(
+            f"{table}/_delta_log/{old:020d}.json", recursive=False
+        )
+    return delta_scan(spark, table)
+
+
 @_q("csv_roundtrip_part", "SELECT * FROM part")
 def csv_roundtrip_part_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part through a CSV write→read cycle (sources.write_csv /
