@@ -25,6 +25,20 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+def unescape_partition(name: str) -> str:
+    """Decode Hive-style partition-value escaping (``%XX``) in a
+    directory name — Spark writes ``txn=app:0`` as ``txn=app%3A0``.
+    Shared by every consumer that maps listed directory NAMES back to
+    logical partition VALUES (ANN index maintenance, Delta export)."""
+    import re
+
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})",
+        lambda m: chr(int(m.group(1), 16)),
+        name,
+    )
+
+
 class HadoopFS:
     """Thin wrapper over org.apache.hadoop.fs for one warehouse root."""
 

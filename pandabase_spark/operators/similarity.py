@@ -1545,17 +1545,12 @@ _COMPACTION_STATE = "compaction/state.json"
 
 
 def _unescape_partition(name: str) -> str:
-    """Decode Hive-style partition-value escaping (``%XX``) in a
-    directory name — Spark writes ``txn=app:0`` as ``txn=app%3A0``,
-    and compaction's label inventory/deletes work on listed NAMES
-    while its read filters work on DECODED values."""
-    import re
+    """Compaction's label inventory/deletes work on listed directory
+    NAMES while its read filters work on DECODED values — shared
+    decoder in :mod:`pandabase_spark.fs`."""
+    from pandabase_spark.fs import unescape_partition
 
-    return re.sub(
-        r"%([0-9A-Fa-f]{2})",
-        lambda m: chr(int(m.group(1), 16)),
-        name,
-    )
+    return unescape_partition(name)
 
 
 def _load_compaction_state(spark, path: str) -> "dict | None":

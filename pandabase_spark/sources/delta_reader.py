@@ -131,15 +131,19 @@ def _checkpoint_files(fs, log_dir: str, upto: "int | None") -> (
                     multis.setdefault(v, {})[int(bits[0])] = (
                         int(bits[1]), f"{log_dir}/{n}"
                     )
+        # newest COMPLETE checkpoint wins — an incomplete (crashed)
+        # newer multi-part must not mask an older complete one
         for v in sorted(singles, reverse=True):
             best = (v, singles[v])
             break
         for v in sorted(multis, reverse=True):
+            if best is not None and v <= best[0]:
+                break
             parts = multis[v]
             n_total = next(iter(parts.values()))[0]
-            if len(parts) == n_total and (best is None or v > best[0]):
+            if len(parts) == n_total:
                 best = (v, [parts[i][1] for i in sorted(parts)])
-            break
+                break
     return best
 
 
@@ -157,10 +161,16 @@ def _replay(spark: SparkSession, path: str, version: "int | None") -> dict:
     )
     if not commit_vs and not any(".checkpoint" in n for n in names):
         raise NameError(f"empty Delta log at {path}")
-    if version is not None and commit_vs and version > commit_vs[-1]:
-        raise NameError(
-            f"version {version} not in Delta log (max {commit_vs[-1]})"
+    if version is not None:
+        head_ckpt = _checkpoint_files(fs, log_dir, None)
+        latest = max(
+            commit_vs[-1] if commit_vs else -1,
+            head_ckpt[0] if head_ckpt is not None else -1,
         )
+        if version > latest:
+            raise NameError(
+                f"version {version} not in Delta log (max {latest})"
+            )
 
     live: "dict[str, dict]" = {}
     meta: "dict | None" = None
@@ -241,6 +251,7 @@ def _replay(spark: SparkSession, path: str, version: "int | None") -> dict:
         "partition_columns": list(meta.get("partitionColumns") or []),
         "files": live,
         "protocol": protocol or {},
+        "metadata_raw": meta,
         "history": history,
     }
 
@@ -351,7 +362,9 @@ def delta_scan(
 
 
 def delta_table_version(spark: SparkSession, path: str) -> int:
-    """Newest commit version of the Delta table at ``path``."""
+    """Newest version of the Delta table at ``path`` — from the JSON
+    tail when one exists, else the checkpoint (a fully-cleaned log is
+    still a readable table)."""
     fs = _fs(spark)
     vs = [
         v
@@ -361,9 +374,9 @@ def delta_table_version(spark: SparkSession, path: str) -> int:
         )
         if v is not None
     ]
-    if not vs:
-        raise NameError(f"no Delta commits at {path}")
-    return max(vs)
+    if vs:
+        return max(vs)
+    return int(_replay(spark, path, None)["version"])
 
 
 def delta_history(spark: SparkSession, path: str) -> "list[dict]":

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pandabase_spark.sources.delta_reader import (
     LOG_SUBDIR,
+    DeltaProtocolError,
     _replay,
 )
 
@@ -53,16 +54,17 @@ def _fs(spark: SparkSession):
     return HadoopFS(spark)
 
 
-def _unescape_hive(name: str) -> str:
-    """Decode hive-style ``%XX`` escaping in a partition directory
-    value — the log's partitionValues carry the RAW string."""
-    import re
+def _unescape_hive(name: str) -> "str | None":
+    """Hive directory value -> the log's partitionValue: ``%XX``
+    unescaped (shared decoder in :mod:`pandabase_spark.fs`), and the
+    null sentinel directory mapped back to JSON null — the protocol
+    serializes null partition values as null, not as the literal
+    sentinel string (r13 review finding)."""
+    from pandabase_spark.fs import unescape_partition
 
-    return re.sub(
-        r"%([0-9A-Fa-f]{2})",
-        lambda m: chr(int(m.group(1), 16)),
-        name,
-    )
+    if name == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    return unescape_partition(name)
 
 
 def _stage_data_files(
@@ -94,8 +96,15 @@ def _stage_data_files(
         for f_ in fs.list_files(full):
             if not f_.endswith(".parquet"):
                 continue
+            # add.path is URL-ENCODED per the protocol (RFC 2396) —
+            # the reader (ours and every conformant engine) unquotes
+            # it before touching the filesystem, so a hive-escaped
+            # directory like k=a%3Ab must be logged as k=a%253Ab
+            # (r13 review finding)
+            from urllib.parse import quote
+
             adds.append({
-                "path": f"{rel_dir}/{f_}",
+                "path": quote(f"{rel_dir}/{f_}", safe="/"),
                 "partitionValues": dict(pvals),
                 "size": int(fs.du(f"{full}/{f_}")),
                 "modificationTime": now,
@@ -104,6 +113,64 @@ def _stage_data_files(
 
     walk(sub, {})
     return adds
+
+
+def _check_writer_protocol(state: dict, *, removes: bool) -> None:
+    """Refuse tables whose WRITER-side invariants this subset cannot
+    honor (r13 review finding — PROTOCOL.md requires a writer to
+    refuse when minWriterVersion exceeds what it implements): this
+    writer implements version 2, which means it must ENFORCE
+    appendOnly (refuse removes on ``delta.appendOnly=true`` tables)
+    and must refuse tables carrying column invariants it cannot
+    validate. Higher writer versions / feature lists refuse
+    outright."""
+    proto = state.get("protocol") or {}
+    mwv = int(proto.get("minWriterVersion") or 1)
+    if mwv > 2 or proto.get("writerFeatures"):
+        raise DeltaProtocolError(
+            f"table requires writer version {mwv} "
+            f"(features {proto.get('writerFeatures')}); this writer "
+            "implements version 2"
+        )
+    meta = state.get("metadata_raw") or {}
+    conf = meta.get("configuration") or {}
+    if removes and str(conf.get("delta.appendOnly", "false")).lower() == (
+        "true"
+    ):
+        raise DeltaProtocolError(
+            "table is delta.appendOnly=true: removes are forbidden"
+        )
+    for f_ in state["schema"].fields:
+        if f_.metadata and "delta.invariants" in f_.metadata:
+            raise DeltaProtocolError(
+                f"column {f_.name!r} carries an invariant this writer "
+                "cannot validate"
+            )
+
+
+def _align_frame(df: DataFrame, state: dict) -> DataFrame:
+    """Reorder ``df`` to the table schema by name, REFUSING missing or
+    extra columns and type mismatches — a name-only select would
+    silently truncate extras and durably commit wrongly-typed parquet
+    (r13 review finding)."""
+    want = {f_.name: f_.dataType for f_ in state["schema"].fields}
+    have = {f_.name: f_.dataType for f_ in df.schema.fields}
+    missing = [c for c in want if c not in have]
+    extra = [c for c in have if c not in want]
+    if missing or extra:
+        raise NameError(
+            f"frame does not match the Delta table schema "
+            f"(missing {missing}, extra {extra})"
+        )
+    wrong = [
+        (c, str(have[c]), str(want[c]))
+        for c in want if have[c] != want[c]
+    ]
+    if wrong:
+        raise TypeError(
+            f"column type mismatch vs the Delta table schema: {wrong}"
+        )
+    return df.select(*want)
 
 
 def _claim(fs, log_dir: str, actions: "list[dict]", v: int) -> bool:
@@ -165,15 +232,21 @@ def _commit_with_retry(
     build: "callable",
     *,
     max_attempts: int = 30,
+    initial_state: "dict | None" = None,
 ) -> int:
     """Claim the next version with ``build(state) -> [actions]``
-    re-evaluated against the FRESH head on every attempt — Delta's
-    optimistic-commit loop over the put-if-absent LogStore
-    primitive."""
+    re-evaluated against the FRESH head on every retry — Delta's
+    optimistic-commit loop over the put-if-absent LogStore primitive.
+    The caller's already-replayed state seeds attempt 1 (the common
+    uncontended case pays ONE log replay, not two)."""
     fs = _fs(spark)
     log_dir = f"{table}/{LOG_SUBDIR}"
-    for _ in range(max_attempts):
-        state = _replay(spark, table, None)
+    for attempt in range(max_attempts):
+        state = (
+            initial_state
+            if attempt == 0 and initial_state is not None
+            else _replay(spark, table, None)
+        )
         v = max(
             int(state["version"]), _latest_version(fs, log_dir)
         ) + 1
@@ -191,16 +264,17 @@ def delta_append(df: DataFrame, table: str) -> int:
     the next version). Returns the committed version."""
     spark = df.sparkSession
     state = _replay(spark, table, None)
-    pcols = state["partition_columns"]
-    if [f.name for f in state["schema"].fields] != df.columns:
-        df = df.select(*[f.name for f in state["schema"].fields])
-    adds = _stage_data_files(df, table, pcols)
+    _check_writer_protocol(state, removes=False)
+    df = _align_frame(df, state)
+    adds = _stage_data_files(df, table, state["partition_columns"])
     actions_tail = [
         {"commitInfo": {"operation": "WRITE",
                         "timestamp": int(time.time() * 1000)}},
         *({"add": a} for a in adds),
     ]
-    return _commit_with_retry(spark, table, lambda _s: actions_tail)
+    return _commit_with_retry(
+        spark, table, lambda _s: actions_tail, initial_state=state
+    )
 
 
 def delta_overwrite(df: DataFrame, table: str) -> int:
@@ -211,10 +285,9 @@ def delta_overwrite(df: DataFrame, table: str) -> int:
     not a conflict. Returns the committed version."""
     spark = df.sparkSession
     state = _replay(spark, table, None)
-    pcols = state["partition_columns"]
-    if [f.name for f in state["schema"].fields] != df.columns:
-        df = df.select(*[f.name for f in state["schema"].fields])
-    adds = _stage_data_files(df, table, pcols)
+    _check_writer_protocol(state, removes=True)
+    df = _align_frame(df, state)
+    adds = _stage_data_files(df, table, state["partition_columns"])
 
     def build(fresh: dict) -> "list[dict]":
         now = int(time.time() * 1000)
@@ -229,7 +302,7 @@ def delta_overwrite(df: DataFrame, table: str) -> int:
             *({"add": a} for a in adds),
         ]
 
-    return _commit_with_retry(spark, table, build)
+    return _commit_with_retry(spark, table, build, initial_state=state)
 
 
 def delta_checkpoint(spark: SparkSession, table: str) -> int:
@@ -242,13 +315,28 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
     state = _replay(spark, table, None)
     v = int(state["version"])
     log_dir = f"{table}/{LOG_SUBDIR}"
+    meta = state.get("metadata_raw") or {}
+    proto = state.get("protocol") or {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
     rows = [
-        ({"minReaderVersion": 1, "minWriterVersion": 2}, None, None),
+        ({
+            "minReaderVersion": int(proto.get("minReaderVersion") or 1),
+            "minWriterVersion": int(proto.get("minWriterVersion") or 2),
+        }, None, None),
+        # the table's ACTUAL metaData — a fabricated id/configuration
+        # would survive log cleanup and silently replace the real one
+        # (r13 review finding: table-id churn aborts delta-spark
+        # streaming readers; dropped configuration loses appendOnly)
         (None, {
-            "id": uuid.uuid4().hex,
-            "schemaString": state["schema"].json(),
+            "id": str(meta.get("id") or uuid.uuid4().hex),
+            "schemaString": meta.get("schemaString")
+            or state["schema"].json(),
             "partitionColumns": list(state["partition_columns"]),
-            "configuration": {},
+            "configuration": {
+                str(k): str(v)
+                for k, v in (meta.get("configuration") or {}).items()
+            },
         }, None),
     ]
     for add in state["files"].values():

@@ -150,3 +150,37 @@ def test_delta_scan_refuses_unsupported_features(spark, tmp_path):
 def test_delta_scan_not_a_table(spark, tmp_path):
     with pytest.raises(NameError, match="not a Delta table"):
         delta_scan(spark, str(tmp_path / "nope"))
+
+
+def test_incomplete_multipart_checkpoint_falls_back_to_complete(
+    spark, delta_table
+):
+    """r13 review finding: a crashed (incomplete) NEWER multi-part
+    checkpoint must not mask an older complete one — and time travel
+    to a version above everything still raises on a fully-cleaned
+    log."""
+    fs = HadoopFS(spark)
+    log = f"{delta_table}/_delta_log"
+    # a bogus _last_checkpoint + one part of a "2-part" v3 checkpoint
+    fs.write_text_atomic(
+        f"{log}/_last_checkpoint",
+        json.dumps({"version": 3, "parts": 2, "size": 9}),
+    )
+    fs.rename_dir(
+        f"{log}/{2:020d}.checkpoint.parquet",
+        f"{log}/{2:020d}.checkpoint.parquet.keep",
+    )
+    fs.rename_dir(
+        f"{log}/{2:020d}.checkpoint.parquet.keep",
+        f"{log}/{2:020d}.checkpoint.parquet",
+    )
+    fs.write_text_atomic(
+        f"{log}/{3:020d}.checkpoint.{1:010d}.{2:010d}.parquet", "junk"
+    )
+    # clean the covered commits: replay MUST use the complete v2
+    for v in (0, 1, 2):
+        fs.delete(f"{log}/{v:020d}.json", recursive=False)
+    assert _rows(delta_scan(spark, delta_table)) == _expected_latest()
+    # bound check uses checkpoint head when the JSON tail is short
+    with pytest.raises(NameError, match="not in Delta log"):
+        delta_scan(spark, delta_table, version=99)

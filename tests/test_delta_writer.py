@@ -98,8 +98,14 @@ def test_log_json_is_protocol_shaped(spark, tmp_path):
             isinstance(x, str) for x in pv.values()
         )
         assert add["size"] > 1 and add["dataChange"] is True
+        # the path is URL-encoded per the protocol ('=' in the hive
+        # dir name encodes as %3D); decode it like a reader would
+        from urllib.parse import unquote
+
         # the data file itself must NOT contain the partition column
-        cols = spark.read.parquet(f"{table}/{add['path']}").columns
+        cols = spark.read.parquet(
+            f"{table}/{unquote(add['path'])}"
+        ).columns
         assert cols == ["id", "v"]
 
 
@@ -197,3 +203,129 @@ def test_overwrite_retry_replaces_rivals_commit_state(spark, tmp_path):
         W._claim = real_claim
     # the rival's rows were live at overwrite-commit time -> replaced
     assert _rows(delta_scan(spark, table)) == _rows(_df(spark, 900, 905))
+
+
+def test_writer_refuses_unhonorable_tables(spark, tmp_path):
+    """r13 review findings: (a) minWriterVersion above 2 / writer
+    feature lists refuse; (b) delta.appendOnly=true refuses
+    overwrite but allows append; (c) frames with missing/extra
+    columns or mismatched types refuse instead of silently
+    truncating or committing wrongly-typed parquet."""
+    import json as _json
+
+    from pandabase_spark.sources.delta_reader import DeltaProtocolError
+
+    table = str(tmp_path / "out")
+    delta_create(_df(spark, 0, 10), table, partition_by=["p"])
+    fs = HadoopFS(spark)
+    log = f"{table}/_delta_log"
+
+    # (c) schema misalignment refuses BEFORE anything is staged
+    with pytest.raises(NameError, match="missing.*extra|extra"):
+        delta_append(
+            _df(spark, 10, 20).withColumn("zz", F.lit(1)), table
+        )
+    with pytest.raises(NameError, match="missing"):
+        delta_append(_df(spark, 10, 20).drop("v"), table)
+    with pytest.raises(TypeError, match="type mismatch"):
+        delta_append(
+            _df(spark, 10, 20).withColumn(
+                "v", F.col("v").cast("string")
+            ),
+            table,
+        )
+
+    # (b) appendOnly: re-declare metaData with the config set
+    meta = {
+        "metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _df(spark, 0, 1).schema.json(),
+            "partitionColumns": ["p"],
+            "configuration": {"delta.appendOnly": "true"},
+        }
+    }
+    fs.write_text_atomic(f"{log}/{1:020d}.json", _json.dumps(meta))
+    v = delta_append(_df(spark, 10, 20), table)  # appends still fine
+    assert v == 2
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        delta_overwrite(_df(spark, 0, 5), table)
+
+    # (a) higher writer version refuses everything
+    fs.write_text_atomic(f"{log}/{3:020d}.json", _json.dumps({
+        "protocol": {"minReaderVersion": 1, "minWriterVersion": 4}
+    }))
+    with pytest.raises(DeltaProtocolError, match="writer version 4"):
+        delta_append(_df(spark, 30, 40), table)
+
+
+def test_writer_percent_encodes_paths_with_special_partitions(
+    spark, tmp_path
+):
+    """add.path is URL-encoded per the protocol: a string partition
+    value containing ':' produces a hive-escaped directory
+    (k=a%3Ab), which must be logged percent-encoded (k=a%253Ab) so
+    every conformant reader's unquote lands on the real file. Null
+    partition values serialize as JSON null, not the hive sentinel
+    string."""
+    import json as _json
+
+    table = str(tmp_path / "out")
+    df = spark.range(4).select(
+        F.col("id"),
+        F.when(F.col("id") < 2, F.lit("a:b")).otherwise(
+            F.lit(None).cast("string")
+        ).alias("k"),
+    )
+    delta_create(df, table, partition_by=["k"])
+    fs = HadoopFS(spark)
+    adds = [
+        _json.loads(ln)["add"]
+        for ln in fs.read_text(
+            f"{table}/_delta_log/{0:020d}.json"
+        ).splitlines()
+        if '"add"' in ln
+    ]
+    pvs = [a["partitionValues"]["k"] for a in adds]
+    assert set(pvs) == {"a:b", None}
+    enc = next(a for a in adds if a["partitionValues"]["k"] == "a:b")
+    assert "%253A" in enc["path"] and ":" not in enc["path"]
+    # and the independent reader round-trips both partitions
+    got = {
+        (r["id"], r["k"]) for r in delta_scan(spark, table).collect()
+    }
+    assert got == {(0, "a:b"), (1, "a:b"), (2, None), (3, None)}
+
+
+def test_checkpoint_preserves_table_identity_and_config(
+    spark, tmp_path
+):
+    """The checkpoint must carry the table's ACTUAL metaData (id,
+    configuration) — a fabricated id would churn on every checkpoint
+    and dropped configuration would silently lose appendOnly after
+    log cleanup."""
+    import json as _json
+
+    table = str(tmp_path / "out")
+    delta_create(_df(spark, 0, 10), table, partition_by=["p"])
+    fs = HadoopFS(spark)
+    log = f"{table}/_delta_log"
+    orig = next(
+        _json.loads(ln)["metaData"]
+        for ln in fs.read_text(f"{log}/{0:020d}.json").splitlines()
+        if '"metaData"' in ln
+    )
+    delta_append(_df(spark, 10, 20), table)
+    delta_checkpoint(spark, table)
+    ck = spark.read.parquet(f"{log}/{1:020d}.checkpoint.parquet")
+    meta_rows = [
+        r["metaData"].asDict()
+        for r in ck.collect()
+        if r["metaData"] and r["metaData"]["schemaString"]
+    ]
+    assert len(meta_rows) == 1
+    assert meta_rows[0]["id"] == orig["id"]
+    # cleanup + read-back still works and the version survives
+    fs.delete(f"{log}/{0:020d}.json", recursive=False)
+    fs.delete(f"{log}/{1:020d}.json", recursive=False)
+    assert _rows(delta_scan(spark, table)) == _rows(_df(spark, 0, 20))
+    assert delta_table_version(spark, table) == 1
