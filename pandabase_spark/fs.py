@@ -29,14 +29,27 @@ def unescape_partition(name: str) -> str:
     """Decode Hive-style partition-value escaping (``%XX``) in a
     directory name — Spark writes ``txn=app:0`` as ``txn=app%3A0``.
     Shared by every consumer that maps listed directory NAMES back to
-    logical partition VALUES (ANN index maintenance, Delta export)."""
+    logical partition VALUES (ANN index maintenance, Delta export).
+
+    Escapes are decoded as BYTES and then UTF-8: Spark/Hive only
+    escape ASCII specials, but other engines percent-encode the UTF-8
+    bytes of non-ASCII values (``é`` -> ``%C3%A9``), and a per-escape
+    ``chr()`` would decode those to Latin-1 mojibake (r13 advisory).
+    Undecodable byte runs fall back bytewise (surrogateescape), which
+    round-trips whatever the directory actually contained."""
     import re
 
-    return re.sub(
-        r"%([0-9A-Fa-f]{2})",
-        lambda m: chr(int(m.group(1), 16)),
-        name,
-    )
+    out = bytearray()
+    pos = 0
+    for m in re.finditer(r"(?:%[0-9A-Fa-f]{2})+", name):
+        out += name[pos:m.start()].encode("utf-8")
+        run = m.group(0)
+        out += bytes(
+            int(run[i + 1:i + 3], 16) for i in range(0, len(run), 3)
+        )
+        pos = m.end()
+    out += name[pos:].encode("utf-8")
+    return out.decode("utf-8", errors="surrogateescape")
 
 
 class HadoopFS:

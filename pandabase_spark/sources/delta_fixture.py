@@ -141,3 +141,171 @@ def make_delta_fixture(spark, table: str) -> None:
     ]))
 
 
+# --------------------------------------------------------------------------
+# column-mapping (name mode) fixture
+# --------------------------------------------------------------------------
+
+# physical spellings deliberately unlike the logical ones — a reader
+# that resolves by logical name against the files cannot pass
+CM_PHYS = {"id": "col-9f1a", "v": "col-2b7c", "p": "col-55ee"}
+
+CM_SCHEMA_STRING = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": CM_PHYS["id"]}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": CM_PHYS["v"]}},
+        {"name": "p", "type": "integer", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": CM_PHYS["p"]}},
+    ],
+})
+
+
+def _write_physical_file(path: str, lo: int, hi: int, mult: float) -> int:
+    """One parquet data file with PHYSICAL column names (id, v) via
+    pyarrow — Delta data files under name-mode column mapping carry
+    the physical spellings. Returns the file size in bytes."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = list(range(lo, hi))
+    tbl = pa.table({
+        CM_PHYS["id"]: pa.array(ids, pa.int64()),
+        CM_PHYS["v"]: pa.array([i * mult for i in ids], pa.float64()),
+    })
+    pq.write_table(tbl, path)
+    return os.path.getsize(path)
+
+
+def make_delta_cm_fixture(spark, table: str) -> None:
+    """Name-mode column-mapping table, hand-written per PROTOCOL.md:
+    protocol (2, 5) — the legacy column-mapping version pair — with
+    ``delta.columnMapping.mode=name`` in metaData.configuration,
+    physical names in the schema field metadata, data files speaking
+    physical names, and add.partitionValues keyed by the PHYSICAL
+    partition column name (what the protocol prescribes under column
+    mapping).
+
+    History: v0 adds cm_a (p=0, ids 0..49, v=id*1) and cm_b (p=1,
+    ids 50..79, v=id*2); v1 removes cm_b and adds cm_c (p=1, ids
+    50..69, v=id*4). Live: cm_a + cm_c = 70 rows."""
+    fs = HadoopFS(spark)
+    log = f"{table}/_delta_log"
+    fs.mkdirs(log)
+    sizes = {
+        "cm_a.parquet": _write_physical_file(
+            f"{table}/cm_a.parquet", 0, 50, 1.0
+        ),
+        "cm_b.parquet": _write_physical_file(
+            f"{table}/cm_b.parquet", 50, 80, 2.0
+        ),
+        "cm_c.parquet": _write_physical_file(
+            f"{table}/cm_c.parquet", 50, 70, 4.0
+        ),
+    }
+
+    def add(name, p):
+        return json.dumps({"add": {
+            "path": name,
+            "partitionValues": {CM_PHYS["p"]: str(p)},
+            "size": sizes[name], "modificationTime": 0,
+            "dataChange": True,
+        }})
+
+    fs.write_text_atomic(f"{log}/{0:020d}.json", "\n".join([
+        json.dumps({"commitInfo": {"operation": "CREATE"}}),
+        json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5,
+        }}),
+        json.dumps({"metaData": {
+            "id": "fixture-cm-01",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": CM_SCHEMA_STRING,
+            "partitionColumns": ["p"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3",
+            },
+            "createdTime": 0,
+        }}),
+        add("cm_a.parquet", 0), add("cm_b.parquet", 1),
+    ]))
+    fs.write_text_atomic(f"{log}/{1:020d}.json", "\n".join([
+        json.dumps({"commitInfo": {"operation": "OVERWRITE"}}),
+        json.dumps({"remove": {"path": "cm_b.parquet",
+                               "deletionTimestamp": 1, "dataChange": True}}),
+        add("cm_c.parquet", 1),
+    ]))
+
+
+# --------------------------------------------------------------------------
+# many-partition-tuples fixture (plan-shape scale test)
+# --------------------------------------------------------------------------
+
+def make_delta_many_tuples_fixture(
+    spark, table: str, *, n_tuples: int = 1000
+) -> None:
+    """One live file per partition tuple, ``n_tuples`` tuples across
+    (d, h) — the date×hour lake-table shape whose tuple count blows
+    up any one-scan-per-tuple plan. Each file holds one row: id = i,
+    v = i * 1.0, partitioned by d = i // 24, h = i % 24. A single v0
+    commit carries every add. Data files are written with pyarrow
+    (1000 Spark write jobs would dominate the test)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fs = HadoopFS(spark)
+    log = f"{table}/_delta_log"
+    fs.mkdirs(log)
+    acts = [
+        json.dumps({"commitInfo": {"operation": "CREATE"}}),
+        json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 2,
+        }}),
+        json.dumps({"metaData": {
+            "id": "fixture-many-01",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({
+                "type": "struct",
+                "fields": [
+                    {"name": "id", "type": "long",
+                     "nullable": True, "metadata": {}},
+                    {"name": "v", "type": "double",
+                     "nullable": True, "metadata": {}},
+                    {"name": "d", "type": "integer",
+                     "nullable": True, "metadata": {}},
+                    {"name": "h", "type": "integer",
+                     "nullable": True, "metadata": {}},
+                ],
+            }),
+            "partitionColumns": ["d", "h"],
+            "configuration": {},
+            "createdTime": 0,
+        }}),
+    ]
+    import os
+
+    for i in range(n_tuples):
+        name = f"f{i:05d}.parquet"
+        pq.write_table(
+            pa.table({
+                "id": pa.array([i], pa.int64()),
+                "v": pa.array([i * 1.0], pa.float64()),
+            }),
+            f"{table}/{name}",
+        )
+        acts.append(json.dumps({"add": {
+            "path": name,
+            "partitionValues": {"d": str(i // 24), "h": str(i % 24)},
+            "size": os.path.getsize(f"{table}/{name}"),
+            "modificationTime": 0, "dataChange": True,
+        }}))
+    fs.write_text_atomic(f"{log}/{0:020d}.json", "\n".join(acts))
+
+

@@ -14,23 +14,41 @@ over the Hadoop FileSystem API:
   checkpoint read + the tail, not 10^5 JSON reads.
 - action replay builds the LIVE file set (add wins, remove deletes;
   later versions override earlier ones), the current ``metaData``
-  (schema + partition columns) and ``protocol``.
-- data files are opened with an EXPLICIT schema (Delta data files do
-  NOT contain partition columns); partition values come from the
-  log's per-file ``partitionValues`` map and are attached as typed
-  literal columns — one read per live partition tuple, unioned.
+  (schema + partition columns) and ``protocol``. Within-retention
+  ``remove`` tombstones are kept alongside (``state["tombstones"]``)
+  so a later checkpoint can carry them, per the protocol's checkpoint
+  requirements.
+- data files are opened as ONE Spark scan with an EXPLICIT schema
+  (Delta data files do NOT contain partition columns); partition
+  values come from the log's per-file ``partitionValues`` map and
+  are attached by broadcast-joining ``_metadata.file_path`` against
+  the log's file -> partitionValues mapping — one scan and one
+  broadcast join for ANY number of live partition tuples (an earlier
+  revision unioned one scan per tuple, which blows up driver plan
+  analysis at the 10^4–10^5 tuples of a real date×hour table).
 - ``partition_filter=`` prunes AT PLANNING TIME against the log's
   partition values: unmatched files never reach a Spark scan (the
   log IS the index — no directory listing at all, the property that
   matters on object stores).
 - ``version=`` pins time travel: replay stops at that commit.
+- column mapping in NAME mode is supported: data files carry
+  physical column names (``delta.columnMapping.physicalName`` field
+  metadata), the scan reads physical and aliases back to logical —
+  the same evolved-read shape the keyed-table format uses for its
+  own renames (io.py ``assemble``). ID mode stays refused.
+
+Driver memory: replay holds (path, partitionValues, size) per LIVE
+file — the same O(live files) planning state Spark's own FileIndex
+(and delta-spark's) materializes on the driver; checkpoint rows are
+trimmed to those fields before collect so tombstoned history and
+stats strings never cross the wire.
 
 Deliberate subset (raise, never silently misread):
 
 - deletion vectors (reader feature ``deletionVectors``) — a file
   with a DV attached must not be served unfiltered;
-- column mapping (``columnMapping`` in name/id mode) — physical
-  names diverge from logical ones;
+- column mapping in ID mode (physical ids live in parquet field
+  ids, a different resolution path than names);
 - ``minReaderVersion`` > 3 or unknown reader features.
 
 The reference has no lake interop at all (pandas + SQLAlchemy,
@@ -44,24 +62,31 @@ from __future__ import annotations
 import json
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 LOG_SUBDIR = "_delta_log"
 
 _BLOCKED_READER_FEATURES = {
     "deletionVectors": "deletion vectors (rows would resurrect)",
-    "columnMapping": "column mapping (physical names diverge)",
     "v2Checkpoint": "v2 checkpoints (sidecar manifest layout)",
     "typeWidening": "type widening (file/logical types diverge)",
 }
 _KNOWN_OK_FEATURES = {
-    # write-side features a reader may ignore per the protocol
+    # write-side features a reader may ignore per the protocol, plus
+    # columnMapping which _check_protocol gates on the MODE (name ok)
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
     "changeDataFeed", "identityColumns", "rowTracking", "domainMetadata",
     "timestampNtz", "vacuumProtocolCheck", "allowColumnDefaults",
-    "icebergCompatV1", "icebergCompatV2",
+    "icebergCompatV1", "icebergCompatV2", "columnMapping",
 }
+
+# files above this count skip the broadcast hint on the
+# partition-value mapping join and let AQE pick the strategy — a
+# 10^7-file mapping is shuffle-join territory, not a driver broadcast
+_BROADCAST_MAPPING_MAX = 2_000_000
+
+PHYSICAL_NAME_KEY = "delta.columnMapping.physicalName"
 
 
 class DeltaProtocolError(ValueError):
@@ -147,10 +172,98 @@ def _checkpoint_files(fs, log_dir: str, upto: "int | None") -> (
     return best
 
 
+def _trim_add(d: dict) -> dict:
+    """An add action reduced to what planning needs — stats strings
+    and tags can be arbitrarily large and never cross to the driver."""
+    out = {
+        "path": d["path"],
+        "partitionValues": dict(d.get("partitionValues") or {}),
+        "size": int(d.get("size") or 0),
+        "modificationTime": int(d.get("modificationTime") or 0),
+    }
+    if d.get("deletionVector"):
+        out["deletionVector"] = dict(d["deletionVector"])
+    return out
+
+
+def _collect_checkpoint(spark: SparkSession, parts: "list[str]") -> (
+    "tuple[list[dict], list[dict], dict | None, dict | None]"
+):
+    """(adds, removes, metaData, protocol) from the checkpoint parquet,
+    with add/remove rows TRIMMED executor-side before collect — the
+    driver never holds stats/tags, only (path, partitionValues, size,
+    modificationTime[, deletionVector])."""
+    rows = spark.read.parquet(*parts)
+    cols = set(rows.columns)
+    adds: "list[dict]" = []
+    removes: "list[dict]" = []
+    if "add" in cols:
+        a = rows.where(F.col("add.path").isNotNull())
+        sel = [
+            F.col("add.path").alias("path"),
+            F.col("add.partitionValues").alias("partitionValues"),
+            F.col("add.size").alias("size"),
+            F.col("add.modificationTime").alias("modificationTime"),
+        ]
+        add_fields = {
+            f_.name for f_ in rows.schema["add"].dataType.fields
+        }
+        has_dv = "deletionVector" in add_fields
+        if has_dv:
+            sel.append(F.to_json(F.col("add.deletionVector")).alias("dv"))
+        for r in a.select(*sel).collect():
+            d = {
+                "path": r["path"],
+                "partitionValues": dict(r["partitionValues"] or {}),
+                "size": int(r["size"] or 0),
+                "modificationTime": int(r["modificationTime"] or 0),
+            }
+            if has_dv and r["dv"]:
+                d["deletionVector"] = json.loads(r["dv"])
+            adds.append(d)
+    if "remove" in cols:
+        rm = rows.where(F.col("remove.path").isNotNull())
+        rm_fields = {
+            f_.name for f_ in rows.schema["remove"].dataType.fields
+        }
+        sel = [F.col("remove.path").alias("path")]
+        if "deletionTimestamp" in rm_fields:
+            sel.append(
+                F.col("remove.deletionTimestamp").alias("deletionTimestamp")
+            )
+        for r in rm.select(*sel).collect():
+            removes.append({
+                "path": r["path"],
+                "deletionTimestamp": int(
+                    (r["deletionTimestamp"] if "deletionTimestamp" in r
+                     else 0) or 0
+                ),
+                "dataChange": False,
+            })
+    meta = None
+    if "metaData" in cols:
+        got = rows.where(
+            F.col("metaData.schemaString").isNotNull()
+        ).select(F.to_json("metaData").alias("j")).collect()
+        if got:
+            meta = json.loads(got[0]["j"])
+    protocol = None
+    if "protocol" in cols:
+        got = rows.where(
+            F.col("protocol.minReaderVersion").isNotNull()
+        ).select(F.to_json("protocol").alias("j")).collect()
+        if got:
+            protocol = json.loads(got[0]["j"])
+    return adds, removes, meta, protocol
+
+
 def _replay(spark: SparkSession, path: str, version: "int | None") -> dict:
     """Replay the log into the table STATE at ``version`` (or latest):
     ``{"version", "schema", "partition_columns", "files": {path:
-    add-action-dict}, "protocol", "history": [...]}``."""
+    trimmed-add-dict}, "tombstones": {path: remove-dict}, "protocol",
+    "history": [...]}``. Tombstones are removes not later re-added —
+    what a conformant checkpoint must carry inside the retention
+    window."""
     fs = _fs(spark)
     log_dir = f"{path}/{LOG_SUBDIR}"
     if not fs.exists(log_dir):
@@ -173,6 +286,7 @@ def _replay(spark: SparkSession, path: str, version: "int | None") -> dict:
             )
 
     live: "dict[str, dict]" = {}
+    tombstones: "dict[str, dict]" = {}
     meta: "dict | None" = None
     protocol: "dict | None" = None
     history: "list[dict]" = []
@@ -193,22 +307,14 @@ def _replay(spark: SparkSession, path: str, version: "int | None") -> dict:
         )
     if ckpt is not None:
         ckpt_v, parts = ckpt
-        rows = spark.read.parquet(*parts)
-        cols = set(rows.columns)
-        for r in rows.collect():
-            d = r.asDict(recursive=True)
-            if "add" in cols and d.get("add"):
-                live[d["add"]["path"]] = d["add"]
-            elif "remove" in cols and d.get("remove"):
-                live.pop(d["remove"]["path"], None)
-            elif "metaData" in cols and d.get("metaData") and d[
-                "metaData"
-            ].get("schemaString"):
-                meta = d["metaData"]
-            elif "protocol" in cols and d.get("protocol") and d[
-                "protocol"
-            ].get("minReaderVersion") is not None:
-                protocol = d["protocol"]
+        adds, removes, meta, protocol = _collect_checkpoint(spark, parts)
+        # a checkpoint is NET state: its adds are the live set, its
+        # removes are retention tombstones only (the protocol forbids
+        # the same path appearing as both)
+        for d in adds:
+            live[d["path"]] = d
+        for d in removes:
+            tombstones[d["path"]] = d
         start_after = ckpt_v
 
     for v in commit_vs:
@@ -225,9 +331,18 @@ def _replay(spark: SparkSession, path: str, version: "int | None") -> dict:
                 continue
             act = json.loads(line)
             if "add" in act:
-                live[act["add"]["path"]] = act["add"]
+                live[act["add"]["path"]] = _trim_add(act["add"])
+                tombstones.pop(act["add"]["path"], None)
             elif "remove" in act:
-                live.pop(act["remove"]["path"], None)
+                p = act["remove"]["path"]
+                live.pop(p, None)
+                tombstones[p] = {
+                    "path": p,
+                    "deletionTimestamp": int(
+                        act["remove"].get("deletionTimestamp") or 0
+                    ),
+                    "dataChange": False,
+                }
             elif "metaData" in act:
                 meta = act["metaData"]
             elif "protocol" in act:
@@ -250,13 +365,25 @@ def _replay(spark: SparkSession, path: str, version: "int | None") -> dict:
         "schema": schema,
         "partition_columns": list(meta.get("partitionColumns") or []),
         "files": live,
+        "tombstones": tombstones,
         "protocol": protocol or {},
         "metadata_raw": meta,
         "history": history,
     }
 
 
+def _mapping_mode(meta: dict) -> str:
+    conf = meta.get("configuration") or {}
+    return str(conf.get("delta.columnMapping.mode", "none") or "none")
+
+
 def _check_protocol(protocol: "dict | None", meta: dict) -> None:
+    mode = _mapping_mode(meta)
+    if mode not in ("none", "None", "name"):
+        raise DeltaProtocolError(
+            f"column mapping mode {mode!r} not supported (name mode is; "
+            "id mode resolves via parquet field ids)"
+        )
     if protocol is None:
         return
     feats = set(protocol.get("readerFeatures") or [])
@@ -276,14 +403,6 @@ def _check_protocol(protocol: "dict | None", meta: dict) -> None:
         raise DeltaProtocolError(
             f"minReaderVersion {mrv} above the supported protocol"
         )
-    conf = meta.get("configuration") or {}
-    if str(conf.get("delta.columnMapping.mode", "none")) not in (
-        "none", "None",
-    ):
-        raise DeltaProtocolError(
-            "column mapping mode "
-            f"{conf['delta.columnMapping.mode']!r} not supported"
-        )
 
 
 def _partition_literal(value: "str | None", dtype) -> Any:
@@ -293,6 +412,26 @@ def _partition_literal(value: "str | None", dtype) -> Any:
     if value is None or value == "__HIVE_DEFAULT_PARTITION__":
         return F.lit(None).cast(dtype)
     return F.lit(value).cast(dtype)
+
+
+def _physical_name(field: StructField, mode: str) -> str:
+    """The column name as DATA FILES spell it: the
+    ``delta.columnMapping.physicalName`` field metadata under name
+    mode, the logical name otherwise."""
+    if mode == "name":
+        md = field.metadata or {}
+        return str(md.get(PHYSICAL_NAME_KEY, field.name))
+    return field.name
+
+
+def _pv_get(pv: dict, logical: str, physical: str) -> "str | None":
+    """A file's partition value for one column: under column mapping
+    the log keys partitionValues by PHYSICAL name; accept the logical
+    spelling as a fallback for writers that predate their own mapping
+    (observed in the wild, harmless to accept)."""
+    if physical in pv:
+        return pv[physical]
+    return pv.get(logical)
 
 
 def delta_scan(
@@ -305,20 +444,37 @@ def delta_scan(
     """Read a Delta table at ``path`` into a DataFrame — log replay,
     no delta-spark, no directory listing. ``version=`` time-travels;
     ``partition_filter`` receives each live file's partitionValues
-    dict (string-typed, as the log stores them) and prunes files at
-    PLANNING time — the pruned files never reach any Spark scan.
+    dict (string-typed, keyed by LOGICAL column name) and prunes
+    files at PLANNING time — the pruned files never reach any Spark
+    scan.
+
+    The plan is ONE parquet scan of every live file; partition
+    columns (absent from Delta data files) are attached by joining
+    ``_metadata.file_path`` against a broadcast mapping built from
+    the log's per-file partitionValues. Any count of live partition
+    tuples costs one scan + one broadcast join, not one union leg per
+    tuple. When the table is unpartitioned — or every live file
+    shares one partition tuple — the join is skipped entirely and
+    the values are typed literals.
 
     An empty live set returns an empty frame with the table schema.
     Raises :class:`DeltaProtocolError` on tables needing reader
-    features outside the supported subset (deletion vectors, column
-    mapping, v2 checkpoints), and NameError for missing tables /
-    versions outside the retained log."""
+    features outside the supported subset (deletion vectors, id-mode
+    column mapping, v2 checkpoints), and NameError for missing
+    tables / versions outside the retained log."""
     state = _replay(spark, path, version)
     schema: StructType = state["schema"]
     pcols: "list[str]" = state["partition_columns"]
-    data_schema = StructType(
-        [f_ for f_ in schema.fields if f_.name not in pcols]
-    )
+    mode = _mapping_mode(state["metadata_raw"])
+    phys = {f_.name: _physical_name(f_, mode) for f_ in schema.fields}
+    ptype = {f_.name: f_.dataType for f_ in schema.fields}
+    data_fields = [f_ for f_ in schema.fields if f_.name not in pcols]
+    # the scan schema speaks PHYSICAL names (what the files contain);
+    # the final select aliases back to logical
+    data_schema = StructType([
+        StructField(phys[f_.name], f_.dataType, f_.nullable)
+        for f_ in data_fields
+    ])
     files = list(state["files"].values())
     for add in files:
         if add.get("deletionVector"):
@@ -329,36 +485,124 @@ def delta_scan(
     if partition_filter is not None:
         files = [
             add for add in files
-            if partition_filter(dict(add.get("partitionValues") or {}))
+            if partition_filter({
+                c: _pv_get(
+                    dict(add.get("partitionValues") or {}), c, phys[c]
+                )
+                for c in pcols
+            })
         ]
     if not files:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], _logical_schema(schema))
 
-    ptype = {f_.name: f_.dataType for f_ in schema.fields}
+    from urllib.parse import unquote
 
-    def _full(p: str) -> str:
-        # add.path is table-root-relative and URL-encoded per protocol
-        from urllib.parse import unquote
+    # add.path is table-root-relative and URL-encoded per protocol
+    rels = [
+        None if "://" in add["path"] else unquote(add["path"])
+        for add in files
+    ]
+    full_paths = [
+        add["path"] if rel is None else f"{path}/{rel}"
+        for rel, add in zip(rels, files)
+    ]
+    scan = spark.read.schema(data_schema).parquet(*full_paths)
+    out_data = [
+        F.col(phys[f_.name]).alias(f_.name) for f_ in data_fields
+    ]
+    if not pcols:
+        return scan.select(*out_data)
 
-        return p if "://" in p else f"{path}/{unquote(p)}"
+    tuples = {
+        tuple(
+            _pv_get(dict(add.get("partitionValues") or {}), c, phys[c])
+            for c in pcols
+        )
+        for add in files
+    }
+    if len(tuples) == 1:
+        vals = next(iter(tuples))
+        return scan.select(*out_data, *[
+            _partition_literal(v, ptype[c]).alias(c)
+            for c, v in zip(pcols, vals)
+        ]).select(*[f_.name for f_ in schema.fields])
 
-    # group by partition tuple: one scan per live tuple, partition
-    # columns attached as typed literals (Delta data files do not
-    # store them), then one union — column order restored to the
-    # logical schema
-    groups: "dict[tuple, list[str]]" = {}
-    for add in files:
-        pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in pcols)
-        groups.setdefault(key, []).append(_full(add["path"]))
-    out: "DataFrame | None" = None
-    for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*paths)
-        for c, val in zip(pcols, key):
-            df = df.withColumn(c, _partition_literal(val, ptype[c]))
-        df = df.select(*[f_.name for f_ in schema.fields])
-        out = df if out is None else out.unionByName(df)
-    return out
+    # mapping rows join on the file's table-root-relative RAW path.
+    # Spark spells _metadata.file_path as the URI-encoded qualified
+    # path; url_decode() recovers the raw spelling, and stripping the
+    # (once-computed) qualified root leaves exactly our rel string.
+    # java.net.URLDecoder also folds '+' to space, so a literal '+'
+    # in a file name would miss the mapping — that MUST fail loudly
+    # (raise_error below), never serve null partition values.
+    root_raw = _qualified_root(spark, path)
+    mrows = []
+    for rel, add in zip(rels, files):
+        if rel is None:
+            raise DeltaProtocolError(
+                "absolute add.path on a partitioned multi-tuple table "
+                f"({add['path']!r}) — cannot derive a root-relative "
+                "join key"
+            )
+        pv = dict(add.get("partitionValues") or {})
+        mrows.append(tuple(
+            [rel] + [_pv_get(pv, c, phys[c]) for c in pcols]
+        ))
+    mschema = StructType(
+        [StructField("__pb_rel", StringType(), False)]
+        + [StructField(f"__pb_{c}", StringType(), True) for c in pcols]
+    )
+    mapping = spark.createDataFrame(mrows, mschema)
+    if len(mrows) <= _BROADCAST_MAPPING_MAX:
+        mapping = F.broadcast(mapping)
+    rel_col = F.expr(
+        f"substring(url_decode(_metadata.file_path), {len(root_raw) + 2})"
+    )
+
+    def _pcol(c: str) -> Column:
+        raw = F.col(f"__pb_{c}")
+        typed = F.when(
+            raw.isNull() | (raw == "__HIVE_DEFAULT_PARTITION__"),
+            F.lit(None).cast(ptype[c]),
+        ).otherwise(raw.cast(ptype[c]))
+        # __pb_rel is non-null on the scan side, so a null join key
+        # marker means the file missed the mapping (encoding drift)
+        return F.when(
+            F.col("__pb_m").isNull(),
+            F.raise_error(F.lit(
+                "delta_scan: scanned file missing from the log's "
+                "partition-value mapping (non-URI-safe file name?)"
+            )).cast(ptype[c]),
+        ).otherwise(typed).alias(c)
+
+    mapping_marked = mapping.withColumn("__pb_m", F.lit(1))
+    joined = scan.withColumn("__pb_rel", rel_col).join(
+        mapping_marked, on="__pb_rel", how="left"
+    )
+    return joined.select(*[
+        _pcol(f_.name) if f_.name in pcols
+        else F.col(phys[f_.name]).alias(f_.name)
+        for f_ in schema.fields
+    ])
+
+
+def _logical_schema(schema: StructType) -> StructType:
+    """The user-facing schema: logical names, field metadata (mapping
+    ids/physical names) stripped."""
+    return StructType([
+        StructField(f_.name, f_.dataType, f_.nullable)
+        for f_ in schema.fields
+    ])
+
+
+def _qualified_root(spark: SparkSession, path: str) -> str:
+    """The table root as Spark's file index spells it BEFORE URI
+    encoding: ``FileSystem.makeQualified(Path(path)).toString()`` —
+    scheme + authority + raw path, computed ONCE per scan (py4j round
+    trips must not scale with file count)."""
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.makeQualified(jp).toString()
 
 
 def delta_table_version(spark: SparkSession, path: str) -> int:

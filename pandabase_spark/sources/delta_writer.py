@@ -30,6 +30,15 @@ Subset: no deletion vectors, no column mapping, no generated
 columns — the writer never claims features it does not write
 (``minWriterVersion`` 2, no feature lists), so conformant readers
 accept the output without capability negotiation.
+
+LogStore caveat (r13 verdict): put-if-absent is only atomic where
+the filesystem provides a create-no-overwrite primitive — link(2)
+locally, namenode-atomic rename on HDFS. S3-style object stores
+WITHOUT conditional puts fall back to exists-check + rename, which
+two same-instant writers can both win; Delta itself requires an
+external coordination LogStore there (e.g. a DynamoDB-backed one).
+Writing to such a scheme emits a ``UserWarning`` once per call site
+— single-writer deployments may proceed; multi-writer ones must not.
 """
 
 from __future__ import annotations
@@ -67,16 +76,45 @@ def _unescape_hive(name: str) -> "str | None":
     return unescape_partition(name)
 
 
+_OBJECT_STORE_SCHEMES = ("s3:", "s3a:", "s3n:", "abfs:", "abfss:",
+                         "gs:", "oss:", "wasb:", "wasbs:", "cos:")
+
+
+def _warn_if_object_store(table: str) -> bool:
+    """Emit the LogStore caveat when ``table`` lives on an object
+    store without an atomic create-no-overwrite primitive: commits
+    there are exists-check + rename (two same-instant writers can
+    both win) and need an external coordination LogStore for
+    multi-writer safety. Returns whether the warning fired."""
+    if table.startswith(_OBJECT_STORE_SCHEMES):
+        import warnings
+
+        warnings.warn(
+            "Delta commit on an object store without conditional "
+            f"puts ({table.split(':', 1)[0]}:): put-if-absent "
+            "degrades to check-then-act; concurrent writers need an "
+            "external coordination LogStore (single-writer use is "
+            "fine)",
+            UserWarning,
+            stacklevel=3,
+        )
+        return True
+    return False
+
+
 def _stage_data_files(
     df: DataFrame, table: str, partition_by: "Sequence[str]"
-) -> "list[dict]":
+) -> "tuple[str, list[dict]]":
     """Write ``df``'s data as protocol-shaped parquet files under a
-    unique commit directory and return their add-action dicts
-    (root-relative paths, string partitionValues). A partitioned
-    write drops the partition columns from the files (the Delta
-    shape) and encodes their values in hive directories, which are
-    parsed into partitionValues and kept — readers never rely on
-    them, but path-style layout keeps the table human-navigable."""
+    unique commit directory and return ``(staged_subdir,
+    add-action dicts)`` (root-relative paths, string
+    partitionValues). A partitioned write drops the partition columns
+    from the files (the Delta shape) and encodes their values in hive
+    directories, which are parsed into partitionValues and kept —
+    readers never rely on them, but path-style layout keeps the table
+    human-navigable. Callers DELETE the staged subdir when the commit
+    fails — an unreferenced c-<uuid> directory would otherwise leak
+    forever (no tombstone will ever cover it; r13 advisory)."""
     fs = _fs(df.sparkSession)
     sub = f"c-{uuid.uuid4().hex[:12]}"
     staged = f"{table}/{sub}"
@@ -112,7 +150,7 @@ def _stage_data_files(
             })
 
     walk(sub, {})
-    return adds
+    return sub, adds
 
 
 def _check_writer_protocol(state: dict, *, removes: bool) -> None:
@@ -204,8 +242,9 @@ def delta_create(
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
         raise NameError(f"partition columns not in frame: {missing}")
+    _warn_if_object_store(table)
     fs.mkdirs(log_dir)
-    adds = _stage_data_files(df, table, partition_by)
+    sub, adds = _stage_data_files(df, table, partition_by)
     actions = [
         {"commitInfo": {"operation": "CREATE TABLE AS SELECT",
                         "timestamp": int(time.time() * 1000)}},
@@ -221,6 +260,9 @@ def delta_create(
         *({"add": a} for a in adds),
     ]
     if not _claim(fs, log_dir, actions, 0):
+        # the staged data was written before the claim; losing the
+        # race must not leak it (no tombstone will ever cover it)
+        fs.delete(f"{table}/{sub}")
         raise FileExistsError(
             f"lost the version-0 claim race at {table}"
         )
@@ -258,23 +300,58 @@ def _commit_with_retry(
     )
 
 
+def _recheck_head(fresh: dict, staged_against: dict, *,
+                  removes: bool) -> None:
+    """Re-validate the table's writer invariants against the FRESH
+    head inside the commit loop (r13 advisory): a rival's metadata
+    change landing mid-loop — protocol upgrade, appendOnly flip,
+    schema change — must fail the commit, not be silently ignored
+    (the staged parquet was typed against the OLD schema)."""
+    _check_writer_protocol(fresh, removes=removes)
+    old_meta = staged_against.get("metadata_raw") or {}
+    new_meta = fresh.get("metadata_raw") or {}
+    if old_meta.get("schemaString") != new_meta.get("schemaString"):
+        raise DeltaProtocolError(
+            "concurrent metadata change: the table schema moved "
+            "while this commit was staging (staged files are typed "
+            "against the old schema) — re-run the write"
+        )
+    if (
+        old_meta.get("partitionColumns") or []
+    ) != (new_meta.get("partitionColumns") or []):
+        raise DeltaProtocolError(
+            "concurrent metadata change: partitionColumns moved "
+            "while this commit was staging — re-run the write"
+        )
+
+
 def delta_append(df: DataFrame, table: str) -> int:
     """Append ``df`` to an existing Delta table (blind adds — the
     non-conflicting operation; a lost claim race simply retries at
-    the next version). Returns the committed version."""
+    the next version, re-validating protocol/schema against the fresh
+    head each attempt). Returns the committed version."""
     spark = df.sparkSession
+    _warn_if_object_store(table)
     state = _replay(spark, table, None)
     _check_writer_protocol(state, removes=False)
     df = _align_frame(df, state)
-    adds = _stage_data_files(df, table, state["partition_columns"])
-    actions_tail = [
-        {"commitInfo": {"operation": "WRITE",
-                        "timestamp": int(time.time() * 1000)}},
-        *({"add": a} for a in adds),
-    ]
-    return _commit_with_retry(
-        spark, table, lambda _s: actions_tail, initial_state=state
-    )
+    sub, adds = _stage_data_files(df, table, state["partition_columns"])
+
+    def build(fresh: dict) -> "list[dict]":
+        _recheck_head(fresh, state, removes=False)
+        return [
+            {"commitInfo": {"operation": "WRITE",
+                            "timestamp": int(time.time() * 1000)}},
+            *({"add": a} for a in adds),
+        ]
+
+    try:
+        return _commit_with_retry(
+            spark, table, build, initial_state=state
+        )
+    except BaseException:
+        _fs(spark).delete(f"{table}/{sub}")
+        raise
 
 
 def delta_overwrite(df: DataFrame, table: str) -> int:
@@ -282,14 +359,18 @@ def delta_overwrite(df: DataFrame, table: str) -> int:
     live AT COMMIT TIME, add the new files. On a lost claim race the
     remove set is recomputed against the new head — overwrite means
     "replace whatever is there", so re-resolution is the semantics,
-    not a conflict. Returns the committed version."""
+    not a conflict — while protocol/schema invariants are re-checked
+    against that head (an appendOnly flip or schema change fails the
+    commit). Returns the committed version."""
     spark = df.sparkSession
+    _warn_if_object_store(table)
     state = _replay(spark, table, None)
     _check_writer_protocol(state, removes=True)
     df = _align_frame(df, state)
-    adds = _stage_data_files(df, table, state["partition_columns"])
+    sub, adds = _stage_data_files(df, table, state["partition_columns"])
 
     def build(fresh: dict) -> "list[dict]":
+        _recheck_head(fresh, state, removes=True)
         now = int(time.time() * 1000)
         return [
             {"commitInfo": {"operation": "WRITE", "timestamp": now,
@@ -302,15 +383,57 @@ def delta_overwrite(df: DataFrame, table: str) -> int:
             *({"add": a} for a in adds),
         ]
 
-    return _commit_with_retry(spark, table, build, initial_state=state)
+    try:
+        return _commit_with_retry(
+            spark, table, build, initial_state=state
+        )
+    except BaseException:
+        _fs(spark).delete(f"{table}/{sub}")
+        raise
+
+
+_DEFAULT_TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000  # Delta's default
+
+
+def _retention_ms(meta: dict) -> int:
+    """``delta.deletedFileRetentionDuration`` in ms — Delta spells it
+    ``interval <n> <unit>``; unknown spellings fall back to the
+    protocol default (1 week)."""
+    import re
+
+    raw = str(
+        (meta.get("configuration") or {}).get(
+            "delta.deletedFileRetentionDuration", ""
+        )
+    ).strip().lower()
+    m = re.fullmatch(
+        r"(?:interval\s+)?(\d+)\s+"
+        r"(second|minute|hour|day|week)s?", raw,
+    )
+    if not m:
+        return _DEFAULT_TOMBSTONE_RETENTION_MS
+    n = int(m.group(1))
+    unit_ms = {
+        "second": 1000, "minute": 60_000, "hour": 3_600_000,
+        "day": 86_400_000, "week": 604_800_000,
+    }[m.group(2)]
+    return n * unit_ms
 
 
 def delta_checkpoint(spark: SparkSession, table: str) -> int:
     """Write the classic checkpoint for the table's LATEST version
-    (net state: protocol + metaData + live adds) plus
-    ``_last_checkpoint`` — after which commits at or below it may be
-    cleaned up and readers pay O(checkpoint + tail). Returns the
-    checkpointed version."""
+    (net state: protocol + FULL metaData + live adds + within-
+    retention remove tombstones) plus ``_last_checkpoint`` — after
+    which commits at or below it may be cleaned up and readers pay
+    O(checkpoint + tail). Returns the checkpointed version.
+
+    Fidelity requirements (r13 advisory): after log cleanup the
+    checkpoint is the only surviving copy of metaData and of recent
+    tombstones, so it must carry the REQUIRED ``format`` field (and
+    createdTime) — a conformant reader reconstructs Metadata from it
+    verbatim — and the remove actions still inside
+    ``delta.deletedFileRetentionDuration``, or third-party vacuum
+    would never see them."""
     fs = _fs(spark)
     state = _replay(spark, table, None)
     v = int(state["version"])
@@ -319,25 +442,34 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
     proto = state.get("protocol") or {
         "minReaderVersion": 1, "minWriterVersion": 2,
     }
+    fmt = meta.get("format") or {"provider": "parquet", "options": {}}
     rows = [
         ({
             "minReaderVersion": int(proto.get("minReaderVersion") or 1),
             "minWriterVersion": int(proto.get("minWriterVersion") or 2),
-        }, None, None),
+        }, None, None, None),
         # the table's ACTUAL metaData — a fabricated id/configuration
         # would survive log cleanup and silently replace the real one
         # (r13 review finding: table-id churn aborts delta-spark
         # streaming readers; dropped configuration loses appendOnly)
         (None, {
             "id": str(meta.get("id") or uuid.uuid4().hex),
+            "format": {
+                "provider": str(fmt.get("provider") or "parquet"),
+                "options": {
+                    str(k): str(val)
+                    for k, val in (fmt.get("options") or {}).items()
+                },
+            },
             "schemaString": meta.get("schemaString")
             or state["schema"].json(),
             "partitionColumns": list(state["partition_columns"]),
             "configuration": {
-                str(k): str(v)
-                for k, v in (meta.get("configuration") or {}).items()
+                str(k): str(val)
+                for k, val in (meta.get("configuration") or {}).items()
             },
-        }, None),
+            "createdTime": int(meta.get("createdTime") or 0),
+        }, None, None),
     ]
     for add in state["files"].values():
         rows.append((None, None, {
@@ -346,13 +478,28 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
             "size": int(add.get("size") or 1),
             "modificationTime": int(add.get("modificationTime") or 0),
             "dataChange": False,
-        }))
+        }, None))
+    horizon = int(time.time() * 1000) - _retention_ms(meta)
+    for rm in state.get("tombstones", {}).values():
+        if int(rm.get("deletionTimestamp") or 0) >= horizon:
+            rows.append((None, None, None, {
+                "path": rm["path"],
+                "deletionTimestamp": int(
+                    rm.get("deletionTimestamp") or 0
+                ),
+                "dataChange": False,
+            }))
     ck_schema = (
         "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
-        "metaData struct<id:string,schemaString:string,"
-        "partitionColumns:array<string>,configuration:map<string,string>>, "
+        "metaData struct<id:string,"
+        "format:struct<provider:string,options:map<string,string>>,"
+        "schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>,"
+        "createdTime:long>, "
         "add struct<path:string,partitionValues:map<string,string>,"
-        "size:long,modificationTime:long,dataChange:boolean>"
+        "size:long,modificationTime:long,dataChange:boolean>, "
+        "remove struct<path:string,deletionTimestamp:long,"
+        "dataChange:boolean>"
     )
     tmp = f"{table}/_ckpt_tmp_{uuid.uuid4().hex[:8]}"
     spark.createDataFrame(rows, ck_schema).coalesce(1).write.mode(

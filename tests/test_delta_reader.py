@@ -152,6 +152,82 @@ def test_delta_scan_not_a_table(spark, tmp_path):
         delta_scan(spark, str(tmp_path / "nope"))
 
 
+def test_delta_scan_column_mapping_name_mode(spark, tmp_path):
+    """Name-mode column mapping (r14): data files speak physical
+    names, the result speaks logical names; partitionValues in the
+    log are keyed by the physical partition-column name; the
+    partition_filter callback still sees LOGICAL keys."""
+    from pandabase_spark.sources.delta_fixture import make_delta_cm_fixture
+
+    table = str(tmp_path / "cm")
+    make_delta_cm_fixture(spark, table)
+    df = delta_scan(spark, table)
+    assert df.columns == ["id", "v", "p"]
+    assert _rows(df) == (
+        {(i, 1.0 * i, 0) for i in range(50)}
+        | {(i, 4.0 * i, 1) for i in range(50, 70)}
+    )
+    # time travel pre-overwrite
+    v0 = delta_scan(spark, table, version=0)
+    assert _rows(v0) == (
+        {(i, 1.0 * i, 0) for i in range(50)}
+        | {(i, 2.0 * i, 1) for i in range(50, 80)}
+    )
+    # planning-time pruning with logical keys
+    only1 = delta_scan(
+        spark, table, partition_filter=lambda pv: pv.get("p") == "1"
+    )
+    assert _rows(only1) == {(i, 4.0 * i, 1) for i in range(50, 70)}
+
+
+def test_delta_scan_refuses_id_mode_mapping(spark, tmp_path):
+    from pandabase_spark.fs import HadoopFS
+    from pandabase_spark.sources.delta_fixture import make_delta_cm_fixture
+
+    table = str(tmp_path / "cmid")
+    make_delta_cm_fixture(spark, table)
+    fs = HadoopFS(spark)
+    log = f"{table}/_delta_log"
+    meta = None
+    for line in fs.read_text(f"{log}/{0:020d}.json").splitlines():
+        act = json.loads(line)
+        if "metaData" in act:
+            meta = act["metaData"]
+    meta["configuration"]["delta.columnMapping.mode"] = "id"
+    fs.write_text_atomic(
+        f"{log}/{2:020d}.json", json.dumps({"metaData": meta})
+    )
+    with pytest.raises(DeltaProtocolError, match="id"):
+        delta_scan(spark, table)
+
+
+def test_delta_scan_many_tuples_single_scan(spark, tmp_path):
+    """r13 verdict scale finding: 1,000 live partition tuples must
+    plan as ONE parquet scan (+ one broadcast mapping join), not one
+    union leg per tuple — the date×hour lake-table shape."""
+    from pandabase_spark.sources.delta_fixture import (
+        make_delta_many_tuples_fixture,
+    )
+
+    table = str(tmp_path / "many")
+    make_delta_many_tuples_fixture(spark, table, n_tuples=1000)
+    df = delta_scan(spark, table)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    got = {
+        (r["id"], r["v"], r["d"], r["h"]) for r in df.collect()
+    }
+    assert got == {
+        (i, i * 1.0, i // 24, i % 24) for i in range(1000)
+    }
+    # planning-time pruning still reaches the single scan: one day
+    pruned = delta_scan(
+        spark, table, partition_filter=lambda pv: pv.get("d") == "3"
+    )
+    assert {r["id"] for r in pruned.collect()} == set(range(72, 96))
+
+
 def test_incomplete_multipart_checkpoint_falls_back_to_complete(
     spark, delta_table
 ):

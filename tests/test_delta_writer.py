@@ -144,14 +144,12 @@ def test_concurrent_appends_both_land(spark, tmp_path):
         # first — forcing the optimistic loop to re-resolve and retry
         if not raced["done"]:
             raced["done"] = True
+            _sub, rival_adds = W._stage_data_files(
+                _df(spark, 100, 110), table, ["p"]
+            )
             rival = [
                 {"commitInfo": {"operation": "WRITE", "timestamp": 0}},
-                *(
-                    {"add": a}
-                    for a in W._stage_data_files(
-                        _df(spark, 100, 110), table, ["p"]
-                    )
-                ),
+                *({"add": a} for a in rival_adds),
             ]
             assert real_claim(fs, log_dir, rival, v)
         return real_claim(fs, log_dir, actions, v)
@@ -184,14 +182,12 @@ def test_overwrite_retry_replaces_rivals_commit_state(spark, tmp_path):
     def racing_claim(fs, log_dir, actions, v):
         if not raced["done"]:
             raced["done"] = True
+            _sub, rival_adds = W._stage_data_files(
+                _df(spark, 100, 110), table, ["p"]
+            )
             rival = [
                 {"commitInfo": {"operation": "WRITE", "timestamp": 0}},
-                *(
-                    {"add": a}
-                    for a in W._stage_data_files(
-                        _df(spark, 100, 110), table, ["p"]
-                    )
-                ),
+                *({"add": a} for a in rival_adds),
             ]
             assert real_claim(fs, log_dir, rival, v)
         return real_claim(fs, log_dir, actions, v)
@@ -329,3 +325,202 @@ def test_checkpoint_preserves_table_identity_and_config(
     fs.delete(f"{log}/{1:020d}.json", recursive=False)
     assert _rows(delta_scan(spark, table)) == _rows(_df(spark, 0, 20))
     assert delta_table_version(spark, table) == 1
+
+
+def test_checkpoint_carries_format_and_retained_tombstones(
+    spark, tmp_path
+):
+    """r13 advisory: after log cleanup the checkpoint is the only
+    surviving metaData, so it must include the REQUIRED format field
+    (+ createdTime) and the remove tombstones still inside the
+    retention window — a conformant third-party reader reconstructs
+    Metadata from it verbatim and vacuum needs the tombstones."""
+    import json as _json
+
+    table = str(tmp_path / "out")
+    delta_create(_df(spark, 0, 10), table, partition_by=["p"])
+    delta_overwrite(_df(spark, 20, 30), table)  # tombstones v0 files
+    delta_checkpoint(spark, table)
+    fs = HadoopFS(spark)
+    log = f"{table}/_delta_log"
+    ck = spark.read.parquet(f"{log}/{1:020d}.checkpoint.parquet")
+    assert "remove" in ck.columns
+    meta = next(
+        r["metaData"].asDict(recursive=True)
+        for r in ck.collect()
+        if r["metaData"] and r["metaData"]["schemaString"]
+    )
+    orig = next(
+        _json.loads(ln)["metaData"]
+        for ln in fs.read_text(f"{log}/{0:020d}.json").splitlines()
+        if '"metaData"' in ln
+    )
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["createdTime"] == orig["createdTime"]
+    removes = [
+        r["remove"].asDict()
+        for r in ck.collect()
+        if r["remove"] and r["remove"]["path"]
+    ]
+    # the overwrite tombstoned exactly the v0 files, all recent
+    v0_adds = {
+        _json.loads(ln)["add"]["path"]
+        for ln in fs.read_text(f"{log}/{0:020d}.json").splitlines()
+        if '"add"' in ln
+    }
+    assert {rm["path"] for rm in removes} == v0_adds
+    assert all(rm["deletionTimestamp"] > 0 for rm in removes)
+    # tombstoned paths and live paths are disjoint (protocol rule)
+    adds = {
+        r["add"]["path"] for r in ck.collect()
+        if r["add"] and r["add"]["path"]
+    }
+    assert adds.isdisjoint({rm["path"] for rm in removes})
+    # and the table still reads back after cleanup
+    for v in (0, 1):
+        fs.delete(f"{log}/{v:020d}.json", recursive=False)
+    assert _rows(delta_scan(spark, table)) == _rows(_df(spark, 20, 30))
+
+
+def test_retry_recheck_fails_on_mid_loop_metadata_change(
+    spark, tmp_path
+):
+    """r13 advisory: a rival's metadata change landing mid-commit-loop
+    (appendOnly flip, schema change) must FAIL the commit on retry —
+    the staged files are typed against the old schema — not be
+    silently ignored."""
+    import json as _json
+
+    import pandabase_spark.sources.delta_writer as W
+    from pandabase_spark.sources.delta_reader import DeltaProtocolError
+
+    table = str(tmp_path / "out")
+    delta_create(_df(spark, 0, 10), table, partition_by=["p"])
+    fs = HadoopFS(spark)
+    log = f"{table}/_delta_log"
+
+    real_claim = W._claim
+
+    def rival_flips_append_only(fs_, log_dir, actions, v):
+        if not raced["done"]:
+            raced["done"] = True
+            meta = {
+                "metaData": {
+                    "id": "x",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _df(spark, 0, 1).schema.json(),
+                    "partitionColumns": ["p"],
+                    "configuration": {"delta.appendOnly": "true"},
+                }
+            }
+            assert real_claim(fs_, log_dir, [meta], v)
+        return real_claim(fs_, log_dir, actions, v)
+
+    raced = {"done": False}
+    W._claim = rival_flips_append_only
+    try:
+        with pytest.raises(DeltaProtocolError, match="appendOnly"):
+            delta_overwrite(_df(spark, 50, 60), table)
+    finally:
+        W._claim = real_claim
+    # the failed overwrite staged files then cleaned them up: no
+    # unreferenced c-<uuid> dirs beyond the two successful commits
+    live_dirs = {
+        d for d in fs.list_dirs(table) if d.startswith("c-")
+    }
+    referenced = set()
+    for n in fs.list_files(log):
+        if n.endswith(".json"):
+            for ln in fs.read_text(f"{log}/{n}").splitlines():
+                act = _json.loads(ln)
+                if "add" in act:
+                    referenced.add(act["add"]["path"].split("/")[0])
+    assert live_dirs == referenced
+
+    # a mid-loop SCHEMA change fails an append the same way
+    raced = {"done": False}
+
+    def rival_changes_schema(fs_, log_dir, actions, v):
+        if not raced["done"]:
+            raced["done"] = True
+            meta = {
+                "metaData": {
+                    "id": "x",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _df(spark, 0, 1).withColumn(
+                        "zz", F.lit(1)
+                    ).schema.json(),
+                    "partitionColumns": ["p"],
+                    "configuration": {},
+                }
+            }
+            assert real_claim(fs_, log_dir, [meta], v)
+        return real_claim(fs_, log_dir, actions, v)
+
+    W._claim = rival_changes_schema
+    try:
+        with pytest.raises(DeltaProtocolError, match="schema moved"):
+            delta_append(_df(spark, 70, 80), table)
+    finally:
+        W._claim = real_claim
+
+
+def test_lost_create_race_cleans_staged_files(spark, tmp_path):
+    """Losing the version-0 claim race must delete the staged
+    c-<uuid> directory — nothing will ever reference or vacuum it."""
+    import pandabase_spark.sources.delta_writer as W
+
+    table = str(tmp_path / "out")
+    real_claim = W._claim
+
+    def always_lose(fs_, log_dir, actions, v):
+        fs_.write_text_if_absent(
+            f"{log_dir}/{v:020d}.json", '{"commitInfo": {}}'
+        )
+        return False
+
+    W._claim = always_lose
+    try:
+        with pytest.raises(FileExistsError, match="claim race"):
+            delta_create(_df(spark, 0, 10), table, partition_by=["p"])
+    finally:
+        W._claim = real_claim
+    fs = HadoopFS(spark)
+    assert not [d for d in fs.list_dirs(table) if d.startswith("c-")]
+
+
+def test_object_store_warning_fires_on_s3_paths():
+    """The LogStore caveat: object-store schemes warn (put-if-absent
+    degrades to check-then-act there); local paths stay silent."""
+    import warnings
+
+    from pandabase_spark.sources.delta_writer import (
+        _warn_if_object_store,
+    )
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _warn_if_object_store("s3a://bucket/table") is True
+        assert _warn_if_object_store("abfss://c@a.dfs/x") is True
+        assert _warn_if_object_store("/local/table") is False
+        assert _warn_if_object_store("file:/local/table") is False
+        assert _warn_if_object_store("hdfs://nn:8020/table") is False
+    msgs = [str(w.message) for w in caught]
+    assert len(msgs) == 2 and all("LogStore" in m for m in msgs)
+
+
+def test_unescape_partition_decodes_utf8_multibyte():
+    """r13 advisory: %XX pairs decode as BYTES then UTF-8, so another
+    engine's percent-encoded ``é`` (%C3%A9) round-trips instead of
+    becoming Latin-1 mojibake; Spark/Hive's ASCII escapes still work;
+    undecodable runs fall back bytewise."""
+    from pandabase_spark.fs import unescape_partition
+
+    assert unescape_partition("app%3A0") == "app:0"
+    assert unescape_partition("caf%C3%A9") == "café"
+    assert unescape_partition("%E6%97%A5%E6%9C%AC") == "日本"
+    assert unescape_partition("plain") == "plain"
+    assert unescape_partition("a%2Fb%3D1") == "a/b=1"
+    # lone invalid byte: surrogateescape round-trip, no crash
+    got = unescape_partition("x%FFy")
+    assert got.encode("utf-8", "surrogateescape") == b"x\xffy"
