@@ -98,10 +98,11 @@ def companda(
     value, so frames with different key values but identical value
     columns in that order are equal). Keys must totally order each
     side — duplicate keys make positional alignment ambiguous, exactly
-    as a duplicated index does in the reference's sort. This mode is a
-    global sort per side (row_number over an unpartitioned window) —
-    parity surface for modest frames; the default key-aligned mode is
-    the one-shuffle form that scales.
+    as a duplicated index does in the reference's sort. Positions come
+    from the distributed global rank (range-bucketed row_number +
+    prefix offsets, :mod:`operators.ranking`) — no unpartitioned
+    window on either side; the default key-aligned mode remains the
+    one-shuffle form.
 
     Executes at most two Spark jobs: an optional all-null-column
     probe, then one full-outer-join + agg.
@@ -181,12 +182,20 @@ def _positional(
 ) -> DataFrame:
     """(__pos, value columns) with __pos = row_number in key-sort order
     — the distributed analog of the reference's ``sort_index()`` before
-    a positional walk (reference:pandabase/companda.py:89-91)."""
-    from pyspark.sql.window import Window
+    a positional walk (reference:pandabase/companda.py:89-91).
 
-    w = Window.orderBy(*[F.col(k) for k in keys])
-    return df.select(
-        F.row_number().over(w).alias("__pos"),
+    Uses :func:`operators.ranking.global_row_number` (range-bucketed
+    rank + prefix offsets), not ``row_number`` over an unpartitioned
+    window — the r13 verdict's finding that the positional path would
+    single-task a large compare while the key-join main path stays
+    clean."""
+    from pandabase_spark.operators.ranking import global_row_number
+
+    ranked = global_row_number(
+        df.select(*keys, *value_cols), list(keys), "__pos"
+    )
+    return ranked.select(
+        F.col("__pos").cast("int").alias("__pos"),
         *[F.col(c).alias(f"__{side}_{c}") for c in value_cols],
     )
 

@@ -1672,6 +1672,37 @@ def delta_export_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_scan(spark, table)
 
 
+@_q(
+    "delta_scan_column_mapping",
+    "SELECT id, v, p FROM ("
+    "SELECT r AS id, r * 1.0 AS v, 0 AS p FROM range(0, 50) t(r) "
+    "UNION ALL SELECT r, r * 4.0, 1 FROM range(50, 70) t(r))",
+)
+def delta_scan_column_mapping_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta interop under NAME-mode column mapping (r14): the table's
+    data files carry PHYSICAL column names (``col-9f1a`` etc., from
+    ``delta.columnMapping.physicalName`` field metadata) and the log's
+    add.partitionValues are keyed by the physical partition-column
+    name, per the protocol — a reader that resolves logical names
+    against the files reads nothing. The hand-written fixture
+    (delta_fixture.make_delta_cm_fixture, protocol (2, 5)) includes an
+    overwrite so live-set replay is also exercised; the DuckDB oracle
+    recomputes the surviving 70 rows arithmetically. The result
+    speaks logical names — physical spellings never escape the
+    scan."""
+    from pandabase_spark.sources.delta_fixture import make_delta_cm_fixture
+    from pandabase_spark.sources.delta_reader import delta_scan
+
+    cat = _catalog(spark, sf_dir)
+    table = f"{cat.warehouse}/_delta_fixture_cm"
+    if cat.fs.exists(table):
+        cat.fs.delete(table)
+    make_delta_cm_fixture(spark, table)
+    return delta_scan(spark, table)
+
+
 @_q("csv_roundtrip_part", "SELECT * FROM part")
 def csv_roundtrip_part_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part through a CSV write→read cycle (sources.write_csv /
@@ -2590,11 +2621,18 @@ FROM scored GROUP BY r, f, m
 @_q("rfm_segments", _RFM_ORACLE)
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency/frequency/monetary quartiles per
-    customer (ntile over the per-customer aggregate — the windows sort
+    customer (ntile over the per-customer aggregate — ranking
     customers, not orders), bucketed into the 64-cell segment grid.
     Customer-key tiebreaks make every quartile assignment
-    engine-deterministic."""
-    from pyspark.sql.window import Window
+    engine-deterministic.
+
+    The quartiles use :func:`operators.ranking.ntile_distributed`
+    (range-bucketed rank + prefix offsets) instead of three
+    unpartitioned ``ntile(4)`` windows — the r13 verdict's
+    single-task-sort finding: at 10^9 customers a global window
+    funnels the frame through one task; the distributed form is
+    bit-identical on this total order."""
+    from pandabase_spark.operators.ranking import ntile_distributed
 
     o = load(spark, sf_dir, "orders")
     agg = o.groupBy("o_custkey").agg(
@@ -2607,12 +2645,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum("o_totalprice").alias("monetary"),
     )
-    scored = agg.select(
-        "o_custkey",
-        F.ntile(4).over(Window.orderBy("last_us", "o_custkey")).alias("r"),
-        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f"),
-        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
-    )
+    scored = ntile_distributed(agg, 4, ["last_us", "o_custkey"], "r")
+    scored = ntile_distributed(scored, 4, ["freq", "o_custkey"], "f")
+    scored = ntile_distributed(scored, 4, ["monetary", "o_custkey"], "m")
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
@@ -8728,80 +8763,73 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# gate ordering
-# ---------------------------------------------------------------------------
-# The driver walks QUERIES in dict order and checks exactly 50 per
-# round. CORRECTNESS_r12 delivered the r12 head 50/50 clean, closing
-# the cross-round union (all 221 entries driver-checked at least
-# once). The r13 head (r12 verdict ask #1) = strict staleness order:
-#   - all 21 rows last driver-checked in r8 (the normalize/TPC-H
-#     q4/q7/q10/q14/q17/q18/q19/q22 block, the five streaming entries
-#     that predate the r9 OCC rebuild and r12 txn append layout, and
-#     the sampling/histogram/window tails);
-#   - the first 28 (alphabetical) of the 50 rows last checked in r9
-#     (concurrent_sessions_peak .. parts_bought_together) plus the
-#     round's ONE new entry, ann_ivfpq_compacted_full (the r12
-#     verdict's named scale-killer, driver-gated the round it
-#     lands). The
-#     remaining 22 r9 rows (q12/q13/q15/q16/q20/q21/q2/q6/q8/q9,
-#     scd2/skyline/span_dedup, streaming_kt_ivm_view,
-#     streaming_outer_interval_join, streaming_running_agg,
-#     temperature_mixture_sample, train/val/test + shard manifests,
-#     zorder_bucket_spans, and q11_important_stock — displaced by
-#     the new gate) lead the r14 rotation; after that no driver
-#     evidence predates r10.
+# r14 rotation (the r13 verdict's ask #1/#7): the 50-slot gate head is
+#   - the FOUR delta interop queries — the three r13 entries that had
+#     never rotated into a driver gate plus the round's new
+#     delta_scan_column_mapping (name-mode column mapping);
+#   - rfm_segments and kt_companda_report, both functionally changed
+#     this round (distributed ntile / global_row_number replacing the
+#     unpartitioned windows) — a changed query re-gates the round it
+#     changes;
+#   - ALL 22 remaining r9-stale entries (the cohort predating the r10
+#     storage rebuild, r11 vacuum races, r12 txn layout and r13
+#     compaction) — after this round no driver evidence predates r10;
+#   - 22 of the 50 r10-stale entries, led by the verdict-named
+#     multimodal_decode_png/ppm/wav and ann_topk_ivf_full_probe
+#     (which predate the r12 index layout), then alphabetical. The
+#     remaining 28 r10 rows (kt_coercion..window_top3_lineitems tail)
+#     lead the r15 rotation so max staleness stays <=4 rounds.
 _GATE_FIRST = [
-    "normalize_text_docs",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q17_small_qty_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_dormant_rich_customers",
-    "q4_order_priority",
-    "q7_nation_trade_volume",
-    "sample_fixed_per_stratum",
-    "sql_api_revenue_by_status",
-    "streaming_dedup_end_state",
-    "streaming_interval_join",
-    "streaming_kt_cdc_replica",
-    "streaming_late_data_drop",
-    "streaming_static_enrich",
-    "union_schema_drift",
-    "value_histogram",
-    "weekday_revenue_seasonality",
-    "weighted_sample_by_length",
-    "window_rank_stats",
-    "concurrent_sessions_peak",
-    "corpus_quality_funnel",
-    "csv_roundtrip_part",
-    "embedding_neardup_ivf",
-    "equi_depth_histogram_values",
-    "events_ewma_smooth",
-    "events_linear_interpolate",
-    "events_rolling_median",
-    "fk_violation_report",
-    "incremental_dedup_classify",
-    "ks_drift_click_vs_purchase",
-    "kt_bloom_skipping_read",
-    "kt_clone_divergence",
-    "kt_cluster_alter",
-    "kt_colocated_agg",
-    "kt_colocated_join",
-    "kt_delete_rows",
-    "kt_generated_columns",
-    "kt_manifest_sketch_stats",
-    "kt_rebucket",
-    "kt_rename_column",
-    "kt_restore",
-    "kt_stats_skipping_read",
-    "kt_update_rows",
-    "mixture_report_by_lang",
-    "neardup_canonical_keep",
-    "pack_sequences_bins",
-    "parts_bought_together",
-    "ann_ivfpq_compacted_full",
+    "delta_scan_log_replay",
+    "delta_scan_time_travel",
+    "delta_export_roundtrip",
+    "delta_scan_column_mapping",
+    "rfm_segments",
+    "kt_companda_report",
+    "q11_important_stock",
+    "q12_shipping_priority_classes",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "scd2_user_state_history",
+    "skyline_cheap_small_parts",
+    "span_dedup_reconstruct",
+    "streaming_kt_ivm_view",
+    "streaming_outer_interval_join",
+    "streaming_running_agg",
+    "temperature_mixture_sample",
+    "train_val_test_split",
+    "training_corpus_manifest_v2",
+    "training_shard_manifest",
+    "zorder_bucket_spans",
+    "ann_topk_ivf_full_probe",
+    "multimodal_decode_png",
+    "multimodal_decode_ppm",
+    "multimodal_decode_wav",
+    "anti_join_idle_customers",
+    "asof_join_events",
+    "distinct_users_by_type",
+    "events_hourly",
+    "events_moving_avg",
+    "events_resample_fill",
+    "events_user_deltas",
+    "having_fat_orders",
+    "kt_append",
+    "kt_autoindex_append",
+    "kt_boolean_narrowing",
+    "kt_describe",
+    "kt_projection",
+    "kt_range_read_composite",
+    "kt_range_read_open",
+    "kt_range_read_single",
+    "kt_roundtrip_create",
+    "kt_coercion",
 ]
 
 

@@ -884,3 +884,79 @@ def test_bpe_apply_matches_reference_tokenization(spark):
 
     with _p.raises(ValueError, match="spaces"):
         apply_bpe_merges(docs, [("a b", "c")])
+
+
+# ---------------------------------------------------------------------------
+# distributed ranking (r14): global row_number / ntile without the
+# single-partition window
+# ---------------------------------------------------------------------------
+
+
+def test_global_row_number_matches_window_form(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pandabase_spark.operators.ranking import global_row_number
+
+    df = spark.range(0, 977).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 101).alias("k"),  # repeating keys
+    )
+    got = {
+        (r["id"], r["rn"])
+        for r in global_row_number(
+            df, ["k", "id"], "rn", num_buckets=8
+        ).collect()
+    }
+    want = {
+        (r["id"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ntile_distributed_matches_window_form(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pandabase_spark.operators.ranking import ntile_distributed
+
+    for n_rows, n_tiles in [(1, 4), (3, 4), (977, 4), (100, 7), (6, 6)]:
+        df = spark.range(0, n_rows).select(
+            F.col("id"), ((F.col("id") * 13) % 31).alias("k")
+        )
+        got = {
+            (r["id"], r["t"])
+            for r in ntile_distributed(
+                df, n_tiles, ["k", "id"], "t", num_buckets=8
+            ).collect()
+        }
+        want = {
+            (r["id"], r["t"])
+            for r in df.withColumn(
+                "t", F.ntile(n_tiles).over(Window.orderBy("k", "id"))
+            ).collect()
+        }
+        assert got == want, (n_rows, n_tiles)
+
+
+def test_ranking_plan_has_no_unpartitioned_window(spark):
+    """The point of the module: every Window in the plan is
+    partitioned (no single-task global sort)."""
+    from pyspark.sql import functions as F
+
+    from pandabase_spark.operators.ranking import ntile_distributed
+
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    out = ntile_distributed(df, 4, ["k", "id"], "t", num_buckets=16)
+    # the optimized plan spells window specs as
+    # 'windowspecdefinition(...)'; every Window node must carry the
+    # bucket column as its partition spec
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__pbrk_bkt" in line, line
