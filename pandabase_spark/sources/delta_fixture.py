@@ -309,3 +309,109 @@ def make_delta_many_tuples_fixture(
     fs.write_text_atomic(f"{log}/{0:020d}.json", "\n".join(acts))
 
 
+
+
+# --------------------------------------------------------------------------
+# deletion-vector fixture
+# --------------------------------------------------------------------------
+
+def make_delta_dv_fixture(spark, table: str) -> None:
+    """Hand-written deletion-vector table per PROTOCOL.md's DV format:
+    protocol (3, 7) with reader+writer feature ``deletionVectors``;
+    two partitioned data files; v1 re-adds both with DVs attached —
+    file dva via a SIDECAR ``ab/deletion_vector_<uuid>.bin``
+    (storageType ``u``, Z85 uuid with a random prefix, the blob
+    framed [size BE][data][crc BE] and the data a 64-bit roaring
+    bitmap) deleting the odd row positions below 20, and file dvb via
+    an INLINE descriptor (storageType ``i``, Z85 payload padded to a
+    4-byte multiple) deleting row positions 0..4.
+
+    Live rows: dva ids {0..99} minus odd ids < 20 (90 rows, p=0) +
+    dvb ids {105..179} (75 rows, p=1) = 165."""
+    import os
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandabase_spark.sources.dv import (
+        build_dv_file, encode_dv_data, z85_encode,
+    )
+
+    fs = HadoopFS(spark)
+    log = f"{table}/_delta_log"
+    fs.mkdirs(log)
+
+    def write_data(name, lo, hi):
+        ids = list(range(lo, hi))
+        pq.write_table(
+            pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "v": pa.array([i * 1.0 for i in ids], pa.float64()),
+            }),
+            f"{table}/{name}",
+        )
+        return os.path.getsize(f"{table}/{name}")
+
+    sizes = {
+        "dva.parquet": write_data("dva.parquet", 0, 100),
+        "dvb.parquet": write_data("dvb.parquet", 100, 180),
+    }
+
+    # sidecar DV for dva: row positions 1,3,...,19
+    blob_a = encode_dv_data(list(range(1, 20, 2)))
+    dv_bytes, offsets = build_dv_file([blob_a])
+    u = _uuid.uuid4()
+    fs.mkdirs(f"{table}/ab")
+    with open(f"{table}/ab/deletion_vector_{u}.bin", "wb") as fh:
+        fh.write(dv_bytes)
+    dv_a = {
+        "storageType": "u",
+        "pathOrInlineDv": "ab" + z85_encode(u.bytes),
+        "offset": offsets[0],
+        "sizeInBytes": len(blob_a),
+        "cardinality": 10,
+    }
+    # inline DV for dvb: row positions 0..4 (ids 100..104)
+    blob_b = encode_dv_data([0, 1, 2, 3, 4])
+    padded = blob_b + b"\x00" * (-len(blob_b) % 4)
+    dv_b = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(padded),
+        "sizeInBytes": len(blob_b),
+        "cardinality": 5,
+    }
+
+    def add(name, p, dv=None):
+        act = {
+            "path": name,
+            "partitionValues": {"p": str(p)},
+            "size": sizes[name], "modificationTime": 0,
+            "dataChange": True,
+        }
+        if dv is not None:
+            act["deletionVector"] = dv
+        return json.dumps({"add": act})
+
+    meta = json.dumps({"metaData": {
+        "id": "fixture-dv-01",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": SCHEMA_STRING,
+        "partitionColumns": ["p"],
+        "configuration": {},
+        "createdTime": 0,
+    }})
+    fs.write_text_atomic(f"{log}/{0:020d}.json", "\n".join([
+        json.dumps({"commitInfo": {"operation": "CREATE"}}),
+        json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }}),
+        meta,
+        add("dva.parquet", 0), add("dvb.parquet", 1),
+    ]))
+    fs.write_text_atomic(f"{log}/{1:020d}.json", "\n".join([
+        json.dumps({"commitInfo": {"operation": "DELETE"}}),
+        add("dva.parquet", 0, dv_a), add("dvb.parquet", 1, dv_b),
+    ]))

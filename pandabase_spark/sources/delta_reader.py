@@ -36,6 +36,13 @@ over the Hadoop FileSystem API:
   metadata), the scan reads physical and aliases back to logical —
   the same evolved-read shape the keyed-table format uses for its
   own renames (io.py ``assemble``). ID mode stays refused.
+- deletion vectors are DECODED and served (r14): each live file's DV
+  (inline Z85 or a ``deletion_vector_*.bin`` sidecar, 64-bit roaring
+  bitmap per the protocol's DV format) expands to (file, row index)
+  pairs on the executors and anti-joins the scan's
+  ``_metadata.row_index`` — deleted rows never surface, and a
+  corrupt DV raises instead of resurrecting them
+  (:mod:`pandabase_spark.sources.dv`).
 
 Driver memory: replay holds (path, partitionValues, size) per LIVE
 file — the same O(live files) planning state Spark's own FileIndex
@@ -45,10 +52,9 @@ stats strings never cross the wire.
 
 Deliberate subset (raise, never silently misread):
 
-- deletion vectors (reader feature ``deletionVectors``) — a file
-  with a DV attached must not be served unfiltered;
 - column mapping in ID mode (physical ids live in parquet field
   ids, a different resolution path than names);
+- v2 checkpoints (sidecar manifest layout) and type widening;
 - ``minReaderVersion`` > 3 or unknown reader features.
 
 The reference has no lake interop at all (pandas + SQLAlchemy,
@@ -68,17 +74,19 @@ from pyspark.sql.types import StringType, StructField, StructType
 LOG_SUBDIR = "_delta_log"
 
 _BLOCKED_READER_FEATURES = {
-    "deletionVectors": "deletion vectors (rows would resurrect)",
     "v2Checkpoint": "v2 checkpoints (sidecar manifest layout)",
     "typeWidening": "type widening (file/logical types diverge)",
 }
 _KNOWN_OK_FEATURES = {
     # write-side features a reader may ignore per the protocol, plus
-    # columnMapping which _check_protocol gates on the MODE (name ok)
+    # the read features this module implements: columnMapping gated
+    # on the MODE (name ok, id refused) and deletionVectors (decoded
+    # and anti-joined on _metadata.row_index, r14)
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
     "changeDataFeed", "identityColumns", "rowTracking", "domainMetadata",
     "timestampNtz", "vacuumProtocolCheck", "allowColumnDefaults",
     "icebergCompatV1", "icebergCompatV2", "columnMapping",
+    "deletionVectors",
 }
 
 # files above this count skip the broadcast hint on the
@@ -457,10 +465,14 @@ def delta_scan(
     shares one partition tuple — the join is skipped entirely and
     the values are typed literals.
 
+    Live files carrying deletion vectors are served FILTERED: the DV
+    bitmaps expand executor-side and anti-join the scan's
+    ``_metadata.row_index`` (see :func:`_deleted_rows_df`).
+
     An empty live set returns an empty frame with the table schema.
     Raises :class:`DeltaProtocolError` on tables needing reader
-    features outside the supported subset (deletion vectors, id-mode
-    column mapping, v2 checkpoints), and NameError for missing
+    features outside the supported subset (id-mode column mapping,
+    v2 checkpoints, type widening), and NameError for missing
     tables / versions outside the retained log."""
     state = _replay(spark, path, version)
     schema: StructType = state["schema"]
@@ -476,12 +488,6 @@ def delta_scan(
         for f_ in data_fields
     ])
     files = list(state["files"].values())
-    for add in files:
-        if add.get("deletionVector"):
-            raise DeltaProtocolError(
-                "file with a deletion vector attached "
-                f"({add['path']!r}) — refusing to serve unfiltered rows"
-            )
     if partition_filter is not None:
         files = [
             add for add in files
@@ -507,6 +513,39 @@ def delta_scan(
         for rel, add in zip(rels, files)
     ]
     scan = spark.read.schema(data_schema).parquet(*full_paths)
+    root_raw = _qualified_root(spark, path)
+    rel_col = F.expr(
+        f"substring(url_decode(_metadata.file_path), {len(root_raw) + 2})"
+    )
+
+    dv_descs = [
+        (rel, add["deletionVector"])
+        for rel, add in zip(rels, files)
+        if add.get("deletionVector")
+    ]
+    if dv_descs:
+        if any(rel is None for rel, _d in dv_descs):
+            raise DeltaProtocolError(
+                "deletion vector on a file with an absolute add.path "
+                "— cannot derive a root-relative join key"
+            )
+        # each file's deleted row positions, expanded EXECUTOR-side
+        # (bitmap decode in Arrow batches), anti-joined against the
+        # scan's per-file _metadata.row_index — Spark-first DV
+        # serving: one scan, one (usually broadcast) anti-join
+        deleted = _deleted_rows_df(spark, path, dv_descs)
+        total_card = sum(
+            int(d.get("cardinality") or 0) for _r, d in dv_descs
+        )
+        if total_card <= 5_000_000:
+            deleted = F.broadcast(deleted)
+        scan = (
+            scan.withColumn("__pb_rel", rel_col)
+            .withColumn("__pb_ri", F.col("_metadata.row_index"))
+            .join(deleted, on=["__pb_rel", "__pb_ri"], how="left_anti")
+            .drop("__pb_ri")
+        )
+
     out_data = [
         F.col(phys[f_.name]).alias(f_.name) for f_ in data_fields
     ]
@@ -534,7 +573,6 @@ def delta_scan(
     # java.net.URLDecoder also folds '+' to space, so a literal '+'
     # in a file name would miss the mapping — that MUST fail loudly
     # (raise_error below), never serve null partition values.
-    root_raw = _qualified_root(spark, path)
     mrows = []
     for rel, add in zip(rels, files):
         if rel is None:
@@ -554,9 +592,10 @@ def delta_scan(
     mapping = spark.createDataFrame(mrows, mschema)
     if len(mrows) <= _BROADCAST_MAPPING_MAX:
         mapping = F.broadcast(mapping)
-    rel_col = F.expr(
-        f"substring(url_decode(_metadata.file_path), {len(root_raw) + 2})"
-    )
+    # the DV anti-join (when it ran) already attached __pb_rel — and
+    # _metadata is no longer resolvable after that join, so reuse it
+    if "__pb_rel" not in scan.columns:
+        scan = scan.withColumn("__pb_rel", rel_col)
 
     def _pcol(c: str) -> Column:
         raw = F.col(f"__pb_{c}")
@@ -575,9 +614,7 @@ def delta_scan(
         ).otherwise(typed).alias(c)
 
     mapping_marked = mapping.withColumn("__pb_m", F.lit(1))
-    joined = scan.withColumn("__pb_rel", rel_col).join(
-        mapping_marked, on="__pb_rel", how="left"
-    )
+    joined = scan.join(mapping_marked, on="__pb_rel", how="left")
     return joined.select(*[
         _pcol(f_.name) if f_.name in pcols
         else F.col(phys[f_.name]).alias(f_.name)
@@ -592,6 +629,105 @@ def _logical_schema(schema: StructType) -> StructType:
         StructField(f_.name, f_.dataType, f_.nullable)
         for f_ in schema.fields
     ])
+
+
+def _deleted_rows_df(
+    spark: SparkSession,
+    path: str,
+    dv_descs: "list[tuple[str, dict]]",
+) -> DataFrame:
+    """(__pb_rel, __pb_ri) rows for every deleted position named by
+    the live files' deletion vectors. The bitmap DECODE runs on the
+    EXECUTORS (``mapInPandas`` over descriptor rows joined with the
+    DV file bytes from a ``binaryFile`` scan) — the driver holds only
+    the descriptors, never the expanded positions, so a table with
+    10^8 deleted rows costs a shuffle, not driver memory. Inline
+    (``i``) descriptors carry their payload in the row; ``u``/``p``
+    descriptors join to their sidecar's bytes by the uuid-unique file
+    name. Size, CRC and cardinality are verified in the decode
+    (:mod:`pandabase_spark.sources.dv`) — corruption raises, it never
+    resurrects rows."""
+    import pandas as pd
+
+    from pandabase_spark.sources.dv import dv_relative_path
+
+    rows = []
+    files_needed: "dict[str, str]" = {}  # name -> full path
+    for rel, d in dv_descs:
+        st = str(d.get("storageType") or "")
+        payload = str(d.get("pathOrInlineDv") or "")
+        off = int(d["offset"]) if d.get("offset") is not None else -1
+        size = int(d.get("sizeInBytes") or 0)
+        card = int(d.get("cardinality") or 0)
+        if st == "u":
+            dv_rel = dv_relative_path(payload)
+            full = f"{path}/{dv_rel}"
+            name = dv_rel.rsplit("/", 1)[-1]
+            files_needed[name] = full
+            rows.append((rel, st, name, off, size, card))
+        elif st == "p":
+            name = payload.rsplit("/", 1)[-1]
+            files_needed[name] = payload
+            rows.append((rel, st, name, off, size, card))
+        elif st == "i":
+            rows.append((rel, st, payload, -1, size, card))
+        else:
+            raise DeltaProtocolError(
+                f"unknown deletion-vector storage type {st!r}"
+            )
+    descs = spark.createDataFrame(
+        rows,
+        "rel string, st string, payload string, "
+        "off long, size long, card long",
+    )
+    out_schema = "__pb_rel string, __pb_ri long"
+
+    def _expand(batches):
+        from pandabase_spark.sources.dv import (
+            decode_dv_data, extract_dv_blob, z85_decode,
+        )
+
+        for pdf in batches:
+            rel_out: "list[str]" = []
+            ri_out: "list[int]" = []
+            for r in pdf.itertuples(index=False):
+                if r.st == "i":
+                    data = z85_decode(r.payload)[:r.size]
+                else:
+                    data = extract_dv_blob(
+                        bytes(r.content), int(r.off), int(r.size)
+                    )
+                for ri in decode_dv_data(data, cardinality=int(r.card)):
+                    rel_out.append(r.rel)
+                    ri_out.append(ri)
+            yield pd.DataFrame(
+                {"__pb_rel": rel_out, "__pb_ri": ri_out}
+            )
+
+    parts = []
+    inline = descs.where(F.col("st") == "i").withColumn(
+        "content", F.lit(None).cast("binary")
+    )
+    if rows and files_needed:
+        bin_df = (
+            spark.read.format("binaryFile")
+            .load(sorted(files_needed.values()))
+            .select(
+                F.element_at(F.split("path", "/"), -1).alias("payload"),
+                "content",
+            )
+        )
+        file_descs = descs.where(F.col("st") != "i").join(
+            bin_df, on="payload", how="left"
+        )
+        # a descriptor whose sidecar is missing must fail loudly:
+        # extract_dv_blob raises on null content via the bytes() cast
+        parts.append(file_descs)
+    parts.append(inline)
+    all_descs = parts[0]
+    for p in parts[1:]:
+        all_descs = all_descs.unionByName(p)
+    return all_descs.mapInPandas(_expand, schema=out_schema)
 
 
 def _qualified_root(spark: SparkSession, path: str) -> str:

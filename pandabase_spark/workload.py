@@ -1703,6 +1703,38 @@ def delta_scan_column_mapping_q(
     return delta_scan(spark, table)
 
 
+@_q(
+    "delta_scan_dv",
+    "SELECT id, v, p FROM ("
+    "SELECT r AS id, r * 1.0 AS v, 0 AS p FROM range(0, 100) t(r) "
+    "WHERE r >= 20 OR r % 2 = 0 "
+    "UNION ALL SELECT r, r * 1.0, 1 FROM range(105, 180) t(r))",
+)
+def delta_scan_dv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta interop with DELETION VECTORS (r14): a protocol-(3,7)
+    table whose live files carry DVs — one via a framed sidecar
+    ``deletion_vector_<uuid>.bin`` (storageType ``u``: Z85 uuid with
+    prefix, [size BE][64-bit roaring bitmap][crc BE]) and one inline
+    (storageType ``i``, Z85 payload). The reader decodes the bitmaps
+    EXECUTOR-side (mapInPandas over descriptor rows + binaryFile
+    sidecar bytes) and anti-joins ``_metadata.row_index``, so deleted
+    rows never surface and driver memory stays O(descriptors), not
+    O(deleted rows). Size/CRC/cardinality are verified in the decode
+    — corruption raises (pinned in tests/test_delta_reader.py). The
+    DuckDB oracle recomputes the 165 surviving rows arithmetically
+    (odd positions under 20 deleted from file A, positions 0..4 from
+    file B)."""
+    from pandabase_spark.sources.delta_fixture import make_delta_dv_fixture
+    from pandabase_spark.sources.delta_reader import delta_scan
+
+    cat = _catalog(spark, sf_dir)
+    table = f"{cat.warehouse}/_delta_fixture_dv"
+    if cat.fs.exists(table):
+        cat.fs.delete(table)
+    make_delta_dv_fixture(spark, table)
+    return delta_scan(spark, table)
+
+
 @_q("csv_roundtrip_part", "SELECT * FROM part")
 def csv_roundtrip_part_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part through a CSV write→read cycle (sources.write_csv /
@@ -8764,9 +8796,10 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # r14 rotation (the r13 verdict's ask #1/#7): the 50-slot gate head is
-#   - the FOUR delta interop queries — the three r13 entries that had
+#   - the FIVE delta interop queries — the three r13 entries that had
 #     never rotated into a driver gate plus the round's new
-#     delta_scan_column_mapping (name-mode column mapping);
+#     delta_scan_column_mapping and delta_scan_dv (name-mode
+#     column mapping; deletion-vector serving);
 #   - rfm_segments and kt_companda_report, both functionally changed
 #     this round (distributed ntile / global_row_number replacing the
 #     unpartitioned windows) — a changed query re-gates the round it
@@ -8774,7 +8807,7 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   - ALL 22 remaining r9-stale entries (the cohort predating the r10
 #     storage rebuild, r11 vacuum races, r12 txn layout and r13
 #     compaction) — after this round no driver evidence predates r10;
-#   - 22 of the 50 r10-stale entries, led by the verdict-named
+#   - 21 of the 50 r10-stale entries, led by the verdict-named
 #     multimodal_decode_png/ppm/wav and ann_topk_ivf_full_probe
 #     (which predate the r12 index layout), then alphabetical. The
 #     remaining 28 r10 rows (kt_coercion..window_top3_lineitems tail)
@@ -8784,6 +8817,7 @@ _GATE_FIRST = [
     "delta_scan_time_travel",
     "delta_export_roundtrip",
     "delta_scan_column_mapping",
+    "delta_scan_dv",
     "rfm_segments",
     "kt_companda_report",
     "q11_important_stock",
@@ -8829,7 +8863,6 @@ _GATE_FIRST = [
     "kt_range_read_open",
     "kt_range_read_single",
     "kt_roundtrip_create",
-    "kt_coercion",
 ]
 
 

@@ -105,6 +105,8 @@ def test_delta_scan_survives_log_cleanup_via_checkpoint(
 
 
 def test_delta_scan_refuses_unsupported_features(spark, tmp_path):
+    # deletionVectors is now an IMPLEMENTED reader feature (r14):
+    # declaring it must not refuse a table with no DVs attached
     table = str(tmp_path / "dv")
     make_delta_fixture(spark, table)
     fs = HadoopFS(spark)
@@ -116,9 +118,8 @@ def test_delta_scan_refuses_unsupported_features(spark, tmp_path):
             "writerFeatures": ["deletionVectors"],
         }
     }))
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
-        delta_scan(spark, table)
-    # a file-level DV also refuses, even under a permissive protocol
+    assert _rows(delta_scan(spark, table)) == _expected_latest()
+    # an unknown DV storage type refuses rather than misreads
     table2 = str(tmp_path / "dv2")
     make_delta_fixture(spark, table2)
     log2 = f"{table2}/_delta_log"
@@ -126,12 +127,12 @@ def test_delta_scan_refuses_unsupported_features(spark, tmp_path):
         "add": {
             "path": "e.parquet", "partitionValues": {"p": "2"},
             "size": 1, "modificationTime": 0, "dataChange": True,
-            "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+            "deletionVector": {"storageType": "x", "pathOrInlineDv": "x",
                                "sizeInBytes": 1, "cardinality": 1},
         }
     }))
-    with pytest.raises(DeltaProtocolError, match="deletion vector"):
-        delta_scan(spark, table2)
+    with pytest.raises(DeltaProtocolError, match="storage type"):
+        delta_scan(spark, table2).collect()
     # unknown reader feature: refuse rather than misread
     table3 = str(tmp_path / "dv3")
     make_delta_fixture(spark, table3)
@@ -145,6 +146,56 @@ def test_delta_scan_refuses_unsupported_features(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
         delta_scan(spark, table3)
+
+
+def test_delta_scan_serves_deletion_vectors(spark, tmp_path):
+    """r14: DV-bearing tables are served FILTERED — sidecar (u) and
+    inline (i) bitmaps expand executor-side and anti-join
+    _metadata.row_index; deleted rows never surface; time travel to
+    the pre-DV version restores them; partition pruning composes."""
+    from pandabase_spark.sources.delta_fixture import make_delta_dv_fixture
+
+    table = str(tmp_path / "dvt")
+    make_delta_dv_fixture(spark, table)
+    df = delta_scan(spark, table)
+    assert df.columns == ["id", "v", "p"]
+    live_a = {i for i in range(100) if not (i < 20 and i % 2 == 1)}
+    assert _rows(df) == (
+        {(i, 1.0 * i, 0) for i in live_a}
+        | {(i, 1.0 * i, 1) for i in range(105, 180)}
+    )
+    # pre-DV snapshot: every row still present
+    v0 = delta_scan(spark, table, version=0)
+    assert v0.count() == 180
+    # planning-time pruning composes with the DV anti-join
+    p0 = delta_scan(
+        spark, table, partition_filter=lambda pv: pv.get("p") == "0"
+    )
+    assert {r["id"] for r in p0.collect()} == live_a
+
+
+def test_delta_scan_corrupt_dv_raises(spark, tmp_path):
+    """A DV whose bitmap cardinality disagrees with its descriptor —
+    or whose sidecar bytes are corrupted — must raise, never serve."""
+    from pandabase_spark.fs import HadoopFS as _FS
+    from pandabase_spark.sources.delta_fixture import make_delta_dv_fixture
+
+    table = str(tmp_path / "dvc")
+    make_delta_dv_fixture(spark, table)
+    fs = _FS(spark)
+    # corrupt the sidecar: flip a byte inside the framed blob
+    name = next(
+        n for n in fs.list_files(f"{table}/ab")
+        if n.startswith("deletion_vector_")
+    )
+    p = f"{table}/ab/{name}"
+    with open(p, "rb") as fh:
+        raw = bytearray(fh.read())
+    raw[10] ^= 0xFF
+    with open(p, "wb") as fh:
+        fh.write(bytes(raw))
+    with pytest.raises(Exception, match="checksum|size mismatch|magic"):
+        delta_scan(spark, table).collect()
 
 
 def test_delta_scan_not_a_table(spark, tmp_path):
