@@ -553,6 +553,71 @@ def main() -> None:
         spark, pq_path, probes, k=10, nprobe=6
     ).count() > 0
 
+    # --- r14: Delta Lake interop surface (r13 verdict ask #4) ---
+    # export a real slab (orders, partitioned) through the protocol
+    # writer, layer appends + a checkpoint + a post-checkpoint tail,
+    # then time (a) the export write path and (b) the log-replay scan.
+    # The replay fact that matters at scale is recorded beside the
+    # wall time: live file count, partition-tuple count, and that the
+    # whole read planned as ONE parquet scan (the r13 verdict's
+    # union-per-tuple finding, fixed in r14).
+    from pandabase_spark.sources.delta_reader import _replay, delta_scan
+    from pandabase_spark.sources.delta_writer import (
+        delta_append, delta_checkpoint, delta_create,
+    )
+
+    orders_df = workload.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    dl_path = cat._path("b_delta_orders")
+    if cat.fs.exists(dl_path):
+        cat.fs.delete(dl_path)
+
+    def _delta_export():
+        delta_create(
+            orders_df, dl_path, partition_by=["o_orderpriority"]
+        )
+        for i in range(4):
+            delta_append(
+                orders_df.where(F.col("o_orderkey") % 4 == i)
+                .withColumn(
+                    "o_orderkey", F.col("o_orderkey") + 10_000_000
+                ),
+                dl_path,
+            )
+        delta_checkpoint(spark, dl_path)
+        # post-checkpoint tail: replay must stitch checkpoint + JSON
+        delta_append(
+            orders_df.limit(1000).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 50_000_000
+            ),
+            dl_path,
+        )
+
+    timed_dml("delta_export", _delta_export, table_path=dl_path)
+
+    timed("delta_scan_replay", lambda: force(
+        delta_scan(spark, dl_path).groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+    ))
+    _dstate = _replay(spark, dl_path, None)
+    _dtuples = {
+        tuple(sorted((a.get("partitionValues") or {}).items()))
+        for a in _dstate["files"].values()
+    }
+    from pandabase_spark.plans import plan_audit as _pa
+
+    query_facts["delta_scan_replay"].update(
+        delta_replay_files=len(_dstate["files"]),
+        delta_partition_tuples=len(_dtuples),
+        delta_replay_version=int(_dstate["version"]),
+        single_parquet_scan=_pa(
+            delta_scan(spark, dl_path)
+        ).parquet_scans == 1,
+    )
+
     total = round(sum(timings.values()), 2)
     append_rps = round((li_rows // 10) / timings["kt_append_10pct"], 1)
     upsert_rps = round((li_rows // 10) / timings["kt_upsert_10pct"], 1)

@@ -539,9 +539,20 @@ def delta_scan(
         )
         if total_card <= 5_000_000:
             deleted = F.broadcast(deleted)
+        # a NULL row_index would let deleted rows slip the anti-join
+        # (served = resurrected) — only possible if a reader path ever
+        # stops materializing the metadata column, so fail loudly
+        ri = F.col("_metadata.row_index")
+        ri_checked = F.when(
+            ri.isNull(),
+            F.raise_error(F.lit(
+                "delta_scan: _metadata.row_index is null — cannot "
+                "apply deletion vectors on this scan"
+            )).cast("long"),
+        ).otherwise(ri)
         scan = (
             scan.withColumn("__pb_rel", rel_col)
-            .withColumn("__pb_ri", F.col("_metadata.row_index"))
+            .withColumn("__pb_ri", ri_checked)
             .join(deleted, on=["__pb_rel", "__pb_ri"], how="left_anti")
             .drop("__pb_ri")
         )

@@ -725,3 +725,44 @@ def test_compacted_index_probe_still_prunes_partitions(spark, tmp_path):
         a.partition_filters
     )
     assert a.join_safe
+
+
+def test_rfm_and_positional_have_no_unpartitioned_windows(spark):
+    """r13 verdict findings #2/#3: the rfm quartiles and companda's
+    positional mode must not plan a global (partition-less) window —
+    every windowspecdefinition in the optimized plan carries the
+    range-bucket partition column."""
+    df = workload.QUERIES["rfm_segments"](spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__pbrk_bkt" in line, line
+
+    from pandabase_spark.compare import _positional
+
+    pos = _positional(
+        workload.load(spark, SF_DIR, "region"),
+        ["r_regionkey"], ["r_name"], "l",
+    )
+    opt = pos._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__pbrk_bkt" in line, line
+
+
+def test_delta_scan_plans_one_scan_any_tuple_count(spark, tmp_path):
+    """r13 verdict finding #1 (fixed r14): partition attach is a
+    broadcast mapping join over ONE parquet scan — never a union leg
+    per partition tuple — and the mapping side stays a local table,
+    not a file scan."""
+    from pandabase_spark.sources.delta_fixture import (
+        make_delta_many_tuples_fixture,
+    )
+    from pandabase_spark.sources.delta_reader import delta_scan
+
+    table = str(tmp_path / "many")
+    make_delta_many_tuples_fixture(spark, table, n_tuples=240)
+    df = delta_scan(spark, table)
+    a = plan_audit(df)
+    assert a.parquet_scans == 1
+    assert a.join_safe
