@@ -12,17 +12,29 @@ ANY orderable key tuple:
 
 1. range-shuffle the frame into ``num_buckets`` ORDERED buckets
    (``repartitionByRange`` — partition i holds keys <= partition
-   i+1's; Spark's RangePartitioner samples with partition-index-
-   seeded RNG, so recomputation reproduces the same boundaries);
+   i+1's);
 2. ``row_number`` within each bucket (a PARTITIONED window —
    balanced tasks, no warning);
-3. exclusive prefix offsets of the per-bucket counts via a tiny
-   bucket x bucket self-join (``num_buckets^2`` pairs — thousands,
-   not rows), broadcast back.
+3. per-bucket COUNTS collected to the driver (<= ``num_buckets``
+   rows — bounded, the same contract as the ANN stack's
+   centroid collects) and folded into exclusive prefix offsets
+   embedded as a LITERAL map.
 
-global rank = local rank + offset. Exact, deterministic whenever
-``order_cols`` is a TOTAL order (callers append a tiebreak key,
-exactly as they would for the window form).
+global rank = local rank + offsets[bucket]. Embedding the offsets as
+literals keeps the main plan LINEAR — one pass over the input, no
+self-join branches — where an in-plan offsets computation clones the
+whole upstream subtree per branch (column pruning defeats
+ReusedExchange), which showed up as 10 source scans in the first r14
+cut of rfm_segments. The totals job re-derives the bucket assignment
+in a separate (column-pruned) pass; both passes see identical range
+boundaries because Spark's RangePartitioner samples with
+partition-index-seeded RNG — deterministic for a fixed input — and
+the agreement is pinned against the window form in
+tests/test_pipeline_ops.py.
+
+Exact and deterministic whenever ``order_cols`` is a TOTAL order
+(callers append a tiebreak key, exactly as they would for the window
+form).
 
 The reference has no ranking surface (pandas ``sort_index`` is its
 only global order, reference:pandabase/companda.py:89-91); this backs
@@ -37,17 +49,15 @@ from pyspark.sql import DataFrame, functions as F
 
 _BKT = "__pbrk_bkt"
 _LRN = "__pbrk_lrn"
-_OFF = "__pbrk_off"
-_CNT = "__pbrk_cnt"
-_TOT = "__pbrk_tot"
 
 
 def _ranked(
     df: DataFrame, order_cols: "Sequence[str]", num_buckets: int
-) -> DataFrame:
-    """``df`` + ``_LRN+_OFF`` global 1-based rank ingredients +
-    ``_TOT`` total row count, all attached in ONE plan (the range
-    exchange is shared by the rank and count branches)."""
+) -> "tuple[DataFrame, list[int], int]":
+    """``df`` + ``_BKT``/``_LRN`` columns (bucket id, 1-based local
+    rank) plus (exclusive prefix offsets per bucket, total rows).
+    One bounded driver collect (<= num_buckets rows); the returned
+    frame is a LINEAR plan over the input."""
     from pyspark.sql.window import Window
 
     if not order_cols:
@@ -58,21 +68,27 @@ def _ranked(
     parts = df.repartitionByRange(int(num_buckets), *cols).withColumn(
         _BKT, F.spark_partition_id()
     )
+    counts = {
+        r[_BKT]: r["cnt"]
+        for r in parts.groupBy(_BKT)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets = [0] * int(num_buckets)
+    running = 0
+    for b in range(int(num_buckets)):
+        offsets[b] = running
+        running += int(counts.get(b, 0))
     w = Window.partitionBy(_BKT).orderBy(*cols)
     local = parts.withColumn(_LRN, F.row_number().over(w))
-    totals = parts.groupBy(_BKT).agg(F.count(F.lit(1)).alias(_CNT))
-    a, b = totals.alias("a"), totals.alias("b")
-    offsets = (
-        a.join(b, F.col(f"b.{_BKT}") < F.col(f"a.{_BKT}"), "left")
-        .groupBy(F.col(f"a.{_BKT}").alias(_BKT))
-        .agg(
-            F.coalesce(F.sum(f"b.{_CNT}"), F.lit(0)).alias(_OFF)
-        )
-    )
-    tot = totals.agg(F.sum(_CNT).alias(_TOT))
-    return (
-        local.join(F.broadcast(offsets), on=_BKT)
-        .crossJoin(F.broadcast(tot))
+    return local, offsets, running
+
+
+def _offset_col(offsets: "list[int]"):
+    """Literal bucket -> exclusive-prefix-offset lookup (an array
+    literal indexed by bucket id — pure codegen, no join)."""
+    return F.element_at(
+        F.array(*[F.lit(int(o)) for o in offsets]), F.col(_BKT) + 1
     )
 
 
@@ -88,10 +104,10 @@ def global_row_number(
     ``row_number() OVER (ORDER BY ...)``. Pass a tiebreak column if
     the leading keys can repeat (rank among EQUAL keys is otherwise
     tied to physical order, same as the window form)."""
-    ranked = _ranked(df, order_cols, num_buckets)
-    return ranked.withColumn(
-        out_col, (F.col(_LRN) + F.col(_OFF)).cast("long")
-    ).drop(_BKT, _LRN, _OFF, _CNT, _TOT)
+    local, offsets, _n = _ranked(df, order_cols, num_buckets)
+    return local.withColumn(
+        out_col, (F.col(_LRN) + _offset_col(offsets)).cast("long")
+    ).drop(_BKT, _LRN)
 
 
 def ntile_distributed(
@@ -105,18 +121,23 @@ def ntile_distributed(
     """``df`` + ``out_col`` = ``ntile(n) OVER (ORDER BY ...)`` with
     SQL ntile semantics (the first ``N mod n`` tiles hold one extra
     row), computed from the distributed global rank — bit-identical
-    to the window form on a total order, minus the single-task
-    sort."""
+    to the window form on a total order, minus the single-task sort.
+    The tile thresholds are Python-literal arithmetic (N is known
+    from the bounded totals collect), so the whole assignment stays
+    inside whole-stage codegen."""
     if n <= 0:
         raise ValueError(f"n must be positive: {n}")
-    ranked = _ranked(df, order_cols, num_buckets)
-    k0 = (F.col(_LRN) + F.col(_OFF) - 1).cast("long")  # 0-based rank
-    q = (F.col(_TOT) / F.lit(n)).cast("long")  # floor: both positive
-    r = F.col(_TOT) % F.lit(n)
+    local, offsets, total = _ranked(df, order_cols, num_buckets)
+    q, r = divmod(int(total), int(n))
+    k0 = (F.col(_LRN) + _offset_col(offsets) - 1).cast("long")
     fat = r * (q + 1)  # rows covered by the (q+1)-sized tiles
-    tile = F.when(
-        k0 < fat, (k0 / (q + 1)).cast("long") + 1
-    ).otherwise(r + ((k0 - fat) / q).cast("long") + 1)
-    return ranked.withColumn(out_col, tile.cast("int")).drop(
-        _BKT, _LRN, _OFF, _CNT, _TOT
-    )
+    if q == 0:
+        # fewer rows than tiles: every row is its own tile
+        tile = k0 + 1
+    else:
+        tile = F.when(
+            k0 < fat, (k0 - (k0 % (q + 1))) / (q + 1) + 1
+        ).otherwise(
+            r + ((k0 - fat) - ((k0 - fat) % q)) / q + 1
+        )
+    return local.withColumn(out_col, tile.cast("int")).drop(_BKT, _LRN)
