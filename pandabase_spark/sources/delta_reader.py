@@ -442,11 +442,46 @@ def _pv_get(pv: dict, logical: str, physical: str) -> "str | None":
     return pv.get(logical)
 
 
+def _resolve_timestamp(fs, log_dir: str, ts: "float | str") -> int:
+    """Timestamp -> version, Delta semantics: the LAST commit whose
+    log-file modification time is at or before ``ts`` (delta-spark
+    resolves timestamp travel from commit-file timestamps, so an
+    engine pair agrees on the answer). Accepts epoch seconds or an
+    ISO-8601 string (naive = UTC). Raises NameError when ``ts``
+    precedes the earliest retained commit — the snapshot is outside
+    the reconstructable history, same as a cleaned-up version pin."""
+    if isinstance(ts, str):
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        ts = dt.timestamp()
+    ts = float(ts)
+    best = None
+    earliest = None
+    for n in fs.list_files(log_dir):
+        v = _commit_version(n)
+        if v is None:
+            continue
+        mt = fs.mtime(f"{log_dir}/{n}")
+        earliest = mt if earliest is None else min(earliest, mt)
+        if mt <= ts and (best is None or v > best):
+            best = v
+    if best is None:
+        raise NameError(
+            f"no Delta commit at or before timestamp {ts} (earliest "
+            f"retained commit is at {earliest})"
+        )
+    return best
+
+
 def delta_scan(
     spark: SparkSession,
     path: str,
     *,
     version: "int | None" = None,
+    timestamp: "float | str | None" = None,
     partition_filter: "Callable[[dict], bool] | None" = None,
 ) -> DataFrame:
     """Read a Delta table at ``path`` into a DataFrame — log replay,
@@ -473,7 +508,20 @@ def delta_scan(
     Raises :class:`DeltaProtocolError` on tables needing reader
     features outside the supported subset (id-mode column mapping,
     v2 checkpoints, type widening), and NameError for missing
-    tables / versions outside the retained log."""
+    tables / versions outside the retained log.
+
+    ``timestamp=`` (epoch seconds or ISO-8601, naive = UTC) resolves
+    to the last commit at or before that instant from the commit
+    files' modification times — delta-spark's timestamp-travel
+    semantics — and is mutually exclusive with ``version=``."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass either version= or timestamp=, not both"
+            )
+        version = _resolve_timestamp(
+            _fs(spark), f"{path}/{LOG_SUBDIR}", timestamp
+        )
     state = _replay(spark, path, version)
     schema: StructType = state["schema"]
     pcols: "list[str]" = state["partition_columns"]

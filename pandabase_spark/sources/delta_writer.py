@@ -392,6 +392,93 @@ def delta_overwrite(df: DataFrame, table: str) -> int:
         raise
 
 
+def delta_vacuum(
+    spark: SparkSession,
+    table: str,
+    *,
+    retention_ms: "int | None" = None,
+    enforce_retention_floor: bool = True,
+    dry_run: bool = False,
+) -> "list[str]":
+    """Delete data files under ``table`` that the CURRENT version no
+    longer references and whose age exceeds the retention window —
+    Delta's VACUUM, driven by the same log replay the reader uses.
+    Returns the table-root-relative paths removed (or, with
+    ``dry_run=True``, the paths that WOULD be).
+
+    Kept, always: live data files, DV sidecars referenced by live
+    adds, and everything under ``_delta_log``. Kept while young:
+    anything modified inside the retention window — that covers
+    within-retention tombstones (time travel inside the window stays
+    intact) AND files a concurrent in-flight commit has staged but
+    not yet claimed, the same grace Delta's vacuum gives. Orphans
+    from failed commits age out and are collected here.
+
+    ``retention_ms`` defaults to the table's
+    ``delta.deletedFileRetentionDuration`` (protocol default 1 week).
+    Shortening it below 1 hour risks breaking readers of the current
+    snapshot mid-flight, so it raises unless
+    ``enforce_retention_floor=False`` (mirrors delta-spark's
+    ``retentionDurationCheck.enabled``).
+
+    The walk lists the table directory on the driver — O(files),
+    the same planning state every Delta vacuum implementation holds;
+    the deletes themselves are metadata calls, no data moves."""
+    from pandabase_spark.sources.dv import dv_relative_path
+
+    fs = _fs(spark)
+    state = _replay(spark, table, None)
+    meta = state.get("metadata_raw") or {}
+    if retention_ms is None:
+        retention_ms = _retention_ms(meta)
+    if enforce_retention_floor and retention_ms < 3_600_000:
+        raise ValueError(
+            f"retention {retention_ms}ms is below the 1h safety floor "
+            "— pass enforce_retention_floor=False to override "
+            "(single-writer test/maintenance use only)"
+        )
+    from urllib.parse import unquote
+
+    keep: "set[str]" = set()
+    for add in state["files"].values():
+        p = add["path"]
+        keep.add(p if "://" in p else unquote(p))
+        dv = add.get("deletionVector")
+        if dv and str(dv.get("storageType")) == "u":
+            keep.add(dv_relative_path(str(dv["pathOrInlineDv"])))
+    horizon = time.time() - retention_ms / 1000.0
+
+    removed: "list[str]" = []
+
+    def walk(rel: str) -> bool:
+        """Sweep one directory; True if it ended up empty (post-order,
+        so staged c-<uuid>/p=.../ shells collapse bottom-up)."""
+        full = f"{table}/{rel}" if rel else table
+        empty = True
+        for d in fs.list_dirs(full):
+            if not rel and d == LOG_SUBDIR:
+                empty = False
+                continue
+            sub = f"{rel}/{d}" if rel else d
+            if walk(sub):
+                if not dry_run:
+                    fs.delete(f"{table}/{sub}")
+            else:
+                empty = False
+        for f_ in fs.list_files(full):
+            frel = f"{rel}/{f_}" if rel else f_
+            if frel in keep or fs.mtime(f"{full}/{f_}") >= horizon:
+                empty = False
+                continue
+            removed.append(frel)
+            if not dry_run:
+                fs.delete(f"{full}/{f_}", recursive=False)
+        return empty
+
+    walk("")
+    return sorted(removed)
+
+
 _DEFAULT_TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000  # Delta's default
 
 

@@ -1669,6 +1669,15 @@ def delta_export_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.fs.delete(
             f"{table}/_delta_log/{old:020d}.json", recursive=False
         )
+    # r14: VACUUM the overwritten (tombstoned) files with the
+    # retention floor waived — the oracled read-back proves cleanup
+    # never touches the live set (aged-orphan + DV-sidecar retention
+    # behavior is pinned in tests/test_delta_writer.py)
+    from pandabase_spark.sources.delta_writer import delta_vacuum
+
+    delta_vacuum(
+        spark, table, retention_ms=0, enforce_retention_floor=False
+    )
     return delta_scan(spark, table)
 
 

@@ -524,3 +524,109 @@ def test_unescape_partition_decodes_utf8_multibyte():
     # lone invalid byte: surrogateescape round-trip, no crash
     got = unescape_partition("x%FFy")
     assert got.encode("utf-8", "surrogateescape") == b"x\xffy"
+
+
+def test_delta_vacuum_collects_aged_unreferenced_files(
+    spark, tmp_path
+):
+    """r14: vacuum deletes files the current version no longer
+    references once they age past retention — overwritten data,
+    failed-commit orphans and their emptied directories — while
+    keeping live files, referenced DV sidecars, young tombstones and
+    the whole log."""
+    import os
+    import time as _time
+
+    from pandabase_spark.sources.delta_writer import delta_vacuum
+
+    table = str(tmp_path / "out")
+    delta_create(_df(spark, 0, 30), table, partition_by=["p"])
+    delta_overwrite(_df(spark, 50, 70), table)
+    fs = HadoopFS(spark)
+    # a failed-commit orphan directory with one stale file
+    os.makedirs(f"{table}/c-orphan/p=0", exist_ok=True)
+    with open(f"{table}/c-orphan/p=0/junk.parquet", "wb") as fh:
+        fh.write(b"x")
+
+    # retention floor: sub-hour retention refuses by default
+    with pytest.raises(ValueError, match="safety floor"):
+        delta_vacuum(spark, table, retention_ms=0)
+
+    # everything is young: nothing to collect yet
+    assert delta_vacuum(spark, table) == []
+
+    # age everything on disk, then dry-run vs real run
+    old = _time.time() - 9 * 24 * 3600
+    for root, _dirs, names in os.walk(table):
+        if "_delta_log" in root:
+            continue
+        for n in names:
+            os.utime(os.path.join(root, n), (old, old))
+    would = delta_vacuum(
+        spark, table, retention_ms=3_600_000, dry_run=True
+    )
+    assert any("junk.parquet" in p for p in would)
+    got = delta_vacuum(spark, table, retention_ms=3_600_000)
+    assert got == would
+    # orphan dir collapsed, live table intact, log untouched
+    assert not fs.exists(f"{table}/c-orphan")
+    assert _rows(delta_scan(spark, table)) == _rows(_df(spark, 50, 70))
+    assert fs.list_files(f"{table}/_delta_log")
+    # second vacuum is a no-op
+    assert delta_vacuum(spark, table, retention_ms=3_600_000) == []
+
+
+def test_delta_vacuum_keeps_live_dv_sidecars(spark, tmp_path):
+    import os
+    import time as _time
+
+    from pandabase_spark.sources.delta_fixture import make_delta_dv_fixture
+    from pandabase_spark.sources.delta_writer import delta_vacuum
+
+    table = str(tmp_path / "dvt")
+    make_delta_dv_fixture(spark, table)
+    old = _time.time() - 9 * 24 * 3600
+    for root, _dirs, names in os.walk(table):
+        if "_delta_log" in root:
+            continue
+        for n in names:
+            os.utime(os.path.join(root, n), (old, old))
+    removed = delta_vacuum(spark, table, retention_ms=3_600_000)
+    assert removed == []  # both data files + the sidecar are live
+    live_a = {i for i in range(100) if not (i < 20 and i % 2 == 1)}
+    assert {r["id"] for r in delta_scan(spark, table).collect()} == (
+        live_a | set(range(105, 180))
+    )
+
+
+def test_delta_timestamp_time_travel(spark, tmp_path):
+    """timestamp= resolves to the last commit at or before the
+    instant, from commit-file mtimes (delta-spark semantics)."""
+    import os
+
+    from pandabase_spark.sources.delta_reader import delta_scan as scan
+
+    table = str(tmp_path / "out")
+    delta_create(_df(spark, 0, 10), table, partition_by=["p"])
+    delta_append(_df(spark, 10, 20), table)
+    delta_overwrite(_df(spark, 50, 55), table)
+    log = f"{table}/_delta_log"
+    # pin distinct mtimes: v0 @1000, v1 @2000, v2 @3000 (epoch s)
+    for v, t in [(0, 1000), (1, 2000), (2, 3000)]:
+        os.utime(f"{log}/{v:020d}.json", (t, t))
+    assert _rows(scan(spark, table, timestamp=1500)) == _rows(
+        _df(spark, 0, 10)
+    )
+    assert _rows(scan(spark, table, timestamp=2000)) == _rows(
+        _df(spark, 0, 20)
+    )
+    assert _rows(scan(spark, table, timestamp=9e9)) == _rows(
+        _df(spark, 50, 55)
+    )
+    assert _rows(
+        scan(spark, table, timestamp="1970-01-01T00:33:20+00:00")
+    ) == _rows(_df(spark, 0, 20))  # 2000s epoch
+    with pytest.raises(NameError, match="no Delta commit at or before"):
+        scan(spark, table, timestamp=10)
+    with pytest.raises(ValueError, match="not both"):
+        scan(spark, table, version=1, timestamp=1500)
