@@ -66,7 +66,7 @@ Spark/DuckDB-visible on-disk format.
 from __future__ import annotations
 
 import json
-from typing import Any, Callable
+from typing import Any, Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -181,8 +181,11 @@ def _checkpoint_files(fs, log_dir: str, upto: "int | None") -> (
 
 
 def _trim_add(d: dict) -> dict:
-    """An add action reduced to what planning needs — stats strings
-    and tags can be arbitrarily large and never cross to the driver."""
+    """An add action reduced to what planning needs — tags and any
+    unknown fields never cross to the driver; stats are parsed down
+    to the four skipping fields (numRecords/minValues/maxValues/
+    nullCount — bounded by schema width, the same planning state
+    delta-spark's snapshot holds)."""
     out = {
         "path": d["path"],
         "partitionValues": dict(d.get("partitionValues") or {}),
@@ -191,7 +194,32 @@ def _trim_add(d: dict) -> dict:
     }
     if d.get("deletionVector"):
         out["deletionVector"] = dict(d["deletionVector"])
+    stats = _parse_stats(d.get("stats"))
+    if stats is not None:
+        out["stats"] = stats
     return out
+
+
+def _parse_stats(raw) -> "dict | None":
+    """add.stats JSON -> {numRecords, minValues, maxValues,
+    nullCount} or None. Malformed stats degrade to None (the file is
+    simply never skipped) — stats are an optimization, never a
+    correctness input."""
+    if not raw:
+        return None
+    try:
+        if isinstance(raw, str):
+            raw = json.loads(raw)
+        if not isinstance(raw, dict):
+            return None
+        return {
+            "numRecords": raw.get("numRecords"),
+            "minValues": dict(raw.get("minValues") or {}),
+            "maxValues": dict(raw.get("maxValues") or {}),
+            "nullCount": dict(raw.get("nullCount") or {}),
+        }
+    except Exception:
+        return None
 
 
 def _collect_checkpoint(spark: SparkSession, parts: "list[str]") -> (
@@ -219,6 +247,9 @@ def _collect_checkpoint(spark: SparkSession, parts: "list[str]") -> (
         has_dv = "deletionVector" in add_fields
         if has_dv:
             sel.append(F.to_json(F.col("add.deletionVector")).alias("dv"))
+        has_stats = "stats" in add_fields
+        if has_stats:
+            sel.append(F.col("add.stats").alias("stats"))
         for r in a.select(*sel).collect():
             d = {
                 "path": r["path"],
@@ -228,6 +259,10 @@ def _collect_checkpoint(spark: SparkSession, parts: "list[str]") -> (
             }
             if has_dv and r["dv"]:
                 d["deletionVector"] = json.loads(r["dv"])
+            if has_stats:
+                stats = _parse_stats(r["stats"])
+                if stats is not None:
+                    d["stats"] = stats
             adds.append(d)
     if "remove" in cols:
         rm = rows.where(F.col("remove.path").isNotNull())
@@ -476,6 +511,80 @@ def _resolve_timestamp(fs, log_dir: str, ts: "float | str") -> int:
     return best
 
 
+_PRED_OPS = {"=", "==", "<", "<=", ">", ">="}
+
+
+def _coerce_pair(a, b) -> "tuple | None":
+    """(stat value, literal) coerced to a comparable pair, or None
+    when the types don't line up (→ the file is kept). Numerics
+    compare as floats; strings lexically — which is exactly the
+    bound semantics Delta's (possibly truncated-with-increment)
+    string maxValues guarantee."""
+    num = (int, float)
+    if isinstance(a, bool) or isinstance(b, bool):
+        return None
+    if isinstance(a, num) and isinstance(b, num):
+        return float(a), float(b)
+    if isinstance(a, str) and isinstance(b, str):
+        return a, b
+    if isinstance(a, str) and isinstance(b, num):
+        try:
+            return float(a), float(b)
+        except ValueError:
+            return None
+    return None
+
+
+def _file_may_match(
+    add: dict, col: str, op: str, lit, *, partition_cols: "set[str]",
+    pv_value,
+) -> bool:
+    """Can any row of this file satisfy ``col op lit``? False ONLY
+    when the log proves it can't — a partition value that fails the
+    comparison, or a [min, max] stats interval disjoint from the
+    predicate range. Missing/unusable stats keep the file (skipping
+    is an optimization, never a correctness input)."""
+    if col in partition_cols:
+        pair = _coerce_pair(pv_value, lit)
+        if pair is None:
+            return True  # null / type-mismatched pv: never prune on it
+        v, w = pair
+        return {
+            "=": v == w, "==": v == w, "<": v < w, "<=": v <= w,
+            ">": v > w, ">=": v >= w,
+        }[op]
+    stats = add.get("stats")
+    if not stats:
+        return True
+    mn = (stats.get("minValues") or {}).get(col)
+    mx = (stats.get("maxValues") or {}).get(col)
+    nulls = (stats.get("nullCount") or {}).get(col)
+    n = stats.get("numRecords")
+    # an all-null column can satisfy no comparison predicate
+    if (
+        isinstance(nulls, int) and isinstance(n, int)
+        and n > 0 and nulls >= n
+    ):
+        return False
+    lo = _coerce_pair(mn, lit) if mn is not None else None
+    hi = _coerce_pair(mx, lit) if mx is not None else None
+    if op in ("=", "=="):
+        if lo is not None and lo[0] > lo[1]:
+            return False
+        if hi is not None and hi[0] < hi[1]:
+            return False
+        return True
+    if op == "<":
+        return lo is None or lo[0] < lo[1]
+    if op == "<=":
+        return lo is None or lo[0] <= lo[1]
+    if op == ">":
+        return hi is None or hi[0] > hi[1]
+    if op == ">=":
+        return hi is None or hi[0] >= hi[1]
+    return True
+
+
 def delta_scan(
     spark: SparkSession,
     path: str,
@@ -483,6 +592,7 @@ def delta_scan(
     version: "int | None" = None,
     timestamp: "float | str | None" = None,
     partition_filter: "Callable[[dict], bool] | None" = None,
+    predicate: "Sequence[tuple] | None" = None,
 ) -> DataFrame:
     """Read a Delta table at ``path`` into a DataFrame — log replay,
     no delta-spark, no directory listing. ``version=`` time-travels;
@@ -546,8 +656,51 @@ def delta_scan(
                 for c in pcols
             })
         ]
+    preds: "list[tuple]" = []
+    if predicate:
+        known = {f_.name for f_ in schema.fields}
+        for t in predicate:
+            col, op, lit = t
+            if col not in known:
+                raise NameError(f"predicate column {col!r} not in schema")
+            if op not in _PRED_OPS:
+                raise ValueError(
+                    f"predicate op {op!r} not in {sorted(_PRED_OPS)}"
+                )
+            if lit is None:
+                raise ValueError(
+                    "null predicate literals are not supported — use "
+                    "partition_filter for null-partition selection"
+                )
+            preds.append((col, op, lit))
+        pset = set(pcols)
+        kept = []
+        for add in files:
+            pv = dict(add.get("partitionValues") or {})
+            if all(
+                _file_may_match(
+                    add, col, op, lit, partition_cols=pset,
+                    pv_value=_pv_get(pv, col, phys[col]),
+                )
+                for col, op, lit in preds
+            ):
+                kept.append(add)
+        files = kept
     if not files:
         return spark.createDataFrame([], _logical_schema(schema))
+
+    def _with_pred(df: DataFrame) -> DataFrame:
+        # the residual ROW filter: file skipping above is coarse
+        # ([min,max] intersection); the predicate itself still runs —
+        # and Catalyst pushes it into the parquet scan, so kept files
+        # also row-group-skip on their footers
+        for col_, op_, lit_ in preds:
+            c = F.col(col_)
+            df = df.where({
+                "=": c == lit_, "==": c == lit_, "<": c < lit_,
+                "<=": c <= lit_, ">": c > lit_, ">=": c >= lit_,
+            }[op_])
+        return df
 
     from urllib.parse import unquote
 
@@ -609,7 +762,7 @@ def delta_scan(
         F.col(phys[f_.name]).alias(f_.name) for f_ in data_fields
     ]
     if not pcols:
-        return scan.select(*out_data)
+        return _with_pred(scan.select(*out_data))
 
     tuples = {
         tuple(
@@ -620,10 +773,10 @@ def delta_scan(
     }
     if len(tuples) == 1:
         vals = next(iter(tuples))
-        return scan.select(*out_data, *[
+        return _with_pred(scan.select(*out_data, *[
             _partition_literal(v, ptype[c]).alias(c)
             for c, v in zip(pcols, vals)
-        ]).select(*[f_.name for f_ in schema.fields])
+        ]).select(*[f_.name for f_ in schema.fields]))
 
     # mapping rows join on the file's table-root-relative RAW path.
     # Spark spells _metadata.file_path as the URI-encoded qualified
@@ -674,11 +827,11 @@ def delta_scan(
 
     mapping_marked = mapping.withColumn("__pb_m", F.lit(1))
     joined = scan.join(mapping_marked, on="__pb_rel", how="left")
-    return joined.select(*[
+    return _with_pred(joined.select(*[
         _pcol(f_.name) if f_.name in pcols
         else F.col(phys[f_.name]).alias(f_.name)
         for f_ in schema.fields
-    ])
+    ]))
 
 
 def _logical_schema(schema: StructType) -> StructType:

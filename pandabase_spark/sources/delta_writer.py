@@ -102,6 +102,92 @@ def _warn_if_object_store(table: str) -> bool:
     return False
 
 
+def _statable(dt) -> bool:
+    from pyspark.sql import types as T
+
+    return isinstance(dt, (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType, T.StringType,
+        T.DateType, T.TimestampType, T.TimestampNTZType,
+    ))
+
+
+def _json_stat(v):
+    """A min/max aggregate -> its JSON-ready stats value, or None to
+    omit (non-finite floats are not valid JSON; Delta omits them)."""
+    import datetime
+    import decimal
+    import math
+
+    if v is None:
+        return None
+    if isinstance(v, float) and not math.isfinite(v):
+        return None
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def _collect_staged_stats(
+    df: DataFrame, table: str, sub: str, data_cols: "list"
+) -> "dict[str, str]":
+    """Per-file stats for every parquet just staged under
+    ``table/sub``: {root-relative raw path: stats JSON} with Delta's
+    four skipping fields (numRecords/minValues/maxValues/nullCount).
+    ONE distributed aggregation over the staged data grouped by
+    ``_metadata.file_path`` — no driver-side footer reads, the same
+    write-time stats pass delta-spark runs."""
+    from pyspark.sql import functions as F
+
+    from pandabase_spark.sources.delta_reader import _qualified_root
+
+    spark = df.sparkSession
+    cols = [(f_.name, f_.dataType) for f_ in data_cols]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, dt in cols:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(F.col(name))).alias(f"__z_{name}")
+        )
+        if _statable(dt):
+            aggs.append(F.min(name).alias(f"__mn_{name}"))
+            aggs.append(F.max(name).alias(f"__mx_{name}"))
+    root_raw = _qualified_root(spark, table)
+    per_file = (
+        spark.read.parquet(f"{table}/{sub}")
+        .withColumn(
+            "__rel",
+            F.expr(
+                "substring(url_decode(_metadata.file_path), "
+                f"{len(root_raw) + 2})"
+            ),
+        )
+        .groupBy("__rel")
+        .agg(*aggs)
+        .collect()
+    )
+    out: "dict[str, str]" = {}
+    for r in per_file:
+        mn, mx, nulls = {}, {}, {}
+        for name, dt in cols:
+            nulls[name] = int(r[f"__z_{name}"])
+            if _statable(dt):
+                v = _json_stat(r[f"__mn_{name}"])
+                if v is not None:
+                    mn[name] = v
+                v = _json_stat(r[f"__mx_{name}"])
+                if v is not None:
+                    mx[name] = v
+        out[r["__rel"]] = json.dumps({
+            "numRecords": int(r["__n"]),
+            "minValues": mn,
+            "maxValues": mx,
+            "nullCount": nulls,
+        })
+    return out
+
+
 def _stage_data_files(
     df: DataFrame, table: str, partition_by: "Sequence[str]"
 ) -> "tuple[str, list[dict]]":
@@ -122,6 +208,10 @@ def _stage_data_files(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(staged)
+    data_fields = [
+        f_ for f_ in df.schema.fields if f_.name not in partition_by
+    ]
+    stats_by_rel = _collect_staged_stats(df, table, sub, data_fields)
     adds: "list[dict]" = []
     now = int(time.time() * 1000)
 
@@ -141,13 +231,17 @@ def _stage_data_files(
             # (r13 review finding)
             from urllib.parse import quote
 
-            adds.append({
+            act = {
                 "path": quote(f"{rel_dir}/{f_}", safe="/"),
                 "partitionValues": dict(pvals),
                 "size": int(fs.du(f"{full}/{f_}")),
                 "modificationTime": now,
                 "dataChange": True,
-            })
+            }
+            stats = stats_by_rel.get(f"{rel_dir}/{f_}")
+            if stats is not None:
+                act["stats"] = stats
+            adds.append(act)
 
     walk(sub, {})
     return sub, adds
@@ -565,6 +659,12 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
             "size": int(add.get("size") or 1),
             "modificationTime": int(add.get("modificationTime") or 0),
             "dataChange": False,
+            # replay parses stats to a dict; the checkpoint carries
+            # them back as the protocol's JSON string, so skipping
+            # survives log cleanup
+            "stats": (
+                json.dumps(add["stats"]) if add.get("stats") else None
+            ),
         }, None))
     horizon = int(time.time() * 1000) - _retention_ms(meta)
     for rm in state.get("tombstones", {}).values():
@@ -584,7 +684,8 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
         "partitionColumns:array<string>,configuration:map<string,string>,"
         "createdTime:long>, "
         "add struct<path:string,partitionValues:map<string,string>,"
-        "size:long,modificationTime:long,dataChange:boolean>, "
+        "size:long,modificationTime:long,dataChange:boolean,"
+        "stats:string>, "
         "remove struct<path:string,deletionTimestamp:long,"
         "dataChange:boolean>"
     )

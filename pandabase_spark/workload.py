@@ -1744,6 +1744,49 @@ def delta_scan_dv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_scan(spark, table)
 
 
+@_q(
+    "delta_scan_stats_skip",
+    "SELECT r AS id, r * 2.0 AS v, CAST(r % 3 AS INTEGER) AS p "
+    "FROM range(150, 250) t(r)",
+)
+def delta_scan_stats_skip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta STATS-BASED FILE SKIPPING (r14): the export writer
+    records Delta's four-field stats JSON per staged file (one
+    distributed agg over ``_metadata.file_path`` — no driver footer
+    reads), and ``delta_scan(predicate=[...])`` prunes files whose
+    log-recorded [min, max] interval cannot match — at PLANNING time,
+    zero file IO, the skipping that matters at 10^5 files on an
+    object store. Three single-file commits carry disjoint id ranges;
+    the predicate keeps two and the residual row filter (which
+    Catalyst also pushes into the parquet scan) trims those to
+    exactly [150, 250). File-count pruning is pinned via
+    ``inputFiles()`` in tests/test_delta_writer.py; the DuckDB oracle
+    recomputes the surviving rows arithmetically."""
+    from pandabase_spark.sources.delta_reader import delta_scan
+    from pandabase_spark.sources.delta_writer import (
+        delta_append, delta_create,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    table = f"{cat.warehouse}/_delta_stats_skip"
+    if cat.fs.exists(table):
+        cat.fs.delete(table)
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            (F.col("id") * 2.0).alias("v"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        ).coalesce(1)
+
+    delta_create(mk(0, 100), table)
+    delta_append(mk(100, 200), table)
+    delta_append(mk(200, 300), table)
+    return delta_scan(
+        spark, table, predicate=[("id", ">=", 150), ("id", "<", 250)]
+    )
+
+
 @_q("csv_roundtrip_part", "SELECT * FROM part")
 def csv_roundtrip_part_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part through a CSV write→read cycle (sources.write_csv /
@@ -8805,7 +8848,7 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # r14 rotation (the r13 verdict's ask #1/#7): the 50-slot gate head is
-#   - the FIVE delta interop queries — the three r13 entries that had
+#   - the SIX delta interop queries — the three r13 entries that had
 #     never rotated into a driver gate plus the round's new
 #     delta_scan_column_mapping and delta_scan_dv (name-mode
 #     column mapping; deletion-vector serving);
@@ -8816,7 +8859,7 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   - ALL 22 remaining r9-stale entries (the cohort predating the r10
 #     storage rebuild, r11 vacuum races, r12 txn layout and r13
 #     compaction) — after this round no driver evidence predates r10;
-#   - 21 of the 50 r10-stale entries, led by the verdict-named
+#   - 20 of the 50 r10-stale entries, led by the verdict-named
 #     multimodal_decode_png/ppm/wav and ann_topk_ivf_full_probe
 #     (which predate the r12 index layout), then alphabetical. The
 #     remaining 28 r10 rows (kt_coercion..window_top3_lineitems tail)
@@ -8827,6 +8870,7 @@ _GATE_FIRST = [
     "delta_export_roundtrip",
     "delta_scan_column_mapping",
     "delta_scan_dv",
+    "delta_scan_stats_skip",
     "rfm_segments",
     "kt_companda_report",
     "q11_important_stock",
@@ -8871,7 +8915,6 @@ _GATE_FIRST = [
     "kt_range_read_composite",
     "kt_range_read_open",
     "kt_range_read_single",
-    "kt_roundtrip_create",
 ]
 
 

@@ -630,3 +630,79 @@ def test_delta_timestamp_time_travel(spark, tmp_path):
         scan(spark, table, timestamp=10)
     with pytest.raises(ValueError, match="not both"):
         scan(spark, table, version=1, timestamp=1500)
+
+
+def test_write_stats_and_predicate_file_skipping(spark, tmp_path):
+    """r14: staged adds carry Delta's four-field stats JSON (computed
+    in ONE distributed pass over the staged data), and
+    delta_scan(predicate=...) prunes files whose [min,max] interval
+    cannot match — at PLANNING time, before any file IO — while kept
+    files still row-filter, so the result equals a plain WHERE."""
+    import json as _json
+
+    from pandabase_spark.sources.delta_reader import delta_scan as scan
+
+    table = str(tmp_path / "out")
+    delta_create(_df(spark, 0, 100).coalesce(1), table)
+    delta_append(_df(spark, 100, 200).coalesce(1), table)
+    delta_append(_df(spark, 200, 300).coalesce(1), table)
+    fs = HadoopFS(spark)
+    add0 = next(
+        _json.loads(ln)["add"]
+        for ln in fs.read_text(
+            f"{table}/_delta_log/{0:020d}.json"
+        ).splitlines()
+        if '"add"' in ln
+    )
+    st = _json.loads(add0["stats"])
+    assert st["numRecords"] == 100
+    assert st["minValues"]["id"] == 0 and st["maxValues"]["id"] == 99
+    assert st["nullCount"]["v"] == 0
+
+    df = scan(
+        spark, table, predicate=[("id", ">=", 150), ("id", "<", 250)]
+    )
+    assert len(df.inputFiles()) == 2  # files 0..99 pruned from the log
+    assert _rows(df) == _rows(_df(spark, 150, 250))
+    # stats survive a checkpoint + log cleanup
+    delta_checkpoint(spark, table)
+    for v in (0, 1, 2):
+        fs.delete(f"{table}/_delta_log/{v:020d}.json", recursive=False)
+    df2 = scan(spark, table, predicate=[("id", "<", 100)])
+    assert len(df2.inputFiles()) == 1
+    assert _rows(df2) == _rows(_df(spark, 0, 100))
+    # a file WITHOUT stats is never pruned
+    fs.write_text_atomic(
+        f"{table}/_delta_log/{3:020d}.json",
+        _json.dumps({"add": {
+            "path": add0["path"], "partitionValues": {},
+            "size": 1, "modificationTime": 0, "dataChange": True,
+        }}),
+    )
+    df3 = scan(spark, table, predicate=[("id", ">", 10_000)])
+    assert add0["path"] in " ".join(df3.inputFiles()) or (
+        len(df3.inputFiles()) == 1
+    )
+    assert df3.count() == 0  # residual row filter still applies
+    # bad predicate shapes refuse
+    import pytest as _pytest
+
+    with _pytest.raises(NameError, match="not in schema"):
+        scan(spark, table, predicate=[("zz", "=", 1)])
+    with _pytest.raises(ValueError, match="not in"):
+        scan(spark, table, predicate=[("id", "!=", 1)])
+    with _pytest.raises(ValueError, match="null predicate"):
+        scan(spark, table, predicate=[("id", "=", None)])
+
+
+def test_predicate_prunes_on_partition_values_too(spark, tmp_path):
+    from pandabase_spark.sources.delta_reader import delta_scan as scan
+
+    table = str(tmp_path / "out")
+    delta_create(_df(spark, 0, 90), table, partition_by=["p"])
+    df = scan(spark, table, predicate=[("p", "=", 1)])
+    assert _rows(df) == {
+        (i, 1.0 * i, 1) for i in range(90) if i % 3 == 1
+    }
+    # only p=1's files reach the scan
+    assert all("p=1" in f for f in df.inputFiles())
