@@ -415,3 +415,131 @@ def make_delta_dv_fixture(spark, table: str) -> None:
         json.dumps({"commitInfo": {"operation": "DELETE"}}),
         add("dva.parquet", 0, dv_a), add("dvb.parquet", 1, dv_b),
     ]))
+
+
+# --------------------------------------------------------------------------
+# change-data-feed fixture
+# --------------------------------------------------------------------------
+
+def make_delta_cdf_fixture(spark, table: str) -> None:
+    """Change-data-feed table, hand-written per PROTOCOL.md's "Add
+    CDC File": v1 carries an explicit ``cdc`` action whose
+    ``_change_data/`` parquet stores per-row ``_change_type``
+    (update_preimage/update_postimage) — and ALSO a remove+add pair
+    that a conformant CDF reader must IGNORE (commits with cdc
+    actions are described exclusively by them); v0/v2 synthesize
+    inserts from dataChange adds; v3 synthesizes deletes from the
+    still-retained removed file. commitInfo timestamps are pinned so
+    the change feed is exactly oracle-able.
+
+    History (unpartitioned; id long, v double):
+      v0 @1000ms  add f0 (ids 0..9, v=id)          -> insert x10
+      v1 @2000ms  cdc cdc-0 (ids 0..4 pre id*1 / post id*10)
+                  + remove f0 + add f0b             -> 10 cdc rows
+      v2 @3000ms  add f2 (ids 100..104, v=id)       -> insert x5
+      v3 @4000ms  remove f2                         -> delete x5
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fs = HadoopFS(spark)
+    log = f"{table}/_delta_log"
+    fs.mkdirs(log)
+    fs.mkdirs(f"{table}/_change_data")
+
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+
+    def data_file(name, rows):
+        pq.write_table(
+            pa.table({
+                "id": pa.array([r[0] for r in rows], pa.int64()),
+                "v": pa.array([r[1] for r in rows], pa.float64()),
+            }),
+            f"{table}/{name}",
+        )
+        return os.path.getsize(f"{table}/{name}")
+
+    f0 = data_file("f0.parquet", [(i, float(i)) for i in range(10)])
+    f0b = data_file(
+        "f0b.parquet",
+        [(i, 10.0 * i) for i in range(5)]
+        + [(i, float(i)) for i in range(5, 10)],
+    )
+    f2 = data_file(
+        "f2.parquet", [(i, float(i)) for i in range(100, 105)]
+    )
+    cdc_rows = (
+        [(i, 1.0 * i, "update_preimage") for i in range(5)]
+        + [(i, 10.0 * i, "update_postimage") for i in range(5)]
+    )
+    pq.write_table(
+        pa.table({
+            "id": pa.array([r[0] for r in cdc_rows], pa.int64()),
+            "v": pa.array([r[1] for r in cdc_rows], pa.float64()),
+            "_change_type": pa.array(
+                [r[2] for r in cdc_rows], pa.string()
+            ),
+        }),
+        f"{table}/_change_data/cdc-0.parquet",
+    )
+    cdc_size = os.path.getsize(f"{table}/_change_data/cdc-0.parquet")
+
+    def add(name, size, data_change=True):
+        return json.dumps({"add": {
+            "path": name, "partitionValues": {}, "size": size,
+            "modificationTime": 0, "dataChange": data_change,
+        }})
+
+    def ci(op, ts):
+        return json.dumps(
+            {"commitInfo": {"operation": op, "timestamp": ts}}
+        )
+
+    fs.write_text_atomic(f"{log}/{0:020d}.json", "\n".join([
+        ci("CREATE", 1000),
+        json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 4,
+        }}),
+        json.dumps({"metaData": {
+            "id": "fixture-cdf-01",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": {"delta.enableChangeDataFeed": "true"},
+            "createdTime": 1000,
+        }}),
+        add("f0.parquet", f0),
+    ]))
+    fs.write_text_atomic(f"{log}/{1:020d}.json", "\n".join([
+        ci("UPDATE", 2000),
+        json.dumps({"cdc": {
+            "path": "_change_data/cdc-0.parquet",
+            "partitionValues": {}, "size": cdc_size,
+            "dataChange": False,
+        }}),
+        json.dumps({"remove": {"path": "f0.parquet",
+                               "deletionTimestamp": 2000,
+                               "dataChange": True,
+                               "partitionValues": {}}}),
+        add("f0b.parquet", f0b),
+    ]))
+    fs.write_text_atomic(f"{log}/{2:020d}.json", "\n".join([
+        ci("WRITE", 3000), add("f2.parquet", f2),
+    ]))
+    fs.write_text_atomic(f"{log}/{3:020d}.json", "\n".join([
+        ci("DELETE", 4000),
+        json.dumps({"remove": {"path": "f2.parquet",
+                               "deletionTimestamp": 4000,
+                               "dataChange": True,
+                               "partitionValues": {}}}),
+    ]))

@@ -69,7 +69,9 @@ import json
 from typing import Any, Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType,
+)
 
 LOG_SUBDIR = "_delta_log"
 
@@ -951,6 +953,217 @@ def _qualified_root(spark: SparkSession, path: str) -> str:
     jp = jvm.org.apache.hadoop.fs.Path(path)
     fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
     return fs.makeQualified(jp).toString()
+
+
+def delta_scan_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int,
+    ending_version: "int | None" = None,
+) -> DataFrame:
+    """Change Data Feed read: every row-level change the commits in
+    ``[starting_version, ending_version]`` made, as delta-spark's
+    ``table_changes`` emits them — the table columns plus
+    ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``.
+
+    Per the protocol: a commit carrying ``cdc`` actions is described
+    EXCLUSIVELY by its ``_change_data/`` files (which store
+    ``_change_type`` per row — update_preimage/update_postimage/
+    insert/delete); a commit without them synthesizes changes from
+    its data actions — ``add(dataChange=true)`` rows are inserts,
+    ``remove(dataChange=true)`` rows are deletes, read from the
+    still-retained removed file (a vacuumed file raises rather than
+    under-reporting). ``dataChange=false`` actions (compaction) are
+    invisible here, exactly as CDF requires.
+
+    The plan is one scan per change kind (cdc / insert / delete) —
+    commit version, timestamp (commitInfo.timestamp, falling back to
+    the commit file's mtime) and partition values ride a broadcast
+    mapping join, so a 1,000-commit range is three scans, not 3,000
+    union legs. Raises NameError when the range reaches below the
+    retained JSON tail (CDF needs the per-commit actions, which a
+    checkpoint does not preserve)."""
+    fs = _fs(spark)
+    log_dir = f"{path}/{LOG_SUBDIR}"
+    if ending_version is None:
+        ending_version = delta_table_version(spark, path)
+    # the range needs per-commit ACTIONS, which only the JSON tail
+    # preserves — check it is intact before any replay work
+    for v in range(int(starting_version), int(ending_version) + 1):
+        if not fs.exists(f"{log_dir}/{v:020d}.json"):
+            raise NameError(
+                f"Delta commit {v} is outside the retained log — "
+                "change feed for it is unreconstructable"
+            )
+    state = _replay(spark, path, ending_version)
+    schema: StructType = state["schema"]
+    pcols: "list[str]" = state["partition_columns"]
+    mode = _mapping_mode(state["metadata_raw"])
+    phys = {f_.name: _physical_name(f_, mode) for f_ in schema.fields}
+    ptype = {f_.name: f_.dataType for f_ in schema.fields}
+    data_fields = [f_ for f_ in schema.fields if f_.name not in pcols]
+    data_schema = StructType([
+        StructField(phys[f_.name], f_.dataType, f_.nullable)
+        for f_ in data_fields
+    ])
+    end = (
+        int(ending_version) if ending_version is not None
+        else int(state["version"])
+    )
+    if starting_version < 0 or starting_version > end:
+        raise ValueError(
+            f"bad CDF range [{starting_version}, {end}]"
+        )
+
+    from urllib.parse import unquote
+
+    # (kind, rel, pv dict, version, ts_ms); kind: cdc|insert|delete
+    entries: "list[tuple[str, str, dict, int, int]]" = []
+    for v in range(int(starting_version), end + 1):
+        cf = f"{log_dir}/{v:020d}.json"
+        acts = [
+            json.loads(line)
+            for line in fs.read_text(cf).splitlines()
+            if line.strip()
+        ]
+        ts = None
+        for a in acts:
+            if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                ts = int(a["commitInfo"]["timestamp"])
+        if ts is None:
+            ts = int(fs.mtime(cf) * 1000)
+        cdcs = [a["cdc"] for a in acts if "cdc" in a]
+        if cdcs:
+            for c in cdcs:
+                entries.append((
+                    "cdc", unquote(c["path"]),
+                    dict(c.get("partitionValues") or {}), v, ts,
+                ))
+            continue
+        for a in acts:
+            if "add" in a and a["add"].get("dataChange", True):
+                if a["add"].get("deletionVector"):
+                    raise DeltaProtocolError(
+                        "CDF over a deletion-vector commit without "
+                        "cdc files — per-row changes are not "
+                        "derivable from the data actions alone"
+                    )
+                entries.append((
+                    "insert", unquote(a["add"]["path"]),
+                    dict(a["add"].get("partitionValues") or {}), v, ts,
+                ))
+            elif "remove" in a and a["remove"].get("dataChange", True):
+                rel = unquote(a["remove"]["path"])
+                if not fs.exists(f"{path}/{rel}"):
+                    raise NameError(
+                        f"removed file {rel!r} needed for the change "
+                        "feed was vacuumed — range precedes retention"
+                    )
+                entries.append((
+                    "delete", rel,
+                    dict(a["remove"].get("partitionValues") or {}),
+                    v, ts,
+                ))
+
+    out_fields = [f_.name for f_ in schema.fields] + [
+        "_change_type", "_commit_version", "_commit_timestamp",
+    ]
+    if not entries:
+        empty = StructType(
+            _logical_schema(schema).fields
+            + [
+                StructField("_change_type", StringType(), True),
+                StructField("_commit_version", LongType(), True),
+            ]
+        )
+        return spark.createDataFrame([], empty).withColumn(
+            "_commit_timestamp", F.lit(None).cast("timestamp")
+        )
+
+    root_raw = _qualified_root(spark, path)
+    rel_col = F.expr(
+        f"substring(url_decode(_metadata.file_path), {len(root_raw) + 2})"
+    )
+
+    def _attach(kind: str, extra_type: "Column | None") -> (
+        "DataFrame | None"
+    ):
+        sel = [e for e in entries if e[0] == kind]
+        if not sel:
+            return None
+        mrows = []
+        for _k, rel, pv, v, ts in sel:
+            mrows.append(tuple(
+                [rel]
+                + [_pv_get(pv, c, phys[c]) for c in pcols]
+                + [v, ts]
+            ))
+        mschema = StructType(
+            [StructField("__pb_rel", StringType(), False)]
+            + [
+                StructField(f"__pb_{c}", StringType(), True)
+                for c in pcols
+            ]
+        ).add("__pb_v", "long").add("__pb_ts", "long")
+        mapping = F.broadcast(
+            spark.createDataFrame(mrows, mschema)
+            .withColumn("__pb_m", F.lit(1))
+        )
+        read_schema = data_schema
+        if kind == "cdc":
+            read_schema = StructType(
+                data_schema.fields
+                + [StructField("_change_type", StringType(), True)]
+            )
+        scan = spark.read.schema(read_schema).parquet(
+            *[f"{path}/{rel}" for _k, rel, _pv, _v, _ts in sel]
+        )
+        joined = scan.withColumn("__pb_rel", rel_col).join(
+            mapping, on="__pb_rel", how="left"
+        )
+
+        def pcol(c: str) -> Column:
+            raw = F.col(f"__pb_{c}")
+            typed = F.when(
+                raw.isNull() | (raw == "__HIVE_DEFAULT_PARTITION__"),
+                F.lit(None).cast(ptype[c]),
+            ).otherwise(raw.cast(ptype[c]))
+            return F.when(
+                F.col("__pb_m").isNull(),
+                F.raise_error(F.lit(
+                    "delta_scan_changes: change file missing from the "
+                    "mapping (non-URI-safe file name?)"
+                )).cast(ptype[c]),
+            ).otherwise(typed).alias(c)
+
+        ctype = (
+            F.col("_change_type") if kind == "cdc" else extra_type
+        )
+        return joined.select(
+            *[
+                pcol(f_.name) if f_.name in pcols
+                else F.col(phys[f_.name]).alias(f_.name)
+                for f_ in schema.fields
+            ],
+            ctype.alias("_change_type"),
+            F.col("__pb_v").alias("_commit_version"),
+            F.timestamp_millis(F.col("__pb_ts")).alias(
+                "_commit_timestamp"
+            ),
+        )
+
+    parts = [
+        p for p in (
+            _attach("cdc", None),
+            _attach("insert", F.lit("insert")),
+            _attach("delete", F.lit("delete")),
+        )
+        if p is not None
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*out_fields)
 
 
 def delta_table_version(spark: SparkSession, path: str) -> int:

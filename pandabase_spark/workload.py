@@ -1787,6 +1787,47 @@ def delta_scan_stats_skip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "delta_scan_changes_feed",
+    "SELECT id, v, _change_type, _commit_version, _commit_timestamp "
+    "FROM ("
+    "SELECT r AS id, r * 1.0 AS v, 'insert' AS _change_type, "
+    "CAST(0 AS BIGINT) AS _commit_version, "
+    "strftime(epoch_ms(1000), '%Y-%m-%d %H:%M:%S') AS _commit_timestamp FROM range(0, 10) t(r) "
+    "UNION ALL SELECT r, r * 1.0, 'update_preimage', 1, strftime(epoch_ms(2000), '%Y-%m-%d %H:%M:%S') "
+    "FROM range(0, 5) t(r) "
+    "UNION ALL SELECT r, r * 10.0, 'update_postimage', 1, strftime(epoch_ms(2000), '%Y-%m-%d %H:%M:%S') "
+    "FROM range(0, 5) t(r) "
+    "UNION ALL SELECT r, r * 1.0, 'insert', 2, strftime(epoch_ms(3000), '%Y-%m-%d %H:%M:%S') "
+    "FROM range(100, 105) t(r) "
+    "UNION ALL SELECT r, r * 1.0, 'delete', 3, strftime(epoch_ms(4000), '%Y-%m-%d %H:%M:%S') "
+    "FROM range(100, 105) t(r))",
+)
+def delta_scan_changes_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED read (r14) — the import half of CDC
+    replication: ``delta_scan_changes`` emits every row-level change
+    in a version range as delta-spark's ``table_changes`` does
+    (table columns + _change_type/_commit_version/_commit_timestamp).
+    Commits carrying explicit ``cdc`` actions are described by their
+    ``_change_data/`` files EXCLUSIVELY (the fixture plants a
+    remove+add pair in the same commit that must be ignored);
+    commits without them synthesize inserts from dataChange adds and
+    deletes from the still-retained removed file (vacuumed ->
+    raises, pinned in pytest). One scan per change kind with
+    version/timestamp/partition values on a broadcast mapping join.
+    Pinned commitInfo timestamps make the whole feed arithmetic for
+    the DuckDB oracle."""
+    from pandabase_spark.sources.delta_fixture import make_delta_cdf_fixture
+    from pandabase_spark.sources.delta_reader import delta_scan_changes
+
+    cat = _catalog(spark, sf_dir)
+    table = f"{cat.warehouse}/_delta_fixture_cdf"
+    if cat.fs.exists(table):
+        cat.fs.delete(table)
+    make_delta_cdf_fixture(spark, table)
+    return _ts_to_str(delta_scan_changes(spark, table, 0))
+
+
 @_q("csv_roundtrip_part", "SELECT * FROM part")
 def csv_roundtrip_part_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part through a CSV write→read cycle (sources.write_csv /
@@ -8848,7 +8889,7 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # r14 rotation (the r13 verdict's ask #1/#7): the 50-slot gate head is
-#   - the SIX delta interop queries — the three r13 entries that had
+#   - the SEVEN delta interop queries — the three r13 entries that had
 #     never rotated into a driver gate plus the round's new
 #     delta_scan_column_mapping and delta_scan_dv (name-mode
 #     column mapping; deletion-vector serving);
@@ -8859,7 +8900,7 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   - ALL 22 remaining r9-stale entries (the cohort predating the r10
 #     storage rebuild, r11 vacuum races, r12 txn layout and r13
 #     compaction) — after this round no driver evidence predates r10;
-#   - 20 of the 50 r10-stale entries, led by the verdict-named
+#   - 19 of the 50 r10-stale entries, led by the verdict-named
 #     multimodal_decode_png/ppm/wav and ann_topk_ivf_full_probe
 #     (which predate the r12 index layout), then alphabetical. The
 #     remaining 28 r10 rows (kt_coercion..window_top3_lineitems tail)
@@ -8871,6 +8912,7 @@ _GATE_FIRST = [
     "delta_scan_column_mapping",
     "delta_scan_dv",
     "delta_scan_stats_skip",
+    "delta_scan_changes_feed",
     "rfm_segments",
     "kt_companda_report",
     "q11_important_stock",
@@ -8914,7 +8956,6 @@ _GATE_FIRST = [
     "kt_projection",
     "kt_range_read_composite",
     "kt_range_read_open",
-    "kt_range_read_single",
 ]
 
 

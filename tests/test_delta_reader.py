@@ -311,3 +311,54 @@ def test_incomplete_multipart_checkpoint_falls_back_to_complete(
     # bound check uses checkpoint head when the JSON tail is short
     with pytest.raises(NameError, match="not in Delta log"):
         delta_scan(spark, delta_table, version=99)
+
+
+def test_delta_scan_changes_cdf(spark, tmp_path):
+    """r14 Change Data Feed: explicit cdc files rule their commit
+    (the remove+add pair in the same commit is ignored); commits
+    without cdc synthesize inserts from dataChange adds and deletes
+    from the still-retained removed file; dataChange=false actions
+    are invisible; version/timestamp ride every row."""
+    from pandabase_spark.sources.delta_fixture import make_delta_cdf_fixture
+    from pandabase_spark.sources.delta_reader import delta_scan_changes
+
+    table = str(tmp_path / "cdf")
+    make_delta_cdf_fixture(spark, table)
+    df = delta_scan_changes(spark, table, 0)
+    assert df.columns == [
+        "id", "v", "_change_type", "_commit_version",
+        "_commit_timestamp",
+    ]
+    got = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"],
+         int(r["_commit_timestamp"].timestamp() * 1000))
+        for r in df.collect()
+    }
+    want = (
+        {(i, 1.0 * i, "insert", 0, 1000) for i in range(10)}
+        | {(i, 1.0 * i, "update_preimage", 1, 2000) for i in range(5)}
+        | {(i, 10.0 * i, "update_postimage", 1, 2000)
+           for i in range(5)}
+        | {(i, 1.0 * i, "insert", 2, 3000) for i in range(100, 105)}
+        | {(i, 1.0 * i, "delete", 3, 4000) for i in range(100, 105)}
+    )
+    assert got == want
+    # sub-ranges
+    v1 = delta_scan_changes(spark, table, 1, 1)
+    assert {r["_change_type"] for r in v1.collect()} == {
+        "update_preimage", "update_postimage",
+    }
+    v23 = delta_scan_changes(spark, table, 2, 3)
+    assert v23.count() == 10
+    # deletes whose file was vacuumed raise instead of under-reporting
+    from pandabase_spark.fs import HadoopFS as _FS
+
+    _FS(spark).delete(f"{table}/f2.parquet", recursive=False)
+    with pytest.raises(NameError, match="vacuumed"):
+        delta_scan_changes(spark, table, 3, 3)
+    # range below the retained tail raises
+    _FS(spark).delete(
+        f"{table}/_delta_log/{0:020d}.json", recursive=False
+    )
+    with pytest.raises(NameError, match="outside the retained log"):
+        delta_scan_changes(spark, table, 0, 1)
