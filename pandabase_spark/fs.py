@@ -35,21 +35,12 @@ def unescape_partition(name: str) -> str:
     escape ASCII specials, but other engines percent-encode the UTF-8
     bytes of non-ASCII values (``é`` -> ``%C3%A9``), and a per-escape
     ``chr()`` would decode those to Latin-1 mojibake (r13 advisory).
-    Undecodable byte runs fall back bytewise (surrogateescape), which
+    Exactly ``urllib.parse.unquote`` semantics (no ``+``-to-space):
+    undecodable byte runs fall back bytewise (surrogateescape), which
     round-trips whatever the directory actually contained."""
-    import re
+    from urllib.parse import unquote
 
-    out = bytearray()
-    pos = 0
-    for m in re.finditer(r"(?:%[0-9A-Fa-f]{2})+", name):
-        out += name[pos:m.start()].encode("utf-8")
-        run = m.group(0)
-        out += bytes(
-            int(run[i + 1:i + 3], 16) for i in range(0, len(run), 3)
-        )
-        pos = m.end()
-    out += name[pos:].encode("utf-8")
-    return out.decode("utf-8", errors="surrogateescape")
+    return unquote(name, errors="surrogateescape")
 
 
 class HadoopFS:

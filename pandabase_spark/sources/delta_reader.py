@@ -515,52 +515,90 @@ def _resolve_timestamp(fs, log_dir: str, ts: "float | str") -> int:
 
 _PRED_OPS = {"=", "==", "<", "<=", ">", ">="}
 
+# integers up to 2^53 are exact in a double; beyond that a float
+# round-trip can collapse distinct values and prune true matches
+_FLOAT_EXACT_INT = 1 << 53
 
-def _coerce_pair(a, b) -> "tuple | None":
-    """(stat value, literal) coerced to a comparable pair, or None
-    when the types don't line up (→ the file is kept). Numerics
-    compare as floats; strings lexically — which is exactly the
-    bound semantics Delta's (possibly truncated-with-increment)
-    string maxValues guarantee."""
-    num = (int, float)
-    if isinstance(a, bool) or isinstance(b, bool):
+
+def _coerce_for_dtype(dtype, value):
+    """``value`` (a stats/partition entry or a predicate literal)
+    coerced into the comparison domain of the COLUMN's declared type
+    — the schema decides the semantics, not the literal's Python
+    type, so ('h', '>=', '9') against an int partition column
+    compares 10 >= 9, never '10' >= '9' lexically (r14 review
+    finding). Returns None when the value cannot be coerced — the
+    caller then KEEPS the file (skipping is an optimization)."""
+    from pyspark.sql import types as T
+
+    if value is None or isinstance(value, bool):
         return None
-    if isinstance(a, num) and isinstance(b, num):
-        return float(a), float(b)
-    if isinstance(a, str) and isinstance(b, str):
-        return a, b
-    if isinstance(a, str) and isinstance(b, num):
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                          T.LongType)):
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float):
+            # exact only while the double can represent the integer
+            if value.is_integer() and abs(value) <= _FLOAT_EXACT_INT:
+                return int(value)
+            return None
         try:
-            return float(a), float(b)
+            return int(str(value).strip())
         except ValueError:
             return None
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        try:
+            return float(value)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(dtype, T.StringType):
+        return value if isinstance(value, str) else None
+    if isinstance(dtype, (T.DateType, T.TimestampType,
+                          T.TimestampNTZType)):
+        # stats serialize these as ISO strings; ISO compares lexically
+        return value if isinstance(value, str) else None
     return None
 
 
+def _cmp(op: str, a, b) -> bool:
+    return {
+        "=": a == b, "==": a == b, "<": a < b, "<=": a <= b,
+        ">": a > b, ">=": a >= b,
+    }[op]
+
+
 def _file_may_match(
-    add: dict, col: str, op: str, lit, *, partition_cols: "set[str]",
-    pv_value,
+    add: dict, col: str, op: str, lit, *, dtype,
+    partition_cols: "set[str]", pv_value, phys_col: str,
 ) -> bool:
     """Can any row of this file satisfy ``col op lit``? False ONLY
     when the log proves it can't — a partition value that fails the
     comparison, or a [min, max] stats interval disjoint from the
-    predicate range. Missing/unusable stats keep the file (skipping
-    is an optimization, never a correctness input)."""
+    predicate range. Missing/unusable stats or uncoercible values
+    keep the file (skipping is an optimization, never a correctness
+    input). Stats are looked up by physical name first — under
+    column mapping the log keys them by the file spelling (r14
+    review finding: a logical-only lookup made skipping silently
+    inert on exactly the mapped tables)."""
+    w = _coerce_for_dtype(dtype, lit)
+    if w is None:
+        return True
     if col in partition_cols:
-        pair = _coerce_pair(pv_value, lit)
-        if pair is None:
-            return True  # null / type-mismatched pv: never prune on it
-        v, w = pair
-        return {
-            "=": v == w, "==": v == w, "<": v < w, "<=": v <= w,
-            ">": v > w, ">=": v >= w,
-        }[op]
+        v = _coerce_for_dtype(dtype, pv_value)
+        if v is None:
+            return True  # null / unparseable pv: never prune on it
+        return _cmp(op, v, w)
     stats = add.get("stats")
     if not stats:
         return True
-    mn = (stats.get("minValues") or {}).get(col)
-    mx = (stats.get("maxValues") or {}).get(col)
-    nulls = (stats.get("nullCount") or {}).get(col)
+
+    def _stat(d: dict):
+        if phys_col in d:
+            return d[phys_col]
+        return d.get(col)
+
+    mn = _stat(stats.get("minValues") or {})
+    mx = _stat(stats.get("maxValues") or {})
+    nulls = _stat(stats.get("nullCount") or {})
     n = stats.get("numRecords")
     # an all-null column can satisfy no comparison predicate
     if (
@@ -568,22 +606,22 @@ def _file_may_match(
         and n > 0 and nulls >= n
     ):
         return False
-    lo = _coerce_pair(mn, lit) if mn is not None else None
-    hi = _coerce_pair(mx, lit) if mx is not None else None
+    lo = _coerce_for_dtype(dtype, mn) if mn is not None else None
+    hi = _coerce_for_dtype(dtype, mx) if mx is not None else None
     if op in ("=", "=="):
-        if lo is not None and lo[0] > lo[1]:
+        if lo is not None and lo > w:
             return False
-        if hi is not None and hi[0] < hi[1]:
+        if hi is not None and hi < w:
             return False
         return True
     if op == "<":
-        return lo is None or lo[0] < lo[1]
+        return lo is None or lo < w
     if op == "<=":
-        return lo is None or lo[0] <= lo[1]
+        return lo is None or lo <= w
     if op == ">":
-        return hi is None or hi[0] > hi[1]
+        return hi is None or hi > w
     if op == ">=":
-        return hi is None or hi[0] >= hi[1]
+        return hi is None or hi >= w
     return True
 
 
@@ -681,8 +719,10 @@ def delta_scan(
             pv = dict(add.get("partitionValues") or {})
             if all(
                 _file_may_match(
-                    add, col, op, lit, partition_cols=pset,
+                    add, col, op, lit, dtype=ptype[col],
+                    partition_cols=pset,
                     pv_value=_pv_get(pv, col, phys[col]),
+                    phys_col=phys[col],
                 )
                 for col, op, lit in preds
             ):
@@ -695,12 +735,15 @@ def delta_scan(
         # the residual ROW filter: file skipping above is coarse
         # ([min,max] intersection); the predicate itself still runs —
         # and Catalyst pushes it into the parquet scan, so kept files
-        # also row-group-skip on their footers
+        # also row-group-skip on their footers. The literal is
+        # try_cast to the COLUMN's type: under ANSI mode a malformed
+        # literal must yield zero rows, not a runtime cast error
         for col_, op_, lit_ in preds:
             c = F.col(col_)
+            w = F.lit(lit_).try_cast(ptype[col_])
             df = df.where({
-                "=": c == lit_, "==": c == lit_, "<": c < lit_,
-                "<=": c <= lit_, ">": c > lit_, ">=": c >= lit_,
+                "=": c == w, "==": c == w, "<": c < w,
+                "<=": c <= w, ">": c > w, ">=": c >= w,
             }[op_])
         return df
 
@@ -996,6 +1039,19 @@ def delta_scan_changes(
                 "change feed for it is unreconstructable"
             )
     state = _replay(spark, path, ending_version)
+    conf = (state["metadata_raw"].get("configuration") or {})
+    if str(conf.get("delta.enableChangeDataFeed", "false")).lower() != (
+        "true"
+    ):
+        # without CDF enabled, writers owe no cdc files for updates:
+        # synthesizing delete+insert from a MERGE commit's remove/add
+        # pair would report every row of a rewritten file as changed
+        # — delta-spark's table_changes raises here too (r14 review
+        # finding)
+        raise DeltaProtocolError(
+            "delta.enableChangeDataFeed is not set on this table — "
+            "a change feed cannot be derived faithfully"
+        )
     schema: StructType = state["schema"]
     pcols: "list[str]" = state["partition_columns"]
     mode = _mapping_mode(state["metadata_raw"])
@@ -1019,6 +1075,7 @@ def delta_scan_changes(
 
     # (kind, rel, pv dict, version, ts_ms); kind: cdc|insert|delete
     entries: "list[tuple[str, str, dict, int, int]]" = []
+    pre_states: "dict[int, dict]" = {}  # memoized v-1 file snapshots
     for v in range(int(starting_version), end + 1):
         cf = f"{log_dir}/{v:020d}.json"
         acts = [
@@ -1059,10 +1116,27 @@ def delta_scan_changes(
                         f"removed file {rel!r} needed for the change "
                         "feed was vacuumed — range precedes retention"
                     )
+                pv = a["remove"].get("partitionValues")
+                if pv is None and pcols:
+                    # partitionValues on remove is optional (only
+                    # extendedFileMetadata guarantees it): recover the
+                    # file's values from the pre-commit snapshot
+                    # rather than emitting NULL partition columns
+                    # (r14 review finding)
+                    pre = pre_states.get(v - 1)
+                    if pre is None:
+                        pre = _replay(spark, path, v - 1)["files"]
+                        pre_states[v - 1] = pre
+                    src = pre.get(a["remove"]["path"])
+                    if src is None:
+                        raise NameError(
+                            f"removed file {rel!r} absent from the "
+                            f"version-{v - 1} snapshot — cannot "
+                            "attribute its partition values"
+                        )
+                    pv = src.get("partitionValues") or {}
                 entries.append((
-                    "delete", rel,
-                    dict(a["remove"].get("partitionValues") or {}),
-                    v, ts,
+                    "delete", rel, dict(pv or {}), v, ts,
                 ))
 
     out_fields = [f_.name for f_ in schema.fields] + [

@@ -189,7 +189,8 @@ def _collect_staged_stats(
 
 
 def _stage_data_files(
-    df: DataFrame, table: str, partition_by: "Sequence[str]"
+    df: DataFrame, table: str, partition_by: "Sequence[str]",
+    collect_stats: bool = True,
 ) -> "tuple[str, list[dict]]":
     """Write ``df``'s data as protocol-shaped parquet files under a
     unique commit directory and return ``(staged_subdir,
@@ -211,7 +212,13 @@ def _stage_data_files(
     data_fields = [
         f_ for f_ in df.schema.fields if f_.name not in partition_by
     ]
-    stats_by_rel = _collect_staged_stats(df, table, sub, data_fields)
+    # the stats pass re-reads the staged parquet, but Catalyst prunes
+    # the scan to the statable columns only (columnar IO, not a full
+    # re-read); callers with huge opaque payloads can still opt out
+    stats_by_rel = (
+        _collect_staged_stats(df, table, sub, data_fields)
+        if collect_stats else {}
+    )
     adds: "list[dict]" = []
     now = int(time.time() * 1000)
 
@@ -323,6 +330,7 @@ def delta_create(
     table: str,
     *,
     partition_by: "Sequence[str] | None" = None,
+    collect_stats: bool = True,
 ) -> None:
     """Create a NEW Delta table at ``table`` from ``df`` (version 0:
     protocol + metaData + the initial adds). Raises if a Delta log
@@ -338,7 +346,9 @@ def delta_create(
         raise NameError(f"partition columns not in frame: {missing}")
     _warn_if_object_store(table)
     fs.mkdirs(log_dir)
-    sub, adds = _stage_data_files(df, table, partition_by)
+    sub, adds = _stage_data_files(
+        df, table, partition_by, collect_stats=collect_stats
+    )
     actions = [
         {"commitInfo": {"operation": "CREATE TABLE AS SELECT",
                         "timestamp": int(time.time() * 1000)}},
@@ -394,6 +404,31 @@ def _commit_with_retry(
     )
 
 
+def _cleanup_staged_if_unreferenced(
+    spark: SparkSession, table: str, sub: str, since_version: int
+) -> None:
+    """Delete the staged ``c-<uuid>`` directory UNLESS a commit newer
+    than ``since_version`` references it — the exception that aborted
+    the commit loop may have landed AFTER the claim succeeded
+    (interrupt between the durable put-if-absent and the return), and
+    deleting the data files of a committed version corrupts the table
+    permanently (r14 review finding). The uuid-unique subdir name
+    appearing in any tail commit's JSON is proof of reference."""
+    fs = _fs(spark)
+    log_dir = f"{table}/{LOG_SUBDIR}"
+    from pandabase_spark.sources.delta_reader import _commit_version
+
+    try:
+        for n in fs.list_files(log_dir):
+            v = _commit_version(n)
+            if v is not None and v > since_version:
+                if sub in fs.read_text(f"{log_dir}/{n}"):
+                    return
+    except Exception:
+        return  # cannot prove it is unreferenced: keep the files
+    fs.delete(f"{table}/{sub}")
+
+
 def _recheck_head(fresh: dict, staged_against: dict, *,
                   removes: bool) -> None:
     """Re-validate the table's writer invariants against the FRESH
@@ -419,7 +454,9 @@ def _recheck_head(fresh: dict, staged_against: dict, *,
         )
 
 
-def delta_append(df: DataFrame, table: str) -> int:
+def delta_append(
+    df: DataFrame, table: str, *, collect_stats: bool = True
+) -> int:
     """Append ``df`` to an existing Delta table (blind adds — the
     non-conflicting operation; a lost claim race simply retries at
     the next version, re-validating protocol/schema against the fresh
@@ -429,7 +466,10 @@ def delta_append(df: DataFrame, table: str) -> int:
     state = _replay(spark, table, None)
     _check_writer_protocol(state, removes=False)
     df = _align_frame(df, state)
-    sub, adds = _stage_data_files(df, table, state["partition_columns"])
+    sub, adds = _stage_data_files(
+        df, table, state["partition_columns"],
+        collect_stats=collect_stats,
+    )
 
     def build(fresh: dict) -> "list[dict]":
         _recheck_head(fresh, state, removes=False)
@@ -444,11 +484,15 @@ def delta_append(df: DataFrame, table: str) -> int:
             spark, table, build, initial_state=state
         )
     except BaseException:
-        _fs(spark).delete(f"{table}/{sub}")
+        _cleanup_staged_if_unreferenced(
+            spark, table, sub, int(state["version"])
+        )
         raise
 
 
-def delta_overwrite(df: DataFrame, table: str) -> int:
+def delta_overwrite(
+    df: DataFrame, table: str, *, collect_stats: bool = True
+) -> int:
     """Replace the table's contents with ``df``: remove everything
     live AT COMMIT TIME, add the new files. On a lost claim race the
     remove set is recomputed against the new head — overwrite means
@@ -461,7 +505,10 @@ def delta_overwrite(df: DataFrame, table: str) -> int:
     state = _replay(spark, table, None)
     _check_writer_protocol(state, removes=True)
     df = _align_frame(df, state)
-    sub, adds = _stage_data_files(df, table, state["partition_columns"])
+    sub, adds = _stage_data_files(
+        df, table, state["partition_columns"],
+        collect_stats=collect_stats,
+    )
 
     def build(fresh: dict) -> "list[dict]":
         _recheck_head(fresh, state, removes=True)
@@ -470,8 +517,18 @@ def delta_overwrite(df: DataFrame, table: str) -> int:
             {"commitInfo": {"operation": "WRITE", "timestamp": now,
                             "operationParameters": {"mode": "Overwrite"}}},
             *(
-                {"remove": {"path": p, "deletionTimestamp": now,
-                            "dataChange": True}}
+                {"remove": {
+                    "path": p, "deletionTimestamp": now,
+                    "dataChange": True,
+                    # extendedFileMetadata: partitionValues/size let
+                    # CDF readers attribute synthesized deletes and
+                    # let vacuum/tooling reason without the add
+                    "extendedFileMetadata": True,
+                    "partitionValues": dict(
+                        fresh["files"][p].get("partitionValues") or {}
+                    ),
+                    "size": int(fresh["files"][p].get("size") or 0),
+                }}
                 for p in sorted(fresh["files"])
             ),
             *({"add": a} for a in adds),
@@ -482,7 +539,9 @@ def delta_overwrite(df: DataFrame, table: str) -> int:
             spark, table, build, initial_state=state
         )
     except BaseException:
-        _fs(spark).delete(f"{table}/{sub}")
+        _cleanup_staged_if_unreferenced(
+            spark, table, sub, int(state["version"])
+        )
         raise
 
 
@@ -540,13 +599,28 @@ def delta_vacuum(
         dv = add.get("deletionVector")
         if dv and str(dv.get("storageType")) == "u":
             keep.add(dv_relative_path(str(dv["pathOrInlineDv"])))
+    now_ms = int(time.time() * 1000)
+    # a tombstoned file's age is its REMOVAL time, not its mtime — an
+    # old file overwritten a minute ago must survive the full window
+    # (delta-spark keys vacuum eligibility on deletionTimestamp; the
+    # mtime of a file written 30 days ago says nothing about when it
+    # left the table — r14 review finding)
+    for rm in state.get("tombstones", {}).values():
+        if now_ms - int(rm.get("deletionTimestamp") or 0) < retention_ms:
+            rel = rm["path"]
+            keep.add(rel if "://" in rel else unquote(rel))
     horizon = time.time() - retention_ms / 1000.0
 
     removed: "list[str]" = []
 
     def walk(rel: str) -> bool:
         """Sweep one directory; True if it ended up empty (post-order,
-        so staged c-<uuid>/p=.../ shells collapse bottom-up)."""
+        so staged c-<uuid>/p=.../ shells collapse bottom-up). Hidden
+        files (Hadoop ``.crc`` checksum sidecars, ``_SUCCESS``
+        markers) are never aged on their own: they follow their
+        directory's DATA files — removed only when no data file
+        survives beside them, so a live parquet never loses its
+        sidecar and emptied staging shells still collapse."""
         full = f"{table}/{rel}" if rel else table
         empty = True
         for d in fs.list_dirs(full):
@@ -559,14 +633,34 @@ def delta_vacuum(
                     fs.delete(f"{table}/{sub}")
             else:
                 empty = False
-        for f_ in fs.list_files(full):
+        names = fs.list_files(full)
+        hidden = [
+            f_ for f_ in names
+            if f_.startswith(".") or f_.startswith("_")
+        ]
+        data_survives = False
+        for f_ in names:
+            if f_ in hidden:
+                continue
             frel = f"{rel}/{f_}" if rel else f_
             if frel in keep or fs.mtime(f"{full}/{f_}") >= horizon:
-                empty = False
+                data_survives = True
                 continue
             removed.append(frel)
             if not dry_run:
                 fs.delete(f"{full}/{f_}", recursive=False)
+        if data_survives:
+            empty = False
+        elif hidden and rel and empty:
+            # marker/sidecar files go with their directory — deleted
+            # only when nothing else (data OR subdirectory) survived
+            # beneath it; root-level hidden files are never touched
+            for f_ in hidden:
+                removed.append(f"{rel}/{f_}")
+                if not dry_run:
+                    fs.delete(f"{full}/{f_}", recursive=False)
+        elif hidden:
+            empty = False
         return empty
 
     walk("")
@@ -625,9 +719,20 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
     }
     fmt = meta.get("format") or {"provider": "parquet", "options": {}}
     rows = [
+        # protocol VERBATIM incl. feature lists — dropping
+        # readerFeatures from a (3,7) table would emit an invalid
+        # protocol after log cleanup (r14 review finding)
         ({
             "minReaderVersion": int(proto.get("minReaderVersion") or 1),
             "minWriterVersion": int(proto.get("minWriterVersion") or 2),
+            "readerFeatures": (
+                list(proto["readerFeatures"])
+                if proto.get("readerFeatures") else None
+            ),
+            "writerFeatures": (
+                list(proto["writerFeatures"])
+                if proto.get("writerFeatures") else None
+            ),
         }, None, None, None),
         # the table's ACTUAL metaData — a fabricated id/configuration
         # would survive log cleanup and silently replace the real one
@@ -653,6 +758,7 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
         }, None, None),
     ]
     for add in state["files"].values():
+        dv = add.get("deletionVector")
         rows.append((None, None, {
             "path": add["path"],
             "partitionValues": dict(add.get("partitionValues") or {}),
@@ -664,6 +770,25 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
             # survives log cleanup
             "stats": (
                 json.dumps(add["stats"]) if add.get("stats") else None
+            ),
+            # the DV descriptor MUST survive the checkpoint — without
+            # it a replay from the checkpoint serves the file
+            # unfiltered and deleted rows resurrect (r14 review
+            # finding)
+            "deletionVector": (
+                {
+                    "storageType": str(dv.get("storageType") or ""),
+                    "pathOrInlineDv": str(
+                        dv.get("pathOrInlineDv") or ""
+                    ),
+                    "offset": (
+                        int(dv["offset"])
+                        if dv.get("offset") is not None else None
+                    ),
+                    "sizeInBytes": int(dv.get("sizeInBytes") or 0),
+                    "cardinality": int(dv.get("cardinality") or 0),
+                }
+                if dv else None
             ),
         }, None))
     horizon = int(time.time() * 1000) - _retention_ms(meta)
@@ -677,7 +802,8 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
                 "dataChange": False,
             }))
     ck_schema = (
-        "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>, "
         "metaData struct<id:string,"
         "format:struct<provider:string,options:map<string,string>>,"
         "schemaString:string,"
@@ -685,7 +811,9 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
         "createdTime:long>, "
         "add struct<path:string,partitionValues:map<string,string>,"
         "size:long,modificationTime:long,dataChange:boolean,"
-        "stats:string>, "
+        "stats:string,deletionVector:struct<storageType:string,"
+        "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
+        "cardinality:long>>, "
         "remove struct<path:string,deletionTimestamp:long,"
         "dataChange:boolean>"
     )

@@ -706,3 +706,196 @@ def test_predicate_prunes_on_partition_values_too(spark, tmp_path):
     }
     # only p=1's files reach the scan
     assert all("p=1" in f for f in df.inputFiles())
+
+
+def test_checkpoint_preserves_deletion_vectors_and_features(
+    spark, tmp_path
+):
+    """r14 review finding: a checkpoint of a DV table must carry each
+    add's deletionVector descriptor and the protocol's feature lists
+    — otherwise a post-cleanup replay serves files unfiltered and
+    deleted rows resurrect."""
+    from pandabase_spark.sources.delta_fixture import make_delta_dv_fixture
+
+    table = str(tmp_path / "dvt")
+    make_delta_dv_fixture(spark, table)
+    live_a = {i for i in range(100) if not (i < 20 and i % 2 == 1)}
+    expected = (
+        {(i, 1.0 * i, 0) for i in live_a}
+        | {(i, 1.0 * i, 1) for i in range(105, 180)}
+    )
+    assert _rows(delta_scan(spark, table)) == expected
+    v = delta_checkpoint(spark, table)
+    fs = HadoopFS(spark)
+    log = f"{table}/_delta_log"
+    ck = spark.read.parquet(f"{log}/{v:020d}.checkpoint.parquet")
+    dvs = [
+        r["add"]["deletionVector"]
+        for r in ck.collect()
+        if r["add"] and r["add"]["path"]
+    ]
+    assert sum(1 for d in dvs if d is not None) == 2
+    proto = next(
+        r["protocol"].asDict(recursive=True)
+        for r in ck.collect()
+        if r["protocol"] and r["protocol"]["minReaderVersion"]
+    )
+    assert proto["readerFeatures"] == ["deletionVectors"]
+    # log cleanup: the checkpoint alone must still serve FILTERED
+    for old in range(v + 1):
+        fs.delete(f"{log}/{old:020d}.json", recursive=False)
+    assert _rows(delta_scan(spark, table)) == expected
+
+
+def test_vacuum_keeps_recently_tombstoned_old_files(spark, tmp_path):
+    """r14 review finding: vacuum eligibility is the REMOVAL time
+    (deletionTimestamp), not file mtime — a 30-day-old file
+    overwritten a minute ago must survive the full retention window
+    so in-retention time travel keeps working."""
+    import os
+    import time as _time
+
+    from pandabase_spark.sources.delta_writer import delta_vacuum
+
+    table = str(tmp_path / "out")
+    delta_create(_df(spark, 0, 30), table, partition_by=["p"])
+    # age the v0 DATA FILES far past any retention
+    old = _time.time() - 40 * 24 * 3600
+    for root, _dirs, names in os.walk(table):
+        if "_delta_log" in root:
+            continue
+        for n in names:
+            os.utime(os.path.join(root, n), (old, old))
+    # tombstone them NOW
+    delta_overwrite(_df(spark, 50, 60), table)
+    removed = delta_vacuum(spark, table)  # default 7-day retention
+    assert removed == []  # recent tombstones protect the old files
+    # the pre-overwrite snapshot is still reconstructable
+    assert _rows(delta_scan(spark, table, version=0)) == _rows(
+        _df(spark, 0, 30)
+    )
+
+
+def test_cleanup_helper_never_deletes_referenced_staging(
+    spark, tmp_path
+):
+    """r14 review finding: the failure-path cleanup must not delete a
+    staged directory that a durable commit already references (an
+    interrupt can land between the claim and the return)."""
+    import json as _json
+
+    from pandabase_spark.sources.delta_writer import (
+        _cleanup_staged_if_unreferenced,
+    )
+
+    table = str(tmp_path / "out")
+    delta_create(_df(spark, 0, 10), table, partition_by=["p"])
+    fs = HadoopFS(spark)
+    live = [d for d in fs.list_dirs(table) if d.startswith("c-")]
+    assert len(live) == 1
+    # referenced (v0 mentions it): must survive
+    _cleanup_staged_if_unreferenced(spark, table, live[0], -1)
+    assert fs.exists(f"{table}/{live[0]}")
+    # an unreferenced orphan: deleted
+    fs.mkdirs(f"{table}/c-deadbeef")
+    fs.write_text_atomic(f"{table}/c-deadbeef/x.parquet", "junk")
+    _cleanup_staged_if_unreferenced(spark, table, "c-deadbeef", -1)
+    assert not fs.exists(f"{table}/c-deadbeef")
+
+
+def test_predicate_coerces_by_schema_type(spark, tmp_path):
+    """r14 review finding: predicate comparison follows the COLUMN's
+    declared type — a string literal against an int partition column
+    compares numerically (no '10' < '9' lexical pruning), and
+    uncoercible literals never prune."""
+    from pandabase_spark.sources.delta_reader import delta_scan as scan
+
+    table = str(tmp_path / "out")
+    # p = id % 12 -> partition values '0'..'11' (two-digit vs one)
+    df = spark.range(0, 120).selectExpr(
+        "id", "CAST(id % 12 AS INT) AS p"
+    )
+    delta_create(df, table, partition_by=["p"])
+    got = scan(spark, table, predicate=[("p", ">=", "9")])
+    assert {r["p"] for r in got.collect()} == {9, 10, 11}
+    # numeric literal against int stats column, string spelling
+    got2 = scan(spark, table, predicate=[("id", ">=", "100")])
+    assert {r["id"] for r in got2.collect()} == set(range(100, 120))
+    # uncoercible literal: keeps files, residual filter returns empty
+    got3 = scan(spark, table, predicate=[("id", ">", "abc")])
+    assert got3.count() == 0
+
+
+def test_cdf_refuses_when_not_enabled(spark, tmp_path):
+    from pandabase_spark.sources.delta_reader import (
+        DeltaProtocolError, delta_scan_changes,
+    )
+
+    table = str(tmp_path / "out")
+    delta_create(_df(spark, 0, 10), table, partition_by=["p"])
+    with pytest.raises(DeltaProtocolError, match="enableChangeDataFeed"):
+        delta_scan_changes(spark, table, 0)
+
+
+def test_cdf_deletes_attribute_partition_values(spark, tmp_path):
+    """r14 review finding pair: our overwrite removes now carry
+    extendedFileMetadata partitionValues, and even when a foreign
+    writer omits them the CDF reader recovers the values from the
+    pre-commit snapshot instead of emitting NULL partition keys."""
+    import json as _json
+
+    from pandabase_spark.sources.delta_reader import delta_scan_changes
+
+    table = str(tmp_path / "out")
+    delta_create(_df(spark, 0, 12), table, partition_by=["p"])
+    # enable CDF retroactively (configuration change via metaData)
+    fs = HadoopFS(spark)
+    log = f"{table}/_delta_log"
+    meta = next(
+        _json.loads(ln)["metaData"]
+        for ln in fs.read_text(f"{log}/{0:020d}.json").splitlines()
+        if '"metaData"' in ln
+    )
+    meta["configuration"]["delta.enableChangeDataFeed"] = "true"
+    fs.write_text_atomic(
+        f"{log}/{1:020d}.json",
+        "\n".join([
+            _json.dumps({"commitInfo": {
+                "operation": "SET TBLPROPERTIES", "timestamp": 5000,
+            }}),
+            _json.dumps({"metaData": meta}),
+        ]),
+    )
+    delta_overwrite(_df(spark, 100, 103), table)
+    # our writer's removes carry partitionValues
+    rm = [
+        _json.loads(ln)["remove"]
+        for ln in fs.read_text(f"{log}/{2:020d}.json").splitlines()
+        if '"remove"' in ln
+    ]
+    assert rm and all(
+        r.get("extendedFileMetadata") and "partitionValues" in r
+        for r in rm
+    )
+    ch = delta_scan_changes(spark, table, 2, 2)
+    dels = [r for r in ch.collect() if r["_change_type"] == "delete"]
+    assert {(r["id"], r["p"]) for r in dels} == {
+        (i, i % 3) for i in range(12)
+    }
+    assert all(r["p"] is not None for r in dels)
+    # strip partitionValues from the removes (foreign writer shape):
+    # recovery via the pre-commit snapshot must still attribute them
+    lines = fs.read_text(f"{log}/{2:020d}.json").splitlines()
+    out = []
+    for ln in lines:
+        a = _json.loads(ln)
+        if "remove" in a:
+            a["remove"].pop("partitionValues", None)
+            a["remove"].pop("extendedFileMetadata", None)
+        out.append(_json.dumps(a))
+    fs.write_text_atomic(f"{log}/{2:020d}.json", "\n".join(out))
+    ch2 = delta_scan_changes(spark, table, 2, 2)
+    dels2 = [r for r in ch2.collect() if r["_change_type"] == "delete"]
+    assert {(r["id"], r["p"]) for r in dels2} == {
+        (i, i % 3) for i in range(12)
+    }
