@@ -25,11 +25,14 @@ literals keeps the main plan LINEAR — one pass over the input, no
 self-join branches — where an in-plan offsets computation clones the
 whole upstream subtree per branch (column pruning defeats
 ReusedExchange), which showed up as 10 source scans in the first r14
-cut of rfm_segments. The totals job re-derives the bucket assignment
-in a separate (column-pruned) pass; both passes see identical range
-boundaries because Spark's RangePartitioner samples with
-partition-index-seeded RNG — deterministic for a fixed input — and
-the agreement is pinned against the window form in
+cut of rfm_segments. The bucketed frame is frozen with a lazy
+``localCheckpoint`` before the counts collect, so the counts job and
+the consumer query read ONE materialization: cross-job bucket
+agreement holds by construction — RangePartitioner's boundary sample
+depends on row order within upstream partitions, which a cluster
+shuffle does not reproduce across independent executions (executor
+loss fails the job loudly instead of recomputing, the standard
+localCheckpoint trade). Agreement with the window form is pinned in
 tests/test_pipeline_ops.py.
 
 Exact and deterministic whenever ``order_cols`` is a TOTAL order
@@ -57,7 +60,8 @@ def _ranked(
     """``df`` + ``_BKT``/``_LRN`` columns (bucket id, 1-based local
     rank) plus (exclusive prefix offsets per bucket, total rows).
     One bounded driver collect (<= num_buckets rows); the returned
-    frame is a LINEAR plan over the input."""
+    frame reads the checkpointed bucketing (one linear pass over the
+    input, materialized once)."""
     from pyspark.sql.window import Window
 
     if not order_cols:
@@ -68,6 +72,16 @@ def _ranked(
     parts = df.repartitionByRange(int(num_buckets), *cols).withColumn(
         _BKT, F.spark_partition_id()
     )
+    # freeze ONE materialization of the bucketed frame: the counts
+    # job below and the caller's main query must see the SAME bucket
+    # assignment, and RangePartitioner's boundary sample depends on
+    # row order within upstream partitions — nondeterministic after a
+    # shuffle on a real cluster, so two independent executions could
+    # bucket differently and corrupt the offsets (r14 review
+    # finding). The lazy local checkpoint materializes on the counts
+    # collect and the main plan reads those blocks; it also saves the
+    # second computation of everything upstream.
+    parts = parts.localCheckpoint(eager=False)
     counts = {
         r[_BKT]: r["cnt"]
         for r in parts.groupBy(_BKT)
