@@ -4184,7 +4184,17 @@ class KeyedCatalog:
         self._maybe_auto_compact(table_name)
         if obs is None:
             return {"updated": 0, "deleted": 0, "inserted": 0}
-        counts = obs.get  # harvested from the write's own execution
+        try:
+            counts = obs.get  # harvested from the write's own execution
+        except Exception:
+            # an empty merge (source matches nothing, no buckets
+            # touched) can skip executing the observed node entirely —
+            # there are no metrics because nothing happened. Any
+            # OTHER lost observation must stay loud: zeroing the
+            # metrics of a write that DID land would lie.
+            if buckets:
+                raise
+            counts = {"updated": 0, "deleted": 0, "inserted": 0}
         return {
             "updated": int(counts["updated"] or 0),
             "deleted": int(counts["deleted"] or 0),

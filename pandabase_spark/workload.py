@@ -1828,6 +1828,60 @@ def delta_scan_changes_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts_to_str(delta_scan_changes(spark, table, 0))
 
 
+@_q(
+    "delta_cdf_replicate_kt",
+    "SELECT r AS id, "
+    "CASE WHEN r < 5 THEN r * 10.0 ELSE r * 1.0 END AS v "
+    "FROM range(0, 10) t(r)",
+)
+def delta_cdf_replicate_kt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta -> keyed-table REPLICATION via the change feed (r14):
+    the end-to-end migration story — seed a keyed table from the
+    Delta table's version-0 snapshot, then apply each subsequent
+    commit's changes (``delta_scan_changes``) with keyed-table
+    MERGEs: update_postimage/insert rows upsert, delete rows remove
+    through a delete-only merge clause. The CDF fixture's v1 is an
+    UPDATE commit described by explicit cdc files (its remove+add
+    pair must be ignored), so getting this exact final state proves
+    the cdc-exclusivity rule end to end, not just insert
+    replication. The driver loop is bounded by the replicated commit
+    range (a continuous replica would ride foreachBatch exactly the
+    same way — see ``streaming_kt_cdc_replica`` for the streaming
+    half on the export side). Oracle: the surviving 10 rows with the
+    first five at 10x."""
+    from pandabase_spark.sources.delta_fixture import make_delta_cdf_fixture
+    from pandabase_spark.sources.delta_reader import (
+        delta_scan, delta_scan_changes, delta_table_version,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    table = f"{cat.warehouse}/_delta_fixture_cdf_repl"
+    if cat.fs.exists(table):
+        cat.fs.delete(table)
+    make_delta_cdf_fixture(spark, table)
+    _fresh(cat, "w_delta_repl")
+    cat.to_table(
+        delta_scan(spark, table, version=0), "w_delta_repl",
+        keys=["id"],
+    )
+    for v in range(1, delta_table_version(spark, table) + 1):
+        ch = delta_scan_changes(spark, table, v, v)
+        ups = ch.where(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select("id", "v")
+        cat.to_table(ups, "w_delta_repl", keys=["id"], how="upsert")
+        dels = ch.where(F.col("_change_type") == "delete").select(
+            "id", "v"
+        )
+        cat.merge_table(
+            dels, "w_delta_repl",
+            when_matched_update=None,
+            when_matched_delete=F.lit(True),
+            when_not_matched_insert=False,
+        )
+    return cat.read_table("w_delta_repl")
+
+
 @_q("csv_roundtrip_part", "SELECT * FROM part")
 def csv_roundtrip_part_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part through a CSV write→read cycle (sources.write_csv /
@@ -8889,7 +8943,7 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # r14 rotation (the r13 verdict's ask #1/#7): the 50-slot gate head is
-#   - the SEVEN delta interop queries — the three r13 entries that had
+#   - the EIGHT delta interop queries — the three r13 entries that had
 #     never rotated into a driver gate plus the round's new
 #     delta_scan_column_mapping and delta_scan_dv (name-mode
 #     column mapping; deletion-vector serving);
@@ -8900,7 +8954,7 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   - ALL 22 remaining r9-stale entries (the cohort predating the r10
 #     storage rebuild, r11 vacuum races, r12 txn layout and r13
 #     compaction) — after this round no driver evidence predates r10;
-#   - 19 of the 50 r10-stale entries, led by the verdict-named
+#   - 18 of the 50 r10-stale entries, led by the verdict-named
 #     multimodal_decode_png/ppm/wav and ann_topk_ivf_full_probe
 #     (which predate the r12 index layout), then alphabetical. The
 #     remaining 28 r10 rows (kt_coercion..window_top3_lineitems tail)
@@ -8913,6 +8967,7 @@ _GATE_FIRST = [
     "delta_scan_dv",
     "delta_scan_stats_skip",
     "delta_scan_changes_feed",
+    "delta_cdf_replicate_kt",
     "rfm_segments",
     "kt_companda_report",
     "q11_important_stock",
@@ -8955,7 +9010,6 @@ _GATE_FIRST = [
     "kt_describe",
     "kt_projection",
     "kt_range_read_composite",
-    "kt_range_read_open",
 ]
 
 

@@ -462,3 +462,22 @@ def test_random_ddl_dml_walk_matches_model(spark, catalog, tmp_path, seed):
                 {k: dict(r) for k, r in model.items()},
                 vcol, scol, list(extras),
             ))
+
+
+def test_merge_with_empty_source_is_a_clean_noop(spark, catalog):
+    """r14: a MERGE whose source matches nothing (empty CDC batch)
+    must return zero metrics and leave the table untouched — the
+    observed-metrics node never executes when no bucket is touched,
+    which previously surfaced as a py4j assertion from obs.get."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10).selectExpr("id", "id * 1.0 AS v")
+    catalog.to_table(df, "m_empty_src", keys=["id"])
+    out = catalog.merge_table(
+        df.where(F.lit(False)), "m_empty_src",
+        when_matched_update=None,
+        when_matched_delete=F.lit(True),
+        when_not_matched_insert=False,
+    )
+    assert out == {"updated": 0, "deleted": 0, "inserted": 0}
+    assert catalog.read_table("m_empty_src").count() == 10
