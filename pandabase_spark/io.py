@@ -83,6 +83,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from pandabase_spark.fs import HadoopFS
+from pandabase_spark.localframe import local_frame
 from pandabase_spark.names import clean_name, is_clean
 from pandabase_spark.types import (
     coerce_to_table_schema,
@@ -838,11 +839,13 @@ class KeyedCatalog:
                 )
                 for q in quantiles
             ]
-            return self.spark.createDataFrame(
+            return local_frame(
+                self.spark,
                 [tuple([0, 0] + [None] * len(quantiles))],
                 T.StructType(fields),
             )
-        sk = self.spark.createDataFrame(
+        sk = local_frame(
+            self.spark,
             entries,
             T.StructType(
                 [
@@ -925,7 +928,8 @@ class KeyedCatalog:
         aggregation — a single tiny Spark job serves both numbers, so
         callers needing the selectivity FRACTION (read_table's probe
         gate) don't pay a second estimation pass."""
-        sk = self.spark.createDataFrame(
+        sk = local_frame(
+            self.spark,
             entries,
             T.StructType([T.StructField("_kll", T.BinaryType())]),
         )
@@ -1536,7 +1540,7 @@ class KeyedCatalog:
         if v_from == 0:
             # before the first commit: empty baseline — every current
             # row surfaces as an insert (the CDC bootstrap read)
-            a = self.spark.createDataFrame([], m.schema)
+            a = local_frame(self.spark, [], m.schema)
         else:
             a = self._read_raw(table_name, version=v_from)
         b = self._read_raw(table_name, version=v_to)
@@ -4928,7 +4932,7 @@ class KeyedCatalog:
             bloom_probe=bloom_probe,
         )
         if not pairs:
-            return self.spark.createDataFrame([], schema)
+            return local_frame(self.spark, [], schema)
         # Column-mapping read assembly: a segment written before a
         # rename holds the OLD physical names on disk; its manifest
         # segcols entry ({stable identity -> physical name}) maps them
@@ -5162,8 +5166,10 @@ class KeyedCatalog:
             and all(b is not None for b in lo)
         ):
             # point lookup → single-bucket path pruning
-            probe = self.spark.createDataFrame(
-                [tuple(lo)], schema=T.StructType([m.schema[k] for k in m.keys])
+            probe = local_frame(
+                self.spark,
+                [tuple(lo)],
+                T.StructType([m.schema[k] for k in m.keys]),
             )
             buckets = self._batch_buckets(probe, m)
 

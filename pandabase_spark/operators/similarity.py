@@ -31,6 +31,7 @@ import struct
 from pyspark.sql import Column, DataFrame, functions as F
 
 from pandabase_spark.functions.vector import cosine_similarity, dot
+from pandabase_spark.localframe import local_frame
 
 
 def _hyperplanes(planes: int, dim: int) -> list[list[float]]:
@@ -1106,7 +1107,8 @@ def write_ivfpq_index(
     anchors_df = None
     if residual:
         if anchors is not None:
-            anchors_df = spark.createDataFrame(
+            anchors_df = local_frame(
+                spark,
                 [(i, [float(x) for x in a]) for i, a in enumerate(anchors)],
                 "cell int, avec array<double>",
             )
@@ -1137,13 +1139,13 @@ def write_ivfpq_index(
         for j, book in enumerate(codebooks)
         for c, vec in enumerate(book)
     ]
-    spark.createDataFrame(
-        book_rows, "j int, code int, cvec array<double>"
+    local_frame(
+        spark, book_rows, "j int, code int, cvec array<double>"
     ).coalesce(1).write.mode("errorifexists").parquet(
         f"{path}/codebooks"
     )
-    spark.createDataFrame(
-        [(bool(residual),)], "residual boolean"
+    local_frame(
+        spark, [(bool(residual),)], "residual boolean"
     ).coalesce(1).write.mode("errorifexists").parquet(f"{path}/meta")
     if anchors_df is not None:
         anchors_df.coalesce(1).write.mode("errorifexists").parquet(
@@ -1490,7 +1492,8 @@ def _empty_topk(spark, q, existing, path, id_col, score_col):
     else:
         id_type = LongType()
     qid_type = q.schema["query_id"].dataType
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [],
         StructType(
             [

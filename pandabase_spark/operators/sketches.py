@@ -30,6 +30,29 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from pandabase_spark.localframe import local_frame
+
+
+def _probe_type(values: "list") -> "T.DataType | None":
+    """The type classic createDataFrame would infer for the probe
+    column (int→long, str→string, float→double, bool→boolean) —
+    preserved exactly so the Arrow-local fast path returns the same
+    schema; unknown probe types fall back to the classic path."""
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, str):
+            return T.StringType()
+        return None
+    return None
 
 
 def hll_distinct_rollup(
@@ -188,7 +211,16 @@ def cms_frequencies(
         bytes(row["_sk"])
     )
     rows = [(v, int(sk.estimateCount(v))) for v in probe_values]
-    return spark.createDataFrame(rows, [col, "est_count"])
+    vt = _probe_type(probe_values)
+    if vt is None:
+        return spark.createDataFrame(rows, [col, "est_count"])
+    return local_frame(
+        spark,
+        rows,
+        T.StructType(
+            [T.StructField(col, vt), T.StructField("est_count", T.LongType())]
+        ),
+    )
 
 
 def bloom_membership(
@@ -213,4 +245,16 @@ def bloom_membership(
     bf = df._jdf.stat().bloomFilter(col, int(expected_items), float(fpp))
     spark = df.sparkSession
     rows = [(v, bool(bf.mightContain(v))) for v in probe_values]
-    return spark.createDataFrame(rows, [col, "might_contain"])
+    vt = _probe_type(probe_values)
+    if vt is None:
+        return spark.createDataFrame(rows, [col, "might_contain"])
+    return local_frame(
+        spark,
+        rows,
+        T.StructType(
+            [
+                T.StructField(col, vt),
+                T.StructField("might_contain", T.BooleanType()),
+            ]
+        ),
+    )

@@ -121,7 +121,9 @@ def make_delta_fixture(spark, table: str) -> None:
         "size:long,modificationTime:long,dataChange:boolean>"
     )
     tmp = f"{table}/_tmp_ckpt"
-    spark.createDataFrame(rows, ck_schema).coalesce(1).write.mode(
+    from pandabase_spark.localframe import local_frame
+
+    local_frame(spark, rows, ck_schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(tmp)
     part = next(

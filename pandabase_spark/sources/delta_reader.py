@@ -73,6 +73,8 @@ from pyspark.sql.types import (
     LongType, StringType, StructField, StructType,
 )
 
+from pandabase_spark.localframe import local_frame
+
 LOG_SUBDIR = "_delta_log"
 
 _BLOCKED_READER_FEATURES = {
@@ -729,7 +731,7 @@ def delta_scan(
                 kept.append(add)
         files = kept
     if not files:
-        return spark.createDataFrame([], _logical_schema(schema))
+        return local_frame(spark, [], _logical_schema(schema))
 
     def _with_pred(df: DataFrame) -> DataFrame:
         # the residual ROW filter: file skipping above is coarse
@@ -846,7 +848,7 @@ def delta_scan(
         [StructField("__pb_rel", StringType(), False)]
         + [StructField(f"__pb_{c}", StringType(), True) for c in pcols]
     )
-    mapping = spark.createDataFrame(mrows, mschema)
+    mapping = local_frame(spark, mrows, mschema)
     if len(mrows) <= _BROADCAST_MAPPING_MAX:
         mapping = F.broadcast(mapping)
     # the DV anti-join (when it ran) already attached __pb_rel — and
@@ -932,7 +934,8 @@ def _deleted_rows_df(
             raise DeltaProtocolError(
                 f"unknown deletion-vector storage type {st!r}"
             )
-    descs = spark.createDataFrame(
+    descs = local_frame(
+        spark,
         rows,
         "rel string, st string, payload string, "
         "off long, size long, card long",
@@ -1150,7 +1153,7 @@ def delta_scan_changes(
                 StructField("_commit_version", LongType(), True),
             ]
         )
-        return spark.createDataFrame([], empty).withColumn(
+        return local_frame(spark, [], empty).withColumn(
             "_commit_timestamp", F.lit(None).cast("timestamp")
         )
 
@@ -1180,7 +1183,7 @@ def delta_scan_changes(
             ]
         ).add("__pb_v", "long").add("__pb_ts", "long")
         mapping = F.broadcast(
-            spark.createDataFrame(mrows, mschema)
+            local_frame(spark, mrows, mschema)
             .withColumn("__pb_m", F.lit(1))
         )
         read_schema = data_schema

@@ -818,7 +818,9 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
         "dataChange:boolean>"
     )
     tmp = f"{table}/_ckpt_tmp_{uuid.uuid4().hex[:8]}"
-    spark.createDataFrame(rows, ck_schema).coalesce(1).write.mode(
+    from pandabase_spark.localframe import local_frame
+
+    local_frame(spark, rows, ck_schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(tmp)
     part = next(

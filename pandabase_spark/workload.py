@@ -35,6 +35,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pandabase_spark.io import KeyedCatalog
+from pandabase_spark.localframe import local_frame
 
 TPCH_TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -5617,7 +5618,8 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     merges = bpe_learn_merges(docs, n_merges=8, min_count=2)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [
             (m["rank"], m["left"], m["right"], m["merged"],
              m["pair_count"])
@@ -6219,7 +6221,7 @@ def sketch_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cms_frequencies(ev, "user_id", probes, eps=eps)
     n_total = ev.count()
     exact = (
-        spark.createDataFrame([(p,) for p in probes], "user_id long")
+        local_frame(spark, [(p,) for p in probes], "user_id long")
         .join(
             ev.where(F.col("user_id").isin(probes))
             .groupBy("user_id")
