@@ -86,10 +86,12 @@ from pandabase_spark.fs import HadoopFS
 from pandabase_spark.localframe import local_frame
 from pandabase_spark.names import clean_name, is_clean
 from pandabase_spark.types import (
+    apply_narrowing,
     coerce_to_table_schema,
     coercion_class,
     infer_schema_pandas,
     narrow_spark_schema,
+    narrowing_aggs,
     pandas_to_spark,
     spark_to_logical,
 )
@@ -2896,6 +2898,15 @@ class KeyedCatalog:
         # reproduced by the hoisted batch probe + coercion below, so
         # the scan is skipped and the write pays ONE batch aggregate
         # total (probe) before the write itself
+        # a CREATE from a Spark frame folds the narrowing aggregate
+        # into _create's key-validation probe the same way (one batch
+        # scan total before the write, not two) — the narrowing
+        # DECISIONS are identical, they just ride the probe's job
+        fold_create = (
+            not exists
+            and not isinstance(df, pd.DataFrame)
+            and not auto_index
+        )
         fold_probe = (
             exists
             and not isinstance(df, pd.DataFrame)
@@ -2918,7 +2929,8 @@ class KeyedCatalog:
             )
         )
         sdf, keys = self._normalize_input(
-            df, keys, auto_index, target_schema, narrow=not fold_probe
+            df, keys, auto_index, target_schema,
+            narrow=not (fold_probe or fold_create),
         )
         for k in keys:
             if spark_to_logical(sdf.schema[k].dataType) not in (
@@ -2940,7 +2952,7 @@ class KeyedCatalog:
                 constraints=constraints, stats_columns=stats_columns,
                 bloom_columns=bloom_columns, sketch_columns=sketch_columns,
                 cluster_by=cluster_by, generated=generated,
-                txn=txn, ingest=ingest,
+                txn=txn, ingest=ingest, fold_narrow=fold_create,
             )
             return
 
@@ -3248,6 +3260,7 @@ class KeyedCatalog:
         generated: "Mapping[str, str] | None" = None,
         txn: "tuple[str, int] | None" = None,
         ingest: "dict[str, int] | None" = None,
+        fold_narrow: bool = False,
     ) -> None:
         bad_keys = [c for c in (generated or {}) if c in keys]
         if bad_keys:
@@ -3282,18 +3295,6 @@ class KeyedCatalog:
                     f"{dt.simpleString()} (bucket continuous values "
                     "into an integer column first)"
                 )
-        m = TableMeta(
-            keys=list(keys),
-            auto_index=auto_index,
-            num_buckets=num_buckets or self.default_buckets,
-            schema_json=json.dumps(sdf.schema.jsonValue()),
-            constraints=dict(constraints or {}),
-            stats_columns=list(stats_columns or []),
-            bloom_columns=list(bloom_columns or []),
-            sketch_columns=list(sketch_columns or []),
-            cluster_by=list(cluster_by or []),
-            generated=dict(generated or {}),
-        )
         # ONE shuffle serves the whole create: bucket + repartition up
         # front and PERSIST the shuffled frame (each Spark action
         # re-plans, so without the persist the validation probe and
@@ -3301,21 +3302,36 @@ class KeyedCatalog:
         # (nulls + duplicates) is ONE aggregate over the cache — it
         # both validates and warms the cache the constraint pass and
         # the segment write then stream from; only the failure path
-        # pays a second probe, to name the offending key.
+        # pays a second probe, to name the offending key. With
+        # ``fold_narrow`` (Spark-frame creates) the narrowing rules'
+        # stats ride the SAME aggregate, so the create pays one batch
+        # scan total instead of narrowing + validation (the same fold
+        # the existing-table write path does with its batch probe).
         from functools import reduce
         import operator
 
+        num_buckets = num_buckets or self.default_buckets
         any_null = reduce(operator.or_, [F.col(k).isNull() for k in keys])
         staged = (
-            sdf.withColumn(PART_DIR, _bucket_expr(m.keys, m.num_buckets))
+            sdf.withColumn(PART_DIR, _bucket_expr(list(keys), num_buckets))
             .repartition(PART_DIR)
             .persist()
         )
+        cached = staged  # narrowing projects over this; release THIS
         try:
+            nar_aggs: list = []
+            if fold_narrow:
+                # generated columns are computed post-narrowing in the
+                # unfolded path (never narrowed) — exclude them, and
+                # the bucket column, from the candidate set
+                nar_aggs, nar_numeric, nar_all = narrowing_aggs(
+                    sdf, list(keys) + list(generated or {})
+                )
             row = staged.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
                 F.sum(any_null.cast("long")).alias("nn"),
+                *nar_aggs,
             ).first()
             if int(row["nn"] or 0):
                 raise ValueError("key columns may not contain NULL")
@@ -3331,12 +3347,63 @@ class KeyedCatalog:
                     f"duplicate key in batch: "
                     f"{ {k: dup[0][k] for k in keys} }"
                 )
+            if nar_aggs:
+                staged = apply_narrowing(
+                    staged, row.asDict(), nar_numeric, nar_all
+                )
+                # a declared column the narrowing dropped (all-null)
+                # raises exactly what the unfolded path raised from
+                # its pre-create schema checks
+                for label, cols in (
+                    ("stats_columns", stats_columns),
+                    ("bloom_columns", bloom_columns),
+                    ("sketch_columns", sketch_columns),
+                ):
+                    gone = [
+                        c for c in (cols or []) if c not in staged.columns
+                    ]
+                    if gone:
+                        raise NameError(
+                            f"{label} not in schema: {gone}"
+                        )
+                for c in cluster_by or []:
+                    if c not in staged.columns:
+                        raise NameError(
+                            f"cluster_by column not in schema: {c}"
+                        )
+                    dt = staged.schema[c].dataType
+                    if not isinstance(
+                        dt,
+                        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+                    ):
+                        # narrowing re-typed it (all-zero int → double,
+                        # {0,1} int → boolean) — same refusal the
+                        # unfolded path raised from its pre-create check
+                        raise ValueError(
+                            f"cluster_by needs integer columns; {c} is "
+                            f"{dt.simpleString()} (bucket continuous "
+                            "values into an integer column first)"
+                        )
+            m = TableMeta(
+                keys=list(keys),
+                auto_index=auto_index,
+                num_buckets=num_buckets,
+                schema_json=json.dumps(
+                    staged.drop(PART_DIR).schema.jsonValue()
+                ),
+                constraints=dict(constraints or {}),
+                stats_columns=list(stats_columns or []),
+                bloom_columns=list(bloom_columns or []),
+                sketch_columns=list(sketch_columns or []),
+                cluster_by=list(cluster_by or []),
+                generated=dict(generated or {}),
+            )
             self._check_constraints(staged.drop(PART_DIR), m)
             seg, buckets = self._write_segment(
                 staged, table_name, m, pre_bucketed=True
             )
         finally:
-            staged.unpersist()
+            cached.unpersist()
         self._write_meta(table_name, m)
         self._commit(
             table_name, {seg: buckets}, v=0, op="create", txn=txn,

@@ -206,15 +206,15 @@ def infer_schema_pandas(
     return T.StructType(fields), list(keys)
 
 
-def narrow_spark_schema(df: DataFrame, keys: Sequence[str]) -> DataFrame:
-    """Apply the narrowing rules to a Spark DataFrame in ONE aggregation.
-
-    Distributed analogue of the pandas-side inference: computes, per
-    candidate column, (a) whether every non-null value ∈ {0,1} with both
-    present → cast BooleanType, (b) for integer columns, whether all
-    values are 0 → cast DoubleType, (c) whether the column is all-null →
-    drop. One scan, map-side combine, 1-row result on the driver.
-    """
+def narrowing_aggs(
+    df: DataFrame, keys: Sequence[str]
+) -> "tuple[list, list[str], list[str]]":
+    """The aggregate expressions behind the narrowing rules, exposed so
+    a caller that already runs a full-batch aggregation (the create
+    path's key-validation probe, io.py) can FOLD them into its own pass
+    instead of paying a second batch scan. Returns
+    ``(agg_exprs, numeric_cols, candidate_cols)`` — feed the collected
+    row to :func:`apply_narrowing`."""
     keyset = set(keys)
     aggs = []
     numeric_cols = [
@@ -232,10 +232,19 @@ def narrow_spark_schema(df: DataFrame, keys: Sequence[str]) -> DataFrame:
         )
     for c in all_cols:
         aggs.append(F.count(F.col(c)).alias(f"__cnt_{c}"))
-    if not aggs:
-        return df
-    stats = df.agg(*aggs).collect()[0].asDict()
+    return aggs, numeric_cols, all_cols
 
+
+def apply_narrowing(
+    df: DataFrame,
+    stats: "dict",
+    numeric_cols: Sequence[str],
+    all_cols: Sequence[str],
+) -> DataFrame:
+    """Apply the narrowing decisions from a collected
+    :func:`narrowing_aggs` row: (a) every non-null value ∈ {0,1} with
+    both present → cast BooleanType, (b) integer column all zeros →
+    cast DoubleType, (c) all-null → drop."""
     out = df
     for c in all_cols:
         if stats[f"__cnt_{c}"] == 0:
@@ -253,6 +262,22 @@ def narrow_spark_schema(df: DataFrame, keys: Sequence[str]) -> DataFrame:
         ):
             out = out.withColumn(c, F.col(c).cast("double"))
     return out
+
+
+def narrow_spark_schema(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Apply the narrowing rules to a Spark DataFrame in ONE aggregation.
+
+    Distributed analogue of the pandas-side inference: computes, per
+    candidate column, (a) whether every non-null value ∈ {0,1} with both
+    present → cast BooleanType, (b) for integer columns, whether all
+    values are 0 → cast DoubleType, (c) whether the column is all-null →
+    drop. One scan, map-side combine, 1-row result on the driver.
+    """
+    aggs, numeric_cols, all_cols = narrowing_aggs(df, keys)
+    if not aggs:
+        return df
+    stats = df.agg(*aggs).collect()[0].asDict()
+    return apply_narrowing(df, stats, numeric_cols, all_cols)
 
 
 def coercion_class(have: T.DataType, want: T.DataType) -> str:
