@@ -1986,13 +1986,6 @@ def pq_codebooks(
     the sample m×iters times. The training frame is persisted across
     iterations and released in a ``finally``.
     """
-    dim_row = corpus.select(F.size(vec_col)).first()
-    if dim_row is None:
-        raise ValueError("cannot train PQ on an empty corpus")
-    dim = dim_row[0]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d = dim // m
     train = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
@@ -2008,11 +2001,20 @@ def pq_codebooks(
             .select("_v")
             .collect()
         )
+        if not seed_rows:
+            raise ValueError("cannot train PQ on an empty corpus")
         if len(seed_rows) < k:
             raise ValueError(
                 f"need at least k={k} training vectors, "
                 f"got {len(seed_rows)}"
             )
+        # dimensionality from the seeds already on the driver — the
+        # separate select(size(vec)).first() probe was one whole Spark
+        # job bought for a single integer (r14 optimization)
+        dim = len(seed_rows[0]["_v"])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        d = dim // m
         books = [
             [
                 [float(x) for x in r["_v"][j * d : (j + 1) * d]]
