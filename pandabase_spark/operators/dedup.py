@@ -135,33 +135,40 @@ def _shingle_rows(
 ) -> DataFrame:
     """(id, shingle) rows — the input both minhash and Jaccard share.
 
-    Word mode uses posexplode + window-lead instead of the
-    transform/slice/array_join higher-order array expression: HOFs are
-    interpreted (no whole-stage codegen), which measured ~5× slower at
-    5k docs than exploding tokens and assembling n-grams with lead().
-    The window costs one shuffle on the doc id, but every expression in
-    it is codegen'd. Char mode keeps the (cheap) substring HOF.
-    Output matches the array form exactly, including the "short doc
-    yields one partial shingle" edge (concat_ws skips NULL leads).
+    Word mode explodes the n-gram POSITION RANGE and assembles each
+    shingle with slice + array_join over the token array — every
+    expression is a plain (non-higher-order) scalar, so the whole
+    stage codegens, and assembly happens WITHIN the source row, so no
+    exchange exists before the consumer's own aggregation. The two
+    earlier forms both paid more: transform+lambda is interpreted
+    (measured ~5× slower at 5k docs), and the posexplode+window-lead
+    replacement shuffled the FULL token stream on doc id and ran a
+    non-codegen WindowExec just to line up lead() neighbors (r14:
+    Exchange+Sort+Window → nothing; consumers' per-doc aggregates now
+    see doc-local rows, so their map-side partial aggregation reduces
+    the shuffle to one row per doc per aggregate). Output matches the
+    window form exactly, including the "short doc yields one partial
+    shingle" edge and the "empty text yields one empty shingle" edge
+    (split('') = ['']).
     """
     if mode == "char":
         return df.select(
             F.col(id_col), F.explode(_shingles(text_col, mode, n)).alias("sh")
         )
-    from pyspark.sql.window import Window
-
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "tok")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
-    sh = toks.select(
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("_tk"))
+    pos = toks.select(
         F.col(id_col),
-        F.col("pos"),
-        F.concat_ws(" ", *parts).alias("sh"),
-        F.lead("tok", n - 1).over(w).isNotNull().alias("_full"),
+        F.col("_tk"),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("_tk") - (n - 1), F.lit(1))
+            )
+        ).alias("_pos"),
     )
-    return sh.where(F.col("_full") | (F.col("pos") == 0)).select(id_col, "sh")
+    return pos.select(
+        F.col(id_col),
+        F.array_join(F.slice("_tk", F.col("_pos"), n), " ").alias("sh"),
+    )
 
 
 def ngram_jaccard_pairs(
