@@ -192,7 +192,16 @@ def ngram_jaccard_pairs(
     the cutoff before the self-join — the fan-out bound for skewed
     vocabulary. Returns (id_1, id_2, jaccard) with id_1 < id_2.
     """
+    # the distinct (id, shingle) frame feeds THREE consumers (sizes,
+    # both self-join sides — five with the df-cutoff's count pass);
+    # materialize it once (lazy localCheckpoint: first action runs the
+    # shingle pipeline, later consumers read the blocks, and the
+    # ContextCleaner reclaims them when the frame goes out of scope —
+    # the same pattern as the ranking bucketing) instead of re-running
+    # the corpus scan + shingle assembly per consumer (r14: the
+    # executed plan showed 3 full document scans for this one operator)
     sh = _shingle_rows(df, id_col, text_col, mode, n).distinct()
+    sh = sh.localCheckpoint(eager=False)
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("sh").count().where(F.col("count") <= max_shingle_df)

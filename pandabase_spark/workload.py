@@ -6008,6 +6008,12 @@ def training_corpus_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = prof.where(
         (F.col("quality") >= 0.75) & (F.col("doc_id") % 7 != 0)
     )
+    # the dedup keeper computation self-joins `kept` (min-id aggregate
+    # probe against the frame itself), which would run the full
+    # document_profile expression pipeline twice — materialize the
+    # filtered profile once instead (lazy localCheckpoint, r14; the
+    # executed plan showed two complete profile scans before)
+    kept = kept.localCheckpoint(eager=False)
     keep_ids = kept.groupBy("chash").agg(F.min("doc_id").alias("_keep_id"))
     surv = kept.join(
         keep_ids.withColumnRenamed("chash", "_ch"),
@@ -6108,6 +6114,10 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_f2", f2)
         .withColumn("_f3", f3)
     )
+    # `keep` probes `base` against itself — without materialization the
+    # document_profile pipeline runs twice (r14: lazy localCheckpoint,
+    # same rationale as training_corpus_manifest_v2)
+    base = base.localCheckpoint(eager=False)
     keep = (
         base.where("_f3")
         .groupBy("chash")
