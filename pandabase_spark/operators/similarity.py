@@ -263,6 +263,42 @@ def _with_cell(
     return staged.withColumn(out, cell).drop("_pb_dots")
 
 
+def _train_sample(
+    corpus: DataFrame, *, id_col: str, vec_col: str,
+    sample_mod: "int | None",
+) -> DataFrame:
+    """The (_id, _v) k-means training frame both trainers iterate
+    over: the deterministic 1/mod hash-sample of the corpus, spread
+    across the cluster (a sampled single-file source would otherwise
+    run every Lloyd stage as one task). Callers persist it for the
+    Lloyd loop and release it when training ends."""
+    train = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    if sample_mod is not None:
+        train = train.where(
+            F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0
+        )
+    return train.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
+
+
+def _seed_vectors(train: DataFrame, n: int) -> list:
+    """The ``n`` training rows with the smallest ``xxhash64(id)`` —
+    the deterministic k-means seeds (a partial TakeOrdered, not a
+    full sort). One collect serves every trainer drawing seeds from
+    the same sample: the ordering is a property of the rows, so the
+    first ``n_cells`` (or ``k``) rows of one ordered prefix are
+    exactly what each trainer would have collected itself."""
+    return (
+        train.orderBy(F.xxhash64(F.col("_id").cast("string")))
+        .limit(n)
+        .select("_v")
+        .collect()
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     *,
@@ -273,6 +309,8 @@ def ivf_centroids(
     tol: "float | None" = None,
     sample_mod: int | None = None,
     info: "dict | None" = None,
+    _train: "DataFrame | None" = None,
+    _seed_rows: "list | None" = None,
 ) -> list[list[float]]:
     """Train a spherical-k-means coarse quantizer; returns unit-norm
     centroids as plain Python lists (n_cells × dim floats — an index
@@ -296,26 +334,35 @@ def ivf_centroids(
     1/m hash-sample of the corpus (standard IVF practice — centroid
     quality needs samples, not the corpus); the full corpus is only
     touched by the one-pass cell assignment afterwards.
+
+    ``_train`` / ``_seed_rows`` are the builder-sharing seam (r14):
+    a caller that trains BOTH a coarse quantizer and PQ codebooks on
+    the same sample (``write_ivfpq_index``) builds the persisted
+    sample and runs the one seed TakeOrdered once, passing both in —
+    the rows and their ordering are identical to what this function
+    would compute itself, so the trained artifact is unchanged while
+    the duplicate sample materialization and seed job disappear.
+    A provided ``_train`` must be the persisted :func:`_train_sample`
+    frame; its lifecycle belongs to the caller.
     """
-    train = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    if sample_mod is not None:
-        train = train.where(F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0)
-    # the TRAINING SAMPLE is re-scanned once per Lloyd iteration plus
-    # the seed job — persist it for the loop, spread across the
-    # cluster first (a sampled single-file source would otherwise run
-    # every Lloyd stage as one task). That is what sample_mod is for
-    # at 100 TB: the sample is sized to fit the cluster, while the
-    # full corpus is only ever touched by the one-pass assignment.
-    # Both trainers spread identically, preserving their parity pin.
-    train = train.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
-    ).persist()
+    if _train is not None:
+        train = _train
+    else:
+        # the TRAINING SAMPLE is re-scanned once per Lloyd iteration
+        # plus the seed job — persist it for the loop, spread across
+        # the cluster first (a sampled single-file source would
+        # otherwise run every Lloyd stage as one task). That is what
+        # sample_mod is for at 100 TB: the sample is sized to fit the
+        # cluster, while the full corpus is only ever touched by the
+        # one-pass assignment. Both trainers spread identically,
+        # preserving their parity pin.
+        train = _train_sample(
+            corpus, id_col=id_col, vec_col=vec_col, sample_mod=sample_mod
+        ).persist()
     try:
         seeds = (
-            train.orderBy(F.xxhash64(F.col("_id").cast("string")))
-            .limit(n_cells)
-            .select("_v")
-            .collect()
+            _seed_rows[:n_cells] if _seed_rows is not None
+            else _seed_vectors(train, n_cells)
         )
         if len(seeds) < n_cells:
             raise ValueError(
@@ -361,7 +408,8 @@ def ivf_centroids(
             info["final_move"] = move
         return centroids
     finally:
-        train.unpersist()
+        if _train is None:
+            train.unpersist()
 
 
 def _unit_expr(v: Column) -> Column:
@@ -1094,11 +1142,47 @@ def write_ivfpq_index(
     cell at query time — ADC distances are L2-identical under any
     common per-cell shift)."""
     spark = corpus.sparkSession
-    if centroids is None:
-        centroids = ivf_centroids(
-            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-            iters=iters, sample_mod=sample_mod,
-        )
+    # builder sharing (r14): when BOTH the coarse quantizer and the
+    # codebooks train here on the raw corpus (the non-residual
+    # trained path), they iterate over the SAME deterministic sample
+    # and draw seeds from the SAME ordered prefix — so materialize
+    # the persisted sample once and run one TakeOrdered of
+    # max(n_cells, n_codes) rows instead of two pipelines each paying
+    # its own sample scan + seed job. The centroid trainer sees rows,
+    # partitioning and seed values identical to its standalone path
+    # (bit-identical quantizer); pq training runs over the shared
+    # spread frame, which is also its correct 100 TB shape.
+    shared_train = None
+    try:
+        if (
+            centroids is None and codebooks is None
+            and not exact_codebooks and not residual
+        ):
+            shared_train = _train_sample(
+                corpus, id_col=id_col, vec_col=vec_col,
+                sample_mod=sample_mod,
+            ).persist()
+            shared_seeds = _seed_vectors(
+                shared_train, max(n_cells, n_codes)
+            )
+            centroids = ivf_centroids(
+                corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+                iters=iters, sample_mod=sample_mod,
+                _train=shared_train, _seed_rows=shared_seeds,
+            )
+            codebooks = pq_codebooks(
+                corpus, id_col=id_col, vec_col=vec_col, m=m, k=n_codes,
+                iters=iters, sample_mod=sample_mod,
+                _train=shared_train, _seed_rows=shared_seeds,
+            )
+        if centroids is None:
+            centroids = ivf_centroids(
+                corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+                iters=iters, sample_mod=sample_mod,
+            )
+    finally:
+        if shared_train is not None:
+            shared_train.unpersist()
     cdf = (
         centroids if isinstance(centroids, DataFrame)
         else _centroids_literal_df(spark, centroids)
@@ -1131,36 +1215,60 @@ def write_ivfpq_index(
                 staged, id_col=id_col, vec_col=vec_col, m=m, k=n_codes,
                 iters=iters, sample_mod=sample_mod,
             )
-    cdf.coalesce(1).write.mode("errorifexists").parquet(
-        f"{path}/centroids"
-    )
     book_rows = [
         (j, c, [float(x) for x in vec])
         for j, book in enumerate(codebooks)
         for c, vec in enumerate(book)
     ]
-    local_frame(
-        spark, book_rows, "j int, code int, cvec array<double>"
-    ).coalesce(1).write.mode("errorifexists").parquet(
-        f"{path}/codebooks"
-    )
-    local_frame(
-        spark, [(bool(residual),)], "residual boolean"
-    ).coalesce(1).write.mode("errorifexists").parquet(f"{path}/meta")
+    sidecars = [
+        ("centroids", cdf),
+        (
+            "codebooks",
+            local_frame(
+                spark, book_rows, "j int, code int, cvec array<double>"
+            ),
+        ),
+        (
+            "meta",
+            local_frame(spark, [(bool(residual),)], "residual boolean"),
+        ),
+    ]
     if anchors_df is not None:
-        anchors_df.coalesce(1).write.mode("errorifexists").parquet(
-            f"{path}/anchors"
-        )
+        sidecars.append(("anchors", anchors_df))
     encoded = pq_encode(
         staged, codebooks, vec_col=vec_col
     ).select(F.col(id_col), "cell", "pq_code")
-    (
-        encoded.withColumn("txn", F.lit("base"))
-        .repartition("cell")
-        .write.mode("errorifexists")
-        .partitionBy("cell", "txn")
-        .parquet(f"{path}/data")
-    )
+
+    def _write_sidecar(pair) -> None:
+        name, frame = pair
+        frame.coalesce(1).write.mode("errorifexists").parquet(
+            f"{path}/{name}"
+        )
+
+    # the four sidecar writes and the encoded-data write are
+    # independent one-shot jobs over disjoint directories — overlap
+    # them (guide-style concurrent independent jobs) instead of
+    # paying four sequential tiny-job latencies before the big write
+    # even starts. inheritable_thread_target keeps job group/
+    # description properties correct in the worker threads.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [
+            pool.submit(inheritable_thread_target(spark)(_write_sidecar), s)
+            for s in sidecars
+        ]
+        (
+            encoded.withColumn("txn", F.lit("base"))
+            .repartition("cell")
+            .write.mode("errorifexists")
+            .partitionBy("cell", "txn")
+            .parquet(f"{path}/data")
+        )
+        for f_ in futures:
+            f_.result()
     if anchors_df is not None:
         # unpersist only AFTER the encoded write: its lineage shifts
         # by these anchors, and recomputing the mean aggregation is
@@ -1963,6 +2071,8 @@ def pq_codebooks(
     k: int = 16,
     iters: int = 2,
     sample_mod: int | None = None,
+    _train: "DataFrame | None" = None,
+    _seed_rows: "list | None" = None,
 ) -> "list[list[list[float]]]":
     """Train product-quantization codebooks (Jégou et al. 2011): the
     vector is split into ``m`` equal subspaces and each gets its own
@@ -1985,21 +2095,28 @@ def pq_codebooks(
     cell, position) — instead of m independent pipelines re-scanning
     the sample m×iters times. The training frame is persisted across
     iterations and released in a ``finally``.
+
+    ``_train`` / ``_seed_rows``: the builder-sharing seam (r14, same
+    contract as :func:`ivf_centroids`) — ``write_ivfpq_index`` trains
+    the coarse quantizer and the codebooks on the SAME sample, so it
+    materializes one persisted :func:`_train_sample` frame and one
+    seed TakeOrdered prefix and passes both trainers their slice.
     """
-    train = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    )
-    if sample_mod is not None:
-        train = train.where(
-            F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0
+    if _train is not None:
+        train = _train
+    else:
+        train = corpus.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
         )
-    train = train.persist()
+        if sample_mod is not None:
+            train = train.where(
+                F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0
+            )
+        train = train.persist()
     try:
         seed_rows = (
-            train.orderBy(F.xxhash64(F.col("_id").cast("string")))
-            .limit(k)
-            .select("_v")
-            .collect()
+            _seed_rows[:k] if _seed_rows is not None
+            else _seed_vectors(train, k)
         )
         if not seed_rows:
             raise ValueError("cannot train PQ on an empty corpus")
@@ -2077,7 +2194,8 @@ def pq_codebooks(
                 for j in range(m)
             ]
     finally:
-        train.unpersist()
+        if _train is None:
+            train.unpersist()
     return books
 
 
@@ -2303,6 +2421,29 @@ def ann_topk_ivfpq(
     from pyspark.sql.window import Window
 
     qid = query_id_col or id_col
+    if centroids is None and codebooks is None:
+        # both trainers iterate the same sample — share its persisted
+        # materialization and the seed TakeOrdered (r14, the
+        # write_ivfpq_index builder-sharing seam)
+        shared_train = _train_sample(
+            corpus, id_col=id_col, vec_col=vec_col, sample_mod=sample_mod
+        ).persist()
+        try:
+            shared_seeds = _seed_vectors(
+                shared_train, max(n_cells, n_codes)
+            )
+            centroids = ivf_centroids(
+                corpus, id_col=id_col, vec_col=vec_col,
+                n_cells=n_cells, iters=iters, sample_mod=sample_mod,
+                _train=shared_train, _seed_rows=shared_seeds,
+            )
+            codebooks = pq_codebooks(
+                corpus, id_col=id_col, vec_col=vec_col, m=m, k=n_codes,
+                iters=iters, sample_mod=sample_mod,
+                _train=shared_train, _seed_rows=shared_seeds,
+            )
+        finally:
+            shared_train.unpersist()
     if centroids is None:
         centroids = ivf_centroids(
             corpus, id_col=id_col, vec_col=vec_col,

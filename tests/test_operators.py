@@ -1398,3 +1398,47 @@ def test_centroid_literal_rejects_nonfinite(spark):
     df = _centroids_literal_df(spark, [[1.0, 2.5e-17], [-3.0, 4.0]])
     got = {r["cell"]: r["cvec"] for r in df.collect()}
     assert got == {0: [1.0, 2.5e-17], 1: [-3.0, 4.0]}
+
+
+def test_ivfpq_shared_training_matches_sequential(spark, tmp_path):
+    """The r14 builder-sharing seam: write_ivfpq_index training BOTH
+    artifacts itself (one persisted sample + one seed TakeOrdered
+    feeding both trainers, sidecar writes overlapped with the data
+    write) must produce a byte-identical index to the sequential
+    pipeline it replaced — standalone ivf_centroids, standalone
+    pq_codebooks over the assigned corpus, injected into the writer."""
+    from pandabase_spark.operators.similarity import (
+        ivf_assign, ivf_centroids, pq_codebooks, write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = ivf_centroids(emb, n_cells=8, iters=2, sample_mod=2)
+    books = pq_codebooks(
+        ivf_assign(emb, cents), m=8, k=16, iters=2, sample_mod=2
+    )
+    p_seq = str(tmp_path / "seq")
+    p_shared = str(tmp_path / "shared")
+    write_ivfpq_index(
+        emb, p_seq, n_cells=8, m=8, n_codes=16, iters=2, sample_mod=2,
+        centroids=cents, codebooks=books,
+    )
+    write_ivfpq_index(
+        emb, p_shared, n_cells=8, m=8, n_codes=16, iters=2, sample_mod=2,
+    )
+
+    def part(path, sub, cols):
+        return sorted(
+            tuple(
+                tuple(v) if isinstance(v, list) else v
+                for v in (r[c] for c in cols)
+            )
+            for r in spark.read.parquet(f"{path}/{sub}").collect()
+        )
+
+    for sub, cols in (
+        ("centroids", ["cell", "cvec"]),
+        ("codebooks", ["j", "code", "cvec"]),
+        ("meta", ["residual"]),
+        ("data", ["vec_id", "cell", "pq_code"]),
+    ):
+        assert part(p_seq, sub, cols) == part(p_shared, sub, cols), sub
