@@ -143,6 +143,8 @@ def _collect_staged_stats(
 
     from pandabase_spark.sources.delta_reader import _qualified_root
 
+    from pyspark.sql.types import StructField, StructType
+
     spark = df.sparkSession
     cols = [(f_.name, f_.dataType) for f_ in data_cols]
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -154,8 +156,17 @@ def _collect_staged_stats(
             aggs.append(F.min(name).alias(f"__mn_{name}"))
             aggs.append(F.max(name).alias(f"__mx_{name}"))
     root_raw = _qualified_root(spark, table)
+    # the staged files were written from df this instant — their data
+    # schema is data_cols by construction, so pass it instead of
+    # letting the reader run a footer-inference job per commit (1 of
+    # the 3 Spark jobs every commit's stats pass was paying; hive
+    # partition columns are deliberately absent, stats cover data
+    # columns only)
+    staged_schema = StructType(
+        [StructField(n, dt, True) for n, dt in cols]
+    )
     per_file = (
-        spark.read.parquet(f"{table}/{sub}")
+        spark.read.schema(staged_schema).parquet(f"{table}/{sub}")
         .withColumn(
             "__rel",
             F.expr(
