@@ -91,7 +91,7 @@ from pandabase_spark.types import (
     coercion_class,
     infer_schema_pandas,
     narrow_spark_schema,
-    narrowing_aggs,
+    narrowing_aggs_grouped,
     pandas_to_spark,
     spark_to_logical,
 )
@@ -3319,19 +3319,39 @@ class KeyedCatalog:
         )
         cached = staged  # narrowing projects over this; release THIS
         try:
-            nar_aggs: list = []
+            nar_l1: list = []
+            nar_l2: list = []
+            nar_numeric: list = []
+            nar_all: list = []
             if fold_narrow:
                 # generated columns are computed post-narrowing in the
                 # unfolded path (never narrowed) — exclude them, and
                 # the bucket column, from the candidate set
-                nar_aggs, nar_numeric, nar_all = narrowing_aggs(
-                    sdf, list(keys) + list(generated or {})
+                nar_l1, nar_l2, nar_numeric, nar_all = (
+                    narrowing_aggs_grouped(
+                        sdf, list(keys) + list(generated or {})
+                    )
                 )
-            row = staged.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
-                F.sum(any_null.cast("long")).alias("nn"),
-                *nar_aggs,
+            # the probe is a TWO-LEVEL aggregate: the cache is already
+            # hash-partitioned by the key-derived bucket column, so
+            # grouping by (bucket, keys) needs NO exchange — rows of a
+            # key group are co-located by construction — and the only
+            # shuffle left is the one-row-per-task merge of the level-2
+            # partials. The single-level count_distinct form this
+            # replaces planned an Expand plus a full exchange of one
+            # row per distinct key (the whole batch, again) before the
+            # final rollup.
+            grouped = staged.groupBy(PART_DIR, *keys).agg(
+                F.count(F.lit(1)).alias("__c"),
+                *nar_l1,
+            )
+            row = grouped.agg(
+                F.sum("__c").alias("n"),
+                F.count(F.lit(1)).alias("nd"),
+                F.sum(
+                    F.when(any_null, F.col("__c")).otherwise(F.lit(0))
+                ).alias("nn"),
+                *nar_l2,
             ).first()
             if int(row["nn"] or 0):
                 raise ValueError("key columns may not contain NULL")
@@ -3347,7 +3367,7 @@ class KeyedCatalog:
                     f"duplicate key in batch: "
                     f"{ {k: dup[0][k] for k in keys} }"
                 )
-            if nar_aggs:
+            if nar_l1:
                 staged = apply_narrowing(
                     staged, row.asDict(), nar_numeric, nar_all
                 )

@@ -235,6 +235,45 @@ def narrowing_aggs(
     return aggs, numeric_cols, all_cols
 
 
+def narrowing_aggs_grouped(
+    df: DataFrame, keys: Sequence[str]
+) -> "tuple[list, list, list[str], list[str]]":
+    """:func:`narrowing_aggs` split into an algebraic two-level form
+    for a caller whose batch is ALREADY clustered by a key-derived
+    column (the create path's bucket-partitioned cache, io.py): level
+    one computes the same min/max/non-boolean/non-null aggregates per
+    key group — no exchange, the partitioning already satisfies the
+    grouping — and level two merges the per-group rows (min of mins,
+    max of maxes, sums) into the exact row :func:`apply_narrowing`
+    expects. Returns ``(level1, level2, numeric_cols, candidate_cols)``.
+    """
+    keyset = set(keys)
+    numeric_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in keyset
+        and isinstance(f.dataType, _NUMERIC_SPARK + (T.FloatType, T.DoubleType))
+    ]
+    all_cols = [f.name for f in df.schema.fields if f.name not in keyset]
+    level1: list = []
+    level2: list = []
+    for c in numeric_cols:
+        level1.append(F.min(c).alias(f"__min_{c}"))
+        level1.append(F.max(c).alias(f"__max_{c}"))
+        level1.append(
+            F.sum(((F.col(c) != 0) & (F.col(c) != 1)).cast("int")).alias(
+                f"__nb_{c}"
+            )
+        )
+        level2.append(F.min(f"__min_{c}").alias(f"__min_{c}"))
+        level2.append(F.max(f"__max_{c}").alias(f"__max_{c}"))
+        level2.append(F.sum(f"__nb_{c}").alias(f"__nb_{c}"))
+    for c in all_cols:
+        level1.append(F.count(F.col(c)).alias(f"__cnt_{c}"))
+        level2.append(F.sum(f"__cnt_{c}").alias(f"__cnt_{c}"))
+    return level1, level2, numeric_cols, all_cols
+
+
 def apply_narrowing(
     df: DataFrame,
     stats: "dict",
