@@ -735,6 +735,45 @@ def main() -> None:
     # counts, rows/sec, bloom skipping, plan checks) goes to
     # BENCH_DETAIL.json next to this script, which the round snapshot
     # commits for the judge.
+    #
+    # r15 measurement fix (r14 verdict ask #1): at 83 queries even
+    # 1-decimal full-name timings run 2,274 chars, so r14's line fell
+    # back to {"see": "BENCH_DETAIL.json"} and the driver's per-query
+    # and scaling comparisons came back EMPTY. When full names
+    # overflow the cap, the line now carries every timing under a
+    # short DETERMINISTIC alias (first letters of each _-separated
+    # word, widened per-name until unique — derived from the full
+    # name only, so stable across rounds and core counts); the
+    # alias->name map is committed in BENCH_DETAIL.json under
+    # "query_aliases". Values stay seconds (3-decimal), the unit key
+    # is unchanged, and the full-name timings remain in
+    # BENCH_DETAIL.json "queries" exactly as before.
+    def _build_aliases(names: list[str]) -> dict[str, str]:
+        out: dict[str, str] = {}
+        pend = sorted(names)
+        width = 2
+        while pend and width <= 6:
+            from collections import Counter
+
+            cand = {
+                n: "".join(p[:width] for p in n.split("_")) for n in pend
+            }
+            counts = Counter(cand.values())
+            nxt = []
+            for n, a in cand.items():
+                if counts[a] == 1 and a not in out.values():
+                    out[n] = a
+                else:
+                    nxt.append(n)
+            pend = nxt
+            width += 1
+        for n in pend:  # pathological residue: fall back to the name
+            out[n] = n
+        assert len(set(out.values())) == len(out)
+        return out
+
+    name_to_alias = _build_aliases(list(timings))
+
     detail = {
         "metric": "workload_total",
         "value": total,
@@ -754,19 +793,31 @@ def main() -> None:
         "ambient_load": {
             **ambient_load, "end": list(os.getloadavg()),
         },
+        "query_aliases": {a: n for n, a in name_to_alias.items()},
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
-    for nd in (2, 1):
+    # encoding preference: full names (2- then 1-decimal) if they fit
+    # the capture cap; else EVERY timing under its deterministic alias
+    # (3- down to 1-decimal seconds); the blind "see" pointer only as
+    # the terminal guarantee. The alias map travels in
+    # BENCH_DETAIL.json ("query_aliases").
+    candidates = [
+        {k: round(v, nd) for k, v in timings.items()} for nd in (2, 1)
+    ] + [
+        {name_to_alias[k]: round(v, nd) for k, v in timings.items()}
+        for nd in (3, 2, 1)
+    ] + [{"see": "BENCH_DETAIL.json"}]
+    for qmap in candidates:
         line = json.dumps(
             {
                 "metric": "workload_total",
-                "value": round(total, nd),
+                "value": round(total, 2),
                 "unit": "sec",
-                "queries": {k: round(v, nd) for k, v in timings.items()},
+                "queries": qmap,
                 "n_runs": repeat_default,
                 "sf": sf,
             },
@@ -774,22 +825,6 @@ def main() -> None:
         )
         if len(line) <= 1900:
             break
-    else:
-        # terminal guarantee: if even 1-decimal timings overflow the
-        # driver's capture window (query roster grows every round),
-        # keep the contract keys parseable and point at the committed
-        # detail file rather than silently losing the whole line
-        line = json.dumps(
-            {
-                "metric": "workload_total",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": {"see": "BENCH_DETAIL.json"},
-                "n_runs": repeat_default,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
     print(line)
 
 

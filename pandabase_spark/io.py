@@ -2907,6 +2907,30 @@ class KeyedCatalog:
             and not isinstance(df, pd.DataFrame)
             and not auto_index
         )
+        if fold_create and generated:
+            # r15 advisory fix: the folded create computes generated
+            # columns BEFORE the narrowing decisions ride the probe,
+            # while the unfolded path narrows first — a generated
+            # expression referencing a column narrowing would drop
+            # (all-null) or re-type (int→boolean) would diverge
+            # between the two paths. Resolution check (driver-side
+            # analysis, no job): if an expression resolves against the
+            # KEY columns alone it references no narrowing candidate
+            # and the fold stays decision-identical; anything else
+            # (candidate reference, another generated column, a bad
+            # expression) takes the unfolded narrow-first path, where
+            # _apply_generated raises its usual errors.
+            keyset = set(keys or [])
+            probe_schema = T.StructType(
+                [f for f in df.schema.fields if f.name in keyset]
+            )
+            probe = self.spark.createDataFrame([], probe_schema)
+            for _gexpr in generated.values():
+                try:
+                    probe.select(F.expr(_gexpr)).schema
+                except Exception:
+                    fold_create = False
+                    break
         fold_probe = (
             exists
             and not isinstance(df, pd.DataFrame)

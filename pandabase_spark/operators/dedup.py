@@ -148,14 +148,23 @@ def _shingle_rows(
     see doc-local rows, so their map-side partial aggregation reduces
     the shuffle to one row per doc per aggregate). Output matches the
     window form exactly, including the "short doc yields one partial
-    shingle" edge and the "empty text yields one empty shingle" edge
-    (split('') = ['']).
+    shingle" edge, the "empty text yields one empty shingle" edge
+    (split('') = ['']), and the "NULL text yields NO rows" edge: the
+    token array is NULL for NULL text, and sequence/greatest would
+    still emit position 1, producing one (id, NULL) shingle per
+    NULL-text doc where the window form emitted none — and since
+    xxhash64(NULL) is a constant, every NULL-text doc would minhash
+    to the same signature and read as a near-duplicate of all the
+    others. NULL token arrays are filtered before the explode (r15
+    advisory fix).
     """
     if mode == "char":
         return df.select(
             F.col(id_col), F.explode(_shingles(text_col, mode, n)).alias("sh")
         )
-    toks = df.select(F.col(id_col), tokenize(text_col).alias("_tk"))
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("_tk")).where(
+        F.col("_tk").isNotNull()
+    )
     pos = toks.select(
         F.col(id_col),
         F.col("_tk"),

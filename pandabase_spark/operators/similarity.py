@@ -2105,14 +2105,18 @@ def pq_codebooks(
     if _train is not None:
         train = _train
     else:
-        train = corpus.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-        )
-        if sample_mod is not None:
-            train = train.where(
-                F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0
-            )
-        train = train.persist()
+        # the SAME frame the sharing seam materializes — including its
+        # defaultParallelism repartition (r15 advisory fix): float mean
+        # accumulation order follows partition layout, so training the
+        # standalone path over a differently-partitioned frame made
+        # the shared-vs-sequential parity byte-equality layout-
+        # dependent; identical construction makes it hold by
+        # construction. The spread is also this path's correct 100 TB
+        # shape — a sampled single-file source would otherwise run
+        # every Lloyd stage as one task.
+        train = _train_sample(
+            corpus, id_col=id_col, vec_col=vec_col, sample_mod=sample_mod
+        ).persist()
     try:
         seed_rows = (
             _seed_rows[:k] if _seed_rows is not None

@@ -39,20 +39,30 @@ def _probe_type(values: "list") -> "T.DataType | None":
     """The type classic createDataFrame would infer for the probe
     column (int→long, str→string, float→double, bool→boolean) —
     preserved exactly so the Arrow-local fast path returns the same
-    schema; unknown probe types fall back to the classic path."""
+    schema; unknown OR MIXED probe types fall back to the classic
+    path (r15 advisory fix: classic inference merges e.g. [1, 2.5]
+    to double, so pinning the first value's type would make the
+    fallback createDataFrame(rows, struct) raise a type-verification
+    error instead)."""
+    seen: "set[type]" = set()
     for v in values:
         if v is None:
             continue
-        if isinstance(v, bool):
-            return T.BooleanType()
-        if isinstance(v, int):
-            return T.LongType()
-        if isinstance(v, float):
-            return T.DoubleType()
-        if isinstance(v, str):
-            return T.StringType()
+        if not isinstance(v, (bool, int, float, str)):
+            return None
+        seen.add(type(v))
+    if len(seen) != 1:
         return None
-    return None
+    t = seen.pop()
+    if t is bool:
+        return T.BooleanType()
+    if t is int:
+        return T.LongType()
+    if t is float:
+        return T.DoubleType()
+    if t is str:
+        return T.StringType()
+    return None  # exotic subclass of a scalar type: classic path
 
 
 def hll_distinct_rollup(

@@ -267,10 +267,20 @@ def narrowing_aggs_grouped(
         )
         level2.append(F.min(f"__min_{c}").alias(f"__min_{c}"))
         level2.append(F.max(f"__max_{c}").alias(f"__max_{c}"))
-        level2.append(F.sum(f"__nb_{c}").alias(f"__nb_{c}"))
+        # SUM over zero level-1 rows (an empty batch produces zero key
+        # groups) is NULL, not 0 — coalesce to the empty-batch identity
+        # so apply_narrowing's `== 0` decisions fire exactly as they do
+        # on the single-level/unfolded path (r15 advisory fix; without
+        # this an empty create kept all columns on the folded path but
+        # dropped every all-null column on the pandas path)
+        level2.append(
+            F.coalesce(F.sum(f"__nb_{c}"), F.lit(0)).alias(f"__nb_{c}")
+        )
     for c in all_cols:
         level1.append(F.count(F.col(c)).alias(f"__cnt_{c}"))
-        level2.append(F.sum(f"__cnt_{c}").alias(f"__cnt_{c}"))
+        level2.append(
+            F.coalesce(F.sum(f"__cnt_{c}"), F.lit(0)).alias(f"__cnt_{c}")
+        )
     return level1, level2, numeric_cols, all_cols
 
 
