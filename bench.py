@@ -577,7 +577,22 @@ def main() -> None:
         delta_create(
             orders_df, dl_path, partition_by=["o_orderpriority"]
         )
-        for i in range(4):
+        # the four appends are INDEPENDENT operations (disjoint key
+        # slices) a real exporter would overlap: submit them from a
+        # 2-worker pool so one append's staging write back-fills the
+        # executor tail of another's stats aggregation (guide §2.6 —
+        # concurrent independent jobs). The OCC commit loop serializes
+        # the version claims exactly as before (a lost claim re-reads
+        # the fresh head and retries), the four slices land as
+        # versions 1-4 in arrival order, and the final table state is
+        # identical. inheritable_thread_target propagates this
+        # thread's bench job group, so dml_facts accounting is
+        # unchanged in coverage.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        def _one_append(i: int) -> None:
             delta_append(
                 orders_df.where(F.col("o_orderkey") % 4 == i)
                 .withColumn(
@@ -585,6 +600,9 @@ def main() -> None:
                 ),
                 dl_path,
             )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(inheritable_thread_target(_one_append), range(4)))
         delta_checkpoint(spark, dl_path)
         # post-checkpoint tail: replay must stitch checkpoint + JSON
         delta_append(

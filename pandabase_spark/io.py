@@ -3593,6 +3593,28 @@ class KeyedCatalog:
             total = n_rows  # degenerate: no sized key columns
         return total <= threshold
 
+    def _bucket_copartition_ok(self) -> bool:
+        """Whether the session lets a join REUSE a subset (bucket-only)
+        hash partitioning for co-partitioning
+        (``spark.sql.requireAllClusterKeysForCoPartition=false``, set
+        by this engine's session builder). When true, the MERGE paths
+        shuffle each side ONCE on the key-derived bucket column and
+        the join + segment write run exchange-free on top of it; when
+        the session keeps Spark's default (e.g. a plain driver-built
+        session), they fall back to the classic shape — join on the
+        raw keys, re-shuffle the merged frame for the write — because
+        the bucket-only repartition would otherwise just be ADDED
+        ahead of the join's own full-key exchanges."""
+        try:
+            return str(
+                self.spark.conf.get(
+                    "spark.sql.requireAllClusterKeysForCoPartition",
+                    "true",
+                )
+            ).lower() == "false"
+        except Exception:
+            return False
+
     def _batch_buckets(self, sdf: DataFrame, m: TableMeta) -> list[int]:
         """Distinct buckets the batch hashes into (≤ num_buckets ints —
         driver-safe by construction)."""
@@ -3838,6 +3860,7 @@ class KeyedCatalog:
         # observability: which shape actually ran (bench records it in
         # dml_facts; tests assert dispatch without plan introspection)
         self._last_upsert_shape = "antiunion" if use_anti else "fullouter"
+        co = self._bucket_copartition_ok()
 
         if use_anti:
             batch_full = sdf
@@ -3854,11 +3877,42 @@ class KeyedCatalog:
                 batch_full, allowMissingColumns=True
             )
         else:
+            # co-partitioned merge (r15, guide §2.4): the segment
+            # layout's bucket column is DERIVED from the join keys, so
+            # shuffling each side ONCE on the bucket expression and
+            # joining on (bucket, *keys) — bucket equality is implied
+            # by key equality, so the match set is identical — leaves
+            # the join exchange-free (hashpartitioning(bucket)
+            # satisfies the clustered distribution of a key superset)
+            # AND the merged frame already clustered for the segment
+            # write. The old shape shuffled existing and the batch on
+            # the raw keys and then re-shuffled the ENTIRE merged
+            # frame on the bucket column: 3 exchanges carrying ~2x the
+            # merged bytes; now 2 exchanges carry each side once.
             # presence flag survives the join where value columns go
             # NULL (same trick as merge_table/table_changes)
-            t_tag = existing.alias("t")
-            s_tag = sdf.alias("s").withColumn("_in_s", F.lit(True))
-            joined = t_tag.join(s_tag, on=list(m.keys), how="full_outer")
+            if co:
+                bexpr = _bucket_expr(list(m.keys), m.num_buckets)
+                t_tag = (
+                    existing.withColumn(PART_DIR, bexpr)
+                    .repartition(PART_DIR)
+                    .alias("t")
+                )
+                s_tag = (
+                    sdf.withColumn(PART_DIR, bexpr)
+                    .repartition(PART_DIR)
+                    .alias("s")
+                    .withColumn("_in_s", F.lit(True))
+                )
+                joined = t_tag.join(
+                    s_tag, on=[PART_DIR, *m.keys], how="full_outer"
+                )
+            else:
+                t_tag = existing.alias("t")
+                s_tag = sdf.alias("s").withColumn("_in_s", F.lit(True))
+                joined = t_tag.join(
+                    s_tag, on=list(m.keys), how="full_outer"
+                )
 
             def pick(c: str) -> Column:
                 tcol = F.col(f"t.{c}")
@@ -3877,6 +3931,7 @@ class KeyedCatalog:
                 )
 
             merged = joined.select(
+                *([PART_DIR] if co else []),
                 *m.keys,
                 *[pick(c) for c in existing.columns if c not in m.keys],
             )
@@ -3891,7 +3946,14 @@ class KeyedCatalog:
                     merged, m, gen_provided or []
                 )
             self._check_constraints(merged, m)
-        seg, buckets = self._write_segment(merged, table_name, m)
+        # the co-partitioned fullouter shape is already clustered by
+        # PART_DIR (the join preserves the bucket shuffle); antiunion
+        # and the classic fullouter still pay the one segment-write
+        # shuffle
+        seg, buckets = self._write_segment(
+            merged, table_name, m,
+            pre_bucketed=(not use_anti) and co,
+        )
         touched_set = set(touched)
         segments: dict[str, list[int]] = {}
         for old_seg, bs in man["segments"].items():
@@ -4078,7 +4140,7 @@ class KeyedCatalog:
 
         man = self._manifest(table_name)
         m = self._resolve_nb(m, man)
-        touched = self._batch_probe(source, m)[0]
+        touched, n_src, _, src_key_bytes = self._batch_probe(source, m)
         bs_del_pred = (
             F.lit(True)
             if when_not_matched_by_source_delete is True
@@ -4094,12 +4156,17 @@ class KeyedCatalog:
             # that actually hold doomed (target-only ∧ predicate) rows,
             # so the rewrite stays ∝ touched data even on a selective
             # retention delete over a huge table.
+            # broadcast the source keys when the probe's MEASURED row
+            # count/bytes say they fit (guide §3.1): without the hint a
+            # bad size estimate can plan this anti-join as a sort-merge
+            # that shuffles the ENTIRE table just to find doomed rows
+            src_keys = source.select(*m.keys)
+            if self._keys_broadcastable(n_src, m, src_key_bytes):
+                src_keys = src_keys.hint("broadcast")
             doomed = (
                 self._read_raw(table_name, manifest=man)
                 .alias("t")
-                .join(
-                    source.select(*m.keys), on=list(m.keys), how="left_anti"
-                )
+                .join(src_keys, on=list(m.keys), how="left_anti")
                 .where(bs_del_pred)
             )
             touched = sorted(
@@ -4112,11 +4179,38 @@ class KeyedCatalog:
         # source-only columns (flags, payloads) that never land in the
         # table — Delta MERGE scoping
         src = source.alias("s")
+        # co-partitioned merge (r15, guide §2.4, same shape as
+        # _upsert's fullouter branch): shuffle each side ONCE on the
+        # key-derived bucket column and join on (bucket, *keys) —
+        # bucket equality is implied by key equality, so the match set
+        # is identical — which makes the join exchange-free and leaves
+        # the result already clustered for the segment write, instead
+        # of shuffling both sides on the raw keys and re-shuffling the
+        # whole merged frame on the bucket column.
         # presence flags survive the full outer join where columns
         # go NULL (same trick as table_changes)
-        t_tag = existing.withColumn("_in_t", F.lit(True))
-        s_tag = src.withColumn("_in_s", F.lit(True))
-        joined = t_tag.join(s_tag, on=list(m.keys), how="full_outer")
+        co = self._bucket_copartition_ok()
+        if co:
+            bexpr = _bucket_expr(list(m.keys), m.num_buckets)
+            t_tag = (
+                existing.withColumn(PART_DIR, bexpr)
+                .repartition(PART_DIR)
+                .alias("t")
+                .withColumn("_in_t", F.lit(True))
+            )
+            s_tag = (
+                src.withColumn(PART_DIR, bexpr)
+                .repartition(PART_DIR)
+                .alias("s")
+                .withColumn("_in_s", F.lit(True))
+            )
+            joined = t_tag.join(
+                s_tag, on=[PART_DIR, *m.keys], how="full_outer"
+            )
+        else:
+            t_tag = existing.withColumn("_in_t", F.lit(True))
+            s_tag = src.withColumn("_in_s", F.lit(True))
+            joined = t_tag.join(s_tag, on=list(m.keys), how="full_outer")
 
         del_pred = (
             F.expr(when_matched_delete)
@@ -4226,6 +4320,7 @@ class KeyedCatalog:
                 for c in validate_gen
             ]
         result = joined.where(keep).select(
+            *([PART_DIR] if co else []),
             *m.keys, *[merged_col(c) for c in value_cols], *prov
         )
         # matched rows whose referenced base columns changed, BY-SOURCE
@@ -4257,7 +4352,12 @@ class KeyedCatalog:
                 "_gc_from_src", *[f"_gc_prov_{c}" for c in validate_gen]
             )
         self._check_constraints(result, m)
-        seg, buckets = self._write_segment(result, table_name, m)
+        # under the co-partitioned shape, result is already clustered
+        # by PART_DIR (the join preserves the bucket shuffle) — no
+        # second exchange
+        seg, buckets = self._write_segment(
+            result, table_name, m, pre_bucketed=co
+        )
         touched_set = set(touched)
         segments: dict[str, list[int]] = {}
         for old_seg, bs in man["segments"].items():

@@ -51,6 +51,17 @@ def get_spark(
         # dynamic partition overwrite: upsert rewrites ONLY the hash
         # buckets touched by the incoming batch (see io.py)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # let a join REUSE a subset hash partitioning for
+        # co-partitioning: the MERGE/upsert paths shuffle both sides
+        # once on the key-DERIVED bucket column and join on
+        # (bucket, *keys), which needs Spark to accept
+        # hashpartitioning(bucket) for the key superset. The trade is
+        # join granularity bounded by distinct bucket count — fine
+        # here because the bucket IS the table's layout axis (tables
+        # size num_buckets to the data; io.py falls back to the
+        # classic full-key-shuffle shape when a session keeps Spark's
+        # default true)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.driver.memory", os.environ.get("PANDABASE_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.environ.get("PANDABASE_WAREHOUSE", "/tmp/pandabase_warehouse"))

@@ -165,17 +165,18 @@ def _collect_staged_stats(
     staged_schema = StructType(
         [StructField(n, dt, True) for n, dt in cols]
     )
+    # group on the RAW file path and derive the root-relative decoded
+    # path AFTER the aggregation: url_decode+substring on the grouping
+    # key ran per ROW (O(rows) string work and a wider shuffle key);
+    # as a post-agg projection it runs once per FILE (r15, guide §2.3)
     per_file = (
         spark.read.schema(staged_schema).parquet(f"{table}/{sub}")
+        .groupBy(F.col("_metadata.file_path").alias("__fp"))
+        .agg(*aggs)
         .withColumn(
             "__rel",
-            F.expr(
-                "substring(url_decode(_metadata.file_path), "
-                f"{len(root_raw) + 2})"
-            ),
+            F.expr(f"substring(url_decode(__fp), {len(root_raw) + 2})"),
         )
-        .groupBy("__rel")
-        .agg(*aggs)
         .collect()
     )
     out: "dict[str, str]" = {}

@@ -8954,74 +8954,66 @@ def sketch_population_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r14 rotation (the r13 verdict's ask #1/#7): the 50-slot gate head is
-#   - the EIGHT delta interop queries — the three r13 entries that had
-#     never rotated into a driver gate plus the round's new
-#     delta_scan_column_mapping and delta_scan_dv (name-mode
-#     column mapping; deletion-vector serving);
-#   - rfm_segments and kt_companda_report, both functionally changed
-#     this round (distributed ntile / global_row_number replacing the
-#     unpartitioned windows) — a changed query re-gates the round it
-#     changes;
-#   - ALL 22 remaining r9-stale entries (the cohort predating the r10
-#     storage rebuild, r11 vacuum races, r12 txn layout and r13
-#     compaction) — after this round no driver evidence predates r10;
-#   - 18 of the 50 r10-stale entries, led by the verdict-named
-#     multimodal_decode_png/ppm/wav and ann_topk_ivf_full_probe
-#     (which predate the r12 index layout), then alphabetical. The
-#     remaining 28 r10 rows (kt_coercion..window_top3_lineitems tail)
-#     lead the r15 rotation so max staleness stays <=4 rounds.
+# r15 rotation (the r14 verdict's ask #8): the 50-slot gate head is
+# the next-stalest cohort — the 31 remaining r10-checked entries
+# (kt_coercion..window_top3_lineitems, last driver-verified in the
+# r10 gate) followed by the 19 oldest r11 rows (alphabetical), so max
+# driver-evidence staleness stays bounded while r12-r14 evidence
+# remains fresh. Notably kt_upsert/kt_upsert_partial_cols re-gate the
+# round that restructured the upsert merge shape (co-partitioned
+# bucket join, io.py), and the sketch_* rows re-gate the round that
+# touched _probe_type.
 _GATE_FIRST = [
-    "delta_scan_log_replay",
-    "delta_scan_time_travel",
-    "delta_export_roundtrip",
-    "delta_scan_column_mapping",
-    "delta_scan_dv",
-    "delta_scan_stats_skip",
-    "delta_scan_changes_feed",
-    "delta_cdf_replicate_kt",
-    "rfm_segments",
-    "kt_companda_report",
-    "q11_important_stock",
-    "q12_shipping_priority_classes",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "scd2_user_state_history",
-    "skyline_cheap_small_parts",
-    "span_dedup_reconstruct",
-    "streaming_kt_ivm_view",
-    "streaming_outer_interval_join",
-    "streaming_running_agg",
-    "temperature_mixture_sample",
-    "train_val_test_split",
-    "training_corpus_manifest_v2",
-    "training_shard_manifest",
-    "zorder_bucket_spans",
-    "ann_topk_ivf_full_probe",
-    "multimodal_decode_png",
-    "multimodal_decode_ppm",
-    "multimodal_decode_wav",
-    "anti_join_idle_customers",
-    "asof_join_events",
-    "distinct_users_by_type",
-    "events_hourly",
-    "events_moving_avg",
-    "events_resample_fill",
-    "events_user_deltas",
-    "having_fat_orders",
-    "kt_append",
-    "kt_autoindex_append",
-    "kt_boolean_narrowing",
-    "kt_describe",
-    "kt_projection",
-    "kt_range_read_composite",
+    "kt_coercion",
+    "kt_range_read_open",
+    "kt_range_read_single",
+    "kt_roundtrip_create",
+    "kt_schema_evolution",
+    "kt_upsert",
+    "kt_upsert_partial_cols",
+    "label_centroids",
+    "lineitem_stats",
+    "multimodal_embed_topk",
+    "multimodal_resize_ppm",
+    "orders_priority_rollup",
+    "python_datasource_synth",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q6_revenue_change",
+    "quantiles_order_price",
+    "range_join_events",
+    "salted_skew_join",
+    "semi_join_ordered_parts",
+    "session_windows_events",
+    "set_ops_segments",
+    "sketch_distinct_users",
+    "sketch_population_overlap",
+    "sketch_user_frequencies",
+    "sketch_value_quantiles",
+    "streaming_sessionize",
+    "streaming_sketch_ingest",
+    "streaming_upsert_events",
+    "top_words",
+    "window_top3_lineitems",
+    "ann_topk_ivfpq",
+    "ann_topk_pq",
+    "ann_topk_pq_full",
+    "bpe_token_stats",
+    "chunk_documents_windowed",
+    "cohort_retention",
+    "contamination_report",
+    "corpus_language_summary",
+    "cube_orders",
+    "dedup_content_hash",
+    "dedup_exact_groups",
+    "doc_profile",
+    "doc_winnow_fingerprints",
+    "embedding_neardup_exact",
+    "event_transition_matrix",
+    "events_json_extract",
+    "grouping_sets_orders",
+    "interleave_shards_mix",
+    "jsonl_roundtrip_customer",
 ]
 
 
