@@ -531,10 +531,17 @@ def main() -> None:
         append_ivfpq_index, compact_index,
     )
 
+    from pandabase_spark.operators.similarity import (
+        _load_append_artifacts,
+    )
+
+    # frozen artifacts loaded once for the 6-batch append loop (same
+    # hoist as the streaming ingest queries — r15)
+    _pq_art = _load_append_artifacts(spark, pq_path, codebooks=True)
     for b in range(6):
         append_ivfpq_index(
             emb.where(F.col("vec_id") % 97 == b), pq_path,
-            txn=("bench", b),
+            txn=("bench", b), _artifacts=_pq_art,
         )
     import glob as _glob
     _leaves_pre = len(_glob.glob(f"{pq_path}/data/cell=*/txn=*"))
@@ -635,6 +642,43 @@ def main() -> None:
             delta_scan(spark, dl_path)
         ).parquet_scans == 1,
     )
+
+    # --- streaming suite job-count facts (r14 verdict ask #4) ---
+    # The 15 declared streaming queries are deliberately NOT timed
+    # bench entries: their walls are micro-batch scheduling floors,
+    # and adding them to `queries` would inflate the cross-round
+    # total. Their Spark job/stage counts ARE deterministic plan
+    # facts, so each runs once here under its own job group and the
+    # counts land beside dml_facts — a grown count flags a plan
+    # regression (a static side re-planned per batch, an IVM/CDC path
+    # losing its bucketed read) that wall noise would hide. Walls are
+    # recorded for reference only.
+    # job-group counting misses the micro-batch thread (foreachBatch
+    # jobs run on the stream execution thread, outside the caller's
+    # thread-local group), so the deterministic fact here is the
+    # GLOBAL job-counter delta — it covers every thread and nothing
+    # else runs concurrently at this point in the bench
+    def _total_jobs() -> int:
+        return int(sc._jsc.sc().dagScheduler().numTotalJobs())
+
+    streaming_facts: dict[str, dict] = {}
+    for sq in (
+        "streaming_ann_index_ingest", "streaming_dedup_end_state",
+        "streaming_interval_join", "streaming_ivfpq_index_ingest",
+        "streaming_kt_cdc_replica", "streaming_kt_ivm_view",
+        "streaming_kt_source", "streaming_late_data_drop",
+        "streaming_outer_interval_join", "streaming_running_agg",
+        "streaming_sessionize", "streaming_sketch_ingest",
+        "streaming_static_enrich", "streaming_upsert_events",
+        "streaming_windowed_counts",
+    ):
+        j0 = _total_jobs()
+        t0 = time.time()
+        force(Q[sq](spark, sf_dir))
+        streaming_facts[sq] = {
+            "n_jobs": _total_jobs() - j0,
+            "sec": round(time.time() - t0, 2),
+        }
 
     total = round(sum(timings.values()), 2)
     append_rps = round((li_rows // 10) / timings["kt_append_10pct"], 1)
@@ -808,6 +852,7 @@ def main() -> None:
         "plan_checks": plan_checks,
         "dml_facts": dml_facts,
         "query_facts": query_facts,
+        "streaming_facts": streaming_facts,
         "ambient_load": {
             **ambient_load, "end": list(os.getloadavg()),
         },

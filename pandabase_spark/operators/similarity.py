@@ -974,6 +974,29 @@ def write_ivf_index(
     )
 
 
+def _load_append_artifacts(
+    spark, path: str, *, codebooks: bool = False
+) -> dict:
+    """Load the FROZEN serving artifacts a per-batch append needs,
+    once: the streaming foreachBatch hoist (guide §4.5 applied at the
+    micro-batch level — the quantizer/codebooks never change between
+    batches by the add-after-train contract, so re-reading the
+    sidecars and re-collecting the codebooks per micro-batch bought
+    nothing; at a month of 1-minute triggers that is ~43k redundant
+    sidecar reads + driver collects). Pass the returned dict to
+    ``append_ivf_index``/``append_ivfpq_index`` via ``_artifacts``."""
+    art: dict = {
+        "centroids": spark.read.parquet(f"{path}/centroids"),
+        "residual": _index_is_residual(spark, path),
+    }
+    art["anchors"] = (
+        spark.read.parquet(f"{path}/anchors") if art["residual"] else None
+    )
+    if codebooks:
+        art["codebooks"] = _load_codebooks(spark, path)
+    return art
+
+
 def append_ivf_index(
     new_vectors: DataFrame,
     path: str,
@@ -981,6 +1004,7 @@ def append_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     txn: "tuple[str, int] | None" = None,
+    _artifacts: "dict | None" = None,
 ) -> None:
     """Append new vectors to an EXISTING :func:`write_ivf_index` index
     without rebuilding it — the FAISS add-after-train contract and the
@@ -1020,7 +1044,11 @@ def append_ivf_index(
     pruning is untouched: ``cell`` stays the leading partition level
     and probes never filter on ``txn``."""
     spark = new_vectors.sparkSession
-    cdf = spark.read.parquet(f"{path}/centroids")
+    cdf = (
+        _artifacts["centroids"]
+        if _artifacts is not None
+        else spark.read.parquet(f"{path}/centroids")
+    )
     assigned = ivf_assign(new_vectors, cdf, vec_col=vec_col)
     _append_index_batch(spark, assigned, path, txn)
 
@@ -1341,7 +1369,13 @@ def _index_is_residual(spark, path: str) -> bool:
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return False
-    row = spark.read.parquet(f"{path}/meta").first()
+    # schema known by construction (this module wrote the sidecar):
+    # saves the per-serve driver-side footer inference (r15)
+    row = (
+        spark.read.schema("residual boolean")
+        .parquet(f"{path}/meta")
+        .first()
+    )
     return bool(row["residual"]) if row is not None else False
 
 
@@ -1349,7 +1383,13 @@ def _load_codebooks(spark, path: str) -> "list[list[list[float]]]":
     """The persisted codebook sidecar back as the in-memory
     list-of-books shape every PQ entry point shares. Bounded driver
     state by construction: m×k rows."""
-    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    # schema known by construction (write_ivfpq_index's local_frame
+    # DDL): saves the per-serve driver-side footer inference (r15)
+    rows = (
+        spark.read.schema("j int, code int, cvec array<double>")
+        .parquet(f"{path}/codebooks")
+        .collect()
+    )
     if not rows:
         raise ValueError(f"empty codebook sidecar at {path}/codebooks")
     m = 1 + max(r["j"] for r in rows)
@@ -1366,6 +1406,7 @@ def append_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     txn: "tuple[str, int] | None" = None,
+    _artifacts: "dict | None" = None,
 ) -> None:
     """Incremental adds against the FROZEN IVFPQ index (FAISS
     add-after-train for the composed artifact): the batch is
@@ -1374,15 +1415,28 @@ def append_ivfpq_index(
     lands through the same :func:`_append_index_batch` txn semantics
     as the raw index: ``txn=(app, batch_id)`` appends are
     replay-idempotent (dynamic partition overwrite of the batch's own
-    ``txn=`` sub-partitions), untagged appends are at-least-once."""
+    ``txn=`` sub-partitions), untagged appends are at-least-once.
+
+    ``_artifacts``: the :func:`_load_append_artifacts` hoist — a
+    streaming sink loads the frozen quantizer/codebooks/anchors ONCE
+    outside ``foreachBatch`` instead of re-reading every sidecar and
+    re-collecting the codebooks per micro-batch (r15)."""
     spark = new_vectors.sparkSession
-    cdf = spark.read.parquet(f"{path}/centroids")
-    books = _load_codebooks(spark, path)
-    staged = ivf_assign(new_vectors, cdf, vec_col=vec_col)
-    if _index_is_residual(spark, path):
-        staged = _subtract_cell_anchor(
-            staged, spark.read.parquet(f"{path}/anchors"), vec_col
+    if _artifacts is not None:
+        cdf = _artifacts["centroids"]
+        books = _artifacts["codebooks"]
+        residual = _artifacts["residual"]
+        anchors_df = _artifacts["anchors"]
+    else:
+        cdf = spark.read.parquet(f"{path}/centroids")
+        books = _load_codebooks(spark, path)
+        residual = _index_is_residual(spark, path)
+        anchors_df = (
+            spark.read.parquet(f"{path}/anchors") if residual else None
         )
+    staged = ivf_assign(new_vectors, cdf, vec_col=vec_col)
+    if residual:
+        staged = _subtract_cell_anchor(staged, anchors_df, vec_col)
     encoded = pq_encode(
         staged, books, vec_col=vec_col
     ).select(F.col(id_col), "cell", "pq_code")
