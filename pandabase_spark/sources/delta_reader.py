@@ -237,70 +237,102 @@ def _collect_checkpoint(spark: SparkSession, parts: "list[str]") -> (
     cols = set(rows.columns)
     adds: "list[dict]" = []
     removes: "list[dict]" = []
+    # ONE scan + ONE collect for all four action kinds (r15, guide
+    # §1.2): each checkpoint row carries exactly one non-null action,
+    # so the four per-kind collects this replaces re-scanned the
+    # checkpoint four times per replay — one job each — for rows that
+    # one pass returns together. Executor-side trimming is unchanged:
+    # the driver still only ever holds the projected fields.
+    import functools
+    import operator
+
+    sel: list = []
+    preds: list = []
+    has_dv = has_stats = False
     if "add" in cols:
-        a = rows.where(F.col("add.path").isNotNull())
-        sel = [
-            F.col("add.path").alias("path"),
-            F.col("add.partitionValues").alias("partitionValues"),
-            F.col("add.size").alias("size"),
-            F.col("add.modificationTime").alias("modificationTime"),
-        ]
         add_fields = {
             f_.name for f_ in rows.schema["add"].dataType.fields
         }
+        sel += [
+            F.col("add.path").alias("__a_path"),
+            F.col("add.partitionValues").alias("__a_pv"),
+            F.col("add.size").alias("__a_size"),
+            F.col("add.modificationTime").alias("__a_mt"),
+        ]
         has_dv = "deletionVector" in add_fields
         if has_dv:
-            sel.append(F.to_json(F.col("add.deletionVector")).alias("dv"))
+            sel.append(
+                F.to_json(F.col("add.deletionVector")).alias("__a_dv")
+            )
         has_stats = "stats" in add_fields
         if has_stats:
-            sel.append(F.col("add.stats").alias("stats"))
-        for r in a.select(*sel).collect():
-            d = {
-                "path": r["path"],
-                "partitionValues": dict(r["partitionValues"] or {}),
-                "size": int(r["size"] or 0),
-                "modificationTime": int(r["modificationTime"] or 0),
-            }
-            if has_dv and r["dv"]:
-                d["deletionVector"] = json.loads(r["dv"])
-            if has_stats:
-                stats = _parse_stats(r["stats"])
-                if stats is not None:
-                    d["stats"] = stats
-            adds.append(d)
+            sel.append(F.col("add.stats").alias("__a_stats"))
+        preds.append(F.col("add.path").isNotNull())
+    has_rm_ts = False
     if "remove" in cols:
-        rm = rows.where(F.col("remove.path").isNotNull())
         rm_fields = {
             f_.name for f_ in rows.schema["remove"].dataType.fields
         }
-        sel = [F.col("remove.path").alias("path")]
-        if "deletionTimestamp" in rm_fields:
+        sel.append(F.col("remove.path").alias("__r_path"))
+        has_rm_ts = "deletionTimestamp" in rm_fields
+        if has_rm_ts:
             sel.append(
-                F.col("remove.deletionTimestamp").alias("deletionTimestamp")
+                F.col("remove.deletionTimestamp").alias("__r_ts")
             )
-        for r in rm.select(*sel).collect():
+        preds.append(F.col("remove.path").isNotNull())
+    if "metaData" in cols:
+        sel.append(
+            F.when(
+                F.col("metaData.schemaString").isNotNull(),
+                F.to_json("metaData"),
+            ).alias("__m_j")
+        )
+        preds.append(F.col("metaData.schemaString").isNotNull())
+    if "protocol" in cols:
+        sel.append(
+            F.when(
+                F.col("protocol.minReaderVersion").isNotNull(),
+                F.to_json("protocol"),
+            ).alias("__p_j")
+        )
+        preds.append(F.col("protocol.minReaderVersion").isNotNull())
+    meta = None
+    protocol = None
+    if not preds:
+        return adds, removes, meta, protocol
+    collected = (
+        rows.where(functools.reduce(operator.or_, preds))
+        .select(*sel)
+        .collect()
+    )
+    fields = collected[0].__fields__ if collected else []
+    for r in collected:
+        if "__a_path" in fields and r["__a_path"] is not None:
+            d = {
+                "path": r["__a_path"],
+                "partitionValues": dict(r["__a_pv"] or {}),
+                "size": int(r["__a_size"] or 0),
+                "modificationTime": int(r["__a_mt"] or 0),
+            }
+            if has_dv and r["__a_dv"]:
+                d["deletionVector"] = json.loads(r["__a_dv"])
+            if has_stats:
+                stats = _parse_stats(r["__a_stats"])
+                if stats is not None:
+                    d["stats"] = stats
+            adds.append(d)
+        elif "__r_path" in fields and r["__r_path"] is not None:
             removes.append({
-                "path": r["path"],
+                "path": r["__r_path"],
                 "deletionTimestamp": int(
-                    (r["deletionTimestamp"] if "deletionTimestamp" in r
-                     else 0) or 0
+                    (r["__r_ts"] if has_rm_ts else 0) or 0
                 ),
                 "dataChange": False,
             })
-    meta = None
-    if "metaData" in cols:
-        got = rows.where(
-            F.col("metaData.schemaString").isNotNull()
-        ).select(F.to_json("metaData").alias("j")).collect()
-        if got:
-            meta = json.loads(got[0]["j"])
-    protocol = None
-    if "protocol" in cols:
-        got = rows.where(
-            F.col("protocol.minReaderVersion").isNotNull()
-        ).select(F.to_json("protocol").alias("j")).collect()
-        if got:
-            protocol = json.loads(got[0]["j"])
+        elif "__m_j" in fields and meta is None and r["__m_j"]:
+            meta = json.loads(r["__m_j"])
+        elif "__p_j" in fields and protocol is None and r["__p_j"]:
+            protocol = json.loads(r["__p_j"])
     return adds, removes, meta, protocol
 
 
