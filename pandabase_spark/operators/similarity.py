@@ -1193,16 +1193,44 @@ def write_ivfpq_index(
             shared_seeds = _seed_vectors(
                 shared_train, max(n_cells, n_codes)
             )
-            centroids = ivf_centroids(
-                corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-                iters=iters, sample_mod=sample_mod,
-                _train=shared_train, _seed_rows=shared_seeds,
-            )
-            codebooks = pq_codebooks(
-                corpus, id_col=id_col, vec_col=vec_col, m=m, k=n_codes,
-                iters=iters, sample_mod=sample_mod,
-                _train=shared_train, _seed_rows=shared_seeds,
-            )
+            # the two trainers are INDEPENDENT given the shared seeds
+            # and iterate the same ALREADY-MATERIALIZED cache (the
+            # seed collect warmed it), so run them concurrently (r15,
+            # guide §2.6): each trainer's own aggregates see identical
+            # rows, partitioning and seeds, so both artifacts stay
+            # bit-identical to the sequential path (pinned by
+            # test_ivfpq_shared_training_matches_sequential) — the
+            # overlap just back-fills one trainer's tiny per-iteration
+            # collect latencies with the other's tasks.
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark.util import inheritable_thread_target
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_c = pool.submit(
+                    inheritable_thread_target(spark)(
+                        lambda: ivf_centroids(
+                            corpus, id_col=id_col, vec_col=vec_col,
+                            n_cells=n_cells, iters=iters,
+                            sample_mod=sample_mod,
+                            _train=shared_train,
+                            _seed_rows=shared_seeds,
+                        )
+                    )
+                )
+                fut_b = pool.submit(
+                    inheritable_thread_target(spark)(
+                        lambda: pq_codebooks(
+                            corpus, id_col=id_col, vec_col=vec_col,
+                            m=m, k=n_codes, iters=iters,
+                            sample_mod=sample_mod,
+                            _train=shared_train,
+                            _seed_rows=shared_seeds,
+                        )
+                    )
+                )
+                centroids = fut_c.result()
+                codebooks = fut_b.result()
         if centroids is None:
             centroids = ivf_centroids(
                 corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
@@ -2490,16 +2518,38 @@ def ann_topk_ivfpq(
             shared_seeds = _seed_vectors(
                 shared_train, max(n_cells, n_codes)
             )
-            centroids = ivf_centroids(
-                corpus, id_col=id_col, vec_col=vec_col,
-                n_cells=n_cells, iters=iters, sample_mod=sample_mod,
-                _train=shared_train, _seed_rows=shared_seeds,
-            )
-            codebooks = pq_codebooks(
-                corpus, id_col=id_col, vec_col=vec_col, m=m, k=n_codes,
-                iters=iters, sample_mod=sample_mod,
-                _train=shared_train, _seed_rows=shared_seeds,
-            )
+            # independent trainers over the warmed cache run
+            # concurrently — same rationale and bit-identity argument
+            # as write_ivfpq_index's seam (r15, guide §2.6)
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark.util import inheritable_thread_target
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_c = pool.submit(
+                    inheritable_thread_target(corpus.sparkSession)(
+                        lambda: ivf_centroids(
+                            corpus, id_col=id_col, vec_col=vec_col,
+                            n_cells=n_cells, iters=iters,
+                            sample_mod=sample_mod,
+                            _train=shared_train,
+                            _seed_rows=shared_seeds,
+                        )
+                    )
+                )
+                fut_b = pool.submit(
+                    inheritable_thread_target(corpus.sparkSession)(
+                        lambda: pq_codebooks(
+                            corpus, id_col=id_col, vec_col=vec_col,
+                            m=m, k=n_codes, iters=iters,
+                            sample_mod=sample_mod,
+                            _train=shared_train,
+                            _seed_rows=shared_seeds,
+                        )
+                    )
+                )
+                centroids = fut_c.result()
+                codebooks = fut_b.result()
         finally:
             shared_train.unpersist()
     if centroids is None:
