@@ -674,11 +674,15 @@ def main() -> None:
     ):
         j0 = _total_jobs()
         t0 = time.time()
-        force(Q[sq](spark, sf_dir))
-        streaming_facts[sq] = {
-            "n_jobs": _total_jobs() - j0,
-            "sec": round(time.time() - t0, 2),
-        }
+        try:
+            force(Q[sq](spark, sf_dir))
+            streaming_facts[sq] = {
+                "n_jobs": _total_jobs() - j0,
+                "sec": round(time.time() - t0, 2),
+            }
+        except Exception as exc:  # auxiliary facts must not kill the
+            # driver's ONE bench invocation — record the failure
+            streaming_facts[sq] = {"error": str(exc)[:200]}
 
     total = round(sum(timings.values()), 2)
     append_rps = round((li_rows // 10) / timings["kt_append_10pct"], 1)
